@@ -1,0 +1,70 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from solana_snapshot_etl_tools_spark.session import get_spark
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: one per operator family (joins, aggs, windows, setops,
+# JSON, ETL decode spine) — extended as the corpus grows
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "join_theta",
+    "window_topk",
+    "window_running",
+    "sessionize",
+    "rollup_agg",
+    "pivot",
+    "json_extract",
+    "etl_token_account",
+    "etl_token_metadata",
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    queries = entry_mod.queries()
+    names = [n for n in HEADLINE if n in queries] + [
+        n for n in sorted(queries) if n not in HEADLINE and n.startswith("bench_")
+    ]
+    # warm the JVM + parquet footers once (not counted)
+    queries["q1_pricing_summary"](spark, SF_DIR).collect()
+
+    per_query: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = queries[name](spark, SF_DIR)
+        n = df.count()  # forces full execution without driver materialize
+        per_query[name] = round(time.time() - t0, 4)
+        assert n >= 0
+    total = round(sum(per_query.values()), 4)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

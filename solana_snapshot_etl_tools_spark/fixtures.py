@@ -1,0 +1,509 @@
+"""Deterministic Solana fixtures + ground-truth oracles.
+
+The reference repo ships no tests (SURVEY.md §5); our correctness
+strategy packs known field values into the reference's binary layouts
+(FIXTURES.md §1) and checks that the engine's decoders recover them.
+Because field values are drawn BEFORE packing, every decode query gets
+a real value-level oracle: the expected output is rendered as a DuckDB
+``VALUES`` literal (see :func:`values_sql`), so the driver's
+hash-compare validates actual decoded values, not just row counts.
+
+Layout citations (into /root/reference):
+- SPL token account 165 B / mint 82 B / multisig 355 B:
+  solana-snapshot-etl/src/bin/solana-snapshot-etl/sqlite.rs:236-259
+- Metaplex Borsh metadata: .../mpl_metadata.rs:6-85
+- UpgradeableLoaderState ProgramData (ELF at byte 45): .../programs.rs:40-47
+- Off-chain URI region (offset 119, 200 B): geyser/src/plugin.rs:190-195
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+import struct
+from functools import lru_cache
+
+from solana_snapshot_etl_tools_spark import schemas as S
+from solana_snapshot_etl_tools_spark.functions.base58 import b58encode
+
+SEED = 42
+
+# --- packing helpers (little-endian, COption = u32 tag + value) ------------
+
+
+def _u32(v: int) -> bytes:
+    return struct.pack("<I", v)
+
+
+def _u64(v: int) -> bytes:
+    return struct.pack("<Q", v)
+
+
+def _copt_pubkey(pk: bytes | None) -> bytes:
+    return _u32(1) + pk if pk is not None else _u32(0) + b"\x00" * 32
+
+
+def _copt_u64(v: int | None) -> bytes:
+    return _u32(1) + _u64(v) if v is not None else _u32(0) + _u64(0)
+
+
+def _i64(v: int) -> int:
+    """u64 → i64 wraparound (the engine's LongType policy)."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _borsh_str(s: bytes, capacity: int) -> bytes:
+    """Borsh string NUL-padded to fixed capacity (on-chain convention)."""
+    padded = s.ljust(capacity, b"\x00")[:capacity]
+    return _u32(capacity) + padded
+
+
+def pack_token_account(f: dict) -> bytes:
+    out = (
+        f["mint"]
+        + f["owner"]
+        + _u64(f["amount"])
+        + _copt_pubkey(f["delegate"])
+        + bytes([f["state"]])
+        + _copt_u64(f["is_native"])
+        + _u64(f["delegated_amount"])
+        + _copt_pubkey(f["close_authority"])
+    )
+    assert len(out) == S.SPL_ACCOUNT_LEN
+    return out
+
+
+def pack_mint(f: dict) -> bytes:
+    out = (
+        _copt_pubkey(f["mint_authority"])
+        + _u64(f["supply"])
+        + bytes([f["decimals"], 1 if f["is_initialized"] else 0])
+        + _copt_pubkey(f["freeze_authority"])
+    )
+    assert len(out) == S.SPL_MINT_LEN
+    return out
+
+
+def pack_multisig(f: dict) -> bytes:
+    signers = b"".join(f["signers"]) + b"\x00" * 32 * (
+        S.MAX_MULTISIG_SIGNERS - len(f["signers"])
+    )
+    out = bytes([f["m"], f["n"], 1]) + signers
+    assert len(out) == S.SPL_MULTISIG_LEN
+    return out
+
+
+def pack_metadata(f: dict) -> bytes:
+    """MetadataV1 body, optionally + edition_nonce ext + v1.2 ext."""
+    creators = f.get("creators")
+    if creators is None:
+        cre = b"\x00"
+    else:
+        cre = b"\x01" + _u32(len(creators)) + b"".join(
+            pk + bytes([1 if ver else 0, share]) for pk, ver, share in creators
+        )
+    out = (
+        bytes([S.METADATA_V1_KEY])
+        + f["update_authority"]
+        + f["mint"]
+        + _borsh_str(f["name"].encode() if isinstance(f["name"], str) else f["name"], 32)
+        + _borsh_str(f["symbol"].encode(), 10)
+        + _borsh_str(f["uri"] if isinstance(f["uri"], bytes) else f["uri"].encode(), 200)
+        + struct.pack("<H", f["seller_fee_basis_points"])
+        + cre
+        + bytes([1 if f["primary_sale_happened"] else 0, 1 if f["is_mutable"] else 0])
+    )
+    if f.get("edition_nonce", "absent") != "absent":
+        en = f["edition_nonce"]
+        out += b"\x01" + bytes([en]) if en is not None else b"\x00"
+        if f.get("v12"):
+            ts = f.get("token_standard")
+            out += b"\x01" + bytes([ts]) if ts is not None else b"\x00"
+            col = f.get("collection")
+            if col is not None:
+                out += b"\x01" + bytes([1 if col[0] else 0]) + col[1]
+            else:
+                out += b"\x00"
+            uses = f.get("uses")
+            if uses is not None:
+                out += b"\x01" + bytes([uses[0]]) + _u64(uses[1]) + _u64(uses[2])
+            else:
+                out += b"\x00"
+    return out
+
+
+def pack_programdata(elf: bytes, authority: bytes | None, slot: int) -> bytes:
+    head = _u32(S.PROGRAMDATA_TAG) + _u64(slot)
+    head += (b"\x01" + authority) if authority is not None else (b"\x00" + b"\x00" * 32)
+    assert len(head) == S.PROGRAMDATA_ELF_OFFSET
+    return head + elf
+
+
+# --- minimal eBPF ELF builder (for opcode stats, reference main.rs:85-107) -
+
+# subset of the reference's mnemonic table (main.rs:159-268)
+EBPF_MNEMONICS = {
+    0x07: "add64_imm",
+    0x0F: "add64_reg",
+    0x18: "lddw",
+    0x1F: "sub64_reg",
+    0x25: "jgt_imm",
+    0x61: "ldxw",
+    0x62: "stw",
+    0x71: "ldxb",
+    0x85: "call",
+    0x95: "exit",
+    0xB7: "mov64_imm",
+    0xBF: "mov64_reg",
+}
+
+
+def build_elf(opcodes: list[int]) -> bytes:
+    """Minimal ELF64 with one .text section holding the given eBPF
+    opcodes (8 B/insn; lddw 0x18 takes 16 B, matching main.rs:97-101)."""
+    text = b""
+    for op in opcodes:
+        text += bytes([op]) + b"\x00" * 7
+        if op == 0x18:
+            text += b"\x00" * 8
+    shstrtab = b"\x00.text\x00.shstrtab\x00"
+    ehsize, shentsize = 64, 64
+    text_off = ehsize
+    shstr_off = text_off + len(text)
+    shoff = shstr_off + len(shstrtab)
+    eh = struct.pack(
+        "<4sBBBBB7xHHIQQQIHHHHHH",
+        b"\x7fELF", 2, 1, 1, 0, 0,  # magic, 64-bit, LE, v1
+        0xF7, 0x3E, 1,  # ET_NONE-ish, EM_BPF, version
+        0, 0, shoff,  # entry, phoff, shoff
+        0, ehsize, 0, 0,  # flags, ehsize, phentsize, phnum
+        shentsize, 3, 2,  # shentsize, shnum, shstrndx
+    )
+    def sh(name_off, typ, off, size):
+        return struct.pack("<IIQQQQIIQQ", name_off, typ, 6, 0, off, size, 0, 0, 8, 0)
+    sections = sh(0, 0, 0, 0) + sh(1, 1, text_off, len(text)) + sh(7, 3, shstr_off, len(shstrtab))
+    return eh + text + shstrtab + sections
+
+
+# --- the fixture itself -----------------------------------------------------
+
+
+def _pk(rng: random.Random) -> bytes:
+    return rng.randbytes(32)
+
+
+@lru_cache(maxsize=1)
+def build_fixture() -> dict:
+    """Deterministic raw_accounts rows + per-table expected outputs.
+
+    Returns dict with:
+      raw_accounts  : list of tuples (RAW_ACCOUNTS_SCHEMA order)
+      expected      : dict table -> (colnames, duck_types, rows)
+      account_updates / slot_status / block_metadata / transactions /
+      program_elfs  : auxiliary fixtures (FIXTURES.md §3-6)
+    """
+    rng = random.Random(SEED)
+    extra_programs = [_pk(rng) for _ in range(3)]
+    raw: list[dict] = []  # each: field dict + kind + decoded ground truth
+
+    def add(kind, owner, data, truth=None, *, executable=False, lamports=None,
+            rent_epoch=None, pubkey=None):
+        raw.append(
+            dict(
+                kind=kind,
+                pubkey=pubkey or _pk(rng),
+                owner=owner,
+                data=data,
+                truth=truth,
+                executable=executable,
+                lamports=rng.randrange(10**9) if lamports is None else lamports,
+                rent_epoch=rent_epoch if rent_epoch is not None else rng.randrange(400),
+                slot=rng.randrange(1000, 2000),
+                write_version=rng.randrange(10**6),
+            )
+        )
+        return raw[-1]
+
+    # token accounts (incl. u64 wraparound amount + all COption branches)
+    for i in range(40):
+        f = dict(
+            mint=_pk(rng),
+            owner=_pk(rng),
+            amount=(1 << 63) + rng.randrange(1 << 32) if i == 0 else rng.randrange(1 << 53),
+            delegate=_pk(rng) if i % 3 == 0 else None,
+            state=rng.choice([0, 1, 2]),
+            is_native=rng.randrange(1 << 40) if i % 5 == 0 else None,
+            delegated_amount=rng.randrange(1 << 40),
+            close_authority=_pk(rng) if i % 4 == 0 else None,
+        )
+        add("token_account", S.TOKEN_PROGRAM_ID, pack_token_account(f), f)
+
+    # mints
+    for i in range(15):
+        f = dict(
+            mint_authority=_pk(rng) if i % 2 == 0 else None,
+            supply=(1 << 64) - 1 if i == 0 else rng.randrange(1 << 50),
+            decimals=rng.randrange(0, 12),
+            is_initialized=i % 7 != 0,
+            freeze_authority=_pk(rng) if i % 3 == 0 else None,
+        )
+        add("token_mint", S.TOKEN_PROGRAM_ID, pack_mint(f), f)
+
+    # multisigs
+    for i in range(8):
+        n = rng.randrange(2, S.MAX_MULTISIG_SIGNERS + 1)
+        f = dict(m=rng.randrange(1, n + 1), n=n, signers=[_pk(rng) for _ in range(n)])
+        add("token_multisig", S.TOKEN_PROGRAM_ID, pack_multisig(f), f)
+
+    # wrong-size token payloads → must be skipped (L1, sqlite.rs:252-258)
+    for sz in (100, 164, 83, 356, 1):
+        add("token_bad", S.TOKEN_PROGRAM_ID, bytes(rng.randbytes(sz)))
+
+    # metaplex metadata: three truncation levels + edge cases
+    for i in range(25):
+        level = i % 3  # 0: v1-only, 1: +edition_nonce, 2: +v1.2
+        f = dict(
+            update_authority=_pk(rng),
+            mint=_pk(rng),
+            name=f"NFT #{i}",
+            symbol=f"S{i}",
+            uri=f"https://arweave.net/{i:08d}",
+            seller_fee_basis_points=rng.randrange(10000),
+            creators=[(_pk(rng), bool(rng.randrange(2)), rng.randrange(100))]
+            if i % 2 == 0
+            else None,
+            primary_sale_happened=bool(rng.randrange(2)),
+            is_mutable=bool(rng.randrange(2)),
+        )
+        if level >= 1:
+            f["edition_nonce"] = rng.randrange(256) if i % 4 else None
+        else:
+            f["edition_nonce"] = "absent"
+        if level == 2:
+            f["v12"] = True
+            f["token_standard"] = rng.randrange(5) if i % 5 else None
+            f["collection"] = (bool(rng.randrange(2)), _pk(rng)) if i % 3 else None
+            f["uses"] = (rng.randrange(3), rng.randrange(100), 100) if i % 7 == 0 else None
+        add("token_metadata", S.MPL_METADATA_PROGRAM_ID, pack_metadata(f), f)
+
+    # metadata edge: non-UTF-8 uri (T6 null; decoder lenient-skips)
+    f_bad = dict(
+        update_authority=_pk(rng), mint=_pk(rng), name="BAD", symbol="B",
+        uri=b"\xff\xfe" + b"x" * 20, seller_fee_basis_points=1, creators=None,
+        primary_sale_happened=False, is_mutable=True, edition_nonce="absent",
+    )
+    add("metadata_bad_utf8", S.MPL_METADATA_PROGRAM_ID, pack_metadata(f_bad), f_bad)
+    # metadata edge: empty data + truncated body + wrong discriminator
+    add("metadata_empty", S.MPL_METADATA_PROGRAM_ID, b"")
+    add("metadata_trunc", S.MPL_METADATA_PROGRAM_ID, pack_metadata(f_bad)[:80])
+    add("metadata_wrong_key", S.MPL_METADATA_PROGRAM_ID, b"\x07" + bytes(rng.randbytes(140)))
+
+    # programs: legacy loaders (executable) + upgradeable ProgramData
+    elf_specs = []
+    for i in range(6):
+        ops = [rng.choice(list(EBPF_MNEMONICS)) for _ in range(rng.randrange(5, 40))] + [0x95]
+        elf_specs.append(ops)
+        owner = S.BPF_LOADER_ID if i % 2 else S.BPF_LOADER_DEPRECATED_ID
+        add("program_legacy", owner, build_elf(ops), dict(ops=ops), executable=True)
+    for i in range(4):
+        ops = [rng.choice(list(EBPF_MNEMONICS)) for _ in range(rng.randrange(5, 30))] + [0x95]
+        elf_specs.append(ops)
+        elf = build_elf(ops)
+        add(
+            "program_upgradeable",
+            S.BPF_LOADER_UPGRADEABLE_ID,
+            pack_programdata(elf, _pk(rng) if i % 2 else None, 1500 + i),
+            dict(ops=ops, elf=elf),
+        )
+    # upgradeable-owned but NOT ProgramData (Program stub, tag=2) → skipped
+    add("program_stub", S.BPF_LOADER_UPGRADEABLE_ID, _u32(2) + _pk(rng), executable=True)
+
+    # system-owned + random-program accounts (base table breadth)
+    for i in range(40):
+        owner = rng.choice([S.SYSTEM_PROGRAM_ID] + extra_programs)
+        add("plain", owner, bytes(rng.randbytes(rng.randrange(0, 64))))
+    # deletion rows (F6): lamports=0, empty data, system owner
+    for _ in range(5):
+        add("deleted", S.SYSTEM_PROGRAM_ID, b"", lamports=0)
+    # rent-exempt sentinel rows: rent_epoch = u64::MAX stored as -1
+    add("plain", S.SYSTEM_PROGRAM_ID, b"xyz", rent_epoch=_i64((1 << 64) - 1))
+
+    # duplicates: re-emit 30 existing pubkeys at later slots with new
+    # lamports (and payload for token accounts) → exercises X3 dedup
+    dup_pool = [r for r in raw if r["kind"] in ("token_account", "plain")][:30]
+    for r in dup_pool:
+        if r["kind"] == "token_account":
+            f2 = dict(r["truth"])
+            f2["amount"] = rng.randrange(1 << 50)
+            add("token_account", r["owner"], pack_token_account(f2), f2,
+                pubkey=r["pubkey"])
+            raw[-1]["slot"] = r["slot"] + rng.randrange(1, 500)
+        else:
+            add("plain", r["owner"], r["data"], pubkey=r["pubkey"])
+            raw[-1]["slot"] = r["slot"] + rng.randrange(1, 500)
+
+    # ---- materialize raw rows (RAW_ACCOUNTS_SCHEMA order) ----
+    raw_rows = [
+        (
+            r["pubkey"], r["write_version"], r["slot"],
+            rng.randrange(10),  # append_vec_id
+            r["owner"], r["lamports"], r["executable"], r["rent_epoch"],
+            hashlib.sha256(r["pubkey"] + r["data"]).digest()[:32],
+            r["data"], len(r["data"]),
+        )
+        for r in raw
+    ]
+
+    # ---- expected: last-write-wins winner per pubkey (X3) ----
+    winners: dict[bytes, dict] = {}
+    for r in raw:
+        cur = winners.get(r["pubkey"])
+        if cur is None or (r["slot"], r["write_version"]) > (cur["slot"], cur["write_version"]):
+            winners[r["pubkey"]] = r
+    win = list(winners.values())
+
+    def hx(b: bytes | None) -> str | None:
+        return b.hex().upper() if b is not None else None
+
+    expected: dict[str, tuple] = {}
+    expected["account"] = (
+        ["pubkey", "data_len", "owner", "lamports", "executable", "rent_epoch"],
+        ["VARCHAR", "BIGINT", "VARCHAR", "BIGINT", "BOOLEAN", "BIGINT"],
+        [
+            (hx(r["pubkey"]), len(r["data"]), hx(r["owner"]), r["lamports"],
+             r["executable"], r["rent_epoch"])
+            for r in win
+        ],
+    )
+    expected["token_account"] = (
+        ["pubkey", "mint", "owner", "amount", "delegate", "state",
+         "is_native", "delegated_amount", "close_authority"],
+        ["VARCHAR", "VARCHAR", "VARCHAR", "BIGINT", "VARCHAR", "INTEGER",
+         "BIGINT", "BIGINT", "VARCHAR"],
+        [
+            (hx(r["pubkey"]), hx(t["mint"]), hx(t["owner"]), _i64(t["amount"]),
+             hx(t["delegate"]), t["state"], t["is_native"],
+             t["delegated_amount"], hx(t["close_authority"]))
+            for r in win if r["kind"] == "token_account"
+            for t in [r["truth"]]
+        ],
+    )
+    expected["token_mint"] = (
+        ["pubkey", "mint_authority", "supply", "decimals", "is_initialized",
+         "freeze_authority"],
+        ["VARCHAR", "VARCHAR", "BIGINT", "INTEGER", "BOOLEAN", "VARCHAR"],
+        [
+            (hx(r["pubkey"]), hx(t["mint_authority"]), _i64(t["supply"]),
+             t["decimals"], t["is_initialized"], hx(t["freeze_authority"]))
+            for r in win if r["kind"] == "token_mint"
+            for t in [r["truth"]]
+        ],
+    )
+    expected["token_multisig"] = (
+        ["pubkey", "signer", "m", "n"],
+        ["VARCHAR", "VARCHAR", "INTEGER", "INTEGER"],
+        [
+            (hx(r["pubkey"]), hx(sg), t["m"], t["n"])
+            for r in win if r["kind"] == "token_multisig"
+            for t in [r["truth"]]
+            for sg in t["signers"]
+        ],
+    )
+
+    def _meta_row(r):
+        t = r["truth"]
+        en = t.get("edition_nonce")
+        col = t.get("collection") if t.get("v12") else None
+        return (
+            hx(r["pubkey"]), hx(t["mint"]), t["name"], t["symbol"], t["uri"],
+            t["seller_fee_basis_points"], t["primary_sale_happened"],
+            t["is_mutable"], en if en != "absent" else None,
+            col[0] if col else None, hx(col[1]) if col else None,
+        )
+
+    expected["token_metadata"] = (
+        ["pubkey", "mint", "name", "symbol", "uri", "seller_fee_basis_points",
+         "primary_sale_happened", "is_mutable", "edition_nonce",
+         "collection_verified", "collection_key"],
+        ["VARCHAR", "VARCHAR", "VARCHAR", "VARCHAR", "VARCHAR", "INTEGER",
+         "BOOLEAN", "BOOLEAN", "INTEGER", "BOOLEAN", "VARCHAR"],
+        [_meta_row(r) for r in win if r["kind"] == "token_metadata"],
+    )
+    expected["offchain_uri"] = (
+        ["pubkey", "uri"],
+        ["VARCHAR", "VARCHAR"],
+        [
+            (hx(r["pubkey"]), r["truth"]["uri"])
+            for r in win if r["kind"] == "token_metadata"
+        ],
+    )
+    expected["program_elfs"] = (
+        ["pubkey", "elf_len", "elf_md5"],
+        ["VARCHAR", "BIGINT", "VARCHAR"],
+        [
+            (hx(r["pubkey"]), len(e), hashlib.md5(e).hexdigest())
+            for r in win
+            if r["kind"] in ("program_legacy", "program_upgradeable")
+            for e in [r["data"] if r["kind"] == "program_legacy" else r["truth"]["elf"]]
+        ],
+    )
+    expected["csv_projection"] = (
+        ["pubkey", "owner", "data_len", "lamports"],
+        ["VARCHAR", "VARCHAR", "BIGINT", "BIGINT"],
+        [
+            (b58encode(r["pubkey"]), b58encode(r["owner"]), len(r["data"]), r["lamports"])
+            for r in win
+        ],
+    )
+    # deletion-event rows (F6) out of the full raw set
+    expected["deletion_events"] = (
+        ["pubkey", "slot"],
+        ["VARCHAR", "BIGINT"],
+        [(hx(r["pubkey"]), r["slot"]) for r in raw if r["kind"] == "deleted"],
+    )
+
+    # ---- opcode stats expected (A1/A2/O1 over ALL fixture programs) ----
+    op_insns: dict[int, int] = {}
+    op_progs: dict[int, int] = {}
+    for ops in elf_specs:
+        for op in ops:
+            op_insns[op] = op_insns.get(op, 0) + 1
+        for op in set(ops):
+            op_progs[op] = op_progs.get(op, 0) + 1
+    expected["opcode_stats"] = (
+        ["opcode", "mnemonic", "num_programs", "num_insns"],
+        ["VARCHAR", "VARCHAR", "BIGINT", "BIGINT"],
+        [
+            (f"0x{op:02x}", EBPF_MNEMONICS.get(op, "unknown"), op_progs[op], op_insns[op])
+            for op in sorted(op_insns)
+        ],
+    )
+
+    return dict(raw_rows=raw_rows, raw=raw, expected=expected)
+
+
+def values_sql(table: str) -> str:
+    """DuckDB oracle: expected rows as a typed VALUES literal."""
+    cols, types, rows = build_fixture()["expected"][table]
+    if not rows:
+        sel = ", ".join(f"CAST(NULL AS {t}) AS {c}" for c, t in zip(cols, types))
+        return f"SELECT {sel} WHERE FALSE"
+
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    body = ",\n".join("(" + ", ".join(lit(v) for v in row) + ")" for row in rows)
+    cast = ", ".join(f"CAST({c} AS {t}) AS {c}" for c, t in zip(cols, types))
+    return f"SELECT {cast} FROM (VALUES\n{body}\n) AS t({', '.join(cols)})"
+
+
+def raw_accounts_df(spark):
+    from solana_snapshot_etl_tools_spark.schemas import RAW_ACCOUNTS_SCHEMA
+
+    return spark.createDataFrame(build_fixture()["raw_rows"], RAW_ACCOUNTS_SCHEMA)

@@ -1,0 +1,90 @@
+"""Binary fixed-layout readers as pure column expressions.
+
+The reference unpacks SPL-token layouts with trusted Rust decoders
+(reference sqlite.rs:237-251); here each field read compiles to
+Catalyst expressions (substring / hex / conv / decimal arithmetic) so
+the decode stays inside whole-stage codegen — no Python in the hot
+path (SURVEY.md §2.4 T1-T3, §7 "hard parts").
+
+u64 policy (SURVEY.md §4 item 5): columns are LongType with u64→i64
+wraparound, matching the reference's ``as i64`` casts
+(reference sqlite.rs:227-231) — u64::MAX rent_epoch reads as -1.
+ANSI mode is on in Spark 4, so the wraparound is done exactly in
+DecimalType(38,0) then cast (never relies on silent overflow).
+
+Offsets are 1-based (Spark substring convention); helpers take the
+0-based layout offset and convert.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+_TWO63 = "9223372036854775808"
+_TWO64 = "18446744073709551616"
+
+
+def _rev_hex(data: Column, off0: int, nbytes: int) -> Column:
+    """Hex of the byte-reversed slice. NB: ``F.reverse`` is NOT usable
+    here — on BinaryType it casts to string and reverses *code points*,
+    so bytes that happen to form valid multi-byte UTF-8 stay grouped
+    (silent corruption). Per-byte substring+concat is byte-exact and
+    still folds into whole-stage codegen."""
+    return F.hex(
+        F.concat(*[F.substring(data, off0 + i, 1) for i in range(nbytes, 0, -1)])
+    )
+
+
+def _le_uint(data: Column, off0: int, nbytes: int) -> Column:
+    """Little-endian unsigned int of `nbytes` (<= 7) as LongType."""
+    assert nbytes <= 7, "use le_u64 for 8-byte fields (wraparound policy)"
+    return F.conv(_rev_hex(data, off0, nbytes), 16, 10).cast("long")
+
+
+def u8_at(data: Column, off0: int) -> Column:
+    return _le_uint(data, off0, 1)
+
+
+def le_u16(data: Column, off0: int) -> Column:
+    return _le_uint(data, off0, 2)
+
+
+def le_u32(data: Column, off0: int) -> Column:
+    return _le_uint(data, off0, 4)
+
+
+def le_u64(data: Column, off0: int) -> Column:
+    """LE u64 → LongType with two's-complement wraparound (ANSI-safe).
+
+    Split into two u32 halves (each fits a long exactly), combine in
+    DecimalType(38,0), subtract 2^64 when the value exceeds i64 range,
+    then cast — exact for the full u64 domain.
+    """
+    lo = F.conv(_rev_hex(data, off0, 4), 16, 10).cast("decimal(20,0)")
+    hi = F.conv(_rev_hex(data, off0 + 4, 4), 16, 10).cast("decimal(20,0)")
+    v = (hi * F.lit(4294967296).cast("decimal(20,0)") + lo).cast("decimal(38,0)")
+    signed = F.when(
+        v >= F.lit(_TWO63).cast("decimal(38,0)"),
+        v - F.lit(_TWO64).cast("decimal(38,0)"),
+    ).otherwise(v)
+    return signed.cast("long")
+
+
+def pubkey_at(data: Column, off0: int) -> Column:
+    """32-byte pubkey slice (BinaryType)."""
+    return F.substring(data, off0 + 1, 32)
+
+
+def coption_pubkey(data: Column, off0: int) -> Column:
+    """COption<Pubkey>: 4-byte LE tag (0|1) then 32-byte value
+    (reference sqlite.rs:277-281). Null when tag == 0."""
+    return F.when(le_u32(data, off0) == 1, pubkey_at(data, off0 + 4))
+
+
+def coption_u64(data: Column, off0: int) -> Column:
+    """COption<u64>: 4-byte LE tag then u64 value."""
+    return F.when(le_u32(data, off0) == 1, le_u64(data, off0 + 4))
+
+
+def bool_at(data: Column, off0: int) -> Column:
+    return u8_at(data, off0) != 0

@@ -1,0 +1,308 @@
+"""Typed-view decoders over raw snapshot accounts (SURVEY.md §2.4).
+
+Spark-first re-expression of the reference's per-row decode-and-upsert
+loop (reference sqlite.rs:206-401): each derived table is
+``raw → dedup → owner filter → decode`` where the decode is pure
+column expressions wherever the layout is fixed (T1/T2/T3/T5/T6 stay
+inside whole-stage codegen), and an Arrow-batched pandas UDF only for
+the variable-length Borsh metadata (T4).
+
+Scale notes (100 TB posture):
+- dedup is the single wide stage; it uses ``max_by`` aggregation
+  (partial/map-side combine) rather than a row_number window, so the
+  shuffle carries one combined record per (pubkey, partition) instead
+  of every version of every account.
+- every decode is a narrow map after an owner filter that Catalyst
+  pushes to the parquet scan (owner + data_len are row-group-prunable).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+from solana_snapshot_etl_tools_spark import schemas as S
+from solana_snapshot_etl_tools_spark.functions.base58 import base58_encode_col
+from solana_snapshot_etl_tools_spark.functions.binary import (
+    bool_at,
+    coption_pubkey,
+    coption_u64,
+    le_u32,
+    le_u64,
+    pubkey_at,
+    u8_at,
+)
+
+# --- X3: last-write-wins dedup ---------------------------------------------
+
+
+def dedup_last_write_wins(raw: DataFrame) -> DataFrame:
+    """Deterministic upsert semantics (reference ``INSERT OR REPLACE``,
+    sqlite.rs:221): keep the (slot, write_version)-max version of each
+    pubkey. The reference depends on archive iteration order; we fix an
+    explicit order (SURVEY.md §4 item 4 documents the divergence).
+
+    Implemented as ``max_by(struct(*), struct(slot, write_version))``
+    so Spark runs partial aggregation map-side — at 100 TB this ships
+    one candidate per pubkey per input partition through the shuffle,
+    not every historical version.
+    """
+    cols = raw.columns
+    agg = raw.groupBy("pubkey").agg(
+        F.max_by(
+            F.struct(*[c for c in cols if c != "pubkey"]),
+            F.struct("slot", "write_version"),
+        ).alias("_w")
+    )
+    return agg.select("pubkey", *[F.col(f"_w.{c}") for c in cols if c != "pubkey"])
+
+
+# --- base `account` table (reference sqlite.rs:96-107) ----------------------
+
+
+def account_table(raw: DataFrame) -> DataFrame:
+    return dedup_last_write_wins(raw).select(
+        "pubkey", "data_len", "owner", "lamports", "executable", "rent_epoch"
+    )
+
+
+def csv_projection(raw: DataFrame) -> DataFrame:
+    """K1/P1/P2: the CSV sink's 4-column projection with base58 keys
+    (reference csv.rs:14-20, 48-54)."""
+    return dedup_last_write_wins(raw).select(
+        base58_encode_col("pubkey").alias("pubkey"),
+        base58_encode_col("owner").alias("owner"),
+        "data_len",
+        "lamports",
+    )
+
+
+# --- T1/T2/T3: SPL token fixed layouts (reference sqlite.rs:236-324) --------
+
+
+def _token_rows(raw: DataFrame, size: int) -> DataFrame:
+    """F1 owner routing + F11 exact-size dispatch; wrong sizes are
+    skipped (L1 leniency, sqlite.rs:252-258)."""
+    return dedup_last_write_wins(
+        raw.filter(F.col("owner") == F.lit(S.TOKEN_PROGRAM_ID))
+    ).filter(F.col("data_len") == size)
+
+
+def token_account_table(raw: DataFrame) -> DataFrame:
+    d = F.col("data")
+    return _token_rows(raw, S.SPL_ACCOUNT_LEN).select(
+        "pubkey",
+        pubkey_at(d, 0).alias("mint"),
+        pubkey_at(d, 32).alias("owner"),
+        le_u64(d, 64).alias("amount"),
+        coption_pubkey(d, 72).alias("delegate"),
+        u8_at(d, 108).cast("int").alias("state"),
+        coption_u64(d, 109).alias("is_native"),
+        le_u64(d, 121).alias("delegated_amount"),
+        coption_pubkey(d, 129).alias("close_authority"),
+    )
+
+
+def token_mint_table(raw: DataFrame) -> DataFrame:
+    d = F.col("data")
+    return _token_rows(raw, S.SPL_MINT_LEN).select(
+        "pubkey",
+        coption_pubkey(d, 0).alias("mint_authority"),
+        le_u64(d, 36).alias("supply"),
+        u8_at(d, 44).cast("int").alias("decimals"),
+        bool_at(d, 45).alias("is_initialized"),
+        coption_pubkey(d, 46).alias("freeze_authority"),
+    )
+
+
+def token_multisig_table(raw: DataFrame) -> DataFrame:
+    """T3 decode + X2 explode: one row per (pubkey, signer), only the
+    first n of the 11 signer slots are valid (sqlite.rs:315-322)."""
+    d = F.col("data")
+    signers = F.array(
+        *[pubkey_at(d, 3 + 32 * i) for i in range(S.MAX_MULTISIG_SIGNERS)]
+    )
+    n = u8_at(d, 1).cast("int")
+    return (
+        _token_rows(raw, S.SPL_MULTISIG_LEN)
+        .select(
+            "pubkey",
+            F.explode(F.slice(signers, 1, n)).alias("signer"),
+            u8_at(d, 0).cast("int").alias("m"),
+            n.alias("n"),
+        )
+    )
+
+
+# --- T4: Metaplex Borsh metadata (pandas UDF — variable-length) -------------
+
+
+def _parse_metadata(b: bytes):
+    """Borsh walk of MetadataV1 + best-effort tail extensions
+    (reference mpl_metadata.rs:6-85, sqlite.rs:326-360). Returns None
+    to skip (L1) on any malformed required body — slightly more lenient
+    than the reference, which hard-errors on malformed V1 bodies."""
+    if not b or b[0] != S.METADATA_V1_KEY:
+        return None
+    try:
+        o = 1
+        if len(b) < o + 64:
+            return None
+        mint = bytes(b[o + 32 : o + 64])
+        o += 64
+
+        def borsh_string():
+            nonlocal o
+            if len(b) < o + 4:
+                raise ValueError("eof")
+            ln = int.from_bytes(b[o : o + 4], "little")
+            o += 4
+            if ln > len(b) - o:
+                raise ValueError("eof")
+            raw = b[o : o + ln]
+            o += ln
+            return raw.rstrip(b"\x00").decode("utf-8")
+
+        name, symbol, uri = borsh_string(), borsh_string(), borsh_string()
+        if len(b) < o + 3:
+            raise ValueError("eof")
+        sfbp = int.from_bytes(b[o : o + 2], "little")
+        o += 2
+        if b[o] == 1:  # creators Option<Vec<Creator>>
+            o += 1
+            cnt = int.from_bytes(b[o : o + 4], "little")
+            o += 4 + cnt * 34
+        else:
+            o += 1
+        if len(b) < o + 2:
+            raise ValueError("eof")
+        psh, mut = b[o] != 0, b[o + 1] != 0
+        o += 2
+    except (ValueError, UnicodeDecodeError, IndexError):
+        return None
+
+    # extensions parse best-effort (sqlite.rs:344-347): absent/short
+    # tails leave the fields null, never fail the row
+    en = cv = ck = None
+    try:
+        if o < len(b):
+            tag = b[o]
+            o += 1
+            if tag == 1:
+                en = b[o]
+                o += 1
+        if o < len(b):  # v1.2: token_standard (not materialized)
+            tag = b[o]
+            o += 1
+            if tag == 1:
+                o += 1
+        if o < len(b):  # collection {verified, key}
+            tag = b[o]
+            o += 1
+            if tag == 1:
+                cv = b[o] != 0
+                ck = bytes(b[o + 1 : o + 33])
+                if len(ck) < 32:
+                    cv, ck = None, None
+    except IndexError:
+        en = en if isinstance(en, int) else None
+    return (mint, name, symbol, uri, sfbp, psh, mut, en, cv, ck)
+
+
+@F.pandas_udf(S.METADATA_DECODE_SCHEMA)
+def _decode_metadata_udf(data: pd.Series) -> pd.DataFrame:
+    cols = [f.name for f in S.METADATA_DECODE_SCHEMA.fields]
+    out = [_parse_metadata(bytes(v) if v is not None else None) for v in data]
+    return pd.DataFrame(
+        [r if r is not None else (None,) * len(cols) for r in out], columns=cols
+    )
+
+
+def token_metadata_table(raw: DataFrame) -> DataFrame:
+    """F2 + F12 + T4: Metaplex-owned, non-empty data, Borsh-decoded.
+    The pre-filter keeps the Arrow batches small — only Metaplex rows
+    ever cross the Python boundary (SURVEY.md §7 watch list)."""
+    meta = dedup_last_write_wins(
+        raw.filter(
+            (F.col("owner") == F.lit(S.MPL_METADATA_PROGRAM_ID))
+            & (F.length("data") > 0)
+        )
+    )
+    dec = meta.select("pubkey", _decode_metadata_udf("data").alias("m"))
+    return dec.filter(F.col("m.mint").isNotNull()).select("pubkey", "m.*")
+
+
+# --- T5/F3/F4: program ELF extraction (reference programs.rs:25-62) ---------
+
+
+def program_elfs_table(raw: DataFrame) -> DataFrame:
+    """(pubkey, elf) for every on-chain program: legacy loaders dump
+    account data directly (executable only, F3); the upgradeable
+    loader's ProgramData accounts carry the ELF at byte 45 (T5)."""
+    win = dedup_last_write_wins(raw)
+    legacy = win.filter(
+        F.col("owner").isin([S.BPF_LOADER_DEPRECATED_ID, S.BPF_LOADER_ID])
+        & F.col("executable")
+    ).select("pubkey", F.col("data").alias("elf"))
+    upgradeable = (
+        win.filter(
+            (F.col("owner") == F.lit(S.BPF_LOADER_UPGRADEABLE_ID))
+            & (F.col("data_len") > S.PROGRAMDATA_ELF_OFFSET)
+        )
+        .filter(le_u32(F.col("data"), 0) == S.PROGRAMDATA_TAG)
+        .select(
+            "pubkey",
+            F.expr(
+                f"substring(data, {S.PROGRAMDATA_ELF_OFFSET + 1}, "
+                f"octet_length(data) - {S.PROGRAMDATA_ELF_OFFSET})"
+            ).alias("elf"),
+        )
+    )
+    return legacy.unionByName(upgradeable)
+
+
+# --- T6/F10: off-chain URI extraction (geyser/src/plugin.rs:190-195) --------
+
+OFFCHAIN_URI_OFFSET = 119  # 1+32+32+4+32+4+10+4
+OFFCHAIN_URI_LEN = 200
+
+
+def offchain_uri_table(raw: DataFrame) -> DataFrame:
+    """Fixed-offset URI slice; row passes only when the discriminator
+    is MetadataV1 (data[0]==4), the slice exists in full, and it
+    decodes as UTF-8 — otherwise skipped, matching the reference's
+    Option-returning extraction."""
+    win = dedup_last_write_wins(
+        raw.filter(F.col("owner") == F.lit(S.MPL_METADATA_PROGRAM_ID))
+    )
+    sliced = F.substring(
+        F.col("data"), OFFCHAIN_URI_OFFSET + 1, OFFCHAIN_URI_LEN
+    ).cast("string")
+    # binary→string cast does not validate UTF-8; gate on is_valid_utf8
+    # to match the reference's str::from_utf8(...).ok() semantics
+    uri = F.when(F.is_valid_utf8(sliced), F.regexp_replace(sliced, "\x00+$", ""))
+    return (
+        win.filter(
+            (u8_at(F.col("data"), 0) == S.METADATA_V1_KEY)
+            & (F.col("data_len") >= OFFCHAIN_URI_OFFSET + OFFCHAIN_URI_LEN)
+        )
+        .select("pubkey", uri.alias("uri"))
+        .filter(F.col("uri").isNotNull())
+    )
+
+
+# --- F6: deletion events -----------------------------------------------------
+
+
+def deletion_events(raw: DataFrame) -> DataFrame:
+    """Account-closed predicate (reference selectors.rs:48-55): zero
+    lamports, empty data, system-program owner."""
+    return raw.filter(
+        (F.col("lamports") == 0)
+        & (F.coalesce(F.length("data"), F.lit(0)) == 0)
+        & (F.col("owner") == F.lit(S.SYSTEM_PROGRAM_ID))
+    )
+
+
+def hex_col(c: str | Column) -> Column:
+    return F.hex(F.col(c) if isinstance(c, str) else c)

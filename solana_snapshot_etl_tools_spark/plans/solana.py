@@ -1,0 +1,106 @@
+"""Solana ETL query corpus — the reference's derived tables as
+(spark, sf_dir) callables with value-level DuckDB oracles.
+
+Each query decodes the deterministic binary fixture (fixtures.py) with
+the engine's operators; the oracle is the pre-pack ground truth as a
+``VALUES`` literal, so the driver's hash-compare checks decoded VALUES,
+not just row counts. Binary keys are hex-encoded at the output edge
+(the driver compares strings; BinaryType stays canonical internally).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from solana_snapshot_etl_tools_spark.fixtures import raw_accounts_df, values_sql
+from solana_snapshot_etl_tools_spark.operators import decoders as D
+
+
+def _hx(c):
+    return F.hex(F.col(c)).alias(c)
+
+
+def q_account(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.account_table(raw_accounts_df(spark)).select(
+        _hx("pubkey"), "data_len", _hx("owner"), "lamports", "executable",
+        "rent_epoch",
+    )
+
+
+def q_token_account(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.token_account_table(raw_accounts_df(spark)).select(
+        _hx("pubkey"), _hx("mint"), _hx("owner"), "amount", _hx("delegate"),
+        "state", "is_native", "delegated_amount", _hx("close_authority"),
+    )
+
+
+def q_token_mint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.token_mint_table(raw_accounts_df(spark)).select(
+        _hx("pubkey"), _hx("mint_authority"), "supply", "decimals",
+        "is_initialized", _hx("freeze_authority"),
+    )
+
+
+def q_token_multisig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.token_multisig_table(raw_accounts_df(spark)).select(
+        _hx("pubkey"), _hx("signer"), "m", "n"
+    )
+
+
+def q_token_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.token_metadata_table(raw_accounts_df(spark)).select(
+        _hx("pubkey"), _hx("mint"), "name", "symbol", "uri",
+        "seller_fee_basis_points", "primary_sale_happened", "is_mutable",
+        "edition_nonce", "collection_verified", _hx("collection_key"),
+    )
+
+
+def q_offchain_uri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.offchain_uri_table(raw_accounts_df(spark)).select(
+        _hx("pubkey"), "uri"
+    )
+
+
+def q_program_elfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.program_elfs_table(raw_accounts_df(spark)).select(
+        _hx("pubkey"),
+        F.octet_length("elf").cast("long").alias("elf_len"),
+        F.md5("elf").alias("elf_md5"),
+    )
+
+
+def q_csv_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.csv_projection(raw_accounts_df(spark))
+
+
+def q_deletion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.deletion_events(raw_accounts_df(spark)).select(_hx("pubkey"), "slot")
+
+
+QUERIES = {
+    "etl_account": q_account,
+    "etl_token_account": q_token_account,
+    "etl_token_mint": q_token_mint,
+    "etl_token_multisig": q_token_multisig,
+    "etl_token_metadata": q_token_metadata,
+    "etl_offchain_uri": q_offchain_uri,
+    "etl_program_elfs": q_program_elfs,
+    "etl_csv_projection": q_csv_projection,
+    "etl_deletion_events": q_deletion_events,
+}
+
+_ORACLE_TABLE = {
+    "etl_account": "account",
+    "etl_token_account": "token_account",
+    "etl_token_mint": "token_mint",
+    "etl_token_multisig": "token_multisig",
+    "etl_token_metadata": "token_metadata",
+    "etl_offchain_uri": "offchain_uri",
+    "etl_program_elfs": "program_elfs",
+    "etl_csv_projection": "csv_projection",
+    "etl_deletion_events": "deletion_events",
+}
+
+
+def oracles() -> dict[str, str]:
+    return {k: values_sql(t) for k, t in _ORACLE_TABLE.items()}
