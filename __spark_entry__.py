@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from solana_snapshot_etl_tools_spark.plans import relational, solana
+from solana_snapshot_etl_tools_spark.plans import llm_ops, relational, solana
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -27,6 +27,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
     out.update(solana.QUERIES)
+    out.update(llm_ops.QUERIES)
     return out
 
 
@@ -34,4 +35,5 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(relational.ORACLES)
     out.update(solana.oracles())
+    out.update(llm_ops.ORACLES)
     return out

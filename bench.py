@@ -31,6 +31,12 @@ HEADLINE = [
     "json_extract",
     "etl_token_account",
     "etl_token_metadata",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "text_metrics",
+    "doc_fingerprint",
 ]
 
 

@@ -1,0 +1,113 @@
+"""Text-analysis column expressions for large-scale training-data
+pipelines: tokenization, shingling, language ID, quality scoring,
+fingerprinting.
+
+All pure Catalyst expressions (no Python in the hot path) and written
+for cross-engine determinism: integer counts divided once in double,
+explicit char classes instead of locale-dependent ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# small built-in stopword lists for the language-ID heuristic
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"],
+    "es": ["el", "la", "de", "los", "las", "y", "en", "que", "un", "una"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "mit", "auf", "zu"],
+    "fr": ["le", "les", "et", "est", "dans", "pour", "sur", "une", "au", "du"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of the lowercased text."""
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish proxy: word pieces + standalone punctuation marks."""
+    return F.regexp_count(col, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]")).cast("long")
+
+
+def char_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct character k-grams of the lowercased text (the unit for
+    n-gram Jaccard / MinHash dedup). NB: Spark's sequence(1, n) turns
+    DESCENDING for n < 1, so texts shorter than k are guarded to an
+    empty array explicitly."""
+    t = F.lower(col)
+    arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - (k - 1)),
+            lambda i: F.substring(t, i, k),
+        )
+    )
+    return F.when(F.length(t) >= k, arr).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    n_punct = F.regexp_count(col, F.lit(r"[^A-Za-z0-9\s]"))
+    return n_punct / F.greatest(F.length(col), F.lit(1))
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(sw, t))).cast(
+        "long"
+    )
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    return stopword_hits(col, lang) / F.greatest(token_count(col), F.lit(1))
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-vote language ID over {en, es, de, fr}; 'und' when no
+    stopword of any list appears. Ties break in en>es>de>fr order
+    (the CASE evaluation order)."""
+    en, es, de, fr = (stopword_hits(col, lg) for lg in ("en", "es", "de", "fr"))
+    return (
+        F.when(en + es + de + fr == 0, "und")
+        .when((en >= es) & (en >= de) & (en >= fr), "en")
+        .when((es >= de) & (es >= fr), "es")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+    )
+
+
+def avg_token_len(col: Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: rewards stopword density
+    and moderate token length, penalizes punctuation load and extreme
+    shortness. Fixed evaluation shape so engines agree bit-for-bit."""
+    len_term = F.least(token_count(col) / F.lit(100.0), F.lit(1.0))
+    sw_term = F.least(stopword_ratio(col, "en") * 4.0, F.lit(1.0))
+    punct_term = F.greatest(F.lit(1.0) - punct_ratio(col) * 5.0, F.lit(0.0))
+    return (len_term * 0.4 + sw_term * 0.3) + punct_term * 0.3
+
+
+def normalized_text(col: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip non-alnum,
+    collapse whitespace."""
+    s = F.regexp_replace(F.lower(col), "[^a-z0-9 ]", "")
+    return F.trim(F.regexp_replace(s, " +", " "))
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text."""
+    return F.md5(normalized_text(col).cast("binary"))

@@ -1,0 +1,180 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the exact baseline — a cross join that is
+  only acceptable when one side (the query set) is small enough to
+  broadcast; expressed so Catalyst broadcasts it.
+- LSH-bucketed ANN: the scale path — deterministic random-hyperplane
+  signatures (Rademacher ±1 planes derived from a seeded hash, no
+  Python RNG), banded equi-join for candidates, exact cosine re-rank.
+
+All cosine math is float64 with a fixed evaluation order
+(zip_with → left-fold aggregate), which agrees bit-for-bit with
+DuckDB's double-precision evaluation (verified empirically over all
+pairs at sf0.01).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector (broadcast the
+    query side; corpus side streams). Deterministic tiebreak on
+    neighbor id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def cosine_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """All pairs with cosine > threshold (embedding near-dup dedup).
+    Exact; the LSH path below is the scale variant."""
+    a = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va")
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        .filter(F.col("sim") > threshold)
+    )
+
+
+# --- LSH-bucketed ANN (scale path) --------------------------------------------
+
+
+def _plane_sign(plane: int, dim: int) -> int:
+    """Deterministic Rademacher ±1 component — a tiny splitmix-style
+    integer hash of (plane, dim); no RNG state, reproducible anywhere."""
+    x = (plane * 0x9E3779B97F4A7C15 + dim * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 31
+    x = (x * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return 1 if (x >> 62) & 1 else -1
+
+
+def hyperplane_signature(
+    vec: Column, dims: int, n_planes: int = 16, table: int = 0
+) -> Column:
+    """n_planes-bit signature: bit p = sign(Σ_d v[d]·s(p,d)). The
+    ``table`` salt selects an independent plane family per LSH table —
+    without it every table would hash into the same buckets."""
+    bits = []
+    for p in range(n_planes):
+        signs = [_plane_sign(table * 1024 + p, d) for d in range(dims)]
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(s)) for s in signs]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig.cast("long")
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    k: int = 5,
+    n_tables: int = 16,
+    n_planes: int = 5,
+) -> DataFrame:
+    """Approximate top-k: n_tables independent hyperplane signatures;
+    candidates = corpus vectors sharing any table's bucket with the
+    query; exact cosine re-rank of candidates only. Recall is tunable
+    via (n_tables, n_planes); the candidate join is an equi-join on
+    (table, bucket) — no cross join, shuffle ∝ bucket collisions."""
+    def sigs(df, ident):
+        v = F.col(vec_col).cast("array<double>")
+        return df.select(
+            F.col(id_col).alias(ident),
+            v.alias(f"_v_{ident}"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("table"),
+                            hyperplane_signature(v, dims, n_planes, table=t).alias(
+                                "bucket"
+                            ),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("e"),
+        ).select(ident, f"_v_{ident}", "e.table", "e.bucket")
+
+    qs = sigs(queries, "query_id")
+    cs = sigs(emb, "neighbor_id")
+    cand = (
+        qs.join(cs, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "_v_query_id", "neighbor_id", "_v_neighbor_id")
+        .distinct()
+    )
+    sims = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("_v_query_id"), F.col("_v_neighbor_id")).alias("sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )

@@ -1,0 +1,232 @@
+"""LLM training-data pipeline corpus: dedup, similarity search, text
+analysis over the ``documents`` and ``embeddings`` tables.
+
+Oracle philosophy: wherever the computation is expressible in both
+engines with identical IEEE evaluation order, we declare a value-level
+DuckDB oracle (exact dedup, n-gram Jaccard, MinHash-LSH verified
+output, cosine top-k — verified bit-exact cross-engine). Hash-sketch
+internals that depend on Spark's xxhash64 (SimHash sketches, LSH-ANN)
+are declared rows-only and covered by recall/consistency pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from solana_snapshot_etl_tools_spark.functions import text as TXT
+from solana_snapshot_etl_tools_spark.operators import dedup as DD
+from solana_snapshot_etl_tools_spark.operators import similarity as SIM
+from solana_snapshot_etl_tools_spark.plans.relational import _t
+
+_SW = {k: ", ".join(f"'{w}'" for w in v) for k, v in TXT.STOPWORDS.items()}
+
+_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+
+
+def _duck_hits(lang: str) -> str:
+    return (
+        f"len(list_filter({_TOKS}, x -> list_contains([{_SW[lang]}], x)))"
+    )
+
+
+# --- exact dedup -----------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return DD.exact_dedup_groups(docs, "doc_id", "text")
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+# --- n-gram Jaccard (exact) + MinHash LSH (same verified output) -------------
+
+_JACCARD_SQL = """
+WITH docs AS (SELECT doc_id, lower(text) t FROM documents),
+g AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT)+1, 3) sh
+      FROM docs, unnest(range(length(t)-2)) AS u(i)),
+sz AS (SELECT doc_id, count(*) n FROM g GROUP BY 1),
+pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter
+          FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b, CAST(inter AS DOUBLE)/(x.n + y.n - inter) AS jaccard
+FROM pairs JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+WHERE CAST(inter AS DOUBLE)/(x.n + y.n - inter) > 0.8
+"""
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return DD.jaccard_pairs(docs, "doc_id", "text", threshold=0.8, k=3)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """Scale path: LSH candidates + exact verification. Same declared
+    output as the exact query — the oracle also checks LSH recall."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8, k=3)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup candidates (hamming ≤ 5). Sketches use Spark's
+    xxhash64 — not reproducible in DuckDB → rows-only check; recall
+    covered by pytest against the exact Jaccard pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.simhash_pairs(docs, "doc_id", "text", max_hamming=5)
+
+
+# --- similarity search -------------------------------------------------------
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.brute_force_topk(emb, queries, k=5)
+
+
+ANN_TOPK_SQL = """
+WITH q AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id nid, CAST(embedding AS DOUBLE[]) cv FROM embeddings),
+s AS (SELECT qid AS query_id, nid AS neighbor_id,
+             list_dot_product(qv, cv) /
+             (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+      FROM q, c WHERE qid != nid),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank, sim FROM r WHERE rnk <= 5
+"""
+
+
+def q_cosine_pairs(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.cosine_pairs(emb, threshold=0.4)
+
+
+COSINE_PAIRS_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+       (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+        sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS sim
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+      (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+       sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) > 0.4
+"""
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Approximate ANN via hyperplane LSH — rows-only (bucket hashes
+    are engine-specific); recall vs exact top-k asserted in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.lsh_ann_topk(emb, queries, dims=64, k=5)
+
+
+# --- text analysis -------------------------------------------------------------
+
+
+def q_text_metrics(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TXT.token_count(t).alias("n_tokens"),
+        TXT.bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        TXT.punct_ratio(t).alias("punct_ratio"),
+        TXT.stopword_ratio(t, "en").alias("stopword_ratio"),
+        TXT.avg_token_len(t).alias("avg_token_len"),
+        TXT.quality_score(t).alias("quality_score"),
+    )
+
+
+TEXT_METRICS_SQL = f"""
+SELECT doc_id,
+  CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+  len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / greatest(length(text), 1) AS punct_ratio,
+  {_duck_hits("en")} / greatest(len({_TOKS}), 1) AS stopword_ratio,
+  list_aggregate(list_transform({_TOKS}, x -> CAST(length(x) AS BIGINT)), 'sum') / greatest(len({_TOKS}), 1) AS avg_token_len,
+  (least(len({_TOKS}) / 100.0, 1.0) * 0.4
+   + least({_duck_hits("en")} / greatest(len({_TOKS}), 1) * 4.0, 1.0) * 0.3)
+   + greatest(1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / greatest(length(text), 1) * 5.0, 0.0) * 0.3 AS quality_score
+FROM documents
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TXT.lang_id(F.col("text")).alias("lang_pred"))
+
+
+LANG_ID_SQL = f"""
+SELECT doc_id,
+  CASE
+    WHEN {_duck_hits("en")} + {_duck_hits("es")} + {_duck_hits("de")} + {_duck_hits("fr")} = 0 THEN 'und'
+    WHEN {_duck_hits("en")} >= {_duck_hits("es")} AND {_duck_hits("en")} >= {_duck_hits("de")} AND {_duck_hits("en")} >= {_duck_hits("fr")} THEN 'en'
+    WHEN {_duck_hits("es")} >= {_duck_hits("de")} AND {_duck_hits("es")} >= {_duck_hits("fr")} THEN 'es'
+    WHEN {_duck_hits("de")} >= {_duck_hits("fr")} THEN 'de'
+    ELSE 'fr'
+  END AS lang_pred
+FROM documents
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TXT.fingerprint_md5(F.col("text")).alias("fingerprint")
+    )
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def q_length_histogram(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy((F.floor(F.col("n_chars") / 100) * 100).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("bucket")
+    )
+
+
+LENGTH_HIST_SQL = """
+SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket, COUNT(*) AS n_docs
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard_ngram": q_dedup_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_cosine_topk": q_ann_topk,
+    "ann_cosine_lsh": q_ann_lsh,
+    "embedding_cosine_pairs": q_cosine_pairs,
+    "text_metrics": q_text_metrics,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_fingerprint,
+    "doc_length_histogram": q_length_histogram,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_jaccard_ngram": _JACCARD_SQL,
+    "dedup_minhash_lsh": _JACCARD_SQL,
+    # dedup_simhash / ann_cosine_lsh: rows-only (engine-specific hashes)
+    "ann_cosine_topk": ANN_TOPK_SQL,
+    "embedding_cosine_pairs": COSINE_PAIRS_SQL,
+    "text_metrics": TEXT_METRICS_SQL,
+    "lang_id": LANG_ID_SQL,
+    "doc_fingerprint": FINGERPRINT_SQL,
+    "doc_length_histogram": LENGTH_HIST_SQL,
+}

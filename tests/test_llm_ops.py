@@ -1,0 +1,71 @@
+"""LLM-pipeline operator tests beyond the differential gate: recall of
+the approximate (rows-only) paths vs their exact counterparts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from solana_snapshot_etl_tools_spark.operators import dedup as DD
+from solana_snapshot_etl_tools_spark.operators import similarity as SIM
+from solana_snapshot_etl_tools_spark.plans.relational import _t
+from tests.conftest import SF_DIR
+
+
+def test_minhash_lsh_full_recall_of_exact_pairs(spark):
+    """At t=0.8 with 64 hashes / 16 bands, LSH must find every exact
+    pair (planted near-dups are ~0.99 jaccard; band recall ≥ 99.98%
+    at 0.8 — and the check is deterministic, not probabilistic)."""
+    docs = _t(spark, SF_DIR, "documents")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in DD.jaccard_pairs(docs, "doc_id", "text", 0.8).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in DD.minhash_lsh_pairs(docs, "doc_id", "text", 0.8).collect()
+    }
+    assert exact, "fixture should contain planted near-dups"
+    assert lsh == exact
+
+
+def test_simhash_finds_planted_neardups(spark):
+    docs = _t(spark, SF_DIR, "documents")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in DD.jaccard_pairs(docs, "doc_id", "text", 0.95).collect()
+    }
+    sim = {
+        (r.doc_a, r.doc_b)
+        for r in DD.simhash_pairs(docs, "doc_id", "text", max_hamming=5).collect()
+    }
+    # simhash (cosine-ish) must recover most near-identical pairs
+    missing = exact - sim
+    assert len(missing) <= max(1, len(exact) // 5), f"missed {missing}"
+
+
+def test_lsh_ann_recall_vs_exact(spark):
+    emb = _t(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.lsh_ann_topk(emb, queries, dims=64, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # random 64-dim data with top-sims ~0.3-0.5 is the hard case for
+    # hyperplane LSH; 16 tables × 5 planes lands ~0.6-0.7 here
+    assert recall >= 0.5, f"ANN recall too low: {recall}"
+
+
+def test_exact_dedup_table_semantics(spark):
+    docs = _t(spark, SF_DIR, "documents")
+    kept = DD.exact_dedup(docs, "doc_id", "text")
+    # kept rows have distinct text and every original text is represented
+    assert kept.count() == kept.select("text").distinct().count()
+    assert (
+        kept.select("text").distinct().count()
+        == docs.select("text").distinct().count()
+    )
