@@ -479,7 +479,146 @@ def build_fixture() -> dict:
         ],
     )
 
-    return dict(raw_rows=raw_rows, raw=raw, expected=expected)
+    # ---- streaming fixtures (FIXTURES.md §3-5) ----
+    # account_updates: selector-set membership × startup × deletion mix
+    selector_owners = [S.TOKEN_PROGRAM_ID, S.MPL_METADATA_PROGRAM_ID]
+    upd = []
+    for i in range(60):
+        owner = rng.choice(
+            selector_owners + [S.SYSTEM_PROGRAM_ID] + extra_programs
+        )
+        is_del = i % 10 == 9
+        if is_del:
+            owner, lamports, data = S.SYSTEM_PROGRAM_ID, 0, b""
+        else:
+            lamports = rng.randrange(1, 10**9)
+            if owner == S.MPL_METADATA_PROGRAM_ID and i % 2 == 0:
+                f = dict(
+                    update_authority=_pk(rng), mint=_pk(rng), name=f"U{i}",
+                    symbol="UU", uri=f"https://meta.example/{i}",
+                    seller_fee_basis_points=10, creators=None,
+                    primary_sale_happened=False, is_mutable=True,
+                    edition_nonce="absent",
+                )
+                data = pack_metadata(f)
+            else:
+                data = bytes(rng.randbytes(rng.randrange(8, 64)))
+        upd.append(
+            dict(
+                key=_pk(rng), lamports=lamports, owner=owner,
+                executable=False, rent_epoch=rng.randrange(400), data=data,
+                write_version=rng.randrange(10**6),
+                slot=rng.randrange(2000, 3000), is_startup=i % 3 == 0,
+            )
+        )
+    account_updates = [
+        (u["key"], u["lamports"], u["owner"], u["executable"], u["rent_epoch"],
+         u["data"], u["write_version"], u["slot"], u["is_startup"])
+        for u in upd
+    ]
+
+    def _sel_v1(u, owners, deletion=True, startup=None):
+        """Reference selector semantics (geyser/src/selectors.rs:42-59):
+        deletion-event match overrides; else owner-set membership
+        (empty set = pass all); then the tri-state startup filter."""
+        if startup is not None and u["is_startup"] != startup:
+            return False
+        if deletion and u["lamports"] == 0 and len(u["data"]) == 0 and u["owner"] == S.SYSTEM_PROGRAM_ID:
+            return True
+        return not owners or u["owner"] in owners
+
+    expected["stream_selected_accounts"] = (
+        ["key", "slot", "write_version", "lamports"],
+        ["VARCHAR", "BIGINT", "BIGINT", "BIGINT"],
+        [
+            (hx(u["key"]), u["slot"], u["write_version"], u["lamports"])
+            for u in upd
+            if _sel_v1(u, selector_owners, deletion=True, startup=False)
+        ],
+    )
+    expected["stream_offchain_fanout"] = (
+        ["key", "uri"],
+        ["VARCHAR", "VARCHAR"],
+        [
+            (hx(u["key"]), f"https://meta.example/{i}")
+            for i, u in enumerate(upd)
+            if u["owner"] == S.MPL_METADATA_PROGRAM_ID
+            and len(u["data"]) > 0 and u["data"][0] == S.METADATA_V1_KEY
+            and len(u["data"]) >= 319
+        ],
+    )
+
+    # slot_status: only rooted slots pass (ST3, plugin.rs:296-318)
+    slot_status = []
+    for i in range(30):
+        st = rng.choice(["processed", "confirmed", "rooted"])
+        slot_status.append((3000 + i, 2999 + i if i else None, st))
+    expected["stream_rooted_slots"] = (
+        ["slot"],
+        ["BIGINT"],
+        [(s,) for s, _p, st in slot_status if st == "rooted"],
+    )
+
+    # block_metadata with nullable fields → T10 defaults
+    block_metadata = []
+    bm_expected = []
+    for i in range(20):
+        bt = rng.randrange(1_600_000_000, 1_700_000_000) if i % 4 else None
+        bh = rng.randrange(10**6) if i % 5 else None
+        rewards = '[{"pubkey":"x","lamports":%d}]' % rng.randrange(100)
+        block_metadata.append((4000 + i, f"hash{i}", rewards, bt, bh))
+        bm_expected.append((4000 + i, f"hash{i}", rewards, bt or 0, bh or 0))
+    expected["stream_block_metadata"] = (
+        ["slot", "blockhash", "rewards", "block_time", "block_height"],
+        ["BIGINT", "VARCHAR", "VARCHAR", "BIGINT", "BIGINT"],
+        bm_expected,
+    )
+
+    # transactions (FIXTURES.md §4, subset of nested cols populated)
+    program_set = [S.TOKEN_PROGRAM_ID, extra_programs[0]]
+    txs = []
+    tx_expected = []
+    for i in range(40):
+        sig = rng.randbytes(64)
+        ok = i % 5 != 4  # F8: failed dropped
+        n_keys = rng.randrange(2, 6)
+        keys = [_pk(rng) for _ in range(n_keys)]
+        if i % 3 == 0:  # plant selector-set membership (F9)
+            keys[rng.randrange(n_keys)] = rng.choice(program_set)
+        is_vote = i % 7 == 0
+        fee = rng.randrange(5000, 10**6)
+        pre = [rng.randrange(10**9) for _ in range(n_keys)]
+        post = [v - fee if j == 0 else v for j, v in enumerate(pre)]
+        instrs = [
+            (rng.randrange(n_keys), [rng.randrange(n_keys) for _ in range(2)],
+             bytes(rng.randbytes(8)))
+            for _ in range(rng.randrange(1, 4))
+        ]
+        logs = [f"Program log: {i}/{j}" for j in range(rng.randrange(0, 3))] or None
+        ver = "legacy" if i % 2 else "v0"
+        txs.append(
+            (sig, is_vote, 5000 + i, ok, ver, (1, 0, 1), keys, rng.randbytes(32),
+             instrs, rng.randbytes(32), [sig], fee, pre, post, logs)
+        )
+        if ok and any(k in program_set for k in keys):
+            tx_expected.append((hx(sig), 5000 + i, fee, len(keys)))
+    expected["stream_tx_filtered"] = (
+        ["signature", "slot", "fee", "n_keys"],
+        ["VARCHAR", "BIGINT", "BIGINT", "INTEGER"],
+        tx_expected,
+    )
+
+    return dict(
+        raw_rows=raw_rows,
+        raw=raw,
+        expected=expected,
+        account_updates=account_updates,
+        selector_owners=selector_owners,
+        slot_status=slot_status,
+        block_metadata=block_metadata,
+        transactions=txs,
+        tx_program_set=program_set,
+    )
 
 
 def values_sql(table: str) -> str:
@@ -507,3 +646,31 @@ def raw_accounts_df(spark):
     from solana_snapshot_etl_tools_spark.schemas import RAW_ACCOUNTS_SCHEMA
 
     return spark.createDataFrame(build_fixture()["raw_rows"], RAW_ACCOUNTS_SCHEMA)
+
+
+def account_updates_df(spark):
+    from solana_snapshot_etl_tools_spark.schemas import ACCOUNT_UPDATES_SCHEMA
+
+    return spark.createDataFrame(
+        build_fixture()["account_updates"], ACCOUNT_UPDATES_SCHEMA
+    )
+
+
+def slot_status_df(spark):
+    from solana_snapshot_etl_tools_spark.schemas import SLOT_STATUS_SCHEMA
+
+    return spark.createDataFrame(build_fixture()["slot_status"], SLOT_STATUS_SCHEMA)
+
+
+def block_metadata_df(spark):
+    from solana_snapshot_etl_tools_spark.schemas import BLOCK_METADATA_SCHEMA
+
+    return spark.createDataFrame(
+        build_fixture()["block_metadata"], BLOCK_METADATA_SCHEMA
+    )
+
+
+def transactions_df(spark):
+    from solana_snapshot_etl_tools_spark.schemas import TRANSACTIONS_SCHEMA
+
+    return spark.createDataFrame(build_fixture()["transactions"], TRANSACTIONS_SCHEMA)

@@ -55,3 +55,10 @@ def _b58encode_udf(s: pd.Series) -> pd.Series:
 def base58_encode_col(col: Column | str) -> Column:
     """Base58-encode a binary column (Arrow-batched)."""
     return _b58encode_udf(F.col(col) if isinstance(col, str) else col)
+
+
+# ship this module's functions by value inside serialized UDF tasks
+# (workers do not share the driver's sys.path — see _pickle.py)
+from solana_snapshot_etl_tools_spark._pickle import register_self as _rs  # noqa: E402
+
+_rs(__name__)

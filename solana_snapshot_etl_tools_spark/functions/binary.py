@@ -88,3 +88,10 @@ def coption_u64(data: Column, off0: int) -> Column:
 
 def bool_at(data: Column, off0: int) -> Column:
     return u8_at(data, off0) != 0
+
+
+# ship this module's functions by value inside serialized UDF tasks
+# (workers do not share the driver's sys.path — see _pickle.py)
+from solana_snapshot_etl_tools_spark._pickle import register_self as _rs  # noqa: E402
+
+_rs(__name__)

@@ -136,13 +136,19 @@ def token_multisig_table(raw: DataFrame) -> DataFrame:
 
 # --- T4: Metaplex Borsh metadata (pandas UDF — variable-length) -------------
 
+# plain constants for worker-executed code: a module-object global
+# (``S.``) inside a UDF pickles as an import and breaks on workers
+# that can't import this package (see _pickle.py)
+_META_V1_KEY = S.METADATA_V1_KEY
+_META_COLS = [f.name for f in S.METADATA_DECODE_SCHEMA.fields]
+
 
 def _parse_metadata(b: bytes):
     """Borsh walk of MetadataV1 + best-effort tail extensions
     (reference mpl_metadata.rs:6-85, sqlite.rs:326-360). Returns None
     to skip (L1) on any malformed required body — slightly more lenient
     than the reference, which hard-errors on malformed V1 bodies."""
-    if not b or b[0] != S.METADATA_V1_KEY:
+    if not b or b[0] != _META_V1_KEY:
         return None
     try:
         o = 1
@@ -211,10 +217,10 @@ def _parse_metadata(b: bytes):
 
 @F.pandas_udf(S.METADATA_DECODE_SCHEMA)
 def _decode_metadata_udf(data: pd.Series) -> pd.DataFrame:
-    cols = [f.name for f in S.METADATA_DECODE_SCHEMA.fields]
     out = [_parse_metadata(bytes(v) if v is not None else None) for v in data]
     return pd.DataFrame(
-        [r if r is not None else (None,) * len(cols) for r in out], columns=cols
+        [r if r is not None else (None,) * len(_META_COLS) for r in out],
+        columns=_META_COLS,
     )
 
 
@@ -306,3 +312,10 @@ def deletion_events(raw: DataFrame) -> DataFrame:
 
 def hex_col(c: str | Column) -> Column:
     return F.hex(F.col(c) if isinstance(c, str) else c)
+
+
+# ship this module's functions by value inside serialized UDF tasks
+# (workers do not share the driver's sys.path — see _pickle.py)
+from solana_snapshot_etl_tools_spark._pickle import register_self as _rs  # noqa: E402
+
+_rs(__name__)

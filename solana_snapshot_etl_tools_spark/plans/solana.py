@@ -77,6 +77,87 @@ def q_deletion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.deletion_events(raw_accounts_df(spark)).select(_hx("pubkey"), "slot")
 
 
+def q_opcode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6→T7→A1-A3→O1 over the extracted program ELFs, plus planted
+    broken ELFs that the lenient parser must skip."""
+    from solana_snapshot_etl_tools_spark.operators.opcode import opcode_stats
+
+    elfs = D.program_elfs_table(raw_accounts_df(spark)).select(
+        F.col("pubkey").alias("program_id"), "elf"
+    )
+    broken = spark.createDataFrame(
+        [
+            (b"\x00" * 32, b"not an elf at all"),
+            (b"\x01" * 32, b"\x7fELF" + b"\x02\x01" + b"\x00" * 10),  # truncated
+            (b"\x02" * 32, None),
+        ],
+        "program_id binary, elf binary",
+    )
+    return opcode_stats(elfs.unionByName(broken))
+
+
+# --- streaming corpus (batch replay of the ST1-ST5 pipelines; the same
+# functions run under readStream — parity proven in tests/test_streaming.py)
+
+
+def q_stream_selected_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solana_snapshot_etl_tools_spark.fixtures import (
+        account_updates_df,
+        build_fixture,
+    )
+    from solana_snapshot_etl_tools_spark.streaming.geyser import (
+        account_update_stream,
+    )
+
+    owners = build_fixture()["selector_owners"]
+    return account_update_stream(
+        account_updates_df(spark), owners, select_deletions=True, startup=False
+    ).select(_hx("key"), "slot", "write_version", "lamports")
+
+
+def q_stream_offchain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solana_snapshot_etl_tools_spark.fixtures import account_updates_df
+    from solana_snapshot_etl_tools_spark.streaming.geyser import (
+        offchain_fanout_stream,
+    )
+
+    return offchain_fanout_stream(account_updates_df(spark)).select(
+        _hx("key"), "uri"
+    )
+
+
+def q_stream_rooted_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solana_snapshot_etl_tools_spark.fixtures import slot_status_df
+    from solana_snapshot_etl_tools_spark.streaming.geyser import rooted_slot_stream
+
+    return rooted_slot_stream(slot_status_df(spark))
+
+
+def q_stream_block_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solana_snapshot_etl_tools_spark.fixtures import block_metadata_df
+    from solana_snapshot_etl_tools_spark.streaming.geyser import (
+        block_metadata_stream,
+    )
+
+    return block_metadata_stream(block_metadata_df(spark))
+
+
+def q_stream_tx_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solana_snapshot_etl_tools_spark.fixtures import (
+        build_fixture,
+        transactions_df,
+    )
+    from solana_snapshot_etl_tools_spark.streaming.geyser import transaction_stream
+
+    progs = build_fixture()["tx_program_set"]
+    return transaction_stream(transactions_df(spark), progs).select(
+        _hx("signature"),
+        "slot",
+        "fee",
+        F.size("account_keys").alias("n_keys"),
+    )
+
+
 QUERIES = {
     "etl_account": q_account,
     "etl_token_account": q_token_account,
@@ -87,6 +168,12 @@ QUERIES = {
     "etl_program_elfs": q_program_elfs,
     "etl_csv_projection": q_csv_projection,
     "etl_deletion_events": q_deletion_events,
+    "etl_opcode_stats": q_opcode_stats,
+    "stream_selected_accounts": q_stream_selected_accounts,
+    "stream_offchain_fanout": q_stream_offchain,
+    "stream_rooted_slots": q_stream_rooted_slots,
+    "stream_block_metadata": q_stream_block_metadata,
+    "stream_tx_filtered": q_stream_tx_filtered,
 }
 
 _ORACLE_TABLE = {
@@ -99,6 +186,12 @@ _ORACLE_TABLE = {
     "etl_program_elfs": "program_elfs",
     "etl_csv_projection": "csv_projection",
     "etl_deletion_events": "deletion_events",
+    "etl_opcode_stats": "opcode_stats",
+    "stream_selected_accounts": "stream_selected_accounts",
+    "stream_offchain_fanout": "stream_offchain_fanout",
+    "stream_rooted_slots": "stream_rooted_slots",
+    "stream_block_metadata": "stream_block_metadata",
+    "stream_tx_filtered": "stream_tx_filtered",
 }
 
 

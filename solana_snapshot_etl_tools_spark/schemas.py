@@ -156,6 +156,47 @@ BLOCK_METADATA_SCHEMA = T.StructType(
     ]
 )
 
+# --- transactions (FIXTURES.md §4; serializer fbs transaction_info.fbs) ----
+TRANSACTIONS_SCHEMA = T.StructType(
+    [
+        _f("signature", T.BinaryType(), False),
+        _f("is_vote", T.BooleanType(), False),
+        _f("slot", T.LongType(), False),
+        _f("status_ok", T.BooleanType(), False),
+        _f("message_version", T.StringType()),
+        _f(
+            "header",
+            T.StructType(
+                [
+                    _f("num_required_signatures", T.IntegerType()),
+                    _f("num_readonly_signed_accounts", T.IntegerType()),
+                    _f("num_readonly_unsigned_accounts", T.IntegerType()),
+                ]
+            ),
+        ),
+        _f("account_keys", T.ArrayType(T.BinaryType())),
+        _f("recent_blockhash", T.BinaryType()),
+        _f(
+            "instructions",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        _f("program_id_index", T.IntegerType()),
+                        _f("accounts", T.ArrayType(T.IntegerType())),
+                        _f("data", T.BinaryType()),
+                    ]
+                )
+            ),
+        ),
+        _f("message_hash", T.BinaryType()),
+        _f("signatures", T.ArrayType(T.BinaryType())),
+        _f("fee", T.LongType()),
+        _f("pre_balances", T.ArrayType(T.LongType())),
+        _f("post_balances", T.ArrayType(T.LongType())),
+        _f("log_messages", T.ArrayType(T.StringType())),
+    ]
+)
+
 # --- opcode stats (reference bin/solana-opcode-stats/main.rs) --------------
 PROGRAM_ELFS_SCHEMA = T.StructType(
     [
@@ -172,3 +213,10 @@ OPCODE_STATS_SCHEMA = T.StructType(
         _f("num_insns", T.LongType()),
     ]
 )
+
+
+# ship this module's functions by value inside serialized UDF tasks
+# (workers do not share the driver's sys.path — see _pickle.py)
+from solana_snapshot_etl_tools_spark._pickle import register_self as _rs  # noqa: E402
+
+_rs(__name__)

@@ -1,0 +1,173 @@
+"""Geyser-parity streaming pipelines (SURVEY.md §2.6).
+
+The reference's Geyser plugin is a stateless filter+map+route over
+validator callbacks (geyser/src/plugin.rs). Every pipeline here is a
+pure DataFrame transformation, so the SAME function serves:
+
+- batch replay (the driver's oracle-checked queries), and
+- Structured Streaming (`spark.readStream` in, `writeStream` out),
+
+because Spark's streaming DataFrames share the batch expression
+surface. Micro-batch + checkpointed sinks give at-least-once delivery
+— strictly stronger than the reference's fire-and-forget tokio spawn
+(plugin.rs:46-52, errors logged and dropped).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from solana_snapshot_etl_tools_spark import schemas as S
+
+# --- selectors (F5-F10, geyser/src/selectors.rs) ----------------------------
+
+
+def deletion_event(df_cols: DataFrame | None = None) -> Column:
+    """F6: account closed — zero lamports, empty data, system owner
+    (selectors.rs:48-55)."""
+    return (
+        (F.col("lamports") == 0)
+        & (F.coalesce(F.length("data"), F.lit(0)) == 0)
+        & (F.col("owner") == F.lit(S.SYSTEM_PROGRAM_ID))
+    )
+
+
+def account_selector(
+    owners: list[bytes] | None = None,
+    select_deletions: bool = True,
+    startup: bool | None = None,
+) -> Column:
+    """F5+F6+F7 combined, reference semantics (selectors.rs:42-78):
+    startup tri-state applies first; a deletion event overrides the
+    owner filter; empty/None owner set passes everything."""
+    cond = F.lit(True) if not owners else F.col("owner").isin(list(owners))
+    if select_deletions:
+        cond = cond | deletion_event()
+    if startup is not None:
+        cond = cond & (F.col("is_startup") == F.lit(startup))
+    return cond
+
+
+def transaction_selector(programs: list[bytes]) -> Column:
+    """F8+F9 (plugin.rs:330-339): drop failed transactions; pass iff
+    any account key is in the configured program set (empty set
+    disables transaction notifications entirely)."""
+    if not programs:
+        return F.lit(False)
+    progs = F.array(*[F.lit(p) for p in programs])
+    return F.col("status_ok") & F.arrays_overlap(F.col("account_keys"), progs)
+
+
+# --- ST1: account update stream ---------------------------------------------
+
+
+def account_update_stream(
+    updates: DataFrame,
+    owners: list[bytes] | None = None,
+    select_deletions: bool = True,
+    startup: bool | None = None,
+) -> DataFrame:
+    """Selector filter → owned AccountUpdate projection
+    (plugin.rs:136-294, serializer geyser.rs:13-33)."""
+    return updates.filter(
+        account_selector(owners, select_deletions, startup)
+    ).select(
+        "key", "lamports", "owner", "executable", "rent_epoch", "data",
+        "write_version", "slot", "is_startup",
+    )
+
+
+# --- ST2: derived off-chain metadata stream (fan-out 1→2) --------------------
+
+_URI_OFF = 119  # 1+32+32+4+32+4+10+4 (plugin.rs:190-195)
+_URI_LEN = 200
+
+
+def offchain_fanout_stream(updates: DataFrame) -> DataFrame:
+    """Same source, second output: Metaplex-owned account with
+    MetadataV1 discriminator → (key, uri) when the fixed-offset URI
+    region is present and valid UTF-8 (plugin.rs:185-215)."""
+    sliced = F.substring(F.col("data"), _URI_OFF + 1, _URI_LEN).cast("string")
+    uri = F.when(F.is_valid_utf8(sliced), F.regexp_replace(sliced, "\x00+$", ""))
+    return (
+        updates.filter(
+            (F.col("owner") == F.lit(S.MPL_METADATA_PROGRAM_ID))
+            & (F.length("data") >= _URI_OFF + _URI_LEN)
+            & (F.substring("data", 1, 1) == F.lit(bytes([S.METADATA_V1_KEY])))
+        )
+        .select("key", uri.alias("uri"))
+        .filter(F.col("uri").isNotNull())
+    )
+
+
+# --- ST3: finalized-slot stream ----------------------------------------------
+
+
+def rooted_slot_stream(slots: DataFrame) -> DataFrame:
+    """Only Rooted forwarded; Processed/Confirmed dropped
+    (plugin.rs:296-318)."""
+    return slots.filter(F.col("status") == "rooted").select("slot")
+
+
+# --- ST4: transaction stream --------------------------------------------------
+
+
+def transaction_stream(txs: DataFrame, programs: list[bytes]) -> DataFrame:
+    return txs.filter(transaction_selector(programs))
+
+
+# --- ST5: block metadata stream ----------------------------------------------
+
+
+def block_metadata_stream(blocks: DataFrame) -> DataFrame:
+    """Null-defaulting map (T10, serializer geyser.rs:193-201):
+    block_time/block_height → 0."""
+    return blocks.select(
+        "slot",
+        "blockhash",
+        "rewards",
+        F.coalesce("block_time", F.lit(0)).alias("block_time"),
+        F.coalesce("block_height", F.lit(0)).alias("block_height"),
+    )
+
+
+# --- topic routing (K5, geyser/src/sender.rs:49-105) -------------------------
+
+TOPICS = {
+    "account": "update_account",
+    "offchain": "nft_offchain_data",
+    "slot": "finalized_slot",
+    "transaction": "notify_transaction",
+    "block": "notify_block",
+}
+
+
+def routed_messages(
+    updates: DataFrame,
+    slots: DataFrame,
+    blocks: DataFrame,
+    txs: DataFrame,
+    owners: list[bytes] | None = None,
+    tx_programs: list[bytes] | None = None,
+) -> DataFrame:
+    """Union of all five message types as (topic, key, value) — the
+    exact shape Spark's Kafka sink routes natively on the `topic`
+    column (T9 serialization ↔ to_json of the typed struct)."""
+
+    def pack(df: DataFrame, topic: str, key: Column) -> DataFrame:
+        return df.select(
+            F.lit(TOPICS[topic]).alias("topic"),
+            key.cast("string").alias("key"),
+            F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value"),
+        )
+
+    acc = pack(
+        account_update_stream(updates, owners), "account", F.hex("key")
+    )
+    off = pack(offchain_fanout_stream(updates), "offchain", F.hex("key"))
+    slt = pack(rooted_slot_stream(slots), "slot", F.col("slot"))
+    blk = pack(block_metadata_stream(blocks), "block", F.col("slot"))
+    tx = pack(
+        transaction_stream(txs, tx_programs or []), "transaction", F.hex("signature")
+    )
+    return acc.unionByName(off).unionByName(slt).unionByName(blk).unionByName(tx)
