@@ -96,6 +96,51 @@ def q_opcode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return opcode_stats(elfs.unionByName(broken))
 
 
+def q_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-S5 + F13 + F14 end-to-end: materialize the fixture as REAL
+    AppendVec files + bincode manifest (once, under /tmp), run the
+    distributed scan, build the deduped account table — checked
+    against the same pre-pack ground truth as etl_account."""
+    import os
+    import tempfile
+
+    from solana_snapshot_etl_tools_spark.fixtures import build_fixture
+    from solana_snapshot_etl_tools_spark.sources import appendvec as AV
+    from solana_snapshot_etl_tools_spark.sources import snapshot as SNAP
+
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_snapshot_fixture")
+    accounts_dir = os.path.join(base, "accounts")
+    done = os.path.join(base, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(accounts_dir, exist_ok=True)
+        fx = build_fixture()
+        cols = [f.name for f in __import__(
+            "solana_snapshot_etl_tools_spark.schemas", fromlist=["RAW_ACCOUNTS_SCHEMA"]
+        ).RAW_ACCOUNTS_SCHEMA.fields]
+        by_vec: dict[tuple[int, int], list[dict]] = {}
+        for row in fx["raw_rows"]:
+            d = dict(zip(cols, row))
+            by_vec.setdefault((d["slot"], d["append_vec_id"]), []).append(d)
+        manifest: dict[tuple[int, int], int] = {}
+        for (slot, vid), accounts in by_vec.items():
+            blob = AV.write_append_vec(accounts)
+            with open(os.path.join(accounts_dir, f"{slot}.{vid}"), "wb") as f:
+                f.write(blob)
+            manifest[(slot, vid)] = len(blob)
+        with open(os.path.join(base, "manifest.bin"), "wb") as f:
+            f.write(SNAP.write_accounts_db_fields(manifest))
+        with open(done, "w") as f:
+            f.write("ok")
+    manifest = SNAP.parse_accounts_db_fields(
+        open(os.path.join(base, "manifest.bin"), "rb").read()
+    )
+    raw = SNAP.scan_unpacked(spark, accounts_dir, manifest)
+    return D.account_table(raw).select(
+        _hx("pubkey"), "data_len", _hx("owner"), "lamports", "executable",
+        "rent_epoch",
+    )
+
+
 # --- streaming corpus (batch replay of the ST1-ST5 pipelines; the same
 # functions run under readStream — parity proven in tests/test_streaming.py)
 
@@ -169,6 +214,7 @@ QUERIES = {
     "etl_csv_projection": q_csv_projection,
     "etl_deletion_events": q_deletion_events,
     "etl_opcode_stats": q_opcode_stats,
+    "etl_snapshot_scan": q_snapshot_scan,
     "stream_selected_accounts": q_stream_selected_accounts,
     "stream_offchain_fanout": q_stream_offchain,
     "stream_rooted_slots": q_stream_rooted_slots,
@@ -187,6 +233,7 @@ _ORACLE_TABLE = {
     "etl_csv_projection": "csv_projection",
     "etl_deletion_events": "deletion_events",
     "etl_opcode_stats": "opcode_stats",
+    "etl_snapshot_scan": "account",
     "stream_selected_accounts": "stream_selected_accounts",
     "stream_offchain_fanout": "stream_offchain_fanout",
     "stream_rooted_slots": "stream_rooted_slots",

@@ -1,0 +1,140 @@
+"""Snapshot ingestion tests (S1-S5, F13, F14): round-trip the fixture
+through real AppendVec files + manifest + tar archive and prove the
+scan reproduces the exact raw_accounts table."""
+
+from __future__ import annotations
+
+import os
+import tarfile
+
+import pytest
+
+from solana_snapshot_etl_tools_spark.fixtures import build_fixture, raw_accounts_df
+from solana_snapshot_etl_tools_spark.operators import decoders as D
+from solana_snapshot_etl_tools_spark.sources import appendvec as AV
+from solana_snapshot_etl_tools_spark.sources import snapshot as SNAP
+
+
+def _write_snapshot_dir(tmp: str) -> tuple[str, dict]:
+    """Group the fixture's raw accounts by (slot, id) into real
+    AppendVec files; return (accounts_dir, manifest dict)."""
+    fx = build_fixture()
+    cols = [
+        "pubkey", "write_version", "slot", "append_vec_id", "owner",
+        "lamports", "executable", "rent_epoch", "hash", "data", "data_len",
+    ]
+    by_vec: dict[tuple[int, int], list[dict]] = {}
+    for row in fx["raw_rows"]:
+        d = dict(zip(cols, row))
+        by_vec.setdefault((d["slot"], d["append_vec_id"]), []).append(d)
+    accounts_dir = os.path.join(tmp, "accounts")
+    os.makedirs(accounts_dir, exist_ok=True)
+    manifest: dict[tuple[int, int], int] = {}
+    for (slot, vid), accounts in by_vec.items():
+        blob = AV.write_append_vec(accounts)
+        with open(os.path.join(accounts_dir, f"{slot}.{vid}"), "wb") as f:
+            f.write(blob + b"\xab" * 7)  # trailing garbage past current_len
+        manifest[(slot, vid)] = len(blob)
+    return accounts_dir, manifest
+
+
+def _assert_same_accounts(spark, scanned, reference_df):
+    a = sorted(map(tuple, scanned.collect()))
+    b = sorted(map(tuple, reference_df.collect()))
+    assert len(a) == len(b)
+    assert a == b
+
+
+def test_appendvec_roundtrip_unit():
+    fx = build_fixture()
+    cols = [
+        "pubkey", "write_version", "slot", "append_vec_id", "owner",
+        "lamports", "executable", "rent_epoch", "hash", "data", "data_len",
+    ]
+    accounts = [dict(zip(cols, r)) for r in fx["raw_rows"][:20]]
+    blob = AV.write_append_vec(accounts)
+    decoded = list(AV.iter_append_vec(blob))
+    assert len(decoded) == 20
+    for orig, dec in zip(accounts, decoded):
+        for k in ("pubkey", "write_version", "owner", "lamports",
+                  "executable", "rent_epoch", "hash", "data", "data_len"):
+            assert dec[k] == orig[k], k
+
+
+def test_scan_unpacked_matches_fixture(spark, tmp_path, raw_accounts):
+    accounts_dir, manifest = _write_snapshot_dir(str(tmp_path))
+    # F13: badly-named files must be ignored
+    for bad in ("1234", "12.ab", "readme.txt"):
+        with open(os.path.join(accounts_dir, bad), "wb") as f:
+            f.write(b"junk")
+    scanned = SNAP.scan_unpacked(spark, accounts_dir, manifest)
+    _assert_same_accounts(spark, scanned, raw_accounts)
+
+
+def test_scan_respects_manifest_bound(spark, tmp_path, raw_accounts):
+    """current_len bounds the walk: the trailing garbage written after
+    the manifest length must never produce phantom records; without
+    the bound a crafted tail could."""
+    accounts_dir, manifest = _write_snapshot_dir(str(tmp_path))
+    n_bounded = SNAP.scan_unpacked(spark, accounts_dir, manifest).count()
+    assert n_bounded == raw_accounts.count()
+
+
+def test_missing_manifest_entry_strict_and_lenient(spark, tmp_path):
+    accounts_dir, manifest = _write_snapshot_dir(str(tmp_path))
+    (victim_slot, victim_id) = next(iter(manifest))
+    del manifest[(victim_slot, victim_id)]
+    with pytest.raises(ValueError, match="missing from manifest"):
+        SNAP.scan_unpacked(spark, accounts_dir, manifest, strict=True)
+    lenient = SNAP.scan_unpacked(spark, accounts_dir, manifest, strict=False)
+    assert lenient.filter(
+        (lenient.slot == victim_slot) & (lenient.append_vec_id == victim_id)
+    ).count() == 0
+
+
+def test_manifest_codec_roundtrip():
+    entries = {(1154, 3): 4096, (1154, 7): 128, (1900, 0): 999999}
+    blob = SNAP.write_accounts_db_fields(entries)
+    assert SNAP.parse_accounts_db_fields(blob) == entries
+
+
+def test_archive_scan_end_to_end(spark, tmp_path, raw_accounts):
+    """S1: manifest + appendvecs in a tar → extract → scan → decode →
+    the token_account table still matches the pre-pack ground truth."""
+    accounts_dir, manifest = _write_snapshot_dir(str(tmp_path))
+    slot = max(s for s, _ in manifest)
+    tar_path = str(tmp_path / "snap.tar")
+    with tarfile.open(tar_path, "w") as tf:
+        mpath = str(tmp_path / "manifest.bin")
+        with open(mpath, "wb") as f:
+            f.write(SNAP.write_accounts_db_fields(manifest))
+        tf.add(mpath, arcname=f"snapshots/{slot}/{slot}")
+        for name in sorted(os.listdir(accounts_dir)):
+            tf.add(os.path.join(accounts_dir, name), arcname=f"accounts/{name}")
+    scanned = SNAP.scan_archive(spark, tar_path, str(tmp_path / "work"))
+    _assert_same_accounts(spark, scanned, raw_accounts)
+    # full pipeline: snapshot files → decode → typed table
+    fx = build_fixture()
+    from pyspark.sql import functions as F
+
+    got = sorted(
+        tuple(r)
+        for r in D.token_account_table(scanned)
+        .select(
+            F.hex("pubkey"), F.hex("mint"), F.hex("owner"), "amount",
+            F.hex("delegate"), "state", "is_native", "delegated_amount",
+            F.hex("close_authority"),
+        )
+        .collect()
+    )
+    assert got == sorted(fx["expected"]["token_account"][2])
+
+
+def test_appendvec_before_manifest_rejected(spark, tmp_path):
+    accounts_dir, manifest = _write_snapshot_dir(str(tmp_path))
+    tar_path = str(tmp_path / "bad.tar")
+    with tarfile.open(tar_path, "w") as tf:
+        name = sorted(os.listdir(accounts_dir))[0]
+        tf.add(os.path.join(accounts_dir, name), arcname=f"accounts/{name}")
+    with pytest.raises(ValueError, match="UnexpectedAppendVec|no manifest"):
+        SNAP.extract_archive(tar_path, str(tmp_path / "w2"))
