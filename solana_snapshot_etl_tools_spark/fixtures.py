@@ -608,9 +608,79 @@ def build_fixture() -> dict:
         tx_expected,
     )
 
+    # ---- multimodal fixture (fake containers, operators/multimodal.py) ----
+    import struct as _st
+
+    media = []  # (media_id, kind, blob)
+    media_meta_exp = []
+    frame_exp = []
+    feat_exp = []
+
+    def _feat(payload):
+        from solana_snapshot_etl_tools_spark.operators.multimodal import (
+            payload_features,
+        )
+
+        return payload_features(payload)
+
+    mid = 0
+    for _ in range(10):  # images
+        w, h, c = rng.randrange(4, 32), rng.randrange(4, 32), rng.choice([1, 3])
+        payload = bytes(rng.randbytes(w * h * c))
+        media.append((mid, "image", b"FIMG" + _st.pack("<HH", w, h) + bytes([c]) + payload))
+        media_meta_exp.append((mid, "image", "fimg", w, h, c, None, None, None,
+                               len(payload), hashlib.md5(payload).hexdigest()))
+        feat_exp.append((mid, *_feat(payload)))
+        mid += 1
+    for _ in range(6):  # audio
+        sr = rng.choice([8000, 16000, 44100])
+        n = rng.randrange(16, 256)
+        payload = bytes(rng.randbytes(2 * n))
+        media.append((mid, "audio", b"FAUD" + _st.pack("<II", sr, n) + payload))
+        media_meta_exp.append((mid, "audio", "faud", None, None, None, sr, n,
+                               None, len(payload), hashlib.md5(payload).hexdigest()))
+        feat_exp.append((mid, *_feat(payload)))
+        mid += 1
+    for _ in range(5):  # video
+        w, h, nf = rng.randrange(4, 16), rng.randrange(4, 16), rng.randrange(2, 9)
+        payload = bytes(rng.randbytes(w * h * nf))
+        media.append((mid, "video", b"FVID" + _st.pack("<HHH", w, h, nf) + payload))
+        media_meta_exp.append((mid, "video", "fvid", w, h, None, None, None, nf,
+                               len(payload), hashlib.md5(payload).hexdigest()))
+        feat_exp.append((mid, *_feat(payload)))
+        for idx in range(0, nf, 2):
+            frame = payload[idx * w * h : (idx + 1) * w * h]
+            frame_exp.append((mid, idx, hashlib.md5(frame).hexdigest()))
+        mid += 1
+    for blob in (b"", b"JUNKDATA", b"FIMG" + _st.pack("<HH", 9, 9) + b"\x03" + b"short"):
+        media.append((mid, "image", blob))  # corrupt → null metadata
+        media_meta_exp.append((mid, "image", None, None, None, None, None,
+                               None, None, None, None))
+        feat_exp.append((mid, *([None] * 8)))
+        mid += 1
+
+    expected["media_meta"] = (
+        ["media_id", "kind", "format", "width", "height", "channels",
+         "sample_rate", "n_samples", "n_frames", "payload_len", "payload_md5"],
+        ["BIGINT", "VARCHAR", "VARCHAR", "INTEGER", "INTEGER", "INTEGER",
+         "INTEGER", "INTEGER", "INTEGER", "BIGINT", "VARCHAR"],
+        media_meta_exp,
+    )
+    expected["frame_sample"] = (
+        ["media_id", "frame_idx", "frame_md5"],
+        ["BIGINT", "INTEGER", "VARCHAR"],
+        frame_exp,
+    )
+    expected["media_features"] = (
+        ["media_id"] + [f"f{i}" for i in range(8)],
+        ["BIGINT"] + ["DOUBLE"] * 8,
+        feat_exp,
+    )
+
     return dict(
         raw_rows=raw_rows,
         raw=raw,
+        media=media,
         expected=expected,
         account_updates=account_updates,
         selector_owners=selector_owners,
@@ -635,6 +705,10 @@ def values_sql(table: str) -> str:
             return "TRUE" if v else "FALSE"
         if isinstance(v, str):
             return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, float):
+            # bare float literals in VALUES are inferred as DECIMAL and
+            # quantized; a string→DOUBLE cast parses to the exact bits
+            return f"CAST('{v!r}' AS DOUBLE)"
         return str(v)
 
     body = ",\n".join("(" + ", ".join(lit(v) for v in row) + ")" for row in rows)
@@ -674,3 +748,9 @@ def transactions_df(spark):
     from solana_snapshot_etl_tools_spark.schemas import TRANSACTIONS_SCHEMA
 
     return spark.createDataFrame(build_fixture()["transactions"], TRANSACTIONS_SCHEMA)
+
+
+def media_df(spark):
+    from solana_snapshot_etl_tools_spark.operators.multimodal import MEDIA_SCHEMA
+
+    return spark.createDataFrame(build_fixture()["media"], MEDIA_SCHEMA)

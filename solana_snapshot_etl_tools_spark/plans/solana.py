@@ -141,6 +141,38 @@ def q_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- multimodal corpus (operators/multimodal.py over the fake-codec fixture)
+
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solana_snapshot_etl_tools_spark.fixtures import media_df
+    from solana_snapshot_etl_tools_spark.operators.multimodal import (
+        decode_media_meta,
+    )
+
+    return decode_media_meta(media_df(spark))
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solana_snapshot_etl_tools_spark.fixtures import media_df
+    from solana_snapshot_etl_tools_spark.operators.multimodal import sample_frames
+
+    return sample_frames(media_df(spark), every_k=2)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solana_snapshot_etl_tools_spark.fixtures import media_df
+    from solana_snapshot_etl_tools_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    feats = extract_features(media_df(spark))
+    return feats.select(
+        "media_id",
+        *[F.col("feature")[i].alias(f"f{i}") for i in range(8)],
+    )
+
+
 # --- streaming corpus (batch replay of the ST1-ST5 pipelines; the same
 # functions run under readStream — parity proven in tests/test_streaming.py)
 
@@ -215,6 +247,9 @@ QUERIES = {
     "etl_deletion_events": q_deletion_events,
     "etl_opcode_stats": q_opcode_stats,
     "etl_snapshot_scan": q_snapshot_scan,
+    "media_meta": q_media_meta,
+    "media_frame_sample": q_frame_sample,
+    "media_features": q_media_features,
     "stream_selected_accounts": q_stream_selected_accounts,
     "stream_offchain_fanout": q_stream_offchain,
     "stream_rooted_slots": q_stream_rooted_slots,
@@ -234,6 +269,9 @@ _ORACLE_TABLE = {
     "etl_deletion_events": "deletion_events",
     "etl_opcode_stats": "opcode_stats",
     "etl_snapshot_scan": "account",
+    "media_meta": "media_meta",
+    "media_frame_sample": "frame_sample",
+    "media_features": "media_features",
     "stream_selected_accounts": "stream_selected_accounts",
     "stream_offchain_fanout": "stream_offchain_fanout",
     "stream_rooted_slots": "stream_rooted_slots",
