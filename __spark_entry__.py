@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from solana_snapshot_etl_tools_spark.plans import llm_ops, relational, solana
+from solana_snapshot_etl_tools_spark.plans import llm_ops, relational, relational2, solana
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -26,6 +26,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
+    out.update(relational2.QUERIES)
     out.update(solana.QUERIES)
     out.update(llm_ops.QUERIES)
     return out
@@ -34,6 +35,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(relational.ORACLES)
+    out.update(relational2.ORACLES)
     out.update(solana.oracles())
     out.update(llm_ops.ORACLES)
     return out
