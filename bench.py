@@ -31,6 +31,7 @@ HEADLINE = [
     "json_extract",
     "etl_token_account",
     "etl_token_metadata",
+    "asof_join",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -199,25 +199,34 @@ def minhash_lsh_pairs(
         .filter(F.col("est") >= threshold - 0.1)
         .select("doc_a", "doc_b")
     )
-    surviving_docs = (
-        est.select(F.col("doc_a").alias("doc"))
-        .union(est.select(F.col("doc_b").alias("doc")))
-        .distinct()
+    # exact verification by array intersection: per surviving pair,
+    # O(|set_a|+|set_b|) JVM work — far cheaper than re-exploding
+    # shingles into a pair-wise join when the estimate filter still
+    # passes tens of thousands of borderline background pairs
+    sh_sets = (
+        shingle_sets(df, id_col, text_col, k)
+        .groupBy("doc")
+        .agg(F.collect_set("sh").alias("shs"), F.count(F.lit(1)).alias("n"))
     )
-    sh = shingle_sets(df, id_col, text_col, k).join(surviving_docs, "doc", "left_semi")
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc").alias("doc_a"), "sh")
-    b = sh.select(F.col("doc").alias("doc_b"), "sh")
-    inter = (
-        est.join(a, "doc_a")
-        .join(b, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    jac = inter / (F.col("na") + F.col("nb") - inter)
     return (
-        inter.join(sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        est.join(
+            sh_sets.select(
+                F.col("doc").alias("doc_a"),
+                F.col("shs").alias("shs_a"),
+                F.col("n").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sh_sets.select(
+                F.col("doc").alias("doc_b"),
+                F.col("shs").alias("shs_b"),
+                F.col("n").alias("nb"),
+            ),
+            "doc_b",
+        )
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") > threshold)
     )

@@ -340,7 +340,41 @@ ORDER BY p_retailprice DESC, p_partkey LIMIT 20 OFFSET 10
 """
 
 
+# --- as-of join (custom operator, operators/asof.py) -------------------------
+
+
+def q_asof_join(spark, sf_dir):
+    """For each purchase event, the most recent prior click of the
+    same user: Spark union+window as-of vs DuckDB's native ASOF JOIN."""
+    from solana_snapshot_etl_tools_spark.operators.asof import as_of_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    j = as_of_join(purchases, clicks, key="user_id", right_prefix="c_")
+    return j.select(
+        "user_id",
+        "purchase_id",
+        F.col("c_click_id").alias("click_id"),
+        (F.unix_micros("ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+
+
+Q_ASOF_SQL = """
+WITH p AS (SELECT user_id, event_id AS purchase_id, ts FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, event_id AS click_id, ts FROM events WHERE event_type = 'click')
+SELECT p.user_id, p.purchase_id, c.click_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 QUERIES = {
+    "asof_join": q_asof_join,
     "top_supplier_per_nation": q_top_supplier_per_nation,
     "exists_not_exists": q_active_then_churned,
     "in_subquery_having": q_in_subquery_having,
@@ -356,6 +390,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "asof_join": Q_ASOF_SQL,
     "top_supplier_per_nation": Q_TOP_SUPPLIER_SQL,
     "exists_not_exists": Q_CHURNED_SQL,
     "in_subquery_having": Q_IN_HAVING_SQL,

@@ -45,6 +45,7 @@ def run_available_now(
     schema,
     pipeline: Callable[[DataFrame], DataFrame],
     query_name: str | None = None,
+    output_mode: str = "append",
 ) -> DataFrame:
     """Drive `pipeline` as a real Structured Streaming query over a
     parquet file source with availableNow semantics; returns the
@@ -56,7 +57,7 @@ def run_available_now(
         pipeline(stream)
         .writeStream.format("memory")
         .queryName(name)
-        .outputMode("append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

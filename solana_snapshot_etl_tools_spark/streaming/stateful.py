@@ -1,0 +1,89 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+The reference's stream is stateless (SURVEY.md §2.6); this is the
+additive capability Spark brings: per-key state across micro-batches.
+``account_version_tracker`` maintains, per account key, the running
+update count and the highest (slot, write_version) seen — the
+streaming analog of the X3 last-write-wins dedup, usable to build an
+incrementally-maintained `account` table from the Geyser stream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("n_updates", LongType()),
+        StructField("max_slot", LongType()),
+        StructField("max_write_version", LongType()),
+    ]
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key_hex", StringType()),
+        StructField("n_updates", LongType()),
+        StructField("max_slot", LongType()),
+        StructField("max_write_version", LongType()),
+    ]
+)
+
+
+def _track(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, mslot, mwv = state.get if state.exists else (0, -1, -1)
+    for pdf in batches:
+        n += len(pdf)
+        for slot, wv in zip(pdf["slot"], pdf["write_version"]):
+            if (slot, wv) > (mslot, mwv):
+                mslot, mwv = int(slot), int(wv)
+    state.update((n, mslot, mwv))
+    yield pd.DataFrame(
+        [(key[0], n, mslot, mwv)],
+        columns=["key_hex", "n_updates", "max_slot", "max_write_version"],
+    )
+
+
+def account_version_tracker(updates: DataFrame) -> DataFrame:
+    """Streaming (or batch-replay) per-account state: update count +
+    latest (slot, write_version). Works on a streaming DataFrame with
+    ``applyInPandasWithState``; on a batch frame it degrades to a
+    plain groupBy-equivalent (used by tests for parity)."""
+    from pyspark.sql import functions as F
+
+    keyed = updates.select(
+        F.hex("key").alias("key_hex"), "slot", "write_version"
+    ).groupBy("key_hex")
+    if updates.isStreaming:
+        return keyed.applyInPandasWithState(
+            _track,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    return keyed.agg(
+        F.count(F.lit(1)).alias("n_updates"),
+        F.max("slot").alias("max_slot"),
+        F.max_by("write_version", F.struct("slot", "write_version")).alias(
+            "max_write_version"
+        ),
+    )
+
+
+# ship by value (worker-side state function)
+from solana_snapshot_etl_tools_spark._pickle import register_self as _rs  # noqa: E402
+
+_rs(__name__)
