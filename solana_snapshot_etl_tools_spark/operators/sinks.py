@@ -1,0 +1,73 @@
+"""Batch sinks K1/K3 (reference csv.rs, programs.rs).
+
+- CSV sink: the 4-column base58 projection written with Spark's
+  distributed CSV writer (header, one dir of part files — the
+  scalable analog of the reference's stdout stream).
+- Programs tar sink: one ``<base58 pubkey>.so`` entry per program
+  (programs.rs:25-62). Tar is an inherently sequential container, so
+  the entries stream through the driver via ``toLocalIterator`` —
+  constant memory, single pass, same topology as the reference's
+  single-threaded tar writer. The scalable alternative for bulk use
+  is per-program files via the partitioned writer; both provided.
+"""
+
+from __future__ import annotations
+
+import io
+import tarfile
+
+from pyspark.sql import DataFrame
+
+from solana_snapshot_etl_tools_spark.functions.base58 import b58encode
+from solana_snapshot_etl_tools_spark.operators.decoders import csv_projection
+
+
+def write_csv(raw: DataFrame, path: str) -> None:
+    """K1: (pubkey, owner, data_len, lamports) base58 CSV."""
+    csv_projection(raw).write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_programs_tar(program_elfs: DataFrame, tar_path: str) -> int:
+    """K3: stream (pubkey, elf) rows into a tar of ``<base58>.so``
+    entries (mode 0644, programs.rs:56-59). Returns entry count."""
+    n = 0
+    with tarfile.open(tar_path, "w") as tf:
+        for row in program_elfs.select("pubkey", "elf").toLocalIterator():
+            info = tarfile.TarInfo(name=f"{b58encode(bytes(row.pubkey))}.so")
+            info.size = len(row.elf)
+            info.mode = 0o644
+            tf.addfile(info, io.BytesIO(bytes(row.elf)))
+            n += 1
+    return n
+
+
+def read_programs_tar(spark, tar_path: str) -> DataFrame:
+    """S6: the opcode-stats input — a tar of ELFs, one per program,
+    program id from the ``<base58>.so`` entry name
+    (bin/solana-opcode-stats/main.rs:30-53)."""
+    from solana_snapshot_etl_tools_spark.functions.base58 import b58decode
+
+    rows = []
+    with tarfile.open(tar_path, "r|*") as tf:
+        for entry in tf:
+            if not entry.isfile() or not entry.name.endswith(".so"):
+                continue
+            pid = b58decode(entry.name.rsplit("/", 1)[-1][:-3])
+            rows.append((pid, tf.extractfile(entry).read()))
+    return spark.createDataFrame(rows, "program_id binary, elf binary")
+
+
+def write_program_files(program_elfs: DataFrame, out_dir: str) -> None:
+    """Scale path for K3: distributed per-program files (each executor
+    writes its partition's programs directly to shared storage)."""
+    from solana_snapshot_etl_tools_spark.functions.base58 import b58encode as enc
+
+    def write_partition(rows):
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        for row in rows:
+            with open(os.path.join(out_dir, f"{enc(bytes(row.pubkey))}.so"), "wb") as f:
+                f.write(bytes(row.elf))
+
+    program_elfs.select("pubkey", "elf").foreachPartition(write_partition)

@@ -142,6 +142,31 @@ TOPICS = {
 }
 
 
+def parse_account_update_json(frame: DataFrame) -> DataFrame:
+    """T11 — consumer-side inverse of the routed account message: a
+    (value: json string) frame back to the typed AccountUpdate columns
+    (reference flatbuffer/mod.rs:582-608 deserialize; we use from_json
+    on the same envelope routed_messages produces). Binary fields ride
+    base64 inside JSON (to_json's binary encoding)."""
+    json_schema = (
+        "key string, lamports long, owner string, executable boolean, "
+        "rent_epoch long, data string, write_version long, slot long, "
+        "is_startup boolean"
+    )
+    p = F.from_json("value", json_schema)
+    return frame.select(
+        F.unbase64(p["key"]).alias("key"),
+        p["lamports"].alias("lamports"),
+        F.unbase64(p["owner"]).alias("owner"),
+        p["executable"].alias("executable"),
+        p["rent_epoch"].alias("rent_epoch"),
+        F.unbase64(p["data"]).alias("data"),
+        p["write_version"].alias("write_version"),
+        p["slot"].alias("slot"),
+        p["is_startup"].alias("is_startup"),
+    )
+
+
 def routed_messages(
     updates: DataFrame,
     slots: DataFrame,

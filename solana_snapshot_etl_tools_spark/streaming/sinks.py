@@ -39,6 +39,27 @@ def write_kafka(
         ) from e
 
 
+def foreach_batch_push(
+    stream: DataFrame,
+    consumer: Callable,
+    checkpoint_dir: str | None = None,
+):
+    """K4 analog — the reference dlopens a Geyser plugin and pushes
+    each account into it (geyser_plugin.rs:25-60); here any Python
+    callable ``consumer(rows: list, epoch_id: int)`` receives each
+    micro-batch. No dlopen, no per-account 300 µs sleep (ST7) — Spark
+    backpressure (maxOffsetsPerTrigger / trigger interval) replaces
+    the hand rate limit."""
+
+    def push(batch_df: DataFrame, epoch_id: int) -> None:
+        consumer(batch_df.collect(), epoch_id)
+
+    writer = stream.writeStream.foreachBatch(push).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def run_available_now(
     spark: SparkSession,
     source_dir: str,
