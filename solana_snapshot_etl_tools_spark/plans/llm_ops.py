@@ -204,7 +204,54 @@ FROM documents GROUP BY 1 ORDER BY 1
 """
 
 
+# --- composite: the end-to-end training-data cleaning pipeline ---------------
+
+
+def q_clean_corpus(spark, sf_dir):
+    """Compose the pipeline a pretraining corpus build runs: exact
+    dedup (keep min doc per content hash) → quality filter → English
+    only → emit (doc_id, n_tokens, quality score)."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = DD.exact_dedup(docs, "doc_id", "text")
+    t = F.col("text")
+    return (
+        kept.select(
+            "doc_id",
+            TXT.token_count(t).alias("n_tokens"),
+            TXT.quality_score(t).alias("quality"),
+            TXT.lang_id(t).alias("lang_pred"),
+        )
+        .filter((F.col("quality") > 0.5) & (F.col("lang_pred") == "en"))
+        .select("doc_id", "n_tokens", "quality")
+    )
+
+
+CLEAN_CORPUS_SQL = f"""
+WITH kept AS (
+  SELECT * FROM documents
+  WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+),
+scored AS (
+  SELECT doc_id,
+    CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+    (least(len({_TOKS}) / 100.0, 1.0) * 0.4
+     + least({_duck_hits("en")} / greatest(len({_TOKS}), 1) * 4.0, 1.0) * 0.3)
+     + greatest(1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / greatest(length(text), 1) * 5.0, 0.0) * 0.3 AS quality,
+    CASE
+      WHEN {_duck_hits("en")} + {_duck_hits("es")} + {_duck_hits("de")} + {_duck_hits("fr")} = 0 THEN 'und'
+      WHEN {_duck_hits("en")} >= {_duck_hits("es")} AND {_duck_hits("en")} >= {_duck_hits("de")} AND {_duck_hits("en")} >= {_duck_hits("fr")} THEN 'en'
+      WHEN {_duck_hits("es")} >= {_duck_hits("de")} AND {_duck_hits("es")} >= {_duck_hits("fr")} THEN 'es'
+      WHEN {_duck_hits("de")} >= {_duck_hits("fr")} THEN 'de'
+      ELSE 'fr'
+    END AS lang_pred
+  FROM kept)
+SELECT doc_id, n_tokens, quality FROM scored
+WHERE quality > 0.5 AND lang_pred = 'en'
+"""
+
+
 QUERIES = {
+    "pipeline_clean_corpus": q_clean_corpus,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard_ngram": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -219,6 +266,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipeline_clean_corpus": CLEAN_CORPUS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_jaccard_ngram": _JACCARD_SQL,
     "dedup_minhash_lsh": _JACCARD_SQL,

@@ -1,0 +1,67 @@
+"""Physical-plan regression tests: the scale properties claimed in
+README/docstrings must stay true as queries evolve — pushdown reaches
+the parquet scan, column pruning drops the fat columns, top-k compiles
+to TakeOrderedAndProject, small dims broadcast."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from solana_snapshot_etl_tools_spark.plans import relational as R
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    p = _plan(R.q1_pricing_summary(spark, SF_DIR))
+    assert "LessThanOrEqual(l_shipdate" in p, "date filter must push to scan"
+    # pruning: the 4 unused lineitem columns must not be read
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    for dropped in ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"):
+        assert dropped not in read_schema, f"{dropped} should be pruned"
+
+
+def test_q3_topk_is_take_ordered(spark):
+    p = _plan(R.q3_top_orders(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p, "limit+sort must not be a full sort"
+
+
+def test_q5_small_dims_broadcast(spark):
+    p = _plan(R.q5_nation_revenue(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_semi_anti_join_shapes(spark):
+    assert "LeftSemi" in _plan(R.q_semi_join(spark, SF_DIR))
+    assert "LeftAnti" in _plan(R.q_anti_join(spark, SF_DIR))
+
+
+def test_dedup_is_aggregate_not_window(spark, raw_accounts):
+    """X3 must stay a (partial-aggregating) max_by, not a window sort:
+    the plan should contain HashAggregate/SortAggregate/ObjectHashAggregate
+    and no Window node."""
+    from solana_snapshot_etl_tools_spark.operators.decoders import (
+        dedup_last_write_wins,
+    )
+
+    p = _plan(dedup_last_write_wins(raw_accounts))
+    assert "Aggregate" in p
+    assert "Window" not in p
+
+
+def test_asof_is_single_shuffle(spark):
+    """The as-of join must not contain a join node at all — it is a
+    union + one windowed sort."""
+    from solana_snapshot_etl_tools_spark.plans.relational2 import q_asof_join
+
+    p = _plan(q_asof_join(spark, SF_DIR))
+    assert "Join" not in p.replace("AdaptiveSparkPlan", "")
+    assert "Union" in p and "Window" in p
