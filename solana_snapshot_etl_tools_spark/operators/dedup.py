@@ -116,8 +116,11 @@ def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, n_hashes: int = N_HASHES
 ) -> DataFrame:
     """One row per doc with an array of n_hashes minhash values.
-    Each hash family member is xxhash64 salted with its index — one
-    shuffle (groupBy doc), partial-aggregated map-side."""
+    Each family member is xxhash64 salted with its index; one shuffle
+    (groupBy doc), partial-aggregated map-side. (A double-hashing
+    h1^rot(h2,i) variant was benchmarked and lost: the 64 min-agg
+    buffers dominate the stage, and the weaker family inflated LSH
+    candidates ~10%.)"""
     sh = shingle_sets(df, id_col, text_col, k)
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")

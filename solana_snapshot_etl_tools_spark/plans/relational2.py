@@ -373,8 +373,68 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
 
+# --- sliding event-time window ------------------------------------------------
+
+
+def q_sliding_window(spark, sf_dir):
+    """1-hour windows sliding every 30 minutes — each event lands in
+    two windows (streaming-parity semantics of F.window with slide)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "event_type",
+            "n",
+        )
+        .orderBy("w_start", "event_type")
+    )
+
+
+Q_SLIDING_SQL = """
+SELECT strftime(s, '%Y-%m-%d %H:%M:%S') AS w_start, event_type, COUNT(*) AS n
+FROM (SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                     time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS s,
+             event_type
+      FROM events)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --- explicit GROUPING SETS through the SQL API --------------------------------
+
+
+def q_grouping_sets(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    view = "gs_lineitem"
+    l.createOrReplaceTempView(view)
+    return spark.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+               COUNT(*) AS n,
+               GROUPING_ID(l_returnflag, l_linestatus) AS gid
+        FROM {view}
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY gid, l_returnflag, l_linestatus
+    """)
+
+
+Q_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+       COUNT(*) AS n,
+       GROUPING_ID(l_returnflag, l_linestatus) AS gid
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+
 QUERIES = {
     "asof_join": q_asof_join,
+    "sliding_window": q_sliding_window,
+    "grouping_sets": q_grouping_sets,
     "top_supplier_per_nation": q_top_supplier_per_nation,
     "exists_not_exists": q_active_then_churned,
     "in_subquery_having": q_in_subquery_having,
@@ -391,6 +451,8 @@ QUERIES = {
 
 ORACLES = {
     "asof_join": Q_ASOF_SQL,
+    "sliding_window": Q_SLIDING_SQL,
+    "grouping_sets": Q_GROUPING_SETS_SQL,
     "top_supplier_per_nation": Q_TOP_SUPPLIER_SQL,
     "exists_not_exists": Q_CHURNED_SQL,
     "in_subquery_having": Q_IN_HAVING_SQL,
