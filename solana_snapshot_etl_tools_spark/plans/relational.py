@@ -61,10 +61,10 @@ def q1_pricing_summary(spark, sf_dir):
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_d("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(_d("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(38,4)").alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(38,6)").alias("sum_charge"),
+            F.sum(_d("l_quantity")).cast("decimal(38,2)").cast("double").alias("sum_qty"),
+            F.sum(_d("l_extendedprice")).cast("decimal(38,2)").cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(38,4)").cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(38,6)").cast("double").alias("sum_charge"),
             (F.sum(_d("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
             (F.sum(_d("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
             (F.sum(_d("l_discount", "decimal(3,2)")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
@@ -76,10 +76,10 @@ def q1_pricing_summary(spark, sf_dir):
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DECIMAL(38,6)) AS sum_charge,
+  CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_qty,
+  CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_charge,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
   CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -107,7 +107,7 @@ def q3_top_orders(spark, sf_dir):
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(rev).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(rev).cast("decimal(38,4)").cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
         .select("l_orderkey", F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"), "revenue")
@@ -117,7 +117,7 @@ def q3_top_orders(spark, sf_dir):
 Q3_SQL = """
 SELECT l_orderkey,
        CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(38,4)) AS revenue
+       CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING'
@@ -150,14 +150,14 @@ def q5_nation_revenue(spark, sf_dir):
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(rev).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(rev).cast("decimal(38,4)").cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
 
 Q5_SQL = """
 SELECT n_name,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(38,4)) AS revenue
+       CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -227,7 +227,7 @@ def q_theta_join(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_late_lines"),
-            F.sum(_d("l_extendedprice")).cast("decimal(38,2)").alias("late_value"),
+            F.sum(_d("l_extendedprice")).cast("decimal(38,2)").cast("double").alias("late_value"),
         )
         .orderBy("o_orderpriority")
     )
@@ -235,7 +235,7 @@ def q_theta_join(spark, sf_dir):
 
 Q_THETA_SQL = """
 SELECT o_orderpriority, COUNT(*) AS n_late_lines,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS late_value
+       CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS late_value
 FROM lineitem JOIN orders
   ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY
 GROUP BY o_orderpriority ORDER BY o_orderpriority
@@ -273,15 +273,15 @@ def q_window_running(spark, sf_dir):
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(_d("o_totalprice")).over(w).cast("decimal(38,2)").alias("run_total"),
+        F.sum(_d("o_totalprice")).over(w).cast("decimal(38,2)").cast("double").alias("run_total"),
     )
 
 
 Q_WINDOW_RUNNING_SQL = """
 SELECT o_custkey, o_orderkey,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+       CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS run_total
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS run_total
 FROM orders
 """
 
@@ -318,15 +318,15 @@ def q_window_moving(spark, sf_dir):
     return e.select(
         "user_id",
         "event_id",
-        F.sum(_d("value", "decimal(18,6)")).over(w).cast("decimal(38,6)").alias("mov_sum"),
+        F.sum(_d("value", "decimal(18,6)")).over(w).cast("decimal(38,6)").cast("double").alias("mov_sum"),
     )
 
 
 Q_WINDOW_MOVING_SQL = """
 SELECT user_id, event_id,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+       CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
          PARTITION BY user_id ORDER BY ts, event_id
-         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS mov_sum
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS mov_sum
 FROM events
 """
 
@@ -368,7 +368,7 @@ def q_rollup(spark, sf_dir):
     return (
         l.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_d("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+            F.sum(_d("l_quantity")).cast("decimal(38,2)").cast("double").alias("sum_qty"),
             F.count(F.lit(1)).alias("n"),
             F.grouping_id().alias("gid"),
         )
@@ -378,7 +378,7 @@ def q_rollup(spark, sf_dir):
 
 Q_ROLLUP_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+       CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_qty,
        COUNT(*) AS n,
        GROUPING_ID(l_returnflag, l_linestatus) AS gid
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -392,7 +392,7 @@ def q_cube(spark, sf_dir):
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(_d("o_totalprice")).cast("decimal(38,2)").alias("total"),
+            F.sum(_d("o_totalprice")).cast("decimal(38,2)").cast("double").alias("total"),
             F.grouping_id().alias("gid"),
         )
         .orderBy("gid", "o_orderstatus", "o_orderpriority")
@@ -401,7 +401,7 @@ def q_cube(spark, sf_dir):
 
 Q_CUBE_SQL = """
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total,
+       CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS total,
        GROUPING_ID(o_orderstatus, o_orderpriority) AS gid
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY gid, o_orderstatus, o_orderpriority
@@ -584,7 +584,7 @@ def q_tumbling_window(spark, sf_dir):
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(_d("value", "decimal(18,6)")).cast("decimal(38,6)").alias("v"),
+            F.sum(_d("value", "decimal(18,6)")).cast("decimal(38,6)").cast("double").alias("v"),
         )
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("w_start"),
@@ -599,7 +599,7 @@ def q_tumbling_window(spark, sf_dir):
 Q_TUMBLING_SQL = """
 SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS w_start,
        event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS v
+       CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS v
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 

@@ -108,7 +108,7 @@ def q_conditional_agg(spark, sf_dir):
             F.sum(
                 F.when(F.col("o_orderpriority") == "1-URGENT", _d("o_totalprice"))
                 .otherwise(F.lit("0").cast(DEC2))
-            ).cast("decimal(38,2)").alias("urgent_value"),
+            ).cast("decimal(38,2)").cast("double").alias("urgent_value"),
             F.max(F.least(F.col("o_totalprice"), F.lit(50000.0))).alias("capped_max"),
         )
         .orderBy("yr")
@@ -119,9 +119,9 @@ Q_COND_AGG_SQL = """
 SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS yr,
        COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
        COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
-       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+       CAST(CAST(CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
                 THEN CAST(o_totalprice AS DECIMAL(18,2))
-                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS urgent_value,
+                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS urgent_value,
        MAX(LEAST(o_totalprice, 50000.0)) AS capped_max
 FROM orders GROUP BY 1 ORDER BY 1
 """
@@ -411,7 +411,7 @@ def q_grouping_sets(spark, sf_dir):
     l.createOrReplaceTempView(view)
     return spark.sql(f"""
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
                COUNT(*) AS n,
                GROUPING_ID(l_returnflag, l_linestatus) AS gid
         FROM {view}
@@ -422,7 +422,7 @@ def q_grouping_sets(spark, sf_dir):
 
 Q_GROUPING_SETS_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+       CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_qty,
        COUNT(*) AS n,
        GROUPING_ID(l_returnflag, l_linestatus) AS gid
 FROM lineitem
