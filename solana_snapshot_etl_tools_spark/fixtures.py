@@ -596,9 +596,30 @@ def build_fixture() -> dict:
         ]
         logs = [f"Program log: {i}/{j}" for j in range(rng.randrange(0, 3))] or None
         ver = "legacy" if i % 2 else "v0"
+        if ver == "v0":  # FIXTURES.md §4: v0-only nullable fields populated
+            lookups = [(_pk(rng), [0, 1], [2])]
+            loaded_w, loaded_r = [_pk(rng)], [_pk(rng)]
+        else:
+            lookups = loaded_w = loaded_r = None
+        inner = (
+            [(0, [(rng.randrange(n_keys), [0], bytes(rng.randbytes(4)))])]
+            if i % 4 == 0
+            else None
+        )
+        tok_bal = (
+            [(0, hx(_pk(rng)), (1.5, 6, "1500000", "1.5"), hx(_pk(rng)), hx(S.TOKEN_PROGRAM_ID))]
+            if i % 6 == 0
+            else None
+        )
+        rewards = (
+            [(hx(_pk(rng)), rng.randrange(1000), rng.randrange(10**9), "Fee", 0)]
+            if i % 5 == 0
+            else None
+        )
         txs.append(
             (sig, is_vote, 5000 + i, ok, ver, (1, 0, 1), keys, rng.randbytes(32),
-             instrs, rng.randbytes(32), [sig], fee, pre, post, logs)
+             instrs, lookups, loaded_w, loaded_r, rng.randbytes(32), [sig], fee,
+             pre, post, inner, logs, tok_bal, tok_bal, rewards)
         )
         if ok and any(k in program_set for k in keys):
             tx_expected.append((hx(sig), 5000 + i, fee, len(keys)))
@@ -606,6 +627,23 @@ def build_fixture() -> dict:
         ["signature", "slot", "fee", "n_keys"],
         ["VARCHAR", "BIGINT", "BIGINT", "INTEGER"],
         tx_expected,
+    )
+    expected["stream_tx_nested"] = (
+        ["signature", "message_version", "n_instrs", "n_lookups",
+         "n_inner", "first_log", "total_reward"],
+        ["VARCHAR", "VARCHAR", "INTEGER", "INTEGER", "INTEGER", "VARCHAR",
+         "BIGINT"],
+        [
+            (
+                hx(t[0]), t[4], len(t[8]),
+                len(t[9]) if t[9] is not None else -1,
+                sum(len(g[1]) for g in t[17]) if t[17] is not None else 0,
+                t[18][0] if t[18] else None,
+                sum(r[1] for r in t[21]) if t[21] is not None else 0,
+            )
+            for t in txs
+            if t[3] and any(k in program_set for k in t[6])
+        ],
     )
 
     # ---- multimodal fixture (fake containers, operators/multimodal.py) ----

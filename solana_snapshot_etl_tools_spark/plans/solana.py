@@ -141,6 +141,39 @@ def q_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_tx_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-structure access over the full transaction shape
+    (FIXTURES.md §4): lookup tables, inner instructions, logs,
+    rewards — flattened with array/struct expressions."""
+    from solana_snapshot_etl_tools_spark.fixtures import (
+        build_fixture,
+        transactions_df,
+    )
+    from solana_snapshot_etl_tools_spark.streaming.geyser import transaction_stream
+
+    progs = build_fixture()["tx_program_set"]
+    t = transaction_stream(transactions_df(spark), progs)
+    return t.select(
+        _hx("signature"),
+        "message_version",
+        F.size("instructions").alias("n_instrs"),
+        F.coalesce(F.size("address_table_lookups"), F.lit(-1)).alias("n_lookups"),
+        F.coalesce(
+            F.aggregate(
+                "inner_instructions",
+                F.lit(0),
+                lambda acc, g: acc + F.size(g["instructions"]),
+            ),
+            F.lit(0),
+        ).alias("n_inner"),
+        F.col("log_messages")[0].alias("first_log"),
+        F.coalesce(
+            F.aggregate("rewards", F.lit(0).cast("long"), lambda acc, r: acc + r["lamports"]),
+            F.lit(0).cast("long"),
+        ).alias("total_reward"),
+    )
+
+
 # --- multimodal corpus (operators/multimodal.py over the fake-codec fixture)
 
 
@@ -255,6 +288,7 @@ QUERIES = {
     "stream_rooted_slots": q_stream_rooted_slots,
     "stream_block_metadata": q_stream_block_metadata,
     "stream_tx_filtered": q_stream_tx_filtered,
+    "stream_tx_nested": q_stream_tx_nested,
 }
 
 _ORACLE_TABLE = {
@@ -277,6 +311,7 @@ _ORACLE_TABLE = {
     "stream_rooted_slots": "stream_rooted_slots",
     "stream_block_metadata": "stream_block_metadata",
     "stream_tx_filtered": "stream_tx_filtered",
+    "stream_tx_nested": "stream_tx_nested",
 }
 
 

@@ -188,12 +188,110 @@ TRANSACTIONS_SCHEMA = T.StructType(
                 )
             ),
         ),
+        _f(
+            "address_table_lookups",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        _f("account_key", T.BinaryType()),
+                        _f("writable_indexes", T.ArrayType(T.IntegerType())),
+                        _f("readonly_indexes", T.ArrayType(T.IntegerType())),
+                    ]
+                )
+            ),
+        ),
+        _f("loaded_writable", T.ArrayType(T.BinaryType())),
+        _f("loaded_readonly", T.ArrayType(T.BinaryType())),
         _f("message_hash", T.BinaryType()),
         _f("signatures", T.ArrayType(T.BinaryType())),
         _f("fee", T.LongType()),
         _f("pre_balances", T.ArrayType(T.LongType())),
         _f("post_balances", T.ArrayType(T.LongType())),
+        _f(
+            "inner_instructions",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        _f("index", T.IntegerType()),
+                        _f(
+                            "instructions",
+                            T.ArrayType(
+                                T.StructType(
+                                    [
+                                        _f("program_id_index", T.IntegerType()),
+                                        _f("accounts", T.ArrayType(T.IntegerType())),
+                                        _f("data", T.BinaryType()),
+                                    ]
+                                )
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        ),
         _f("log_messages", T.ArrayType(T.StringType())),
+        _f(
+            "pre_token_balances",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        _f("account_index", T.IntegerType()),
+                        _f("mint", T.StringType()),
+                        _f(
+                            "ui_token_amount",
+                            T.StructType(
+                                [
+                                    _f("ui_amount", T.DoubleType()),
+                                    _f("decimals", T.IntegerType()),
+                                    _f("amount", T.StringType()),
+                                    _f("ui_amount_string", T.StringType()),
+                                ]
+                            ),
+                        ),
+                        _f("owner", T.StringType()),
+                        _f("program_id", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        _f(
+            "post_token_balances",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        _f("account_index", T.IntegerType()),
+                        _f("mint", T.StringType()),
+                        _f(
+                            "ui_token_amount",
+                            T.StructType(
+                                [
+                                    _f("ui_amount", T.DoubleType()),
+                                    _f("decimals", T.IntegerType()),
+                                    _f("amount", T.StringType()),
+                                    _f("ui_amount_string", T.StringType()),
+                                ]
+                            ),
+                        ),
+                        _f("owner", T.StringType()),
+                        _f("program_id", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        _f(
+            "rewards",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        _f("pubkey", T.StringType()),
+                        _f("lamports", T.LongType()),
+                        _f("post_balance", T.LongType()),
+                        _f("reward_type", T.StringType()),
+                        _f("commission", T.IntegerType()),
+                    ]
+                )
+            ),
+        ),
     ]
 )
 
