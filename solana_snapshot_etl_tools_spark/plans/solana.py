@@ -108,7 +108,18 @@ def q_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solana_snapshot_etl_tools_spark.sources import appendvec as AV
     from solana_snapshot_etl_tools_spark.sources import snapshot as SNAP
 
-    base = os.path.join(tempfile.gettempdir(), "spark_graft_snapshot_fixture")
+    import hashlib
+
+    from solana_snapshot_etl_tools_spark.fixtures import build_fixture as _bf
+
+    # content-addressed cache dir: a fixture change invalidates the
+    # materialized snapshot instead of silently serving stale bytes
+    tag = hashlib.md5(
+        repr(sorted(_bf()["expected"]["account"][2])).encode()
+    ).hexdigest()[:10]
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_snapshot_fixture_{tag}"
+    )
     accounts_dir = os.path.join(base, "accounts")
     done = os.path.join(base, "_DONE")
     if not os.path.exists(done):
