@@ -70,6 +70,23 @@ def le_u64(data: Column, off0: int) -> Column:
     return signed.cast("long")
 
 
+def le_u64_decimal(data: Column, off0: int) -> Column:
+    """LE u64 as DecimalType(20,0) — the exactness-preserving opt-in
+    view (SURVEY.md §4 item 5) for consumers that must see the full
+    unsigned domain (e.g. rent_epoch's u64::MAX sentinel as
+    18446744073709551615 rather than the LongType wraparound -1)."""
+    lo = F.conv(_rev_hex(data, off0, 4), 16, 10).cast("decimal(20,0)")
+    hi = F.conv(_rev_hex(data, off0 + 4, 4), 16, 10).cast("decimal(20,0)")
+    return (hi * F.lit(4294967296).cast("decimal(20,0)") + lo).cast("decimal(20,0)")
+
+
+def unsigned_view(col: Column) -> Column:
+    """Reinterpret a wraparound LongType column as its unsigned u64
+    value in DecimalType(20,0): negative ⇒ +2^64."""
+    d = col.cast("decimal(20,0)")
+    return F.when(col < 0, d + F.lit(_TWO64).cast("decimal(20,0)")).otherwise(d)
+
+
 def pubkey_at(data: Column, off0: int) -> Column:
     """32-byte pubkey slice (BinaryType)."""
     return F.substring(data, off0 + 1, 32)

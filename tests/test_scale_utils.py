@@ -1,0 +1,45 @@
+"""Scale utilities: unsigned u64 views, salted skew join."""
+
+from __future__ import annotations
+
+import decimal
+import struct
+
+from pyspark.sql import functions as F
+
+from solana_snapshot_etl_tools_spark.functions.binary import (
+    le_u64,
+    le_u64_decimal,
+    unsigned_view,
+)
+from solana_snapshot_etl_tools_spark.operators.skew import salted_join
+from solana_snapshot_etl_tools_spark.plans.relational import _t
+from tests.conftest import SF_DIR
+
+
+def test_u64_decimal_view(spark):
+    vals = [0, 1, 2**63, 2**64 - 1, 123456789012345678]
+    df = spark.createDataFrame([(struct.pack("<Q", v),) for v in vals], "b binary")
+    got = df.select(
+        le_u64_decimal(F.col("b"), 0).alias("u"),
+        le_u64(F.col("b"), 0).alias("i"),
+    ).collect()
+    for v, r in zip(vals, got):
+        assert r.u == decimal.Decimal(v)
+        assert unsigned_view(F.lit(r.i).cast("long")) is not None
+    # and the reinterpretation round-trips the wraparound column
+    back = df.select(unsigned_view(le_u64(F.col("b"), 0)).alias("u")).collect()
+    assert [int(r.u) for r in back] == vals
+
+
+def test_salted_join_equals_plain_join(spark):
+    e = _t(spark, SF_DIR, "events").select("user_id", "event_id", "event_type")
+    dim = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    plain = e.join(dim, "user_id").select("event_id", "n_events")
+    salted = salted_join(e, dim, "user_id", salt=8).select("event_id", "n_events")
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, salted.collect()))
+    assert a == b
