@@ -122,6 +122,10 @@ def minhash_signatures(
     buffers dominate the stage, and the weaker family inflated LSH
     candidates ~10%.)"""
     sh = shingle_sets(df, id_col, text_col, k)
+    return _signatures_from_shingles(sh, n_hashes)
+
+
+def _signatures_from_shingles(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
         for i in range(n_hashes)
@@ -184,9 +188,12 @@ def minhash_lsh_pairs(
        them before the expensive stage;
     3. exact Jaccard verification via shingle join, restricted to the
        est-filter survivors → output precision 1.0.
-    Signatures are cached: they feed both stage 1 and stage 2.
+    The shingle explode (the most expensive narrow stage) is computed
+    once and cached — it feeds both the signature aggregation and the
+    verification sets; signatures are cached for stages 1+2.
     """
-    sig = minhash_signatures(df, id_col, text_col, k).cache()
+    sh_cached = shingle_sets(df, id_col, text_col, k).cache()
+    sig = _signatures_from_shingles(sh_cached).cache()
     cands = minhash_lsh_candidates(sig)
     sa = sig.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
@@ -207,8 +214,7 @@ def minhash_lsh_pairs(
     # shingles into a pair-wise join when the estimate filter still
     # passes tens of thousands of borderline background pairs
     sh_sets = (
-        shingle_sets(df, id_col, text_col, k)
-        .groupBy("doc")
+        sh_cached.groupBy("doc")
         .agg(F.collect_set("sh").alias("shs"), F.count(F.lit(1)).alias("n"))
     )
     inter = F.size(F.array_intersect("shs_a", "shs_b"))
