@@ -83,6 +83,23 @@ def account_version_tracker(updates: DataFrame) -> DataFrame:
     )
 
 
+def dedup_updates_stream(updates: DataFrame, watermark_delay: str = "10 minutes") -> DataFrame:
+    """Streaming X3: drop re-deliveries of the same account version
+    within the watermark horizon — the streaming analog of the batch
+    last-write-wins key (pubkey, slot, write_version). State is
+    bounded by the watermark (unlike plain dropDuplicates, whose state
+    grows forever); exact-once per version within the horizon."""
+    from pyspark.sql import functions as F
+
+    ts = F.timestamp_seconds(F.col("slot") * 60).alias("event_ts")
+    with_ts = updates.withColumn("event_ts", ts)
+    if updates.isStreaming:
+        return with_ts.withWatermark(
+            "event_ts", watermark_delay
+        ).dropDuplicatesWithinWatermark(["key", "slot", "write_version"])
+    return with_ts.dropDuplicates(["key", "slot", "write_version"])
+
+
 # ship by value (worker-side state function)
 from solana_snapshot_etl_tools_spark._pickle import register_self as _rs  # noqa: E402
 

@@ -63,3 +63,24 @@ def test_stateful_tracker_stream_vs_batch(spark, tmp_path):
     )
     assert key(streamed) == key(batch)
     assert streamed.count() > 0
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Streaming X3: duplicated deliveries collapse to one row per
+    (key, slot, write_version) under a real streaming query."""
+    from solana_snapshot_etl_tools_spark import schemas as S
+    from solana_snapshot_etl_tools_spark.fixtures import account_updates_df
+    from solana_snapshot_etl_tools_spark.streaming.sinks import run_available_now
+    from solana_snapshot_etl_tools_spark.streaming.stateful import (
+        dedup_updates_stream,
+    )
+
+    d = str(tmp_path / "upd_dup")
+    upd = account_updates_df(spark)
+    upd.union(upd).write.parquet(d)  # every row delivered twice
+    streamed = run_available_now(
+        spark, d, S.ACCOUNT_UPDATES_SCHEMA, dedup_updates_stream
+    )
+    assert streamed.count() == upd.count()
+    batch = dedup_updates_stream(upd.union(upd))
+    assert batch.count() == upd.count()
