@@ -519,12 +519,14 @@ def build_fixture() -> dict:
 
     def _sel_v1(u, owners, deletion=True, startup=None):
         """Reference selector semantics (geyser/src/selectors.rs:42-59):
-        deletion-event match overrides; else owner-set membership
-        (empty set = pass all); then the tri-state startup filter."""
-        if startup is not None and u["is_startup"] != startup:
-            return False
+        the deletion-event early return fires BEFORE the startup check,
+        so a deletion is selected regardless of is_startup; otherwise
+        tri-state startup filter AND owner-set membership (empty set =
+        pass all)."""
         if deletion and u["lamports"] == 0 and len(u["data"]) == 0 and u["owner"] == S.SYSTEM_PROGRAM_ID:
             return True
+        if startup is not None and u["is_startup"] != startup:
+            return False
         return not owners or u["owner"] in owners
 
     expected["stream_selected_accounts"] = (

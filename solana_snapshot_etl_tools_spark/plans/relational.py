@@ -355,7 +355,7 @@ WITH g AS (
                 OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
               THEN 1 ELSE 0 END AS new_s
   FROM events)
-SELECT user_id, SUM(new_s) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM g GROUP BY user_id ORDER BY user_id
 """
 

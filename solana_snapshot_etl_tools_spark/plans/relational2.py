@@ -286,16 +286,22 @@ GROUP BY tok ORDER BY tok
 
 
 def q_collect_sorted(spark, sf_dir):
+    # The sorted list is joined to a single string at the output edge so the
+    # result is hashable by any canonicalizer (array columns are not).
     n = _t(spark, sf_dir, "nation")
     return (
         n.groupBy("n_regionkey")
-        .agg(F.array_sort(F.collect_list("n_name")).alias("nations"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias(
+                "nations"
+            )
+        )
         .orderBy("n_regionkey")
     )
 
 
 Q_COLLECT_SQL = """
-SELECT n_regionkey, list_sort(list(n_name)) AS nations
+SELECT n_regionkey, array_to_string(list_sort(list(n_name)), '|') AS nations
 FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
 """
 

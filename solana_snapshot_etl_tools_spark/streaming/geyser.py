@@ -38,13 +38,15 @@ def account_selector(
     startup: bool | None = None,
 ) -> Column:
     """F5+F6+F7 combined, reference semantics (selectors.rs:42-78):
-    startup tri-state applies first; a deletion event overrides the
-    owner filter; empty/None owner set passes everything."""
+    a deletion event is selected unconditionally (the reference's
+    early `return true` fires BEFORE the startup check), then the
+    startup tri-state AND the owner filter apply to everything else;
+    empty/None owner set passes everything."""
     cond = F.lit(True) if not owners else F.col("owner").isin(list(owners))
-    if select_deletions:
-        cond = cond | deletion_event()
     if startup is not None:
-        cond = cond & (F.col("is_startup") == F.lit(startup))
+        cond = (F.col("is_startup") == F.lit(startup)) & cond
+    if select_deletions:
+        cond = deletion_event() | cond
     return cond
 
 
