@@ -259,6 +259,28 @@ def build_fixture() -> dict:
     for sz in (100, 164, 83, 356, 1):
         add("token_bad", S.TOKEN_PROGRAM_ID, bytes(rng.randbytes(sz)))
 
+    # unpack-invalid token payloads → must be skipped (spl_token unpack
+    # Err, silently dropped by the reference's `if let Ok(..)`):
+    # invalid AccountState byte, malformed COption tag, mint
+    # is_initialized byte > 1, uninitialized multisig
+    f_inv = dict(
+        mint=_pk(rng), owner=_pk(rng), amount=7, delegate=None, state=1,
+        is_native=None, delegated_amount=0, close_authority=None,
+    )
+    b_state = bytearray(pack_token_account(f_inv)); b_state[108] = 3
+    add("token_bad", S.TOKEN_PROGRAM_ID, bytes(b_state))
+    b_tag = bytearray(pack_token_account(f_inv)); b_tag[72] = 2
+    add("token_bad", S.TOKEN_PROGRAM_ID, bytes(b_tag))
+    b_tag2 = bytearray(pack_token_account(f_inv)); b_tag2[129:133] = b"\x01\x01\x00\x00"
+    add("token_bad", S.TOKEN_PROGRAM_ID, bytes(b_tag2))
+    f_minv = dict(mint_authority=None, supply=5, decimals=2,
+                  is_initialized=True, freeze_authority=None)
+    b_mint = bytearray(pack_mint(f_minv)); b_mint[45] = 2
+    add("token_bad", S.TOKEN_PROGRAM_ID, bytes(b_mint))
+    f_msinv = dict(m=1, n=2, signers=[_pk(rng), _pk(rng)])
+    b_ms = bytearray(pack_multisig(f_msinv)); b_ms[2] = 0
+    add("token_bad", S.TOKEN_PROGRAM_ID, bytes(b_ms))
+
     # metaplex metadata: three truncation levels + edge cases
     for i in range(25):
         level = i % 3  # 0: v1-only, 1: +edition_nonce, 2: +v1.2
@@ -386,6 +408,7 @@ def build_fixture() -> dict:
              t["delegated_amount"], hx(t["close_authority"]))
             for r in win if r["kind"] == "token_account"
             for t in [r["truth"]]
+            if t["state"] != 0  # Uninitialized fails unpack → skipped
         ],
     )
     expected["token_mint"] = (
@@ -397,6 +420,7 @@ def build_fixture() -> dict:
              t["decimals"], t["is_initialized"], hx(t["freeze_authority"]))
             for r in win if r["kind"] == "token_mint"
             for t in [r["truth"]]
+            if t["is_initialized"]  # uninitialized fails unpack → skipped
         ],
     )
     expected["token_multisig"] = (

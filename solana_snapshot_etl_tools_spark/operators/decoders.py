@@ -88,36 +88,70 @@ def _token_rows(raw: DataFrame, size: int) -> DataFrame:
     ).filter(F.col("data_len") == size)
 
 
+def _coption_tag_ok(d: Column, off0: int) -> Column:
+    """spl_token's COption unpack accepts exactly [0,0,0,0] or
+    [1,0,0,0] as the 4-byte tag; anything else fails unpack and the
+    reference silently skips the whole row (sqlite.rs:237-251 via
+    spl_token unpack Err)."""
+    return le_u32(d, off0).isin(0, 1)
+
+
 def token_account_table(raw: DataFrame) -> DataFrame:
+    """T1 with full unpack validation: the reference's
+    ``spl_token::state::Account::unpack`` rejects rows whose state byte
+    is not a valid AccountState (0|1|2), whose state is Uninitialized
+    (0), or whose COption tags are malformed — all three reject the
+    entire row, not individual fields."""
     d = F.col("data")
-    return _token_rows(raw, S.SPL_ACCOUNT_LEN).select(
-        "pubkey",
-        pubkey_at(d, 0).alias("mint"),
-        pubkey_at(d, 32).alias("owner"),
-        le_u64(d, 64).alias("amount"),
-        coption_pubkey(d, 72).alias("delegate"),
-        u8_at(d, 108).cast("int").alias("state"),
-        coption_u64(d, 109).alias("is_native"),
-        le_u64(d, 121).alias("delegated_amount"),
-        coption_pubkey(d, 129).alias("close_authority"),
+    return (
+        _token_rows(raw, S.SPL_ACCOUNT_LEN)
+        .filter(
+            u8_at(d, 108).isin(1, 2)  # valid AND initialized state
+            & _coption_tag_ok(d, 72)  # delegate
+            & _coption_tag_ok(d, 109)  # is_native
+            & _coption_tag_ok(d, 129)  # close_authority
+        )
+        .select(
+            "pubkey",
+            pubkey_at(d, 0).alias("mint"),
+            pubkey_at(d, 32).alias("owner"),
+            le_u64(d, 64).alias("amount"),
+            coption_pubkey(d, 72).alias("delegate"),
+            u8_at(d, 108).cast("int").alias("state"),
+            coption_u64(d, 109).alias("is_native"),
+            le_u64(d, 121).alias("delegated_amount"),
+            coption_pubkey(d, 129).alias("close_authority"),
+        )
     )
 
 
 def token_mint_table(raw: DataFrame) -> DataFrame:
+    """T2 with unpack validation: ``Mint::unpack`` requires the
+    is_initialized byte to be exactly 1 (0 = uninitialized is skipped,
+    >1 fails the bool parse) and valid COption tags."""
     d = F.col("data")
-    return _token_rows(raw, S.SPL_MINT_LEN).select(
-        "pubkey",
-        coption_pubkey(d, 0).alias("mint_authority"),
-        le_u64(d, 36).alias("supply"),
-        u8_at(d, 44).cast("int").alias("decimals"),
-        bool_at(d, 45).alias("is_initialized"),
-        coption_pubkey(d, 46).alias("freeze_authority"),
+    return (
+        _token_rows(raw, S.SPL_MINT_LEN)
+        .filter(
+            (u8_at(d, 45) == 1)
+            & _coption_tag_ok(d, 0)  # mint_authority
+            & _coption_tag_ok(d, 46)  # freeze_authority
+        )
+        .select(
+            "pubkey",
+            coption_pubkey(d, 0).alias("mint_authority"),
+            le_u64(d, 36).alias("supply"),
+            u8_at(d, 44).cast("int").alias("decimals"),
+            bool_at(d, 45).alias("is_initialized"),
+            coption_pubkey(d, 46).alias("freeze_authority"),
+        )
     )
 
 
 def token_multisig_table(raw: DataFrame) -> DataFrame:
     """T3 decode + X2 explode: one row per (pubkey, signer), only the
-    first n of the 11 signer slots are valid (sqlite.rs:315-322)."""
+    first n of the 11 signer slots are valid (sqlite.rs:315-322).
+    ``Multisig::unpack`` requires is_initialized (byte 2) == 1."""
     d = F.col("data")
     signers = F.array(
         *[pubkey_at(d, 3 + 32 * i) for i in range(S.MAX_MULTISIG_SIGNERS)]
@@ -125,6 +159,7 @@ def token_multisig_table(raw: DataFrame) -> DataFrame:
     n = u8_at(d, 1).cast("int")
     return (
         _token_rows(raw, S.SPL_MULTISIG_LEN)
+        .filter(u8_at(d, 2) == 1)
         .select(
             "pubkey",
             F.explode(F.slice(signers, 1, n)).alias("signer"),

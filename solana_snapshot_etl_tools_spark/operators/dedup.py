@@ -17,6 +17,7 @@ deterministic across runs/partitions, no Python RNG.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from solana_snapshot_etl_tools_spark.functions.text import char_shingles, tokens
@@ -71,39 +72,51 @@ def jaccard_pairs(
     jaccard > threshold).
 
     ``max_doc_freq`` optionally drops shingles present in more than
-    that many documents before pairing — the standard guard against
-    the quadratic blow-up on ubiquitous shingles at scale (changes
-    candidate generation only; verification below stays exact because
-    dropped shingles are still counted in the set sizes).
+    that many documents from *candidate generation* — the standard
+    guard against the quadratic blow-up on ubiquitous shingles at
+    scale. Reported jaccard values stay exact (the intersection is
+    recomputed from the unfiltered shingle sets for surviving
+    candidates); the only approximation is recall — a pair whose every
+    shared shingle is high-frequency produces no candidate.
     """
     sh = shingle_sets(df, id_col, text_col, k)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
-    pair_src = sh
-    if max_doc_freq is not None:
-        rare = (
-            sh.groupBy("sh")
-            .agg(F.countDistinct("doc").alias("df"))
-            .filter(F.col("df") <= max_doc_freq)
-            .select("sh")
+    if max_doc_freq is None:
+        a = sh.select(F.col("doc").alias("doc_a"), "sh")
+        b = sh.select(F.col("doc").alias("doc_b"), "sh")
+        inter = (
+            a.join(b, "sh")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
         )
-        pair_src = sh.join(rare, "sh")
+        sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("na"))
+        sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb"))
+        jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+        return (
+            inter.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") > threshold)
+        )
+    # guarded path: candidates from rare shingles only, exact verify
+    # from the full (unfiltered) shingle sets
+    rare = (
+        sh.groupBy("sh")
+        .agg(F.countDistinct("doc").alias("df"))
+        .filter(F.col("df") <= max_doc_freq)
+        .select("sh")
+    )
+    pair_src = sh.join(rare, "sh")
     a = pair_src.select(F.col("doc").alias("doc_a"), "sh")
     b = pair_src.select(F.col("doc").alias("doc_b"), "sh")
-    inter = (
+    cands = (
         a.join(b, "sh")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .select("doc_a", "doc_b")
+        .distinct()
     )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") > threshold)
-    )
+    return _verify_pairs_against_docs(cands, df, id_col, text_col, k, threshold)
 
 
 # --- MinHash + LSH --------------------------------------------------------------
@@ -115,25 +128,69 @@ LSH_BANDS = 16  # r = N_HASHES / LSH_BANDS = 4 rows per band
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, n_hashes: int = N_HASHES
 ) -> DataFrame:
-    """One row per doc with an array of n_hashes minhash values.
-    Each family member is xxhash64 salted with its index; one shuffle
-    (groupBy doc), partial-aggregated map-side. (A double-hashing
-    h1^rot(h2,i) variant was benchmarked and lost: the 64 min-agg
-    buffers dominate the stage, and the weaker family inflated LSH
-    candidates ~10%.)"""
-    sh = shingle_sets(df, id_col, text_col, k)
-    return _signatures_from_shingles(sh, n_hashes)
+    """One row per doc with an array of n_hashes minhash values,
+    computed as a NARROW Arrow-batched numpy map — no explode, no
+    groupBy, no shuffle.
 
+    Why a pandas UDF here (the deliberate exception to the
+    builtins-first rule): the per-doc sketch needs n_hashes passes
+    over a variable-length shingle array. The two JVM expressions for
+    that were both measured worse at sf0.1: 64 parallel
+    ``min(xxhash64(i, sh))`` aggregation buffers over exploded
+    shingles (round-1 bench: 21 s — buffer-heavy shuffle), and nested
+    higher-order ``transform``/``array_min`` (interpreted per element,
+    >500 s). The numpy path vectorizes to a (n_hashes × n_shingles)
+    splitmix64 matrix per doc and runs in well under a second of
+    aggregate CPU at the same scale.
 
-def _signatures_from_shingles(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
-    sig = sh.groupBy("doc").agg(*mins)
-    return sig.select(
-        "doc", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
+    Shingles here are k-BYTE windows of the lowercased UTF-8 text
+    (identical to k-char windows for ASCII). The sketch hash family is
+    internal: candidate recall is what matters, and the emitted pairs
+    are exact-verified against true k-char Jaccard downstream.
+    Constants are fixed → deterministic across runs and partitions.
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
     )
+
+    id_type = df.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("doc", id_type),
+            StructField("sig", ArrayType(LongType())),
+        ]
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        gold = np.uint64(0x9E3779B97F4A7C15)
+        k1 = np.uint64(0xBF58476D1CE4E5B9)
+        k2 = np.uint64(0x94D049BB133111EB)
+        salts = (np.arange(n_hashes, dtype=np.uint64) + np.uint64(1)) * gold
+        pw = np.uint64(256) ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+        for pdf in batches:
+            ids, sigs = [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                if txt is None:
+                    continue
+                b = np.frombuffer(txt.lower().encode("utf-8"), dtype=np.uint8)
+                if b.size < k:
+                    continue
+                w = np.lib.stride_tricks.sliding_window_view(b, k)
+                keys = np.unique((w.astype(np.uint64) * pw).sum(axis=1))
+                z = keys[None, :] ^ salts[:, None]  # (n_hashes, n_shingles)
+                z = (z ^ (z >> np.uint64(30))) * k1
+                z = (z ^ (z >> np.uint64(27))) * k2
+                z = z ^ (z >> np.uint64(31))
+                ids.append(did)
+                sigs.append(z.min(axis=1).astype(np.int64))
+            yield pd.DataFrame({"doc": ids, "sig": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(gen, out_schema)
 
 
 def minhash_lsh_candidates(
@@ -160,11 +217,14 @@ def minhash_lsh_candidates(
     ).select("doc", "e.band", "e.bh")
     a = banded.select(F.col("doc").alias("doc_a"), "band", "bh")
     b = banded.select(F.col("doc").alias("doc_b"), "band", "bh")
+    # NOTE: deliberately NOT .distinct() here — a pair agreeing in
+    # several bands is emitted once per band, and the caller dedupes
+    # AFTER its cheap estimate filter: distinct on the post-filter set
+    # is a much smaller shuffle than on the raw candidate multiset.
     return (
         a.join(b, ["band", "bh"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .distinct()
     )
 
 
@@ -185,58 +245,70 @@ def minhash_lsh_pairs(
        On corpora with high background similarity (this synthetic set
        averages 0.44 jaccard between random docs) banding alone
        passes a large share of all pairs; the estimate filter cuts
-       them before the expensive stage;
-    3. exact Jaccard verification via shingle join, restricted to the
-       est-filter survivors → output precision 1.0.
-    The shingle explode (the most expensive narrow stage) is computed
-    once and cached — it feeds both the signature aggregation and the
-    verification sets; signatures are cached for stages 1+2.
+       them before the expensive stage. Multi-band duplicates are
+       deduped HERE (post-filter), where the set is smallest;
+    3. exact Jaccard verification via per-doc shingle-set array
+       intersection, restricted to the est survivors → precision 1.0.
+
+    Signatures and shingle sets are both NARROW projections of the
+    document rows (no explode/groupBy — see minhash_signatures), so
+    the only shuffles are the banded equi-join and the verification
+    joins. The signature frame is cached: it feeds both the banding
+    and the estimate filter.
     """
-    sh_cached = shingle_sets(df, id_col, text_col, k).cache()
-    sig = _signatures_from_shingles(sh_cached).cache()
+    sig = minhash_signatures(df, id_col, text_col, k).cache()
     cands = minhash_lsh_candidates(sig)
     sa = sig.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
-    agree = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    # positional agreement ≈ |array_intersect|: each position is salted
+    # with a different family member, so equal values across different
+    # positions are ~impossible — and array_intersect is a native
+    # collection expression (compiled Scala inner loop), unlike
+    # zip_with/aggregate lambdas which are interpreted per element
+    # (measured 85 s over the 10M-row candidate multiset at sf0.1).
+    agree = F.size(F.array_intersect("sig_a", "sig_b"))
     est = (
         cands.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", (agree / F.size("sig_a")).alias("est"))
         .filter(F.col("est") >= threshold - 0.1)
         .select("doc_a", "doc_b")
+        .distinct()
     )
-    # exact verification by array intersection: per surviving pair,
-    # O(|set_a|+|set_b|) JVM work — far cheaper than re-exploding
-    # shingles into a pair-wise join when the estimate filter still
-    # passes tens of thousands of borderline background pairs
-    sh_sets = (
-        sh_cached.groupBy("doc")
-        .agg(F.collect_set("sh").alias("shs"), F.count(F.lit(1)).alias("n"))
+    return _verify_pairs_against_docs(est, df, id_col, text_col, k, threshold)
+
+
+def _verify_pairs_against_docs(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    threshold: float,
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs, joining the pair list
+    directly back to the document table (twice — doc_a and doc_b side)
+    and shingling inline. Only candidate docs are ever shingled, and
+    the pair list is the small side of both joins (AQE broadcasts it),
+    so at 100 TB this touches two narrow scans of the corpus plus
+    per-pair set intersection — no full-corpus shingle materialization."""
+    ta = df.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("_ta"))
+    tb = df.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("_tb"))
+    shs = lambda c: F.array_distinct(char_shingles(c, k))  # noqa: E731
+    sets = (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            shs(F.col("_ta")).alias("shs_a"),
+            shs(F.col("_tb")).alias("shs_b"),
+        )
     )
     inter = F.size(F.array_intersect("shs_a", "shs_b"))
-    jac = inter / (F.col("na") + F.col("nb") - inter)
+    jac = inter / (F.size("shs_a") + F.size("shs_b") - inter)
     return (
-        est.join(
-            sh_sets.select(
-                F.col("doc").alias("doc_a"),
-                F.col("shs").alias("shs_a"),
-                F.col("n").alias("na"),
-            ),
-            "doc_a",
-        )
-        .join(
-            sh_sets.select(
-                F.col("doc").alias("doc_b"),
-                F.col("shs").alias("shs_b"),
-                F.col("n").alias("nb"),
-            ),
-            "doc_b",
-        )
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        sets.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") > threshold)
     )
 
@@ -246,33 +318,46 @@ def minhash_lsh_pairs(
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash over whitespace tokens: per bit, sum +1/-1 votes
-    of each token's xxhash64 bit; sign → bit. One explode + one
-    groupBy; the sketch is 8 bytes per doc regardless of doc size."""
-    tok = df.select(
-        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("t")
+    of each token occurrence's xxhash64 bit; vote sign → bit.
+
+    NARROW two-step, no shuffle: (1) one JVM pass hashes each token of
+    the per-row token array with xxhash64 (a single higher-order
+    ``transform`` — cheap because it is one pass, unlike the 64-pass
+    variants); (2) an Arrow-batched numpy map unpacks each doc's hash
+    array into a (n_tokens × 64) bit matrix and reduces it to the
+    sketch. Replaces the round-1 64-parallel-sum aggregation buffers
+    (12 s at sf0.1); the sketch is 8 bytes per doc regardless of doc
+    size. Token hashes stay Spark's xxhash64, so sketches are
+    bit-identical to the round-1 implementation."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    id_type = df.schema[id_col].dataType
+    out_schema = StructType(
+        [StructField("doc", id_type), StructField("simhash", LongType())]
     )
-    h = F.xxhash64("t")
-    votes = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{i}")
-        for i in range(64)
-    ]
-    agg = tok.groupBy("doc").agg(*votes)
-    bit_terms = [
-        F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        for i in range(63)
-    ]
-    # bit 63 would overflow a positive long literal; use the sign bit
-    sign = F.when(
-        F.col("v63") > 0, F.lit(-(1 << 63)).cast("long")
-    ).otherwise(F.lit(0).cast("long"))
-    sketch = sign
-    for t in bit_terms:
-        sketch = sketch.bitwiseOR(t)
-    return agg.select("doc", sketch.alias("simhash"))
+    hs = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+    base = df.select(F.col(id_col).alias("doc"), hs.alias("hs")).filter(
+        F.size("hs") > 0
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        shifts = np.arange(64, dtype=np.uint64)
+        powers = np.left_shift(np.uint64(1), shifts)
+        for pdf in batches:
+            ids, sketches = [], []
+            for did, harr in zip(pdf["doc"], pdf["hs"]):
+                h = np.asarray(harr, dtype=np.int64).astype(np.uint64)
+                bits = (h[:, None] >> shifts[None, :]) & np.uint64(1)
+                votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(h)
+                sketch = int((powers[votes > 0]).sum(dtype=np.uint64))
+                ids.append(did)
+                # u64 → i64 two's-complement (bit 63 set ⇒ negative long)
+                sketches.append(sketch - (1 << 64) if sketch >= 1 << 63 else sketch)
+            yield pd.DataFrame({"doc": ids, "simhash": sketches})
+
+    return base.mapInPandas(gen, out_schema)
 
 
 def simhash_pairs(
@@ -307,6 +392,6 @@ def simhash_pairs(
         a.join(b, ["band", "bh"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", ham.alias("hamming"))
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+        .filter(F.col("hamming") <= max_hamming)  # cheap row filter first,
+        .distinct()  # then dedupe the (smaller) surviving set
     )

