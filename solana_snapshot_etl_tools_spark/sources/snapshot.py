@@ -9,11 +9,12 @@ unlike ``binaryFile``, which materializes whole files as rows.
 
 Manifest (S4): bincode-fixint ``AccountsDbFields`` — a map
 slot → [(id, accounts_current_len)] (reference solana.rs:100-111).
-Production manifests prepend ``DeserializableVersionedBank``
-(~30 nested structs, decoded-and-dropped by the reference,
-solana.rs:63-97); skipping it needs the full bank schema walk — wired
-via the ``bank_skip`` hook, TODO round 2. The manifest is kilobytes:
-driver-parsed, then broadcast as a plain dict (SURVEY.md §2.1 S4).
+Production manifests prepend ``DeserializableVersionedBank`` (~30
+nested structs, decoded-and-dropped by the reference, solana.rs:63-97)
+— handled by the skip-walk in ``sources/bank.py`` via
+``parse_manifest`` (auto-detects both layouts). The manifest is
+kilobytes-to-megabytes: driver-parsed, then broadcast as a plain dict
+(SURVEY.md §2.1 S4).
 """
 
 from __future__ import annotations
@@ -56,29 +57,72 @@ def write_accounts_db_fields(entries: dict[tuple[int, int], int]) -> bytes:
             out += struct.pack("<QQ", vid, ln)
     out += struct.pack("<Q", 0)  # write_version
     out += struct.pack("<Q", max((s for s, _ in entries), default=0))  # slot
-    out += b"\x00" * 96  # BankHashInfo (3 × Hash-sized zeroed stats)
+    # BankHashInfo: hash + snapshot_hash + BankHashStats (5 × u64) = 104 B
+    out += b"\x00" * 104
     out += struct.pack("<Q", 0) * 2  # trailing vecs (default_on_eof)
     return out
 
 
-def parse_accounts_db_fields(buf: bytes) -> dict[tuple[int, int], int]:
+def parse_accounts_db_fields(
+    buf: bytes, off: int = 0
+) -> dict[tuple[int, int], int]:
     """Decode the AccountsDbFields map: slot → [(id, current_len)]
     (solana.rs:100-111, fixint encoding solana.rs:42-52)."""
-    off = 0
 
     def u64():
         nonlocal off
+        if off + 8 > len(buf):
+            raise ValueError(f"manifest truncated at offset {off}")
         (v,) = struct.unpack_from("<Q", buf, off)
         off += 8
         return v
 
     entries: dict[tuple[int, int], int] = {}
-    for _ in range(u64()):
+    n_slots = u64()
+    if n_slots > 1 << 30:
+        raise ValueError(f"implausible slot-map length {n_slots}")
+    for _ in range(n_slots):
         slot = u64()
-        for _ in range(u64()):
+        n_vecs = u64()
+        if n_vecs > 1 << 20:
+            raise ValueError(f"implausible appendvec count {n_vecs}")
+        for _ in range(n_vecs):
             vid, ln = u64(), u64()
             entries[(slot, vid)] = ln
     return entries
+
+
+def parse_manifest(
+    buf: bytes, bank_prefixed: bool | None = None
+) -> dict[tuple[int, int], int]:
+    """S4 full manifest decode. Production snapshot manifests prepend
+    a ``DeserializableVersionedBank`` (decoded-and-dropped by the
+    reference, solana.rs:63-97) before AccountsDbFields; test fixtures
+    may carry AccountsDbFields alone. ``bank_prefixed``:
+
+    - True: skip the bank section, then parse AccountsDbFields;
+    - False: parse AccountsDbFields at offset 0;
+    - None (default): auto-detect — try plain first (a bank prefix
+      makes the first u64 an implausible map length or the walk run
+      out of bounds, so misdetection fails loudly rather than
+      returning garbage), then the bank-skip path.
+    """
+    from solana_snapshot_etl_tools_spark.sources.bank import skip_versioned_bank
+
+    if bank_prefixed is True:
+        return parse_accounts_db_fields(buf, skip_versioned_bank(buf))
+    if bank_prefixed is False:
+        return parse_accounts_db_fields(buf)
+    try:
+        return parse_accounts_db_fields(buf)
+    except ValueError as plain_err:
+        try:
+            return parse_accounts_db_fields(buf, skip_versioned_bank(buf))
+        except ValueError as bank_err:
+            raise ValueError(
+                "manifest matches neither AccountsDbFields-first "
+                f"({plain_err}) nor bank-prefixed ({bank_err}) layout"
+            ) from bank_err
 
 
 # --- S2: unpacked snapshot scan ---------------------------------------------
@@ -148,27 +192,31 @@ def scan_unpacked(
 # --- S1/S3: archive extract ---------------------------------------------------
 
 
+def _zstd_stream(path: str):
+    """Streaming zstd reader: prefer the dedicated ``zstandard``
+    package (handles multi-frame/long-window archives), fall back to
+    pyarrow's zstd codec, which ships with Spark's Python deps."""
+    try:
+        import zstandard
+
+        return zstandard.ZstdDecompressor().stream_reader(open(path, "rb"))
+    except ImportError:
+        import pyarrow as pa
+
+        return pa.input_stream(path, compression="zstd")
+
+
 def extract_archive(archive_path: str, dest_dir: str) -> tuple[str, bytes]:
     """Stream a snapshot tar to disk: locates ``snapshots/<slot>/<slot>``
     (manifest — must precede the appendvecs, reference
     archived.rs:53-56) and materializes ``accounts/*`` entries.
-    Plain ``.tar`` is handled natively; ``.tar.zst`` needs the
-    ``zstandard`` package (absent in this environment → gated).
+    Plain ``.tar`` is handled natively; ``.tar.zst`` streams through
+    the ``zstandard`` package when present, else pyarrow's bundled
+    zstd codec (always available alongside Spark) — matching the
+    reference's streamed zstd decode (archived.rs:37-57).
     Returns (accounts_dir, manifest_bytes)."""
     if archive_path.endswith(".zst"):
-        try:
-            import zstandard  # noqa: F401
-        except ImportError as e:  # pragma: no cover
-            raise NotImplementedError(
-                "zstd-compressed snapshots need the 'zstandard' package "
-                "(not bundled here); decompress externally or use a .tar"
-            ) from e
-        import zstandard
-
-        stream = zstandard.ZstdDecompressor().stream_reader(
-            open(archive_path, "rb")
-        )
-        tf = tarfile.open(fileobj=stream, mode="r|")
+        tf = tarfile.open(fileobj=_zstd_stream(archive_path), mode="r|")
     else:
         tf = tarfile.open(archive_path, mode="r|*")
 
@@ -199,5 +247,5 @@ def scan_archive(
     """S1 end-to-end: extract (driver streams the tar once) → manifest
     parse → distributed scan."""
     accounts_dir, manifest_blob = extract_archive(archive_path, work_dir)
-    manifest = parse_accounts_db_fields(manifest_blob)
+    manifest = parse_manifest(manifest_blob)
     return scan_unpacked(spark, accounts_dir, manifest, **kw)

@@ -138,3 +138,74 @@ def test_appendvec_before_manifest_rejected(spark, tmp_path):
         tf.add(os.path.join(accounts_dir, name), arcname=f"accounts/{name}")
     with pytest.raises(ValueError, match="UnexpectedAppendVec|no manifest"):
         SNAP.extract_archive(tar_path, str(tmp_path / "w2"))
+
+
+def test_bank_prefixed_manifest_parse():
+    """S4: a realistic DeserializableVersionedBank prefix (populated
+    collections, solana-runtime 1.11 layout) is skipped exactly and the
+    AccountsDbFields behind it parses identically."""
+    from solana_snapshot_etl_tools_spark.sources import bank as B
+
+    entries = {(1154, 3): 4096, (1154, 7): 128, (1900, 0): 999999}
+    fields = SNAP.write_accounts_db_fields(entries)
+    for kwargs in (
+        {},
+        dict(n_vote_accounts=0, n_delegations=0, n_epoch_stakes=0),
+        dict(n_vote_accounts=5, n_delegations=7, n_epoch_stakes=3),
+    ):
+        bank_blob = B.write_versioned_bank(**kwargs)
+        blob = bank_blob + fields
+        assert B.skip_versioned_bank(blob) == len(bank_blob)
+        assert SNAP.parse_manifest(blob) == entries  # auto-detect
+        assert SNAP.parse_manifest(blob, bank_prefixed=True) == entries
+    # plain (fixture-shaped) manifests still parse via auto-detect
+    assert SNAP.parse_manifest(fields) == entries
+    # garbage fails loudly on both paths
+    with pytest.raises(ValueError, match="neither"):
+        SNAP.parse_manifest(b"\xff" * 64)
+
+
+def test_bank_prefixed_archive_end_to_end(spark, tmp_path, raw_accounts):
+    """S1+S4: a production-shaped archive (bank-prefixed manifest)
+    scans to the same account set."""
+    from solana_snapshot_etl_tools_spark.sources import bank as B
+
+    accounts_dir, manifest = _write_snapshot_dir(str(tmp_path))
+    slot = max(s for s, _ in manifest)
+    tar_path = str(tmp_path / "snap_bank.tar")
+    with tarfile.open(tar_path, "w") as tf:
+        mpath = str(tmp_path / "manifest_bank.bin")
+        with open(mpath, "wb") as f:
+            f.write(
+                B.write_versioned_bank(slot=slot)
+                + SNAP.write_accounts_db_fields(manifest)
+            )
+        tf.add(mpath, arcname=f"snapshots/{slot}/{slot}")
+        for name in sorted(os.listdir(accounts_dir)):
+            tf.add(os.path.join(accounts_dir, name), arcname=f"accounts/{name}")
+    scanned = SNAP.scan_archive(spark, tar_path, str(tmp_path / "work_bank"))
+    _assert_same_accounts(spark, scanned, raw_accounts)
+
+
+def test_tar_zst_archive_scan(spark, tmp_path, raw_accounts):
+    """S1: .tar.zst archives stream-decompress (pyarrow zstd fallback
+    when the zstandard package is absent) and scan identically."""
+    import pyarrow as pa
+
+    accounts_dir, manifest = _write_snapshot_dir(str(tmp_path))
+    slot = max(s for s, _ in manifest)
+    tar_path = str(tmp_path / "snap2.tar")
+    with tarfile.open(tar_path, "w") as tf:
+        mpath = str(tmp_path / "manifest2.bin")
+        with open(mpath, "wb") as f:
+            f.write(SNAP.write_accounts_db_fields(manifest))
+        tf.add(mpath, arcname=f"snapshots/{slot}/{slot}")
+        for name in sorted(os.listdir(accounts_dir)):
+            tf.add(os.path.join(accounts_dir, name), arcname=f"accounts/{name}")
+    zst_path = str(tmp_path / "snap2.tar.zst")
+    with open(tar_path, "rb") as fin, pa.output_stream(
+        zst_path, compression="zstd"
+    ) as fout:
+        fout.write(fin.read())
+    scanned = SNAP.scan_archive(spark, zst_path, str(tmp_path / "work_zst"))
+    _assert_same_accounts(spark, scanned, raw_accounts)
