@@ -70,9 +70,22 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """All pairs with cosine > threshold (embedding near-dup dedup).
-    Exact; the LSH path below is the scale variant."""
+
+    Exact but QUADRATIC — this is the validation baseline, guarded so
+    it cannot silently run all-pairs on a production corpus:
+    ``max_rows`` (default 100k ⇒ ≤5×10⁹ pair evaluations) is enforced
+    with a count before the cross join; raise it explicitly if you
+    really mean it, or use ``lsh_ann_topk`` — the scale path."""
+    n = emb.count()
+    if n > max_rows:
+        raise ValueError(
+            f"cosine_pairs is all-pairs (quadratic): corpus has {n} rows "
+            f"> max_rows={max_rows}. Use lsh_ann_topk for large corpora "
+            "or pass an explicit higher max_rows."
+        )
     a = emb.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va")
     )

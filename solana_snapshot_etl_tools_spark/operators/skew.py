@@ -27,14 +27,20 @@ def salted_join(
     """Equi-join ``big ⋈ small`` on ``key`` with the big side salted.
 
     ``salt_source``: a column whose per-row variation spreads the hot
-    key (defaults to the key itself plus monotonically varying
-    partition randomness via xxhash of all columns is avoided — we
-    hash ``salt_source`` so the result stays deterministic).
-    Result is identical to the plain join (verified in tests); only
-    the physical distribution changes.
+    key. The default hashes ALL of the big side's columns — row-unique
+    in practice, so a hot key's rows spread evenly regardless of how
+    they were partitioned on input. (``spark_partition_id()`` was the
+    old default and is a trap: every row of one input partition lands
+    in ONE salt bucket, so a hot key concentrated in few partitions
+    stays concentrated.) Result is identical to the plain join
+    (verified in tests); only the physical distribution changes.
     """
-    src = F.col(salt_source) if salt_source else F.spark_partition_id()
-    b = big.withColumn("_salt", F.pmod(F.xxhash64(src), F.lit(salt)).cast("int"))
+    src = (
+        [F.col(salt_source)]
+        if salt_source
+        else [F.col(c) for c in big.columns] + [F.monotonically_increasing_id()]
+    )
+    b = big.withColumn("_salt", F.pmod(F.xxhash64(*src), F.lit(salt)).cast("int"))
     s = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )

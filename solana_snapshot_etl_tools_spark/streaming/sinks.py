@@ -43,16 +43,50 @@ def foreach_batch_push(
     stream: DataFrame,
     consumer: Callable,
     checkpoint_dir: str | None = None,
+    mode: str = "partitions",
 ):
     """K4 analog — the reference dlopens a Geyser plugin and pushes
     each account into it (geyser_plugin.rs:25-60); here any Python
-    callable ``consumer(rows: list, epoch_id: int)`` receives each
-    micro-batch. No dlopen, no per-account 300 µs sleep (ST7) — Spark
-    backpressure (maxOffsetsPerTrigger / trigger interval) replaces
-    the hand rate limit."""
+    callable ``consumer(rows: list, epoch_id: int)`` receives the
+    micro-batch data. No dlopen, no per-account 300 µs sleep (ST7) —
+    Spark backpressure (maxOffsetsPerTrigger / trigger interval)
+    replaces the hand rate limit.
 
-    def push(batch_df: DataFrame, epoch_id: int) -> None:
-        consumer(batch_df.collect(), epoch_id)
+    ``mode`` picks where the consumer runs — sized for a 100 TB replay
+    where a whole micro-batch cannot land on the driver:
+
+    - ``"partitions"`` (default): consumer invoked EXECUTOR-side once
+      per non-empty partition via ``foreachPartition``; nothing is
+      materialized on the driver. The consumer must be picklable and
+      side-effect through an external system (socket, file, queue).
+    - ``"iterate"``: consumer runs driver-side but receives a row
+      iterator (``toLocalIterator`` — one partition in memory at a
+      time), for consumers that must live in the driver process.
+    - ``"collect"``: legacy whole-batch driver delivery; only for
+      toy-scale tests.
+    """
+    if mode == "partitions":
+
+        def push(batch_df: DataFrame, epoch_id: int) -> None:
+            def handle(rows_iter) -> None:
+                rows = list(rows_iter)
+                if rows:
+                    consumer(rows, epoch_id)
+
+            batch_df.foreachPartition(handle)
+
+    elif mode == "iterate":
+
+        def push(batch_df: DataFrame, epoch_id: int) -> None:
+            consumer(batch_df.toLocalIterator(), epoch_id)
+
+    elif mode == "collect":
+
+        def push(batch_df: DataFrame, epoch_id: int) -> None:
+            consumer(batch_df.collect(), epoch_id)
+
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
 
     writer = stream.writeStream.foreachBatch(push).trigger(availableNow=True)
     if checkpoint_dir:

@@ -43,3 +43,42 @@ def test_salted_join_equals_plain_join(spark):
     a = sorted(map(tuple, plain.collect()))
     b = sorted(map(tuple, salted.collect()))
     assert a == b
+
+
+def test_salted_join_spreads_concentrated_hot_key(spark):
+    """The default salt source must spread a hot key even when its rows
+    all arrive in ONE input partition (the spark_partition_id trap)."""
+    from pyspark.sql import functions as F
+
+    from solana_snapshot_etl_tools_spark.operators.skew import salted_join
+
+    big = spark.range(1000).coalesce(1).select(
+        F.lit("hot").alias("k"), F.col("id").alias("v")
+    )
+    small = spark.createDataFrame([("hot", 1)], "k string, m int")
+    b = big.withColumn(
+        "_salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in big.columns], F.monotonically_increasing_id()),
+            F.lit(8),
+        ).cast("int"),
+    )
+    n_buckets = b.select("_salt").distinct().count()
+    assert n_buckets >= 6  # spread across most of the 8 salt buckets
+    joined = salted_join(big, small, "k", salt=8)
+    assert joined.count() == 1000
+
+
+def test_cosine_pairs_guard(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from solana_snapshot_etl_tools_spark.operators.similarity import cosine_pairs
+
+    emb = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(seed=1), F.rand(seed=2)).cast("array<float>").alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="quadratic"):
+        cosine_pairs(emb, max_rows=10)
+    assert cosine_pairs(emb, threshold=-2.0, max_rows=100).count() == 50 * 49 // 2

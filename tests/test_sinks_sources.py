@@ -51,23 +51,59 @@ def test_program_files_sink(spark, raw_accounts, tmp_path):
     assert len([f for f in os.listdir(out) if f.endswith(".so")]) == 10
 
 
-def test_foreach_batch_push(spark, tmp_path):
+def test_foreach_batch_push_executor_side(spark, tmp_path):
+    """K4 default mode: consumer runs executor-side per partition over
+    a multi-partition batch — no whole-batch driver materialization.
+    Delivery is proven through an external side effect (files), the
+    only channel an executor-side consumer legitimately has."""
+    import glob
+    import json as _json
+    import uuid as _uuid
+
     from solana_snapshot_etl_tools_spark import schemas as S
     from solana_snapshot_etl_tools_spark.streaming.sinks import foreach_batch_push
 
     d = str(tmp_path / "upd")
-    account_updates_df(spark).write.parquet(d)
-    received: list = []
-    lock = threading.Lock()
+    account_updates_df(spark).repartition(4).write.parquet(d)
+    sink_dir = str(tmp_path / "sink")
+    os.makedirs(sink_dir)
 
     def consumer(rows, epoch_id):
-        with lock:
-            received.extend(rows)
+        p = os.path.join(sink_dir, f"{epoch_id}-{_uuid.uuid4().hex}.json")
+        with open(p, "w") as f:
+            _json.dump([r["key"].hex() for r in rows], f)
 
     stream = spark.readStream.schema(S.ACCOUNT_UPDATES_SCHEMA).parquet(d)
     q = foreach_batch_push(stream, consumer)
     q.awaitTermination(120)
-    assert len(received) == account_updates_df(spark).count()
+    files = glob.glob(os.path.join(sink_dir, "*.json"))
+    assert len(files) > 1  # one call per non-empty partition
+    got = sorted(k for f in files for k in _json.load(open(f)))
+    want = sorted(
+        r["key"].hex() for r in account_updates_df(spark).collect()
+    )
+    assert got == want
+
+
+def test_foreach_batch_push_collect_and_iterate(spark, tmp_path):
+    from solana_snapshot_etl_tools_spark import schemas as S
+    from solana_snapshot_etl_tools_spark.streaming.sinks import foreach_batch_push
+
+    d = str(tmp_path / "upd2")
+    account_updates_df(spark).write.parquet(d)
+    n_expected = account_updates_df(spark).count()
+    for mode in ("collect", "iterate"):
+        received: list = []
+        lock = threading.Lock()
+
+        def consumer(rows, epoch_id):
+            with lock:
+                received.extend(rows)
+
+        stream = spark.readStream.schema(S.ACCOUNT_UPDATES_SCHEMA).parquet(d)
+        q = foreach_batch_push(stream, consumer, mode=mode)
+        q.awaitTermination(120)
+        assert len(received) == n_expected, mode
 
 
 def test_json_roundtrip_t9_t11(spark):
