@@ -202,6 +202,12 @@ def _parse_metadata(b: bytes):
                 raise ValueError("eof")
             raw = b[o : o + ln]
             o += ln
+            # DELIBERATE DIVERGENCE from the reference: Metaplex Borsh
+            # strings are stored NUL-padded on chain and the reference
+            # (solana-snapshot-etl/src/programs.rs) keeps the padding
+            # verbatim; we strip trailing NULs so downstream SQL string
+            # functions (length, LIKE, joins on symbol) behave sanely.
+            # Documented in COVERAGE.md "deliberate divergences".
             return raw.rstrip(b"\x00").decode("utf-8")
 
         name, symbol, uri = borsh_string(), borsh_string(), borsh_string()
