@@ -85,19 +85,27 @@ _URI_OFF = 119  # 1+32+32+4+32+4+10+4 (plugin.rs:190-195)
 _URI_LEN = 200
 
 
-def offchain_fanout_stream(updates: DataFrame) -> DataFrame:
+def offchain_fanout_stream(
+    updates: DataFrame, with_context: bool = False
+) -> DataFrame:
     """Same source, second output: Metaplex-owned account with
     MetadataV1 discriminator → (key, uri) when the fixed-offset URI
-    region is present and valid UTF-8 (plugin.rs:185-215)."""
+    region is present and valid UTF-8 (plugin.rs:185-215).
+
+    ``with_context=True`` additionally carries (slot, is_startup) —
+    the fields the reference's NftOffChainDataNotify envelope sends
+    (serializer mod.rs:540-557); the default stays the minimal (key,
+    uri) pair the driver-checked query uses."""
     sliced = F.substring(F.col("data"), _URI_OFF + 1, _URI_LEN).cast("string")
     uri = F.when(F.is_valid_utf8(sliced), F.regexp_replace(sliced, "\x00+$", ""))
+    extra = ["slot", "is_startup"] if with_context else []
     return (
         updates.filter(
             (F.col("owner") == F.lit(S.MPL_METADATA_PROGRAM_ID))
             & (F.length("data") >= _URI_OFF + _URI_LEN)
             & (F.substring("data", 1, 1) == F.lit(bytes([S.METADATA_V1_KEY])))
         )
-        .select("key", uri.alias("uri"))
+        .select("key", uri.alias("uri"), *extra)
         .filter(F.col("uri").isNotNull())
     )
 
@@ -169,6 +177,64 @@ def parse_account_update_json(frame: DataFrame) -> DataFrame:
     )
 
 
+def _pack_fb(df: DataFrame, topic: str, key: Column, kind: str) -> DataFrame:
+    """(typed columns) → (topic, key, value=FlatBuffers binary) via an
+    Arrow-batched mapInPandas — serialization is genuinely per-row
+    variable-length work, the repo's criterion for leaving codegen.
+
+    The transaction kind crosses to Python as a single JVM-built
+    ``to_json`` string column: its deeply nested schema segfaults this
+    Spark build's Arrow collect/transfer path (flat schemas are fine),
+    and a flat string column is Arrow-safe at any scale."""
+    from solana_snapshot_etl_tools_spark.functions.base58 import b58encode
+    from solana_snapshot_etl_tools_spark.streaming import fbs
+
+    topic_name = TOPICS[topic]
+    if kind == "transaction":
+        df = df.select(
+            key.cast("string").alias("__key"),
+            F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("__json"),
+        )
+    else:
+        df = df.withColumn("__key", key.cast("string"))
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            keys = pdf["__key"].astype(str).tolist()
+            if kind == "transaction":
+                vals = [fbs.serialize_transaction_json(j) for j in pdf["__json"]]
+            elif kind == "slot":
+                vals = [fbs.serialize_finalized_slot(s) for s in pdf["slot"]]
+            elif kind == "offchain":
+                vals = [
+                    fbs.serialize_metadata_off_chain(
+                        {
+                            "pubkey": b58encode(rec["key"]),
+                            "uri": rec["uri"],
+                            "slot": rec.get("slot", 0),
+                            "is_startup": rec.get("is_startup", False),
+                        }
+                    )
+                    for rec in pdf.drop(columns="__key").to_dict("records")
+                ]
+            else:
+                ser = fbs.SERIALIZERS[kind]
+                vals = [
+                    ser(rec)
+                    for rec in pdf.drop(columns="__key").to_dict("records")
+                ]
+            yield pd.DataFrame(
+                {"topic": [topic_name] * n, "key": keys, "value": vals}
+            )
+
+    return df.mapInPandas(gen, "topic string, key string, value binary")
+
+
 def routed_messages(
     updates: DataFrame,
     slots: DataFrame,
@@ -176,10 +242,19 @@ def routed_messages(
     txs: DataFrame,
     owners: list[bytes] | None = None,
     tx_programs: list[bytes] | None = None,
+    wire: str = "json",
 ) -> DataFrame:
     """Union of all five message types as (topic, key, value) — the
     exact shape Spark's Kafka sink routes natively on the `topic`
-    column (T9 serialization ↔ to_json of the typed struct)."""
+    column.
+
+    ``wire="json"`` (default) emits a ``to_json`` envelope of the
+    typed struct; ``wire="flatbuffer"`` emits the reference's default
+    FlatBuffers wire format (serializer mod.rs:32-567 dispatch —
+    see streaming/fbs.py), so a consumer generated from the reference
+    IDL can read the topics."""
+    if wire not in ("json", "flatbuffer"):
+        raise ValueError(f"unknown wire format: {wire!r}")
 
     def pack(df: DataFrame, topic: str, key: Column) -> DataFrame:
         return df.select(
@@ -188,13 +263,34 @@ def routed_messages(
             F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value"),
         )
 
-    acc = pack(
-        account_update_stream(updates, owners), "account", F.hex("key")
-    )
-    off = pack(offchain_fanout_stream(updates), "offchain", F.hex("key"))
-    slt = pack(rooted_slot_stream(slots), "slot", F.col("slot"))
-    blk = pack(block_metadata_stream(blocks), "block", F.col("slot"))
-    tx = pack(
-        transaction_stream(txs, tx_programs or []), "transaction", F.hex("signature")
-    )
+    if wire == "flatbuffer":
+        acc = _pack_fb(
+            account_update_stream(updates, owners), "account", F.hex("key"), "account"
+        )
+        off = _pack_fb(
+            offchain_fanout_stream(updates, with_context=True),
+            "offchain",
+            F.hex("key"),
+            "offchain",
+        )
+        slt = _pack_fb(rooted_slot_stream(slots), "slot", F.col("slot"), "slot")
+        blk = _pack_fb(
+            block_metadata_stream(blocks), "block", F.col("slot"), "block"
+        )
+        tx = _pack_fb(
+            transaction_stream(txs, tx_programs or []),
+            "transaction",
+            F.hex("signature"),
+            "transaction",
+        )
+    else:
+        acc = pack(account_update_stream(updates, owners), "account", F.hex("key"))
+        off = pack(offchain_fanout_stream(updates), "offchain", F.hex("key"))
+        slt = pack(rooted_slot_stream(slots), "slot", F.col("slot"))
+        blk = pack(block_metadata_stream(blocks), "block", F.col("slot"))
+        tx = pack(
+            transaction_stream(txs, tx_programs or []),
+            "transaction",
+            F.hex("signature"),
+        )
     return acc.unionByName(off).unionByName(slt).unionByName(blk).unionByName(tx)
