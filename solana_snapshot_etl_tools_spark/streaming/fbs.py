@@ -106,6 +106,10 @@ class Builder:
 
     def _place(self, fmt: str, size: int, value) -> None:
         self.head -= size
+        # A negative head would wrap pack_into to the buffer TAIL
+        # (Python negative indexing) and silently corrupt already-written
+        # data — every write must be preceded by a _prep/_grow reservation.
+        assert self.head >= 0, "Builder underflow: write without reservation"
         struct.pack_into(fmt, self.buf, self.head, value)
 
     def push_scalar(self, fmt: str, size: int, value) -> int:
@@ -190,12 +194,16 @@ class Builder:
 
     def end_table(self) -> int:
         assert self._vtable is not None
-        self._prep(4)
-        self.head -= 4  # soffset placeholder (patched below)
-        table = self.offset()
         vt = self._vtable
         while vt and vt[-1] == 0:
             vt.pop()
+        self._prep(4)
+        self.head -= 4  # soffset placeholder (patched below)
+        table = self.offset()
+        # reserve the vtable bytes BEFORE placing them: _place does not
+        # grow, and an unreserved write underflows head near a buffer
+        # doubling boundary
+        self._grow(2 * (len(vt) + 2))
         for foff in reversed(vt):
             self._place("<H", 2, (table - foff) if foff else 0)
         self._place("<H", 2, table - self._obj_end)  # table byte size

@@ -198,6 +198,53 @@ def test_transaction_absent_meta_options():
     assert out["log_messages"] is None
 
 
+def test_builder_size_boundary_sweep():
+    """Regression for the round-2 end_table underflow: vtable bytes were
+    written without a _grow reservation, so messages landing just under
+    a buffer-doubling boundary wrapped pack_into to the buffer tail and
+    corrupted the already-written vectors (a ~48-byte window per
+    power-of-two boundary). Sweep every payload size 0-600 for each
+    message type so any future window corrupts loudly, not silently."""
+    for n in range(601):
+        row = dict(ACCOUNT, data=bytes(i & 0xFF for i in range(n)))
+        out = fbs.deserialize_account(fbs.serialize_account(row))
+        assert out == row, f"account payload size {n} corrupted"
+
+    for n in range(601):
+        row = {
+            "slot": 42,
+            "blockhash": "B" * (n % 97),
+            "rewards": "r" * n,
+            "block_time": 1700000000,
+            "block_height": 99,
+        }
+        assert fbs.deserialize_metadata(fbs.serialize_metadata(row)) == row
+
+    for n in range(601):
+        row = {
+            "pubkey": "p" * (1 + n % 89),
+            "uri": "u" * n,
+            "slot": 7,
+            "is_startup": bool(n % 2),
+        }
+        out = fbs.deserialize_metadata_off_chain(
+            fbs.serialize_metadata_off_chain(row)
+        )
+        assert out == row, f"offchain payload size {n} corrupted"
+
+    # transactions cross boundaries with ~20-slot vtables; sweep the log
+    # vector length so the total buffer size walks through 2^k edges
+    for n in range(0, 601, 7):
+        tx = _tx("v0")
+        tx["log_messages"] = ["x" * (n % 31)] * (n % 17) or None
+        tx["instructions"] = [
+            {"program_id_index": 1, "accounts": list(range(n % 25)),
+             "data": bytes(n % 256 for _ in range(n % 50))}
+        ]
+        out = fbs.deserialize_transaction(fbs.serialize_transaction(tx))
+        assert out == tx, f"transaction sweep step {n} corrupted"
+
+
 def test_vtable_slot_layout_matches_fbs_order():
     """AccountInfo field slots must follow account_info.fbs declaration
     order — that's what makes the buffer readable by flatc-generated
