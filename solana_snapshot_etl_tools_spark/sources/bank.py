@@ -13,7 +13,9 @@ offset where AccountsDbFields begins. Layouts follow solana-runtime
                         timestamp: u64}>, max_age: u64 }
   Ancestors           Map<u64, u64>
   HardForks           Vec<(u64, u64)>
-  FeeRateGovernor     5×u64 + u8 burn_percent
+  FeeRateGovernor     4×u64 + u8 burn_percent (lamports_per_signature
+                      is #[serde(skip)] in solana-sdk 1.11.3, so it is
+                      absent from the bincode stream)
   EpochSchedule       u64×2 + bool + u64×2  (33 bytes)
   Rent                u64 + f64 + u8        (17 bytes)
   RentCollector       u64 + EpochSchedule + f64 + Rent
@@ -25,7 +27,8 @@ offset where AccountsDbFields begins. Layouts follow solana-runtime
   Stakes<Delegation>  VoteAccounts + Map<Pubkey, Delegation> + u64 +
                       u64 + StakeHistory
   UnusedAccounts      Set<Pubkey> ×2 + Map<Pubkey, u64>
-  NodeVoteAccounts    u64 + Vec<Pubkey>
+  NodeVoteAccounts    Vec<Pubkey> + u64 (vote_accounts first, then
+                      total_stake — solana-runtime 1.11.3 field order)
   EpochStakes         Stakes + u64 + Map<Pubkey, NodeVoteAccounts> +
                       Map<Pubkey, Pubkey>
 
@@ -112,14 +115,17 @@ def _skip_epoch_stakes(r: BincodeReader) -> None:
     _skip_stakes(r)
     r.skip(8)  # total_stake
     for _ in range(r.length()):  # node_id_to_vote_accounts
-        r.skip(32 + 8)  # Pubkey, total_stake
-        r.repeated(32)  # vote_accounts: Vec<Pubkey>
+        r.skip(32)  # node Pubkey key
+        r.repeated(32)  # vote_accounts: Vec<Pubkey> (serialized first)
+        r.skip(8)  # total_stake (trails the vec)
     r.repeated(32 + 32)  # epoch_authorized_voters
 
 
 _EPOCH_SCHEDULE = 8 + 8 + 1 + 8 + 8
 _RENT = 8 + 8 + 1
-_FEE_RATE_GOVERNOR = 5 * 8 + 1
+# lamports_per_signature is #[serde(skip)]: only the four target/min/max
+# u64s plus burn_percent cross the wire
+_FEE_RATE_GOVERNOR = 4 * 8 + 1
 
 
 def skip_versioned_bank(buf: bytes, off: int = 0) -> int:
@@ -210,7 +216,7 @@ def write_versioned_bank(
     out += u64(slot) + u64(slot // 432000) + u64(slot - 5)
     out += pk(5) + u64(42)  # collector
     out += u64(5000)  # fee_calculator
-    out += u64(5000) * 5 + b"\x32"  # fee_rate_governor
+    out += u64(5000) * 4 + b"\x32"  # fee_rate_governor (4 u64 + burn_percent)
     out += u64(77)  # collected_rent
     out += (  # rent_collector
         u64(2)
@@ -226,7 +232,8 @@ def write_versioned_bank(
     for e in range(n_epoch_stakes):
         out += u64(5 + e)
         out += stakes() + u64(10**12)
-        out += u64(1) + pk(20) + u64(500) + u64(2) + pk(21) + pk(22)  # node map
+        # node map: key, then Vec<Pubkey> vote_accounts, then total_stake
+        out += u64(1) + pk(20) + u64(2) + pk(21) + pk(22) + u64(500)
         out += u64(1) + pk(23) + pk(24)  # authorized voters
     out += b"\x01"  # is_delta
     return out

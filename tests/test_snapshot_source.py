@@ -165,6 +165,68 @@ def test_bank_prefixed_manifest_parse():
         SNAP.parse_manifest(b"\xff" * 64)
 
 
+def test_bank_skip_walk_hand_packed_layout():
+    """Byte-literal layout pin, independent of write_versioned_bank:
+    the round-2 fixture writer mirrored two skip-walk bugs (41-byte
+    FeeRateGovernor though lamports_per_signature is #[serde(skip)];
+    NodeVoteAccounts skipped total_stake before the vec), so
+    writer-based round-trips stayed green while real manifests would
+    misalign. This packs the solana-runtime 1.11.3 layout by hand."""
+    import struct
+
+    from solana_snapshot_etl_tools_spark.sources import bank as B
+
+    u64 = lambda v: struct.pack("<Q", v)  # noqa: E731
+    blob = b"".join(
+        [
+            u64(1),  # blockhash_queue.last_hash_index
+            b"\x00",  # last_hash: None
+            u64(0),  # ages: empty map
+            u64(2),  # max_age
+            u64(0),  # ancestors
+            b"\x11" * 32 + b"\x22" * 32 + u64(3),  # hash, parent_hash, parent_slot
+            u64(0),  # hard_forks
+            u64(4) * 5,  # transaction_count .. max_tick_height
+            b"\x00",  # hashes_per_tick: None
+            u64(64),  # ticks_per_slot
+            b"\x00" * 16,  # ns_per_slot u128
+            u64(5) + struct.pack("<d", 1.0),  # genesis_creation_time, slots_per_year
+            u64(6),  # accounts_data_len
+            u64(7) + u64(8) + u64(9),  # slot, epoch, block_height
+            b"\x33" * 32 + u64(10),  # collector_id, collector_fees
+            u64(11),  # fee_calculator.lamports_per_signature
+            # FeeRateGovernor: EXACTLY 4 u64 + burn_percent — the leading
+            # lamports_per_signature is #[serde(skip)] in solana-sdk 1.11.3
+            u64(12) * 4 + b"\x32",
+            u64(13),  # collected_rent
+            # rent_collector: epoch + EpochSchedule(33) + f64 + Rent(17)
+            u64(14)
+            + (u64(15) + u64(16) + b"\x01" + u64(17) + u64(18))
+            + struct.pack("<d", 2.0)
+            + (u64(19) + struct.pack("<d", 3.0) + b"\x01"),
+            u64(20) + u64(21) + b"\x00" + u64(22) + u64(23),  # epoch_schedule
+            struct.pack("<d", 0.0) * 6,  # inflation
+            # stakes: empty vote_accounts/delegations/history
+            u64(0) + u64(0) + u64(24) + u64(25) + u64(0),
+            u64(0) + u64(0) + u64(0),  # unused_accounts
+            # epoch_stakes: one entry exercising NodeVoteAccounts order
+            u64(1),
+            u64(26),  # epoch key
+            u64(0) + u64(0) + u64(27) + u64(28) + u64(0),  # stakes (empty)
+            u64(29),  # total_stake
+            # node_id_to_vote_accounts: one entry = key, THEN the
+            # Vec<Pubkey>, THEN total_stake. The trailing stake is huge:
+            # misreading it as a vec length (the round-2 bug read the
+            # fields in the opposite order) trips MAX_LEN loudly.
+            u64(1) + b"\x44" * 32 + (u64(1) + b"\x55" * 32) + u64(10**15),
+            u64(0),  # epoch_authorized_voters
+            b"\x01",  # is_delta
+        ]
+    )
+    assert B.skip_versioned_bank(blob) == len(blob)
+    assert B._FEE_RATE_GOVERNOR == 4 * 8 + 1
+
+
 def test_bank_prefixed_archive_end_to_end(spark, tmp_path, raw_accounts):
     """S1+S4: a production-shaped archive (bank-prefixed manifest)
     scans to the same account set."""
