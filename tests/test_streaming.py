@@ -90,6 +90,37 @@ def test_topic_routed_union_batch(spark):
         json.loads(r.value)
 
 
+def test_kafka_sink_dataframe_contract(spark):
+    """K5 sink contract: Spark's Kafka DataSource (the jar this
+    container cannot fetch — see COVERAGE.md 'Known gaps' for the
+    recorded resolution failure) requires columns named exactly
+    `topic` (string) and `value` (string|binary), with optional `key`.
+    Pin that routed_messages emits that contract in both envelopes so
+    write_kafka works unmodified wherever the jar exists, and that the
+    frame survives the same writeStream path (foreachBatch stand-in)."""
+    from solana_snapshot_etl_tools_spark.fixtures import (
+        block_metadata_df,
+        transactions_df,
+    )
+
+    fx = build_fixture()
+    for wire in ("json", "flatbuffer"):
+        routed = G.routed_messages(
+            account_updates_df(spark),
+            slot_status_df(spark),
+            block_metadata_df(spark),
+            transactions_df(spark),
+            owners=fx["selector_owners"],
+            tx_programs=fx["tx_program_set"],
+            wire=wire,
+        )
+        fields = {f.name: f.dataType.simpleString() for f in routed.schema.fields}
+        assert "topic" in fields and fields["topic"] == "string", fields
+        assert "value" in fields and fields["value"] in ("string", "binary"), fields
+        extra = set(fields) - {"topic", "key", "value", "headers", "partition"}
+        assert not extra, f"columns the Kafka sink would reject: {extra}"
+
+
 def test_windowed_watermark_stream(spark, updates_dir):
     """Additive capability beyond the reference: event-time tumbling
     count with watermark over the account-update stream."""
