@@ -12,8 +12,14 @@ metric collection without a second pass over the data.
 
 Scale notes: tables are written partitioned where a natural key
 exists (account: bucketed owner prefix) so downstream owner-filtered
-queries prune partitions; at 100 TB add ``bucketBy`` on pubkey for
-shuffle-free joins between the token tables.
+queries prune partitions. For the canonical cross-table join —
+token_account ⋈ token_metadata on mint (the NFT-holdings query over
+the reference's SQLite tables, solana-snapshot-etl/README.md:76-83) —
+``build_bucketed_token_tables`` writes both sides ``bucketBy(mint)``
+so the join is Exchange-free at any scale: each bucket pair is
+co-located by construction, and the 100 TB replay pays zero shuffle
+on what is otherwise the biggest two-table join in the schema
+(``tests/test_build_tables.py`` asserts the shuffle-free plan).
 """
 
 from __future__ import annotations
@@ -66,6 +72,81 @@ def build_all_tables(raw: DataFrame, out_dir: str) -> dict[str, int]:
         _atomic_write_parquet(observed, os.path.join(out_dir, name))
         counts[name] = obs.get["n"]
     return counts
+
+
+# --- bucketed token tables: shuffle-free mint join at scale -----------------
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed external-table write (``bucketBy`` requires the
+    catalog, so this is ``saveAsTable`` with an explicit path). Both
+    sides of a recurring join written with the same bucket spec join
+    without any Exchange."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    w = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)
+
+
+def build_bucketed_token_tables(
+    raw: DataFrame, out_dir: str, n_buckets: int = 32
+) -> None:
+    """Write token_account and token_metadata bucketed by ``mint`` —
+    the join key of the canonical NFT query — as catalog tables
+    ``token_account_bkt`` / ``token_metadata_bkt``."""
+    os.makedirs(out_dir, exist_ok=True)
+    write_bucketed(
+        D.token_account_table(raw),
+        "token_account_bkt",
+        os.path.join(out_dir, "token_account_bkt"),
+        ["mint"],
+        n_buckets,
+        sort_cols=["mint"],
+    )
+    write_bucketed(
+        D.token_metadata_table(raw),
+        "token_metadata_bkt",
+        os.path.join(out_dir, "token_metadata_bkt"),
+        ["mint"],
+        n_buckets,
+        sort_cols=["mint"],
+    )
+
+
+def nft_holdings(spark) -> DataFrame:
+    """The canonical NFT-holdings join over the bucketed tables:
+    who holds each token, with its Metaplex name/symbol/uri
+    (reference README's SQLite use case). Over matching bucket specs
+    this plan contains no Exchange on either join side."""
+    ta = spark.table("token_account_bkt")
+    tm = spark.table("token_metadata_bkt")
+    return (
+        ta.filter(F.col("amount") > 0)
+        .join(tm, "mint")
+        .select(
+            "mint",
+            ta["pubkey"].alias("token_account"),
+            ta["owner"].alias("holder"),
+            "amount",
+            "name",
+            "symbol",
+            "uri",
+        )
+    )
 
 
 # --- §2.8 decoder registry: owner program → typed-view decoder --------------

@@ -44,6 +44,65 @@ def test_decoder_registry_extension(spark, raw_accounts):
     assert BT.decode(raw_accounts, "token_mint").count() == 12
 
 
+def test_bucketed_mint_join_is_shuffle_free(spark, raw_accounts, tmp_path):
+    """The canonical token_account ⋈ token_metadata join over
+    bucketBy(mint) tables must contain NO Exchange on either side —
+    that is the whole point of bucketing at 100 TB. Broadcast is
+    disabled so the assertion exercises the bucketed sort-merge path,
+    not a small-data broadcast shortcut."""
+    BT.build_bucketed_token_tables(raw_accounts, str(tmp_path / "bkt"), n_buckets=8)
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # AQE re-plans around runtime stats; disable so the asserted
+        # plan is the static one a big cluster would also start from
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        joined = BT.nft_holdings(spark)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # result parity: the bucketed join returns exactly what the
+        # same join computes over the unbucketed decoder outputs
+        from solana_snapshot_etl_tools_spark.operators import decoders as D
+
+        ta = D.token_account_table(raw_accounts)
+        tm = D.token_metadata_table(raw_accounts)
+        direct = (
+            ta.filter(ta.amount > 0)
+            .join(tm, "mint")
+            .select("mint", ta["pubkey"], "amount", "name")
+        )
+        assert sorted(map(tuple, joined.select("mint", "token_account", "amount", "name").collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+
+        # value-level teeth on overlapping keys (this fixture's account
+        # and metadata mints are disjoint by construction): a synthetic
+        # pair bucketed the same way must join shuffle-free AND right
+        left = spark.range(1000).selectExpr(
+            "concat('m', id % 100) AS mint", "id AS holding"
+        )
+        right = spark.range(100).selectExpr(
+            "concat('m', id) AS mint", "concat('name', id) AS name"
+        )
+        BT.write_bucketed(left, "syn_left_bkt", str(tmp_path / "sl"), ["mint"], 8, ["mint"])
+        BT.write_bucketed(right, "syn_right_bkt", str(tmp_path / "sr"), ["mint"], 8, ["mint"])
+        sj = spark.table("syn_left_bkt").join(spark.table("syn_right_bkt"), "mint")
+        splan = sj._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in splan, splan
+        assert sj.count() == 1000
+        one = sj.filter("holding = 42").collect()
+        assert len(one) == 1 and one[0].name == "name42"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS syn_left_bkt")
+        spark.sql("DROP TABLE IF EXISTS syn_right_bkt")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.sql("DROP TABLE IF EXISTS token_account_bkt")
+        spark.sql("DROP TABLE IF EXISTS token_metadata_bkt")
+
+
 def test_stateful_tracker_stream_vs_batch(spark, tmp_path):
     from solana_snapshot_etl_tools_spark import schemas as S
     from solana_snapshot_etl_tools_spark.fixtures import account_updates_df
