@@ -77,13 +77,13 @@ def cosine_pairs(
     Exact but QUADRATIC — this is the validation baseline, guarded so
     it cannot silently run all-pairs on a production corpus:
     ``max_rows`` (default 100k ⇒ ≤5×10⁹ pair evaluations) is enforced
-    with a count before the cross join; raise it explicitly if you
-    really mean it, or use ``lsh_ann_topk`` — the scale path."""
-    n = emb.count()
-    if n > max_rows:
+    with a bounded probe — ``limit(max_rows+1).count()`` scans at most
+    max_rows+1 rows instead of the whole corpus; raise it explicitly
+    if you really mean it, or use ``lsh_ann_topk`` — the scale path."""
+    if emb.limit(max_rows + 1).count() > max_rows:
         raise ValueError(
-            f"cosine_pairs is all-pairs (quadratic): corpus has {n} rows "
-            f"> max_rows={max_rows}. Use lsh_ann_topk for large corpora "
+            f"cosine_pairs is all-pairs (quadratic): corpus exceeds "
+            f"max_rows={max_rows}. Use lsh_ann_topk for large corpora "
             "or pass an explicit higher max_rows."
         )
     a = emb.select(
@@ -142,7 +142,7 @@ def lsh_ann_topk(
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dims: int = 64,
+    dims: int | None = None,
     k: int = 5,
     n_tables: int = 16,
     n_planes: int = 5,
@@ -151,9 +151,31 @@ def lsh_ann_topk(
     candidates = corpus vectors sharing any table's bucket with the
     query; exact cosine re-rank of candidates only. Recall is tunable
     via (n_tables, n_planes); the candidate join is an equi-join on
-    (table, bucket) — no cross join, shuffle ∝ bucket collisions."""
+    (table, bucket) — no cross join, shuffle ∝ bucket collisions.
+
+    ``dims`` defaults to the corpus's actual vector length (one-row
+    probe). Hyperplanes only cover ``dims`` components, so a mismatch
+    would silently degrade recall — every row is therefore guarded:
+    a vector whose length differs from ``dims`` raises at runtime."""
+    if dims is None:
+        probe = emb.select(F.size(F.col(vec_col))).limit(1).first()
+        if probe is None:
+            raise ValueError("lsh_ann_topk: empty corpus, cannot infer dims")
+        dims = probe[0]
+
     def sigs(df, ident):
-        v = F.col(vec_col).cast("array<double>")
+        raw = F.col(vec_col).cast("array<double>")
+        # in-plan guard: wrong-length vectors fail loudly instead of
+        # silently hashing on a truncated/padded projection
+        v = F.when(F.size(raw) == dims, raw).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "lsh_ann_topk: embedding length %s != dims %s",
+                    F.size(raw),
+                    F.lit(dims),
+                )
+            )
+        )
         return df.select(
             F.col(id_col).alias(ident),
             v.alias(f"_v_{ident}"),

@@ -60,6 +60,37 @@ def test_lsh_ann_recall_vs_exact(spark):
     assert recall >= 0.5, f"ANN recall too low: {recall}"
 
 
+def test_lsh_ann_dims_guards(spark):
+    """dims mismatches must fail loudly (a silent mismatch hashes on a
+    truncated projection and quietly degrades recall), and dims=None
+    must infer the true vector length."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    emb = _t(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    with pytest.raises(PySparkException, match="embedding length"):
+        SIM.lsh_ann_topk(emb, queries, dims=32, k=3).collect()
+    inferred = SIM.lsh_ann_topk(emb, queries, dims=None, k=3)
+    explicit = SIM.lsh_ann_topk(emb, queries, dims=64, k=3)
+    assert sorted(map(tuple, inferred.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
+
+
+def test_cosine_pairs_guard_is_bounded(spark):
+    """The quadratic guard refuses oversized corpora without scanning
+    them: limit(max_rows+1).count() touches ≤ max_rows+1 rows."""
+    import pytest
+
+    emb = _t(spark, SF_DIR, "embeddings")
+    with pytest.raises(ValueError, match="quadratic"):
+        SIM.cosine_pairs(emb, max_rows=10)
+    # under the cap it runs
+    small = emb.filter(F.col("vec_id") < 8)
+    assert SIM.cosine_pairs(small, threshold=-1.0, max_rows=10).count() == 8 * 7 // 2
+
+
 def test_exact_dedup_table_semantics(spark):
     docs = _t(spark, SF_DIR, "documents")
     kept = DD.exact_dedup(docs, "doc_id", "text")
