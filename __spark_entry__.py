@@ -24,38 +24,43 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Registration order matters: the verification driver checks queries in
-# declaration order with a cap (round 1 checked exactly the first 50 of
-# 68).  Round-robin the coverage: the front of the list is the set that
-# has NOT yet earned a green driver row (all stream_* and LLM-ops
-# queries, absent from CORRECTNESS_r01.json) plus the two round-1
-# failures (sessionize, collect_sorted — both fixed), then the volatile
-# decode queries (etl_* changed this round: initialized-state filters),
-# then stable relational queries that were already hash-green in round 1
-# and are unchanged.  Union of r01+r02 rows covers all 68.
+# declaration order with a cap of 50 per round (of 68 declared), so the
+# front of the list rotates each round to keep consecutive-round unions
+# covering all 68 with the stalest rows refreshed.
+#
+# Round 3 front-loads (a) the 18 relational queries whose only green
+# row is from round 1 (rotated out of round 2's 50-slot window, the
+# stalest evidence in the repo), then (b) everything whose inputs or
+# code changed THIS round: the fixture-fed queries (fixture DataFrames
+# now materialize through a parquet cache), the similarity queries
+# (bounded cosine_pairs guard, lsh dims guard), and etl_snapshot_scan
+# (bank skip-walk layout fixes). The stable relational core checked
+# green in round 2 with unchanged code sits last. r02 ∪ r03 again
+# covers all 68.
 _FRONT = [
-    # never driver-checked in round 1 (cap overflow)
-    "stream_selected_accounts",
-    "stream_offchain_fanout",
-    "stream_rooted_slots",
-    "stream_block_metadata",
-    "stream_tx_filtered",
-    "stream_tx_nested",
-    "pipeline_clean_corpus",
-    "dedup_exact",
-    "dedup_jaccard_ngram",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_cosine_topk",
-    "ann_cosine_lsh",
-    "embedding_cosine_pairs",
-    "text_metrics",
-    "lang_id",
-    "doc_fingerprint",
-    "doc_length_histogram",
-    # round-1 driver failures, fixed this round
-    "sessionize",
-    "collect_sorted",
-    # decode queries whose semantics changed this round
+    # r01-only green rows — stalest, refresh first
+    "window_running",
+    "window_rank_ties",
+    "window_moving",
+    "window_values",
+    "setops",
+    "scalar_funcs",
+    "string_funcs",
+    "date_funcs",
+    "json_extract",
+    "distinct_topk",
+    "above_avg_orders",
+    "top_supplier_per_nation",
+    "exists_not_exists",
+    "in_subquery_having",
+    "conditional_agg",
+    "explode_tokens",
+    "null_handling",
+    "limit_offset",
+    # touched in round 3: fixture materialization path (all fixture-fed
+    # queries), bank.py layout fixes (etl_snapshot_scan), similarity
+    # guards (ann_*, embedding_cosine_pairs)
+    "etl_snapshot_scan",
     "etl_account",
     "etl_token_account",
     "etl_token_mint",
@@ -66,27 +71,27 @@ _FRONT = [
     "etl_csv_projection",
     "etl_deletion_events",
     "etl_opcode_stats",
-    "etl_snapshot_scan",
     "media_meta",
     "media_frame_sample",
     "media_features",
-    # stable relational core (green r01, unchanged)
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q5_nation_revenue",
-    "join_semi",
-    "join_anti",
-    "join_theta",
-    "asof_join",
-    "tumbling_window",
-    "sliding_window",
-    "grouping_sets",
-    "rollup_agg",
-    "cube_agg",
-    "pivot",
-    "unpivot",
-    "window_topk",
-    "percentiles_stddev",
+    "stream_selected_accounts",
+    "stream_offchain_fanout",
+    "stream_rooted_slots",
+    "stream_block_metadata",
+    "stream_tx_filtered",
+    "stream_tx_nested",
+    "ann_cosine_topk",
+    "ann_cosine_lsh",
+    "embedding_cosine_pairs",
+    "dedup_exact",
+    "dedup_jaccard_ngram",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "pipeline_clean_corpus",
+    "text_metrics",
+    "lang_id",
+    "doc_fingerprint",
+    "doc_length_histogram",
 ]
 
 
