@@ -82,6 +82,7 @@ _FRONT = [
     "stream_tx_nested",
     "ann_cosine_topk",
     "ann_cosine_lsh",
+    "ann_cosine_ivf",  # new this round (IVF coarse-quantizer ANN)
     "embedding_cosine_pairs",
     "dedup_exact",
     "dedup_jaccard_ngram",
@@ -91,7 +92,7 @@ _FRONT = [
     "text_metrics",
     "lang_id",
     "doc_fingerprint",
-    "doc_length_histogram",
+    # doc_length_histogram: green r02, untouched — rotates past the cap
 ]
 
 

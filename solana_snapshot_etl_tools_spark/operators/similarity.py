@@ -6,6 +6,11 @@
 - LSH-bucketed ANN: the scale path — deterministic random-hyperplane
   signatures (Rademacher ±1 planes derived from a seeded hash, no
   Python RNG), banded equi-join for candidates, exact cosine re-rank.
+- IVF ANN: the partition-prunable alternative — a Spark ML KMeans
+  coarse quantizer over L2-normalized vectors; each corpus vector
+  lands in one inverted list, queries probe only the n_probe nearest
+  lists. At 100 TB the assigned corpus is written partitioned by
+  list_id so a probe scans n_probe/n_lists of the data.
 
 All cosine math is float64 with a fixed evaluation order
 (zip_with → left-fold aggregate), which agrees bit-for-bit with
@@ -135,6 +140,112 @@ def hyperplane_signature(
     for b in bits[1:]:
         sig = sig + b
     return sig.cast("long")
+
+
+def _l2_normalize(v: Column) -> Column:
+    n = _norm(v)
+    return F.transform(v, lambda x: x / n)
+
+
+def ivf_assign(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    seed: int = 42,
+    train_fraction: float = 1.0,
+):
+    """IVF coarse quantization: fit a seeded KMeans over L2-normalized
+    vectors (cosine ≡ euclidean on the unit sphere) and assign every
+    corpus vector to its nearest centroid's inverted list.
+
+    Returns ``(assigned, centers)`` where ``assigned`` has columns
+    (neighbor_id, cv, list_id) and ``centers`` is the tiny driver-side
+    centroid matrix (n_lists × dims — kilobytes; this is the one piece
+    that legitimately lives on the driver, like any dimension-table
+    broadcast). At scale, write ``assigned`` partitioned by list_id
+    once and reuse it across query batches — probes then prune
+    partitions instead of scanning the corpus."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        _l2_normalize(F.col(vec_col).cast("array<double>")).alias("cv"),
+    )
+    train = corpus.select(array_to_vector("cv").alias("features"))
+    if train_fraction < 1.0:
+        train = train.sample(train_fraction, seed=seed)
+    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(train)
+    assigned = (
+        model.transform(corpus.withColumn("features", array_to_vector("cv")))
+        .select("neighbor_id", "cv", F.col("prediction").alias("list_id"))
+    )
+    return assigned, model.clusterCenters()
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    train_fraction: float = 1.0,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into n_lists
+    inverted lists, probe the n_probe lists whose centroids are
+    nearest each query, exact-cosine re-rank the candidates. The
+    candidate join is an equi-join on list_id (partition-prunable at
+    scale); the centroid table is a literal array — no shuffle, no
+    cross join against the corpus."""
+    assigned, centers = ivf_assign(
+        emb, id_col, vec_col, n_lists=n_lists, seed=seed,
+        train_fraction=train_fraction,
+    )
+    centers_lit = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("list_id"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("centroid"),
+            )
+            for i, c in enumerate(centers)
+        ]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _l2_normalize(F.col(vec_col).cast("array<double>")).alias("qv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("c.centroid"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pw = W.partitionBy("query_id").orderBy("d2", "list_id")
+    probed = (
+        q.select("query_id", "qv", F.explode(centers_lit).alias("c"))
+        .select("query_id", "qv", F.col("c.list_id").alias("list_id"), d2.alias("d2"))
+        .withColumn("pr", F.row_number().over(pw))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "qv", "list_id")
+    )
+    cand = probed.join(assigned, "list_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    # vectors are unit-norm: cosine = dot. No dedup needed — each
+    # corpus vector lives in exactly one inverted list, so a
+    # (query, neighbor) pair can only arise once.
+    sims = cand.select(
+        "query_id", "neighbor_id", _dot(F.col("qv"), F.col("cv")).alias("sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
 
 
 def lsh_ann_topk(

@@ -136,6 +136,15 @@ def q_ann_lsh(spark, sf_dir):
     return SIM.lsh_ann_topk(emb, queries, dims=64, k=5)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """Approximate ANN via an IVF coarse quantizer (seeded Spark ML
+    KMeans) — rows-only (list assignments are engine-specific); recall
+    vs exact top-k asserted in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.ivf_ann_topk(emb, queries, k=5, n_lists=16, n_probe=4)
+
+
 # --- text analysis -------------------------------------------------------------
 
 
@@ -268,6 +277,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_topk,
     "ann_cosine_lsh": q_ann_lsh,
+    "ann_cosine_ivf": q_ann_ivf,
     "embedding_cosine_pairs": q_cosine_pairs,
     "text_metrics": q_text_metrics,
     "lang_id": q_lang_id,
@@ -280,7 +290,8 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_jaccard_ngram": _JACCARD_SQL,
     "dedup_minhash_lsh": _jaccard_sql(5),
-    # dedup_simhash / ann_cosine_lsh: rows-only (engine-specific hashes)
+    # dedup_simhash / ann_cosine_lsh / ann_cosine_ivf: rows-only
+    # (engine-specific hashes / cluster assignments)
     "ann_cosine_topk": ANN_TOPK_SQL,
     "embedding_cosine_pairs": COSINE_PAIRS_SQL,
     "text_metrics": TEXT_METRICS_SQL,

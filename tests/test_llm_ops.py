@@ -60,6 +60,46 @@ def test_lsh_ann_recall_vs_exact(spark):
     assert recall >= 0.5, f"ANN recall too low: {recall}"
 
 
+def test_ivf_ann_recall_vs_exact(spark):
+    """IVF with 16 lists / 4 probes scans ~25% of the corpus per query
+    yet must keep most of the exact top-k. Deterministic: seeded
+    KMeans, fixed tiebreaks."""
+    emb = _t(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.ivf_ann_topk(emb, queries, k=5, n_lists=16, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # every query returns exactly k ranked rows
+    counts = (
+        SIM.ivf_ann_topk(emb, queries, k=5, n_lists=16, n_probe=4)
+        .groupBy("query_id")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] == 5 for r in counts)
+
+
+def test_ivf_assign_partitions_corpus(spark):
+    """Every corpus vector lands in exactly one inverted list and the
+    list ids cover at most n_lists values — the property that makes
+    the assigned table partition-prunable at scale."""
+    emb = _t(spark, SF_DIR, "embeddings")
+    assigned, centers = SIM.ivf_assign(emb, n_lists=8)
+    assert len(centers) == 8
+    n = emb.count()
+    assert assigned.count() == n
+    assert assigned.select("neighbor_id").distinct().count() == n
+    lists = [r.list_id for r in assigned.select("list_id").distinct().collect()]
+    assert len(lists) <= 8 and all(0 <= l < 8 for l in lists)
+
+
 def test_lsh_ann_dims_guards(spark):
     """dims mismatches must fail loudly (a silent mismatch hashes on a
     truncated projection and quietly degrades recall), and dims=None
