@@ -107,6 +107,61 @@ def bool_at(data: Column, off0: int) -> Column:
     return u8_at(data, off0) != 0
 
 
+# --- dynamic-offset variants ------------------------------------------------
+# For layouts whose field positions depend on earlier variable-length
+# fields (Borsh strings/vecs): the offset is a Column computed from the
+# data itself. Still pure Catalyst — ``Column.substr`` accepts Column
+# positions — so variable-length decodes stay in whole-stage codegen.
+
+
+_INT_MAX = 2147483647
+
+
+def _as_int(v: Column) -> Column:
+    """Clamp a long offset/length into int range for ``substr`` (whose
+    ANSI long→int cast would otherwise overflow on corrupted u32
+    lengths). Beyond-buffer values slice to empty/rest either way, so
+    clamping preserves semantics; NULL propagates."""
+    return F.when(v > _INT_MAX, F.lit(_INT_MAX)).otherwise(v).cast("int")
+
+
+def substr_dyn(data: Column, pos0: Column, n: Column) -> Column:
+    """`n`-byte slice at 0-based Column offset `pos0`."""
+    return data.substr(_as_int(pos0 + F.lit(1)), _as_int(n))
+
+
+def _rev_hex_dyn(data: Column, pos0: Column, nbytes: int) -> Column:
+    return F.hex(
+        F.concat(
+            *[
+                data.substr(_as_int(pos0 + F.lit(i + 1)), F.lit(1))
+                for i in range(nbytes - 1, -1, -1)
+            ]
+        )
+    )
+
+
+def _le_uint_dyn(data: Column, pos0: Column, nbytes: int) -> Column:
+    """LE unsigned int at a dynamic offset. A slice running off the
+    buffer yields the LE value of the available bytes (and NULL when
+    no bytes remain) — callers bound-check, mirroring Python's
+    truncating ``int.from_bytes(b[o:o+n], 'little')``."""
+    assert nbytes <= 7
+    return F.conv(_rev_hex_dyn(data, pos0, nbytes), 16, 10).cast("long")
+
+
+def u8_at_dyn(data: Column, pos0: Column) -> Column:
+    return _le_uint_dyn(data, pos0, 1)
+
+
+def le_u16_dyn(data: Column, pos0: Column) -> Column:
+    return _le_uint_dyn(data, pos0, 2)
+
+
+def le_u32_dyn(data: Column, pos0: Column) -> Column:
+    return _le_uint_dyn(data, pos0, 4)
+
+
 # ship this module's functions by value inside serialized UDF tasks
 # (workers do not share the driver's sys.path — see _pickle.py)
 from solana_snapshot_etl_tools_spark._pickle import register_self as _rs  # noqa: E402

@@ -27,10 +27,14 @@ from solana_snapshot_etl_tools_spark.functions.binary import (
     bool_at,
     coption_pubkey,
     coption_u64,
+    le_u16,
     le_u32,
+    le_u32_dyn,
     le_u64,
     pubkey_at,
+    substr_dyn,
     u8_at,
+    u8_at_dyn,
 )
 
 # --- X3: last-write-wins dedup ---------------------------------------------
@@ -265,18 +269,168 @@ def _decode_metadata_udf(data: pd.Series) -> pd.DataFrame:
     )
 
 
-def token_metadata_table(raw: DataFrame) -> DataFrame:
-    """F2 + F12 + T4: Metaplex-owned, non-empty data, Borsh-decoded.
-    The pre-filter keeps the Arrow batches small — only Metaplex rows
-    ever cross the Python boundary (SURVEY.md §7 watch list)."""
-    meta = dedup_last_write_wins(
-        raw.filter(
-            (F.col("owner") == F.lit(S.MPL_METADATA_PROGRAM_ID))
-            & (F.length("data") > 0)
-        )
+def metadata_decode(df: DataFrame, data_col: str = "data") -> DataFrame:
+    """T4 as PURE Catalyst expressions — the Borsh walk of
+    :func:`_parse_metadata` re-expressed with dynamic-offset column
+    reads (``Column.substr`` takes Column positions), so the decode
+    stays inside whole-stage codegen with no Python worker at all.
+    NULL struct ⇔ the UDF's ``None`` (row skipped, L1 leniency);
+    equivalence with the UDF is pinned by a fixture + fuzz
+    differential test (tests/test_decoders.py).
+
+    Built as STAGED projections, not one nested Column: each variable
+    offset (string ends, creators end, extension cursor) becomes a
+    named intermediate, because inlining them naively duplicates each
+    predecessor's subtree ~4× per level (the 4-byte dynamic LE read) —
+    a ~10⁵-node expression that stalls analysis. CollapseProject keeps
+    multiply-referenced non-cheap aliases materialized, so each
+    intermediate is computed once per row. Returns ``df`` plus an
+    ``m`` struct column (null = skip row)."""
+    d = F.col(data_col)
+
+    def stage(frame, **cols):
+        return frame.withColumns({k: v for k, v in cols.items()})
+
+    c = F.col
+    s = stage(df, _L=F.length(d).cast("long"))
+    # name / symbol / uri: length, bounds-ok, value, next offset.
+    # KEY SIZE DISCIPLINE: every stage re-bases onto a SLICED column as
+    # soon as the offset is variable, so no later expression carries a
+    # dynamic offset into the full buffer. Offsets into a slice are
+    # tiny scalar expressions; offsets into `data` that chain through
+    # earlier variable lengths are what made the optimizer tree explode
+    # (each level multiplies its predecessor's subtree).
+    s = stage(s, _nl=le_u32_dyn(d, F.lit(65).cast("long")))
+    s = stage(s, _p2=F.lit(69) + c("_nl"))
+    s = stage(s, _sl=le_u32_dyn(d, c("_p2")))
+    s = stage(s, _p3=c("_p2") + 4 + c("_sl"))
+    s = stage(s, _ul=le_u32_dyn(d, c("_p3")))
+    s = stage(s, _p4=c("_p3") + 4 + c("_ul"))
+    s = stage(
+        s,
+        _raw_name=substr_dyn(d, F.lit(69).cast("long"), c("_nl")),
+        _raw_sym=substr_dyn(d, c("_p2") + 4, c("_sl")),
+        _raw_uri=substr_dyn(d, c("_p3") + 4, c("_ul")),
+        # everything after uri re-based: sfbp..creators-tag..count (9 B)
+        _mid=substr_dyn(d, c("_p4"), F.lit(9)),
+        _rest=c("_L") - c("_p4"),  # bytes available from _p4 on
     )
-    dec = meta.select("pubkey", _decode_metadata_udf("data").alias("m"))
-    return dec.filter(F.col("m.mint").isNotNull()).select("pubkey", "m.*")
+    s = stage(s, _ctag=u8_at(c("_mid"), 2), _cnt=le_u32(c("_mid"), 3))
+    # creators Option<Vec<Creator{32+1+1}>>: tag != 1 skips one byte
+    # (the reference walk applies no tag validation either).
+    # _o2r = offset of primary_sale_happened RELATIVE to _p4.
+    s = stage(
+        s,
+        _o2r=F.when(c("_ctag") == 1, F.lit(7) + c("_cnt") * 34).otherwise(F.lit(3)),
+    )
+    # pm = psh+mut bytes; tail = extension region (≤ 38 B used; 40 is
+    # enough for nonce(2) + token_standard(2) + collection(34) + slack)
+    s = stage(
+        s,
+        _pm=substr_dyn(d, c("_p4") + c("_o2r"), F.lit(2)),
+        _tail=substr_dyn(d, c("_p4") + c("_o2r") + 2, F.lit(40)),
+    )
+    # best-effort tail extensions over the re-based slice (absent/short
+    # ⇒ null fields, never a skipped row). All offsets below are small
+    # scalars relative to _tail; _tl compares are exact because every
+    # probed offset is < 40. ``_dead`` mirrors the UDF's IndexError on
+    # a truncated Some(edition_nonce), which aborts the remaining tail.
+    t = c("_tail")
+    s = stage(s, _tl=F.length(t))
+    s = stage(s, _t1=u8_at(t, 0))
+    s = stage(
+        s,
+        _dead=(c("_tl") >= 1) & (c("_t1") == 1) & (c("_tl") < 2),
+        _en=F.when(
+            (c("_tl") >= 2) & (c("_t1") == 1), u8_at(t, 1)
+        ).cast("int"),
+        # token_standard tag position relative to _tail
+        _d2=F.when(c("_tl") >= 1, F.when(c("_t1") == 1, 2).otherwise(1)).otherwise(0),
+    )
+    s = stage(s, _t2=u8_at_dyn(t, c("_d2").cast("long")))
+    s = stage(
+        s,
+        _d3=F.when(
+            (~c("_dead")) & (c("_tl") > c("_d2")),
+            c("_d2") + F.when(c("_t2") == 1, 2).otherwise(1),
+        ).otherwise(c("_d2")),
+    )
+    s = stage(
+        s,
+        _t3=u8_at_dyn(t, c("_d3").cast("long")),
+        _ckv=substr_dyn(t, c("_d3").cast("long") + 2, F.lit(32)),
+    )
+    s = stage(
+        s,
+        _c_ok=(~c("_dead"))
+        & (c("_tl") > c("_d3"))
+        & (c("_t3") == 1)
+        & (c("_tl") > c("_d3") + 1)
+        & (F.length(c("_ckv")) == 32),
+    )
+    body_ok = (
+        (c("_L") >= 65)
+        & (u8_at(d, 0) == F.lit(S.METADATA_V1_KEY))
+        & (c("_L") >= 69)
+        & (c("_nl") <= c("_L") - 69)
+        & F.is_valid_utf8(c("_raw_name"))
+        & (c("_L") >= c("_p2") + 4)
+        & (c("_sl") <= c("_L") - c("_p2") - 4)
+        & F.is_valid_utf8(c("_raw_sym"))
+        & (c("_L") >= c("_p3") + 4)
+        & (c("_ul") <= c("_L") - c("_p3") - 4)
+        & F.is_valid_utf8(c("_raw_uri"))
+        & (c("_rest") >= 3)
+        & (c("_rest") >= c("_o2r") + 2)
+    )
+
+    def strip(col):
+        # NUL-strip divergence, same as the UDF (COVERAGE.md)
+        return F.regexp_replace(col.cast("string"), "\x00+$", "")
+
+    m = F.when(
+        body_ok,
+        F.struct(
+            pubkey_at(d, 33).alias("mint"),
+            strip(c("_raw_name")).alias("name"),
+            strip(c("_raw_sym")).alias("symbol"),
+            strip(c("_raw_uri")).alias("uri"),
+            le_u16(c("_mid"), 0).cast("int").alias("seller_fee_basis_points"),
+            bool_at(c("_pm"), 0).alias("primary_sale_happened"),
+            bool_at(c("_pm"), 1).alias("is_mutable"),
+            c("_en").alias("edition_nonce"),
+            F.when(c("_c_ok"), u8_at_dyn(t, c("_d3").cast("long") + 1) != 0).alias(
+                "collection_verified"
+            ),
+            F.when(c("_c_ok"), c("_ckv")).alias("collection_key"),
+        ),
+    )
+    helper = [f for f in s.columns if f.startswith("_")]
+    return s.withColumn("m", m).drop(*helper)
+
+
+def token_metadata_table(raw: DataFrame) -> DataFrame:
+    """F2 + F12 + T4: Metaplex-owned, non-empty data, Borsh-decoded —
+    entirely JVM-side since round 3 (:func:`metadata_decode`); the
+    pandas UDF remains only as the differential-test reference.
+
+    ORDER MATTERS: decode runs BEFORE the last-write-wins aggregate,
+    and the aggregate carries the decoded struct. Row-wise decode
+    commutes with per-pubkey max, so results are identical — but the
+    Aggregate doubles as an optimizer barrier: predicate pushdown
+    substitutes alias chains into any filter it moves through a
+    Project, and the decode's staged variable-offset walk re-inlines
+    multiplicatively (PushPredicateThroughNonJoin.trimAliases tree-copy
+    measured at minutes-long; jstack-confirmed). Filters on decoded
+    fields — ours below, or any a user adds — stop at the Aggregate
+    instead of detonating. Bonus at scale: the shuffle ships the
+    compact decoded struct, not the raw account bytes."""
+    meta = raw.filter(
+        (F.col("owner") == F.lit(S.MPL_METADATA_PROGRAM_ID))
+        & (F.length("data") > 0)
+    )
+    latest = dedup_last_write_wins(metadata_decode(meta))
+    return latest.filter(F.col("m.mint").isNotNull()).select("pubkey", "m.*")
 
 
 # --- T5/F3/F4: program ELF extraction (reference programs.rs:25-62) ---------

@@ -55,6 +55,74 @@ def test_token_multisig_explode(raw_accounts):
     _check("token_multisig", df, fx)
 
 
+def _pack_metadata_bytes(
+    name=b"Degen Ape #1\x00\x00", symbol=b"DAPE\x00", uri=b"https://x/1.json",
+    creators=2, tail=b"\x01\x07\x00\x01\x01" + bytes(range(32)),
+) -> bytes:
+    """A valid MetadataV1 encoding with creators + full extension tail
+    (edition_nonce Some(7), token_standard None, collection Some)."""
+    import struct
+
+    out = bytes([4]) + bytes(range(64))  # key, update_authority+mint
+    for s in (name, symbol, uri):
+        out += struct.pack("<I", len(s)) + s
+    out += struct.pack("<H", 500)  # seller_fee_basis_points
+    if creators is None:
+        out += b"\x00"
+    else:
+        out += b"\x01" + struct.pack("<I", creators) + b"\xab" * (creators * 34)
+    out += b"\x01\x01"  # primary_sale_happened, is_mutable
+    return out + tail
+
+
+def test_metadata_catalyst_matches_udf_differential(spark):
+    """The pure-Catalyst Borsh walk (metadata_struct) must agree with
+    the reference pandas UDF on EVERY byte string: every prefix
+    truncation of a valid encoding (hits each bounds check), tag/count
+    mutations, and seeded random fuzz. NULL struct ⇔ UDF None."""
+    import random
+
+    valid = _pack_metadata_bytes()
+    cases: list[bytes] = [b"", b"\x00", valid]
+    # every truncation boundary of the full valid encoding
+    cases += [valid[:i] for i in range(len(valid))]
+    # tail-less and creators-less variants, truncated across the tail
+    short = _pack_metadata_bytes(creators=None, tail=b"")
+    cases += [short + _pack_metadata_bytes()[len(short) - 5 :][:j] for j in range(12)]
+    # mutations: wrong key, bad utf8 in each string, huge lengths/counts
+    cases.append(b"\x05" + valid[1:])
+    for off in (66, 70, 80):
+        m = bytearray(valid)
+        m[off] = 0xFF
+        cases.append(bytes(m))
+    m = bytearray(valid)
+    m[65:69] = b"\xff\xff\xff\xff"  # name_len = u32::MAX
+    cases.append(bytes(m))
+    m = bytearray(_pack_metadata_bytes(creators=3))
+    cases.append(bytes(m))
+    rng = random.Random(7)
+    for _ in range(120):
+        n = rng.randrange(0, 200)
+        cases.append(bytes(rng.randrange(256) for _ in range(n)))
+    for _ in range(80):  # random single-byte corruptions of valid
+        m = bytearray(valid)
+        m[rng.randrange(len(m))] = rng.randrange(256)
+        cases.append(bytes(m))
+
+    df = spark.createDataFrame([(c,) for c in cases], "data binary")
+    got = (
+        D.metadata_decode(df)
+        .withColumnRenamed("m", "c")
+        .withColumn("u", D._decode_metadata_udf("data"))
+        .select("c", "u")
+        .collect()
+    )
+    for case, row in zip(cases, got):
+        c = None if row.c is None or row.c.mint is None else tuple(row.c)
+        u = None if row.u is None or row.u.mint is None else tuple(row.u)
+        assert c == u, f"divergence on {case.hex()}: catalyst={c} udf={u}"
+
+
 def test_token_metadata_borsh(raw_accounts):
     fx = build_fixture()
     df = D.token_metadata_table(raw_accounts).select(
