@@ -57,6 +57,37 @@ def test_dedup_is_aggregate_not_window(spark, raw_accounts):
     assert "Window" not in p
 
 
+def test_token_metadata_no_python_stage(spark, raw_accounts):
+    """T4 is pure Catalyst since round 3: the plan must contain no
+    ArrowEvalPython / BatchEvalPython node (no Python workers in the
+    ETL hot path), and the whole decode must sit below an Aggregate
+    (the optimizer barrier that keeps user filters from re-inlining
+    the staged decode — see decoders.token_metadata_table)."""
+    from solana_snapshot_etl_tools_spark.operators.decoders import (
+        token_metadata_table,
+    )
+
+    p = _plan(token_metadata_table(raw_accounts))
+    assert "EvalPython" not in p, "metadata decode must not spawn Python workers"
+    assert "Aggregate" in p
+
+
+def test_ivf_ann_no_cartesian(spark):
+    """IVF candidate generation must be an equi-join on list_id — never
+    a cross join against the corpus (that is the guarded exact path's
+    job). The only allowed nested-loop is the tiny literal centroid
+    explode."""
+    from pyspark.sql import functions as F
+
+    from solana_snapshot_etl_tools_spark.operators.similarity import ivf_ann_topk
+    from solana_snapshot_etl_tools_spark.plans.relational import _t
+
+    emb = _t(spark, SF_DIR, "embeddings")
+    p = _plan(ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 3), k=3, n_lists=4))
+    assert "CartesianProduct" not in p
+    assert "CrossJoin" not in p
+
+
 def test_asof_is_single_shuffle(spark):
     """The as-of join must not contain a join node at all — it is a
     union + one windowed sort."""
