@@ -36,6 +36,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
+    "ann_cosine_lsh",
+    "ann_cosine_ivf",
     "text_metrics",
     "doc_fingerprint",
 ]
@@ -49,6 +51,16 @@ def main() -> None:
     ]
     # warm the JVM + parquet footers once (not counted)
     queries["q1_pricing_summary"](spark, SF_DIR).collect()
+    # warm the Python worker pool once (not counted): the first
+    # mapInPandas/pandas-UDF stage otherwise pays a per-core process
+    # fork + numpy import (~3-4 s on 32 cores) that is process startup,
+    # not engine throughput — workers are reused for every timed query
+    # (spark.python.worker.reuse)
+    from pyspark.sql import functions as F
+
+    spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: it, "id long").count()
 
     per_query: dict[str, float] = {}
     for name in names:

@@ -23,6 +23,21 @@ from pyspark.sql import Column, DataFrame, functions as F
 from solana_snapshot_etl_tools_spark.functions.text import char_shingles, tokens
 
 
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Repartition up to ``defaultParallelism`` when the input has
+    fewer partitions — a small-file corpus (one parquet row group)
+    otherwise runs CPU-heavy narrow maps (sketches, shingling) on a
+    single core. At cluster scale a 100 TB scan already has far more
+    partitions than cores, so this is a no-op planning check; the
+    repartition only ever fires on inputs small enough that its
+    shuffle is trivial."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # --- exact dedup --------------------------------------------------------------
 
 
@@ -190,7 +205,9 @@ def minhash_signatures(
                 sigs.append(z.min(axis=1).astype(np.int64))
             yield pd.DataFrame({"doc": ids, "sig": sigs})
 
-    return df.select(id_col, text_col).mapInPandas(gen, out_schema)
+    return spread_small_input(df.select(id_col, text_col)).mapInPandas(
+        gen, out_schema
+    )
 
 
 def minhash_lsh_candidates(
@@ -336,8 +353,10 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         [StructField("doc", id_type), StructField("simhash", LongType())]
     )
     hs = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
-    base = df.select(F.col(id_col).alias("doc"), hs.alias("hs")).filter(
-        F.size("hs") > 0
+    base = spread_small_input(
+        df.select(F.col(id_col).alias("doc"), hs.alias("hs")).filter(
+            F.size("hs") > 0
+        )
     )
 
     def gen(batches):

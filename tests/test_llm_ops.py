@@ -60,6 +60,32 @@ def test_lsh_ann_recall_vs_exact(spark):
     assert recall >= 0.5, f"ANN recall too low: {recall}"
 
 
+def test_lsh_numpy_buckets_match_jvm_reference(spark):
+    """The vectorized numpy signature path must produce the same
+    (table, bucket) assignments as the JVM hyperplane_signature
+    reference expressions — same _plane_sign family, same >0 rule."""
+    emb = _t(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 40)
+    n_tables, n_planes, dims = 4, 5, 64
+    v = F.col("embedding").cast("array<double>")
+    jvm = emb.select(
+        F.col("vec_id").alias("id"),
+        *[
+            SIM.hyperplane_signature(v, dims, n_planes, table=t).alias(f"b{t}")
+            for t in range(n_tables)
+        ],
+    ).collect()
+    jvm_set = {
+        (r.id, t, r[f"b{t}"]) for r in jvm for t in range(n_tables)
+    }
+    np_set = {
+        (r.doc, r.table, r.bucket)
+        for r in SIM.lsh_signatures(
+            emb, "vec_id", "embedding", dims, n_tables, n_planes
+        ).collect()
+    }
+    assert np_set == jvm_set
+
+
 def test_ivf_ann_recall_vs_exact(spark):
     """IVF with 16 lists / 4 probes scans ~25% of the corpus per query
     yet must keep most of the exact top-k. Deterministic: seeded
