@@ -71,3 +71,53 @@ def write_program_files(program_elfs: DataFrame, out_dir: str) -> None:
                 f.write(bytes(row.elf))
 
     program_elfs.select("pubkey", "elf").foreachPartition(write_partition)
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    records_per_shard: int = 65536,
+    order_col: str | None = None,
+    compression: str = "zstd",
+) -> DataFrame:
+    """Training-pipeline sink: pack a cleaned corpus into uniformly
+    sized parquet shards, the layout a downstream training loader
+    streams (one shard ≈ one loader work unit).
+
+    - ``repartitionByRange(order_col)`` makes shards contiguous and
+      balanced (range boundaries come from Spark's reservoir sample —
+      one extra narrow pass, the price of deterministic shard
+      membership); without an order column the split is hash-based.
+    - ``sortWithinPartitions`` fixes row order inside each shard, so
+      a rewrite of the same input is byte-stable modulo parquet
+      metadata.
+    - ``maxRecordsPerFile`` caps stragglers if a range boundary lands
+      unevenly.
+
+    Returns the shard manifest as a DataFrame (shard file, rows) from
+    a column-less read-back of the written shards."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    n = df.count()
+    shards = max(1, math.ceil(n / records_per_shard))
+    if order_col is not None:
+        packed = df.repartitionByRange(shards, F.col(order_col)).sortWithinPartitions(
+            order_col
+        )
+    else:
+        packed = df.repartition(shards)
+    (
+        packed.write.mode("overwrite")
+        .option("maxRecordsPerFile", records_per_shard)
+        .option("compression", compression)
+        .parquet(out_dir)
+    )
+    spark = df.sparkSession
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy(F.input_file_name().alias("shard"))
+        .count()
+        .withColumnRenamed("count", "rows")
+    )

@@ -69,6 +69,19 @@ def test_salted_join_spreads_concentrated_hot_key(spark):
     assert joined.count() == 1000
 
 
+def test_spread_small_input(spark):
+    """A 1-partition input spreads to defaultParallelism; an input
+    already at/above parallelism passes through without a shuffle."""
+    from solana_snapshot_etl_tools_spark.operators.dedup import spread_small_input
+
+    target = spark.sparkContext.defaultParallelism
+    small = spark.range(1000).coalesce(1)
+    assert spread_small_input(small).rdd.getNumPartitions() == target
+    big = spark.range(1000).repartition(target + 4)
+    # already parallel: identical plan back (no added repartition)
+    assert spread_small_input(big) is big
+
+
 def test_cosine_pairs_guard(spark):
     import pytest
     from pyspark.sql import functions as F

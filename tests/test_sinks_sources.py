@@ -28,6 +28,37 @@ def test_csv_sink_roundtrip(spark, raw_accounts, tmp_path):
     assert got == sorted(exp)
 
 
+def test_training_shards_sink(spark, tmp_path):
+    """Shards are bounded at records_per_shard, cover every row exactly
+    once, and the range layout keeps each shard contiguous in the
+    order column."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), F.sha1(F.col("id").cast("string")).alias("text")
+    )
+    out = str(tmp_path / "shards")
+    manifest = K.write_training_shards(df, out, records_per_shard=1024, order_col="doc_id")
+    rows = manifest.collect()
+    assert sum(r.rows for r in rows) == 10_000
+    assert all(r.rows <= 1024 for r in rows)
+    assert len(rows) >= 10  # ceil(10000/1024)
+    # contiguity: per-file [min,max] doc_id ranges must not overlap
+    back = spark.read.parquet(out).select(
+        F.input_file_name().alias("f"), "doc_id"
+    )
+    spans = sorted(
+        (r.lo, r.hi)
+        for r in back.groupBy("f")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .collect()
+    )
+    for (_, hi_prev), (lo, _) in zip(spans, spans[1:]):
+        assert lo > hi_prev, "shard ranges overlap"
+    # full row coverage, no dup/loss
+    assert back.select("doc_id").distinct().count() == 10_000
+
+
 def test_programs_tar_roundtrip(spark, raw_accounts, tmp_path):
     tar_path = str(tmp_path / "programs.tar")
     elfs = D.program_elfs_table(raw_accounts)
