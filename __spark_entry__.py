@@ -89,10 +89,11 @@ _FRONT = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "pipeline_clean_corpus",
-    "text_metrics",
-    "lang_id",
+    "bigram_stats",  # new this round (Gopher-style repetition/rarity)
+    "sample_balanced_lang",  # new this round (deterministic mixing)
     "doc_fingerprint",
-    # doc_length_histogram: green r02, untouched — rotates past the cap
+    # text_metrics / lang_id / doc_length_histogram: green r02,
+    # untouched — rotate past the cap this round
 ]
 
 

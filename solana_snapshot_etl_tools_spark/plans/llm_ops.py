@@ -223,6 +223,138 @@ FROM documents GROUP BY 1 ORDER BY 1
 """
 
 
+# --- bigram repetition / rarity stats (Gopher-style quality filters) ---------
+# All-integer arithmetic until the final divisions, so the oracle is
+# bit-exact cross-engine (no transcendental functions — ln() ULPs
+# differ between the JVM and libm).
+
+
+def q_bigram_stats(spark, sf_dir):
+    """Per-doc token-bigram stats: total bigrams, distinct bigrams,
+    duplicate-bigram ratio (the Gopher repetition filter signal), and
+    the share of this doc's distinct bigrams that appear in no other
+    document (rarity/novelty signal; needs the corpus-level document
+    frequency — a groupBy + join, the scale-shaped part)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = TXT.tokens(F.col("text"))
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    base = docs.select("doc_id", bigrams.alias("bgs")).filter(F.size("bgs") > 0)
+    per_doc = base.select(
+        "doc_id",
+        F.size("bgs").alias("n_bigrams"),
+        F.size(F.array_distinct("bgs")).alias("n_distinct"),
+    )
+    pairs = base.select("doc_id", F.explode(F.array_distinct("bgs")).alias("bg"))
+    dfreq = pairs.groupBy("bg").agg(F.count(F.lit(1)).alias("df"))
+    uniq = (
+        pairs.join(dfreq.filter(F.col("df") == 1), "bg")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    return (
+        per_doc.join(uniq, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_distinct",
+            ((F.col("n_bigrams") - F.col("n_distinct")) / F.col("n_bigrams")).alias(
+                "dup_bigram_ratio"
+            ),
+            (F.coalesce(F.col("n_unique"), F.lit(0)) / F.col("n_distinct")).alias(
+                "rare_bigram_ratio"
+            ),
+        )
+    )
+
+
+BIGRAM_STATS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bgs
+  FROM base WHERE len(t) >= 2
+),
+per_doc AS (
+  SELECT doc_id, CAST(len(bgs) AS INT) AS n_bigrams,
+         CAST(len(list_distinct(bgs)) AS INT) AS n_distinct
+  FROM bg
+),
+pairs AS (
+  SELECT doc_id, unnest(list_distinct(bgs)) AS g FROM bg
+),
+dfreq AS (SELECT g, count(*) AS df FROM pairs GROUP BY g),
+uniq AS (
+  SELECT doc_id, count(*) AS n_unique
+  FROM pairs JOIN dfreq USING (g) WHERE df = 1 GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_bigrams, p.n_distinct,
+       (p.n_bigrams - p.n_distinct) / CAST(p.n_bigrams AS DOUBLE) AS dup_bigram_ratio,
+       coalesce(u.n_unique, 0) / CAST(p.n_distinct AS DOUBLE) AS rare_bigram_ratio
+FROM per_doc p LEFT JOIN uniq u ON p.doc_id = u.doc_id
+"""
+
+
+# --- deterministic balanced sampling (domain/language mixing) ----------------
+# Reproducible sampling via a Knuth multiplicative hash on doc_id with
+# an integer-only acceptance predicate: keep iff
+# h(doc) * count(lang) < min_lang_count * 2^32 — no floats anywhere,
+# so the sample is identical in any engine and across reruns/cluster
+# sizes (unlike Bernoulli sample(), whose output depends on the
+# engine's RNG stream and partitioning).
+
+_KNUTH = 2654435761
+_2_32 = 1 << 32
+
+
+def q_sample_balanced_lang(spark, sf_dir):
+    """Downsample each language stratum to the size of the smallest:
+    the standard domain-mixing move when one source dominates."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    lang = TXT.lang_id(F.col("text"))
+    h = F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(_2_32))
+    w = W.partitionBy("lang_pred")
+    base = docs.select("doc_id", lang.alias("lang_pred"), h.alias("h"))
+    counted = base.withColumn("cnt", F.count(F.lit(1)).over(w)).withColumn(
+        "min_cnt", F.min("cnt").over(W.partitionBy())
+    )
+    return (
+        counted.filter(F.col("h") * F.col("cnt") < F.col("min_cnt") * F.lit(_2_32))
+        .select("doc_id", "lang_pred")
+    )
+
+
+SAMPLE_BALANCED_SQL = f"""
+WITH langed AS (
+  SELECT doc_id,
+    CASE
+      WHEN {_duck_hits("en")} + {_duck_hits("es")} + {_duck_hits("de")} + {_duck_hits("fr")} = 0 THEN 'und'
+      WHEN {_duck_hits("en")} >= {_duck_hits("es")} AND {_duck_hits("en")} >= {_duck_hits("de")} AND {_duck_hits("en")} >= {_duck_hits("fr")} THEN 'en'
+      WHEN {_duck_hits("es")} >= {_duck_hits("de")} AND {_duck_hits("es")} >= {_duck_hits("fr")} THEN 'es'
+      WHEN {_duck_hits("de")} >= {_duck_hits("fr")} THEN 'de'
+      ELSE 'fr'
+    END AS lang_pred,
+    (doc_id * {_KNUTH}) % {_2_32} AS h
+  FROM documents
+),
+counted AS (
+  SELECT *, count(*) OVER (PARTITION BY lang_pred) AS cnt FROM langed
+),
+final AS (
+  SELECT *, min(cnt) OVER () AS min_cnt FROM counted
+)
+SELECT doc_id, lang_pred FROM final
+WHERE h * cnt < min_cnt * {_2_32}
+"""
+
+
 # --- composite: the end-to-end training-data cleaning pipeline ---------------
 
 
@@ -283,6 +415,8 @@ QUERIES = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_fingerprint,
     "doc_length_histogram": q_length_histogram,
+    "bigram_stats": q_bigram_stats,
+    "sample_balanced_lang": q_sample_balanced_lang,
 }
 
 ORACLES = {
@@ -298,4 +432,6 @@ ORACLES = {
     "lang_id": LANG_ID_SQL,
     "doc_fingerprint": FINGERPRINT_SQL,
     "doc_length_histogram": LENGTH_HIST_SQL,
+    "bigram_stats": BIGRAM_STATS_SQL,
+    "sample_balanced_lang": SAMPLE_BALANCED_SQL,
 }
