@@ -272,7 +272,14 @@ def _fvec(buf, tpos, slot):
     if p is None:
         return None, 0
     v = p + _u32(buf, p)
-    return v + 4, _u32(buf, v)
+    n = _u32(buf, v)
+    # sanity bound before any caller builds an n-sized structure: a
+    # vector element is ≥ 1 byte, so a corrupted length larger than
+    # the buffer can never be legitimate (prevents multi-GB list
+    # allocations on malformed input)
+    if n > len(buf):
+        raise ValueError(f"implausible vector length {n} at {v}")
+    return v + 4, n
 
 
 def fbytes(buf, tpos, slot) -> bytes | None:
