@@ -126,6 +126,28 @@ def test_ivf_assign_partitions_corpus(spark):
     assert len(lists) <= 8 and all(0 <= l < 8 for l in lists)
 
 
+def test_ivf_assigned_table_partition_prunes(spark, tmp_path):
+    """The at-scale IVF recipe — write the assigned corpus partitioned
+    by list_id, probe by filtering list_id — must actually prune: the
+    scan's partition filters carry list_id, and only the probed
+    partitions' files are read."""
+    emb = _t(spark, SF_DIR, "embeddings")
+    assigned, _ = SIM.ivf_assign(emb, n_lists=8)
+    out = str(tmp_path / "ivf")
+    assigned.write.partitionBy("list_id").parquet(out)
+    probe = spark.read.parquet(out).filter(F.col("list_id").isin(0, 1))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan.split(
+        "PartitionFilters"
+    )[1][:120], plan
+    import os
+
+    n_total = sum(1 for d in os.listdir(out) if d.startswith("list_id="))
+    assert n_total > 2  # corpus actually spans several lists
+    got_lists = {r.list_id for r in probe.select("list_id").distinct().collect()}
+    assert got_lists <= {0, 1}
+
+
 def test_lsh_ann_dims_guards(spark):
     """dims mismatches must fail loudly (a silent mismatch hashes on a
     truncated projection and quietly degrades recall), and dims=None
