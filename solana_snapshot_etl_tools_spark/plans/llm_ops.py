@@ -314,19 +314,23 @@ _2_32 = 1 << 32
 
 def q_sample_balanced_lang(spark, sf_dir):
     """Downsample each language stratum to the size of the smallest:
-    the standard domain-mixing move when one source dominates."""
-    from pyspark.sql import Window as W
+    the standard domain-mixing move when one source dominates.
 
+    Stratum sizes come from a tiny groupBy aggregate broadcast back
+    onto the corpus — NOT a window: a `min(...) over ()` global window
+    would funnel every row through a single partition at scale, and a
+    per-stratum window still sorts the full corpus. The per-row work
+    stays a broadcast hash join plus an integer predicate."""
     docs = _t(spark, sf_dir, "documents")
     lang = TXT.lang_id(F.col("text"))
     h = F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(_2_32))
-    w = W.partitionBy("lang_pred")
     base = docs.select("doc_id", lang.alias("lang_pred"), h.alias("h"))
-    counted = base.withColumn("cnt", F.count(F.lit(1)).over(w)).withColumn(
-        "min_cnt", F.min("cnt").over(W.partitionBy())
-    )
+    counts = base.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("cnt"))
+    min_cnt = counts.agg(F.min("cnt").alias("min_cnt"))
     return (
-        counted.filter(F.col("h") * F.col("cnt") < F.col("min_cnt") * F.lit(_2_32))
+        base.join(F.broadcast(counts), "lang_pred")
+        .crossJoin(F.broadcast(min_cnt))
+        .filter(F.col("h") * F.col("cnt") < F.col("min_cnt") * F.lit(_2_32))
         .select("doc_id", "lang_pred")
     )
 

@@ -88,6 +88,18 @@ def test_ivf_ann_no_cartesian(spark):
     assert "CrossJoin" not in p
 
 
+def test_balanced_sample_has_no_global_window(spark):
+    """Stratum sizing must stay a broadcast aggregate join — a global
+    window (min over ()) funnels the corpus through one partition."""
+    from solana_snapshot_etl_tools_spark.plans.llm_ops import (
+        q_sample_balanced_lang,
+    )
+
+    p = _plan(q_sample_balanced_lang(spark, SF_DIR))
+    assert "Window" not in p, p
+    assert "BroadcastHashJoin" in p
+
+
 def test_asof_is_single_shuffle(spark):
     """The as-of join must not contain a join node at all — it is a
     union + one windowed sort."""
