@@ -1,0 +1,72 @@
+"""CLI — the reference binary's UX on the Spark engine.
+
+Mirrors `solana-snapshot-etl <source> --sqlite-out snapshot.db`
+(reference solana-snapshot-etl/README.md, main.rs:59-122): one
+positional snapshot source (archive file, .tar.zst, unpacked dir, or
+http(s) URL) and output flags. The reference's SQLite target maps to
+the byte-identical-DDL `build_sqlite`; `--parquet-out` is the
+distributed-native analog; CSV and programs-tar match K1/K3.
+
+    python -m solana_snapshot_etl_tools_spark SNAPSHOT \
+        [--sqlite-out snapshot.db] [--parquet-out dir] \
+        [--csv-out dir] [--programs-out programs.tar] \
+        [--work-dir dir] [--cpus N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="solana_snapshot_etl_tools_spark",
+        description="ETL a Solana snapshot with Spark",
+    )
+    p.add_argument("source", help="snapshot .tar/.tar.zst file, unpacked dir, or http(s) URL")
+    p.add_argument("--sqlite-out", metavar="DB", help="write the 5-table snapshot.db (reference parity)")
+    p.add_argument("--parquet-out", metavar="DIR", help="write the 5 tables as parquet dirs (distributed)")
+    p.add_argument("--csv-out", metavar="DIR", help="write the base58 account CSV (K1)")
+    p.add_argument("--programs-out", metavar="TAR", help="write program ELFs as <pubkey>.so tar (K3)")
+    p.add_argument("--work-dir", metavar="DIR", help="scratch dir for archive extraction")
+    p.add_argument("--cpus", type=int, default=None, help="local[] core count")
+    args = p.parse_args(argv)
+
+    if not any((args.sqlite_out, args.parquet_out, args.csv_out, args.programs_out)):
+        p.error("pick at least one output: --sqlite-out / --parquet-out / --csv-out / --programs-out")
+
+    from solana_snapshot_etl_tools_spark.operators import sinks as K
+    from solana_snapshot_etl_tools_spark.operators.decoders import program_elfs_table
+    from solana_snapshot_etl_tools_spark.plans import build_tables as BT
+    from solana_snapshot_etl_tools_spark.session import get_spark
+    from solana_snapshot_etl_tools_spark.sources.loader import load_snapshot
+
+    from pyspark.sql import SparkSession
+
+    pre_existing = SparkSession.getActiveSession() is not None
+    spark = get_spark(app_name="snapshot-etl", cpus=args.cpus)
+    work = args.work_dir or tempfile.mkdtemp(prefix="snapshot_etl_")
+    raw = load_snapshot(spark, args.source, work)
+
+    report: dict[str, object] = {"source": args.source}
+    if args.sqlite_out:
+        report["sqlite"] = {"path": args.sqlite_out, "rows": BT.build_sqlite(raw, args.sqlite_out)}
+    if args.parquet_out:
+        report["parquet"] = {"dir": args.parquet_out, "rows": BT.build_all_tables(raw, args.parquet_out)}
+    if args.csv_out:
+        K.write_csv(raw, args.csv_out)
+        report["csv"] = {"dir": args.csv_out}
+    if args.programs_out:
+        n = K.write_programs_tar(program_elfs_table(raw), args.programs_out)
+        report["programs"] = {"tar": args.programs_out, "count": n}
+    print(json.dumps(report))
+    if not pre_existing:  # don't tear down a session we joined
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -74,6 +74,130 @@ def build_all_tables(raw: DataFrame, out_dir: str) -> dict[str, int]:
     return counts
 
 
+# --- true SQLite output (K2 parity) -----------------------------------------
+
+# The reference's primary deliverable is a real snapshot.db readable by
+# any SQLite client (README "SQLite3 (recommended)"). DDL below is the
+# reference's verbatim (sqlite.rs:96-162); pragmas match create_db
+# (sqlite.rs:93-96); the temp-file-promotion protocol matches
+# SqliteIndexer::new (sqlite.rs:39-47); writes are INSERT OR REPLACE
+# (sqlite.rs:221,270,292,312,373).
+
+_SQLITE_DDL = {
+    "account": """CREATE TABLE account  (
+    pubkey BLOB(32) NOT NULL PRIMARY KEY,
+    data_len INTEGER(8) NOT NULL,
+    owner BLOB(32) NOT NULL,
+    lamports INTEGER(8) NOT NULL,
+    executable INTEGER(1) NOT NULL,
+    rent_epoch INTEGER(8) NOT NULL
+)""",
+    "token_mint": """CREATE TABLE token_mint (
+    pubkey BLOB(32) NOT NULL PRIMARY KEY,
+    mint_authority BLOB(32) NULL,
+    supply INTEGER(8) NOT NULL,
+    decimals INTEGER(2) NOT NULL,
+    is_initialized BOOL NOT NULL,
+    freeze_authority BLOB(32) NULL
+)""",
+    "token_account": """CREATE TABLE token_account (
+    pubkey BLOB(32) NOT NULL PRIMARY KEY,
+    mint BLOB(32) NOT NULL,
+    owner BLOB(32) NOT NULL,
+    amount INTEGER(8) NOT NULL,
+    delegate BLOB(32),
+    state INTEGER(1) NOT NULL,
+    is_native INTEGER(8),
+    delegated_amount INTEGER(8) NOT NULL,
+    close_authority BLOB(32)
+)""",
+    "token_multisig": """CREATE TABLE token_multisig (
+    pubkey BLOB(32) NOT NULL,
+    signer BLOB(32) NOT NULL,
+    m INTEGER(2) NOT NULL,
+    n INTEGER(2) NOT NULL,
+    PRIMARY KEY (pubkey, signer)
+)""",
+    "token_metadata": """CREATE TABLE token_metadata (
+    pubkey BLOB(32) NOT NULL,
+    mint BLOB(32) NOT NULL,
+    name TEXT(32) NOT NULL,
+    symbol TEXT(10) NOT NULL,
+    uri TEXT(200) NOT NULL,
+    seller_fee_basis_points INTEGER(4) NOT NULL,
+    primary_sale_happened INTEGER(1) NOT NULL,
+    is_mutable INTEGER(1) NOT NULL,
+    edition_nonce INTEGER(2) NULL,
+    collection_verified INTEGER(1) NULL,
+    collection_key BLOB(32) NULL
+)""",
+}
+
+
+def _sqlite_cell(v):
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, bytearray):
+        return bytes(v)
+    return v
+
+
+def build_sqlite(raw: DataFrame, db_path: str, batch_rows: int = 5000) -> dict[str, int]:
+    """K2 as the reference actually ships it: one ``snapshot.db`` file
+    with the five tables, reference-verbatim DDL and pragmas, written
+    to ``_<name>.tmp`` and promoted by rename only on success.
+
+    Rows stream through the driver via ``toLocalIterator`` — one
+    partition resident at a time. That driver-side edge is inherent to
+    the target, not a shortcut: SQLite admits exactly one writer, so
+    the reference's own indexer is the same single-writer topology.
+    The distributed analog (parquet dirs, atomic per-table promotion)
+    is ``build_all_tables``; this sink exists so a reference user's
+    downstream SQLite tooling works unchanged. Returns per-table row
+    counts (the reference's progress-counter totals, sqlite.rs:27-36).
+    """
+    import sqlite3
+
+    d = os.path.dirname(os.path.abspath(db_path)) or "."
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f"_{os.path.basename(db_path)}.tmp")
+    if os.path.exists(tmp):
+        os.remove(tmp)
+    con = sqlite3.connect(tmp)
+    try:
+        con.execute("PRAGMA synchronous = OFF")
+        con.execute("PRAGMA journal_mode = OFF")
+        con.execute("PRAGMA locking_mode = EXCLUSIVE")
+        for ddl in _SQLITE_DDL.values():
+            con.execute(ddl)
+        counts: dict[str, int] = {}
+        for name, df in build_tables(raw).items():
+            cols = df.columns
+            sql = (
+                f"INSERT OR REPLACE INTO {name} ({', '.join(cols)}) "
+                f"VALUES ({', '.join('?' * len(cols))})"
+            )
+            n, batch = 0, []
+            for row in df.toLocalIterator():
+                batch.append(tuple(_sqlite_cell(v) for v in row))
+                if len(batch) >= batch_rows:
+                    con.executemany(sql, batch)
+                    n += len(batch)
+                    batch = []
+            if batch:
+                con.executemany(sql, batch)
+                n += len(batch)
+            counts[name] = n
+        con.commit()
+    except BaseException:
+        con.close()
+        os.remove(tmp)
+        raise
+    con.close()
+    os.replace(tmp, db_path)
+    return counts
+
+
 # --- bucketed token tables: shuffle-free mint join at scale -----------------
 
 

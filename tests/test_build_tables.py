@@ -44,6 +44,44 @@ def test_decoder_registry_extension(spark, raw_accounts):
     assert BT.decode(raw_accounts, "token_mint").count() == 12
 
 
+def test_sqlite_output_is_reference_shaped(spark, raw_accounts, tmp_path):
+    """K2 parity as shipped: a real snapshot.db any SQLite client
+    reads — reference DDL, all five tables, values equal to the
+    fixture ground truth, temp file promoted only on success."""
+    import os
+    import sqlite3
+
+    db_path = str(tmp_path / "snapshot.db")
+    counts = BT.build_sqlite(raw_accounts, db_path)
+    assert not [f for f in os.listdir(tmp_path) if f.endswith(".tmp")]
+    con = sqlite3.connect(db_path)
+    tables = {
+        r[0]
+        for r in con.execute(
+            "SELECT name FROM sqlite_master WHERE type='table'"
+        )
+    }
+    assert tables >= set(BT.TABLES)
+    fx = build_fixture()
+    # value-level: token_account matches the pre-pack ground truth
+    got = sorted(
+        (r[0].hex().upper(), r[1].hex().upper(), int(r[3]))
+        for r in con.execute("SELECT pubkey, mint, owner, amount FROM token_account")
+    )
+    exp = sorted((e[0], e[1], e[3]) for e in fx["expected"]["token_account"][2])
+    assert got == exp
+    assert counts["token_account"] == len(exp)
+    # account row count + a null-preserving column in token_mint
+    (n_accounts,) = con.execute("SELECT count(*) FROM account").fetchone()
+    assert n_accounts == counts["account"] == len(fx["expected"]["account"][2])
+    mint_auth_nulls = con.execute(
+        "SELECT count(*) FROM token_mint WHERE mint_authority IS NULL"
+    ).fetchone()[0]
+    exp_nulls = sum(1 for e in fx["expected"]["token_mint"][2] if e[1] is None)
+    assert mint_auth_nulls == exp_nulls
+    con.close()
+
+
 def test_bucketed_mint_join_is_shuffle_free(spark, raw_accounts, tmp_path):
     """The canonical token_account ⋈ token_metadata join over
     bucketBy(mint) tables must contain NO Exchange on either side —

@@ -249,6 +249,40 @@ def test_bank_prefixed_archive_end_to_end(spark, tmp_path, raw_accounts):
     _assert_same_accounts(spark, scanned, raw_accounts)
 
 
+def test_cli_end_to_end(spark, tmp_path):
+    """The reference binary's UX: one archive in, snapshot.db + CSV
+    out, via `python -m solana_snapshot_etl_tools_spark` (in-process
+    main; the CLI must not tear down a session it joined)."""
+    import sqlite3
+
+    from solana_snapshot_etl_tools_spark.__main__ import main
+    from solana_snapshot_etl_tools_spark.fixtures import build_fixture as BF
+
+    accounts_dir, manifest = _write_snapshot_dir(str(tmp_path))
+    slot = max(s for s, _ in manifest)
+    tar_path = str(tmp_path / "snap_cli.tar")
+    with tarfile.open(tar_path, "w") as tf:
+        mpath = str(tmp_path / "manifest_cli.bin")
+        with open(mpath, "wb") as f:
+            f.write(SNAP.write_accounts_db_fields(manifest))
+        tf.add(mpath, arcname=f"snapshots/{slot}/{slot}")
+        for name in sorted(os.listdir(accounts_dir)):
+            tf.add(os.path.join(accounts_dir, name), arcname=f"accounts/{name}")
+    db = str(tmp_path / "out.db")
+    csv_dir = str(tmp_path / "csv")
+    rc = main(
+        [tar_path, "--sqlite-out", db, "--csv-out", csv_dir,
+         "--work-dir", str(tmp_path / "wk")]
+    )
+    assert rc == 0
+    assert spark.sparkContext._jsc is not None  # session survived
+    con = sqlite3.connect(db)
+    (n,) = con.execute("SELECT count(*) FROM account").fetchone()
+    assert n == len(BF()["expected"]["account"][2])
+    con.close()
+    assert spark.read.option("header", True).csv(csv_dir).count() == n
+
+
 def test_tar_zst_archive_scan(spark, tmp_path, raw_accounts):
     """S1: .tar.zst archives stream-decompress (pyarrow zstd fallback
     when the zstandard package is absent) and scan identically."""
