@@ -274,7 +274,14 @@ def minhash_lsh_pairs(
     and the estimate filter.
     """
     sig = minhash_signatures(df, id_col, text_col, k).cache()
-    cands = minhash_lsh_candidates(sig)
+    # the band join's output lands AQE-coalesced by BYTES, which
+    # under-parallelizes the CPU-heavy per-pair array_intersect that
+    # follows (bytes under-estimate CPU; the static partition count
+    # can't see the runtime coalesce, so this must be an explicit
+    # repartition — a trivial shuffle of 2-id rows that pins the
+    # stage at core-count parallelism and disables the coalesce)
+    sc = df.sparkSession.sparkContext
+    cands = minhash_lsh_candidates(sig).repartition(sc.defaultParallelism)
     sa = sig.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
     # positional agreement ≈ |array_intersect|: each position is salted
@@ -309,8 +316,14 @@ def _verify_pairs_against_docs(
     the pair list is the small side of both joins (AQE broadcasts it),
     so at 100 TB this touches two narrow scans of the corpus plus
     per-pair set intersection — no full-corpus shingle materialization."""
-    ta = df.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("_ta"))
-    tb = df.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("_tb"))
+    # shingling is the CPU-heavy part — spread a small-file corpus so
+    # it doesn't run on one core (no-op when the scan is already wide)
+    ta = spread_small_input(
+        df.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("_ta"))
+    )
+    tb = spread_small_input(
+        df.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("_tb"))
+    )
     shs = lambda c: F.array_distinct(char_shingles(c, k))  # noqa: E731
     sets = (
         pairs.join(ta, "doc_a")
