@@ -31,12 +31,24 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--parquet-out", metavar="DIR", help="write the 5 tables as parquet dirs (distributed)")
     p.add_argument("--csv-out", metavar="DIR", help="write the base58 account CSV (K1)")
     p.add_argument("--programs-out", metavar="TAR", help="write program ELFs as <pubkey>.so tar (K3)")
+    p.add_argument(
+        "--geyser",
+        metavar="MODULE:CALLABLE",
+        help="push account records to a Python consumer(rows, epoch_id) "
+        "— the K4 plugin analog; runs executor-side per partition, like "
+        "the reference's dlopen'd Geyser plugin receives the replay",
+    )
     p.add_argument("--work-dir", metavar="DIR", help="scratch dir for archive extraction")
     p.add_argument("--cpus", type=int, default=None, help="local[] core count")
     args = p.parse_args(argv)
 
-    if not any((args.sqlite_out, args.parquet_out, args.csv_out, args.programs_out)):
-        p.error("pick at least one output: --sqlite-out / --parquet-out / --csv-out / --programs-out")
+    outputs = (args.sqlite_out, args.parquet_out, args.csv_out,
+               args.programs_out, args.geyser)
+    if not any(outputs):
+        p.error(
+            "pick at least one output: --sqlite-out / --parquet-out / "
+            "--csv-out / --programs-out / --geyser"
+        )
 
     from solana_snapshot_etl_tools_spark.operators import sinks as K
     from solana_snapshot_etl_tools_spark.operators.decoders import program_elfs_table
@@ -62,6 +74,21 @@ def main(argv: list[str] | None = None) -> int:
     if args.programs_out:
         n = K.write_programs_tar(program_elfs_table(raw), args.programs_out)
         report["programs"] = {"tar": args.programs_out, "count": n}
+    if args.geyser:
+        import importlib
+
+        mod_name, _, fn_name = args.geyser.partition(":")
+        if not fn_name:
+            p.error("--geyser takes MODULE:CALLABLE")
+        consumer = getattr(importlib.import_module(mod_name), fn_name)
+
+        def push_partition(rows):
+            rows = list(rows)
+            if rows:
+                consumer(rows, 0)
+
+        raw.foreachPartition(push_partition)
+        report["geyser"] = {"consumer": args.geyser}
     print(json.dumps(report))
     if not pre_existing:  # don't tear down a session we joined
         spark.stop()

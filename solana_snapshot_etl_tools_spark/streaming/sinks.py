@@ -94,6 +94,24 @@ def foreach_batch_push(
     return writer.start()
 
 
+def debug_file_consumer(rows, epoch_id: int) -> None:
+    """Demo Geyser consumer for the CLI (``--geyser
+    solana_snapshot_etl_tools_spark.streaming.sinks:debug_file_consumer``):
+    appends one line per account (hex pubkey, slot, write_version) to a
+    uniquely named file per partition under ``$SPARK_GRAFT_GEYSER_OUT``.
+    Runs executor-side — the file tree is the observable analog of the
+    reference plugin's side effects."""
+    import os
+    import uuid as _uuid
+
+    out = os.environ.get("SPARK_GRAFT_GEYSER_OUT", "/tmp/geyser_out")
+    os.makedirs(out, exist_ok=True)
+    path = os.path.join(out, f"part-{_uuid.uuid4().hex[:12]}.txt")
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(f"{bytes(r.pubkey).hex()},{r.slot},{r.write_version}\n")
+
+
 def run_available_now(
     spark: SparkSession,
     source_dir: str,
@@ -118,3 +136,11 @@ def run_available_now(
     )
     q.awaitTermination(120)
     return spark.sql(f"SELECT * FROM {name}")
+
+
+# ship by value inside serialized tasks (workers don't share the
+# driver's sys.path — see _pickle.py); needed for consumers passed to
+# foreachPartition, e.g. debug_file_consumer via the CLI --geyser flag
+from solana_snapshot_etl_tools_spark._pickle import register_self as _rs  # noqa: E402
+
+_rs(__name__)

@@ -268,10 +268,19 @@ def test_cli_end_to_end(spark, tmp_path):
         tf.add(mpath, arcname=f"snapshots/{slot}/{slot}")
         for name in sorted(os.listdir(accounts_dir)):
             tf.add(os.path.join(accounts_dir, name), arcname=f"accounts/{name}")
+    import shutil
+
     db = str(tmp_path / "out.db")
     csv_dir = str(tmp_path / "csv")
+    # the consumer's default dir: an env override set mid-session would
+    # not reach already-forked Python workers, so the test uses the
+    # default and cleans it (a real CLI run sets the env before launch)
+    gey_dir = "/tmp/geyser_out"
+    shutil.rmtree(gey_dir, ignore_errors=True)
     rc = main(
         [tar_path, "--sqlite-out", db, "--csv-out", csv_dir,
+         "--geyser",
+         "solana_snapshot_etl_tools_spark.streaming.sinks:debug_file_consumer",
          "--work-dir", str(tmp_path / "wk")]
     )
     assert rc == 0
@@ -281,6 +290,13 @@ def test_cli_end_to_end(spark, tmp_path):
     assert n == len(BF()["expected"]["account"][2])
     con.close()
     assert spark.read.option("header", True).csv(csv_dir).count() == n
+    # the geyser consumer saw every raw record (pre-dedup), executor-side
+    pushed = set()
+    for fn in os.listdir(gey_dir):
+        with open(os.path.join(gey_dir, fn)) as f:
+            pushed.update(line.split(",")[0] for line in f.read().splitlines())
+    exp_keys = {bytes(r[0]).hex() for r in BF()["raw_rows"]}
+    assert pushed == exp_keys
 
 
 def test_tar_zst_archive_scan(spark, tmp_path, raw_accounts):
