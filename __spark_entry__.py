@@ -24,9 +24,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Registration order matters: the verification driver checks queries in
-# declaration order with a cap of 50 per round (of 68 declared), so the
+# declaration order with a cap of 50 per round (of 71 declared), so the
 # front of the list rotates each round to keep consecutive-round unions
-# covering all 68 with the stalest rows refreshed.
+# covering all queries with the stalest rows refreshed.
 #
 # Round 3 front-loads (a) the 18 relational queries whose only green
 # row is from round 1 (rotated out of round 2's 50-slot window, the
@@ -36,7 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (bounded cosine_pairs guard, lsh dims guard), and etl_snapshot_scan
 # (bank skip-walk layout fixes). The stable relational core checked
 # green in round 2 with unchanged code sits last. r02 ∪ r03 again
-# covers all 68.
+# covers all 71.
 _FRONT = [
     # r01-only green rows — stalest, refresh first
     "window_running",
