@@ -28,72 +28,76 @@ def entry(spark: SparkSession) -> DataFrame:
 # front of the list rotates each round to keep consecutive-round unions
 # covering all queries with the stalest rows refreshed.
 #
-# Round 3 front-loads (a) the 18 relational queries whose only green
-# row is from round 1 (rotated out of round 2's 50-slot window, the
-# stalest evidence in the repo), then (b) everything whose inputs or
-# code changed THIS round: the fixture-fed queries (fixture DataFrames
-# now materialize through a parquet cache), the similarity queries
-# (bounded cosine_pairs guard, lsh dims guard), and etl_snapshot_scan
-# (bank skip-walk layout fixes). The stable relational core checked
-# green in round 2 with unchanged code sits last. r02 ∪ r03 again
-# covers all 71.
+# Round 4 front-loads (a) the 21 queries whose only green row is from
+# round 2 (rotated past round 3's 50-slot cap — the stalest evidence
+# in the repo), then (b) everything whose code changes THIS round: the
+# banded dedup family (hot-bucket cap), the similarity family (LSH
+# candidate dedup on ids, re-rank path), etl_token_metadata (staged
+# projection merge), and the composite pipeline that embeds the capped
+# dedup. The relational/window core checked green in round 3 with
+# unchanged code sits last. r03 ∪ r04 again covers all 71.
 _FRONT = [
-    # r01-only green rows — stalest, refresh first
-    "window_running",
-    "window_rank_ties",
-    "window_moving",
-    "window_values",
-    "setops",
-    "scalar_funcs",
-    "string_funcs",
-    "date_funcs",
-    "json_extract",
-    "distinct_topk",
-    "above_avg_orders",
-    "top_supplier_per_nation",
-    "exists_not_exists",
-    "in_subquery_having",
-    "conditional_agg",
-    "explode_tokens",
-    "null_handling",
-    "limit_offset",
-    # touched in round 3: fixture materialization path (all fixture-fed
-    # queries), bank.py layout fixes (etl_snapshot_scan), similarity
-    # guards (ann_*, embedding_cosine_pairs)
+    # r02-only green rows — stalest, refresh first
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "join_semi",
+    "join_anti",
+    "join_theta",
+    "asof_join",
+    "window_topk",
+    "sliding_window",
+    "tumbling_window",
+    "sessionize",
+    "rollup_agg",
+    "cube_agg",
+    "grouping_sets",
+    "pivot",
+    "unpivot",
+    "collect_sorted",
+    "percentiles_stddev",
+    "text_metrics",
+    "lang_id",
+    "doc_length_histogram",
+    # touched in round 4: hot-bucket caps (dedup bands), LSH/IVF
+    # candidate handling, exact-cosine re-rank, T4 projection merge
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_exact",
+    "dedup_jaccard_ngram",
+    "pipeline_clean_corpus",
+    "ann_cosine_topk",
+    "ann_cosine_lsh",
+    "ann_cosine_ivf",
+    "embedding_cosine_pairs",
+    "etl_token_metadata",
+    "etl_offchain_uri",
+    # fixture-fed decode family: unchanged code but shares fixture +
+    # decoder modules with the T4 merge — keep its evidence fresh
     "etl_snapshot_scan",
     "etl_account",
     "etl_token_account",
     "etl_token_mint",
     "etl_token_multisig",
-    "etl_token_metadata",
-    "etl_offchain_uri",
     "etl_program_elfs",
     "etl_csv_projection",
     "etl_deletion_events",
     "etl_opcode_stats",
-    "media_meta",
-    "media_frame_sample",
-    "media_features",
     "stream_selected_accounts",
     "stream_offchain_fanout",
     "stream_rooted_slots",
     "stream_block_metadata",
     "stream_tx_filtered",
     "stream_tx_nested",
-    "ann_cosine_topk",
-    "ann_cosine_lsh",
-    "ann_cosine_ivf",  # new this round (IVF coarse-quantizer ANN)
-    "embedding_cosine_pairs",
-    "dedup_exact",
-    "dedup_jaccard_ngram",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "pipeline_clean_corpus",
-    "bigram_stats",  # new this round (Gopher-style repetition/rarity)
-    "sample_balanced_lang",  # new this round (deterministic mixing)
-    "doc_fingerprint",
-    # text_metrics / lang_id / doc_length_histogram: green r02,
-    # untouched — rotate past the cap this round
+    "media_meta",
+    "media_frame_sample",
+    "media_features",
+    # r03-green, untouched this round — rotate past the cap:
+    # window_running/rank_ties/moving/values, setops, scalar/string/
+    # date_funcs, json_extract, distinct_topk, above_avg_orders,
+    # top_supplier_per_nation, exists/in_subquery, conditional_agg,
+    # explode_tokens, null_handling, limit_offset, bigram_stats,
+    # sample_balanced_lang, doc_fingerprint
 ]
 
 
