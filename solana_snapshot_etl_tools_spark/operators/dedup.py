@@ -134,6 +134,86 @@ def jaccard_pairs(
     return _verify_pairs_against_docs(cands, df, id_col, text_col, k, threshold)
 
 
+# --- hot-bucket cap -------------------------------------------------------------
+
+# Banded candidate joins are quadratic *within* a (band, bh) bucket: a
+# family of m near-identical docs (license boilerplate, templated
+# pages) lands in the same buckets and emits O(m^2) join rows before
+# any downstream filter can prune — AQE splits the shuffle, not the
+# output cardinality. The caps below bound that: buckets larger than
+# the cap are removed from the all-pairs join and (in "star" mode)
+# re-emitted as (bucket-min doc, member) pairs — O(m) rows that keep
+# every member connected to a representative, which is what dedup
+# needs to collapse the family. Defaults are far above any bucket the
+# test corpora produce (minhash max 161 at sf0.1; simhash max ~2k with
+# the template-heavy synthetic corpus) so oracle outputs are
+# unchanged; at 100 TB they are the guard that keeps the worst bucket
+# at cap^2 ≈ 10^5-10^6 rows instead of 10^12.
+MINHASH_MAX_BUCKET = 512
+SIMHASH_MAX_BUCKET = 1024
+
+
+def _cap_hot_buckets(
+    banded: DataFrame,
+    keys: list[str],
+    max_bucket_size: int | None,
+    mode: str,
+    observation=None,
+    rep_extra: dict[str, str] | None = None,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Split a banded frame into (cool rows, hot-bucket star pairs).
+
+    ``banded`` must carry a ``doc`` column plus ``keys``. Buckets with
+    more than ``max_bucket_size`` rows are anti-joined out of the
+    returned cool frame (broadcast — hot buckets are few by
+    construction). ``mode``:
+
+    - ``"star"`` (default): each hot bucket also yields ``(rep,
+      member)`` rows — rep is the bucket's min doc — returned as the
+      second frame with columns ``doc_a``/``doc_b`` (+ ``rep_extra``:
+      per-name min_by(col, doc) of the rep, aliased, for verifiers
+      that need the rep's sketch in-row). Bounded O(m) per bucket and
+      keeps the duplicate family one connected component.
+    - ``"drop"``: hot buckets vanish entirely (second frame is None).
+
+    ``observation`` (a ``pyspark.sql.Observation``) records
+    ``hot_buckets`` / ``hot_rows`` — the logged drop count — when the
+    final query executes.
+    """
+    if max_bucket_size is None:
+        return banded, None
+    if mode not in ("star", "drop"):
+        raise ValueError(f"hot_bucket_mode must be 'star' or 'drop', got {mode!r}")
+    aggs = [
+        F.count(F.lit(1)).alias("_bsz"),
+        F.min("doc").alias("_rep"),
+    ]
+    for alias, src in (rep_extra or {}).items():
+        aggs.append(F.min_by(src, "doc").alias(alias))
+    sizes = banded.groupBy(*keys).agg(*aggs)
+    hot = sizes.filter(F.col("_bsz") > max_bucket_size)
+    hot_keys = hot.select(*keys)
+    if observation is not None:
+        hot_keys = hot.observe(
+            observation,
+            F.count(F.lit(1)).alias("hot_buckets"),
+            F.coalesce(F.sum("_bsz"), F.lit(0)).alias("hot_rows"),
+        ).select(*keys)
+    cool = banded.join(F.broadcast(hot_keys), keys, "left_anti")
+    if mode == "drop":
+        return cool, None
+    star = (
+        banded.join(F.broadcast(hot), keys)
+        .filter(F.col("doc") != F.col("_rep"))
+        .select(
+            F.col("_rep").alias("doc_a"),
+            F.col("doc").alias("doc_b"),
+            *[F.col(a) for a in (rep_extra or {})],
+        )
+    )
+    return cool, star
+
+
 # --- MinHash + LSH --------------------------------------------------------------
 
 N_HASHES = 64
@@ -211,10 +291,22 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    sig: DataFrame, bands: int = LSH_BANDS, n_hashes: int = N_HASHES
+    sig: DataFrame,
+    bands: int = LSH_BANDS,
+    n_hashes: int = N_HASHES,
+    max_bucket_size: int | None = MINHASH_MAX_BUCKET,
+    hot_bucket_mode: str = "star",
+    observation=None,
 ) -> DataFrame:
     """Band the signature and equi-join on (band, band_hash): docs
-    agreeing on all rows of any band become candidate pairs."""
+    agreeing on all rows of any band become candidate pairs.
+
+    Buckets larger than ``max_bucket_size`` are excluded from the
+    all-pairs join (see ``_cap_hot_buckets``): in ``"star"`` mode each
+    hot bucket instead contributes (min-doc, member) pairs, so a
+    boilerplate family of m near-identical docs costs O(m) candidate
+    rows, not O(m^2), and still collapses to one representative
+    downstream. ``observation`` records hot_buckets/hot_rows."""
     r = n_hashes // bands
     banded = sig.select(
         "doc",
@@ -232,17 +324,23 @@ def minhash_lsh_candidates(
             )
         ).alias("e"),
     ).select("doc", "e.band", "e.bh")
+    banded, star = _cap_hot_buckets(
+        banded, ["band", "bh"], max_bucket_size, hot_bucket_mode, observation
+    )
     a = banded.select(F.col("doc").alias("doc_a"), "band", "bh")
     b = banded.select(F.col("doc").alias("doc_b"), "band", "bh")
     # NOTE: deliberately NOT .distinct() here — a pair agreeing in
     # several bands is emitted once per band, and the caller dedupes
     # AFTER its cheap estimate filter: distinct on the post-filter set
     # is a much smaller shuffle than on the raw candidate multiset.
-    return (
+    pairs = (
         a.join(b, ["band", "bh"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs
 
 
 def minhash_lsh_pairs(
@@ -251,6 +349,9 @@ def minhash_lsh_pairs(
     text_col: str,
     threshold: float = 0.8,
     k: int = 3,
+    max_bucket_size: int | None = MINHASH_MAX_BUCKET,
+    hot_bucket_mode: str = "star",
+    observation=None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with exact Jaccard verification.
 
@@ -281,7 +382,12 @@ def minhash_lsh_pairs(
     # repartition — a trivial shuffle of 2-id rows that pins the
     # stage at core-count parallelism and disables the coalesce)
     sc = df.sparkSession.sparkContext
-    cands = minhash_lsh_candidates(sig).repartition(sc.defaultParallelism)
+    cands = minhash_lsh_candidates(
+        sig,
+        max_bucket_size=max_bucket_size,
+        hot_bucket_mode=hot_bucket_mode,
+        observation=observation,
+    ).repartition(sc.defaultParallelism)
     sa = sig.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
     # positional agreement ≈ |array_intersect|: each position is salted
@@ -392,14 +498,52 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return base.mapInPandas(gen, out_schema)
 
 
+def _hamming_chunks(max_hamming: int) -> list[tuple[int, int]]:
+    """(shift, width) per chunk: the 64 sketch bits split into
+    ``max_hamming + 1`` near-equal disjoint chunks. Pigeonhole: a pair
+    within Hamming distance ``max_hamming`` has at most ``max_hamming``
+    differing bits, which cannot touch all ``max_hamming + 1`` chunks,
+    so the pair agrees EXACTLY on at least one chunk — banding on
+    chunk value has guaranteed 100% recall at the target distance.
+    Fewer, wider chunks than a fixed 8×8 split (6×~11 bits at the
+    default 5) mean 4-16× more bucket values per band and ~2× less
+    candidate-join output on template-heavy corpora, with provably
+    identical final output."""
+    n = max_hamming + 1
+    if not 1 <= n <= 64:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    base, extra = divmod(64, n)
+    out, shift = [], 0
+    for i in range(n):
+        w = base + (1 if i < extra else 0)
+        out.append((shift, w))
+        shift += w
+    return out
+
+
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 5,
+    max_bucket_size: int | None = SIMHASH_MAX_BUCKET,
+    hot_bucket_mode: str = "star",
+    observation=None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming,
-    using 8×8-bit band blocking (pigeonhole: a pair within distance 7
-    must agree exactly on at least one 8-bit band) — equi-join
-    candidates, exact Hamming verification, no cross join."""
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming:
+    chunk blocking (``_hamming_chunks`` — pigeonhole-exact recall) →
+    equi-join on (band, chunk value) → exact in-row Hamming
+    verification. No cross join anywhere.
+
+    Buckets above ``max_bucket_size`` bypass the all-pairs join (see
+    ``_cap_hot_buckets``); in ``"star"`` mode their members pair with
+    the bucket-min doc instead — the rep's sketch rides along via
+    min_by so the Hamming filter still verifies star pairs exactly
+    (precision stays 1.0; only recall within oversized buckets is
+    approximated, and those are precisely the near-identical families
+    a rep-based dedup collapses anyway)."""
     sk = simhash64(df, id_col, text_col)
+    chunks = _hamming_chunks(max_hamming)
     banded = sk.select(
         "doc",
         "simhash",
@@ -407,23 +551,42 @@ def simhash_pairs(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned("simhash", b * 8)
-                        .bitwiseAND(F.lit(0xFF))
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("simhash", shift)
+                        .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("bh"),
                     )
-                    for b in range(8)
+                    for i, (shift, width) in enumerate(chunks)
                 ]
             )
         ).alias("e"),
     ).select("doc", "simhash", "e.band", "e.bh")
+    banded, star = _cap_hot_buckets(
+        banded,
+        ["band", "bh"],
+        max_bucket_size,
+        hot_bucket_mode,
+        observation,
+        rep_extra={"ha": "simhash"},
+    )
     a = banded.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("ha"), "band", "bh")
     b = banded.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("hb"), "band", "bh")
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (
+    pairs = (
         a.join(b, ["band", "bh"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", ham.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)  # cheap row filter first,
+    )
+    if star is not None:
+        # star pairs carry the rep's sketch as ha; doc_b's sketch comes
+        # from an id join against sk (8 bytes/doc — broadcast-sized
+        # relative to the corpus it was sketched from)
+        star_pairs = star.join(
+            sk.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("hb")),
+            "doc_b",
+        ).select("doc_a", "doc_b", ham.alias("hamming"))
+        pairs = pairs.unionByName(star_pairs)
+    return (
+        pairs.filter(F.col("hamming") <= max_hamming)  # cheap row filter first,
         .distinct()  # then dedupe the (smaller) surviving set
     )
