@@ -327,13 +327,20 @@ def lsh_signatures(
     n_tables: int,
     n_planes: int,
     ident: str = "doc",
+    with_vectors: bool = True,
 ) -> DataFrame:
-    """(ident, _v_<ident>, table, bucket) rows — n_tables per input
+    """(ident[, _v_<ident>], table, bucket) rows — n_tables per input
     vector — via one vectorized numpy matmul per Arrow batch. Raises
     on any vector whose length differs from ``dims`` (a silent
     mismatch would hash a truncated projection and quietly lose
     recall). Bucket parity with the JVM ``hyperplane_signature``
-    reference is pinned in tests."""
+    reference is pinned in tests.
+
+    ``with_vectors=False`` omits the ``_v_<ident>`` column entirely:
+    the candidate-generation path only needs (id, table, bucket), and
+    repeating a 1-4k-dim embedding n_tables times per doc through the
+    Arrow channel and the candidate join/distinct shuffle is the
+    dominant byte cost at scale."""
     from pyspark.sql.types import (
         ArrayType,
         DoubleType,
@@ -349,14 +356,14 @@ def lsh_signatures(
         for p in range(n_planes)
     ]
     id_type = df.schema[id_col].dataType
-    out_schema = StructType(
-        [
-            StructField(ident, id_type),
-            StructField(f"_v_{ident}", ArrayType(DoubleType())),
-            StructField("table", IntegerType()),
-            StructField("bucket", LongType()),
-        ]
-    )
+    fields = [StructField(ident, id_type)]
+    if with_vectors:
+        fields.append(StructField(f"_v_{ident}", ArrayType(DoubleType())))
+    fields += [
+        StructField("table", IntegerType()),
+        StructField("bucket", LongType()),
+    ]
+    out_schema = StructType(fields)
 
     def gen(batches):
         import numpy as np
@@ -377,14 +384,12 @@ def lsh_signatures(
             buckets = (proj.reshape(len(V), n_tables, n_planes) * weights).sum(
                 axis=2
             )  # (n, n_tables)
-            yield pd.DataFrame(
-                {
-                    ident: np.repeat(pdf["_id"].to_numpy(), n_tables),
-                    f"_v_{ident}": np.repeat(pdf["_v"].to_numpy(), n_tables),
-                    "table": np.tile(np.arange(n_tables, dtype=np.int32), len(V)),
-                    "bucket": buckets.reshape(-1),
-                }
-            )
+            out = {ident: np.repeat(pdf["_id"].to_numpy(), n_tables)}
+            if with_vectors:
+                out[f"_v_{ident}"] = np.repeat(pdf["_v"].to_numpy(), n_tables)
+            out["table"] = np.tile(np.arange(n_tables, dtype=np.int32), len(V))
+            out["bucket"] = buckets.reshape(-1)
+            yield pd.DataFrame(out)
 
     from solana_snapshot_etl_tools_spark.operators.dedup import spread_small_input
 
@@ -430,19 +435,37 @@ def lsh_ann_topk(
         dims = probe[0]
 
     qs = lsh_signatures(queries, id_col, vec_col, dims, n_tables, n_planes,
-                        ident="query_id")
+                        ident="query_id", with_vectors=False)
     cs = lsh_signatures(emb, id_col, vec_col, dims, n_tables, n_planes,
-                        ident="neighbor_id")
+                        ident="neighbor_id", with_vectors=False)
+    # candidate pairs are ids only: the multi-table duplicate dedup
+    # shuffles 2 ids per row instead of 2 embeddings (at 1-4k dims the
+    # vectors are ~1000× the ids), and distinct never compares floats.
+    # Vectors rejoin AFTER the dedup — the query side broadcast (query
+    # batches are small by contract), the corpus side a narrow
+    # (id, vec) equi-join that Catalyst prunes to two columns.
     cand = (
         qs.join(cs, ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "_v_query_id", "neighbor_id", "_v_neighbor_id")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    sims = cand.select(
-        "query_id",
-        "neighbor_id",
-        cosine(F.col("_v_query_id"), F.col("_v_neighbor_id")).alias("sim"),
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    cv = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    sims = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("sim"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
     return (

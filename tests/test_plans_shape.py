@@ -108,3 +108,24 @@ def test_asof_is_single_shuffle(spark):
     p = _plan(q_asof_join(spark, SF_DIR))
     assert "Join" not in p.replace("AdaptiveSparkPlan", "")
     assert "Union" in p and "Window" in p
+
+
+def test_lsh_ann_candidate_dedup_carries_ids_only(spark):
+    """The LSH ANN candidate distinct must shuffle (query_id,
+    neighbor_id) pairs only — never the embedding arrays (at 1-4k dims
+    the vectors dwarf the ids, and distinct-on-doubles is both slow
+    and float-equality-fragile). Vectors rejoin after the dedup, query
+    side broadcast."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from solana_snapshot_etl_tools_spark.operators.similarity import lsh_ann_topk
+    from solana_snapshot_etl_tools_spark.plans.relational import _t
+
+    emb = _t(spark, SF_DIR, "embeddings")
+    p = _plan(lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 3), dims=64, k=3))
+    assert "_v_" not in p, "signature vectors leaked into the candidate plan"
+    # the dedup is a two-key hash aggregate over the id pair
+    assert re.search(r"Keys \[2\]: \[query_id#\d+\w*, neighbor_id#\d+", p), p
+    assert "BroadcastHashJoin" in p  # query vectors rejoin broadcast
