@@ -21,6 +21,7 @@ broadcast/sort-merge, and AQE handles skew at real scale.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql import types as T
 
 DEC2 = "decimal(18,2)"
 
@@ -31,14 +32,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except Exception:
         pass
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read nanos as long and truncate to micros with
-        # exact integer division (ts div 1000 — float division would lose
-        # precision above 2^53). DuckDB's TIMESTAMP cast truncates the
-        # same way, so the two engines agree to the microsecond.
+        # events.ts has shipped as both parquet TIMESTAMP(NANOS) and
+        # TIMESTAMP(MICROS) across testdata generations. Nanos are
+        # rejected by Spark's vectorized reader, so enable the
+        # read-nanos-as-long escape hatch (a no-op for micros files) and
+        # convert only when the column actually arrives as a long:
+        # truncate to micros with exact integer division (ts div 1000 —
+        # float division would lose precision above 2^53). DuckDB's
+        # TIMESTAMP cast truncates the same way, so the two engines
+        # agree to the microsecond either way.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # Micros files read as TIMESTAMP_NTZ; downstream epoch math
+            # (unix_micros) needs TIMESTAMP_LTZ. Session tz is pinned to
+            # UTC above, so this cast reinterprets the same wall-clock
+            # instant and agrees with DuckDB's epoch_us on the naive
+            # value.
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
