@@ -416,30 +416,42 @@ def _verify_pairs_against_docs(
     k: int,
     threshold: float,
 ) -> DataFrame:
-    """Exact Jaccard for candidate pairs, joining the pair list
-    directly back to the document table (twice — doc_a and doc_b side)
-    and shingling inline. Only candidate docs are ever shingled, and
-    the pair list is the small side of both joins (AQE broadcasts it),
-    so at 100 TB this touches two narrow scans of the corpus plus
-    per-pair set intersection — no full-corpus shingle materialization."""
+    """Exact Jaccard for candidate pairs.
+
+    Each candidate doc is shingled ONCE: the corpus is semi-joined to
+    the ids appearing in the pair list, the surviving docs get their
+    distinct-shingle set materialized in a single narrow pass, and the
+    pair list equi-joins that set table on each side. An earlier shape
+    shingled inline *after* the pair join, recomputing a doc's set once
+    per pair it appears in — char_shingles is an interpreted
+    higher-order transform, and on a boilerplate-heavy corpus where a
+    hot doc lands in dozens of candidate pairs that redundancy
+    dominated the whole operator (measured ~160 s of a ~190 s run at
+    sf0.1). Only candidate docs are ever shingled, so at 100 TB this
+    stays bounded by candidate volume — no full-corpus shingle
+    materialization."""
+    # the pair list fans out to three consumers (both branches of the
+    # candidate-id union and the final sets join); without a persist
+    # each one would re-execute the whole upstream candidate/estimate
+    # pipeline — cache the narrow 2-id rows instead
+    pairs = pairs.cache()
+    ids = (
+        pairs.select(F.col("doc_a").alias("_vid"))
+        .unionByName(pairs.select(F.col("doc_b").alias("_vid")))
+        .distinct()
+    )
     # shingling is the CPU-heavy part — spread a small-file corpus so
     # it doesn't run on one core (no-op when the scan is already wide)
-    ta = spread_small_input(
-        df.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("_ta"))
+    docs = spread_small_input(
+        df.select(F.col(id_col).alias("_vid"), F.col(text_col).alias("_vt"))
     )
-    tb = spread_small_input(
-        df.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("_tb"))
+    shingled = docs.join(ids, "_vid", "left_semi").select(
+        "_vid", char_shingles(F.col("_vt"), k).alias("_shs")
     )
-    shs = lambda c: F.array_distinct(char_shingles(c, k))  # noqa: E731
-    sets = (
-        pairs.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            shs(F.col("_ta")).alias("shs_a"),
-            shs(F.col("_tb")).alias("shs_b"),
-        )
+    sa = shingled.select(F.col("_vid").alias("doc_a"), F.col("_shs").alias("shs_a"))
+    sb = shingled.select(F.col("_vid").alias("doc_b"), F.col("_shs").alias("shs_b"))
+    sets = pairs.join(sa, "doc_a").join(sb, "doc_b").select(
+        "doc_a", "doc_b", "shs_a", "shs_b"
     )
     inter = F.size(F.array_intersect("shs_a", "shs_b"))
     jac = inter / (F.size("shs_a") + F.size("shs_b") - inter)
