@@ -292,7 +292,6 @@ def metadata_decode(df: DataFrame, data_col: str = "data") -> DataFrame:
         return frame.withColumns({k: v for k, v in cols.items()})
 
     c = F.col
-    s = stage(df, _L=F.length(d).cast("long"))
     # name / symbol / uri: length, bounds-ok, value, next offset.
     # KEY SIZE DISCIPLINE: every stage re-bases onto a SLICED column as
     # soon as the offset is variable, so no later expression carries a
@@ -300,28 +299,36 @@ def metadata_decode(df: DataFrame, data_col: str = "data") -> DataFrame:
     # tiny scalar expressions; offsets into `data` that chain through
     # earlier variable lengths are what made the optimizer tree explode
     # (each level multiplies its predecessor's subtree).
-    s = stage(s, _nl=le_u32_dyn(d, F.lit(65).cast("long")))
-    s = stage(s, _p2=F.lit(69) + c("_nl"))
-    s = stage(s, _sl=le_u32_dyn(d, c("_p2")))
-    s = stage(s, _p3=c("_p2") + 4 + c("_sl"))
-    s = stage(s, _ul=le_u32_dyn(d, c("_p3")))
-    s = stage(s, _p4=c("_p3") + 4 + c("_ul"))
+    #
+    # STAGE BUDGET: each expensive dynamic read (le_u32_dyn, substr_dyn,
+    # u8_at_dyn) gets a named column computed exactly once; the byte
+    # OFFSETS between them are flat lit+attribute sums (p2=69+_nl,
+    # p3=73+_nl+_sl, p4=77+_nl+_sl+_ul) and are inlined rather than
+    # staged — duplicating an attribute reference is free, and every
+    # avoided withColumns call is one less Project for the analyzer to
+    # walk (the ~20-stage round-3 shape spent ~0.7 s/invocation in
+    # planning; this 11-stage shape is the same dataflow).
+    p4 = F.lit(77) + c("_nl") + c("_sl") + c("_ul")
+    s = stage(df, _L=F.length(d).cast("long"), _nl=le_u32_dyn(d, F.lit(65).cast("long")))
+    s = stage(s, _sl=le_u32_dyn(d, F.lit(69) + c("_nl")))
+    s = stage(s, _ul=le_u32_dyn(d, F.lit(73) + c("_nl") + c("_sl")))
     s = stage(
         s,
         _raw_name=substr_dyn(d, F.lit(69).cast("long"), c("_nl")),
-        _raw_sym=substr_dyn(d, c("_p2") + 4, c("_sl")),
-        _raw_uri=substr_dyn(d, c("_p3") + 4, c("_ul")),
+        _raw_sym=substr_dyn(d, F.lit(73) + c("_nl"), c("_sl")),
+        _raw_uri=substr_dyn(d, F.lit(77) + c("_nl") + c("_sl"), c("_ul")),
         # everything after uri re-based: sfbp..creators-tag..count (9 B)
-        _mid=substr_dyn(d, c("_p4"), F.lit(9)),
-        _rest=c("_L") - c("_p4"),  # bytes available from _p4 on
+        _mid=substr_dyn(d, p4, F.lit(9)),
+        _rest=c("_L") - p4,  # bytes available from p4 on
+        _p4=p4,
     )
-    s = stage(s, _ctag=u8_at(c("_mid"), 2), _cnt=le_u32(c("_mid"), 3))
     # creators Option<Vec<Creator{32+1+1}>>: tag != 1 skips one byte
     # (the reference walk applies no tag validation either).
     # _o2r = offset of primary_sale_happened RELATIVE to _p4.
     s = stage(
         s,
-        _o2r=F.when(c("_ctag") == 1, F.lit(7) + c("_cnt") * 34).otherwise(F.lit(3)),
+        _o2r=F.when(u8_at(c("_mid"), 2) == 1, F.lit(7) + le_u32(c("_mid"), 3) * 34)
+        .otherwise(F.lit(3)),
     )
     # pm = psh+mut bytes; tail = extension region (≤ 38 B used; 40 is
     # enough for nonce(2) + token_standard(2) + collection(34) + slack)
@@ -336,8 +343,7 @@ def metadata_decode(df: DataFrame, data_col: str = "data") -> DataFrame:
     # probed offset is < 40. ``_dead`` mirrors the UDF's IndexError on
     # a truncated Some(edition_nonce), which aborts the remaining tail.
     t = c("_tail")
-    s = stage(s, _tl=F.length(t))
-    s = stage(s, _t1=u8_at(t, 0))
+    s = stage(s, _tl=F.length(t), _t1=u8_at(t, 0))
     s = stage(
         s,
         _dead=(c("_tl") >= 1) & (c("_t1") == 1) & (c("_tl") < 2),
@@ -374,11 +380,11 @@ def metadata_decode(df: DataFrame, data_col: str = "data") -> DataFrame:
         & (c("_L") >= 69)
         & (c("_nl") <= c("_L") - 69)
         & F.is_valid_utf8(c("_raw_name"))
-        & (c("_L") >= c("_p2") + 4)
-        & (c("_sl") <= c("_L") - c("_p2") - 4)
+        & (c("_L") >= F.lit(73) + c("_nl"))
+        & (c("_sl") <= c("_L") - 73 - c("_nl"))
         & F.is_valid_utf8(c("_raw_sym"))
-        & (c("_L") >= c("_p3") + 4)
-        & (c("_ul") <= c("_L") - c("_p3") - 4)
+        & (c("_L") >= F.lit(77) + c("_nl") + c("_sl"))
+        & (c("_ul") <= c("_L") - 77 - c("_nl") - c("_sl"))
         & F.is_valid_utf8(c("_raw_uri"))
         & (c("_rest") >= 3)
         & (c("_rest") >= c("_o2r") + 2)
