@@ -38,16 +38,25 @@ def main(argv: list[str] | None = None) -> int:
         "— the K4 plugin analog; runs executor-side per partition, like "
         "the reference's dlopen'd Geyser plugin receives the replay",
     )
+    p.add_argument(
+        "--geyser-so",
+        metavar="LIB.so[:CONFIG]",
+        help="push account records into a NATIVE plugin shared object "
+        "(C ABI, see streaming/plugin_abi.py PLUGIN_HEADER) — the "
+        "dlopen analog of the reference's Geyser loader "
+        "(geyser_plugin.rs:25-60); the full plugin lifecycle runs "
+        "executor-side once per partition",
+    )
     p.add_argument("--work-dir", metavar="DIR", help="scratch dir for archive extraction")
     p.add_argument("--cpus", type=int, default=None, help="local[] core count")
     args = p.parse_args(argv)
 
     outputs = (args.sqlite_out, args.parquet_out, args.csv_out,
-               args.programs_out, args.geyser)
+               args.programs_out, args.geyser, args.geyser_so)
     if not any(outputs):
         p.error(
             "pick at least one output: --sqlite-out / --parquet-out / "
-            "--csv-out / --programs-out / --geyser"
+            "--csv-out / --programs-out / --geyser / --geyser-so"
         )
 
     from solana_snapshot_etl_tools_spark.operators import sinks as K
@@ -89,6 +98,21 @@ def main(argv: list[str] | None = None) -> int:
 
         raw.foreachPartition(push_partition)
         report["geyser"] = {"consumer": args.geyser}
+    if args.geyser_so:
+        from solana_snapshot_etl_tools_spark.streaming.plugin_abi import (
+            native_plugin_consumer,
+        )
+
+        libpath, _, cfg = args.geyser_so.partition(":")
+        native = native_plugin_consumer(libpath, cfg or None)
+
+        def push_native(rows):
+            rows = list(rows)
+            if rows:
+                native(rows, 0)
+
+        raw.foreachPartition(push_native)
+        report["geyser_so"] = {"lib": libpath, "config": cfg or None}
     print(json.dumps(report))
     if not pre_existing:  # don't tear down a session we joined
         spark.stop()
