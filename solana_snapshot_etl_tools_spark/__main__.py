@@ -26,7 +26,17 @@ def main(argv: list[str] | None = None) -> int:
         prog="solana_snapshot_etl_tools_spark",
         description="ETL a Solana snapshot with Spark",
     )
-    p.add_argument("source", help="snapshot .tar/.tar.zst file, unpacked dir, or http(s) URL")
+    p.add_argument(
+        "source",
+        nargs="?",
+        help="snapshot .tar/.tar.zst file, unpacked dir, or http(s) URL",
+    )
+    p.add_argument(
+        "--emit-plugin-header",
+        action="store_true",
+        help="print the C header native --geyser-so plugins compile "
+        "against (spark_geyser_plugin.h) and exit",
+    )
     p.add_argument("--sqlite-out", metavar="DB", help="write the 5-table snapshot.db (reference parity)")
     p.add_argument("--parquet-out", metavar="DIR", help="write the 5 tables as parquet dirs (distributed)")
     p.add_argument("--csv-out", metavar="DIR", help="write the base58 account CSV (K1)")
@@ -50,6 +60,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--work-dir", metavar="DIR", help="scratch dir for archive extraction")
     p.add_argument("--cpus", type=int, default=None, help="local[] core count")
     args = p.parse_args(argv)
+
+    if args.emit_plugin_header:
+        from solana_snapshot_etl_tools_spark.streaming.plugin_abi import (
+            PLUGIN_HEADER,
+        )
+
+        print(PLUGIN_HEADER, end="")
+        return 0
+    if not args.source:
+        p.error("a snapshot source is required")
 
     outputs = (args.sqlite_out, args.parquet_out, args.csv_out,
                args.programs_out, args.geyser, args.geyser_so)

@@ -195,3 +195,10 @@ def test_consumer_is_picklable(stub_so, tmp_path):
 
     c = native_plugin_consumer(stub_so, str(tmp_path))
     assert pickle.loads(pickle.dumps(c)) is not None
+
+
+def test_cli_emits_plugin_header(capsys):
+    from solana_snapshot_etl_tools_spark.__main__ import main
+
+    assert main(["--emit-plugin-header"]) == 0
+    assert capsys.readouterr().out == PLUGIN_HEADER
