@@ -375,19 +375,22 @@ def minhash_lsh_pairs(
     and the estimate filter.
     """
     sig = minhash_signatures(df, id_col, text_col, k).cache()
-    # the band join's output lands AQE-coalesced by BYTES, which
-    # under-parallelizes the CPU-heavy per-pair array_intersect that
-    # follows (bytes under-estimate CPU; the static partition count
-    # can't see the runtime coalesce, so this must be an explicit
-    # repartition — a trivial shuffle of 2-id rows that pins the
-    # stage at core-count parallelism and disables the coalesce)
-    sc = df.sparkSession.sparkContext
+    # No explicit repartition of the candidate multiset: an earlier
+    # shape pinned core-count parallelism here because the inline
+    # shingle-per-pair verify downstream was CPU-heavy and AQE's
+    # byte-based coalescing under-parallelized it. The verify now
+    # shingles each candidate doc once (see _verify_pairs_against_docs)
+    # and the per-candidate work left in this stage is one
+    # array_intersect over n_hashes longs (~µs/row), so an AQE-coalesced
+    # ~64 MB partition of 2-id rows is seconds of CPU — acceptable task
+    # granularity at 100 TB, and the dropped shuffle is worth ~0.8 s at
+    # sf0.1 (measured 3.6 s → 2.8 s steady-state).
     cands = minhash_lsh_candidates(
         sig,
         max_bucket_size=max_bucket_size,
         hot_bucket_mode=hot_bucket_mode,
         observation=observation,
-    ).repartition(sc.defaultParallelism)
+    )
     sa = sig.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
     # positional agreement ≈ |array_intersect|: each position is salted
