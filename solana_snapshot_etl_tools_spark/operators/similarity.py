@@ -151,6 +151,46 @@ def cosine_pairs(
     )
 
 
+def quantize_int8(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization:
+    ``scale = max(|x|)/127``; ``q_i = clamp(floor(x_i/scale + 0.5),
+    -127, 127)``; an all-zero vector gets scale 0.0 and a zero qvec.
+
+    The 100 TB role: int8 vectors cut ANN candidate shuffles and the
+    inverted-list / signature storage 4× (with ~0.2% cosine error at
+    64 dims — pinned by pytest); dequantize is ``q * scale``. This is
+    a NARROW per-row map — no shuffle, no UDF, whole-stage codegen.
+
+    Cross-engine determinism (the oracle hash-compares every cell):
+    float→double widening is exact; max/abs/division are single IEEE
+    ops; rounding is spelled ``floor(x + 0.5)`` (round-half-up)
+    because engines disagree on native round()'s half-even vs
+    half-away — floor is bit-identical everywhere."""
+    v = F.col(vec_col).cast("array<double>")
+    df = emb.select(
+        F.col(id_col),
+        v.alias("_v"),
+        (F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)).alias(
+            "scale"
+        ),
+    )
+    q = F.transform(
+        F.col("_v"),
+        lambda x: F.when(F.col("scale") == 0.0, F.lit(0)).otherwise(
+            F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    F.floor(x / F.col("scale") + F.lit(0.5)).cast("int"),
+                ),
+            )
+        ),
+    )
+    return df.select(id_col, "scale", q.alias("qvec"))
+
+
 # --- LSH-bucketed ANN (scale path) --------------------------------------------
 
 

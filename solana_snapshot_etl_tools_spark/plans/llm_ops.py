@@ -405,8 +405,33 @@ WHERE quality > 0.5 AND lang_pred = 'en'
 """
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """Int8 scalar quantization of the embedding table — the standard
+    4× memory/shuffle reduction step ahead of large-scale ANN. Narrow
+    per-row map; oracle hash-checks every quantized component."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.quantize_int8(emb, "vec_id", "embedding")
+
+
+EMBEDDING_QUANTIZE_SQL = """
+WITH s AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+  FROM embeddings
+)
+SELECT vec_id, scale,
+  list_transform(ve, x -> CASE WHEN scale = 0 THEN 0
+    ELSE greatest(-127, least(127, CAST(floor(x / scale + 0.5) AS INT)))
+    END) AS qvec
+FROM s
+"""
+
+
 QUERIES = {
     "pipeline_clean_corpus": q_clean_corpus,
+    "embedding_quantize_int8": q_embedding_quantize,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard_ngram": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -425,6 +450,7 @@ QUERIES = {
 
 ORACLES = {
     "pipeline_clean_corpus": CLEAN_CORPUS_SQL,
+    "embedding_quantize_int8": EMBEDDING_QUANTIZE_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_jaccard_ngram": _JACCARD_SQL,
     "dedup_minhash_lsh": _jaccard_sql(5),
