@@ -134,6 +134,60 @@ def jaccard_pairs(
     return _verify_pairs_against_docs(cands, df, id_col, text_col, k, threshold)
 
 
+# --- exact duplicate-substring statistics ------------------------------------
+
+
+def dup_span_stats(
+    df: DataFrame, id_col: str, text_col: str, k: int = 50
+) -> DataFrame:
+    """Per-doc exact duplicate-substring statistics — the substring-
+    level dedup primitive (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better": duplicated ≥k-char spans across
+    docs): for each doc with ≥k chars, the count and fraction of its
+    distinct k-char windows (lowercased) that also occur in at least
+    one other doc.
+
+    Scale shape: the window explode is NARROW; windows are xxhash64'd
+    to 8-byte keys before any shuffle, so the distinct / frequency /
+    rejoin stages move longs, never 50-char strings — at 100 TB the
+    wide stages carry ~8 bytes per window instead of ~50+. No
+    quadratic stage: doc-frequency is one groupBy, membership one
+    equi-join. (The DuckDB oracle compares raw substrings — agreement
+    is exact unless xxhash64 collides inside the corpus, which the
+    hash-checked gate would expose.)"""
+    t = F.lower(F.col(text_col))
+    wins = F.transform(
+        F.sequence(F.lit(1), F.length(t) - (k - 1)),
+        lambda i: F.xxhash64(F.substring(t, i, k)),
+    )
+    w = (
+        df.filter(F.length(t) >= k)
+        .select(F.col(id_col).alias("doc"), F.explode(wins).alias("wh"))
+        .distinct()
+    )
+    sizes = w.groupBy("doc").agg(F.count(F.lit(1)).alias("n_windows"))
+    shared = (
+        w.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("nd"))  # post-distinct: nd = n docs
+        .filter(F.col("nd") >= 2)
+        .select("wh")
+    )
+    per_doc = w.join(shared, "wh").groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    return (
+        sizes.join(per_doc, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_windows",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared_windows"),
+            (F.coalesce("n_shared", F.lit(0)) / F.col("n_windows")).alias(
+                "dup_frac"
+            ),
+        )
+    )
+
+
 # --- hot-bucket cap -------------------------------------------------------------
 
 # Banded candidate joins are quadratic *within* a (band, bh) bucket: a

@@ -405,6 +405,30 @@ WHERE quality > 0.5 AND lang_pred = 'en'
 """
 
 
+def q_dup_span_stats(spark, sf_dir):
+    """Exact duplicate-substring stats (k=50 spans shared across
+    docs) — the substring-level dedup signal exact/minhash doc-level
+    dedup can't see. Windows hash to longs before the wide stages."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.dup_span_stats(docs, "doc_id", "text", k=50)
+
+
+DUP_SPAN_SQL = """
+WITH d AS (SELECT doc_id, lower(text) t FROM documents
+           WHERE length(lower(text)) >= 50),
+w AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT)+1, 50) sub
+      FROM d, unnest(range(length(t)-49)) AS u(i)),
+sz AS (SELECT doc_id, count(*) n_windows FROM w GROUP BY 1),
+freq AS (SELECT sub, count(*) nd FROM w GROUP BY 1),
+sh AS (SELECT w.doc_id, count(*) n_shared
+       FROM w JOIN freq USING (sub) WHERE nd >= 2 GROUP BY 1)
+SELECT sz.doc_id, n_windows,
+       COALESCE(n_shared, 0) AS n_shared_windows,
+       CAST(COALESCE(n_shared, 0) AS DOUBLE) / n_windows AS dup_frac
+FROM sz LEFT JOIN sh ON sz.doc_id = sh.doc_id
+"""
+
+
 def q_embedding_quantize(spark, sf_dir):
     """Int8 scalar quantization of the embedding table — the standard
     4× memory/shuffle reduction step ahead of large-scale ANN. Narrow
@@ -432,6 +456,7 @@ FROM s
 QUERIES = {
     "pipeline_clean_corpus": q_clean_corpus,
     "embedding_quantize_int8": q_embedding_quantize,
+    "dup_span_stats": q_dup_span_stats,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard_ngram": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -451,6 +476,7 @@ QUERIES = {
 ORACLES = {
     "pipeline_clean_corpus": CLEAN_CORPUS_SQL,
     "embedding_quantize_int8": EMBEDDING_QUANTIZE_SQL,
+    "dup_span_stats": DUP_SPAN_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_jaccard_ngram": _JACCARD_SQL,
     "dedup_minhash_lsh": _jaccard_sql(5),

@@ -222,3 +222,25 @@ def test_quantize_int8_roundtrip_bounds(spark):
             den += deq * deq
         if num and den:
             assert dot / math.sqrt(num * den) >= 0.999
+
+
+def test_dup_span_stats_planted_span(spark):
+    """A 60-char span planted in exactly two docs marks both (and only
+    them) as containing shared windows; disjoint-text docs get
+    dup_frac 0; sub-k docs emit no row."""
+    span = "the quick brown fox jumps over the lazy dog again and again!"
+    assert len(span) == 60
+    rows = [
+        (1, "A" * 30 + span + "B" * 30),
+        (2, "C" * 25 + span + "D" * 40),
+        (3, "x" * 120 + "y" * 80),
+        (4, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in DD.dup_span_stats(df, "doc_id", "text", k=50).collect()}
+    assert set(out) == {1, 2, 3}  # doc 4 < 50 chars: no row
+    # the planted span yields 11 shared 50-char windows per doc
+    assert out[1].n_shared_windows == 11
+    assert out[2].n_shared_windows == 11
+    assert out[3].n_shared_windows == 0 and out[3].dup_frac == 0.0
+    assert 0 < out[1].dup_frac < 1
