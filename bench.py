@@ -40,6 +40,8 @@ HEADLINE = [
     "ann_cosine_ivf",
     "text_metrics",
     "doc_fingerprint",
+    "embedding_quantize_int8",
+    "dup_span_stats",
 ]
 
 

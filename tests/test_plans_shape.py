@@ -129,3 +129,19 @@ def test_lsh_ann_candidate_dedup_carries_ids_only(spark):
     # the dedup is a two-key hash aggregate over the id pair
     assert re.search(r"Keys \[2\]: \[query_id#\d+\w*, neighbor_id#\d+", p), p
     assert "BroadcastHashJoin" in p  # query vectors rejoin broadcast
+
+
+def test_dup_span_shuffles_carry_hashes_not_text(spark):
+    """dup_span_stats claims its wide stages move 8-byte window hashes,
+    never the k-char strings: no Exchange in the plan may carry a
+    string-typed window column, and xxhash64 must sit below the first
+    shuffle."""
+    from solana_snapshot_etl_tools_spark.operators import dedup as DD
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = _plan(DD.dup_span_stats(df, "doc_id", "text", k=50))
+    assert "xxhash64" in p
+    # every Exchange's output columns must be numeric (doc/wh/counts)
+    for line in p.splitlines():
+        if "Exchange" in line and "hashpartitioning" in line:
+            assert "string" not in line, f"text column in shuffle: {line}"
