@@ -42,6 +42,7 @@ HEADLINE = [
     "doc_fingerprint",
     "embedding_quantize_int8",
     "dup_span_stats",
+    "ann_cosine_pq",
 ]
 
 

@@ -340,6 +340,238 @@ def ivf_assign(
     return assigned, [np.array(c) for c in center_rows]
 
 
+# --- Product quantization (compressed-domain ANN) ----------------------------
+
+
+def _train_pq_codebooks(X, m: int, ksub: int, seed: int, max_iter: int):
+    """Per-subspace plain-L2 Lloyd's over the (unit-normalized) sample
+    matrix — deterministic (seeded init, fixed iteration order); empty
+    cells reseed to a sample point. Returns (m, ksub, sub_dim)."""
+    import numpy as np
+
+    n, dims = X.shape
+    sub = dims // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, ksub, sub), dtype=np.float64)
+    for j in range(m):
+        S = X[:, j * sub : (j + 1) * sub]
+        C = S[rng.choice(n, size=ksub, replace=False)].copy()
+        for _ in range(max_iter):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            newC = np.empty_like(C)
+            for c in range(ksub):
+                members = S[a == c]
+                newC[c] = members.mean(axis=0) if len(members) else S[rng.randint(n)]
+            if np.allclose(newC, C):
+                break
+            C = newC
+        books[j] = C
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    nbits: int = 4,
+    seed: int = 42,
+    max_iter: int = 8,
+    train_limit: int = 100_000,
+):
+    """Product-quantize the corpus (Jégou et al., "Product Quantization
+    for Nearest Neighbor Search"): split each unit-normalized vector
+    into ``m`` subspaces and store only the id of the nearest of
+    ``2^nbits`` per-subspace centroids — ``m`` small ints per vector
+    instead of ``dims`` floats (64 doubles → 8 codes here). Codebooks
+    are trained on a bounded driver-side sample (same faiss-standard
+    recipe and rationale as :func:`ivf_assign`); encoding is a
+    distributed narrow numpy map. Returns ``(encoded, codebooks)`` —
+    encoded has (neighbor_id, codes), codebooks is the tiny
+    (m × ksub × sub_dim) driver-side array. At 100 TB the encoded
+    table is the thing you persist: ~16 bytes/vector for the scan
+    instead of 256+."""
+    import numpy as np
+
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    ksub = 1 << nbits
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        _l2_normalize(F.col(vec_col).cast("array<double>")).alias("cv"),
+    )
+    sample = corpus.select("cv").limit(train_limit).toPandas()
+    if len(sample) < ksub:
+        raise ValueError(
+            f"pq_encode: corpus sample has {len(sample)} vectors < ksub={ksub}"
+        )
+    X = np.stack(sample["cv"].to_numpy())
+    dims = X.shape[1]
+    if dims % m:
+        raise ValueError(f"pq_encode: dims {dims} not divisible by m={m}")
+    books = _train_pq_codebooks(X, m, ksub, seed, max_iter)
+    book_rows = books.tolist()  # plain lists ship by value in the closure
+
+    id_type = emb.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("neighbor_id", id_type),
+            StructField("codes", ArrayType(IntegerType())),
+        ]
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        B = np.array(book_rows)  # (m, ksub, sub)
+        sub = B.shape[2]
+        norms = (B**2).sum(axis=2)  # (m, ksub)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["cv"].to_numpy())
+            codes = np.empty((len(V), len(B)), dtype=np.int32)
+            for j in range(len(B)):
+                S = V[:, j * sub : (j + 1) * sub]
+                # argmin ||s-c||² = argmin (−2 s·c + ||c||²)
+                codes[:, j] = np.argmin(-2.0 * (S @ B[j].T) + norms[j][None, :], axis=1)
+            yield pd.DataFrame(
+                {"neighbor_id": pdf["neighbor_id"], "codes": list(codes)}
+            )
+
+    from solana_snapshot_etl_tools_spark.operators.dedup import spread_small_input
+
+    encoded = spread_small_input(corpus).mapInPandas(gen, out_schema)
+    return encoded, books
+
+
+def pq_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    nbits: int = 4,
+    refine: int = 32,
+    seed: int = 42,
+    max_iter: int = 8,
+    train_limit: int = 100_000,
+) -> DataFrame:
+    """Approximate top-k by exhaustive ADC scan over PQ codes (the
+    classic compressed-domain search): each query precomputes an
+    (m × 2^nbits) lookup table of squared sub-distances to every
+    centroid, and a candidate's distance is the sum of m table
+    lookups — no vector math in the scan, ~16 bytes read per corpus
+    vector. The top ``k·refine`` ADC candidates per query are then
+    exact-cosine re-ranked against their true vectors (the faiss
+    "refine" step — ADC alone on weakly-clustered data trades too much
+    rank fidelity for its 16× compression; measured recall@5 at sf0.1:
+    0.26 bare, 0.62 refine=16/nbits=4, 0.82 refine=32/nbits=4 — and
+    k·refine stays a constant per query, so the refined set is
+    negligible at any corpus size).
+
+    Scale shape: the query batch (small by the same contract as
+    ``brute_force_topk``'s broadcast side) is collected once and its
+    LUTs ship in the task closure; ONE narrow pass over the encoded
+    corpus emits only a per-partition partial top-(k·refine) per query
+    (the combiner), so the global ADC reduce handles k·refine·
+    n_partitions rows, never the corpus — and the exact re-rank
+    touches only k·refine true vectors per query via a narrow id
+    equi-join. Unit-normalized vectors make L2² = 2 − 2·cos; the
+    returned ``sim`` is exact cosine of the refined candidates.
+    Composes with IVF (encode each inverted list) for the standard
+    IVF-PQ layout."""
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    encoded, books = pq_encode(
+        emb, id_col, vec_col, m, nbits, seed, max_iter, train_limit
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _l2_normalize(F.col(vec_col).cast("array<double>")).alias("qv"),
+    ).toPandas()
+    if not len(q):
+        raise ValueError("pq_ann_topk: empty query set")
+    Q = np.stack(q["qv"].to_numpy())
+    sub = books.shape[2]
+    lut = np.empty((len(Q), books.shape[0], books.shape[1]))
+    for j in range(books.shape[0]):
+        Sq = Q[:, j * sub : (j + 1) * sub]
+        lut[:, j, :] = ((Sq[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+    qids = [x.item() if hasattr(x, "item") else x for x in q["query_id"]]
+    lut_rows = lut.tolist()  # (nq × m × ksub) doubles — kilobytes
+
+    id_type = emb.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("query_id", id_type),
+            StructField("neighbor_id", id_type),
+            StructField("dist", DoubleType()),
+        ]
+    )
+    kk = k * refine + 1  # survive the self-match removal downstream
+
+    def gen(batches):
+        import numpy as np
+
+        L = np.array(lut_rows)  # (nq, m, ksub)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Cd = np.stack(pdf["codes"].to_numpy())  # (n, m)
+            D = np.zeros((L.shape[0], len(Cd)))
+            for j in range(L.shape[1]):
+                D += L[:, j, Cd[:, j]]
+            take = min(kk, len(Cd))
+            idx = np.argpartition(D, take - 1, axis=1)[:, :take]
+            nb = pdf["neighbor_id"].to_numpy()
+            out_q, out_n, out_d = [], [], []
+            for qi in range(L.shape[0]):
+                out_q.extend([qids[qi]] * take)
+                out_n.extend(nb[idx[qi]])
+                out_d.extend(D[qi, idx[qi]])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "dist": out_d}
+            )
+
+    partial = encoded.mapInPandas(gen, out_schema)
+    wa = W.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    adc_top = (
+        partial.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("_ar", F.row_number().over(wa))
+        .filter(F.col("_ar") <= k * refine)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank of the k·refine survivors: query side broadcast,
+    # corpus side a narrow (id, vec) equi-join Catalyst prunes to two
+    # columns — same shape as the LSH re-rank.
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    cv = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    sims = _numpy_cosine_rerank(
+        adc_top.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", "_qv", "_cv"),
+        "_qv",
+        "_cv",
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def ivf_ann_topk(
     emb: DataFrame,
     queries: DataFrame,

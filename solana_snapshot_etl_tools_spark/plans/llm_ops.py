@@ -405,6 +405,15 @@ WHERE quality > 0.5 AND lang_pred = 'en'
 """
 
 
+def q_ann_pq(spark, sf_dir):
+    """PQ compressed-domain ANN (ADC scan + exact refine). Codebooks /
+    codes are engine-specific (seeded k-means) → rows-only check;
+    recall pinned by pytest against the exact brute force."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.pq_ann_topk(emb, queries, k=5)
+
+
 def q_dup_span_stats(spark, sf_dir):
     """Exact duplicate-substring stats (k=50 spans shared across
     docs) — the substring-level dedup signal exact/minhash doc-level
@@ -464,6 +473,7 @@ QUERIES = {
     "ann_cosine_topk": q_ann_topk,
     "ann_cosine_lsh": q_ann_lsh,
     "ann_cosine_ivf": q_ann_ivf,
+    "ann_cosine_pq": q_ann_pq,
     "embedding_cosine_pairs": q_cosine_pairs,
     "text_metrics": q_text_metrics,
     "lang_id": q_lang_id,
