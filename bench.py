@@ -43,6 +43,7 @@ HEADLINE = [
     "embedding_quantize_int8",
     "dup_span_stats",
     "ann_cosine_pq",
+    "ann_cosine_ivf_pq",
 ]
 
 

@@ -539,6 +539,23 @@ def pq_ann_topk(
             )
 
     partial = encoded.mapInPandas(gen, out_schema)
+    return _adc_refine_tail(partial, emb, queries, id_col, vec_col, k, refine)
+
+
+def _adc_refine_tail(
+    partial: DataFrame,
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    refine: int,
+) -> DataFrame:
+    """Shared tail of the PQ search paths: global ADC top-(k·refine)
+    cut of the per-partition partial candidates, then exact-cosine
+    re-rank of only those survivors — query side broadcast, corpus
+    side a narrow (id, vec) equi-join Catalyst prunes to two columns
+    (same shape as the LSH re-rank)."""
     wa = W.partitionBy("query_id").orderBy("dist", "neighbor_id")
     adc_top = (
         partial.filter(F.col("query_id") != F.col("neighbor_id"))
@@ -546,9 +563,6 @@ def pq_ann_topk(
         .filter(F.col("_ar") <= k * refine)
         .select("query_id", "neighbor_id")
     )
-    # exact re-rank of the k·refine survivors: query side broadcast,
-    # corpus side a narrow (id, vec) equi-join Catalyst prunes to two
-    # columns — same shape as the LSH re-rank.
     qv = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qv"),
@@ -570,6 +584,179 @@ def pq_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def ivf_pq_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    nbits: int = 4,
+    refine: int = 32,
+    seed: int = 42,
+    max_iter: int = 8,
+    train_limit: int = 100_000,
+) -> DataFrame:
+    """IVF-PQ — the standard billion-scale ANN layout (faiss IVFPQ):
+    IVF prunes WHICH vectors are scanned (the probed n_probe/n_lists
+    fraction of the corpus; partition-prunable when the coded table is
+    written ``partitionBy(list_id)``), PQ shrinks WHAT is read per
+    scanned vector (m small codes, not dims floats), and the exact
+    refine restores rank fidelity on the k·refine survivors.
+
+    One corpus pass assigns the inverted list AND the PQ codes (both
+    codebooks ship in the closure — kilobytes); the query batch is
+    collected once (same small-batch contract as ``brute_force_topk``)
+    and yields both the driver-side probe list and the ADC LUTs, so
+    probing adds no distributed stages at all. Candidates come from an
+    equi-join of the tiny (query, list) probe table against the coded
+    corpus on list_id; ADC distances are LUT lookups vectorized per
+    Arrow batch with a per-batch partial top-(k·refine) combiner."""
+    import numpy as np
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    ksub = 1 << nbits
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        _l2_normalize(F.col(vec_col).cast("array<double>")).alias("cv"),
+    )
+    sample = corpus.select("cv").limit(train_limit).toPandas()
+    if len(sample) < max(n_lists, ksub):
+        raise ValueError(
+            f"ivf_pq_ann_topk: corpus sample has {len(sample)} vectors < "
+            f"max(n_lists, ksub)={max(n_lists, ksub)}"
+        )
+    X = np.stack(sample["cv"].to_numpy())
+    dims = X.shape[1]
+    if dims % m:
+        raise ValueError(f"ivf_pq_ann_topk: dims {dims} not divisible by m={m}")
+    C = _train_coarse_quantizer(X, n_lists, seed, max_iter)
+    # decorrelate the sub-quantizers from the coarse one
+    books = _train_pq_codebooks(X, m, ksub, seed + 1, max_iter)
+    C_rows, book_rows = C.tolist(), books.tolist()
+
+    id_type = emb.schema[id_col].dataType
+    coded_schema = StructType(
+        [
+            StructField("neighbor_id", id_type),
+            StructField("list_id", IntegerType()),
+            StructField("codes", ArrayType(IntegerType())),
+        ]
+    )
+
+    def gen_code(batches):
+        import numpy as np
+
+        Cw = np.array(C_rows)
+        B = np.array(book_rows)
+        sub = B.shape[2]
+        norms = (B**2).sum(axis=2)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["cv"].to_numpy())
+            lids = np.argmax(V @ Cw.T, axis=1).astype("int32")
+            codes = np.empty((len(V), len(B)), dtype=np.int32)
+            for j in range(len(B)):
+                S = V[:, j * sub : (j + 1) * sub]
+                codes[:, j] = np.argmin(
+                    -2.0 * (S @ B[j].T) + norms[j][None, :], axis=1
+                )
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"],
+                    "list_id": lids,
+                    "codes": list(codes),
+                }
+            )
+
+    from solana_snapshot_etl_tools_spark.operators.dedup import spread_small_input
+
+    coded = spread_small_input(corpus).mapInPandas(gen_code, coded_schema)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _l2_normalize(F.col(vec_col).cast("array<double>")).alias("qv"),
+    ).toPandas()
+    if not len(q):
+        raise ValueError("ivf_pq_ann_topk: empty query set")
+    Q = np.stack(q["qv"].to_numpy())
+    qids = [x.item() if hasattr(x, "item") else x for x in q["query_id"]]
+    # driver-side probe: n_probe nearest centroids per query (stable
+    # argsort = deterministic list-id tiebreak)
+    d2c = ((Q[:, None, :] - np.array(C_rows)[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(d2c, kind="stable", axis=1)[:, :n_probe]
+    spark = emb.sparkSession
+    probe_df = spark.createDataFrame(
+        [(qids[i], int(l)) for i in range(len(qids)) for l in probes[i]],
+        StructType(
+            [
+                StructField("query_id", id_type),
+                StructField("list_id", IntegerType()),
+            ]
+        ),
+    )
+
+    sub = books.shape[2]
+    lut = np.empty((len(Q), m, ksub))
+    for j in range(m):
+        Sq = Q[:, j * sub : (j + 1) * sub]
+        lut[:, j, :] = ((Sq[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+    lut_rows = lut.tolist()
+    qpos = {qid: i for i, qid in enumerate(qids)}
+    kk = k * refine + 1
+
+    adc_schema = StructType(
+        [
+            StructField("query_id", id_type),
+            StructField("neighbor_id", id_type),
+            StructField("dist", DoubleType()),
+        ]
+    )
+
+    def gen_adc(batches):
+        import numpy as np
+
+        L = np.array(lut_rows)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Cd = np.stack(pdf["codes"].to_numpy())
+            qidx = pdf["query_id"].map(qpos).to_numpy()
+            D = np.zeros(len(Cd))
+            for j in range(L.shape[1]):
+                D += L[qidx, j, Cd[:, j]]
+            out = pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "dist": D,
+                }
+            )
+            yield (
+                out.sort_values(["query_id", "dist"])
+                .groupby("query_id", sort=False)
+                .head(kk)
+            )
+
+    cand = (
+        probe_df.join(coded, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "codes")
+    )
+    partial = cand.mapInPandas(gen_adc, adc_schema)
+    return _adc_refine_tail(partial, emb, queries, id_col, vec_col, k, refine)
 
 
 def ivf_ann_topk(

@@ -414,6 +414,15 @@ def q_ann_pq(spark, sf_dir):
     return SIM.pq_ann_topk(emb, queries, k=5)
 
 
+def q_ann_ivf_pq(spark, sf_dir):
+    """IVF-PQ composed layout (faiss IVFPQ analog): list-pruned scan
+    over PQ codes + exact refine. Rows-only (seeded k-means both
+    levels); recall pinned by pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.ivf_pq_ann_topk(emb, queries, k=5)
+
+
 def q_dup_span_stats(spark, sf_dir):
     """Exact duplicate-substring stats (k=50 spans shared across
     docs) — the substring-level dedup signal exact/minhash doc-level
@@ -474,6 +483,7 @@ QUERIES = {
     "ann_cosine_lsh": q_ann_lsh,
     "ann_cosine_ivf": q_ann_ivf,
     "ann_cosine_pq": q_ann_pq,
+    "ann_cosine_ivf_pq": q_ann_ivf_pq,
     "embedding_cosine_pairs": q_cosine_pairs,
     "text_metrics": q_text_metrics,
     "lang_id": q_lang_id,

@@ -289,3 +289,23 @@ def test_pq_encode_guards(spark):
         SIM.pq_encode(emb, m=7)
     with _pytest.raises(ValueError, match="sample has"):
         SIM.pq_encode(emb.limit(3), nbits=4)
+
+
+def test_ivf_pq_ann_recall_vs_exact(spark):
+    """IVF-PQ composes both approximations (25% list scan × 32-bit
+    codes), so recall compounds — the refine step must still keep a
+    usable share of the exact top-k, and every query returns exactly
+    k ranked rows with exact-cosine sims."""
+    emb = _t(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.brute_force_topk(emb, queries, k=5).collect()
+    }
+    rows = SIM.ivf_pq_ann_topk(emb, queries, k=5).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF-PQ recall too low: {recall}"
+    from collections import Counter
+
+    assert all(v == 5 for v in Counter(r.query_id for r in rows).values())
