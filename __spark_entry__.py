@@ -24,7 +24,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Registration order matters: the verification driver checks queries in
-# declaration order with a cap of 50 per round (of 75 declared), so the
+# declaration order with a cap of 50 per round (of 77 declared), so the
 # front of the list rotates each round to keep consecutive-round unions
 # covering all queries with the stalest rows refreshed.
 #
@@ -35,7 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # candidate dedup on ids, re-rank path), etl_token_metadata (staged
 # projection merge), and the composite pipeline that embeds the capped
 # dedup. The relational/window core checked green in round 3 with
-# unchanged code sits last. r03 ∪ r04 again covers all 75.
+# unchanged code sits last. r03 ∪ r04 again covers all 77.
 _FRONT = [
     # r02-only green rows — stalest, refresh first
     "q1_pricing_summary",
@@ -74,6 +74,8 @@ _FRONT = [
     "dup_span_stats",  # NEW round 4 — needs its first row
     "ann_cosine_pq",  # NEW round 4 — needs its first row
     "ann_cosine_ivf_pq",  # NEW round 4 — needs its first row
+    "dedup_components",  # NEW round 4 — needs its first row
+    "chunk_documents",  # NEW round 4 — needs its first row
     "etl_token_metadata",
     "etl_offchain_uri",
     # fixture-fed decode family: unchanged code but shares fixture +

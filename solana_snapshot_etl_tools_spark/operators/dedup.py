@@ -134,6 +134,68 @@ def jaccard_pairs(
     return _verify_pairs_against_docs(cands, df, id_col, text_col, k, threshold)
 
 
+# --- near-dup clustering: pairs → components → keep decision ------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Turn a near-dup PAIR list into the dedup DECISION table: every
+    doc mapped to its component's minimum id (``keep_id``); docs in no
+    pair keep themselves. Hash-min label propagation over DataFrames —
+    each iteration is one equi-join + one min-aggregate, converging in
+    O(graph diameter) rounds (boilerplate families are stars via the
+    hot-bucket cap, so 2-3 rounds in practice); no driver-side graph,
+    no GraphFrames dependency. Raises if ``max_iter`` rounds don't
+    converge (a pathological path graph) rather than returning a
+    silently-wrong table.
+
+    The per-round ``count()`` action is the convergence check — one
+    tiny job per round over the label frame (2 longs per doc)."""
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        df.select(F.col(id_col).alias("a"), F.col(id_col).alias("lbl"))
+        .distinct()
+        .cache()
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.select(F.col("a").alias("b"), "lbl"), "b"
+        ).select("a", "lbl")
+        new_labels = (
+            labels.unionByName(nbr).groupBy("a").agg(F.min("lbl").alias("lbl"))
+        ).cache()
+        # min-propagation is monotone: any change strictly lowers a label
+        changed = (
+            new_labels.join(
+                labels.select("a", F.col("lbl").alias("old")), "a"
+            )
+            .filter(F.col("lbl") < F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components: no convergence in {max_iter} rounds "
+            "(graph diameter exceeds max_iter)"
+        )
+    edges.unpersist()
+    return labels.select(F.col("a").alias(id_col), F.col("lbl").alias("keep_id"))
+
+
 # --- exact duplicate-substring statistics ------------------------------------
 
 

@@ -81,6 +81,41 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return DD.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8, k=5)
 
 
+def q_dedup_components(spark, sf_dir):
+    """The dedup DECISION table: MinHash-LSH pairs → connected
+    components → (doc_id, keep_id). Oracle = the same pair set closed
+    transitively with a recursive CTE — checks the distributed label
+    propagation reaches the exact same components."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8, k=5)
+    return DD.connected_components(pairs, docs, "doc_id")
+
+
+DEDUP_COMPONENTS_SQL = """
+WITH RECURSIVE
+docs AS (SELECT doc_id, lower(text) t FROM documents),
+g AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT)+1, 5) sh
+      FROM docs, unnest(range(length(t)-4)) AS u(i)),
+sz AS (SELECT doc_id, count(*) n FROM g GROUP BY 1),
+jp AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter
+       FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b FROM jp
+  JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+  WHERE CAST(inter AS DOUBLE)/(x.n + y.n - inter) > 0.8),
+edges AS (SELECT doc_a a, doc_b b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+walk(s, d) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT w.s, e.b FROM walk w JOIN edges e ON w.d = e.a),
+comp AS (SELECT s AS doc_id, min(d) AS keep_id FROM walk GROUP BY 1)
+SELECT d.doc_id, COALESCE(c.keep_id, d.doc_id) AS keep_id
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup candidates (hamming ≤ 5). Sketches use Spark's
     xxhash64 — not reproducible in DuckDB → rows-only check; recall
@@ -447,6 +482,43 @@ FROM sz LEFT JOIN sh ON sz.doc_id = sh.doc_id
 """
 
 
+def q_chunk_documents(spark, sf_dir, chunk_chars: int = 200, overlap: int = 40):
+    """Fixed-size overlapping character chunks — the pre-tokenization
+    sharding primitive for long-document training pipelines (feeds
+    ``write_training_shards``). Chunk i starts at i·step (step =
+    chunk_chars − overlap); a chunk is emitted iff it adds content
+    past the previous chunk's end, so count = max(1,
+    ⌈(len−overlap)/step⌉) — spelled with integer div so both engines
+    agree exactly. Narrow explode, no shuffle, no UDF."""
+    step = chunk_chars - overlap
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n = F.expr(
+        f"greatest((length(text) - {overlap} + {step - 1}) div {step}, 1)"
+    ).cast("int")
+    t = F.col("text")
+    chunk = lambda i: t.substr(i * step + 1, F.lit(chunk_chars))  # noqa: E731
+    return docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), n - 1)).alias("chunk_id"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        chunk(F.col("chunk_id")).alias("chunk"),
+        F.length(chunk(F.col("chunk_id"))).cast("long").alias("n_chunk_chars"),
+    )
+
+
+CHUNK_DOCUMENTS_SQL = """
+SELECT doc_id, CAST(i AS INT) AS chunk_id,
+       substr(text, CAST(i AS INT)*160 + 1, 200) AS chunk,
+       length(substr(text, CAST(i AS INT)*160 + 1, 200)) AS n_chunk_chars
+FROM documents,
+     unnest(range(greatest((length(text) - 40 + 159) // 160, 1))) AS u(i)
+WHERE length(text) > 0
+"""
+
+
 def q_embedding_quantize(spark, sf_dir):
     """Int8 scalar quantization of the embedding table — the standard
     4× memory/shuffle reduction step ahead of large-scale ANN. Narrow
@@ -478,6 +550,8 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard_ngram": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_components": q_dedup_components,
+    "chunk_documents": q_chunk_documents,
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_topk,
     "ann_cosine_lsh": q_ann_lsh,
@@ -500,6 +574,8 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_jaccard_ngram": _JACCARD_SQL,
     "dedup_minhash_lsh": _jaccard_sql(5),
+    "dedup_components": DEDUP_COMPONENTS_SQL,
+    "chunk_documents": CHUNK_DOCUMENTS_SQL,
     # dedup_simhash / ann_cosine_lsh / ann_cosine_ivf: rows-only
     # (engine-specific hashes / cluster assignments)
     "ann_cosine_topk": ANN_TOPK_SQL,

@@ -309,3 +309,23 @@ def test_ivf_pq_ann_recall_vs_exact(spark):
     from collections import Counter
 
     assert all(v == 5 for v in Counter(r.query_id for r in rows).values())
+
+
+def test_connected_components_topologies(spark):
+    """Label propagation must close chains transitively (a path graph
+    is the slow-convergence worst case), keep singletons as their own
+    keep_id, and raise rather than return wrong labels when max_iter
+    is too small for the diameter."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 11)], "doc_id long, text string"
+    )
+    # path 1-2-3-4-5 plus pair 7-8; 6, 9, 10 singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (7, 8)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r.keep_id for r in DD.connected_components(pairs, docs, "doc_id").collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 7: 7, 8: 7, 6: 6, 9: 9, 10: 10}
+    with _pytest.raises(RuntimeError, match="convergence"):
+        DD.connected_components(pairs, docs, "doc_id", max_iter=1)
