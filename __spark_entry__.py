@@ -98,12 +98,16 @@ _FRONT = [
     "media_meta",
     "media_frame_sample",
     "media_features",
-    # r03-green, untouched this round — rotate past the cap:
+    # r03-green, untouched this round — rotate past the 50 cap. With 77
+    # declared, the cap now lands mid-list: stream_block_metadata,
+    # stream_tx_filtered/nested and media_* above also fall past it
+    # (all r03-green, code unchanged). Plus, unlisted:
     # window_running/rank_ties/moving/values, setops, scalar/string/
     # date_funcs, json_extract, distinct_topk, above_avg_orders,
     # top_supplier_per_nation, exists/in_subquery, conditional_agg,
     # explode_tokens, null_handling, limit_offset, bigram_stats,
-    # sample_balanced_lang, doc_fingerprint
+    # sample_balanced_lang, doc_fingerprint. Round 5 must front-load
+    # ALL of these (~27) first.
 ]
 
 
