@@ -44,6 +44,7 @@ HEADLINE = [
     "dup_span_stats",
     "ann_cosine_pq",
     "ann_cosine_ivf_pq",
+    "chunk_documents",
 ]
 
 
