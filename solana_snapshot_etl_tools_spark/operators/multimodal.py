@@ -7,14 +7,15 @@ feature extraction. The actual codec step is pluggable, three tiers:
 
 - the deterministic FAKE codec (``FIMG``/``FAUD``/``FVID`` headers,
   fixtures.py) exercises the full path with value-level oracles;
-- the STD codec (``codec="std"``) REALLY decodes the two formats that
-  need no external library: RIFF/WAVE PCM audio and uncompressed BMP
-  images, parsed from the published byte layouts (falls back to the
-  fake containers so mixed corpora decode in one pass);
-- compressed formats (PNG/JPEG/MP3/MP4) are gated behind import —
-  PIL / soundfile / av are not in this container, so
-  ``codec="real"`` raises NotImplementedError naming the dependency,
-  per the build contract.
+- the STD codec (``codec="std"``) REALLY decodes the formats that
+  need no external library: RIFF/WAVE PCM audio, uncompressed BMP,
+  and (since round 4) 8-bit truecolor PNG — the inflate step is
+  stdlib zlib — parsed from the published byte layouts (falls back to
+  the fake containers so mixed corpora decode in one pass);
+- remaining compressed formats (JPEG/MP3/MP4, exotic PNG shapes) are
+  gated behind import — PIL / soundfile / av are not in this
+  container, so ``codec="real"`` raises NotImplementedError naming
+  the dependency, per the build contract.
 
 Scale notes: blobs never shuffle — every operator is a narrow map
 producing small typed rows; partition by (kind, bucket(media_id)) for
@@ -111,9 +112,10 @@ def parse_fake_media(blob: bytes):
 
 
 def parse_std_media(blob: bytes):
-    """REAL decode of the two library-free formats, from their public
-    byte layouts. Returns the same dict shape as parse_fake_media, or
-    None for anything else/malformed (skip-not-fail).
+    """REAL decode of the library-free formats (WAV, BMP, PNG), from
+    their public byte layouts. Returns the same dict shape as
+    parse_fake_media, or None for anything else/malformed
+    (skip-not-fail).
 
     RIFF/WAVE (PCM): 'RIFF' | riff_size u32 | 'WAVE' | chunks, where a
     chunk is id(4) | size u32 | data (word-aligned). The 'fmt ' chunk
@@ -124,7 +126,11 @@ def parse_std_media(blob: bytes):
     BMP (BITMAPINFOHEADER, uncompressed 24/32-bit): 'BM' | file_size
     u32 | reserved u32 | pixel_offset u32 | header_size u32 | width
     i32 | height i32 (negative = top-down) | planes u16 | bpp u16 |
-    compression u32 (0 = BI_RGB); rows are 4-byte aligned."""
+    compression u32 (0 = BI_RGB); rows are 4-byte aligned.
+
+    PNG (8-bit truecolor RGB/RGBA, non-interlaced) — see
+    :func:`_parse_png`; the inflate step is stdlib zlib, so this is the
+    one COMPRESSED format decodable with no external library."""
     try:
         if blob is None or len(blob) < 12:
             return None
@@ -153,6 +159,8 @@ def parse_std_media(blob: bytes):
                 n_samples=len(data) // block_align,
                 payload=data,
             )
+        if bytes(blob[:8]) == b"\x89PNG\r\n\x1a\n":
+            return _parse_png(bytes(blob))
         if bytes(blob[:2]) == b"BM" and len(blob) >= 54:
             (pixel_offset,) = struct.unpack_from("<I", blob, 10)
             header_size, width, height, _planes, bpp = struct.unpack_from(
@@ -176,6 +184,82 @@ def parse_std_media(blob: bytes):
         return None
     except (struct.error, IndexError):
         return None
+
+
+def _parse_png(blob: bytes):
+    """REAL PNG decode with nothing but the stdlib (zlib is the PNG
+    compression): signature | chunks (len u32 BE, type, data, crc) —
+    IHDR gives width/height/bit-depth/color-type; the concatenated
+    IDAT stream inflates to filter-prefixed scanlines which are
+    de-filtered per the spec (None/Sub/Up/Average/Paeth). Supports the
+    overwhelmingly-common shape: 8-bit, truecolor RGB/RGBA,
+    non-interlaced. Anything else → None (skip-not-fail), same
+    contract as the other std formats. Returns the raw de-filtered
+    pixel payload."""
+    import zlib
+
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(blob):
+        (clen,) = struct.unpack_from(">I", blob, pos)
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + clen]
+        if len(data) != clen:
+            return None
+        if ctype == b"IHDR":
+            ihdr = struct.unpack_from(">IIBBBBB", data, 0)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + data + crc
+    if ihdr is None or not idat:
+        return None
+    width, height, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or color_type not in (2, 6) or comp or filt or interlace:
+        return None
+    channels = 3 if color_type == 2 else 4
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = width * channels
+    if len(raw) != (stride + 1) * height or not width or not height:
+        return None
+    out = bytearray(stride * height)
+    prev = bytearray(stride)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if f == 1:  # Sub
+            for x in range(channels, stride):
+                row[x] = (row[x] + row[x - channels]) & 0xFF
+        elif f == 2:  # Up
+            for x in range(stride):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = row[x - channels] if x >= channels else 0
+                row[x] = (row[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = row[x - channels] if x >= channels else 0
+                b = prev[x]
+                c = prev[x - channels] if x >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (row[x] + pred) & 0xFF
+        elif f != 0:
+            return None
+        out[y * stride : (y + 1) * stride] = row
+        prev = row
+    return dict(
+        format="png",
+        width=width,
+        height=height,
+        channels=channels,
+        payload=bytes(out),
+    )
 
 
 def _parse_with(codec: str, blob: bytes):

@@ -100,3 +100,82 @@ def test_frame_sampling_counts(spark):
     assert frames.count() == len(exp)
     got = {(r.media_id, r.frame_idx, r.frame_md5) for r in frames.collect()}
     assert got == set(exp)
+
+
+def _encode_png(pixels: bytes, width: int, height: int, channels: int,
+                filters=None) -> bytes:
+    """Minimal in-test PNG writer: applies the given per-row filter
+    types (cycling) before deflate, so the decoder's de-filter paths
+    (None/Sub/Up/Average/Paeth) are all exercised against ground
+    truth."""
+    import struct as _s
+    import zlib as _z
+
+    filters = filters or [0]
+    stride = width * channels
+    color_type = 2 if channels == 3 else 6
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (_s.pack(">I", len(data)) + ctype + data
+                + _s.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF))
+
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        row = bytearray(pixels[y * stride:(y + 1) * stride])
+        f = filters[y % len(filters)]
+        enc = bytearray(row)
+        if f == 1:
+            for x in range(stride - 1, channels - 1, -1):
+                enc[x] = (row[x] - row[x - channels]) & 0xFF
+        elif f == 2:
+            for x in range(stride):
+                enc[x] = (row[x] - prev[x]) & 0xFF
+        elif f == 3:
+            for x in range(stride):
+                left = row[x - channels] if x >= channels else 0
+                enc[x] = (row[x] - ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:
+            for x in range(stride):
+                a = row[x - channels] if x >= channels else 0
+                b = prev[x]
+                c = prev[x - channels] if x >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (row[x] - pred) & 0xFF
+        raw += bytes([f]) + bytes(enc)
+        prev = row
+    ihdr = _s.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _z.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_std_codec_decodes_real_png():
+    """8-bit RGB and RGBA PNGs round-trip through every filter type;
+    unsupported shapes and corrupt streams skip (None), never raise."""
+    w, h = 7, 9
+    rgb = bytes((x * 37 + i * 11) % 256 for x in range(w * h) for i in range(3))
+    for channels in (3, 4):
+        px = rgb if channels == 3 else bytes(
+            b for x in range(w * h) for b in (rgb[x * 3], rgb[x * 3 + 1],
+                                              rgb[x * 3 + 2], (x * 7) % 256)
+        )
+        blob = _encode_png(px, w, h, channels, filters=[0, 1, 2, 3, 4])
+        m = MM.parse_std_media(blob)
+        assert m is not None and m["format"] == "png"
+        assert (m["width"], m["height"], m["channels"]) == (w, h, channels)
+        assert m["payload"] == px
+    # 16-bit depth → unsupported shape, skipped
+    deep = bytearray(_encode_png(rgb, w, h, 3))
+    deep[24] = 16  # IHDR bit-depth byte
+    assert MM.parse_std_media(bytes(deep)) is None
+    # corrupt deflate stream → skipped
+    blob = bytearray(_encode_png(rgb, w, h, 3))
+    blob[50] ^= 0xFF
+    assert MM.parse_std_media(bytes(blob)) is None
+    # truncated mid-chunk (IDAT length points past the end) → skipped
+    truncated = _encode_png(rgb, w, h, 3)
+    cut = truncated[: len(truncated) - 30]
+    assert MM.parse_std_media(cut) is None
