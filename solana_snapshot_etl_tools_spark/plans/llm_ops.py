@@ -394,6 +394,33 @@ WHERE h * cnt < min_cnt * {_2_32}
 """
 
 
+def q_split_train_val_test(spark, sf_dir):
+    """Deterministic train/val/test assignment (90/5/5) by integer
+    hash thresholds on the doc id — the reproducible-split primitive:
+    the assignment is a pure function of the id, so it is identical
+    across engines, reruns, cluster sizes, and survives corpus
+    appends (existing docs never change split). Integer-only
+    predicate, no RNG, no shuffle — a narrow map the optimizer folds
+    into the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(_2_32))
+    split = (
+        F.when(h * 100 < F.lit(90) * F.lit(_2_32), "train")
+        .when(h * 100 < F.lit(95) * F.lit(_2_32), "val")
+        .otherwise("test")
+    )
+    return docs.select("doc_id", split.alias("split"))
+
+
+SPLIT_SQL = f"""
+SELECT doc_id,
+  CASE WHEN ((doc_id * {_KNUTH}) % {_2_32}) * 100 < 90 * {_2_32} THEN 'train'
+       WHEN ((doc_id * {_KNUTH}) % {_2_32}) * 100 < 95 * {_2_32} THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+"""
+
+
 # --- composite: the end-to-end training-data cleaning pipeline ---------------
 
 
@@ -565,6 +592,7 @@ QUERIES = {
     "doc_length_histogram": q_length_histogram,
     "bigram_stats": q_bigram_stats,
     "sample_balanced_lang": q_sample_balanced_lang,
+    "split_train_val_test": q_split_train_val_test,
 }
 
 ORACLES = {
@@ -586,4 +614,5 @@ ORACLES = {
     "doc_length_histogram": LENGTH_HIST_SQL,
     "bigram_stats": BIGRAM_STATS_SQL,
     "sample_balanced_lang": SAMPLE_BALANCED_SQL,
+    "split_train_val_test": SPLIT_SQL,
 }
