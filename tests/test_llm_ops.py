@@ -329,3 +329,37 @@ def test_connected_components_topologies(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 7: 7, 8: 7, 6: 6, 9: 9, 10: 10}
     with _pytest.raises(RuntimeError, match="convergence"):
         DD.connected_components(pairs, docs, "doc_id", max_iter=1)
+
+
+def test_ivf_pq_coded_table_partition_prunes(spark, tmp_path):
+    """The IVF-PQ at-scale recipe — persist the coded corpus
+    partitioned by list_id, probe by filtering list_id — must prune
+    like the plain-IVF table: partition filters carry list_id and only
+    probed partitions are read; codes survive the round-trip."""
+    import os
+
+    from solana_snapshot_etl_tools_spark.operators.similarity import (
+        ivf_assign,
+        pq_encode,
+    )
+
+    emb = _t(spark, SF_DIR, "embeddings")
+    # the persisted layout: ivf_assign routes, pq_encode compresses
+
+    assigned, _ = ivf_assign(emb, n_lists=8)
+    encoded, _books = pq_encode(emb)
+    coded = assigned.select("neighbor_id", "list_id").join(
+        encoded, "neighbor_id"
+    )
+    out = str(tmp_path / "ivfpq")
+    coded.write.partitionBy("list_id").parquet(out)
+    probe = spark.read.parquet(out).filter(F.col("list_id").isin(0, 1))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan.split(
+        "PartitionFilters"
+    )[1][:120], plan
+    assert sum(1 for d in os.listdir(out) if d.startswith("list_id=")) > 2
+    got = {r.list_id for r in probe.select("list_id").distinct().collect()}
+    assert got <= {0, 1}
+    row = probe.limit(1).collect()
+    assert row and len(row[0].codes) == 8
