@@ -24,7 +24,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Registration order matters: the verification driver checks queries in
-# declaration order with a cap of 50 per round (of 78 declared), so the
+# declaration order with a cap of 50 per round (of 79 declared), so the
 # front of the list rotates each round to keep consecutive-round unions
 # covering all queries with the stalest rows refreshed.
 #
@@ -35,7 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # candidate dedup on ids, re-rank path), etl_token_metadata (staged
 # projection merge), and the composite pipeline that embeds the capped
 # dedup. The relational/window core checked green in round 3 with
-# unchanged code sits last. r03 ∪ r04 again covers all 78.
+# unchanged code sits last. r03 ∪ r04 again covers all 79.
 _FRONT = [
     # r02-only green rows — stalest, refresh first
     "q1_pricing_summary",
@@ -77,6 +77,7 @@ _FRONT = [
     "dedup_components",  # NEW round 4 — needs its first row
     "chunk_documents",  # NEW round 4 — needs its first row
     "split_train_val_test",  # NEW round 4 — needs its first row
+    "salted_join_orders",  # NEW round 4 — needs its first row
     "etl_token_metadata",
     "etl_offchain_uri",
     # fixture-fed decode family: unchanged code but shares fixture +
@@ -99,10 +100,10 @@ _FRONT = [
     "media_meta",
     "media_frame_sample",
     "media_features",
-    # r03-green, untouched this round — rotate past the 50 cap. With 78
-    # declared, the cap lands after etl_opcode_stats: every stream_*
-    # and media_* entry above falls past it (all r03-green, code
-    # unchanged). Plus, unlisted:
+    # r03-green, untouched this round — rotate past the 50 cap. With 79
+    # declared, the cap lands at etl_opcode_stats: etl_opcode_stats,
+    # every stream_* and media_* entry above fall past it (all
+    # r03-green, code unchanged). Plus, unlisted:
     # window_running/rank_ties/moving/values, setops, scalar/string/
     # date_funcs, json_extract, distinct_topk, above_avg_orders,
     # top_supplier_per_nation, exists/in_subquery, conditional_agg,

@@ -421,6 +421,29 @@ FROM documents
 """
 
 
+def q_salted_join_orders(spark, sf_dir):
+    """Skew-mitigation demo on real tables: lineitem ⋈ orders via
+    salted_join (operators/skew.py) — hot orderkeys spread over 8
+    salts, orders replicated 8×. The oracle is the PLAIN join: salting
+    must be result-invariant, so the driver hash-checks the technique
+    end-to-end (previously pytest-only)."""
+    from solana_snapshot_etl_tools_spark.operators.skew import salted_join
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    return salted_join(l, o, "l_orderkey", salt=8, salt_source="l_linenumber")
+
+
+SALTED_JOIN_SQL = """
+SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_orderstatus
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
 # --- composite: the end-to-end training-data cleaning pipeline ---------------
 
 
@@ -593,6 +616,7 @@ QUERIES = {
     "bigram_stats": q_bigram_stats,
     "sample_balanced_lang": q_sample_balanced_lang,
     "split_train_val_test": q_split_train_val_test,
+    "salted_join_orders": q_salted_join_orders,
 }
 
 ORACLES = {
@@ -615,4 +639,5 @@ ORACLES = {
     "bigram_stats": BIGRAM_STATS_SQL,
     "sample_balanced_lang": SAMPLE_BALANCED_SQL,
     "split_train_val_test": SPLIT_SQL,
+    "salted_join_orders": SALTED_JOIN_SQL,
 }
