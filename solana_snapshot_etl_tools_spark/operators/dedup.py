@@ -222,6 +222,15 @@ def dup_span_stats(
         F.sequence(F.lit(1), F.length(t) - (k - 1)),
         lambda i: F.xxhash64(F.substring(t, i, k)),
     )
+    # the distinct window frame feeds three consumers (per-doc sizes,
+    # doc-frequency, membership rejoin) and is deliberately NOT
+    # cached: the fan-out does re-run the explode+hash+distinct per
+    # consumer (8 live exchanges, zero ReusedExchange), but an A/B at
+    # sf0.1 measured the cache SLOWER (5.0-5.4 s vs ~3.0 s) — blocking
+    # materialization of the 1.25M-row frame costs more than three
+    # concurrent re-runs of a cheap narrow subtree. Cache at fan-outs
+    # only when the recomputed subtree is expensive (cf. the minhash
+    # signature/pair caches, where it is).
     w = (
         df.filter(F.length(t) >= k)
         .select(F.col(id_col).alias("doc"), F.explode(wins).alias("wh"))
