@@ -24,7 +24,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Registration order matters: the verification driver checks queries in
-# declaration order with a cap of 50 per round (of 79 declared), so the
+# declaration order with a cap of 50 per round (of 82 declared), so the
 # front of the list rotates each round to keep consecutive-round unions
 # covering all queries with the stalest rows refreshed.
 #
@@ -35,7 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # candidate dedup on ids, re-rank path), etl_token_metadata (staged
 # projection merge), and the composite pipeline that embeds the capped
 # dedup. The relational/window core checked green in round 3 with
-# unchanged code sits last. r03 ∪ r04 again covers all 79.
+# unchanged code sits last. r03 ∪ r04 again covers all 82.
 _FRONT = [
     # r02-only green rows — stalest, refresh first
     "q1_pricing_summary",
@@ -78,6 +78,9 @@ _FRONT = [
     "chunk_documents",  # NEW round 4 — needs its first row
     "split_train_val_test",  # NEW round 4 — needs its first row
     "salted_join_orders",  # NEW round 4 — needs its first row
+    "q6_revenue_delta",  # NEW round 4 — needs its first row
+    "q10_returned_items",  # NEW round 4 — needs its first row
+    "q14_promo_share",  # NEW round 4 — needs its first row
     "etl_token_metadata",
     "etl_offchain_uri",
     # fixture-fed decode family: unchanged code but shares fixture +
@@ -100,16 +103,17 @@ _FRONT = [
     "media_meta",
     "media_frame_sample",
     "media_features",
-    # r03-green, untouched this round — rotate past the 50 cap. With 79
-    # declared, the cap lands at etl_opcode_stats: etl_opcode_stats,
-    # every stream_* and media_* entry above fall past it (all
-    # r03-green, code unchanged). Plus, unlisted:
+    # r03-green, untouched this round — rotate past the 50 cap. With 82
+    # declared, the cap lands after etl_csv_projection: everything from
+    # etl_deletion_events down (etl_deletion_events, etl_opcode_stats,
+    # all stream_*, all media_*) falls past it — all r03-green with
+    # unchanged code. Plus, unlisted:
     # window_running/rank_ties/moving/values, setops, scalar/string/
     # date_funcs, json_extract, distinct_topk, above_avg_orders,
     # top_supplier_per_nation, exists/in_subquery, conditional_agg,
     # explode_tokens, null_handling, limit_offset, bigram_stats,
     # sample_balanced_lang, doc_fingerprint. Round 5 must front-load
-    # ALL of these (~28) first.
+    # ALL of these (~32) first.
 ]
 
 

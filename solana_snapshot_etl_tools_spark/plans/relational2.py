@@ -437,8 +437,129 @@ ORDER BY gid, l_returnflag, l_linestatus
 """
 
 
+# --- classic TPC-H plan shapes over the shared tables (q6/q10/q14) ----------
+
+
+def q6_revenue_delta(spark, sf_dir):
+    """TPC-H Q6 shape: single-table scan → tight filter → one global
+    agg. The whole query should collapse to a pushed-down scan plus a
+    partial/final aggregate — the cheapest plan Spark can produce.
+    Discount compared as DECIMAL(3,2) so the range test is exact in
+    both engines (0.05/0.07 are not representable doubles)."""
+    l = _t(spark, sf_dir, "lineitem")
+    disc = _d("l_discount", "decimal(3,2)")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (disc >= F.lit("0.05").cast("decimal(3,2)"))
+            & (disc <= F.lit("0.07").cast("decimal(3,2)"))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_d("l_extendedprice") * disc)
+            .cast("decimal(38,4)")
+            .cast("double")
+            .alias("revenue_delta")
+        )
+    )
+
+
+Q6_SQL = """
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(3,2))) AS DECIMAL(38,4)) AS DOUBLE)
+       AS revenue_delta
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(l_discount AS DECIMAL(3,2)) BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: 4-way join (fact ⋈ fact ⋈ two dims) → group →
+    top-k by aggregate. Dims broadcast; the top-k has a unique
+    tiebreak (c_custkey) so LIMIT is deterministic cross-engine."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    rev = _d("l_extendedprice") * (
+        F.lit("1.00").cast("decimal(3,2)") - _d("l_discount", "decimal(3,2)")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("decimal(38,4)").cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+            AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q14_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape: fact ⋈ dim with a conditional aggregate ratio.
+    Both sums are exact decimals; the share is ONE double division at
+    the end, so the value hash-matches DuckDB bit-for-bit."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = _d("l_extendedprice") * (
+        F.lit("1.00").cast("decimal(3,2)") - _d("l_discount", "decimal(3,2)")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit("0").cast("decimal(21,4)")
+    )
+    agg = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).agg(
+        F.sum(promo).cast("decimal(38,4)").cast("double").alias("_pr"),
+        F.sum(rev).cast("decimal(38,4)").cast("double").alias("_tr"),
+    )
+    return agg.select(
+        (F.lit(100.0) * F.col("_pr") / F.col("_tr")).alias("promo_share")
+    )
+
+
+Q14_SQL = """
+SELECT 100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+             ELSE CAST(0 AS DECIMAL(21,4)) END) AS DECIMAL(38,4)) AS DOUBLE)
+     / CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+            AS DECIMAL(38,4)) AS DOUBLE) AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+"""
+
+
 QUERIES = {
     "asof_join": q_asof_join,
+    "q6_revenue_delta": q6_revenue_delta,
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_share": q14_promo_share,
     "sliding_window": q_sliding_window,
     "grouping_sets": q_grouping_sets,
     "top_supplier_per_nation": q_top_supplier_per_nation,
@@ -457,6 +578,9 @@ QUERIES = {
 
 ORACLES = {
     "asof_join": Q_ASOF_SQL,
+    "q6_revenue_delta": Q6_SQL,
+    "q10_returned_items": Q10_SQL,
+    "q14_promo_share": Q14_SQL,
     "sliding_window": Q_SLIDING_SQL,
     "grouping_sets": Q_GROUPING_SETS_SQL,
     "top_supplier_per_nation": Q_TOP_SUPPLIER_SQL,

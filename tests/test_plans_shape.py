@@ -145,3 +145,24 @@ def test_dup_span_shuffles_carry_hashes_not_text(spark):
     for line in p.splitlines():
         if "Exchange" in line and "hashpartitioning" in line:
             assert "string" not in line, f"text column in shuffle: {line}"
+
+
+def test_q6_is_scan_plus_aggregate(spark):
+    """TPC-H Q6 must collapse to a pushed-down parquet scan plus a
+    partial/final aggregate — no joins, no exchange beyond the single
+    aggregation shuffle, date filter at the scan."""
+    from solana_snapshot_etl_tools_spark.plans import relational2 as R2
+
+    p = _plan(R2.q6_revenue_delta(spark, SF_DIR))
+    assert "Join" not in p
+    assert "GreaterThanOrEqual(l_shipdate" in p, "date filter must push to scan"
+    assert p.count("Exchange") <= 2  # partial->final agg only
+
+
+def test_q10_dims_broadcast(spark):
+    from solana_snapshot_etl_tools_spark.plans import relational2 as R2
+
+    p = _plan(R2.q10_returned_items(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p  # top-20 must not be a full sort
