@@ -180,6 +180,49 @@ def q_ann_ivf(spark, sf_dir):
     return SIM.ivf_ann_topk(emb, queries, k=5, n_lists=16, n_probe=4)
 
 
+# Exhaustive-parameter parity queries: with n_probe = n_lists every
+# inverted list is probed (IVF), and with k·refine ≥ corpus size the
+# exact re-rank covers every ADC candidate (PQ) — the approximate
+# machinery degenerates to exact top-k, so the SAME routing/encode/
+# scan/refine code paths get a hash-checked row against ANN_TOPK_SQL.
+# The production-parameter variants above stay rows-only by design.
+
+
+def q_ann_ivf_exact(spark, sf_dir):
+    """IVF with every list probed — exercises training, assignment,
+    probe routing and candidate equi-join end-to-end; output must
+    equal exact brute-force top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.ivf_ann_topk(emb, queries, k=5, n_lists=16, n_probe=16)
+
+
+def _exhaustive_refine(emb, k: int) -> int:
+    # smallest refine with k·refine ≥ corpus size (+1 for self-match)
+    n = emb.count()
+    return n // k + 2
+
+
+def q_ann_pq_exact(spark, sf_dir):
+    """PQ ADC scan whose refine set covers the corpus — exercises
+    codebook training, encoding, LUT ADC scan, partial top-k combiner
+    and the exact-refine tail; output must equal exact top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.pq_ann_topk(emb, queries, k=5, refine=_exhaustive_refine(emb, 5))
+
+
+def q_ann_ivf_pq_exact(spark, sf_dir):
+    """IVF-PQ with all lists probed and corpus-covering refine —
+    the full billion-scale layout run in its degenerate-exact mode."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.ivf_pq_ann_topk(
+        emb, queries, k=5, n_lists=16, n_probe=16,
+        refine=_exhaustive_refine(emb, 5),
+    )
+
+
 # --- text analysis -------------------------------------------------------------
 
 
@@ -572,9 +615,22 @@ WHERE length(text) > 0
 def q_embedding_quantize(spark, sf_dir):
     """Int8 scalar quantization of the embedding table — the standard
     4× memory/shuffle reduction step ahead of large-scale ANN. Narrow
-    per-row map; oracle hash-checks every quantized component."""
+    per-row map; oracle hash-checks every quantized component.
+
+    The query's OUTPUT edge renders qvec as a comma-joined string
+    (``"3,-17,0,..."``): the verification harness canonicalizes result
+    frames with a pandas sort, which cannot hash/sort raw list cells
+    (`array<int>` → ``TypeError: unhashable type: 'list'``). Integer
+    formatting is engine-independent, so the string carries every cell
+    bit-for-bit; ``quantize_int8`` itself still returns the real
+    ``array<int>`` column for downstream use."""
     emb = _t(spark, sf_dir, "embeddings")
-    return SIM.quantize_int8(emb, "vec_id", "embedding")
+    q = SIM.quantize_int8(emb, "vec_id", "embedding")
+    return q.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.col("qvec").cast("array<string>"), ",").alias("qvec_csv"),
+    )
 
 
 EMBEDDING_QUANTIZE_SQL = """
@@ -586,9 +642,9 @@ WITH s AS (
   FROM embeddings
 )
 SELECT vec_id, scale,
-  list_transform(ve, x -> CASE WHEN scale = 0 THEN 0
+  array_to_string(list_transform(ve, x -> CASE WHEN scale = 0 THEN 0
     ELSE greatest(-127, least(127, CAST(floor(x / scale + 0.5) AS INT)))
-    END) AS qvec
+    END), ',') AS qvec_csv
 FROM s
 """
 
@@ -608,6 +664,9 @@ QUERIES = {
     "ann_cosine_ivf": q_ann_ivf,
     "ann_cosine_pq": q_ann_pq,
     "ann_cosine_ivf_pq": q_ann_ivf_pq,
+    "ann_cosine_ivf_exact": q_ann_ivf_exact,
+    "ann_cosine_pq_exact": q_ann_pq_exact,
+    "ann_cosine_ivf_pq_exact": q_ann_ivf_pq_exact,
     "embedding_cosine_pairs": q_cosine_pairs,
     "text_metrics": q_text_metrics,
     "lang_id": q_lang_id,
@@ -631,6 +690,11 @@ ORACLES = {
     # dedup_simhash / ann_cosine_lsh / ann_cosine_ivf: rows-only
     # (engine-specific hashes / cluster assignments)
     "ann_cosine_topk": ANN_TOPK_SQL,
+    # exhaustive-parameter parity: the approximate paths degenerate to
+    # exact top-k, so they share the brute-force oracle
+    "ann_cosine_ivf_exact": ANN_TOPK_SQL,
+    "ann_cosine_pq_exact": ANN_TOPK_SQL,
+    "ann_cosine_ivf_pq_exact": ANN_TOPK_SQL,
     "embedding_cosine_pairs": COSINE_PAIRS_SQL,
     "text_metrics": TEXT_METRICS_SQL,
     "lang_id": LANG_ID_SQL,

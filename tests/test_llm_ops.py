@@ -311,6 +311,39 @@ def test_ivf_pq_ann_recall_vs_exact(spark):
     assert all(v == 5 for v in Counter(r.query_id for r in rows).values())
 
 
+def test_ann_exhaustive_parameters_degenerate_to_exact(spark):
+    """With every list probed (n_probe = n_lists) and the refine set
+    covering the corpus (k·refine ≥ N), the IVF / PQ / IVF-PQ paths
+    must return EXACTLY the brute-force top-k pair set — this is the
+    degenerate-exact mode the parity oracle queries rely on."""
+    emb = _t(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in SIM.brute_force_topk(emb, queries, k=5).collect()
+    }
+    refine = emb.count() // 5 + 2
+    ivf = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in SIM.ivf_ann_topk(
+            emb, queries, k=5, n_lists=16, n_probe=16
+        ).collect()
+    }
+    assert ivf == exact
+    pq = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in SIM.pq_ann_topk(emb, queries, k=5, refine=refine).collect()
+    }
+    assert pq == exact
+    ivfpq = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in SIM.ivf_pq_ann_topk(
+            emb, queries, k=5, n_lists=16, n_probe=16, refine=refine
+        ).collect()
+    }
+    assert ivfpq == exact
+
+
 def test_connected_components_topologies(spark):
     """Label propagation must close chains transitively (a path graph
     is the slow-convergence worst case), keep singletons as their own

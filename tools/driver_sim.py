@@ -8,6 +8,7 @@ performs (pd.util.hash_pandas_object dies on array cells, which is
 exactly the edge we need to catch locally).
 
 Usage: python tools/driver_sim.py [n_queries] [sf_dir]
+       python tools/driver_sim.py name1,name2[,...] [sf_dir]   # by name
 """
 
 from __future__ import annotations
@@ -64,15 +65,24 @@ def value_hash(df: pd.DataFrame):
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    arg = sys.argv[1] if len(sys.argv) > 1 else "50"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
     spark = get_spark()
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if arg.isdigit():
+        n, names = int(arg), None
+    else:
+        n, names = len(queries), set(arg.split(","))
+        unknown = names - set(queries)
+        if unknown:
+            raise SystemExit(f"unknown queries: {sorted(unknown)}")
     results = {}
     for i, (name, fn) in enumerate(queries.items()):
         if i >= n:
             break
+        if names is not None and name not in names:
+            continue
         t0 = time.time()
         rec = {"err": None}
         try:
