@@ -67,6 +67,10 @@ def main() -> None:
         spark.sparkContext.defaultParallelism
     ).mapInPandas(lambda it: it, "id long").count()
 
+    from solana_snapshot_etl_tools_spark.operators.dedup import (
+        release_session_caches,
+    )
+
     per_query: dict[str, float] = {}
     for name in names:
         t0 = time.time()
@@ -74,6 +78,10 @@ def main() -> None:
         n = df.count()  # forces full execution without driver materialize
         per_query[name] = round(time.time() - t0, 4)
         assert n >= 0
+        # free operator-registered caches between queries (not timed):
+        # a prior query's sketch/pair caches can't help the next one,
+        # they only occupy executor storage
+        release_session_caches()
     total = round(sum(per_query.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -22,6 +22,40 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from solana_snapshot_etl_tools_spark.functions.text import char_shingles, tokens
 
+# The banded-dedup operators cache small intermediate frames (minhash
+# signatures, the verified pair list, the simhash sketch frame, the
+# converged component labels) that back LAZILY returned DataFrames —
+# the operator itself cannot unpersist them before the caller
+# materializes the result. Left alone they pin executor storage for
+# the life of the session when many queries share one driver process.
+# Every such cache is registered here; call release_session_caches()
+# at a query boundary (bench.py does, between timed queries). The
+# frames are kilobytes-to-megabytes (ids + fixed-width sketches), and
+# Spark's MEMORY_AND_DISK default keeps even the unreleased case
+# evictable rather than OOM-fatal.
+_SESSION_CACHES: list[DataFrame] = []
+
+
+def _cache_for_session(df: DataFrame) -> DataFrame:
+    df = df.cache()
+    _SESSION_CACHES.append(df)
+    return df
+
+
+def release_session_caches() -> int:
+    """Unpersist every registered operator cache; returns how many.
+    Results already materialized by callers remain valid (unpersist
+    drops the cached blocks, not the lineage)."""
+    n = 0
+    while _SESSION_CACHES:
+        df = _SESSION_CACHES.pop()
+        try:
+            df.unpersist(blocking=True)  # sync, so storage is drained NOW
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return n
+
 
 def spread_small_input(df: DataFrame) -> DataFrame:
     """Repartition up to ``defaultParallelism`` when the input has
@@ -193,6 +227,9 @@ def connected_components(
             "(graph diameter exceeds max_iter)"
         )
     edges.unpersist()
+    # the converged label frame backs the returned (lazy) result — hand
+    # its cache to the session registry rather than leaking it
+    _SESSION_CACHES.append(labels)
     return labels.select(F.col("a").alias(id_col), F.col("lbl").alias("keep_id"))
 
 
@@ -499,7 +536,7 @@ def minhash_lsh_pairs(
     joins. The signature frame is cached: it feeds both the banding
     and the estimate filter.
     """
-    sig = minhash_signatures(df, id_col, text_col, k).cache()
+    sig = _cache_for_session(minhash_signatures(df, id_col, text_col, k))
     # No explicit repartition of the candidate multiset: an earlier
     # shape pinned core-count parallelism here because the inline
     # shingle-per-pair verify downstream was CPU-heavy and AQE's
@@ -562,7 +599,7 @@ def _verify_pairs_against_docs(
     # candidate-id union and the final sets join); without a persist
     # each one would re-execute the whole upstream candidate/estimate
     # pipeline — cache the narrow 2-id rows instead
-    pairs = pairs.cache()
+    pairs = _cache_for_session(pairs)
     ids = (
         pairs.select(F.col("doc_a").alias("_vid"))
         .unionByName(pairs.select(F.col("doc_b").alias("_vid")))
@@ -592,7 +629,9 @@ def _verify_pairs_against_docs(
 # --- SimHash ---------------------------------------------------------------------
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash64(
+    df: DataFrame, id_col: str, text_col: str, token_budget: int = 1 << 20
+) -> DataFrame:
     """64-bit SimHash over whitespace tokens: per bit, sum +1/-1 votes
     of each token occurrence's xxhash64 bit; vote sign → bit.
 
@@ -621,27 +660,47 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     def gen(batches):
         import numpy as np
 
-        shifts = np.arange(64, dtype=np.uint64)
-        powers = np.left_shift(np.uint64(1), shifts)
+        powers = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+        # Bound the bit-matrix allocation: 1 uint8 byte per (token, bit)
+        # means a sub-chunk costs ≤ 64 MB at this budget, regardless of
+        # how long the batch's documents are. Without the budget a
+        # ~10k-row Arrow batch of long docs allocates (total_tokens × 64)
+        # uint64s — a multi-GB executor OOM vector.
         for pdf in batches:
             if not len(pdf):
                 continue
-            # whole-batch vectorization: flatten every doc's token-hash
-            # array, unpack to a (total_tokens × 64) bit matrix once,
-            # and segment-sum per doc with reduceat — no per-doc Python
-            # loop (the loop's per-doc numpy call overhead dominated at
-            # ~50-token docs). Semantics identical: votes = 2·popcount
-            # − n, bit set iff votes > 0.
+            # whole-batch vectorization, sub-chunked on doc boundaries:
+            # flatten the chunk's token-hash arrays, unpack to a
+            # (chunk_tokens × 64) uint8 bit matrix (unpackbits on the
+            # little-endian byte view puts column j at bit j — no
+            # uint64 intermediate, no second copy), segment-sum per doc
+            # with a widening reduceat. Semantics identical to the
+            # per-doc loop: votes = 2·popcount − n, bit set iff > 0.
             lens = pdf["hs"].map(len).to_numpy(dtype=np.int64)
-            flat = np.concatenate(
-                [np.asarray(h, dtype=np.int64) for h in pdf["hs"]]
-            ).astype(np.uint64)
-            bits = (flat[:, None] >> shifts[None, :]) & np.uint64(1)
-            offsets = np.zeros(len(lens), dtype=np.int64)
-            np.cumsum(lens[:-1], out=offsets[1:])
-            sums = np.add.reduceat(bits.astype(np.int64), offsets, axis=0)
-            votes = 2 * sums - lens[:, None]
-            sk = ((votes > 0) * powers).sum(axis=1, dtype=np.uint64)
+            hs = pdf["hs"].to_numpy()
+            sk = np.empty(len(lens), dtype=np.uint64)
+            start = 0
+            while start < len(lens):
+                stop, tok = start + 1, lens[start]
+                while stop < len(lens) and tok + lens[stop] <= token_budget:
+                    tok += lens[stop]
+                    stop += 1
+                flat = np.concatenate(
+                    [np.asarray(h, dtype=np.int64) for h in hs[start:stop]]
+                )
+                bits = np.unpackbits(
+                    flat.astype("<i8", copy=False).view(np.uint8).reshape(-1, 8),
+                    axis=1,
+                    bitorder="little",
+                )
+                off = np.zeros(stop - start, dtype=np.int64)
+                np.cumsum(lens[start:stop][:-1], out=off[1:])
+                sums = np.add.reduceat(bits, off, axis=0, dtype=np.int64)
+                votes = 2 * sums - lens[start:stop, None]
+                sk[start:stop] = ((votes > 0) * powers).sum(
+                    axis=1, dtype=np.uint64
+                )
+                start = stop
             # u64 → i64 two's-complement (bit 63 set ⇒ negative long)
             yield pd.DataFrame(
                 {"doc": pdf["doc"], "simhash": sk.astype(np.int64)}
@@ -699,7 +758,7 @@ def simhash_pairs(
     # sides of the candidate join — without a persist each consumer
     # re-executes the Python sketch stage. 8 bytes per doc, so the
     # cache is tiny even at corpus scale.
-    sk = simhash64(df, id_col, text_col).cache()
+    sk = _cache_for_session(simhash64(df, id_col, text_col))
     chunks = _hamming_chunks(max_hamming)
     banded = sk.select(
         "doc",

@@ -390,6 +390,35 @@ _KNUTH = 2654435761
 _2_32 = 1 << 32
 
 
+def _knuth_h(col):
+    """``(id · 2654435761) mod 2^32`` without int64 overflow at ANY id:
+    the naive ``id * K`` wraps (or errors under ANSI) once
+    ``id ≥ 2^63/K ≈ 3.47e9`` — easily reached by real corpus ids — and
+    engines disagree on what happens next. Reduce mod 2^32 first
+    (mathematically a no-op for the product mod 2^32), then split the
+    reduced value 16/16 so every intermediate stays ≤ ~1.7e14:
+    ``a·K mod 2^32 = (lo·K + ((hi·K) mod 2^16)·2^16) mod 2^32``.
+    Identical to the naive spelling wherever that spelling doesn't
+    overflow; ids are assumed non-negative (table keys)."""
+    a = F.pmod(col, F.lit(_2_32))
+    lo = a.bitwiseAND(F.lit(0xFFFF))
+    hi = F.shiftrightunsigned(a, 16)
+    return F.pmod(
+        lo * F.lit(_KNUTH)
+        + F.pmod(hi * F.lit(_KNUTH), F.lit(1 << 16)) * F.lit(1 << 16),
+        F.lit(_2_32),
+    )
+
+
+# the same spelling for DuckDB (// is integer division); doc ids are
+# non-negative so % matches Spark's pmod
+_H_SQL = (
+    f"(((doc_id % {_2_32}) % 65536) * {_KNUTH}"
+    f" + ((((doc_id % {_2_32}) // 65536) * {_KNUTH}) % 65536) * 65536)"
+    f" % {_2_32}"
+)
+
+
 def q_sample_balanced_lang(spark, sf_dir):
     """Downsample each language stratum to the size of the smallest:
     the standard domain-mixing move when one source dominates.
@@ -401,14 +430,21 @@ def q_sample_balanced_lang(spark, sf_dir):
     stays a broadcast hash join plus an integer predicate."""
     docs = _t(spark, sf_dir, "documents")
     lang = TXT.lang_id(F.col("text"))
-    h = F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(_2_32))
-    base = docs.select("doc_id", lang.alias("lang_pred"), h.alias("h"))
+    base = docs.select(
+        "doc_id", lang.alias("lang_pred"), _knuth_h(F.col("doc_id")).alias("h")
+    )
     counts = base.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("cnt"))
     min_cnt = counts.agg(F.min("cnt").alias("min_cnt"))
+    # the acceptance test compares in DOUBLE: h·cnt overflows int64 once
+    # a stratum passes 2^31 rows (real at 100 TB); IEEE double multiply
+    # rounds identically in every engine, so the oracle still matches
     return (
         base.join(F.broadcast(counts), "lang_pred")
         .crossJoin(F.broadcast(min_cnt))
-        .filter(F.col("h") * F.col("cnt") < F.col("min_cnt") * F.lit(_2_32))
+        .filter(
+            F.col("h").cast("double") * F.col("cnt")
+            < F.col("min_cnt").cast("double") * F.lit(float(_2_32))
+        )
         .select("doc_id", "lang_pred")
     )
 
@@ -423,7 +459,7 @@ WITH langed AS (
       WHEN {_duck_hits("de")} >= {_duck_hits("fr")} THEN 'de'
       ELSE 'fr'
     END AS lang_pred,
-    (doc_id * {_KNUTH}) % {_2_32} AS h
+    {_H_SQL} AS h
   FROM documents
 ),
 counted AS (
@@ -433,7 +469,7 @@ final AS (
   SELECT *, min(cnt) OVER () AS min_cnt FROM counted
 )
 SELECT doc_id, lang_pred FROM final
-WHERE h * cnt < min_cnt * {_2_32}
+WHERE CAST(h AS DOUBLE) * cnt < CAST(min_cnt AS DOUBLE) * {_2_32}
 """
 
 
@@ -446,7 +482,7 @@ def q_split_train_val_test(spark, sf_dir):
     predicate, no RNG, no shuffle — a narrow map the optimizer folds
     into the scan."""
     docs = _t(spark, sf_dir, "documents")
-    h = F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(_2_32))
+    h = _knuth_h(F.col("doc_id"))
     split = (
         F.when(h * 100 < F.lit(90) * F.lit(_2_32), "train")
         .when(h * 100 < F.lit(95) * F.lit(_2_32), "val")
@@ -457,8 +493,8 @@ def q_split_train_val_test(spark, sf_dir):
 
 SPLIT_SQL = f"""
 SELECT doc_id,
-  CASE WHEN ((doc_id * {_KNUTH}) % {_2_32}) * 100 < 90 * {_2_32} THEN 'train'
-       WHEN ((doc_id * {_KNUTH}) % {_2_32}) * 100 < 95 * {_2_32} THEN 'val'
+  CASE WHEN ({_H_SQL}) * 100 < 90 * {_2_32} THEN 'train'
+       WHEN ({_H_SQL}) * 100 < 95 * {_2_32} THEN 'val'
        ELSE 'test' END AS split
 FROM documents
 """

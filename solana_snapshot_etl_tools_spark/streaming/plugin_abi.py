@@ -96,6 +96,20 @@ def _buf(b: bytes | None):
     return (ctypes.c_uint8 * len(b)).from_buffer_copy(b) if b else None
 
 
+def _key_buf(b: bytes, what: str):
+    """pubkey/owner cross the FFI as fixed 32-byte buffers
+    (PLUGIN_HEADER). A malformed row must fail as a catchable Python
+    error HERE — passing NULL (or a short buffer) to a conforming
+    plugin that reads 32 bytes segfaults the whole executor process.
+    Only the data pointer may be NULL, and only when data_len == 0."""
+    if len(b) != 32:
+        raise ValueError(
+            f"plugin update_account: {what} must be exactly 32 bytes, "
+            f"got {len(b)}"
+        )
+    return (ctypes.c_uint8 * 32).from_buffer_copy(b)
+
+
 class NativeGeyserPlugin:
     """One loaded plugin instance: dlopen + ``_create_plugin`` +
     ``on_load``. ``close()`` (or context-manager exit) runs
@@ -136,8 +150,8 @@ class NativeGeyserPlugin:
         row or anything with the same attributes)."""
         data = bytes(row.data) if row.data is not None else b""
         rc = self._vt.update_account(
-            _buf(bytes(row.pubkey)),
-            _buf(bytes(row.owner)),
+            _key_buf(bytes(row.pubkey) if row.pubkey is not None else b"", "pubkey"),
+            _key_buf(bytes(row.owner) if row.owner is not None else b"", "owner"),
             ctypes.c_uint64(row.lamports & _U64_MASK),
             1 if row.executable else 0,
             ctypes.c_uint64(row.rent_epoch & _U64_MASK),  # i64 → u64 two's-compl

@@ -174,6 +174,25 @@ def test_simhash_chunking_matches_8x8_banding(spark, adversarial_docs):
     assert new == old_le5
 
 
+def test_simhash_token_budget_chunking_is_invisible(spark, adversarial_docs):
+    """The OOM-guard sub-chunking of the sketch kernel must not change
+    a single sketch: a budget of 1 token (every doc its own chunk) and
+    a budget that splits mid-batch must equal the default 1M-token
+    path bit-for-bit."""
+    default = {
+        r.doc: r.simhash
+        for r in DD.simhash64(adversarial_docs, "doc_id", "text").collect()
+    }
+    for budget in (1, 500):
+        chunked = {
+            r.doc: r.simhash
+            for r in DD.simhash64(
+                adversarial_docs, "doc_id", "text", token_budget=budget
+            ).collect()
+        }
+        assert chunked == default, budget
+
+
 def test_hamming_chunks_cover_64_bits_disjointly():
     for mh in (0, 3, 5, 7, 31, 63):
         chunks = DD._hamming_chunks(mh)

@@ -396,3 +396,67 @@ def test_ivf_pq_coded_table_partition_prunes(spark, tmp_path):
     assert got <= {0, 1}
     row = probe.limit(1).collect()
     assert row and len(row[0].codes) == 8
+
+
+def test_knuth_hash_overflow_free_at_any_id(spark):
+    """The split/sample hash must equal (id·K) mod 2^32 computed with
+    arbitrary-precision integers even for ids past the naive int64
+    overflow point (~3.47e9), and must not raise under ANSI mode."""
+    from solana_snapshot_etl_tools_spark.plans.llm_ops import _2_32, _KNUTH, _knuth_h
+
+    ids = [
+        0,
+        1,
+        12345,
+        (1 << 31) - 1,
+        1 << 31,
+        (1 << 32) - 1,
+        1 << 32,
+        3_470_000_000,  # past 2^63/K: naive spelling wraps/errors here
+        987_654_321_987,
+        (1 << 62) + 7,
+        (1 << 63) - 1,
+    ]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    prev = spark.conf.get("spark.sql.ansi.enabled", None)
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        got = {
+            r.doc_id: r.h
+            for r in df.select("doc_id", _knuth_h(F.col("doc_id")).alias("h")).collect()
+        }
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.ansi.enabled", prev)
+    for i in ids:
+        assert got[i] == (i * _KNUTH) % _2_32, i
+
+
+def test_release_session_caches_frees_operator_caches(spark):
+    """The banded dedup operators register their backing caches; after
+    the caller materializes, release_session_caches() must unpersist
+    them all (no session-lifetime storage pinning) while already-
+    collected results stay valid and a re-run still works."""
+    docs = _t(spark, SF_DIR, "documents").limit(200)
+    DD.release_session_caches()  # drop leftovers from other tests
+    jsc = spark.sparkContext._jsc.sc()
+    baseline = jsc.getPersistentRDDs().size()
+    pairs = DD.minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    comp = DD.connected_components(
+        DD.minhash_lsh_pairs(docs, "doc_id", "text"), docs, "doc_id"
+    ).collect()
+    assert len(comp) == 200
+    assert jsc.getPersistentRDDs().size() > baseline  # ops did cache
+    freed = DD.release_session_caches()
+    assert freed >= 3  # sig + pairs (×2 runs) + labels
+    assert not DD._SESSION_CACHES
+    # storage really drained back to where it started (the release is
+    # blocking; CacheManager dedupes identical plans so freed-count and
+    # entry-count need not match 1:1)
+    assert jsc.getPersistentRDDs().size() <= baseline
+    # operators still work after the release
+    again = DD.minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    assert {(r.doc_a, r.doc_b) for r in again} == {
+        (r.doc_a, r.doc_b) for r in pairs
+    }
+    DD.release_session_caches()

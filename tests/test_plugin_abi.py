@@ -139,6 +139,37 @@ def test_loader_lifecycle_and_rows(stub_so, tmp_path):
     assert got == exp
 
 
+def test_malformed_key_raises_instead_of_segfault(stub_so, tmp_path):
+    """pubkey/owner cross the FFI as 32-byte buffers; a malformed row
+    (empty or short key) must raise a catchable ValueError BEFORE the
+    call — a NULL or short buffer would segfault a conforming plugin
+    that reads 32 bytes."""
+    from pyspark.sql import Row
+
+    from solana_snapshot_etl_tools_spark.fixtures import build_fixture
+    from solana_snapshot_etl_tools_spark.schemas import RAW_ACCOUNTS_SCHEMA
+
+    out_dir = str(tmp_path / "out")
+    os.makedirs(out_dir)
+    mk = Row(*[f.name for f in RAW_ACCOUNTS_SCHEMA.fields])
+    good = mk(*build_fixture()["raw_rows"][0])
+    with NativeGeyserPlugin(stub_so, out_dir) as plugin:
+        for field, bad in (
+            ("pubkey", b""),
+            ("pubkey", None),
+            ("owner", b"\x01" * 31),
+            ("owner", b"\x01" * 33),
+        ):
+            row = mk(*[bad if f.name == field else good[f.name]
+                       for f in RAW_ACCOUNTS_SCHEMA.fields])
+            with pytest.raises(ValueError, match="32 bytes"):
+                plugin.update_account(row)
+        # empty data with data_len 0 is legal (NULL data pointer)
+        row = mk(*[b"" if f.name == "data" else good[f.name]
+                   for f in RAW_ACCOUNTS_SCHEMA.fields])
+        plugin.update_account(row)
+
+
 def test_missing_symbol_and_bad_path(stub_so, tmp_path):
     with pytest.raises(FileNotFoundError):
         NativeGeyserPlugin(str(tmp_path / "nope.so"))
