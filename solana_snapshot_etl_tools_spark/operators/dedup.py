@@ -109,25 +109,37 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataF
     )
 
 
+JACCARD_MAX_DOC_FREQ = 8192
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     threshold: float = 0.8,
     k: int = 3,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = JACCARD_MAX_DOC_FREQ,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs (doc_a < doc_b,
     jaccard > threshold).
 
-    ``max_doc_freq`` optionally drops shingles present in more than
-    that many documents from *candidate generation* — the standard
-    guard against the quadratic blow-up on ubiquitous shingles at
-    scale. Reported jaccard values stay exact (the intersection is
-    recomputed from the unfiltered shingle sets for surviving
-    candidates); the only approximation is recall — a pair whose every
-    shared shingle is high-frequency produces no candidate.
-    """
+    ``max_doc_freq`` drops shingles present in more than that many
+    documents from *candidate generation* — the standard guard against
+    the quadratic blow-up on ubiquitous shingles at scale. Reported
+    jaccard values stay exact (the intersection is recomputed from the
+    unfiltered shingle sets for surviving candidates); the only
+    approximation is recall — a pair whose every shared shingle is
+    high-frequency produces no candidate.
+
+    The DEFAULT is the finite ``JACCARD_MAX_DOC_FREQ`` (same
+    philosophy as the banded-join hot-bucket caps): the public API
+    must not be quadratic-in-corpus-size by accident — with the guard,
+    a single shingle's join fan-out is bounded by ``max_doc_freq²``
+    however large the corpus grows. 8192 sits far above the test
+    corpora's maximum shingle doc-frequency (~0.96·N at sf0.01/sf0.1,
+    pinned by pytest), so the guard is provably inert there and the
+    oracle stays exact. Pass ``max_doc_freq=None`` to opt in to the
+    unguarded quadratic baseline (the validation reference)."""
     sh = shingle_sets(df, id_col, text_col, k)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     if max_doc_freq is None:
@@ -150,9 +162,11 @@ def jaccard_pairs(
         )
     # guarded path: candidates from rare shingles only, exact verify
     # from the full (unfiltered) shingle sets
+    # char_shingles is distinct-per-doc, so a plain count IS the doc
+    # frequency — no countDistinct (which would add a dedup pass)
     rare = (
         sh.groupBy("sh")
-        .agg(F.countDistinct("doc").alias("df"))
+        .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= max_doc_freq)
         .select("sh")
     )

@@ -460,3 +460,40 @@ def test_release_session_caches_frees_operator_caches(spark):
         (r.doc_a, r.doc_b) for r in pairs
     }
     DD.release_session_caches()
+
+
+def test_jaccard_default_guard_inert_on_test_corpus(spark):
+    """The safe-by-default max_doc_freq guard (JACCARD_MAX_DOC_FREQ)
+    must sit above the driver-checked corpus's maximum shingle
+    doc-frequency — i.e. provably drop nothing there — so the guarded
+    default's output equals the unguarded quadratic baseline exactly.
+    If a regenerated corpus ever pushes the max doc-freq past the
+    default, this test fires before the oracle row goes red."""
+    from tests.conftest import SF_DIR_MID
+
+    docs = _t(spark, SF_DIR_MID, "documents")
+    max_df = (
+        DD.shingle_sets(docs, "doc_id", "text", 3)
+        .groupBy("sh")
+        .agg(F.countDistinct("doc").alias("df"))
+        .agg(F.max("df"))
+        .collect()[0][0]
+    )
+    assert max_df < DD.JACCARD_MAX_DOC_FREQ, (
+        f"corpus max shingle doc-freq {max_df} >= guard "
+        f"{DD.JACCARD_MAX_DOC_FREQ}: the default would change output"
+    )
+    # and the outputs really are identical (small corpus: cheap)
+    small = _t(spark, SF_DIR, "documents")
+    guarded = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in DD.jaccard_pairs(small, "doc_id", "text", 0.8).collect()
+    }
+    unguarded = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in DD.jaccard_pairs(
+            small, "doc_id", "text", 0.8, max_doc_freq=None
+        ).collect()
+    }
+    assert guarded == unguarded
+    DD.release_session_caches()
