@@ -24,96 +24,78 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Registration order matters: the verification driver checks queries in
-# declaration order with a cap of 50 per round (of 82 declared), so the
+# declaration order with a cap of 50 per round (of 85 declared), so the
 # front of the list rotates each round to keep consecutive-round unions
 # covering all queries with the stalest rows refreshed.
 #
-# Round 4 front-loads (a) the 21 queries whose only green row is from
-# round 2 (rotated past round 3's 50-slot cap — the stalest evidence
-# in the repo), then (b) everything whose code changes THIS round: the
-# banded dedup family (hot-bucket cap), the similarity family (LSH
-# candidate dedup on ids, re-rank path), etl_token_metadata (staged
-# projection merge), and the composite pipeline that embeds the capped
-# dedup. The relational/window core checked green in round 3 with
-# unchanged code sits last. r03 ∪ r04 again covers all 82.
+# Round 5 front-loads (a) the 32 queries whose last green row is round
+# 3 (they fell past round 4's 50-slot cap; media_* is MANDATORY — its
+# code changed in r4 after its last green row), then (b) everything
+# round 5 touches: the quantize output edge, the three NEW
+# exhaustive-parameter ANN parity queries, the overflow-free split/
+# sample hash, the simhash sketch kernel, the jaccard default guard,
+# and the dedup family that now registers session caches. The r04-green
+# untouched remainder (TPC-H, join/window/agg core, etl decode spine)
+# rotates past the cap; r04 ∪ r05 covers all 85.
 _FRONT = [
-    # r02-only green rows — stalest, refresh first
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q5_nation_revenue",
-    "join_semi",
-    "join_anti",
-    "join_theta",
-    "asof_join",
-    "window_topk",
-    "sliding_window",
-    "tumbling_window",
-    "sessionize",
-    "rollup_agg",
-    "cube_agg",
-    "grouping_sets",
-    "pivot",
-    "unpivot",
-    "collect_sorted",
-    "percentiles_stddev",
-    "text_metrics",
-    "lang_id",
-    "doc_length_histogram",
-    # touched in round 4: hot-bucket caps (dedup bands), LSH/IVF
-    # candidate handling, exact-cosine re-rank, T4 projection merge
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_exact",
-    "dedup_jaccard_ngram",
-    "pipeline_clean_corpus",
-    "ann_cosine_topk",
-    "ann_cosine_lsh",
-    "ann_cosine_ivf",
-    "embedding_cosine_pairs",
-    "embedding_quantize_int8",  # NEW round 4 — needs its first row
-    "dup_span_stats",  # NEW round 4 — needs its first row
-    "ann_cosine_pq",  # NEW round 4 — needs its first row
-    "ann_cosine_ivf_pq",  # NEW round 4 — needs its first row
-    "dedup_components",  # NEW round 4 — needs its first row
-    "chunk_documents",  # NEW round 4 — needs its first row
-    "split_train_val_test",  # NEW round 4 — needs its first row
-    "salted_join_orders",  # NEW round 4 — needs its first row
-    "q6_revenue_delta",  # NEW round 4 — needs its first row
-    "q10_returned_items",  # NEW round 4 — needs its first row
-    "q14_promo_share",  # NEW round 4 — needs its first row
-    "etl_token_metadata",
-    "etl_offchain_uri",
-    # fixture-fed decode family: unchanged code but shares fixture +
-    # decoder modules with the T4 merge — keep its evidence fresh
-    "etl_snapshot_scan",
-    "etl_account",
-    "etl_token_account",
-    "etl_token_mint",
-    "etl_token_multisig",
-    "etl_program_elfs",
-    "etl_csv_projection",
-    "etl_deletion_events",
-    "etl_opcode_stats",
+    # (a) r03-only green rows — stalest evidence, refresh first
+    "media_meta",
+    "media_frame_sample",
+    "media_features",
     "stream_selected_accounts",
     "stream_offchain_fanout",
     "stream_rooted_slots",
     "stream_block_metadata",
     "stream_tx_filtered",
     "stream_tx_nested",
-    "media_meta",
-    "media_frame_sample",
-    "media_features",
-    # r03-green, untouched this round — rotate past the 50 cap. With 82
-    # declared, the cap lands after etl_csv_projection: everything from
-    # etl_deletion_events down (etl_deletion_events, etl_opcode_stats,
-    # all stream_*, all media_*) falls past it — all r03-green with
-    # unchanged code. Plus, unlisted:
-    # window_running/rank_ties/moving/values, setops, scalar/string/
-    # date_funcs, json_extract, distinct_topk, above_avg_orders,
-    # top_supplier_per_nation, exists/in_subquery, conditional_agg,
-    # explode_tokens, null_handling, limit_offset, bigram_stats,
-    # sample_balanced_lang, doc_fingerprint. Round 5 must front-load
-    # ALL of these (~32) first.
+    "etl_deletion_events",
+    "etl_opcode_stats",
+    "window_running",
+    "window_rank_ties",
+    "window_moving",
+    "window_values",
+    "setops",
+    "scalar_funcs",
+    "string_funcs",
+    "date_funcs",
+    "json_extract",
+    "distinct_topk",
+    "above_avg_orders",
+    "top_supplier_per_nation",
+    "exists_not_exists",
+    "in_subquery_having",
+    "conditional_agg",
+    "explode_tokens",
+    "null_handling",
+    "limit_offset",
+    "bigram_stats",
+    "doc_fingerprint",
+    "sample_balanced_lang",  # also touched r5: overflow-free hash
+    # (b) code touched in round 5
+    "embedding_quantize_int8",  # r4 red row — output edge fixed
+    "ann_cosine_ivf_exact",  # NEW r5 — parity, needs first row
+    "ann_cosine_pq_exact",  # NEW r5 — parity, needs first row
+    "ann_cosine_ivf_pq_exact",  # NEW r5 — parity, needs first row
+    "split_train_val_test",  # overflow-free hash
+    "dedup_simhash",  # sketch kernel sub-chunked
+    "dedup_jaccard_ngram",  # finite max_doc_freq default
+    "dedup_minhash_lsh",  # session-cache registry
+    "dedup_components",  # session-cache registry
+    "pipeline_clean_corpus",  # embeds the capped dedup
+    "ann_cosine_lsh",
+    "ann_cosine_ivf",
+    "ann_cosine_pq",
+    "ann_cosine_ivf_pq",
+    # shared-oracle / shared-module anchors for the above
+    "ann_cosine_topk",
+    "embedding_cosine_pairs",
+    "dedup_exact",
+    "chunk_documents",
+    # cap (50) lands here. Past it, all r04-green with unchanged code:
+    # q1/q3/q5/q6/q10/q14, join/asof/window/agg/pivot families,
+    # collect_sorted, percentiles, text_metrics, lang_id,
+    # doc_length_histogram, dup_span_stats, split/salted leftovers,
+    # and the etl_* fixture decode spine.
 ]
 
 
