@@ -25,6 +25,67 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
+# --- training memo -----------------------------------------------------------
+# The IVF/PQ paths train kilobyte codebooks on a bounded driver-side
+# sample. Training is deterministic in (corpus, params), and one driver
+# process typically runs MANY queries against the same corpus (the
+# correctness gate alone runs 8 ANN queries), so the sample-collection
+# Spark job and the k-means fits are memoized per
+# (plan-semantics, columns, params). Keys use DataFrame.semanticHash():
+# two reads of the same parquet path share an entry; if the files were
+# rewritten mid-session the memo would be stale — call
+# clear_training_memo() (or start a new session) after mutating the
+# corpus in place. Samples are capped at a few entries (~50 MB each at
+# train_limit=100k×64d); centroids/codebooks are kilobytes.
+
+_TRAINING_MEMO: dict[tuple, object] = {}
+_SAMPLE_MEMO_CAP = 4
+
+
+def clear_training_memo() -> None:
+    _TRAINING_MEMO.clear()
+
+
+def _corpus_key(emb: DataFrame, id_col: str, vec_col: str):
+    try:
+        return (emb.semanticHash(), id_col, vec_col)
+    except Exception:  # un-hashable plan (exotic sources) → no memo
+        return None
+
+
+def _corpus_sample(emb: DataFrame, id_col: str, vec_col: str, train_limit: int):
+    """Unit-normalized (≤train_limit × dims) float64 sample matrix of
+    the corpus, memoized. Returns a (possibly 0-row) numpy array."""
+    import numpy as np
+
+    ck = _corpus_key(emb, id_col, vec_col)
+    key = ("sample", ck, train_limit) if ck is not None else None
+    if key is not None and key in _TRAINING_MEMO:
+        return _TRAINING_MEMO[key]
+    pdf = (
+        emb.select(_l2_normalize(F.col(vec_col).cast("array<double>")).alias("cv"))
+        .limit(train_limit)
+        .toPandas()
+    )
+    X = np.stack(pdf["cv"].to_numpy()) if len(pdf) else np.empty((0, 0))
+    if key is not None:
+        if sum(1 for k in _TRAINING_MEMO if k[0] == "sample") >= _SAMPLE_MEMO_CAP:
+            for k in [k for k in _TRAINING_MEMO if k[0] == "sample"][:1]:
+                del _TRAINING_MEMO[k]
+        _TRAINING_MEMO[key] = X
+    return X
+
+
+def _memo_fit(kind: str, ck, params: tuple, fit):
+    """Memoize a deterministic training fit under (kind, corpus-key,
+    params); compute directly when the corpus has no stable key."""
+    if ck is None:
+        return fit()
+    key = (kind, ck, *params)
+    if key not in _TRAINING_MEMO:
+        _TRAINING_MEMO[key] = fit()
+    return _TRAINING_MEMO[key]
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -304,14 +365,19 @@ def ivf_assign(
         F.col(id_col).alias("neighbor_id"),
         _l2_normalize(F.col(vec_col).cast("array<double>")).alias("cv"),
     )
-    sample = corpus.select("cv").limit(train_limit).toPandas()
-    if len(sample) < n_lists:
+    ck = _corpus_key(emb, id_col, vec_col)
+    X = _corpus_sample(emb, id_col, vec_col, train_limit)
+    if len(X) < n_lists:
         raise ValueError(
-            f"ivf_assign: corpus sample has {len(sample)} vectors < "
+            f"ivf_assign: corpus sample has {len(X)} vectors < "
             f"n_lists={n_lists}"
         )
-    X = np.stack(sample["cv"].to_numpy())
-    C = _train_coarse_quantizer(X, n_lists, seed, max_iter)
+    C = _memo_fit(
+        "coarse",
+        ck,
+        (n_lists, seed, max_iter, train_limit),
+        lambda: _train_coarse_quantizer(X, n_lists, seed, max_iter),
+    )
     center_rows = [[float(x) for x in c] for c in C]
 
     id_type = emb.schema[id_col].dataType
@@ -401,16 +467,21 @@ def pq_encode(
         F.col(id_col).alias("neighbor_id"),
         _l2_normalize(F.col(vec_col).cast("array<double>")).alias("cv"),
     )
-    sample = corpus.select("cv").limit(train_limit).toPandas()
-    if len(sample) < ksub:
+    ck = _corpus_key(emb, id_col, vec_col)
+    X = _corpus_sample(emb, id_col, vec_col, train_limit)
+    if len(X) < ksub:
         raise ValueError(
-            f"pq_encode: corpus sample has {len(sample)} vectors < ksub={ksub}"
+            f"pq_encode: corpus sample has {len(X)} vectors < ksub={ksub}"
         )
-    X = np.stack(sample["cv"].to_numpy())
     dims = X.shape[1]
     if dims % m:
         raise ValueError(f"pq_encode: dims {dims} not divisible by m={m}")
-    books = _train_pq_codebooks(X, m, ksub, seed, max_iter)
+    books = _memo_fit(
+        "books",
+        ck,
+        (m, nbits, seed, max_iter, train_limit),
+        lambda: _train_pq_codebooks(X, m, ksub, seed, max_iter),
+    )
     book_rows = books.tolist()  # plain lists ship by value in the closure
 
     id_type = emb.schema[id_col].dataType
@@ -631,19 +702,30 @@ def ivf_pq_ann_topk(
         F.col(id_col).alias("neighbor_id"),
         _l2_normalize(F.col(vec_col).cast("array<double>")).alias("cv"),
     )
-    sample = corpus.select("cv").limit(train_limit).toPandas()
-    if len(sample) < max(n_lists, ksub):
+    ck = _corpus_key(emb, id_col, vec_col)
+    X = _corpus_sample(emb, id_col, vec_col, train_limit)
+    if len(X) < max(n_lists, ksub):
         raise ValueError(
-            f"ivf_pq_ann_topk: corpus sample has {len(sample)} vectors < "
+            f"ivf_pq_ann_topk: corpus sample has {len(X)} vectors < "
             f"max(n_lists, ksub)={max(n_lists, ksub)}"
         )
-    X = np.stack(sample["cv"].to_numpy())
     dims = X.shape[1]
     if dims % m:
         raise ValueError(f"ivf_pq_ann_topk: dims {dims} not divisible by m={m}")
-    C = _train_coarse_quantizer(X, n_lists, seed, max_iter)
-    # decorrelate the sub-quantizers from the coarse one
-    books = _train_pq_codebooks(X, m, ksub, seed + 1, max_iter)
+    # the coarse fit shares its memo entry with plain IVF (same params
+    # → same centroids); the sub-quantizers are decorrelated via seed+1
+    C = _memo_fit(
+        "coarse",
+        ck,
+        (n_lists, seed, max_iter, train_limit),
+        lambda: _train_coarse_quantizer(X, n_lists, seed, max_iter),
+    )
+    books = _memo_fit(
+        "books",
+        ck,
+        (m, nbits, seed + 1, max_iter, train_limit),
+        lambda: _train_pq_codebooks(X, m, ksub, seed + 1, max_iter),
+    )
     C_rows, book_rows = C.tolist(), books.tolist()
 
     id_type = emb.schema[id_col].dataType

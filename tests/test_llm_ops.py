@@ -497,3 +497,26 @@ def test_jaccard_default_guard_inert_on_test_corpus(spark):
     }
     assert guarded == unguarded
     DD.release_session_caches()
+
+
+def test_ann_training_memo_reuses_fits(spark):
+    """Two invocations over the same corpus plan must reuse the same
+    trained centroids (identity, not just equality) and the memo must
+    be clearable; IVF-PQ's coarse fit shares plain IVF's entry."""
+    SIM.clear_training_memo()
+    emb = _t(spark, SF_DIR, "embeddings")
+    _, c1 = SIM.ivf_assign(emb, n_lists=8)
+    n_after_first = len(SIM._TRAINING_MEMO)
+    assert n_after_first >= 2  # sample + coarse
+    emb2 = _t(spark, SF_DIR, "embeddings")  # fresh object, same plan
+    _, c2 = SIM.ivf_assign(emb2, n_lists=8)
+    assert len(SIM._TRAINING_MEMO) == n_after_first  # no new entries
+    import numpy as np
+
+    assert all(np.array_equal(a, b) for a, b in zip(c1, c2))
+    # different params → new fit entry, same sample entry
+    SIM.ivf_assign(emb, n_lists=4)
+    assert sum(1 for k in SIM._TRAINING_MEMO if k[0] == "coarse") == 2
+    assert sum(1 for k in SIM._TRAINING_MEMO if k[0] == "sample") == 1
+    SIM.clear_training_memo()
+    assert not SIM._TRAINING_MEMO
