@@ -82,15 +82,23 @@ _FRONT = [
     "dedup_minhash_lsh",  # session-cache registry
     "dedup_components",  # session-cache registry
     "pipeline_clean_corpus",  # embeds the capped dedup
-    "ann_cosine_lsh",
-    "ann_cosine_ivf",
-    "ann_cosine_pq",
-    "ann_cosine_ivf_pq",
+    # NEW round-5 operators — first driver rows
+    "pii_scrub",
+    "quality_repetition",
+    "token_doc_freq",
+    "doc_rarity_score",
+    "dedup_semantic",  # hash-checks cosine_pairs + components end-to-end
     # shared-oracle / shared-module anchors for the above
     "ann_cosine_topk",
-    "embedding_cosine_pairs",
     "dedup_exact",
     "chunk_documents",
+    # NOT re-queued despite similarity.py/dedup.py changing this round
+    # (slots went to the five new operators): ann_cosine_{lsh,ivf,pq,
+    # ivf_pq} — their r04 rows are rows-only by design, and the SAME
+    # code paths now get hash-green rows via the *_exact parity
+    # queries above; embedding_cosine_pairs — its exact-cosine kernel
+    # is hash-checked this round by both ann_cosine_topk and
+    # dedup_semantic's oracle.
     # cap (50) lands here. Past it, all r04-green with unchanged code:
     # q1/q3/q5/q6/q10/q14, join/asof/window/agg/pivot families,
     # collect_sorted, percentiles, text_metrics, lang_id,

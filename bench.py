@@ -45,6 +45,15 @@ HEADLINE = [
     "ann_cosine_pq",
     "ann_cosine_ivf_pq",
     "chunk_documents",
+    "pii_scrub",
+    "quality_repetition",
+    "token_doc_freq",
+    "doc_rarity_score",
+    # dedup_semantic is NOT headline: its default pair source is the
+    # guarded quadratic cosine baseline (validation-scale only, like
+    # q_dedup_jaccard's unguarded path) — driver-checked at sf0.01;
+    # the scale path injects banded/IVF candidates via
+    # semantic_dedup(candidate_pairs=...)
 ]
 
 

@@ -111,3 +111,34 @@ def normalized_text(col: Column) -> Column:
 def fingerprint_md5(col: Column) -> Column:
     """Document fingerprint: md5 of the normalized text."""
     return F.md5(normalized_text(col).cast("binary"))
+
+
+# --- PII detection / redaction ----------------------------------------------
+# Patterns are deliberately restricted to syntax that Java regex
+# (Spark) and RE2 (DuckDB) interpret identically — character classes,
+# bounded repetition, no lookaround, no backreferences — so the same
+# pattern string drives both the engine and the oracle. Redaction
+# order matters (emails contain dots that could partially look like
+# other patterns), so `redact_pii` applies the patterns in the fixed
+# PII_PATTERNS order.
+
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+[0-9]{2} [0-9]{3} [0-9]{4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def pii_count(col: Column, kind: str) -> Column:
+    """Occurrences of one PII pattern (email/phone/ipv4)."""
+    return F.regexp_count(col, F.lit(PII_PATTERNS[kind])).cast("long")
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every PII match with a typed placeholder — the scrub
+    step a training corpus runs before tokenization. Pure chained
+    ``regexp_replace``; one codegen'd projection, no UDF."""
+    out = col
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return out

@@ -42,6 +42,29 @@ def _cache_for_session(df: DataFrame) -> DataFrame:
     return df
 
 
+class _CheckpointHandle:
+    """Unpersist handle for a ``localCheckpoint(eager=True)`` frame.
+
+    A checkpointed DataFrame is backed by a persisted RDD that
+    ``df.unpersist()`` does NOT reach (no CacheManager entry), so it
+    would otherwise pin storage until the ContextCleaner happens to GC
+    it. The handle grabs the LogicalRDD's RDD via the query execution
+    (a private accessor — degraded to a no-op if the accessor moves in
+    a future Spark, leaving cleanup to the ContextCleaner). Quacks
+    like a DataFrame for ``release_session_caches``."""
+
+    def __init__(self, df: DataFrame):
+        try:
+            self._rdd = df._jdf.queryExecution().analyzed().rdd()
+        except Exception:
+            self._rdd = None
+
+    def unpersist(self, blocking: bool = False) -> None:
+        if self._rdd is not None:
+            self._rdd.unpersist(blocking)
+            self._rdd = None
+
+
 def release_session_caches() -> int:
     """Unpersist every registered operator cache; returns how many.
     Results already materialized by callers remain valid (unpersist
@@ -202,7 +225,23 @@ def connected_components(
     silently-wrong table.
 
     The per-round ``count()`` action is the convergence check — one
-    tiny job per round over the label frame (2 longs per doc)."""
+    tiny job per round over the label frame (2 longs per doc).
+
+    Each round's label frame is ``localCheckpoint``-ed, not merely
+    cached: the loop body references the previous frame TWICE (the
+    neighbor join and the union), so without lineage truncation the
+    logical plan doubles per round — on graphs whose diameter needs
+    10+ rounds (chains, unlike the star-shaped boilerplate families)
+    the driver dies building the 2^rounds-node plan string before any
+    executor works. Checkpointing caps every round's plan at one join
+    + one aggregate over a materialized frame. Superseded rounds'
+    checkpoint RDDs (2 longs/doc) are unpersisted as soon as the next
+    round is materialized; the FINAL label RDD backs the lazily
+    returned result and is handed to the session registry — note that
+    unlike a plain cache, releasing a checkpoint leaves nothing to
+    recompute from, so after ``release_session_caches()`` the returned
+    frame cannot be re-materialized (rerun the operator; results a
+    caller already collected stay valid)."""
     edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     edges = (
         edges.unionByName(
@@ -214,36 +253,53 @@ def connected_components(
     labels = (
         df.select(F.col(id_col).alias("a"), F.col(id_col).alias("lbl"))
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
-        nbr = edges.join(
-            labels.select(F.col("a").alias("b"), "lbl"), "b"
-        ).select("a", "lbl")
-        new_labels = (
-            labels.unionByName(nbr).groupBy("a").agg(F.min("lbl").alias("lbl"))
-        ).cache()
-        # min-propagation is monotone: any change strictly lowers a label
-        changed = (
-            new_labels.join(
-                labels.select("a", F.col("lbl").alias("old")), "a"
+    prev = _CheckpointHandle(labels)
+    try:
+        for _ in range(max_iter):
+            nbr = edges.join(
+                labels.select(F.col("a").alias("b"), "lbl"), "b"
+            ).select("a", "lbl")
+            # pointer jumping: also shortcut to the label's OWN label —
+            # every label is a node id (min over ids), so l(l(a)) is
+            # defined; the shortcut doubles resolved path depth per
+            # round, making chain-shaped components converge in
+            # O(log diameter) rounds instead of O(diameter). One extra
+            # self-join of the 2-longs-per-doc label frame per round.
+            hop = labels.select("a", F.col("lbl").alias("_k")).join(
+                labels.select(F.col("a").alias("_k"), "lbl"), "_k"
+            ).select("a", "lbl")
+            new_labels = (
+                labels.unionByName(nbr)
+                .unionByName(hop)
+                .groupBy("a")
+                .agg(F.min("lbl").alias("lbl"))
+            ).localCheckpoint(eager=True)
+            # min-propagation is monotone: a change strictly lowers a label
+            changed = (
+                new_labels.join(
+                    labels.select("a", F.col("lbl").alias("old")), "a"
+                )
+                .filter(F.col("lbl") < F.col("old"))
+                .count()
             )
-            .filter(F.col("lbl") < F.col("old"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"connected_components: no convergence in {max_iter} rounds "
-            "(graph diameter exceeds max_iter)"
-        )
+            prev.unpersist(blocking=True)  # superseded round's blocks
+            prev = _CheckpointHandle(new_labels)
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components: no convergence in {max_iter} "
+                "rounds (graph diameter exceeds max_iter)"
+            )
+    except BaseException:
+        prev.unpersist(blocking=False)
+        edges.unpersist()
+        raise
     edges.unpersist()
-    # the converged label frame backs the returned (lazy) result — hand
-    # its cache to the session registry rather than leaking it
-    _SESSION_CACHES.append(labels)
+    _SESSION_CACHES.append(prev)
     return labels.select(F.col("a").alias(id_col), F.col("lbl").alias("keep_id"))
 
 
@@ -820,3 +876,42 @@ def simhash_pairs(
         pairs.filter(F.col("hamming") <= max_hamming)  # cheap row filter first,
         .distinct()  # then dedupe the (smaller) surviving set
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    candidate_pairs: DataFrame | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Embedding-cosine near-dup DECISION table: every vector mapped
+    to its semantic component's minimum id (``keep_id``).
+
+    The pair source is pluggable — the scale posture lives there:
+
+    - default (``candidate_pairs=None``): exact all-pairs cosine via
+      ``similarity.cosine_pairs`` — the validation baseline, guarded by
+      its ``max_rows`` probe so it cannot silently go quadratic on a
+      production corpus;
+    - at 100 TB, pass candidates from the banded/bucketed generators
+      (``similarity.lsh_ann_topk`` buckets, IVF list cohabitation, or
+      a threshold-filtered ANN result) — any frame with
+      ``(id_a, id_b, sim)``; rows below ``threshold`` are dropped here
+      so over-generating candidate sources stay correct.
+
+    Same component semantics as ``connected_components`` (hash-min
+    label propagation, loud non-convergence)."""
+    if candidate_pairs is None:
+        from solana_snapshot_etl_tools_spark.operators.similarity import (
+            cosine_pairs,
+        )
+
+        candidate_pairs = cosine_pairs(
+            emb, id_col=id_col, vec_col=vec_col, threshold=threshold
+        )
+    pairs = candidate_pairs.filter(F.col("sim") > threshold).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    return connected_components(pairs, emb, id_col, max_iter=max_iter)

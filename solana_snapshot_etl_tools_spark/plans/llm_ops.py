@@ -723,6 +723,264 @@ FROM s
 """
 
 
+# --- PII detect / redact -----------------------------------------------------
+# The real documents corpus contains no PII, so the query derives a
+# PLANTED corpus from it deterministically (append synthetic
+# email/phone/IP to id-selected docs) — the same derivation spelled in
+# both engines, like the Solana decode queries derive from a shared
+# fixture. The detection/redaction patterns live in functions/text.py
+# and are restricted to Java-regex ∩ RE2 common syntax so the engine
+# and the oracle run the SAME pattern.
+
+
+def _planted_pii_text():
+    d = F.col("doc_id")
+    email = F.when(
+        d % 7 == 0,
+        F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com now")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        d % 11 == 0,
+        F.concat(F.lit(" call +41 793 "), (d % 9000 + 1000).cast("string")),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        d % 13 == 0,
+        F.concat(
+            F.lit(" from 10."),
+            (d % 256).cast("string"),
+            F.lit(".0."),
+            (d % 250).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(F.col("text"), email, phone, ip)
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrub over the planted corpus: per-doc match counts per
+    type plus the fully redacted text (hash-checked character for
+    character). One codegen'd projection — counts and chained
+    regexp_replace, no UDF, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select("doc_id", _planted_pii_text().alias("text"))
+    t = F.col("text")
+    return planted.select(
+        "doc_id",
+        TXT.pii_count(t, "email").alias("n_emails"),
+        TXT.pii_count(t, "phone").alias("n_phones"),
+        TXT.pii_count(t, "ipv4").alias("n_ips"),
+        TXT.redact_pii(t).alias("clean"),
+    )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+[0-9]{2} [0-9]{3} [0-9]{4}"
+_PII_IP = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+PII_SCRUB_SQL = f"""
+WITH planted AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' call +41 793 ' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+            ELSE '' END
+    || CASE WHEN doc_id % 13 = 0
+            THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+            ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS BIGINT) AS n_ips,
+  regexp_replace(regexp_replace(regexp_replace(text,
+      '{_PII_EMAIL}', '<EMAIL>', 'g'),
+      '{_PII_PHONE}', '<PHONE>', 'g'),
+      '{_PII_IP}', '<IPV4>', 'g') AS clean
+FROM planted
+"""
+
+
+# --- Gopher-style repetition filters -----------------------------------------
+
+
+def q_quality_repetition(spark, sf_dir):
+    """Top-n-gram coverage — the Gopher repetition filter signal that
+    ``bigram_stats``' distinct-ratio can't see (a doc repeating ONE
+    bigram half the time has the same distinct ratio as one repeating
+    many different bigrams): fraction of tokens covered by the single
+    most frequent unigram, and of bigram slots by the most frequent
+    bigram. explode → two-level groupBy, partial-agg both levels; the
+    per-(doc, gram) cardinality is bounded by corpus token count, and
+    no global shuffle key is hotter than one document's grams."""
+    docs = _t(spark, sf_dir, "documents")
+    t = TXT.tokens(F.col("text"))
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    base = docs.select("doc_id", t.alias("t"), bigrams.alias("bgs"))
+    uni = base.filter(F.size("t") > 0).select(
+        "doc_id", F.size("t").cast("long").alias("n_tokens"), F.explode("t").alias("g")
+    )
+    topu = (
+        uni.groupBy("doc_id", "n_tokens", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "n_tokens")
+        .agg(F.max("c").alias("topc"))
+    )
+    bgu = base.filter(F.size("bgs") > 0).select(
+        "doc_id",
+        F.size("bgs").cast("long").alias("n_bigrams"),
+        F.explode("bgs").alias("g"),
+    )
+    topb = (
+        bgu.groupBy("doc_id", "n_bigrams", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "n_bigrams")
+        .agg(F.max("c").alias("topcb"))
+    )
+    return topu.join(topb, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("topc") / F.col("n_tokens")).alias("top_unigram_frac"),
+        F.coalesce(
+            F.col("topcb") / F.col("n_bigrams"), F.lit(0.0)
+        ).alias("top_bigram_frac"),
+    )
+
+
+QUALITY_REPETITION_SQL = f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+uni AS (SELECT doc_id, CAST(len(t) AS BIGINT) n_tokens, unnest(t) g
+        FROM base WHERE len(t) > 0),
+uc AS (SELECT doc_id, n_tokens, g, count(*) c FROM uni GROUP BY 1, 2, 3),
+topu AS (SELECT doc_id, n_tokens, max(c) topc FROM uc GROUP BY 1, 2),
+bg AS (SELECT doc_id, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) bgs
+       FROM base WHERE len(t) >= 2),
+bgu AS (SELECT doc_id, CAST(len(bgs) AS BIGINT) n_bigrams, unnest(bgs) g FROM bg),
+bc AS (SELECT doc_id, n_bigrams, g, count(*) c FROM bgu GROUP BY 1, 2, 3),
+topb AS (SELECT doc_id, n_bigrams, max(c) topcb FROM bc GROUP BY 1, 2)
+SELECT u.doc_id, u.n_tokens,
+       u.topc / CAST(u.n_tokens AS DOUBLE) AS top_unigram_frac,
+       coalesce(b.topcb / CAST(b.n_bigrams AS DOUBLE), 0.0) AS top_bigram_frac
+FROM topu u LEFT JOIN topb b ON u.doc_id = b.doc_id
+"""
+
+
+# --- vocabulary statistics (inverted-index scale primitive) ------------------
+
+
+def q_token_doc_freq(spark, sf_dir):
+    """Corpus vocabulary table: per token, total occurrences (tf) and
+    document frequency (df) — the posting-list statistics behind BM25 /
+    idf weighting and stopword discovery. One explode + one groupBy;
+    count(distinct doc_id) expands to a two-phase partial aggregate,
+    both map-side combined. Emits integers only — downstream idf
+    weighting picks its own log base."""
+    docs = _t(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id", F.explode(TXT.tokens(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    return occ.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct("doc_id").alias("df"),
+    )
+
+
+TOKEN_DOC_FREQ_SQL = f"""
+SELECT g AS token, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest({_TOKS}) AS g FROM documents)
+WHERE g <> '' GROUP BY 1
+"""
+
+
+def q_doc_rarity(spark, sf_dir):
+    """Unigram-LM quality proxy in the frequency domain: per doc, the
+    occurrence-weighted mean and the minimum of its tokens' CORPUS
+    frequency. Rank-equivalent to unigram log-likelihood scoring but
+    transcendental-free — integer sums with one final double division,
+    so the oracle matches bit for bit (ln() ULPs differ between JVM
+    and libm; a log-domain score could only be rows-checked).
+
+    Shape: corpus tf is a groupBy over occurrences; the doc score
+    joins per-doc DISTINCT tokens (not occurrences) against it — join
+    volume is Σ distinct-tokens-per-doc, and in-doc counts reweight to
+    occurrence level. AQE handles the hot common-token keys."""
+    docs = _t(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id", F.explode(TXT.tokens(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    per_doc = occ.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    tf = occ.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        per_doc.join(tf, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            (F.sum(F.col("c") * F.col("tf")) / F.sum("c")).alias("mean_tf"),
+            F.min("tf").alias("min_tf"),
+        )
+    )
+
+
+DOC_RARITY_SQL = f"""
+WITH occ AS (
+  SELECT doc_id, g AS token
+  FROM (SELECT doc_id, unnest({_TOKS}) AS g FROM documents)
+  WHERE g <> ''),
+per_doc AS (SELECT doc_id, token, count(*) c FROM occ GROUP BY 1, 2),
+tf AS (SELECT token, count(*) tf FROM occ GROUP BY 1)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(sum(c * tf) AS BIGINT) / CAST(sum(c) AS BIGINT) AS mean_tf,
+       CAST(min(tf) AS BIGINT) AS min_tf
+FROM per_doc JOIN tf USING (token)
+GROUP BY 1
+"""
+
+
+# --- embedding-cosine near-dup (semantic dedup) ------------------------------
+
+
+def q_dedup_semantic(spark, sf_dir):
+    """Embedding-cosine near-dup DECISION table: exact cosine pairs
+    over threshold → connected components → (vec_id, keep_id). The
+    oracle recomputes the pairs and closes them with a recursive CTE,
+    so the driver hash-checks the full semantic-dedup decision. At
+    scale the pair source swaps to a banded/IVF candidate generator
+    via ``semantic_dedup(candidate_pairs=...)``; the component logic
+    is shared."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return DD.semantic_dedup(emb, "vec_id", "embedding", threshold=0.4)
+
+
+_COS = (
+    "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /"
+    " (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
+)
+
+DEDUP_SEMANTIC_SQL = f"""
+WITH RECURSIVE
+p AS (
+  SELECT a.vec_id id_a, b.vec_id id_b
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id AND {_COS} > 0.4),
+edges AS (SELECT id_a a, id_b b FROM p UNION SELECT id_b, id_a FROM p),
+walk(s, d) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT w.s, e.b FROM walk w JOIN edges e ON w.d = e.a),
+comp AS (SELECT s AS vec_id, min(d) AS keep_id FROM walk GROUP BY 1)
+SELECT e.vec_id, COALESCE(c.keep_id, e.vec_id) AS keep_id
+FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.vec_id
+"""
+
+
 QUERIES = {
     "pipeline_clean_corpus": q_clean_corpus,
     "embedding_quantize_int8": q_embedding_quantize,
@@ -750,6 +1008,11 @@ QUERIES = {
     "sample_balanced_lang": q_sample_balanced_lang,
     "split_train_val_test": q_split_train_val_test,
     "salted_join_orders": q_salted_join_orders,
+    "pii_scrub": q_pii_scrub,
+    "quality_repetition": q_quality_repetition,
+    "token_doc_freq": q_token_doc_freq,
+    "doc_rarity_score": q_doc_rarity,
+    "dedup_semantic": q_dedup_semantic,
 }
 
 ORACLES = {
@@ -778,4 +1041,9 @@ ORACLES = {
     "sample_balanced_lang": SAMPLE_BALANCED_SQL,
     "split_train_val_test": SPLIT_SQL,
     "salted_join_orders": SALTED_JOIN_SQL,
+    "pii_scrub": PII_SCRUB_SQL,
+    "quality_repetition": QUALITY_REPETITION_SQL,
+    "token_doc_freq": TOKEN_DOC_FREQ_SQL,
+    "doc_rarity_score": DOC_RARITY_SQL,
+    "dedup_semantic": DEDUP_SEMANTIC_SQL,
 }

@@ -520,3 +520,139 @@ def test_ann_training_memo_reuses_fits(spark):
     assert sum(1 for k in SIM._TRAINING_MEMO if k[0] == "sample") == 1
     SIM.clear_training_memo()
     assert not SIM._TRAINING_MEMO
+
+
+# --- round-5 operators: PII, repetition, vocab stats, rarity, semantic dedup
+
+
+def test_pii_redaction_and_counts(spark):
+    from solana_snapshot_etl_tools_spark.functions import text as TXT
+
+    rows = [
+        (1, "mail a.b-c_d%x@sub.example.org ok"),
+        (2, "call +41 793 1234 and +44 100 0000 soon"),
+        (3, "srv 10.0.0.1 and 192.168.255.254 up"),
+        (4, "clean text with no pii at all"),
+        (5, "mix bob@x.io at 10.1.2.3 dial +10 222 3333"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            TXT.pii_count(F.col("text"), "email").alias("e"),
+            TXT.pii_count(F.col("text"), "phone").alias("p"),
+            TXT.pii_count(F.col("text"), "ipv4").alias("i"),
+            TXT.redact_pii(F.col("text")).alias("clean"),
+        ).collect()
+    }
+    assert (out[1].e, out[1].p, out[1].i) == (1, 0, 0)
+    assert out[1].clean == "mail <EMAIL> ok"
+    assert (out[2].e, out[2].p, out[2].i) == (0, 2, 0)
+    assert out[2].clean == "call <PHONE> and <PHONE> soon"
+    assert (out[3].e, out[3].p, out[3].i) == (0, 0, 2)
+    assert out[3].clean == "srv <IPV4> and <IPV4> up"
+    assert (out[4].e, out[4].p, out[4].i) == (0, 0, 0)
+    assert out[4].clean == rows[3][1]
+    assert (out[5].e, out[5].p, out[5].i) == (1, 1, 1)
+    assert out[5].clean == "mix <EMAIL> at <IPV4> dial <PHONE>"
+    # redacted text must contain no residual matches of any pattern
+    residual = df.select(TXT.redact_pii(F.col("text")).alias("c")).filter(
+        (TXT.pii_count(F.col("c"), "email") > 0)
+        | (TXT.pii_count(F.col("c"), "phone") > 0)
+        | (TXT.pii_count(F.col("c"), "ipv4") > 0)
+    )
+    assert residual.count() == 0
+
+
+def test_quality_repetition_hand_case(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from solana_snapshot_etl_tools_spark.plans.llm_ops import (
+        q_quality_repetition,
+    )
+
+    # "a a a b" → top unigram a: 3/4; bigrams [a a, a a, a b] → 2/3
+    # "x y" → each unigram 1/2; bigram "x y" 1/1
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["a a a b", "x y"]),
+            "lang": pa.array(["en", "en"]),
+            "source": pa.array(["s", "s"]),
+            "n_chars": pa.array([7, 3], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r for r in q_quality_repetition(spark, str(tmp_path)).collect()
+    }
+    assert out[1].n_tokens == 4
+    assert abs(out[1].top_unigram_frac - 3 / 4) < 1e-15
+    assert abs(out[1].top_bigram_frac - 2 / 3) < 1e-15
+    assert out[2].n_tokens == 2
+    assert abs(out[2].top_unigram_frac - 1 / 2) < 1e-15
+    assert abs(out[2].top_bigram_frac - 1.0) < 1e-15
+
+
+def test_token_doc_freq_and_rarity_hand_case(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from solana_snapshot_etl_tools_spark.plans.llm_ops import (
+        q_doc_rarity,
+        q_token_doc_freq,
+    )
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a a b", "a c", "b"]),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s"] * 3),
+            "n_chars": pa.array([5, 3, 1], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    vocab = {
+        r.token: (r.tf, r.df)
+        for r in q_token_doc_freq(spark, str(tmp_path)).collect()
+    }
+    assert vocab == {"a": (3, 2), "b": (2, 2), "c": (1, 1)}
+    rare = {r.doc_id: r for r in q_doc_rarity(spark, str(tmp_path)).collect()}
+    # doc1 "a a b": mean = (2*3 + 1*2)/3, min = tf(b)=2
+    assert rare[1].n_tokens == 3
+    assert abs(rare[1].mean_tf - 8 / 3) < 1e-15
+    assert rare[1].min_tf == 2
+    # doc2 "a c": mean = (3+1)/2 = 2, min = tf(c)=1
+    assert abs(rare[2].mean_tf - 2.0) < 1e-15
+    assert rare[2].min_tf == 1
+
+
+def test_semantic_dedup_components_and_custom_candidates(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0]),  # ~identical to 1
+            (3, [0.0, 1.0, 0.0]),  # orthogonal
+            (4, [0.0, 0.999, 0.02]),  # ~identical to 3
+            (5, [0.5, 0.5, 0.70710678]),  # near nothing at 0.9
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.vec_id: r.keep_id
+        for r in DD.semantic_dedup(emb, threshold=0.9).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5}
+    # over-generating candidate source: rows below threshold dropped here
+    cands = spark.createDataFrame(
+        [(1, 2, 0.95), (3, 4, 0.99), (1, 3, 0.1)],
+        "id_a long, id_b long, sim double",
+    )
+    out2 = {
+        r.vec_id: r.keep_id
+        for r in DD.semantic_dedup(
+            emb, threshold=0.9, candidate_pairs=cands
+        ).collect()
+    }
+    assert out2 == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5}
