@@ -166,3 +166,46 @@ def test_q10_dims_broadcast(spark):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "TakeOrderedAndProject" in p  # top-20 must not be a full sort
+
+
+def test_pii_scrub_is_single_codegen_projection(spark):
+    """PII scrub must stay a narrow zero-exchange map (chained
+    regexp_replace in one whole-stage-codegen'd projection — no UDF,
+    no Python stage, no shuffle)."""
+    from solana_snapshot_etl_tools_spark.plans.llm_ops import q_pii_scrub
+
+    p = _plan(q_pii_scrub(spark, SF_DIR))
+    assert "Exchange" not in p
+    assert "Python" not in p and "ArrowEval" not in p
+    assert "codegen id" in p
+
+
+def test_doc_rarity_joins_distinct_tokens_not_occurrences(spark):
+    """The rarity join must aggregate to per-doc DISTINCT tokens
+    BEFORE joining the tf table (join volume = Σ distinct per doc,
+    not Σ occurrences): both join children must be aggregates."""
+    from solana_snapshot_etl_tools_spark.plans.llm_ops import q_doc_rarity
+
+    p = _plan(q_doc_rarity(spark, SF_DIR))
+    join_line = [l for l in p.splitlines() if "SortMergeJoin" in l or "ShuffledHashJoin" in l or "BroadcastHashJoin" in l]
+    assert join_line, "expected a join in the rarity plan"
+    # no generate (explode) may sit between the join and either agg —
+    # the explode feeds the aggregates, not the join directly
+    gen_after_join = p.split(join_line[0])[0]
+    assert "Generate" not in gen_after_join.split("HashAggregate")[0]
+
+
+def test_cosine_pairs_norms_precomputed_once(spark):
+    """cosine_pairs must fold each row's norm BEFORE the pair join —
+    the join-side projections carry a scalar norm column, and the
+    post-join projection computes only the dot product (one aggregate
+    lambda, not three)."""
+    from solana_snapshot_etl_tools_spark.operators import similarity as SIM
+    from solana_snapshot_etl_tools_spark.plans.relational import _t
+
+    emb = _t(spark, SF_DIR, "embeddings")
+    p = _plan(SIM.cosine_pairs(emb, threshold=0.4))
+    # the final (post-join) projection computing sim must reference the
+    # precomputed na/nb scalars rather than re-folding transform(x*x)
+    post_join = p.split("CartesianProduct")[0]
+    assert "na" in post_join and "nb" in post_join
