@@ -88,17 +88,21 @@ _FRONT = [
     "token_doc_freq",
     "doc_rarity_score",
     "dedup_semantic",  # hash-checks cosine_pairs + components end-to-end
-    # shared-oracle / shared-module anchors for the above
-    "ann_cosine_topk",
-    "dedup_exact",
-    "chunk_documents",
-    # NOT re-queued despite similarity.py/dedup.py changing this round
-    # (slots went to the five new operators): ann_cosine_{lsh,ivf,pq,
-    # ivf_pq} — their r04 rows are rows-only by design, and the SAME
-    # code paths now get hash-green rows via the *_exact parity
-    # queries above; embedding_cosine_pairs — its exact-cosine kernel
-    # is hash-checked this round by both ann_cosine_topk and
-    # dedup_semantic's oracle.
+    "pipeline_pretrain_corpus",  # NEW r5 — composite, first row
+    "q4_order_priority",  # NEW r5 — first row
+    "q19_disjunctive_revenue",  # NEW r5 — first row
+    # NOT re-queued despite similarity.py/dedup.py/llm_ops.py changing
+    # this round (slots went to the eight new queries):
+    # ann_cosine_{lsh,ivf,pq,ivf_pq} — their r04 rows are rows-only by
+    # design, and the SAME code paths now get hash-green rows via the
+    # *_exact parity queries above; embedding_cosine_pairs +
+    # ann_cosine_topk — the exact-cosine kernel and ANN_TOPK_SQL
+    # oracle are hash-checked this round by the three *_exact rows and
+    # dedup_semantic; dedup_exact + chunk_documents — r04-green, their
+    # implementing FUNCTIONS are untouched this round (module-level
+    # diffs are elsewhere; see git log -L on exact_dedup_groups /
+    # q_chunk_documents), and exact_dedup is re-exercised hash-green
+    # inside both pipeline_* composites.
     # cap (50) lands here. Past it, all r04-green with unchanged code:
     # q1/q3/q5/q6/q10/q14, join/asof/window/agg/pivot families,
     # collect_sorted, percentiles, text_metrics, lang_id,

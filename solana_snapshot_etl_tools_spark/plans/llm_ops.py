@@ -981,8 +981,98 @@ FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.vec_id
 """
 
 
+# --- composite: full pretraining-corpus build --------------------------------
+
+
+def q_pretrain_pipeline(spark, sf_dir):
+    """The end-to-end pretraining-data build, chaining this engine's
+    stages in production order: exact dedup (keep min doc per content
+    hash) → PII redaction (on the deterministically planted corpus, so
+    the scrub stage has real work) → quality + language filter on the
+    CLEANED text → deterministic train/val/test split. Emits
+    (doc_id, split, n_tokens, clean) — the driver hash-checks the
+    redacted text and the split assignment through the whole chain.
+    Every stage is a narrow map or one hash-groupBy; nothing quadratic."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = DD.exact_dedup(docs, "doc_id", "text")
+    planted = kept.select("doc_id", _planted_pii_text().alias("text"))
+    clean = planted.select(
+        "doc_id", TXT.redact_pii(F.col("text")).alias("clean")
+    )
+    c = F.col("clean")
+    h = _knuth_h(F.col("doc_id"))
+    split = (
+        F.when(h * 100 < F.lit(90) * F.lit(_2_32), "train")
+        .when(h * 100 < F.lit(95) * F.lit(_2_32), "val")
+        .otherwise("test")
+    )
+    return (
+        clean.select(
+            "doc_id",
+            "clean",
+            split.alias("split"),
+            TXT.token_count(c).alias("n_tokens"),
+            TXT.quality_score(c).alias("quality"),
+            TXT.lang_id(c).alias("lang_pred"),
+        )
+        .filter((F.col("quality") > 0.5) & (F.col("lang_pred") == "en"))
+        .select("doc_id", "split", "n_tokens", "clean")
+    )
+
+
+# the cleaned CTE re-aliases the redacted text AS text, so the shared
+# _TOKS/_duck_hits fragments (which name the column `text`) apply to
+# the cleaned corpus verbatim
+PRETRAIN_PIPELINE_SQL = f"""
+WITH kept AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))),
+planted AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' call +41 793 ' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+            ELSE '' END
+    || CASE WHEN doc_id % 13 = 0
+            THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+            ELSE '' END AS text
+  FROM kept),
+cleaned AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(text,
+        '{_PII_EMAIL}', '<EMAIL>', 'g'),
+        '{_PII_PHONE}', '<PHONE>', 'g'),
+        '{_PII_IP}', '<IPV4>', 'g') AS text
+  FROM planted),
+scored AS (
+  SELECT doc_id, text AS clean,
+    CASE WHEN ({{H}}) * 100 < 90 * {_2_32} THEN 'train'
+         WHEN ({{H}}) * 100 < 95 * {_2_32} THEN 'val'
+         ELSE 'test' END AS split,
+    CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+    (least(len({_TOKS}) / 100.0, 1.0) * 0.4
+     + least({_duck_hits("en")} / greatest(len({_TOKS}), 1) * 4.0, 1.0) * 0.3)
+     + greatest(1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / greatest(length(text), 1) * 5.0, 0.0) * 0.3 AS quality,
+    CASE
+      WHEN {_duck_hits("en")} + {_duck_hits("es")} + {_duck_hits("de")} + {_duck_hits("fr")} = 0 THEN 'und'
+      WHEN {_duck_hits("en")} >= {_duck_hits("es")} AND {_duck_hits("en")} >= {_duck_hits("de")} AND {_duck_hits("en")} >= {_duck_hits("fr")} THEN 'en'
+      WHEN {_duck_hits("es")} >= {_duck_hits("de")} AND {_duck_hits("es")} >= {_duck_hits("fr")} THEN 'es'
+      WHEN {_duck_hits("de")} >= {_duck_hits("fr")} THEN 'de'
+      ELSE 'fr'
+    END AS lang_pred
+  FROM cleaned)
+SELECT doc_id, split, n_tokens, clean FROM scored
+WHERE quality > 0.5 AND lang_pred = 'en'
+""".replace("{H}", _H_SQL)
+
+
 QUERIES = {
     "pipeline_clean_corpus": q_clean_corpus,
+    "pipeline_pretrain_corpus": q_pretrain_pipeline,
     "embedding_quantize_int8": q_embedding_quantize,
     "dup_span_stats": q_dup_span_stats,
     "dedup_exact": q_dedup_exact,
@@ -1017,6 +1107,7 @@ QUERIES = {
 
 ORACLES = {
     "pipeline_clean_corpus": CLEAN_CORPUS_SQL,
+    "pipeline_pretrain_corpus": PRETRAIN_PIPELINE_SQL,
     "embedding_quantize_int8": EMBEDDING_QUANTIZE_SQL,
     "dup_span_stats": DUP_SPAN_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,

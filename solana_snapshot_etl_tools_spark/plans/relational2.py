@@ -555,11 +555,96 @@ WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-0
 """
 
 
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: date-windowed orders, EXISTS over the fact
+    table (→ left-semi join, never a count-then-join), count per
+    priority, ordered output. The reference Q4 predicate is
+    l_commitdate < l_receiptdate; this corpus carries neither column,
+    so the EXISTS tests l_returnflag = 'R' — same shape, same
+    semi-join plan property (pinned in test_plans_shape)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(
+            l.select(F.col("l_orderkey").alias("o_orderkey")),
+            "o_orderkey",
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: fact ⋈ dim under an OR-of-ANDs predicate
+    mixing columns of both tables — the classic disjunctive-pushdown
+    exercise. Catalyst must extract the part-only disjunction
+    ((brand,size) branches) and push it into the part scan instead of
+    filtering after the join, and the small side must broadcast (both
+    pinned in test_plans_shape). Revenue is exact-decimal summed then
+    one double cast, like q6/q14."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = _d("l_extendedprice") * (
+        F.lit("1.00").cast("decimal(3,2)") - _d("l_discount", "decimal(3,2)")
+    )
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(5, 25)
+            & F.col("l_quantity").between(5, 40)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 50)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(branch)
+        .agg(F.sum(rev).cast("decimal(38,4)").cast("double").alias("revenue"))
+    )
+
+
+Q19_SQL = """
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+            AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 30)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 25 AND l_quantity BETWEEN 5 AND 40)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 50)
+"""
+
+
 QUERIES = {
     "asof_join": q_asof_join,
     "q6_revenue_delta": q6_revenue_delta,
     "q10_returned_items": q10_returned_items,
     "q14_promo_share": q14_promo_share,
+    "q4_order_priority": q4_order_priority,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "sliding_window": q_sliding_window,
     "grouping_sets": q_grouping_sets,
     "top_supplier_per_nation": q_top_supplier_per_nation,
@@ -581,6 +666,8 @@ ORACLES = {
     "q6_revenue_delta": Q6_SQL,
     "q10_returned_items": Q10_SQL,
     "q14_promo_share": Q14_SQL,
+    "q4_order_priority": Q4_SQL,
+    "q19_disjunctive_revenue": Q19_SQL,
     "sliding_window": Q_SLIDING_SQL,
     "grouping_sets": Q_GROUPING_SETS_SQL,
     "top_supplier_per_nation": Q_TOP_SUPPLIER_SQL,

@@ -209,3 +209,37 @@ def test_cosine_pairs_norms_precomputed_once(spark):
     # precomputed na/nb scalars rather than re-folding transform(x*x)
     post_join = p.split("CartesianProduct")[0]
     assert "na" in post_join and "nb" in post_join
+
+
+def test_q4_exists_is_semi_join(spark):
+    """Q4's EXISTS must compile to a left-semi join (never a
+    count-then-join or a full inner join + distinct)."""
+    from solana_snapshot_etl_tools_spark.plans.relational2 import (
+        q4_order_priority,
+    )
+
+    p = _plan(q4_order_priority(spark, SF_DIR))
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q19_disjunction_pushed_to_part_scan(spark):
+    """Q19's OR-of-ANDs mixes columns of both tables; Catalyst must
+    still extract the part-only disjunction and push it into the part
+    scan (filtering before the broadcast build side), not filter the
+    joined rows only."""
+    from solana_snapshot_etl_tools_spark.plans.relational2 import (
+        q19_disjunctive_revenue,
+    )
+
+    p = _plan(q19_disjunctive_revenue(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    part_scan = [
+        blk
+        for blk in p.split("\n\n")
+        if "Scan parquet" in blk and "part.parquet" in blk
+    ]
+    assert part_scan, "expected a part scan block"
+    assert "Or(" in part_scan[0] and "p_brand" in part_scan[0], (
+        "part-only disjunction must reach the part scan's PushedFilters"
+    )
