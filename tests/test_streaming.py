@@ -139,3 +139,47 @@ def test_windowed_watermark_stream(spark, updates_dir):
     streamed = run_available_now(spark, updates_dir, S.ACCOUNT_UPDATES_SCHEMA, pipe)
     # availableNow + watermark: final watermark passes all windows through
     assert streamed.count() > 0
+
+
+def test_corpus_scrub_and_score_stream_matches_batch(spark, tmp_path_factory):
+    """The LLM-corpus stateless stages (PII redaction, quality score,
+    language ID, token count, deterministic split) are pure column
+    expressions, so the SAME function must run unchanged under
+    readStream — proven here with a real availableNow file-source
+    query against its batch replay on the documents fixture."""
+    from pyspark.sql import functions as F
+
+    from solana_snapshot_etl_tools_spark.functions import text as TXT
+    from solana_snapshot_etl_tools_spark.plans.llm_ops import _2_32, _knuth_h
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    schema = spark.read.parquet(src).schema
+    d = str(tmp_path_factory.mktemp("docs_stream"))
+    spark.read.parquet(src).write.mode("overwrite").parquet(d)
+
+    def pipe(df):
+        c = F.col("clean")
+        h = _knuth_h(F.col("doc_id"))
+        return (
+            df.select(
+                "doc_id", TXT.redact_pii(F.col("text")).alias("clean")
+            )
+            .select(
+                "doc_id",
+                "clean",
+                TXT.token_count(c).alias("n_tokens"),
+                TXT.quality_score(c).alias("quality"),
+                TXT.lang_id(c).alias("lang_pred"),
+                F.when(h * 100 < F.lit(90) * F.lit(_2_32), "train")
+                .when(h * 100 < F.lit(95) * F.lit(_2_32), "val")
+                .otherwise("test")
+                .alias("split"),
+            )
+            .filter(F.col("quality") > 0.5)
+        )
+
+    streamed = run_available_now(spark, d, schema, pipe)
+    batch = pipe(spark.read.parquet(src))
+    cols = ["doc_id", "clean", "n_tokens", "quality", "lang_pred", "split"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
+    assert streamed.count() > 0
