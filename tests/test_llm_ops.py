@@ -656,3 +656,24 @@ def test_semantic_dedup_components_and_custom_candidates(spark):
         ).collect()
     }
     assert out2 == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5}
+
+
+def test_connected_components_long_chain_converges_in_log_rounds(spark):
+    """Pointer jumping (label-of-label shortcut) must close a 60-node
+    path graph well inside max_iter=10 — pure neighbor propagation
+    needs diameter≈60 rounds and would raise. Also regression-guards
+    the per-round lineage truncation: without it a graph needing this
+    many effective hops blows up the plan exponentially before any
+    result."""
+    n = 60
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(n)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    out = {
+        r.doc_id: r.keep_id
+        for r in DD.connected_components(pairs, docs, "doc_id", max_iter=10).collect()
+    }
+    assert out == {i: 0 for i in range(n)}
