@@ -24,9 +24,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Registration order matters: the verification driver checks queries in
-# declaration order with a cap of 50 per round (of 85 declared), so the
-# front of the list rotates each round to keep consecutive-round unions
-# covering all queries with the stalest rows refreshed.
+# declaration order with a cap of 50 per round (of 93 declared → 43
+# rotate past the cap each round), so the front of the list rotates
+# each round to keep consecutive-round unions covering all queries
+# with the stalest rows refreshed.
 #
 # Round 5 front-loads (a) the 32 queries whose last green row is round
 # 3 (they fell past round 4's 50-slot cap; media_* is MANDATORY — its

@@ -276,16 +276,25 @@ def connected_components(
                 .groupBy("a")
                 .agg(F.min("lbl").alias("lbl"))
             ).localCheckpoint(eager=True)
-            # min-propagation is monotone: a change strictly lowers a label
-            changed = (
-                new_labels.join(
-                    labels.select("a", F.col("lbl").alias("old")), "a"
+            # grab the new checkpoint's handle BEFORE the convergence
+            # count: if that action throws, the except path must be
+            # able to free the just-materialized blocks too
+            nxt = _CheckpointHandle(new_labels)
+            try:
+                # min-propagation is monotone: a change strictly
+                # lowers a label
+                changed = (
+                    new_labels.join(
+                        labels.select("a", F.col("lbl").alias("old")), "a"
+                    )
+                    .filter(F.col("lbl") < F.col("old"))
+                    .count()
                 )
-                .filter(F.col("lbl") < F.col("old"))
-                .count()
-            )
+            except BaseException:
+                nxt.unpersist(blocking=False)
+                raise
             prev.unpersist(blocking=True)  # superseded round's blocks
-            prev = _CheckpointHandle(new_labels)
+            prev = nxt
             labels = new_labels
             if changed == 0:
                 break

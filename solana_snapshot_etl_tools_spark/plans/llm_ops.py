@@ -188,7 +188,7 @@ def q_ann_ivf(spark, sf_dir):
 # The production-parameter variants above stay rows-only by design.
 
 
-def _bitexact_sim_edge(ann, emb, k: int):
+def _bitexact_sim_edge(ann, emb, queries, k: int):
     """Output edge for the parity queries: the ANN path chose the
     candidate set, but its sims come from normalized-dot / numpy
     einsum, which can differ from the oracle's ``dot/(|a|·|b|)`` in
@@ -196,8 +196,9 @@ def _bitexact_sim_edge(ann, emb, k: int):
     gate (the driver's rounded hash would pass). Recompute sim with
     the oracle-exact JVM fold over the RAW vectors and re-rank on it.
     Parity-query-only construct at validation scale; the production
-    ANN variants keep their fast sims."""
-    qv = emb.select(
+    ANN variants keep their fast sims. The broadcast query side is the
+    caller's QUERY frame, not the corpus — only query vectors ship."""
+    qv = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("_q"),
     )
@@ -230,13 +231,28 @@ def q_ann_ivf_exact(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     ann = SIM.ivf_ann_topk(emb, queries, k=5, n_lists=16, n_probe=16)
-    return _bitexact_sim_edge(ann, emb, k=5)
+    return _bitexact_sim_edge(ann, emb, queries, k=5)
+
+
+_REFINE_MEMO: dict = {}
 
 
 def _exhaustive_refine(emb, k: int) -> int:
-    # smallest refine with k·refine ≥ corpus size (+1 for self-match)
+    # smallest refine with k·refine ≥ corpus size (+1 for self-match).
+    # The corpus count is a Spark job at CONSTRUCTION time (refine is a
+    # plan parameter), so it is memoized per corpus plan — building all
+    # declared queries must not launch one scan per parity query.
+    try:
+        key = (emb.semanticHash(), k)
+    except Exception:
+        key = None
+    if key is not None and key in _REFINE_MEMO:
+        return _REFINE_MEMO[key]
     n = emb.count()
-    return n // k + 2
+    refine = n // k + 2
+    if key is not None:
+        _REFINE_MEMO[key] = refine
+    return refine
 
 
 def q_ann_pq_exact(spark, sf_dir):
@@ -246,7 +262,7 @@ def q_ann_pq_exact(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     ann = SIM.pq_ann_topk(emb, queries, k=5, refine=_exhaustive_refine(emb, 5))
-    return _bitexact_sim_edge(ann, emb, k=5)
+    return _bitexact_sim_edge(ann, emb, queries, k=5)
 
 
 def q_ann_ivf_pq_exact(spark, sf_dir):
@@ -258,7 +274,7 @@ def q_ann_ivf_pq_exact(spark, sf_dir):
         emb, queries, k=5, n_lists=16, n_probe=16,
         refine=_exhaustive_refine(emb, 5),
     )
-    return _bitexact_sim_edge(ann, emb, k=5)
+    return _bitexact_sim_edge(ann, emb, queries, k=5)
 
 
 # --- text analysis -------------------------------------------------------------
@@ -772,12 +788,11 @@ def q_pii_scrub(spark, sf_dir):
     )
 
 
-_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PII_PHONE = r"\+[0-9]{2} [0-9]{3} [0-9]{4}"
-_PII_IP = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
-
-PII_SCRUB_SQL = f"""
-WITH planted AS (
+def _planted_sql(src: str) -> str:
+    """The planted-PII derivation as a SQL CTE body over ``src`` — the
+    single oracle-side counterpart of ``_planted_pii_text`` (keep the
+    two in lockstep; there is deliberately no third copy)."""
+    return f"""planted AS (
   SELECT doc_id,
     text
     || CASE WHEN doc_id % 7 = 0
@@ -790,7 +805,17 @@ WITH planted AS (
             THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
                  || '.0.' || CAST(doc_id % 250 AS VARCHAR)
             ELSE '' END AS text
-  FROM documents)
+  FROM {src})"""
+
+
+# the SAME pattern strings drive the Spark expressions and the DuckDB
+# oracle — never restate them here (drift channel)
+_PII_EMAIL = TXT.PII_PATTERNS["email"]
+_PII_PHONE = TXT.PII_PATTERNS["phone"]
+_PII_IP = TXT.PII_PATTERNS["ipv4"]
+
+PII_SCRUB_SQL = f"""
+WITH {_planted_sql("documents")}
 SELECT doc_id,
   CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
   CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
@@ -1027,20 +1052,7 @@ PRETRAIN_PIPELINE_SQL = f"""
 WITH kept AS (
   SELECT doc_id, text FROM documents
   WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))),
-planted AS (
-  SELECT doc_id,
-    text
-    || CASE WHEN doc_id % 7 = 0
-            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
-            ELSE '' END
-    || CASE WHEN doc_id % 11 = 0
-            THEN ' call +41 793 ' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
-            ELSE '' END
-    || CASE WHEN doc_id % 13 = 0
-            THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
-                 || '.0.' || CAST(doc_id % 250 AS VARCHAR)
-            ELSE '' END AS text
-  FROM kept),
+{_planted_sql("kept")},
 cleaned AS (
   SELECT doc_id,
     regexp_replace(regexp_replace(regexp_replace(text,
