@@ -1,0 +1,109 @@
+"""End-of-round preflight: everything the grading driver will do, in
+one command, so no round ships a red row discoverable locally.
+
+Runs, in order:
+1. the rotation gate (tools/check_rotation.py logic) — declared vs
+   prefix vs previous CORRECTNESS coverage;
+2. the driver-contract smoke in a HOSTILE env (driver-default session
+   assumptions are NOT replicated here — run the verify skill's cd
+   /tmp + TZ recipe for the full hostile check; this step uses the
+   current process for speed);
+3. the full 50-query-prefix correctness sim at sf0.01 (exactly what
+   the driver records in CORRECTNESS_r{N}.json);
+4. the bench CLI contract (one JSON line, env override honored) at
+   sf0.001 so it finishes in seconds.
+
+Usage: python tools/preflight.py [--skip-bench]
+Exit code 0 = ship; nonzero = something the driver would flag.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    failures: list[str] = []
+
+    print("== 1/4 rotation gate ==", flush=True)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "check_rotation.py")],
+        capture_output=True,
+        text=True,
+    )
+    print(r.stdout.strip() or r.stderr.strip())
+    if r.returncode != 0:
+        failures.append("rotation gate")
+
+    print("== 2/4 entry smoke ==", flush=True)
+    import __spark_entry__ as m
+    from solana_snapshot_etl_tools_spark.session import get_spark
+
+    spark = get_spark(app_name="preflight")
+    try:
+        n = m.entry(spark).count()
+        print(f"entry rows: {n}")
+        if n < 0:
+            failures.append("entry smoke")
+    except Exception as e:
+        print(f"entry FAILED: {e}")
+        failures.append("entry smoke")
+
+    print("== 3/4 prefix correctness sim (sf0.01) ==", flush=True)
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "driver_sim.py"),
+            "50",
+            "/root/testdata/sf0.01",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+    )
+    tail = [ln for ln in r.stdout.splitlines() if ln.startswith("BAD:")]
+    print(tail[-1] if tail else "driver_sim produced no BAD: line")
+    if r.returncode != 0 or not tail or tail[-1] != "BAD: []":
+        failures.append("prefix correctness sim")
+
+    if "--skip-bench" not in sys.argv:
+        print("== 4/4 bench contract (sf0.001) ==", flush=True)
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+            SPARK_GRAFT_CPUS="8",
+        )
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            capture_output=True,
+            text=True,
+            env=env,
+            cwd=REPO,
+        )
+        lines = [ln for ln in r.stdout.strip().splitlines() if ln.strip()]
+        ok = False
+        if len(lines) == 1:
+            try:
+                d = json.loads(lines[0])
+                ok = sorted(d) == sorted(
+                    ["metric", "value", "unit", "queries", "sf"]
+                ) and d["sf"] == 0.001
+            except json.JSONDecodeError:
+                ok = False
+        print(f"bench stdout lines: {len(lines)}, contract ok: {ok}")
+        if not ok:
+            failures.append("bench contract")
+
+    print("PREFLIGHT:", "FAIL " + ", ".join(failures) if failures else "OK")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
