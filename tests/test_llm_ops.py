@@ -677,3 +677,49 @@ def test_connected_components_long_chain_converges_in_log_rounds(spark):
         for r in DD.connected_components(pairs, docs, "doc_id", max_iter=10).collect()
     }
     assert out == {i: 0 for i in range(n)}
+
+
+def test_pii_redaction_idempotent_on_adversarial_corpus(spark):
+    """Property: redaction is idempotent (redact∘redact = redact) and
+    residual-free on an adversarial corpus — every ordered pair of
+    pattern fragments (valid PII, near-misses, boundary punctuation)
+    concatenated with each separator. One Spark batch for the whole
+    corpus."""
+    from itertools import product
+
+    from solana_snapshot_etl_tools_spark.functions import text as TXT
+
+    frags = [
+        "a@b.co",
+        "x.y-z%q@mail.example.org",
+        "@not.an.email",
+        "user@@double.at",
+        "+41 793 1234",
+        "+1 23 456",  # too-short phone: must NOT match
+        "10.0.0.1",
+        "999.999.999.999",  # matches the (deliberately loose) ipv4
+        "1.2.3",  # too few octets: must NOT match
+        "plain words here",
+        ".",
+        "@",
+        "+",
+    ]
+    texts = [
+        f"{a}{sep}{b}"
+        for (a, b), sep in product(product(frags, frags), (" ", "", ", "))
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    once = df.select("doc_id", TXT.redact_pii(F.col("text")).alias("clean"))
+    twice = once.select(
+        "doc_id", TXT.redact_pii(F.col("clean")).alias("clean2"), "clean"
+    )
+    bad = [r for r in twice.collect() if r.clean2 != r.clean]
+    assert not bad, f"not idempotent: {bad[:3]}"
+    residual = once.filter(
+        (TXT.pii_count(F.col("clean"), "email") > 0)
+        | (TXT.pii_count(F.col("clean"), "phone") > 0)
+        | (TXT.pii_count(F.col("clean"), "ipv4") > 0)
+    )
+    assert residual.count() == 0
