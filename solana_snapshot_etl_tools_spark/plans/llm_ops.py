@@ -739,6 +739,72 @@ FROM s
 """
 
 
+# --- content-defined chunking ------------------------------------------------
+
+# Rolling-hash parameters: base 31 over code points, window 4, boundary
+# when hash % CDC_MODULUS == 0 → expected chunk ≈ CDC_MODULUS chars.
+# All-integer arithmetic (max intermediate ≈ 31³·0x10FFFF ≈ 3.3e10,
+# far under int64), so the SAME formula is spellable in DuckDB for an
+# oracle when the query is declared.
+CDC_BASE = 31
+CDC_WINDOW = 4
+CDC_MODULUS = 64
+
+
+def chunk_cdc(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    modulus: int = CDC_MODULUS,
+):
+    """Content-defined chunking: cut after every position whose
+    trailing ``CDC_WINDOW``-gram polynomial hash ≡ 0 (mod
+    ``modulus``). Unlike fixed-size chunking (``q_chunk_documents``),
+    boundaries depend only on LOCAL content, so inserting or deleting
+    a prefix re-chunks only up to the next boundary — the property
+    that makes chunk-level dedup robust to shifted/edited documents
+    (pinned by pytest). Narrow per-row array expressions: positions →
+    hash → filter → pairwise slice → explode. No shuffle, no UDF, no
+    sequential state (no min/max chunk bound — a bound would make
+    boundary acceptance depend on the previous boundary and the
+    operator sequential; cap oversized chunks downstream with
+    ``q_chunk_documents`` if needed).
+
+    Emits (id, chunk_id, chunk, n_chunk_chars)."""
+    t = F.col(text_col)
+    n = F.length(t)
+    w, b = CDC_WINDOW, CDC_BASE
+    code = lambda i: F.ascii(F.substring(t, i, 1))  # noqa: E731
+    # hash of the window ENDING at position i (1-based), i ≥ w
+    h = lambda i: (  # noqa: E731
+        code(i - (w - 1)) * (b**3)
+        + code(i - (w - 2)) * (b**2)
+        + code(i - 1) * b
+        + code(i)
+    )
+    # boundary AFTER position i; always cut at the end of the text
+    bounds = F.filter(
+        F.sequence(F.lit(w), n),
+        lambda i: (F.pmod(h(i), F.lit(modulus)) == 0) | (i == n),
+    )
+    starts = F.concat(F.array(F.lit(0)), F.slice(bounds, 1, F.greatest(F.size(bounds) - 1, F.lit(0))))
+    spans = F.zip_with(starts, bounds, lambda s, e: F.struct(s.alias("s"), e.alias("e")))
+    return (
+        docs.filter(n >= w)
+        .select(
+            id_col,
+            text_col,
+            F.posexplode(spans).alias("chunk_id", "sp"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.expr(f"substring({text_col}, sp.s + 1, sp.e - sp.s)").alias("chunk"),
+            (F.col("sp.e") - F.col("sp.s")).cast("long").alias("n_chunk_chars"),
+        )
+    )
+
+
 # --- PII detect / redact -----------------------------------------------------
 # The real documents corpus contains no PII, so the query derives a
 # PLANTED corpus from it deterministically (append synthetic

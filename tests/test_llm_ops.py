@@ -723,3 +723,97 @@ def test_pii_redaction_idempotent_on_adversarial_corpus(spark):
         | (TXT.pii_count(F.col("clean"), "ipv4") > 0)
     )
     assert residual.count() == 0
+
+
+def test_chunk_cdc_covers_text_and_is_shift_robust(spark):
+    """Content-defined chunking: (1) chunks concatenate back to the
+    exact original text; (2) THE CDC property — prepending a prefix
+    re-chunks only the region before the first shared boundary, so the
+    tail chunk multiset is unchanged (fixed-size chunking shifts every
+    chunk)."""
+    from solana_snapshot_etl_tools_spark.plans.llm_ops import chunk_cdc
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the slow red panda naps under a warm autumn sun near "
+        "the river bend where silver fish swim past mossy stones"
+    ) * 3
+    shifted = "PREFIX-EDIT " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, shifted)], "doc_id long, text string"
+    )
+    out = chunk_cdc(df).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk, r.n_chunk_chars))
+    for doc_id, text in ((1, base), (2, shifted)):
+        chunks = [c for _, c, _ in sorted(by_doc[doc_id])]
+        assert "".join(chunks) == text  # exact coverage, no gaps/overlaps
+        assert all(n == len(c) for _, c, n in by_doc[doc_id])
+    c1 = [c for _, c, _ in sorted(by_doc[1])]
+    c2 = [c for _, c, _ in sorted(by_doc[2])]
+    assert len(c1) > 3, "fixture should produce several chunks"
+    # shift robustness: the edit may add/move boundaries near the head,
+    # but past the first boundary shared by both versions the chunk
+    # sequences must realign — the common suffix covers all but the
+    # head chunk(s)
+    k = 0
+    while k < min(len(c1), len(c2)) and c1[-1 - k] == c2[-1 - k]:
+        k += 1
+    assert k >= len(c1) - 1, f"only {k} tail chunks realigned of {len(c1)}"
+    assert c1 != c2  # the edit did change the head
+
+
+def test_chunk_cdc_oracle_parity_prototype(spark):
+    """De-risks the round-6 oracle declaration: the SAME rolling-hash
+    boundary rule spelled in DuckDB SQL (unicode() code points,
+    integer arithmetic) must produce identical (doc_id, chunk_id,
+    chunk) rows — proven here on a small corpus before the query is
+    registered with the driver."""
+    import duckdb
+
+    from solana_snapshot_etl_tools_spark.plans.llm_ops import (
+        CDC_BASE,
+        CDC_MODULUS,
+        CDC_WINDOW,
+        chunk_cdc,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 6),
+        (2, "ein kleines haus am grünen fluss üß " * 5),  # non-ascii
+        (3, "tiny"),
+        (4, "abc"),  # shorter than window: no chunks
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.chunk_id, r.chunk) for r in chunk_cdc(df).collect()
+    )
+    b, w, mod = CDC_BASE, CDC_WINDOW, CDC_MODULUS
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    sql = f"""
+WITH bounds AS (
+  SELECT doc_id, text,
+    list_filter(range({w}, length(text) + 1), i ->
+      (unicode(substr(text, CAST(i AS INT) - {w - 1}, 1)) * {b**3}
+       + unicode(substr(text, CAST(i AS INT) - {w - 2}, 1)) * {b**2}
+       + unicode(substr(text, CAST(i AS INT) - 1, 1)) * {b}
+       + unicode(substr(text, CAST(i AS INT), 1))) % {mod} = 0
+      OR i = length(text)) AS bs
+  FROM documents WHERE length(text) >= {w}),
+spans AS (
+  SELECT doc_id, text,
+    list_zip(list_prepend(0, bs[1:len(bs)-1]), bs) AS sp
+  FROM bounds)
+SELECT doc_id, CAST(u.i - 1 AS INT) AS chunk_id,
+       substr(text, CAST(sp[u.i][1] AS INT) + 1,
+              CAST(sp[u.i][2] - sp[u.i][1] AS INT)) AS chunk
+FROM spans, unnest(range(1, len(sp) + 1)) AS u(i)
+"""
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    con.close()
+    assert got == want

@@ -243,3 +243,15 @@ def test_q19_disjunction_pushed_to_part_scan(spark):
     assert "Or(" in part_scan[0] and "p_brand" in part_scan[0], (
         "part-only disjunction must reach the part scan's PushedFilters"
     )
+
+
+def test_chunk_cdc_is_narrow_no_shuffle(spark):
+    """Content-defined chunking must stay a narrow per-row pipeline
+    (array exprs + posexplode) — no Exchange, no Python stage."""
+    from solana_snapshot_etl_tools_spark.plans.llm_ops import chunk_cdc
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = _plan(chunk_cdc(df))
+    assert "Exchange" not in p
+    assert "Python" not in p and "ArrowEval" not in p
+    assert "Generate" in p  # the posexplode
