@@ -817,3 +817,77 @@ FROM spans, unnest(range(1, len(sp) + 1)) AS u(i)
     want = sorted(tuple(r) for r in con.execute(sql).fetchall())
     con.close()
     assert got == want
+
+
+def test_simhash_polynomial_family_duckdb_parity_prototype():
+    """De-risks the round-6 simhash upgrade (rows-only → hash-green):
+    a polynomial mod-2^64 shingle hash and the full ±1-vote simhash
+    sketch computed with numpy uint64 wrap-around must equal the same
+    formulas spelled in DuckDB (HUGEINT + explicit mod). If this
+    holds, the production sketch kernel can swap splitmix64 for this
+    family and declare a value-level oracle."""
+    import duckdb
+    import numpy as np
+
+    B = np.uint64(257)
+    K = 5
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "the quick brown fox jumps over the lazy dog!",  # near-dup of 0
+        "ünïcödé shingles überall süß",
+    ]
+
+    def np_simhash(t: str) -> int:
+        b = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)[
+            np.newaxis, :
+        ].astype(np.uint64)[0]
+        if b.size < K:
+            return 0
+        # rolling polynomial: h_i over window ending at i
+        w = np.lib.stride_tricks.sliding_window_view(b, K)
+        h = np.zeros(len(w), dtype=np.uint64)
+        for j in range(K):
+            h = h * B + w[:, j]
+        h = np.unique(h)  # distinct shingles, like char_shingles
+        votes = np.zeros(64, dtype=np.int64)
+        for bit in range(64):
+            on = ((h >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
+            votes[bit] = (2 * on - 1).sum()
+        out = np.uint64(0)
+        for bit in range(64):
+            if votes[bit] > 0:
+                out |= np.uint64(1) << np.uint64(bit)
+        return int(out)
+
+    want = {i: np_simhash(t) for i, t in enumerate(texts)}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", list(enumerate(texts))
+    )
+    m64 = 1 << 64
+    # build the 5-term rolling polynomial programmatically (hand-nesting
+    # the parens is how you get a parser error)
+    expr = f"unicode(substr(text, CAST(i AS INT) - {K - 1}, 1))::HUGEINT"
+    for j in range(K - 2, -1, -1):
+        off = f" - {j}" if j else ""
+        expr = f"(({expr} * 257 + unicode(substr(text, CAST(i AS INT){off}, 1))) % {m64})"
+    sql = f"""
+WITH sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range({K}, length(text) + 1), i -> {expr})) AS hs
+  FROM documents WHERE length(text) >= {K}),
+bits AS (
+  SELECT doc_id,
+    list_transform(range(0, 64), bb ->
+      CASE WHEN list_sum(list_transform(hs, h ->
+        2 * CAST((h // (1::HUGEINT << CAST(bb AS INT))) % 2 AS BIGINT) - 1)) > 0
+      THEN (1::HUGEINT << CAST(bb AS INT)) ELSE 0::HUGEINT END) AS bv
+  FROM sh)
+SELECT doc_id, list_sum(bv) AS simhash FROM bits
+"""
+    got = {r[0]: int(r[1]) for r in con.execute(sql).fetchall()}
+    con.close()
+    assert got == want, {k: (got.get(k), want[k]) for k in want if got.get(k) != want[k]}
