@@ -709,29 +709,45 @@ def _verify_pairs_against_docs(
 
 
 def simhash64(
-    df: DataFrame, id_col: str, text_col: str, token_budget: int = 1 << 20
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    token_budget: int = 1 << 20,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash over whitespace tokens: per bit, sum +1/-1 votes
-    of each token occurrence's xxhash64 bit; vote sign → bit.
+    of each token occurrence's hash bit; vote sign → bit.
 
-    NARROW two-step, no shuffle: (1) one JVM pass hashes each token of
-    the per-row token array with xxhash64 (a single higher-order
-    ``transform`` — cheap because it is one pass, unlike the 64-pass
-    variants); (2) an Arrow-batched numpy map unpacks each doc's hash
-    array into a (n_tokens × 64) bit matrix and reduces it to the
-    sketch. Replaces the round-1 64-parallel-sum aggregation buffers
-    (12 s at sf0.1); the sketch is 8 bytes per doc regardless of doc
-    size. Token hashes stay Spark's xxhash64, so sketches are
-    bit-identical to the round-1 implementation."""
+    NARROW two-step, no shuffle: (1) per-token 64-bit hashes; (2) an
+    Arrow-batched numpy map unpacks each doc's hash array into a
+    (n_tokens × 64) bit matrix and reduces it to the sketch. Replaces
+    the round-1 64-parallel-sum aggregation buffers (12 s at sf0.1);
+    the sketch is 8 bytes per doc regardless of doc size.
+
+    ``hash_family``:
+
+    - ``"xxhash64"`` (default): one JVM ``transform`` pass of Spark's
+      xxhash64 — sketches bit-identical to the round-1 implementation,
+      but NOT reproducible outside Spark (rows-only oracle);
+    - ``"poly257"``: base-257 polynomial over the token's code points,
+      mod 2^64 (numpy uint64 wrap) — the DuckDB-reproducible family
+      (HUGEINT + explicit mod spells the same value; parity pinned in
+      tests), enabling a value-level oracle for the simhash queries.
+    """
     from pyspark.sql.types import LongType, StructField, StructType
 
+    if hash_family not in ("xxhash64", "poly257"):
+        raise ValueError(f"unknown hash_family {hash_family!r}")
     id_type = df.schema[id_col].dataType
     out_schema = StructType(
         [StructField("doc", id_type), StructField("simhash", LongType())]
     )
-    hs = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+    if hash_family == "xxhash64":
+        payload = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+    else:
+        payload = tokens(F.col(text_col))  # strings; hashed numpy-side
     base = spread_small_input(
-        df.select(F.col(id_col).alias("doc"), hs.alias("hs")).filter(
+        df.select(F.col(id_col).alias("doc"), payload.alias("hs")).filter(
             F.size("hs") > 0
         )
     )
@@ -740,6 +756,34 @@ def simhash64(
         import numpy as np
 
         powers = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+
+        def poly_hashes(toks) -> np.ndarray:
+            """Vectorized base-257 mod-2^64 fold over each token's code
+            points (one masked step per character position — tokens are
+            short, so ~8 steps for the whole chunk), then a
+            splitmix64-style finalizer. The finalizer is ESSENTIAL:
+            the raw polynomial of a ≤8-char token is < 257^8 ≈ 2^64
+            but wildly non-uniform (short tokens never set the top
+            bits → two dozen sketch bits identical across every doc →
+            the Hamming space collapses and everything looks near-dup;
+            measured 29k pairs vs 84 on the sf0.001 corpus). Every
+            step (xor, shift, mul mod 2^64) is reproducible in DuckDB
+            HUGEINT arithmetic — parity pinned in tests."""
+            tl = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+            cps = np.frombuffer(
+                "".join(toks).encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.uint64)
+            off = np.zeros(len(tl), dtype=np.int64)
+            np.cumsum(tl[:-1], out=off[1:])
+            h = np.zeros(len(tl), dtype=np.uint64)
+            for p in range(int(tl.max()) if len(tl) else 0):
+                m = tl > p
+                h[m] = h[m] * np.uint64(257) + cps[off[m] + p]
+            h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            h = h ^ (h >> np.uint64(31))
+            return h.view(np.int64)
+
         # Bound the bit-matrix allocation: 1 uint8 byte per (token, bit)
         # means a sub-chunk costs ≤ 64 MB at this budget, regardless of
         # how long the batch's documents are. Without the budget a
@@ -764,9 +808,14 @@ def simhash64(
                 while stop < len(lens) and tok + lens[stop] <= token_budget:
                     tok += lens[stop]
                     stop += 1
-                flat = np.concatenate(
-                    [np.asarray(h, dtype=np.int64) for h in hs[start:stop]]
-                )
+                if hash_family == "poly257":
+                    flat = poly_hashes(
+                        [t for row in hs[start:stop] for t in row]
+                    )
+                else:
+                    flat = np.concatenate(
+                        [np.asarray(h, dtype=np.int64) for h in hs[start:stop]]
+                    )
                 bits = np.unpackbits(
                     flat.astype("<i8", copy=False).view(np.uint8).reshape(-1, 8),
                     axis=1,
@@ -819,6 +868,7 @@ def simhash_pairs(
     max_bucket_size: int | None = SIMHASH_MAX_BUCKET,
     hot_bucket_mode: str = "star",
     observation=None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming:
     chunk blocking (``_hamming_chunks`` — pigeonhole-exact recall) →
@@ -837,7 +887,7 @@ def simhash_pairs(
     # sides of the candidate join — without a persist each consumer
     # re-executes the Python sketch stage. 8 bytes per doc, so the
     # cache is tiny even at corpus scale.
-    sk = _cache_for_session(simhash64(df, id_col, text_col))
+    sk = _cache_for_session(simhash64(df, id_col, text_col, hash_family=hash_family))
     chunks = _hamming_chunks(max_hamming)
     banded = sk.select(
         "doc",
