@@ -117,11 +117,76 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup candidates (hamming ≤ 5). Sketches use Spark's
-    xxhash64 — not reproducible in DuckDB → rows-only check; recall
-    covered by pytest against the exact Jaccard pairs."""
+    """SimHash near-dup pairs (hamming ≤ 5), on the DuckDB-reproducible
+    ``poly257`` hash family (base-257 code-point polynomial +
+    splitmix-style finalizer — see ``dedup.simhash64``), so the driver
+    hash-checks the ENTIRE sketch + banded-Hamming pipeline against a
+    value-level oracle (rows-only until round 5; recall additionally
+    pytest-pinned against exact Jaccard pairs for both families).
+
+    The oracle is the plain all-pairs Hamming ≤ 5 set over the same
+    sketches: pigeonhole banding is exact, and the hot-bucket caps are
+    provably inert on the test corpora (no (band, chunk) bucket
+    approaches SIMHASH_MAX_BUCKET — pinned by
+    ``test_simhash_cap_inert_on_test_corpus``), so the two definitions
+    coincide."""
     docs = _t(spark, sf_dir, "documents")
-    return DD.simhash_pairs(docs, "doc_id", "text", max_hamming=5)
+    return DD.simhash_pairs(
+        docs, "doc_id", "text", max_hamming=5, hash_family="poly257"
+    )
+
+
+# --- the simhash oracle: the same mod-2^64 arithmetic in DuckDB HUGEINT ------
+
+_M64 = 1 << 64
+
+
+def _sql_mulmod64(z: str, k: int) -> str:
+    """``z·k mod 2^64`` without HUGEINT overflow (32/32 split)."""
+    return (
+        f"((({z}) % {1 << 32}) * {k} "
+        f"+ ((({z}) // {1 << 32}) * {k} % {1 << 32}) * {1 << 32}) % {_M64}"
+    )
+
+
+def _sql_mix64(e: str) -> str:
+    """splitmix64-style finalizer — same steps as the numpy kernel."""
+    z1 = f"xor(({e}), ({e}) // {1 << 30})"
+    z2 = f"({_sql_mulmod64(z1, 0xBF58476D1CE4E5B9)})"
+    z3 = f"xor({z2}, {z2} // {1 << 27})"
+    z4 = f"({_sql_mulmod64(z3, 0x94D049BB133111EB)})"
+    return f"xor({z4}, {z4} // {1 << 31})"
+
+
+_SQL_TOKEN_POLY = (
+    "list_reduce(list_transform(range(1, length(t) + 1), "
+    "j -> unicode(substr(t, CAST(j AS INT), 1))::HUGEINT), "
+    f"(a, c) -> (a * 257 + c) % {_M64})"
+)
+
+SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS ts
+  FROM documents WHERE len({_TOKS}) > 0),
+hashed AS (
+  SELECT doc_id, list_transform(ts, t -> {_sql_mix64(_SQL_TOKEN_POLY)}) AS hs
+  FROM toks),
+sk AS (
+  SELECT doc_id,
+    list_sum(list_transform(range(0, 64), bb ->
+      CASE WHEN list_sum(list_transform(hs, h ->
+        2 * CAST((h // (1::HUGEINT << CAST(bb AS INT))) % 2 AS BIGINT) - 1)) > 0
+      THEN (1::HUGEINT << CAST(bb AS INT)) ELSE 0::HUGEINT END)) AS sh
+  FROM hashed),
+signed AS (
+  SELECT doc_id,
+         CAST(CASE WHEN sh >= {1 << 63} THEN sh - {_M64} ELSE sh END AS BIGINT) AS sh
+  FROM sk)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+FROM signed a JOIN signed b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 5
+"""
 
 
 # --- similarity search -------------------------------------------------------
@@ -1193,7 +1258,10 @@ ORACLES = {
     "dedup_minhash_lsh": _jaccard_sql(5),
     "dedup_components": DEDUP_COMPONENTS_SQL,
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
-    # dedup_simhash / ann_cosine_lsh / ann_cosine_ivf: rows-only
+    # hash-green since round 5 via the poly257 family; caps provably
+    # inert on the test corpora so the plain all-pairs oracle is exact
+    "dedup_simhash": SIMHASH_SQL,
+    # ann_cosine_lsh / ann_cosine_ivf (+pq variants): rows-only
     # (engine-specific hashes / cluster assignments)
     "ann_cosine_topk": ANN_TOPK_SQL,
     # exhaustive-parameter parity: the approximate paths degenerate to

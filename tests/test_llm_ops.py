@@ -895,12 +895,14 @@ SELECT doc_id, list_sum(bv) AS simhash FROM bits
 
 def test_simhash_pairs_poly_family_full_pipeline_duckdb_parity(spark):
     """End-to-end parity for the DuckDB-reproducible simhash family:
-    the full Spark pipeline (token poly-hash → vote sketch → banded
-    Hamming join, caps off) must equal a DuckDB oracle computing the
-    same sketches and the plain all-pairs Hamming ≤ 5 set — pigeonhole
-    banding is exact, so the two definitions coincide. This is the
-    oracle that round 6 declares for the simhash queries."""
+    the full Spark pipeline (token poly-hash → finalizer → vote sketch
+    → banded Hamming join, caps off) must equal the declared
+    SIMHASH_SQL oracle — the plain all-pairs Hamming ≤ 5 set over the
+    same sketches (pigeonhole banding is exact, so the definitions
+    coincide)."""
     import duckdb
+
+    from solana_snapshot_etl_tools_spark.plans.llm_ops import SIMHASH_SQL
 
     docs = _t(spark, SF_DIR, "documents")
     got = sorted(
@@ -914,60 +916,48 @@ def test_simhash_pairs_poly_family_full_pipeline_duckdb_parity(spark):
             hash_family="poly257",
         ).collect()
     )
-    m64 = 1 << 64
-
-    def mulmod(z: str, k: int) -> str:
-        # z·k mod 2^64 without HUGEINT overflow: 32/32 split
-        return (
-            f"((({z}) % {1 << 32}) * {k} "
-            f"+ ((({z}) // {1 << 32}) * {k} % {1 << 32}) * {1 << 32}) % {m64}"
-        )
-
-    def mix(e: str) -> str:
-        # splitmix64-style finalizer, same steps as the numpy kernel
-        z1 = f"xor(({e}), ({e}) // {1 << 30})"
-        z2 = f"({mulmod(z1, 0xBF58476D1CE4E5B9)})"
-        z3 = f"xor({z2}, {z2} // {1 << 27})"
-        z4 = f"({mulmod(z3, 0x94D049BB133111EB)})"
-        return f"xor({z4}, {z4} // {1 << 31})"
-
-    raw = (
-        "list_reduce(list_transform(range(1, length(t) + 1), "
-        "j -> unicode(substr(t, CAST(j AS INT), 1))::HUGEINT), "
-        f"(a, c) -> (a * 257 + c) % {m64})"
-    )
-    sql = f"""
-WITH toks AS (
-  SELECT doc_id,
-         string_split_regex(trim(lower(text)), '\\s+') AS ts
-  FROM documents WHERE len(string_split_regex(trim(lower(text)), '\\s+')) > 0),
-hashed AS (
-  SELECT doc_id, list_transform(ts, t -> {mix(raw)}) AS hs
-  FROM toks),
-sk AS (
-  SELECT doc_id,
-    list_sum(list_transform(range(0, 64), bb ->
-      CASE WHEN list_sum(list_transform(hs, h ->
-        2 * CAST((h // (1::HUGEINT << CAST(bb AS INT))) % 2 AS BIGINT) - 1)) > 0
-      THEN (1::HUGEINT << CAST(bb AS INT)) ELSE 0::HUGEINT END)) AS sh
-  FROM hashed),
-signed AS (
-  SELECT doc_id,
-         CAST(CASE WHEN sh >= {1 << 63} THEN sh - {m64} ELSE sh END AS BIGINT) AS sh
-  FROM sk)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
-FROM signed a JOIN signed b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.sh, b.sh)) <= 5
-"""
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
     )
-    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    want = sorted(tuple(r) for r in con.execute(SIMHASH_SQL).fetchall())
     con.close()
     assert want, "fixture corpus should contain simhash near-dups"
     assert got == want
+
+
+def test_simhash_cap_inert_on_test_corpus(spark):
+    """The declared simhash oracle is the PLAIN all-pairs Hamming set,
+    which is only exact while the hot-bucket caps never fire. Pin that
+    on the driver-checked corpus (sf0.01): caps-on output equals
+    caps-off, and no (band, chunk) bucket approaches the cap — if a
+    regenerated corpus ever changes that, this fires before the
+    oracle row goes red."""
+    from tests.conftest import SF_DIR_MID
+
+    docs = _t(spark, SF_DIR_MID, "documents")
+    on = sorted(
+        map(
+            tuple,
+            DD.simhash_pairs(
+                docs, "doc_id", "text", max_hamming=5, hash_family="poly257"
+            ).collect(),
+        )
+    )
+    off = sorted(
+        map(
+            tuple,
+            DD.simhash_pairs(
+                docs,
+                "doc_id",
+                "text",
+                max_hamming=5,
+                max_bucket_size=None,
+                hash_family="poly257",
+            ).collect(),
+        )
+    )
+    assert on == off and len(on) > 0
 
 
 def test_simhash_poly_family_finds_planted_neardups(spark):
