@@ -15,7 +15,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from solana_snapshot_etl_tools_spark.plans import llm_ops, relational, relational2, solana
+from solana_snapshot_etl_tools_spark.plans import (
+    llm_ops,
+    llm_ops2,
+    relational,
+    relational2,
+    relational3,
+    solana,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -108,7 +115,12 @@ _FRONT = [
     # q1/q3/q5/q6/q10/q14, join/asof/window/agg/pivot families,
     # collect_sorted, percentiles, text_metrics, lang_id,
     # doc_length_histogram, dup_span_stats, split/salted leftovers,
-    # and the etl_* fixture decode spine.
+    # and the etl_* fixture decode spine — PLUS the five round-5-late
+    # NEW queries (chunk_cdc, decontaminate_ngram, q18/q2/q22 shapes in
+    # llm_ops2/relational3), deliberately registered past the cap: they
+    # have full pytest + local driver-sim evidence this round and take
+    # 5 of round 6's 7 free prefix slots for their first driver rows
+    # (43 must-refresh + 5 new = 48 ≤ 50; see TODO.md).
 ]
 
 
@@ -124,6 +136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(relational2.QUERIES)
     out.update(solana.QUERIES)
     out.update(llm_ops.QUERIES)
+    out.update(llm_ops2.QUERIES)
+    out.update(relational3.QUERIES)
     return _ordered(out)
 
 
@@ -133,4 +147,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(relational2.ORACLES)
     out.update(solana.oracles())
     out.update(llm_ops.ORACLES)
+    out.update(llm_ops2.ORACLES)
+    out.update(relational3.ORACLES)
     return _ordered(out)

