@@ -31,21 +31,45 @@ from pyspark.sql import DataFrame, functions as F
 from solana_snapshot_etl_tools_spark.functions import text as TXT
 
 
+# Per-row gram arrays are materialized in full before explode, so an
+# unbounded transform(sequence(...)) over a huge document would build
+# tokens × ~(k · token_len) bytes in one task allocation — the same
+# executor-OOM vector the simhash sketch kernel sub-chunks against.
+# Documents are therefore first split into segments of at most this
+# many tokens (overlapping by k-1 so no window is lost), bounding the
+# per-row allocation to ~SEGMENT_TOKENS · k · token_len bytes
+# regardless of document size.
+SEGMENT_TOKENS = 8192
+
+
 def token_ngrams(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """Per-document DISTINCT whitespace-token ``k``-grams, one row per
-    (id, gram). Narrow until the DISTINCT: tokenize → slice windows →
-    join with single spaces (reversible for excision because the
-    tokenizer collapses all whitespace runs)."""
+    (id, gram). Narrow until the DISTINCT: tokenize → segment (bounded
+    per-row memory, k-1 token overlap preserves every window) → slice
+    windows → join with single spaces."""
     toks = TXT.tokens(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - k),
-        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    step = SEGMENT_TOKENS - (k - 1)
+    segments = F.transform(
+        # segment start offsets: 0, step, 2·step, ...
+        F.sequence(
+            F.lit(0),
+            F.greatest(
+                ((F.size(toks) - k) / step).cast("long") * step, F.lit(0)
+            ),
+            F.lit(step),
+        ),
+        lambda s: F.slice(toks, s + 1, SEGMENT_TOKENS),
     )
-    return (
+    seg = (
         docs.filter(F.size(toks) >= k)
-        .select(id_col, F.explode(grams).alias("gram"))
-        .distinct()
+        .select(id_col, F.explode(segments).alias("seg"))
+        .filter(F.size("seg") >= k)
     )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("seg") - k),
+        lambda i: F.array_join(F.slice(F.col("seg"), i + 1, k), " "),
+    )
+    return seg.select(id_col, F.explode(grams).alias("gram")).distinct()
 
 
 def decontaminate(

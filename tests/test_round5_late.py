@@ -111,6 +111,25 @@ def test_decontaminate_hash_key_matches_string_key(spark):
     assert a == b and len(a) > 0
 
 
+def test_token_ngrams_segmentation_is_lossless(spark, monkeypatch):
+    """The bounded-memory segmentation (overlap k-1) must emit exactly
+    the same distinct gram set as one unbounded pass — forced here by
+    shrinking the segment bound far below the document length so every
+    doc spans many segments."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 37 + j) % 23}" for j in range(95))) for i in range(4)],
+        "doc_id long, text string",
+    )
+    whole = sorted(
+        (r.doc_id, r.gram) for r in DC.token_ngrams(docs, "doc_id", "text", 4).collect()
+    )
+    monkeypatch.setattr(DC, "SEGMENT_TOKENS", 10)
+    seg = sorted(
+        (r.doc_id, r.gram) for r in DC.token_ngrams(docs, "doc_id", "text", 4).collect()
+    )
+    assert seg == whole and len(whole) > 0
+
+
 # --- physical-plan properties ----------------------------------------------
 
 
