@@ -815,6 +815,16 @@ CDC_BASE = 31
 CDC_WINDOW = 4
 CDC_MODULUS = 64
 
+# Boundary candidates are scanned in per-row segments of this many
+# characters (nested transform → filter → flatten): a single dense
+# sequence(w, n) would materialize n longs (~8n bytes) in one task
+# allocation — unbounded on huge documents. Segments bound the dense
+# temporary to ~512 KiB while the kept boundary list stays sparse
+# (~n / CDC_MODULUS entries). Output is segmentation-invariant (the
+# rolling hash reads only the text, never the segment), pinned by
+# pytest.
+CDC_SEGMENT_CHARS = 65536
+
 
 def chunk_cdc(
     docs,
@@ -847,10 +857,20 @@ def chunk_cdc(
         + code(i - 1) * b
         + code(i)
     )
-    # boundary AFTER position i; always cut at the end of the text
-    bounds = F.filter(
-        F.sequence(F.lit(w), n),
-        lambda i: (F.pmod(h(i), F.lit(modulus)) == 0) | (i == n),
+    # boundary AFTER position i; always cut at the end of the text.
+    # End positions [w, n] are scanned segment-by-segment so the dense
+    # candidate array is bounded (CDC_SEGMENT_CHARS) per row; the
+    # predicate reads only the text, so segmentation cannot change the
+    # boundary set.
+    pred = lambda i: (F.pmod(h(i), F.lit(modulus)) == 0) | (i == n)  # noqa: E731
+    seg = CDC_SEGMENT_CHARS
+    bounds = F.flatten(
+        F.transform(
+            F.sequence(F.lit(w), n, F.lit(seg)),
+            lambda s: F.filter(
+                F.sequence(s, F.least(s + (seg - 1), n)), pred
+            ),
+        )
     )
     starts = F.concat(F.array(F.lit(0)), F.slice(bounds, 1, F.greatest(F.size(bounds) - 1, F.lit(0))))
     spans = F.zip_with(starts, bounds, lambda s, e: F.struct(s.alias("s"), e.alias("e")))

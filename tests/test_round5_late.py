@@ -111,6 +111,27 @@ def test_decontaminate_hash_key_matches_string_key(spark):
     assert a == b and len(a) > 0
 
 
+def test_chunk_cdc_segmentation_is_invariant(spark, monkeypatch):
+    """The bounded-memory boundary scan (per-segment dense candidate
+    arrays) must produce byte-identical chunks to an unbounded scan —
+    forced by shrinking the segment bound far below the text length,
+    including a non-multiple length and a doc shorter than a segment."""
+    from solana_snapshot_etl_tools_spark.plans import llm_ops as L
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog " * 9),
+            (2, "tiny"),
+            (3, "ein kleines haus am grünen fluss üß " * 4 + "x"),
+        ],
+        "doc_id long, text string",
+    )
+    whole = sorted(tuple(r) for r in L.chunk_cdc(docs).collect())
+    monkeypatch.setattr(L, "CDC_SEGMENT_CHARS", 17)
+    seg = sorted(tuple(r) for r in L.chunk_cdc(docs).collect())
+    assert seg == whole and len(whole) > 4
+
+
 def test_token_ngrams_segmentation_is_lossless(spark, monkeypatch):
     """The bounded-memory segmentation (overlap k-1) must emit exactly
     the same distinct gram set as one unbounded pass — forced here by
