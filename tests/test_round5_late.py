@@ -151,6 +151,30 @@ def test_token_ngrams_segmentation_is_lossless(spark, monkeypatch):
     assert seg == whole and len(whole) > 0
 
 
+def test_chunk_cdc_stream_matches_batch(spark, tmp_path_factory):
+    """chunk_cdc is a pure narrow per-row transform, so the SAME
+    function must run unchanged under readStream — proven with a real
+    availableNow file-source query vs its batch replay (the engine's
+    batch/stream-parity contract, cf. the corpus scrub/score stages)."""
+    from solana_snapshot_etl_tools_spark.plans.llm_ops import chunk_cdc
+    from solana_snapshot_etl_tools_spark.streaming.sinks import run_available_now
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    schema = spark.read.parquet(src).schema
+    d = str(tmp_path_factory.mktemp("docs_cdc_stream"))
+    spark.read.parquet(src).write.mode("overwrite").parquet(d)
+
+    streamed = run_available_now(spark, d, schema, chunk_cdc)
+    batch = chunk_cdc(spark.read.parquet(src))
+    cols = ["doc_id", "chunk_id", "chunk", "n_chunk_chars"]
+
+    def rows(df):
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    assert rows(streamed) == rows(batch)
+    assert streamed.count() > 0
+
+
 # --- physical-plan properties ----------------------------------------------
 
 
