@@ -1,0 +1,130 @@
+"""excise_dup_spans vs a pure-Python reference implementation (real
+substrings, no hashing) on planted corpora, plus property and plan
+checks."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from solana_snapshot_etl_tools_spark.operators import excise as E
+
+
+def _reference(rows: list[tuple[int, str]], k: int) -> dict[int, tuple[str, int]]:
+    """Direct restatement of the declared semantics: every k-char
+    window occurring in ≥2 docs is cut from every doc except the
+    window's min-id owner; overlapping cuts merge; text rebuilt from
+    the kept gaps."""
+    windows: dict[str, set[int]] = {}
+    for did, t in rows:
+        for i in range(len(t) - k + 1):
+            windows.setdefault(t[i : i + k], set()).add(did)
+    out: dict[int, tuple[str, int]] = {}
+    for did, t in rows:
+        starts = sorted(
+            i
+            for i in range(len(t) - k + 1)
+            if len(windows[t[i : i + k]]) >= 2 and min(windows[t[i : i + k]]) != did
+        )
+        spans: list[list[int]] = []
+        for s in starts:
+            if spans and s <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], s + k)
+            else:
+                spans.append([s, s + k])
+        kept, cur = [], 0
+        for s, e in spans:
+            kept.append(t[cur:s])
+            cur = e
+        kept.append(t[cur:])
+        out[did] = ("".join(kept), sum(e - s for s, e in spans))
+    return out
+
+
+def _run(spark, rows, k):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text_clean, r.n_excised_chars)
+        for r in E.excise_dup_spans(df, k=k).collect()
+    }
+    assert got == _reference(rows, k)
+    return got
+
+
+def test_excise_matches_reference_on_planted_corpus(spark):
+    boiler = "COPYRIGHT NOTICE ALL RIGHTS RESERVED BY THE AUTHOR"
+    rows = [
+        (1, f"unique head one {boiler} unique tail one"),
+        (2, f"other beginning here {boiler} and another ending"),
+        (3, f"{boiler} starts this document"),
+        (4, "completely original text with no duplication at all"),
+        (5, "short"),
+    ]
+    got = _run(spark, rows, k=20)
+    # doc 1 is the min-id owner of the boilerplate: untouched
+    assert got[1] == (rows[0][1], 0)
+    # docs 2 and 3 lose the boilerplate span
+    assert boiler not in got[2][0] and got[2][1] > 0
+    assert boiler not in got[3][0] and got[3][1] > 0
+    # clean and sub-k docs pass through
+    assert got[4] == (rows[3][1], 0)
+    assert got[5] == ("short", 0)
+
+
+def test_excise_merges_overlapping_and_multiple_spans(spark):
+    a = "A" * 30
+    b = "B" * 30
+    rows = [
+        (1, f"{a}xx{b}"),
+        # a and b each duplicated; in doc 2 they abut with one char
+        # between, producing two merged cut spans around 'q'
+        (2, f"lead {a}q{b} trail"),
+        # doc 3 holds a twice: both copies excised (owner is doc 1)
+        (3, f"{a} middle {a} end"),
+    ]
+    got = _run(spark, rows, k=10)
+    assert "A" not in got[2][0] and "B" not in got[2][0]
+    assert "q" in got[2][0]  # the gap char between spans survives
+    assert "A" not in got[3][0] and "middle" in got[3][0]
+
+
+def test_excise_output_is_dropin_corpus(spark):
+    """Every input row appears exactly once in the output, and
+    n_excised_chars always equals the length delta."""
+    rows = [
+        (i, ("shared boilerplate sentence repeated everywhere " if i % 2 else "")
+         + f"doc {i} body text with its own words number {i * 7}")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = E.excise_dup_spans(df, k=15).collect()
+    assert sorted(r.doc_id for r in out) == list(range(10))
+    src = dict(rows)
+    for r in out:
+        assert r.n_excised_chars == len(src[r.doc_id]) - len(r.text_clean)
+
+
+def test_excise_segmentation_is_invariant(spark, monkeypatch):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 8),
+        (2, "intro text " + "the quick brown fox jumps over the lazy dog " * 3),
+    ]
+    whole = _run(spark, rows, k=25)
+    monkeypatch.setattr(E, "EXCISE_SEGMENT_CHARS", 13)
+    seg = _run(spark, rows, k=25)
+    assert whole == seg
+
+
+def test_excise_shuffles_carry_hashes_not_text(spark):
+    """Like dup_span_stats: the wide stages must move xxhash64 longs,
+    never the raw k-char window strings."""
+    df = spark.createDataFrame(
+        [(1, "some text to excise " * 5), (2, "some text to excise " * 4)],
+        "doc_id long, text string",
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        E.excise_dup_spans(df, k=20).explain("formatted")
+    p = buf.getvalue()
+    assert "xxhash64" in p
+    assert "CartesianProduct" not in p
