@@ -847,9 +847,19 @@ def chunk_cdc(
 
     Emits (id, chunk_id, chunk, n_chunk_chars)."""
     t = F.col(text_col)
-    n = F.length(t)
     w, b = CDC_WINDOW, CDC_BASE
-    code = lambda i: F.ascii(F.substring(t, i, 1))  # noqa: E731
+    # Code points are materialized ONCE per row as a named column:
+    # per-position substring(t, i, 1) is an O(i) scan on UTF-8 strings
+    # (Spark has no O(1) char index), which made the boundary scan
+    # O(n²) per document — measured 29 s at sf0.1 vs ~3 s with the
+    # array. element_at on the array is O(1). (split('') chunks by
+    # UTF-16 unit, so astral-plane characters would diverge from the
+    # code-point oracle; BMP text — all driver corpora — is exact.)
+    base = docs.filter(F.length(t) >= w).withColumn(
+        "_cps", F.transform(F.split(t, ""), F.ascii)
+    )
+    n = F.size(F.col("_cps"))
+    code = lambda i: F.element_at(F.col("_cps"), i)  # noqa: E731
     # hash of the window ENDING at position i (1-based), i ≥ w
     h = lambda i: (  # noqa: E731
         code(i - (w - 1)) * (b**3)
@@ -860,8 +870,8 @@ def chunk_cdc(
     # boundary AFTER position i; always cut at the end of the text.
     # End positions [w, n] are scanned segment-by-segment so the dense
     # candidate array is bounded (CDC_SEGMENT_CHARS) per row; the
-    # predicate reads only the text, so segmentation cannot change the
-    # boundary set.
+    # predicate reads only the code points, so segmentation cannot
+    # change the boundary set.
     pred = lambda i: (F.pmod(h(i), F.lit(modulus)) == 0) | (i == n)  # noqa: E731
     seg = CDC_SEGMENT_CHARS
     bounds = F.flatten(
@@ -875,8 +885,7 @@ def chunk_cdc(
     starts = F.concat(F.array(F.lit(0)), F.slice(bounds, 1, F.greatest(F.size(bounds) - 1, F.lit(0))))
     spans = F.zip_with(starts, bounds, lambda s, e: F.struct(s.alias("s"), e.alias("e")))
     return (
-        docs.filter(n >= w)
-        .select(
+        base.select(
             id_col,
             text_col,
             F.posexplode(spans).alias("chunk_id", "sp"),
