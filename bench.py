@@ -45,6 +45,8 @@ HEADLINE = [
     "ann_cosine_pq",
     "ann_cosine_ivf_pq",
     "chunk_documents",
+    "chunk_cdc",
+    "decontaminate_ngram",
     "pii_scrub",
     "quality_repetition",
     "token_doc_freq",
