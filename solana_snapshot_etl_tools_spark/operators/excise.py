@@ -32,26 +32,38 @@ from pyspark.sql import DataFrame, functions as F
 EXCISE_SEGMENT_CHARS = 65536
 
 
+def _chars(t):
+    """Per-row character array: windows and the rebuild slice this
+    array instead of calling substring(t, i, ..) per position — the
+    per-position substring is an O(i) scan on UTF-8 strings, which
+    makes any full-position sweep O(n²) per document (the chunk_cdc
+    lesson, plans/llm_ops.py). split('') chunks by UTF-16 unit, so
+    astral-plane characters would index differently than a code-point
+    view; indexing is consistent within the operator either way, and
+    BMP text (all driver corpora) is exact."""
+    return F.split(t, "")
+
+
 def _window_positions(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """(doc, pos, wh): xxhash64 of the k-char window starting at pos
-    (1-based) for every position, built segment-by-segment so the
-    dense temporary is bounded per row."""
-    t = F.col(text_col)
-    n = F.length(t)
+    (1-based) for every position — O(k) per window via the char
+    array, built segment-by-segment so the dense temporary is bounded
+    per row."""
+    base = docs.withColumn("_chs", _chars(F.col(text_col)))
+    n = F.size(F.col("_chs"))
     seg = EXCISE_SEGMENT_CHARS
+    win = lambda i: F.array_join(F.slice(F.col("_chs"), i, k), "")  # noqa: E731
     wins = F.flatten(
         F.transform(
             F.sequence(F.lit(1), n - (k - 1), F.lit(seg)),
             lambda s: F.transform(
                 F.sequence(s, F.least(s + (seg - 1), n - (k - 1))),
-                lambda i: F.struct(
-                    i.alias("pos"), F.xxhash64(F.substring(t, i, k)).alias("wh")
-                ),
+                lambda i: F.struct(i.alias("pos"), F.xxhash64(win(i)).alias("wh")),
             ),
         )
     )
     return (
-        docs.filter(n >= k)
+        base.filter(n >= k)
         .select(F.col(id_col).alias("doc"), F.explode(wins).alias("w"))
         .select("doc", "w.pos", "w.wh")
     )
@@ -107,17 +119,17 @@ def excise_dup_spans(
         ),
     )
     t = F.col(text_col)
-    n = F.length(t)
+    chs = _chars(t)
+    n = F.size(chs)
+    frag = lambda a, ln: F.array_join(F.slice(chs, a, ln), "")  # noqa: E731
     rebuilt = F.aggregate(
         F.col("_spans"),
         F.struct(F.lit(1).alias("cur"), F.lit("").alias("out")),
         lambda st, s: F.struct(
             s["e"].alias("cur"),
-            F.concat(st["out"], F.substring(t, st["cur"], s["s"] - st["cur"])).alias(
-                "out"
-            ),
+            F.concat(st["out"], frag(st["cur"], s["s"] - st["cur"])).alias("out"),
         ),
-        lambda st: F.concat(st["out"], F.substring(t, st["cur"], n - st["cur"] + 1)),
+        lambda st: F.concat(st["out"], frag(st["cur"], n - st["cur"] + 1)),
     )
     excised = F.aggregate(
         F.col("_spans"),
