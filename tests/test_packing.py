@@ -1,0 +1,107 @@
+"""pack_token_sequences vs a direct Python reference (concat in id
+order with EOS, chop into seq_len blocks), plus the determinism
+contract across partitionings and structural properties."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from solana_snapshot_etl_tools_spark.operators.packing import pack_token_sequences
+
+ROWS = [
+    (0, [1, 2, 3]),
+    (1, []),  # empty doc: contributes only EOS
+    (2, list(range(10, 33))),  # longer than seq_len: spans sequences
+    (3, [7]),
+    (4, list(range(100, 109))),
+    (5, [42, 43, 44, 45]),
+]
+
+
+def _reference(rows, seq_len, eos_id):
+    stream = []
+    for _id, toks in sorted(rows):
+        stream.extend(toks)
+        if eos_id is not None:
+            stream.append(eos_id)
+    return {
+        i: stream[i * seq_len : (i + 1) * seq_len]
+        for i in range((len(stream) + seq_len - 1) // seq_len)
+    }
+
+
+def _df(spark, rows, n_part=None):
+    df = spark.createDataFrame(rows, "doc_id long, token_ids array<int>")
+    return df.repartition(n_part) if n_part else df
+
+
+@pytest.mark.parametrize("seq_len,eos", [(16, 0), (8, 99), (16, None)])
+def test_pack_matches_reference(spark, seq_len, eos):
+    out = {
+        r.seq_id: list(r.input_ids)
+        for r in pack_token_sequences(
+            _df(spark, ROWS), seq_len, eos_id=eos
+        ).collect()
+    }
+    assert out == _reference(ROWS, seq_len, eos)
+
+
+def test_pack_is_partitioning_invariant(spark):
+    a = sorted(
+        (r.seq_id, tuple(r.input_ids), r.n_docs)
+        for r in pack_token_sequences(
+            _df(spark, ROWS, 1), 16, eos_id=0, num_ranges=1
+        ).collect()
+    )
+    b = sorted(
+        (r.seq_id, tuple(r.input_ids), r.n_docs)
+        for r in pack_token_sequences(
+            _df(spark, ROWS, 7), 16, eos_id=0, num_ranges=5
+        ).collect()
+    )
+    assert a == b
+
+
+def test_pack_structure(spark):
+    seq_len = 16
+    out = pack_token_sequences(_df(spark, ROWS), seq_len, eos_id=0).collect()
+    total = sum(len(t) for _, t in ROWS) + len(ROWS)  # + one EOS each
+    assert sum(r.n_tokens for r in out) == total
+    full, last = [r for r in out if r.n_tokens == seq_len], [
+        r for r in out if r.n_tokens < seq_len
+    ]
+    assert len(last) <= 1  # only the final sequence may be partial
+    if last:
+        assert last[0].seq_id == max(r.seq_id for r in out)
+        assert 0 < last[0].fill_frac < 1
+    assert all(r.fill_frac == 1.0 for r in full)
+    assert sorted(r.seq_id for r in out) == list(range(len(out)))
+
+
+def test_pack_end_to_end_with_bpe(spark):
+    """corpus → BPE encode → pack: the full token stream survives
+    (total token conservation) and sequences are exactly seq_len."""
+    from solana_snapshot_etl_tools_spark.operators import bpe as B
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    model = B.bpe_train(docs, n_merges=128)
+    enc = B.bpe_encode(docs, model)
+    eos = len(B.bpe_vocab(model))
+    packed = pack_token_sequences(enc, 512, eos_id=eos)
+    stats = packed.agg(
+        F.sum("n_tokens").alias("toks"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("fill_frac").alias("minfill"),
+    ).collect()[0]
+    n_docs = enc.filter(F.size("token_ids") >= 0).count()
+    want = enc.agg(F.sum("n_tokens")).collect()[0][0] + n_docs
+    assert stats.toks == want
+    assert stats.n == (want + 511) // 512
+    # every EOS present exactly once per doc
+    assert (
+        packed.select(
+            F.explode("input_ids").alias("t")
+        ).filter(F.col("t") == eos).count()
+        == n_docs
+    )
