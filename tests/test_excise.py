@@ -115,6 +115,53 @@ def test_excise_segmentation_is_invariant(spark, monkeypatch):
     assert whole == seg
 
 
+def test_excise_oracle_parity_prototype(spark):
+    """De-risks a round-6 `excise_dup_spans` query declaration: the
+    same semantics spelled in DuckDB over RAW substrings (no hashing)
+    via character survival — a char is excised iff some cut window of
+    its doc covers it — must equal the operator's hash-keyed interval
+    rebuild on the real corpus. Also proves the corpus has real
+    cross-doc ≥k spans to excise (the dup_span_stats families)."""
+    from tests.compare import run_oracle
+
+    K = 50
+    sql = f"""
+WITH w AS (
+  SELECT doc_id, CAST(i AS INT) AS pos, substr(text, CAST(i AS INT), {K}) AS sub
+  FROM documents, unnest(range(1, length(text) - {K} + 2)) AS u(i)),
+own AS (
+  SELECT sub, min(doc_id) AS owner FROM w
+  GROUP BY sub HAVING count(DISTINCT doc_id) >= 2),
+cuts AS (
+  SELECT w.doc_id, w.pos FROM w
+  JOIN own ON w.sub = own.sub AND w.doc_id <> own.owner),
+chars AS (
+  SELECT doc_id, CAST(i AS INT) AS c, substr(text, CAST(i AS INT), 1) AS ch
+  FROM documents, unnest(range(1, length(text) + 1)) AS u(i)),
+kept AS (
+  SELECT ch.doc_id, ch.c, ch.ch,
+    NOT EXISTS (SELECT 1 FROM cuts t WHERE t.doc_id = ch.doc_id
+                AND t.pos <= ch.c AND ch.c < t.pos + {K}) AS keep
+  FROM chars ch)
+SELECT d.doc_id,
+  coalesce((SELECT string_agg(ch, '' ORDER BY c) FROM kept
+            WHERE kept.doc_id = d.doc_id AND keep), '') AS text_clean,
+  (SELECT count(*) FROM kept
+   WHERE kept.doc_id = d.doc_id AND NOT keep) AS n_excised_chars
+FROM documents d
+"""
+    sf = "/root/testdata/sf0.001"
+    _, rows = run_oracle(sql, sf)
+    want = sorted(tuple(r) for r in rows)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = sorted(
+        (r.doc_id, r.text_clean, r.n_excised_chars)
+        for r in E.excise_dup_spans(docs, k=K).collect()
+    )
+    assert sum(1 for r in want if r[2] > 0) > 0, "corpus must have dup spans"
+    assert got == want
+
+
 def test_excise_shuffles_carry_hashes_not_text(spark):
     """Like dup_span_stats: the wide stages must move xxhash64 longs,
     never the raw k-char window strings."""
