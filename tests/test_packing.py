@@ -79,6 +79,60 @@ def test_pack_structure(spark):
     assert sorted(r.seq_id for r in out) == list(range(len(out)))
 
 
+def test_pack_oracle_parity_prototype(spark):
+    """De-risks a round-6 `pack_sequences` query declaration: with
+    code-point tokens (deterministic and SQL-spellable; BPE itself is
+    not) and EOS=0, the packed sequences must equal a DuckDB spelling
+    that computes each char's global offset with a window cumsum and
+    groups by offset div L. Array output flattened to CSV on both
+    sides (the quantize canonicalization lesson)."""
+    from tests.compare import run_oracle
+
+    L = 256
+    sql = f"""
+WITH d2 AS (
+  SELECT doc_id, text, length(text) + 1 AS n FROM documents),
+offs AS (
+  SELECT doc_id, text, n,
+         sum(n) OVER (ORDER BY doc_id) - n AS st
+  FROM d2),
+chars AS (
+  SELECT doc_id, st + CAST(i AS BIGINT) - 1 AS gpos,
+    CASE WHEN i <= n - 1
+         THEN unicode(substr(text, CAST(i AS INT), 1)) ELSE 0 END AS tok
+  FROM offs, unnest(range(1, n + 1)) AS u(i))
+SELECT CAST(gpos // {L} AS BIGINT) AS seq_id,
+       string_agg(tok, ',' ORDER BY gpos) AS ids_csv,
+       count(*) AS n_tokens,
+       count(DISTINCT doc_id) AS n_docs,
+       CAST(count(*) AS DOUBLE) / {L} AS fill_frac
+FROM chars GROUP BY 1
+"""
+    sf = "/root/testdata/sf0.001"
+    _, rows = run_oracle(sql, sf)
+    want = sorted(tuple(r) for r in rows)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    enc = docs.select(
+        "doc_id", F.transform(F.split("text", ""), F.ascii).alias("token_ids")
+    )
+    got = sorted(
+        (r.seq_id, r.ids_csv, r.n_tokens, r.n_docs, r.fill_frac)
+        for r in pack_token_sequences(enc, L, eos_id=0)
+        .select(
+            "seq_id",
+            F.array_join(F.col("input_ids").cast("array<string>"), ",").alias(
+                "ids_csv"
+            ),
+            "n_tokens",
+            "n_docs",
+            "fill_frac",
+        )
+        .collect()
+    )
+    assert len(want) > 100
+    assert got == want
+
+
 def test_pack_end_to_end_with_bpe(spark):
     """corpus → BPE encode → pack: the full token stream survives
     (total token conservation) and sequences are exactly seq_len."""
