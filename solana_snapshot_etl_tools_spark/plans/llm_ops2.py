@@ -2,7 +2,7 @@
 the round-5-checked modules stays function-stable for the judge's
 ``git log -L`` audit; see TODO.md rotation notes).
 
-Two declared queries:
+Four declared queries:
 - ``chunk_cdc`` — the content-defined chunking operator landed earlier
   this round (``llm_ops.chunk_cdc``), now registered with the DuckDB
   oracle whose parity was proven first in
@@ -13,7 +13,17 @@ Two declared queries:
   near-dup families planted in the corpus guarantee real cross-set
   8-gram overlap at every SF), the remainder is the training corpus,
   and the query emits the contaminated training docs with exact hit
-  counts and one-division ratios.
+  counts and one-division ratios;
+- ``excise_dup_spans`` — duplicate-span EXCISION
+  (``operators/excise.py``): the oracle spells the same semantics over
+  RAW substrings (no hashing) via character survival, the recipe
+  proven in ``tests/test_excise.py::test_excise_oracle_parity_prototype``;
+- ``pack_sequences`` — token-sequence packing
+  (``operators/packing.py``) over deterministic code-point tokens
+  (BPE itself is not SQL-spellable) with the window-cumsum oracle
+  proven in ``tests/test_packing.py::test_pack_oracle_parity_prototype``;
+  the array edge is flattened to CSV on both sides (the quantize
+  canonicalization lesson).
 """
 
 from __future__ import annotations
@@ -21,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from solana_snapshot_etl_tools_spark.operators import decontam as DC
+from solana_snapshot_etl_tools_spark.operators.excise import excise_dup_spans
+from solana_snapshot_etl_tools_spark.operators.packing import pack_token_sequences
 from solana_snapshot_etl_tools_spark.plans.llm_ops import (
     CDC_BASE,
     CDC_MODULUS,
@@ -109,12 +121,112 @@ FROM hits h JOIN totals tt USING (doc_id)
 """
 
 
+# --- duplicate-span excision (registration of the proven operator) ----------
+
+EXCISE_K = 50
+
+
+def q_excise_dup_spans(spark, sf_dir):
+    """Remove every cross-doc duplicated ≥50-char window from all but
+    its min-id owner document (Lee et al. substring-dedup ACTION side;
+    the stats side is ``dup_span_stats``). Wide stages move xxhash64
+    longs, never window strings (``test_excise_shuffles_carry_hashes_
+    not_text``); interval merge + text rebuild are per-row folds."""
+    docs = _t(spark, sf_dir, "documents")
+    return excise_dup_spans(docs, k=EXCISE_K)
+
+
+# Character-survival spelling over RAW substrings — independent of the
+# operator's hash-keyed interval algebra: a char is excised iff some
+# cut window of its doc covers it. Proven green vs the operator in
+# tests/test_excise.py::test_excise_oracle_parity_prototype.
+EXCISE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         substr(text, CAST(i AS INT), {EXCISE_K}) AS sub
+  FROM documents, unnest(range(1, length(text) - {EXCISE_K} + 2)) AS u(i)),
+own AS (
+  SELECT sub, min(doc_id) AS owner FROM w
+  GROUP BY sub HAVING count(DISTINCT doc_id) >= 2),
+cuts AS (
+  SELECT w.doc_id, w.pos FROM w
+  JOIN own ON w.sub = own.sub AND w.doc_id <> own.owner),
+chars AS (
+  SELECT doc_id, CAST(i AS INT) AS c, substr(text, CAST(i AS INT), 1) AS ch
+  FROM documents, unnest(range(1, length(text) + 1)) AS u(i)),
+kept AS (
+  SELECT ch.doc_id, ch.c, ch.ch,
+    NOT EXISTS (SELECT 1 FROM cuts t WHERE t.doc_id = ch.doc_id
+                AND t.pos <= ch.c AND ch.c < t.pos + {EXCISE_K}) AS keep
+  FROM chars ch)
+SELECT d.doc_id,
+  coalesce((SELECT string_agg(ch, '' ORDER BY c) FROM kept
+            WHERE kept.doc_id = d.doc_id AND keep), '') AS text_clean,
+  (SELECT count(*) FROM kept
+   WHERE kept.doc_id = d.doc_id AND NOT keep) AS n_excised_chars
+FROM documents d
+"""
+
+
+# --- token-sequence packing (registration of the proven operator) ------------
+
+PACK_SEQ_LEN = 256
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing over ``documents`` tokenized to
+    code points (deterministic and oracle-spellable; the BPE encoder
+    in ``operators/bpe.py`` produces the same (doc_id, token_ids)
+    shape). EOS=0 after every doc; global offsets from the exact
+    two-pass distributed prefix sum — partition-count invariant
+    (``test_pack_is_partitioning_invariant``). Array edge emitted as
+    CSV for canonicalization."""
+    docs = _t(spark, sf_dir, "documents")
+    enc = docs.select(
+        "doc_id", F.transform(F.split("text", ""), F.ascii).alias("token_ids")
+    )
+    return pack_token_sequences(enc, PACK_SEQ_LEN, eos_id=0).select(
+        "seq_id",
+        F.array_join(F.col("input_ids").cast("array<string>"), ",").alias(
+            "ids_csv"
+        ),
+        "n_tokens",
+        "n_docs",
+        "fill_frac",
+    )
+
+
+PACK_SQL = f"""
+WITH d2 AS (
+  SELECT doc_id, text, length(text) + 1 AS n FROM documents),
+offs AS (
+  SELECT doc_id, text, n,
+         sum(n) OVER (ORDER BY doc_id) - n AS st
+  FROM d2),
+chars AS (
+  SELECT doc_id, st + CAST(i AS BIGINT) - 1 AS gpos,
+    CASE WHEN i <= n - 1
+         THEN unicode(substr(text, CAST(i AS INT), 1)) ELSE 0 END AS tok
+  FROM offs, unnest(range(1, n + 1)) AS u(i))
+SELECT CAST(gpos // {PACK_SEQ_LEN} AS BIGINT) AS seq_id,
+       string_agg(tok, ',' ORDER BY gpos) AS ids_csv,
+       count(*) AS n_tokens,
+       count(DISTINCT doc_id) AS n_docs,
+       CAST(count(*) AS DOUBLE) / {PACK_SEQ_LEN} AS fill_frac
+FROM chars GROUP BY 1
+"""
+
+
 QUERIES = {
     "chunk_cdc": q_chunk_cdc,
     "decontaminate_ngram": q_decontaminate,
+    "excise_dup_spans": q_excise_dup_spans,
+    "pack_sequences": q_pack_sequences,
 }
 
 ORACLES = {
     "chunk_cdc": CHUNK_CDC_SQL,
     "decontaminate_ngram": DECONTAM_SQL,
+    "excise_dup_spans": EXCISE_SQL,
+    "pack_sequences": PACK_SQL,
 }

@@ -49,6 +49,24 @@ def test_chunk_cdc_query_oracle_parity(spark):
     assert_matches(L2.q_chunk_cdc(spark, SF_DIR), L2.CHUNK_CDC_SQL, SF_DIR)
 
 
+def test_excise_query_oracle_parity(spark):
+    """The REGISTERED query + oracle pair (not just the operator —
+    that's test_excise.py's prototype) on the real corpus: real dup
+    spans must be excised and the raw-substring character-survival SQL
+    must agree value-for-value."""
+    df = L2.q_excise_dup_spans(spark, SF_DIR)
+    assert df.filter(F.col("n_excised_chars") > 0).count() > 0, (
+        "corpus must contain cross-doc ≥50-char spans (dup_span families)"
+    )
+    assert_matches(df, L2.EXCISE_SQL, SF_DIR)
+
+
+def test_pack_query_oracle_parity(spark):
+    df = L2.q_pack_sequences(spark, SF_DIR)
+    assert df.count() > 100
+    assert_matches(df, L2.PACK_SQL, SF_DIR)
+
+
 def test_decontaminate_oracle_parity(spark):
     df = L2.q_decontaminate(spark, SF_DIR)
     assert df.count() > 0, (

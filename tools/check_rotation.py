@@ -51,6 +51,8 @@ NEW_PENDING_FIRST_ROW = {
     "q18_large_orders",
     "q2_min_cost_supplier",
     "q22_idle_customers",
+    "excise_dup_spans",
+    "pack_sequences",
 }
 
 
