@@ -51,6 +51,8 @@ HEADLINE = [
     "quality_repetition",
     "token_doc_freq",
     "doc_rarity_score",
+    "excise_dup_spans",
+    "pack_sequences",
     # dedup_semantic is NOT headline: its default pair source is the
     # guarded quadratic cosine baseline (validation-scale only, like
     # q_dedup_jaccard's unguarded path) — driver-checked at sf0.01;

@@ -1,0 +1,83 @@
+"""balanced_sample (operators/sampling.py): exact agreement with the
+declared sample_balanced_lang semantics, target mode, determinism,
+and the cluster-then-balance composition."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from solana_snapshot_etl_tools_spark.operators.sampling import balanced_sample
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _skewed(spark):
+    rows = [(i, "big" if i % 10 else "small") for i in range(1000)]
+    return spark.createDataFrame(rows, "doc_id long, stratum string")
+
+
+def test_matches_declared_query_semantics(spark):
+    """On the real corpus, the generic operator with the lang stratum
+    must select EXACTLY the ids of the declared sample_balanced_lang
+    query (same hash, same threshold)."""
+    from solana_snapshot_etl_tools_spark.functions import text as TXT
+    from solana_snapshot_etl_tools_spark.plans import llm_ops as L
+
+    declared = {r.doc_id for r in L.q_sample_balanced_lang(spark, SF_DIR).collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", TXT.lang_id(F.col("text")).alias("lang_pred")
+    )
+    got = {r.doc_id for r in balanced_sample(docs, "lang_pred").collect()}
+    assert got == declared and len(got) > 0
+
+
+def test_equalizes_to_smallest_stratum(spark):
+    out = balanced_sample(_skewed(spark), "stratum").groupBy("stratum").count()
+    sizes = {r.stratum: r["count"] for r in out.collect()}
+    # the small stratum (100 rows) passes through whole; the big one
+    # (900) lands near 100 in expectation
+    assert sizes["small"] == 100
+    assert 60 <= sizes["big"] <= 140
+
+
+def test_target_mode_and_pass_through(spark):
+    sizes = {
+        r.stratum: r["count"]
+        for r in balanced_sample(_skewed(spark), "stratum", target=50)
+        .groupBy("stratum")
+        .count()
+        .collect()
+    }
+    assert 25 <= sizes["big"] <= 80 and 25 <= sizes["small"] <= 75
+    # target above every stratum: everything survives
+    assert balanced_sample(_skewed(spark), "stratum", target=10_000).count() == 1000
+
+
+def test_deterministic_and_append_stable(spark):
+    df = _skewed(spark)
+    a = {r.doc_id for r in balanced_sample(df, "stratum").collect()}
+    b = {r.doc_id for r in balanced_sample(df.repartition(7), "stratum").collect()}
+    assert a == b
+    # appending rows to ONE stratum never flips survivors in the other
+    extra = spark.createDataFrame(
+        [(10_000 + i, "big") for i in range(500)], "doc_id long, stratum string"
+    )
+    c = {
+        r.doc_id
+        for r in balanced_sample(df.unionAll(extra), "stratum").collect()
+    }
+    assert {i for i in a if i % 10 == 0} == {i for i in c if i < 1000 and i % 10 == 0}
+
+
+def test_cluster_then_balance_composition(spark):
+    """The corpus-mixture recipe end-to-end: k-means domains over the
+    real embeddings, then per-cluster balancing with a target."""
+    from solana_snapshot_etl_tools_spark.operators import cluster as C
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    model = C.kmeans_fit(emb, 3, max_iter=4, seed=3)
+    assigned = C.kmeans_assign(emb, model)
+    out = balanced_sample(assigned, "cluster_id", id_col="vec_id", target=20)
+    sizes = [r["count"] for r in out.groupBy("cluster_id").count().collect()]
+    assert len(sizes) == 3 and all(5 <= s <= 45 for s in sizes)
+    assert out.columns == assigned.columns  # rows survive intact
