@@ -124,6 +124,32 @@ def test_init_is_deterministic_and_partition_invariant(spark):
         C.kmeans_init(_df(spark, rows[:3]), 5)
 
 
+def test_assign_stream_matches_batch(spark, tmp_path_factory):
+    """Given a fitted model, assignment is a pure narrow transform —
+    the SAME function must run unchanged under readStream (the
+    engine's batch/stream-parity contract): live corpora can be
+    bucketed into domains as they arrive."""
+    from solana_snapshot_etl_tools_spark.streaming.sinks import run_available_now
+
+    src = f"{SF_DIR}/embeddings.parquet"
+    emb = spark.read.parquet(src)
+    model = C.kmeans_fit(emb, 3, max_iter=3, seed=2)
+    d = str(tmp_path_factory.mktemp("emb_stream"))
+    emb.write.mode("overwrite").parquet(d)
+    streamed = run_available_now(
+        spark, d, emb.schema, lambda df: C.kmeans_assign(df, model)
+    )
+    batch = C.kmeans_assign(emb, model)
+
+    def rows(df):
+        return sorted(
+            (r.vec_id, r.cluster_id, round(r.sq_dist, 9)) for r in df.collect()
+        )
+
+    assert rows(streamed) == rows(batch)
+    assert streamed.count() == emb.count()
+
+
 def test_real_corpus_fit_shape_and_coverage(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     n = emb.count()

@@ -133,6 +133,24 @@ FROM chars GROUP BY 1
     assert got == want
 
 
+def test_pack_has_no_global_window_exchange(spark):
+    """The prefix sum must be the two-pass shape: the within-range
+    cumsum window partitions by the shuffle partition id — the naive
+    spelling (one global window) would show an
+    `Exchange SinglePartition` feeding a Window and funnel the corpus
+    through one task."""
+    import contextlib
+    import io
+
+    df = _df(spark, ROWS)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pack_token_sequences(df, 16, eos_id=0).explain("formatted")
+    p = buf.getvalue()
+    assert "Window" in p
+    assert "Exchange SinglePartition" not in p
+
+
 def test_pack_end_to_end_with_bpe(spark):
     """corpus → BPE encode → pack: the full token stream survives
     (total token conservation) and sequences are exactly seq_len."""
