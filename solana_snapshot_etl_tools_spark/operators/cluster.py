@@ -57,8 +57,23 @@ def _prep(emb: DataFrame, id_col: str, vec_col: str, normalize: bool) -> DataFra
     v = F.col(vec_col).cast("array<double>")
     if normalize:
         nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-        v = F.transform(v, lambda x: x / nrm)
+        # CASE guard: an all-zero vector stays zero instead of killing
+        # the job under ANSI (DIVIDE_BY_ZERO) / NaN-poisoning centroids
+        v = F.when(nrm == 0.0, v).otherwise(F.transform(v, lambda x: x / nrm))
     return emb.select(F.col(id_col).cast("long").alias("id"), v.alias("vec"))
+
+
+def _argmin_sqdist(X: np.ndarray, C: np.ndarray):
+    """Batch nearest-centroid kernel shared by every pass:
+    (assignments, squared distances clamped at 0 — the
+    ``|c|^2 - 2 x.c + |x|^2`` expansion can cancel to ~-1e-13 for
+    near-coincident points, and a negative sq_dist NaNs any downstream
+    sqrt). Ties break toward the lowest cluster id (np.argmin)."""
+    D = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+    a = np.argmin(D, axis=1)
+    d2 = D[np.arange(len(a)), a] + (X * X).sum(axis=1)
+    np.maximum(d2, 0.0, out=d2)
+    return a, d2
 
 
 def kmeans_init(
@@ -94,14 +109,10 @@ def _min_cost_pass(bc_new):
         for pdf in batches:
             if C is None:
                 C = np.asarray(bc_new.value, dtype=np.float64)
-                cn = (C * C).sum(axis=1)
             if not len(pdf):
                 continue
             X = np.array(pdf["vec"].tolist(), dtype=np.float64)
-            d2 = (
-                cn[None, :] - 2.0 * (X @ C.T) + (X * X).sum(axis=1)[:, None]
-            ).min(axis=1)
-            np.maximum(d2, 0.0, out=d2)
+            _, d2 = _argmin_sqdist(X, C)
             out = pdf[["id", "vec", "cost"]].copy()
             out["cost"] = np.minimum(out["cost"].to_numpy(), d2)
             yield out
@@ -176,13 +187,22 @@ def kmeans_parallel_init(
     cands = [np.asarray(first[0].vec, dtype=np.float64)]
     d = base.withColumn("cost", F.lit(float("inf")))
     new_batch = np.array(cands)
+    total = 0.0
+    fresh = True  # new candidates since the last cost pass?
     for rnd in range(rounds):
-        bc = spark.sparkContext.broadcast(new_batch)
-        nxt = d.mapInPandas(_min_cost_pass(bc), _COST_SCHEMA).cache()
-        total = nxt.agg(F.sum("cost")).first()[0] or 0.0
-        if total <= 0:
+        if fresh:
+            bc = spark.sparkContext.broadcast(new_batch)
+            nxt = d.mapInPandas(_min_cost_pass(bc), _COST_SCHEMA).cache()
+            total = nxt.agg(F.sum("cost")).first()[0] or 0.0
+            # unpersist, not destroy: the cached cost frame's lineage
+            # still references this broadcast (tasks serialize the full
+            # parent chain for recompute fallback); unpersist frees
+            # executors and re-ships on demand
             bc.unpersist()
+            if d.is_cached:
+                d.unpersist()
             d = nxt
+        if total <= 0:
             break
         # deterministic Bernoulli(l * cost / total) via hash threshold
         u = (F.pmod(F.xxhash64("id", F.lit(seed), F.lit(rnd)), F.lit(2**32)) + 0.5) / 2**32
@@ -190,19 +210,14 @@ def kmeans_parallel_init(
         # partition-invariant; the only residual layout sensitivity is
         # float rounding of the cost total at the sampling threshold
         picked = sorted(
-            nxt.filter(u < F.lit(float(l)) * F.col("cost") / F.lit(total))
+            d.filter(u < F.lit(float(l)) * F.col("cost") / F.lit(total))
             .select("id", "vec")
             .collect(),
             key=lambda r: r.id,
         )
-        # unpersist, not destroy: the cached cost frame's lineage still
-        # references this broadcast (tasks serialize the full parent
-        # chain for recompute fallback); unpersist frees executors and
-        # re-ships on demand
-        bc.unpersist()
-        if d.is_cached:
-            d.unpersist()
-        d = nxt
+        # an empty draw leaves costs unchanged — skip the (idempotent)
+        # cost pass next round and just redraw with the next rnd hash
+        fresh = bool(picked)
         if not picked:
             continue
         new_batch = np.array([r.vec for r in picked], dtype=np.float64)
@@ -248,9 +263,7 @@ def _assign_partials(bc):
             if not len(pdf):
                 continue
             X = np.array(pdf["vec"].tolist(), dtype=np.float64)
-            a = np.argmin(
-                (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T), axis=1
-            )
+            a, _ = _argmin_sqdist(X, C)
             np.add.at(sums, a, X)
             np.add.at(counts, a, 1)
         if C is not None:
@@ -281,7 +294,14 @@ def kmeans_fit(
     "sizes": k int64, "n_iter": int, "shift": float,
     "normalize": bool}``. Empty clusters keep their previous centroid
     (and report size 0). Stops when every centroid moves < ``tol``
-    (L2) or at ``max_iter``.
+    (L2) or at ``max_iter``. ``sizes`` are the populations under the
+    RETURNED centroids (one extra counting pass after the loop — the
+    in-loop counts describe the penultimate centroids and would
+    disagree with ``kmeans_assign`` whenever the loop stops at
+    ``max_iter``). With ``normalize=True`` this is spherical k-means:
+    inputs are L2-normalized once and centroids are re-normalized
+    after every mean update, so assignment order matches cosine
+    similarity.
 
     ``init``: ``"parallel"`` (default — k-means|| seeding, the
     quality/scale choice), ``"sample"`` (deterministic hash-sampled
@@ -303,11 +323,10 @@ def kmeans_fit(
             C = np.asarray(init, dtype=np.float64)
         if C.shape[0] != k:
             raise ValueError(f"init has {C.shape[0]} rows, expected k={k}")
-        sizes = np.zeros(k, dtype=np.int64)
-        shift = float("inf")
-        it = 0
-        while it < max_iter and shift >= tol:
-            bc = spark.sparkContext.broadcast(C)
+        def reduce_pass(cent):
+            """One corpus pass: per-cluster (sum vector, count) under
+            centroids ``cent``."""
+            bc = spark.sparkContext.broadcast(cent)
             try:
                 partials = d.select("vec").mapInPandas(
                     _assign_partials(bc), _PARTIAL_SCHEMA
@@ -327,18 +346,34 @@ def kmeans_fit(
                 )
             finally:
                 bc.destroy()
-            sums = np.zeros_like(C)
-            sizes = np.zeros(k, dtype=np.int64)
+            sums = np.zeros_like(cent)
+            sz = np.zeros(k, dtype=np.int64)
             for r in rows:
                 sums[r.cluster, r.pos] = r.sv
                 if r.pos == 0:
-                    sizes[r.cluster] = r.nv
+                    sz[r.cluster] = r.nv
+            return sums, sz
+
+        shift = float("inf")
+        it = 0
+        while it < max_iter and shift >= tol:
+            sums, sizes = reduce_pass(C)
             new = C.copy()  # empty clusters keep their centroid
             hit = sizes > 0
             new[hit] = sums[hit] / sizes[hit, None]
+            if normalize:
+                # spherical update: centroids live on the unit sphere so
+                # argmin-of-sq-dist == argmax-of-cosine; a zero mean
+                # (perfectly antipodal members) keeps the old centroid
+                nrm = np.linalg.norm(new[hit], axis=1)
+                nz = nrm > 0
+                new[np.flatnonzero(hit)[nz]] /= nrm[nz, None]
+                new[np.flatnonzero(hit)[~nz]] = C[np.flatnonzero(hit)[~nz]]
             shift = float(np.sqrt(((new - C) ** 2).sum(axis=1)).max())
             C = new
             it += 1
+        # exact populations under the FINAL centroids
+        _, sizes = reduce_pass(C)
         return {
             "centroids": C,
             "sizes": sizes,
@@ -368,18 +403,15 @@ def kmeans_assign(
         for pdf in batches:
             if C is None:
                 C = np.asarray(bc.value, dtype=np.float64)
-                cn = (C * C).sum(axis=1)
             if not len(pdf):
                 continue
             X = np.array(pdf["vec"].tolist(), dtype=np.float64)
-            D = cn[None, :] - 2.0 * (X @ C.T)
-            a = np.argmin(D, axis=1)
+            a, d2 = _argmin_sqdist(X, C)
             yield pd.DataFrame(
                 {
                     "id": pdf["id"].to_numpy(),
                     "cluster_id": a.astype(np.int32),
-                    "sq_dist": D[np.arange(len(a)), a]
-                    + (X * X).sum(axis=1),
+                    "sq_dist": d2,
                 }
             )
 

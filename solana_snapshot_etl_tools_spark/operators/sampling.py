@@ -31,10 +31,16 @@ def balanced_sample(
     strata already below target pass through whole). ``target=None``
     equalizes to the SMALLEST stratum — the ``sample_balanced_lang``
     semantics. Returns the input rows that survive, all columns
-    intact."""
+    intact. A NULL stratum is a stratum like any other (the count join
+    is null-safe — a plain equi-join would silently drop every
+    NULL-stratum row from the corpus)."""
     counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    counts = counts.withColumnRenamed(stratum_col, "_stratum")
     h = knuth_hash32(F.col(id_col)).cast("double")
-    out = df.join(F.broadcast(counts), stratum_col)
+    out = df.join(
+        F.broadcast(counts),
+        F.col(stratum_col).eqNullSafe(F.col("_stratum")),
+    )
     if target is None:
         tgt = counts.agg(F.min("_cnt").alias("_tgt"))
         out = out.crossJoin(F.broadcast(tgt))

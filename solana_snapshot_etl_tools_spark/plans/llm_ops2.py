@@ -173,6 +173,20 @@ FROM documents d
 PACK_SEQ_LEN = 256
 
 
+def _codepoint_tokens(text_col):
+    """BMP code points of the text. ``split('', '')`` yields ``['']``
+    (not ``[]``), and ``ascii('') = 0`` would fabricate a phantom
+    token colliding with EOS on empty docs — the filter removes the
+    empty unit so an empty doc contributes exactly its EOS, matching
+    the oracle's ``length(text) + 1`` accounting. Astral-plane chars
+    would split into UTF-16 surrogates where DuckDB counts code
+    points (the documented BMP caveat shared with ``operators/
+    excise.py``); the driver corpora are BMP."""
+    return F.transform(
+        F.filter(F.split(text_col, ""), lambda c: c != ""), F.ascii
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """GPT-style sequence packing over ``documents`` tokenized to
     code points (deterministic and oracle-spellable; the BPE encoder
@@ -182,9 +196,7 @@ def q_pack_sequences(spark, sf_dir):
     (``test_pack_is_partitioning_invariant``). Array edge emitted as
     CSV for canonicalization."""
     docs = _t(spark, sf_dir, "documents")
-    enc = docs.select(
-        "doc_id", F.transform(F.split("text", ""), F.ascii).alias("token_ids")
-    )
+    enc = docs.select("doc_id", _codepoint_tokens(F.col("text")).alias("token_ids"))
     return pack_token_sequences(enc, PACK_SEQ_LEN, eos_id=0).select(
         "seq_id",
         F.array_join(F.col("input_ids").cast("array<string>"), ",").alias(

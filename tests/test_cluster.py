@@ -110,7 +110,41 @@ def test_spherical_mode_normalizes_and_assign_uses_model_flag(spark):
     model = C.kmeans_fit(_df(spark, rows), 2, init=init, normalize=True)
     a = {r.vec_id: r.cluster_id for r in C.kmeans_assign(_df(spark, rows), model).collect()}
     assert a[0] == a[1] and a[2] == a[3] and a[0] != a[2]
-    assert np.allclose(np.linalg.norm(model["centroids"], axis=1), 1, atol=0.05)
+    # spherical update renormalizes after every mean step: exactly unit
+    assert np.allclose(np.linalg.norm(model["centroids"], axis=1), 1, atol=1e-12)
+
+
+def test_zero_vector_survives_normalize(spark):
+    """An all-zero embedding must not kill the job under ANSI
+    (DIVIDE_BY_ZERO) nor NaN-poison centroids — it stays the zero
+    vector and lands in some cluster."""
+    rows = [(0, [0.0, 0.0]), (1, [3.0, 0.0]), (2, [4.0, 0.0]), (3, [0.0, 2.0])]
+    model = C.kmeans_fit(
+        _df(spark, rows), 2, init=np.array([[1.0, 0.0], [0.0, 1.0]]), normalize=True
+    )
+    assert not np.isnan(model["centroids"]).any()
+    out = C.kmeans_assign(_df(spark, rows), model)
+    assert out.count() == 4
+    assert out.filter(F.col("sq_dist") < 0).count() == 0  # clamped
+
+
+def test_sizes_match_assign_populations_at_iteration_cap(spark):
+    """model['sizes'] must describe the RETURNED centroids even when
+    the loop stops at max_iter (the in-loop counts describe the
+    penultimate centroids)."""
+    rows, _ = _blobs(n_per=15)
+    X = np.array([v for _, v in rows])
+    # a deliberately bad init so one update step moves assignments
+    init = X[[0, 1, 2]]
+    model = C.kmeans_fit(_df(spark, rows), 3, init=init, max_iter=1)
+    pops = {
+        r.cluster_id: r["count"]
+        for r in C.kmeans_assign(_df(spark, rows), model)
+        .groupBy("cluster_id")
+        .count()
+        .collect()
+    }
+    assert [pops.get(j, 0) for j in range(3)] == model["sizes"].tolist()
 
 
 def test_init_is_deterministic_and_partition_invariant(spark):

@@ -111,10 +111,10 @@ FROM chars GROUP BY 1
     sf = "/root/testdata/sf0.001"
     _, rows = run_oracle(sql, sf)
     want = sorted(tuple(r) for r in rows)
+    from solana_snapshot_etl_tools_spark.plans.llm_ops2 import _codepoint_tokens
+
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    enc = docs.select(
-        "doc_id", F.transform(F.split("text", ""), F.ascii).alias("token_ids")
-    )
+    enc = docs.select("doc_id", _codepoint_tokens(F.col("text")).alias("token_ids"))
     got = sorted(
         (r.seq_id, r.ids_csv, r.n_tokens, r.n_docs, r.fill_frac)
         for r in pack_token_sequences(enc, L, eos_id=0)
@@ -131,6 +131,25 @@ FROM chars GROUP BY 1
     )
     assert len(want) > 100
     assert got == want
+
+
+def test_codepoint_tokens_empty_doc_contributes_only_eos(spark):
+    """split('', '') yields [''] in Spark — the tokenizer must filter
+    it so an empty doc packs to exactly one EOS (matching the oracle's
+    length(text)+1 accounting), not a phantom 0 + EOS."""
+    from solana_snapshot_etl_tools_spark.plans.llm_ops2 import _codepoint_tokens
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "ab")], "doc_id long, text string"
+    )
+    enc = docs.select("doc_id", _codepoint_tokens(F.col("text")).alias("token_ids"))
+    toks = {r.doc_id: list(r.token_ids) for r in enc.collect()}
+    assert toks == {0: [], 1: [97, 98]}
+    out = {
+        r.seq_id: list(r.input_ids)
+        for r in pack_token_sequences(enc, 8, eos_id=0).collect()
+    }
+    assert out == {0: [0, 97, 98, 0]}
 
 
 def test_pack_has_no_global_window_exchange(spark):

@@ -69,6 +69,21 @@ def test_deterministic_and_append_stable(spark):
     assert {i for i in a if i % 10 == 0} == {i for i in c if i < 1000 and i % 10 == 0}
 
 
+def test_null_stratum_is_a_stratum(spark):
+    """Rows with a NULL stratum must be counted and sampled as their
+    own stratum, never silently dropped by the count join."""
+    rows = [(i, None if i < 50 else "en") for i in range(650)]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    out = balanced_sample(df, "stratum").collect()
+    nulls = [r.doc_id for r in out if r.stratum is None]
+    assert len(nulls) == 50  # smallest stratum passes through whole
+    ens = [r for r in out if r.stratum == "en"]
+    assert 20 <= len(ens) <= 90
+    # target mode keeps NULL rows too
+    out2 = balanced_sample(df, "stratum", target=1000)
+    assert out2.count() == 650
+
+
 def test_cluster_then_balance_composition(spark):
     """The corpus-mixture recipe end-to-end: k-means domains over the
     real embeddings, then per-cluster balancing with a target."""
