@@ -1,0 +1,140 @@
+"""Incremental shard dedup (operators/incremental.py): planted-corpus
+flag semantics, equivalence with one-shot exact dedup, band-collision
+parity with the LSH candidate generator, and index loop closure."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from solana_snapshot_etl_tools_spark.operators import dedup as D
+from solana_snapshot_etl_tools_spark.operators import incremental as I
+
+SF_DIR = "/root/testdata/sf0.001"
+
+BOILER = (
+    "this license text is repeated verbatim across many documents in the "
+    "corpus and is long enough to dominate every minhash band of any "
+    "document that embeds it without much unique content of its own "
+) * 3
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_flag_semantics_on_planted_shard(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, "completely original first document about astronomy"),
+            (2, BOILER + "tail one"),
+            (3, "another unique piece on woodworking techniques"),
+        ],
+    )
+    index = I.build_index(corpus)
+    shard = _docs(
+        spark,
+        [
+            (10, "completely original first document about astronomy"),  # exact old
+            (11, BOILER + "tail two"),  # near-dup of 2
+            (12, "a genuinely fresh document about tidal pools"),
+            (13, "a duplicated within-shard sentence to plant"),
+            (14, "a duplicated within-shard sentence to plant"),  # exact of 13
+        ],
+    )
+    got = {
+        r.doc_id: (r.dup_exact, r.dup_near_candidate)
+        for r in I.dedup_against_index(shard, index).collect()
+    }
+    assert got[10][0] is True
+    assert got[11] == (False, True)
+    assert got[12] == (False, False)
+    assert got[13][0] is False  # first copy in the shard keeps the text
+    assert got[14][0] is True
+    # columns pass through plus exactly the two flags
+    out = I.dedup_against_index(shard, index)
+    assert out.columns == ["doc_id", "text", "dup_exact", "dup_near_candidate"]
+
+
+def test_incremental_exact_matches_one_shot(spark):
+    """For exact dedup, index-probing a shard must keep exactly the
+    docs that a full-corpus exact dedup of (corpus UNION shard) would
+    keep, when shard ids follow corpus ids (ingestion order = id
+    order, so 'already-kept copy stays canonical' = min-id)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    old = D.exact_dedup(docs.filter(F.col("doc_id") <= mid), "doc_id", "text")
+    new = docs.filter(F.col("doc_id") > mid)
+    flagged = I.dedup_against_index(new, I.build_index(old))
+    inc_keep = {r.doc_id for r in old.select("doc_id").collect()} | {
+        r.doc_id for r in flagged.filter(~F.col("dup_exact")).collect()
+    }
+    full_keep = {
+        r.doc_id
+        for r in D.exact_dedup(
+            old.unionByName(new), "doc_id", "text"
+        ).collect()
+    }
+    assert inc_keep == full_keep
+
+
+def test_near_flags_match_lsh_candidate_adjacency(spark):
+    """dup_near_candidate must agree with the uncapped LSH candidate
+    generator on the union: a new doc is flagged iff it shares a band
+    with an old doc or a smaller-id new doc (same sketch constants,
+    same band hashing — drift between the two spellings would break
+    yesterday's indexes, so this pins them together)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    old = docs.filter(F.col("doc_id") <= mid)
+    new = docs.filter(F.col("doc_id") > mid)
+    flagged = {
+        r.doc_id: r.dup_near_candidate
+        for r in I.dedup_against_index(new, I.build_index(old)).collect()
+    }
+    sig = D.minhash_signatures(docs, "doc_id", "text")
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_lsh_candidates(sig, max_bucket_size=None).collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected_true = {
+        x
+        for x in flagged
+        if any(y <= mid or y < x for y in adj.get(x, ()))
+    }
+    assert {x for x, v in flagged.items() if v} == expected_true
+    assert expected_true, "corpus near-dup families must cross the split"
+
+
+def test_index_loop_closure_over_two_shards(spark):
+    corpus = _docs(spark, [(1, "seed document with its own content here")])
+    index = I.build_index(corpus)
+    s1 = _docs(spark, [(10, "shard one adds this brand new survivor text")])
+    f1 = I.dedup_against_index(s1, index)
+    assert f1.filter("dup_exact or dup_near_candidate").count() == 0
+    index2 = index.unionByName(I.kept_index_rows(f1))
+    # shard 2 repeats shard 1's survivor: caught only via the extension
+    s2 = _docs(spark, [(20, "shard one adds this brand new survivor text")])
+    assert I.dedup_against_index(s2, index).filter("dup_exact").count() == 0
+    assert I.dedup_against_index(s2, index2).filter("dup_exact").count() == 1
+
+
+def test_index_is_compact_and_probe_carries_no_text(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    idx = I.build_index(docs)
+    assert idx.columns == ["doc", "band", "key"]
+    per_doc = idx.groupBy("doc").count().agg(F.max("count")).first()[0]
+    assert per_doc <= D.LSH_BANDS + 1
+    # the probe plan never shuffles document text
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        I.dedup_against_index(docs.limit(50), idx).explain("formatted")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p
