@@ -51,3 +51,60 @@ def balanced_sample(
     return out.filter(
         h * F.col("_cnt") < F.col("_tgt").cast("double") * F.lit(float(_2_32))
     ).select(*df.columns)
+
+
+def temperature_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str = "doc_id",
+    alpha: float = 0.7,
+    total: int | None = None,
+) -> DataFrame:
+    """Temperature-flattened mixture sampling (the multilingual
+    pretraining recipe — mBERT / XLM-R): stratum i is drawn with
+    probability ``p_i ∝ n_i^alpha``, so ``alpha = 1`` keeps natural
+    proportions, ``alpha = 0`` is uniform over strata, and the usual
+    0.3-0.7 range upweights the tail without drowning the head.
+    ``total`` is the expected output size (default: the largest size
+    at which no stratum needs MORE rows than it has — pure
+    downsampling; this operator never repeats rows, so callers wanting
+    upsampling replicate survivors downstream).
+
+    Same machinery as ``balanced_sample``: driver-free broadcast
+    counts, deterministic null-safe hash acceptance, append-stable per
+    stratum."""
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    counts = counts.withColumnRenamed(stratum_col, "_stratum")
+    # p_i and the feasibility cap involve one tiny driver-side pass
+    # over the STRATUM LIST (not the corpus) — #strata rows
+    stats = counts.collect()
+    weights = {r["_stratum"]: float(r["_cnt"]) ** alpha for r in stats}
+    wsum = sum(weights.values()) or 1.0
+    if total is None:
+        # largest total with target_i <= n_i for every stratum
+        total = int(
+            min(float(r["_cnt"]) * wsum / weights[r["_stratum"]] for r in stats)
+        )
+    # per-stratum targets go back as a broadcast frame (a literal CASE
+    # chain would blow up the plan at high stratum cardinality)
+    targets = df.sparkSession.createDataFrame(
+        [
+            (
+                r["_stratum"],
+                float(r["_cnt"]),
+                min(float(r["_cnt"]), total * weights[r["_stratum"]] / wsum),
+            )
+            for r in stats
+        ],
+        df.select(stratum_col).withColumnRenamed(stratum_col, "_stratum").schema.add(
+            "_cnt", "double"
+        ).add("_tgt", "double"),
+    )
+    h = knuth_hash32(F.col(id_col)).cast("double")
+    return (
+        df.join(
+            F.broadcast(targets), F.col(stratum_col).eqNullSafe(F.col("_stratum"))
+        )
+        .filter(h * F.col("_cnt") < F.col("_tgt") * F.lit(float(_2_32)))
+        .select(*df.columns)
+    )

@@ -6,7 +6,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from solana_snapshot_etl_tools_spark.operators.sampling import balanced_sample
+from solana_snapshot_etl_tools_spark.operators.sampling import (
+    balanced_sample,
+    temperature_sample,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -82,6 +85,45 @@ def test_null_stratum_is_a_stratum(spark):
     # target mode keeps NULL rows too
     out2 = balanced_sample(df, "stratum", target=1000)
     assert out2.count() == 650
+
+
+def test_temperature_alpha_one_is_identity(spark):
+    """alpha=1 with the default feasible total keeps natural
+    proportions — i.e. everything survives (pure downsampling never
+    reshapes a mixture that is already at its natural shape)."""
+    df = _skewed(spark)
+    assert temperature_sample(df, "stratum", alpha=1.0).count() == 1000
+
+
+def test_temperature_alpha_zero_equals_balanced(spark):
+    """alpha=0 (uniform over strata) must select EXACTLY the
+    balanced_sample survivors — same hash, same threshold."""
+    df = _skewed(spark)
+    a = {r.doc_id for r in balanced_sample(df, "stratum").collect()}
+    b = {r.doc_id for r in temperature_sample(df, "stratum", alpha=0.0).collect()}
+    assert a == b
+
+
+def test_temperature_flattens_but_preserves_order(spark):
+    """0 < alpha < 1 keeps the big stratum bigger, but lifts the tail
+    share above natural: share_small grows from 10% toward 50%."""
+    df = _skewed(spark)
+    out = temperature_sample(df, "stratum", alpha=0.5, total=400)
+    sizes = {r.stratum: r["count"] for r in out.groupBy("stratum").count().collect()}
+    assert sizes["big"] > sizes["small"]
+    small_share = sizes["small"] / (sizes["small"] + sizes["big"])
+    assert 0.15 < small_share < 0.45  # natural is 0.10, uniform 0.50
+    # deterministic across layouts
+    again = temperature_sample(df.repartition(9), "stratum", alpha=0.5, total=400)
+    assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}
+
+
+def test_temperature_handles_null_stratum(spark):
+    rows = [(i, None if i < 100 else "en") for i in range(700)]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    out = temperature_sample(df, "stratum", alpha=0.0)
+    sizes = {r.stratum: r["count"] for r in out.groupBy("stratum").count().collect()}
+    assert sizes.get(None) == 100  # smallest stratum intact
 
 
 def test_cluster_then_balance_composition(spark):
