@@ -1,0 +1,152 @@
+"""Corpus CLI — the pretraining-data pipeline as one command.
+
+The ETL CLI (``__main__.py``) mirrors the reference binary; this is
+the engine's OWN surface for the training-data side, chaining the
+library stages in production order (the same order the declared
+``pipeline_pretrain_corpus`` query hash-checks):
+
+    exact dedup → [near dedup] → [PII redaction] → quality/lang
+    filter → deterministic split → shards [or BPE-tokenize + pack]
+
+    python -m solana_snapshot_etl_tools_spark.corpus_cli \\
+        DOCS.parquet OUT_DIR \\
+        [--near-dedup] [--no-pii] [--quality 0.5] [--lang en] \\
+        [--train-pct 90 --val-pct 5] \\
+        [--tokenize N_MERGES [--pack SEQ_LEN]] \\
+        [--records-per-shard N] [--cpus N]
+
+Emits one JSON report line (stage row counts, per-split sizes, shard
+manifest sizes). Every stage is the already-tested library operator;
+the CLI adds only composition, counting, and writes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="solana_snapshot_etl_tools_spark.corpus_cli",
+        description="Build a pretraining corpus from a documents parquet",
+    )
+    p.add_argument("docs", help="input parquet with (doc_id, text)")
+    p.add_argument("out_dir", help="output root (per-split subdirs)")
+    p.add_argument("--near-dedup", action="store_true",
+                   help="also remove minhash-LSH near-dups (jaccard>=0.8 "
+                   "components, keep min id)")
+    p.add_argument("--no-pii", action="store_true", help="skip PII redaction")
+    p.add_argument("--quality", type=float, default=0.5,
+                   help="min quality_score (default 0.5)")
+    p.add_argument("--lang", default="en",
+                   help="keep docs lang_id == LANG; '' keeps all")
+    p.add_argument("--train-pct", type=int, default=90)
+    p.add_argument("--val-pct", type=int, default=5)
+    p.add_argument("--tokenize", type=int, metavar="N_MERGES", default=None,
+                   help="BPE-train on the cleaned corpus and emit token ids")
+    p.add_argument("--pack", type=int, metavar="SEQ_LEN", default=None,
+                   help="pack token ids into fixed-length sequences "
+                   "(requires --tokenize)")
+    p.add_argument("--records-per-shard", type=int, default=65536)
+    p.add_argument("--cpus", type=int, default=None)
+    args = p.parse_args(argv)
+    if args.pack is not None and args.tokenize is None:
+        p.error("--pack requires --tokenize")
+    if not 0 < args.train_pct + args.val_pct <= 100:
+        p.error("train-pct + val-pct must be in (0, 100]")
+
+    from pyspark.sql import functions as F
+
+    from solana_snapshot_etl_tools_spark.functions import text as TXT
+    from solana_snapshot_etl_tools_spark.functions.hashing import _2_32, knuth_hash32
+    from solana_snapshot_etl_tools_spark.operators import dedup as DD
+    from solana_snapshot_etl_tools_spark.operators.sinks import write_training_shards
+    from solana_snapshot_etl_tools_spark.session import get_spark
+
+    spark = get_spark(app_name="corpus-build", cpus=args.cpus)
+    report: dict[str, object] = {"input": args.docs, "out": args.out_dir}
+
+    docs = spark.read.parquet(args.docs).select("doc_id", "text")
+    report["n_input"] = docs.count()
+
+    kept = DD.exact_dedup(docs, "doc_id", "text")
+    if args.near_dedup:
+        pairs = DD.minhash_lsh_pairs(kept, "doc_id", "text")
+        comp = DD.connected_components(pairs, kept, "doc_id")
+        keep_ids = comp.filter(F.col("doc_id") == F.col("keep_id")).select("doc_id")
+        kept = kept.join(keep_ids, "doc_id", "left_semi")
+    report["n_after_dedup"] = kept.count()
+
+    clean_col = (
+        F.col("text") if args.no_pii else TXT.redact_pii(F.col("text"))
+    )
+    clean = kept.select("doc_id", clean_col.alias("text"))
+    c = F.col("text")
+    filtered = clean.withColumn("_q", TXT.quality_score(c)).filter(
+        F.col("_q") > args.quality
+    )
+    if args.lang:
+        filtered = filtered.filter(TXT.lang_id(c) == args.lang)
+    filtered = filtered.select("doc_id", "text", TXT.token_count(c).alias("n_tokens"))
+    report["n_after_filters"] = filtered.count()
+
+    h = knuth_hash32(F.col("doc_id")) * 100
+    split = (
+        F.when(h < F.lit(args.train_pct) * F.lit(_2_32), "train")
+        .when(h < F.lit(args.train_pct + args.val_pct) * F.lit(_2_32), "val")
+        .otherwise("test")
+    )
+    corpus = filtered.withColumn("split", split)
+
+    if args.tokenize is not None:
+        from solana_snapshot_etl_tools_spark.operators import bpe as B
+        from solana_snapshot_etl_tools_spark.operators.packing import (
+            pack_token_sequences,
+        )
+
+        model = B.bpe_train(corpus, n_merges=args.tokenize)
+        report["vocab_size"] = len(B.bpe_vocab(model))
+        out = {}
+        for name in ("train", "val", "test"):
+            enc = B.bpe_encode(corpus.filter(F.col("split") == name), model)
+            if args.pack is not None:
+                eos = len(B.bpe_vocab(model))
+                enc = pack_token_sequences(enc, args.pack, eos_id=eos)
+                order = "seq_id"
+            else:
+                order = "doc_id"
+            manifest = write_training_shards(
+                enc,
+                f"{args.out_dir}/{name}",
+                records_per_shard=args.records_per_shard,
+                order_col=order,
+            )
+            out[name] = {
+                "rows": sum(r.rows for r in manifest.collect()),
+                "shards": manifest.count(),
+            }
+        report["splits"] = out
+    else:
+        out = {}
+        for name in ("train", "val", "test"):
+            manifest = write_training_shards(
+                corpus.filter(F.col("split") == name).drop("split"),
+                f"{args.out_dir}/{name}",
+                records_per_shard=args.records_per_shard,
+                order_col="doc_id",
+            )
+            out[name] = {
+                "rows": sum(r.rows for r in manifest.collect()),
+                "shards": manifest.count(),
+            }
+        report["splits"] = out
+
+    DD.release_session_caches()
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

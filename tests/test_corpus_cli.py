@@ -1,0 +1,53 @@
+"""corpus_cli end-to-end on the real sf0.001 corpus: report contract,
+stage monotonicity, split disjointness, and the tokenize+pack path."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from solana_snapshot_etl_tools_spark import corpus_cli
+
+SRC = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _run(capsys, *argv):
+    assert corpus_cli.main(list(argv)) == 0
+    out = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    return json.loads(out[-1])
+
+
+def test_document_pipeline_end_to_end(spark, tmp_path_factory, capsys):
+    out = str(tmp_path_factory.mktemp("corpus_docs"))
+    rep = _run(capsys, SRC, out, "--near-dedup", "--records-per-shard", "100")
+    assert rep["n_input"] >= rep["n_after_dedup"] >= rep["n_after_filters"] > 0
+    sizes = {k: v["rows"] for k, v in rep["splits"].items()}
+    assert sum(sizes.values()) == rep["n_after_filters"]
+    assert sizes["train"] > sizes["val"] >= 0
+    # written shards are a disjoint id partition with the clean schema
+    frames = {k: spark.read.parquet(f"{out}/{k}") for k in sizes if sizes[k]}
+    ids = [r.doc_id for df in frames.values() for r in df.select("doc_id").collect()]
+    assert len(ids) == len(set(ids)) == rep["n_after_filters"]
+    for df in frames.values():
+        assert df.columns == ["doc_id", "text", "n_tokens"]
+        assert df.filter(F.col("text").isNull()).count() == 0
+
+
+def test_tokenize_and_pack_path(spark, tmp_path_factory, capsys):
+    out = str(tmp_path_factory.mktemp("corpus_packed"))
+    rep = _run(
+        capsys,
+        SRC,
+        out,
+        "--no-pii",
+        "--tokenize", "64",
+        "--pack", "128",
+        "--records-per-shard", "200",
+    )
+    assert rep["vocab_size"] > 64
+    train = spark.read.parquet(f"{out}/train")
+    assert train.columns == ["seq_id", "input_ids", "n_tokens", "n_docs", "fill_frac"]
+    # every sequence except at most the last is exactly seq_len
+    assert train.filter("n_tokens != 128").count() <= 1
+    assert rep["splits"]["train"]["rows"] == train.count() > 0
