@@ -39,7 +39,7 @@ def main(argv: list[str] | None = None) -> int:
                    "components, keep min id)")
     p.add_argument("--no-pii", action="store_true", help="skip PII redaction")
     p.add_argument("--quality", type=float, default=0.5,
-                   help="min quality_score (default 0.5)")
+                   help="min quality_score, inclusive (default 0.5)")
     p.add_argument("--lang", default="en",
                    help="keep docs lang_id == LANG; '' keeps all")
     p.add_argument("--train-pct", type=int, default=90)
@@ -54,6 +54,8 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
     if args.pack is not None and args.tokenize is None:
         p.error("--pack requires --tokenize")
+    if not (0 <= args.train_pct <= 100 and 0 <= args.val_pct <= 100):
+        p.error("each split percentage must be in [0, 100]")
     if not 0 < args.train_pct + args.val_pct <= 100:
         p.error("train-pct + val-pct must be in (0, 100]")
 
@@ -85,20 +87,33 @@ def main(argv: list[str] | None = None) -> int:
     clean = kept.select("doc_id", clean_col.alias("text"))
     c = F.col("text")
     filtered = clean.withColumn("_q", TXT.quality_score(c)).filter(
-        F.col("_q") > args.quality
+        F.col("_q") >= args.quality
     )
     if args.lang:
         filtered = filtered.filter(TXT.lang_id(c) == args.lang)
-    filtered = filtered.select("doc_id", "text", TXT.token_count(c).alias("n_tokens"))
-    report["n_after_filters"] = filtered.count()
-
     h = knuth_hash32(F.col("doc_id")) * 100
     split = (
         F.when(h < F.lit(args.train_pct) * F.lit(_2_32), "train")
         .when(h < F.lit(args.train_pct + args.val_pct) * F.lit(_2_32), "val")
         .otherwise("test")
     )
-    corpus = filtered.withColumn("split", split)
+    # everything downstream (counts, 3 split writes, BPE train+encode)
+    # re-reads this frame — persist it once so the dedup/redaction/
+    # scoring chain runs a single time
+    corpus = filtered.select(
+        "doc_id", "text", TXT.token_count(c).alias("n_tokens"), split.alias("split")
+    ).persist()
+    report["n_after_filters"] = corpus.count()
+
+    def write_split(df, name, order_col):
+        manifest = write_training_shards(
+            df,
+            f"{args.out_dir}/{name}",
+            records_per_shard=args.records_per_shard,
+            order_col=order_col,
+        )
+        rows = manifest.collect()
+        return {"rows": sum(r.rows for r in rows), "shards": len(rows)}
 
     if args.tokenize is not None:
         from solana_snapshot_etl_tools_spark.operators import bpe as B
@@ -107,42 +122,29 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         model = B.bpe_train(corpus, n_merges=args.tokenize)
-        report["vocab_size"] = len(B.bpe_vocab(model))
-        out = {}
+        eos = len(B.bpe_vocab(model))
+        # embedding tables must cover the EOS id one past the vocab
+        report["vocab_size"] = eos
+        report["eos_id"] = eos
+        report["n_embeddings"] = eos + 1
+        splits = {}
         for name in ("train", "val", "test"):
             enc = B.bpe_encode(corpus.filter(F.col("split") == name), model)
             if args.pack is not None:
-                eos = len(B.bpe_vocab(model))
                 enc = pack_token_sequences(enc, args.pack, eos_id=eos)
-                order = "seq_id"
+                splits[name] = write_split(enc, name, "seq_id")
             else:
-                order = "doc_id"
-            manifest = write_training_shards(
-                enc,
-                f"{args.out_dir}/{name}",
-                records_per_shard=args.records_per_shard,
-                order_col=order,
-            )
-            out[name] = {
-                "rows": sum(r.rows for r in manifest.collect()),
-                "shards": manifest.count(),
-            }
-        report["splits"] = out
+                splits[name] = write_split(enc, name, "doc_id")
     else:
-        out = {}
-        for name in ("train", "val", "test"):
-            manifest = write_training_shards(
-                corpus.filter(F.col("split") == name).drop("split"),
-                f"{args.out_dir}/{name}",
-                records_per_shard=args.records_per_shard,
-                order_col="doc_id",
+        splits = {
+            name: write_split(
+                corpus.filter(F.col("split") == name).drop("split"), name, "doc_id"
             )
-            out[name] = {
-                "rows": sum(r.rows for r in manifest.collect()),
-                "shards": manifest.count(),
-            }
-        report["splits"] = out
+            for name in ("train", "val", "test")
+        }
+    report["splits"] = splits
 
+    corpus.unpersist()
     DD.release_session_caches()
     print(json.dumps(report))
     return 0

@@ -531,6 +531,37 @@ def minhash_signatures(
     )
 
 
+def banded_signature_rows(
+    sig: DataFrame,
+    bands: int = LSH_BANDS,
+    n_hashes: int = N_HASHES,
+    key_name: str = "bh",
+) -> DataFrame:
+    """(doc, band, <key_name>) rows: xxhash64 over each band's r
+    consecutive signature slots. THE canonical banding spelling —
+    shared by the pair generator below and the persisted incremental
+    index (``operators/incremental.py``), so an index written
+    yesterday stays probeable: any change here is a breaking format
+    change for persisted indexes."""
+    r = n_hashes // bands
+    return sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(*[F.col("sig")[b * r + i] for i in range(r)]).alias(
+                            key_name
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc", "e.band", f"e.{key_name}")
+
+
 def minhash_lsh_candidates(
     sig: DataFrame,
     bands: int = LSH_BANDS,
@@ -548,23 +579,7 @@ def minhash_lsh_candidates(
     boilerplate family of m near-identical docs costs O(m) candidate
     rows, not O(m^2), and still collapses to one representative
     downstream. ``observation`` records hot_buckets/hot_rows."""
-    r = n_hashes // bands
-    banded = sig.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(*[F.col("sig")[b * r + i] for i in range(r)]).alias(
-                            "bh"
-                        ),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("e"),
-    ).select("doc", "e.band", "e.bh")
+    banded = banded_signature_rows(sig, bands, n_hashes)
     banded, star = _cap_hot_buckets(
         banded, ["band", "bh"], max_bucket_size, hot_bucket_mode, observation
     )

@@ -37,35 +37,12 @@ from pyspark.sql import DataFrame, functions as F
 from solana_snapshot_etl_tools_spark.operators.dedup import (
     LSH_BANDS,
     N_HASHES,
+    _cache_for_session,
+    banded_signature_rows,
     minhash_signatures,
 )
 
 EXACT_BAND = -1
-
-
-def _band_rows(
-    sig: DataFrame, bands: int, n_hashes: int
-) -> DataFrame:
-    """(doc, band, key) from signature rows — the same banding spelling
-    as ``minhash_lsh_candidates`` (kept textually in sync; both hash r
-    consecutive signature slots per band with xxhash64)."""
-    r = n_hashes // bands
-    return sig.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[b * r + i] for i in range(r)]
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("e"),
-    ).select("doc", "e.band", "e.key")
 
 
 def build_index(
@@ -85,7 +62,11 @@ def build_index(
         F.xxhash64(text_col).alias("key"),
     )
     sig = minhash_signatures(docs, id_col, text_col, k=k, n_hashes=n_hashes)
-    return exact.unionByName(_band_rows(sig, bands, n_hashes))
+    # the canonical banding spelling — dedup.py owns it, so the pair
+    # generator and every persisted index can never drift apart
+    return exact.unionByName(
+        banded_signature_rows(sig, bands, n_hashes, key_name="key")
+    )
 
 
 def dedup_against_index(
@@ -107,9 +88,14 @@ def dedup_against_index(
     equi-join per kind — co-located and key-pruned when the index is
     bucketed/partitioned by (band, key); within-shard exact identity
     is a groupBy(min); within-shard band collisions a self-join on
-    (band, key) keyed min — no shuffle ever carries document text."""
-    new_idx = build_index(
-        new_docs, id_col, text_col, k=k, n_hashes=n_hashes, bands=bands
+    (band, key) keyed min — no shuffle ever carries document text. The
+    shard's index rows feed three consumers, so they are cached via
+    the dedup session registry (call
+    ``dedup.release_session_caches()`` at a query boundary) — without
+    it each action re-runs the pandas-UDF minhash sketch of the
+    shard."""
+    new_idx = _cache_for_session(
+        build_index(new_docs, id_col, text_col, k=k, n_hashes=n_hashes, bands=bands)
     )
     probe = new_idx.alias("p")
     old = index.select("band", "key").distinct().alias("ix")

@@ -78,6 +78,8 @@ def temperature_sample(
     # p_i and the feasibility cap involve one tiny driver-side pass
     # over the STRATUM LIST (not the corpus) — #strata rows
     stats = counts.collect()
+    if not stats:  # empty input: empty output, like balanced_sample
+        return df
     weights = {r["_stratum"]: float(r["_cnt"]) ** alpha for r in stats}
     wsum = sum(weights.values()) or 1.0
     if total is None:

@@ -118,6 +118,11 @@ def test_temperature_flattens_but_preserves_order(spark):
     assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}
 
 
+def test_temperature_empty_input_returns_empty(spark):
+    df = _skewed(spark).filter(F.lit(False))
+    assert temperature_sample(df, "stratum").count() == 0
+
+
 def test_temperature_handles_null_stratum(spark):
     rows = [(i, None if i < 100 else "en") for i in range(700)]
     df = spark.createDataFrame(rows, "doc_id long, stratum string")
