@@ -3,25 +3,39 @@ an already-deduplicated corpus without ever re-reading it.
 
 At 100 TB the corpus is deduplicated once; every later shard must be
 checked against it. Re-running full-corpus dedup per shard is a
-corpus-sized job; the right shape is a persisted INDEX (one compact
-row per doc per band plus one exact-hash row — tens of bytes per doc,
-~1000x smaller than the text) that new shards probe with equi-joins:
+corpus-sized job; the right shape is a persisted INDEX (compact rows,
+tens of bytes per doc, ~1000x smaller than the text) that new shards
+probe with equi-joins:
 
 - ``build_index(docs)`` -> (doc, band, key) rows: ``band = -1`` holds
   ``xxhash64`` of the text (exact identity), bands ``0..B-1`` hold the
-  minhash LSH band hashes from ``operators/dedup.py``'s sketch (same
-  constants, so an index built yesterday probes identically today).
-  Persist it partitioned/bucketed by ``(band, key)`` — the probe join
-  is then co-located and prunes to the shard's keys.
-- ``dedup_against_index(new_docs, index)`` flags each new row:
-  ``dup_exact`` (identical text already in the corpus or an earlier
-  row of this shard — first-id wins, the already-kept copy stays
-  canonical) and ``dup_near_candidate`` (shares an LSH band with the
-  corpus or shard — Jaccard-likely near-dup). Candidates are FLAGGED,
-  not dropped: the index alone cannot exact-verify Jaccard (the old
-  texts are not in it), so the caller chooses drop-aggressive or
-  verify-with-a-targeted-fetch. Survivors' index rows are returned for
-  appending, closing the loop: ``index' = index UNION kept_rows``.
+  minhash LSH band hashes via ``dedup.banded_signature_rows`` — the
+  one canonical banding spelling, so an index built yesterday probes
+  identically today. Persist partitioned/bucketed by ``(band, key)``
+  for co-located, key-pruned probes.
+- ``signature_table(docs)`` -> (doc, sig): the full minhash sketches
+  (~512 B/doc), persisted beside the index. Optional but strongly
+  recommended: with it the probe refines band collisions with the
+  minhash agreement estimate, without it every bucket membership is a
+  "candidate" — and on corpora with high background similarity that
+  flags nearly everything (measured: 2500/2500 new docs on the
+  synthetic corpus raw, vs the near-dup families only with sigs).
+- ``dedup_against_index(new_docs, index, old_sigs=...)`` flags each
+  new row: ``dup_exact`` (identical text already in the corpus or an
+  earlier row of this shard — first-id wins, the already-kept copy
+  stays canonical) and ``dup_near_candidate`` (estimated Jaccard >=
+  threshold - 0.1 against a bucket witness when sigs are given; raw
+  bucket membership otherwise). Candidates are FLAGGED, not dropped:
+  the index cannot exact-verify Jaccard (old texts are not in it), so
+  the caller chooses drop-aggressive or verify-with-a-targeted-fetch.
+- ``kept_index_rows`` / ``kept_signature_rows`` close the loop:
+  ``index' = index UNION kept``.
+
+Hot boilerplate buckets cost O(members), never O(members^2): the
+corpus side of a near probe is capped at ``witnesses_per_bucket``
+smallest-id members per (band, key) — a family is a near-identical
+clique, so estimating against its min-id witnesses decides membership
+— and the exact probes are semi-joins/groupBys (no pair lists at all).
 
 64-bit exact keys: two distinct texts colliding on xxhash64 false-drop
 one unique doc; expected collisions are ``n^2 / 2^65`` (~3 docs at
@@ -32,7 +46,7 @@ the wider key is free; the index trades that for 8-byte probe keys.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 from solana_snapshot_etl_tools_spark.operators.dedup import (
     LSH_BANDS,
@@ -43,6 +57,19 @@ from solana_snapshot_etl_tools_spark.operators.dedup import (
 )
 
 EXACT_BAND = -1
+WITNESSES_PER_BUCKET = 8
+
+
+def signature_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = N_HASHES,
+) -> DataFrame:
+    """(doc, sig) minhash sketches to persist beside the index —
+    enables estimate-refined near-dup probes."""
+    return minhash_signatures(docs, id_col, text_col, k=k, n_hashes=n_hashes)
 
 
 def build_index(
@@ -62,78 +89,154 @@ def build_index(
         F.xxhash64(text_col).alias("key"),
     )
     sig = minhash_signatures(docs, id_col, text_col, k=k, n_hashes=n_hashes)
-    # the canonical banding spelling — dedup.py owns it, so the pair
-    # generator and every persisted index can never drift apart
     return exact.unionByName(
         banded_signature_rows(sig, bands, n_hashes, key_name="key")
     )
 
 
+def _est_ok(threshold: float):
+    """Minhash positional-agreement estimate >= threshold - 0.1 — the
+    same recall-preserving pre-filter ``minhash_lsh_pairs`` applies
+    before its exact verify (array_intersect is valid because every
+    position is salted with a different family member)."""
+    agree = F.size(F.array_intersect("sig_a", "sig_b"))
+    return (agree / F.size("sig_a")) >= threshold - 0.1
+
+
+def _flag(df: DataFrame, name: str) -> DataFrame:
+    return df.select("doc").distinct().withColumn(name, F.lit(True))
+
+
 def dedup_against_index(
     new_docs: DataFrame,
     index: DataFrame,
+    old_sigs: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    threshold: float = 0.8,
+    witnesses_per_bucket: int = WITNESSES_PER_BUCKET,
     k: int = 3,
     n_hashes: int = N_HASHES,
     bands: int = LSH_BANDS,
 ) -> DataFrame:
     """Flag each new row with ``dup_exact`` / ``dup_near_candidate``
-    (vs the corpus index AND earlier rows of this shard) and attach
-    nothing else — all input columns pass through. Docs shorter than
-    the shingle width get no bands (like the sketch itself) and can
-    only match exactly.
+    (vs the corpus index AND earlier rows of this shard); all input
+    columns pass through. Docs shorter than the shingle width get no
+    sketch (like the sketch itself) and can only match exactly.
 
-    Scale shape: the shard's (band, key) rows probe the index with one
-    equi-join per kind — co-located and key-pruned when the index is
-    bucketed/partitioned by (band, key); within-shard exact identity
-    is a groupBy(min); within-shard band collisions a self-join on
-    (band, key) keyed min — no shuffle ever carries document text. The
-    shard's index rows feed three consumers, so they are cached via
-    the dedup session registry (call
-    ``dedup.release_session_caches()`` at a query boundary) — without
-    it each action re-runs the pandas-UDF minhash sketch of the
-    shard."""
-    new_idx = _cache_for_session(
-        build_index(new_docs, id_col, text_col, k=k, n_hashes=n_hashes, bands=bands)
+    With ``old_sigs`` (from ``signature_table``, persisted beside the
+    index) the near flag means: minhash-estimated Jaccard >=
+    ``threshold - 0.1`` against one of the bucket's
+    ``witnesses_per_bucket`` smallest-id members (old, or earlier in
+    this shard). Without it the flag degrades to raw bucket
+    membership — high recall, but on high-background-similarity
+    corpora it can flag nearly everything (see module doc).
+
+    Scale shape: the shard is sketched ONCE (cached via the dedup
+    session registry — call ``dedup.release_session_caches()`` at a
+    query boundary); exact probes are semi-joins/groupBys; near probes
+    join the shard's band rows against witness-capped index rows and
+    estimate on fixed-width sketch arrays — no shuffle ever carries
+    document text, and no stage is quadratic in a bucket's size."""
+    sig_new = _cache_for_session(
+        minhash_signatures(new_docs, id_col, text_col, k=k, n_hashes=n_hashes)
     )
-    probe = new_idx.alias("p")
-    old = index.select("band", "key").distinct().alias("ix")
-    vs_corpus = (
-        probe.join(old, ["band", "key"], "left_semi")
-        .groupBy("doc")
-        .agg(
-            F.max(F.col("band") == EXACT_BAND).alias("_ex_old"),
-            F.max(F.col("band") != EXACT_BAND).alias("_nd_old"),
+    band_new = _cache_for_session(
+        banded_signature_rows(sig_new, bands, n_hashes, key_name="key")
+    )
+    exact_new = _cache_for_session(
+        new_docs.select(
+            F.col(id_col).alias("doc"), F.xxhash64(text_col).alias("key")
         )
     )
-    # within-shard: the first (min) doc of an identical key keeps it
-    firsts = new_idx.groupBy("band", "key").agg(F.min("doc").alias("_first"))
-    vs_shard = (
-        new_idx.join(firsts, ["band", "key"])
-        .filter(F.col("doc") != F.col("_first"))
-        .groupBy("doc")
-        .agg(
-            F.max(F.col("band") == EXACT_BAND).alias("_ex_new"),
-            F.max(F.col("band") != EXACT_BAND).alias("_nd_new"),
-        )
+
+    # --- exact flags ---------------------------------------------------------
+    ex_old = _flag(
+        exact_new.join(
+            index.filter(F.col("band") == EXACT_BAND).select("key").distinct(),
+            "key",
+            "left_semi",
+        ),
+        "_ex_old",
     )
-    flags = (
-        new_docs.join(
-            vs_corpus.withColumnRenamed("doc", id_col), id_col, "left"
-        )
-        .join(vs_shard.withColumnRenamed("doc", id_col), id_col, "left")
-        .select(
-            *new_docs.columns,
-            (F.coalesce("_ex_old", F.lit(False)) | F.coalesce("_ex_new", F.lit(False))).alias(
-                "dup_exact"
+    ex_firsts = exact_new.groupBy("key").agg(F.min("doc").alias("_first"))
+    ex_new = _flag(
+        exact_new.join(ex_firsts, "key").filter(F.col("doc") != F.col("_first")),
+        "_ex_new",
+    )
+
+    # --- near flags ----------------------------------------------------------
+    old_bands = index.filter(F.col("band") != EXACT_BAND)
+    if old_sigs is None:
+        nd_old = _flag(
+            band_new.join(
+                old_bands.select("band", "key").distinct(), ["band", "key"], "left_semi"
             ),
-            (F.coalesce("_nd_old", F.lit(False)) | F.coalesce("_nd_new", F.lit(False))).alias(
-                "dup_near_candidate"
-            ),
+            "_nd_old",
         )
+        nd_firsts = band_new.groupBy("band", "key").agg(F.min("doc").alias("_first"))
+        nd_new = _flag(
+            band_new.join(nd_firsts, ["band", "key"]).filter(
+                F.col("doc") != F.col("_first")
+            ),
+            "_nd_new",
+        )
+    else:
+        rn = F.row_number().over(W.partitionBy("band", "key").orderBy("doc"))
+        wit_old = (
+            old_bands.withColumn("_rn", rn)
+            .filter(F.col("_rn") <= witnesses_per_bucket)
+            .select("band", "key", F.col("doc").alias("wdoc"))
+        )
+        sa = sig_new.select(F.col("doc").alias("cdoc"), F.col("sig").alias("sig_a"))
+        so = old_sigs.select(F.col("doc").alias("wdoc"), F.col("sig").alias("sig_b"))
+        nd_old = _flag(
+            band_new.join(wit_old, ["band", "key"])
+            .select(F.col("doc").alias("cdoc"), "wdoc")
+            .distinct()
+            .join(sa, "cdoc")
+            .join(so, "wdoc")
+            .filter(_est_ok(threshold))
+            .select(F.col("cdoc").alias("doc")),
+            "_nd_old",
+        )
+        wit_new = (
+            band_new.withColumn("_rn", rn)
+            .filter(F.col("_rn") <= witnesses_per_bucket)
+            .select("band", "key", F.col("doc").alias("wdoc"))
+        )
+        sn = sig_new.select(F.col("doc").alias("wdoc"), F.col("sig").alias("sig_b"))
+        nd_new = _flag(
+            band_new.join(wit_new, ["band", "key"])
+            .filter(F.col("wdoc") < F.col("doc"))
+            .select(F.col("doc").alias("cdoc"), "wdoc")
+            .distinct()
+            .join(sa, "cdoc")
+            .join(sn, "wdoc")
+            .filter(_est_ok(threshold))
+            .select(F.col("cdoc").alias("doc")),
+            "_nd_new",
+        )
+
+    flags = new_docs
+    for f in (ex_old, ex_new, nd_old, nd_new):
+        flags = flags.join(f.withColumnRenamed("doc", id_col), id_col, "left")
+    return flags.select(
+        *new_docs.columns,
+        (
+            F.coalesce("_ex_old", F.lit(False)) | F.coalesce("_ex_new", F.lit(False))
+        ).alias("dup_exact"),
+        (
+            F.coalesce("_nd_old", F.lit(False)) | F.coalesce("_nd_new", F.lit(False))
+        ).alias("dup_near_candidate"),
     )
-    return flags
+
+
+def _kept(flagged: DataFrame, drop_near_candidates: bool) -> DataFrame:
+    keep = ~F.col("dup_exact")
+    if drop_near_candidates:
+        keep = keep & ~F.col("dup_near_candidate")
+    return flagged.filter(keep).drop("dup_exact", "dup_near_candidate")
 
 
 def kept_index_rows(
@@ -147,17 +250,28 @@ def kept_index_rows(
 ) -> DataFrame:
     """Index rows for the shard's survivors — append to the persisted
     index (``index.unionByName(kept)``) to keep the loop closed.
-    ``drop_near_candidates=True`` is the aggressive policy (any band
-    collision excludes the doc); the default keeps candidates in the
-    corpus and the index."""
-    keep = ~F.col("dup_exact")
-    if drop_near_candidates:
-        keep = keep & ~F.col("dup_near_candidate")
+    ``drop_near_candidates=True`` is the aggressive policy; the
+    default keeps candidates in the corpus and the index."""
     return build_index(
-        flagged.filter(keep).drop("dup_exact", "dup_near_candidate"),
+        _kept(flagged, drop_near_candidates),
         id_col,
         text_col,
         k=k,
         n_hashes=n_hashes,
         bands=bands,
+    )
+
+
+def kept_signature_rows(
+    flagged: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = N_HASHES,
+    drop_near_candidates: bool = False,
+) -> DataFrame:
+    """Signature rows for the shard's survivors — append to the
+    persisted signature table when using estimate-refined probes."""
+    return signature_table(
+        _kept(flagged, drop_near_candidates), id_col, text_col, k=k, n_hashes=n_hashes
     )

@@ -110,6 +110,70 @@ def test_near_flags_match_lsh_candidate_adjacency(spark):
     assert expected_true, "corpus near-dup families must cross the split"
 
 
+def test_refined_mode_kills_background_noise_but_keeps_families(spark):
+    """With the signature table, near flags require an estimated
+    Jaccard, not mere bucket membership: on this high-background-
+    similarity corpus raw mode over-flags massively (the motivating
+    measurement: 2500/2500 at sf0.1), refined mode keeps only the
+    near-dup families — and never invents a flag raw mode lacks."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    old = docs.filter(F.col("doc_id") <= mid)
+    new = docs.filter(F.col("doc_id") > mid)
+    idx = I.build_index(old)
+    raw = {
+        r.doc_id
+        for r in I.dedup_against_index(new, idx)
+        .filter("dup_near_candidate")
+        .collect()
+    }
+    refined = {
+        r.doc_id
+        for r in I.dedup_against_index(new, idx, old_sigs=I.signature_table(old))
+        .filter("dup_near_candidate")
+        .collect()
+    }
+    assert refined <= raw
+    # the margin is corpus-dependent (this synthetic set has high
+    # background similarity — avg jaccard 0.44 — so many est values
+    # clear 0.7 legitimately); at sf0.1 the measured gap was
+    # 2500/2500 raw vs families-only refined
+    assert len(refined) < 0.8 * len(raw), (len(refined), len(raw))
+    # the verified near-dup pairs that cross the split must survive
+    # refinement (est >= threshold-0.1 is the recall-preserving filter
+    # the full pipeline itself uses before exact verification)
+    verified = D.minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    must = {
+        max(r.doc_a, r.doc_b)
+        for r in verified
+        if max(r.doc_a, r.doc_b) > mid
+    }
+    assert must, "corpus families must cross the split"
+    assert must <= refined
+
+
+def test_refined_witness_cap_still_catches_family_members(spark):
+    """A boilerplate family larger than witnesses_per_bucket: a new
+    member must still be flagged (witnesses are the min-id members of
+    its buckets — the family is a clique, so any witness estimates
+    high)."""
+    fam = [(i, BOILER + f" member {i}") for i in range(30)]
+    corpus = _docs(spark, fam + [(100, "one unrelated document about pottery")])
+    idx = I.build_index(corpus)
+    sigs = I.signature_table(corpus)
+    shard = _docs(
+        spark,
+        [(200, BOILER + " member 200"), (201, "fresh text about glaciers and ice")],
+    )
+    got = {
+        r.doc_id: r.dup_near_candidate
+        for r in I.dedup_against_index(
+            shard, idx, old_sigs=sigs, witnesses_per_bucket=4
+        ).collect()
+    }
+    assert got == {200: True, 201: False}
+
+
 def test_index_loop_closure_over_two_shards(spark):
     corpus = _docs(spark, [(1, "seed document with its own content here")])
     index = I.build_index(corpus)
