@@ -6,11 +6,13 @@ library stages in production order (the same order the declared
 ``pipeline_pretrain_corpus`` query hash-checks):
 
     exact dedup → [near dedup] → [PII redaction] → quality/lang
-    filter → deterministic split → shards [or BPE-tokenize + pack]
+    filter → [cluster-balance the topic mixture] → deterministic
+    split → shards [or BPE-tokenize + pack]
 
     python -m solana_snapshot_etl_tools_spark.corpus_cli \\
         DOCS.parquet OUT_DIR \\
         [--near-dedup] [--no-pii] [--quality 0.5] [--lang en] \\
+        [--embeddings EMB.parquet --cluster-balance K [--alpha 0.0]] \\
         [--train-pct 90 --val-pct 5] \\
         [--tokenize N_MERGES [--pack SEQ_LEN]] \\
         [--records-per-shard N] [--cpus N]
@@ -42,6 +44,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="min quality_score, inclusive (default 0.5)")
     p.add_argument("--lang", default="en",
                    help="keep docs lang_id == LANG; '' keeps all")
+    p.add_argument("--embeddings", metavar="PARQUET", default=None,
+                   help="embeddings parquet with (vec_id, embedding) "
+                   "keyed by doc id — enables --cluster-balance")
+    p.add_argument("--cluster-balance", type=int, metavar="K", default=None,
+                   help="k-means the corpus into K topic domains over "
+                   "--embeddings and temperature-flatten the mixture")
+    p.add_argument("--alpha", type=float, default=0.0,
+                   help="mixture temperature for --cluster-balance "
+                   "(0 = equal-size domains, 1 = natural; default 0)")
     p.add_argument("--train-pct", type=int, default=90)
     p.add_argument("--val-pct", type=int, default=5)
     p.add_argument("--tokenize", type=int, metavar="N_MERGES", default=None,
@@ -54,6 +65,8 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
     if args.pack is not None and args.tokenize is None:
         p.error("--pack requires --tokenize")
+    if args.cluster_balance is not None and not args.embeddings:
+        p.error("--cluster-balance requires --embeddings")
     if not (0 <= args.train_pct <= 100 and 0 <= args.val_pct <= 100):
         p.error("each split percentage must be in [0, 100]")
     if not 0 < args.train_pct + args.val_pct <= 100:
@@ -104,6 +117,33 @@ def main(argv: list[str] | None = None) -> int:
         "doc_id", "text", TXT.token_count(c).alias("n_tokens"), split.alias("split")
     ).persist()
     report["n_after_filters"] = corpus.count()
+
+    if args.cluster_balance is not None:
+        from solana_snapshot_etl_tools_spark.operators import cluster as CL
+        from solana_snapshot_etl_tools_spark.operators.sampling import (
+            temperature_sample,
+        )
+
+        emb = (
+            spark.read.parquet(args.embeddings)
+            .select(F.col("vec_id").alias("doc_id"), "embedding")
+            .join(corpus.select("doc_id"), "doc_id", "left_semi")
+        )
+        model = CL.kmeans_fit(emb, args.cluster_balance, id_col="doc_id")
+        report["cluster_sizes"] = sorted(model["sizes"].tolist())
+        assigned = CL.kmeans_assign(emb, model, id_col="doc_id").select(
+            "doc_id", "cluster_id"
+        )
+        # docs without an embedding keep a NULL cluster — the sampler
+        # treats NULL as its own stratum, so they are never dropped
+        balanced = temperature_sample(
+            corpus.join(assigned, "doc_id", "left"),
+            "cluster_id",
+            alpha=args.alpha,
+        ).drop("cluster_id").persist()
+        corpus.unpersist()
+        corpus = balanced
+        report["n_after_balance"] = corpus.count()
 
     def write_split(df, name, order_col):
         manifest = write_training_shards(

@@ -34,6 +34,22 @@ def test_document_pipeline_end_to_end(spark, tmp_path_factory, capsys):
         assert df.filter(F.col("text").isNull()).count() == 0
 
 
+def test_cluster_balance_stage(spark, tmp_path_factory, capsys):
+    out = str(tmp_path_factory.mktemp("corpus_balanced"))
+    rep = _run(
+        capsys,
+        SRC,
+        out,
+        "--no-pii",
+        "--embeddings", "/root/testdata/sf0.001/embeddings.parquet",
+        "--cluster-balance", "3",
+        "--records-per-shard", "100",
+    )
+    assert len(rep["cluster_sizes"]) == 3
+    assert 0 < rep["n_after_balance"] <= rep["n_after_filters"]
+    assert sum(v["rows"] for v in rep["splits"].values()) == rep["n_after_balance"]
+
+
 def test_tokenize_and_pack_path(spark, tmp_path_factory, capsys):
     out = str(tmp_path_factory.mktemp("corpus_packed"))
     rep = _run(
