@@ -100,7 +100,13 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """CASE-guarded like ``_l2_normalize``: a zero vector has cosine
+    0 to everything instead of DIVIDE_BY_ZERO under ANSI. Identical
+    IEEE result for every non-zero pair (the guard never fires), so
+    the bit-exact oracle parity of ``embedding_cosine_pairs`` is
+    unchanged."""
+    d = _norm(a) * _norm(b)
+    return F.when(d == 0.0, F.lit(0.0)).otherwise(_dot(a, b) / d)
 
 
 def _numpy_cosine_rerank(
@@ -307,8 +313,12 @@ def hyperplane_signature(
 
 
 def _l2_normalize(v: Column) -> Column:
+    """CASE-guarded: an all-zero vector stays zero instead of killing
+    the job under ANSI (DIVIDE_BY_ZERO) — same guard as
+    ``operators/cluster.py:_prep``. A zero vector has cosine 0 to
+    everything, which is exactly what the guarded output computes."""
     n = _norm(v)
-    return F.transform(v, lambda x: x / n)
+    return F.when(n == 0.0, v).otherwise(F.transform(v, lambda x: x / n))
 
 
 def _train_coarse_quantizer(X, n_lists: int, seed: int, max_iter: int):

@@ -980,3 +980,21 @@ def test_simhash_poly_family_finds_planted_neardups(spark):
     assert exact, "fixture should contain planted near-dups"
     missing = exact - sim
     assert len(missing) <= max(1, len(exact) // 5), f"missed {missing}"
+
+
+def test_zero_vector_survives_l2_normalize_everywhere(spark):
+    """An all-zero embedding must not kill any ANN path under ANSI
+    (DIVIDE_BY_ZERO) — the guarded normalizer keeps it as the zero
+    vector (cosine 0 to everything), so it simply never ranks."""
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        rows = [(0, [0.0, 0.0, 0.0, 0.0])] + [
+            (i, [float(i), 1.0, 0.0, float(i % 3)]) for i in range(1, 30)
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        q = spark.createDataFrame(rows[:4], "vec_id long, embedding array<float>")
+        assert SIM.brute_force_topk(emb, q, k=3).count() > 0
+        assert SIM.ivf_ann_topk(emb, q, k=3, n_lists=2).count() > 0
+        assert SIM.lsh_ann_topk(emb, q, dims=4, k=3).count() > 0
+    finally:
+        spark.conf.unset("spark.sql.ansi.enabled")
