@@ -689,6 +689,21 @@ def _verify_pairs_against_docs(
     sf0.1). Only candidate docs are ever shingled, so at 100 TB this
     stays bounded by candidate volume — no full-corpus shingle
     materialization."""
+    sets = _pair_shingle_sets(pairs, df, id_col, text_col, k)
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    jac = inter / (F.size("shs_a") + F.size("shs_b") - inter)
+    return (
+        sets.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") > threshold)
+    )
+
+
+def _pair_shingle_sets(
+    pairs: DataFrame, df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(doc_a, doc_b, shs_a, shs_b) for every candidate pair — the
+    verify-once shape shared by the Jaccard and containment
+    verifiers."""
     # the pair list fans out to three consumers (both branches of the
     # candidate-id union and the final sets join); without a persist
     # each one would re-execute the whole upstream candidate/estimate
@@ -709,14 +724,63 @@ def _verify_pairs_against_docs(
     )
     sa = shingled.select(F.col("_vid").alias("doc_a"), F.col("_shs").alias("shs_a"))
     sb = shingled.select(F.col("_vid").alias("doc_b"), F.col("_shs").alias("shs_b"))
-    sets = pairs.join(sa, "doc_a").join(sb, "doc_b").select(
+    return pairs.join(sa, "doc_a").join(sb, "doc_b").select(
         "doc_a", "doc_b", "shs_a", "shs_b"
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    k: int = 3,
+    max_doc_freq: int | None = JACCARD_MAX_DOC_FREQ,
+) -> DataFrame:
+    """Asymmetric near-dup detection (Broder's containment):
+    ``|S_a ∩ S_b| / min(|S_a|, |S_b|)`` — catches a short document
+    quoted verbatim inside a long one, which Jaccard structurally
+    misses (the union grows with the size gap, so a fully-contained
+    quote scores ``|short|/|long|`` ≈ 0). Emits
+    (doc_a < doc_b, containment, contained_doc) above ``threshold``,
+    where ``contained_doc`` is the smaller-set side (ties → doc_a).
+
+    Same scale posture as ``jaccard_pairs``: candidates from
+    ≤``max_doc_freq``-frequency shingles (the anti-quadratic guard,
+    inert on the test corpora), verification from the full shingle
+    sets via the shared verify-once pair-sets join."""
+    sh = shingle_sets(df, id_col, text_col, k)
+    pair_src = sh
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("sh")
+        )
+        pair_src = sh.join(rare, "sh")
+    a = pair_src.select(F.col("doc").alias("doc_a"), "sh")
+    b = pair_src.select(F.col("doc").alias("doc_b"), "sh")
+    cands = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sets = _pair_shingle_sets(cands, df, id_col, text_col, k)
     inter = F.size(F.array_intersect("shs_a", "shs_b"))
-    jac = inter / (F.size("shs_a") + F.size("shs_b") - inter)
+    na, nb = F.size("shs_a"), F.size("shs_b")
+    cont = inter / F.least(na, nb)
     return (
-        sets.select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") > threshold)
+        sets.select(
+            "doc_a",
+            "doc_b",
+            cont.alias("containment"),
+            F.when(na <= nb, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+                "contained_doc"
+            ),
+        )
+        .filter(F.col("containment") > threshold)
     )
 
 
