@@ -75,7 +75,7 @@ def main(argv: list[str] | None = None) -> int:
     from pyspark.sql import functions as F
 
     from solana_snapshot_etl_tools_spark.functions import text as TXT
-    from solana_snapshot_etl_tools_spark.functions.hashing import _2_32, knuth_hash32
+    from solana_snapshot_etl_tools_spark.functions.hashing import _2_32
     from solana_snapshot_etl_tools_spark.operators import dedup as DD
     from solana_snapshot_etl_tools_spark.operators.sinks import write_training_shards
     from solana_snapshot_etl_tools_spark.session import get_spark
@@ -104,7 +104,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     if args.lang:
         filtered = filtered.filter(TXT.lang_id(c) == args.lang)
-    h = knuth_hash32(F.col("doc_id")) * 100
+    # the split hash MUST be independent of knuth_hash32: the
+    # cluster-balance sampler accepts the LOW-knuth-hash tail of each
+    # stratum, and a knuth-keyed split would then route (nearly) all
+    # survivors into one split — a multiplicative hash of a shifted id
+    # is affine-correlated, so a different FAMILY (xxhash64) is
+    # required, not a salt
+    h = F.pmod(F.xxhash64("doc_id", F.lit("corpus-split")), F.lit(100 * _2_32))
     split = (
         F.when(h < F.lit(args.train_pct) * F.lit(_2_32), "train")
         .when(h < F.lit(args.train_pct + args.val_pct) * F.lit(_2_32), "val")
@@ -134,16 +140,24 @@ def main(argv: list[str] | None = None) -> int:
         assigned = CL.kmeans_assign(emb, model, id_col="doc_id").select(
             "doc_id", "cluster_id"
         )
-        # docs without an embedding keep a NULL cluster — the sampler
-        # treats NULL as its own stratum, so they are never dropped
-        balanced = temperature_sample(
-            corpus.join(assigned, "doc_id", "left"),
-            "cluster_id",
-            alpha=args.alpha,
-        ).drop("cluster_id").persist()
-        corpus.unpersist()
+        # docs without an embedding pass through UNSAMPLED (they must
+        # not form a competing stratum: a handful of missing
+        # embeddings would otherwise become the minimum stratum and
+        # alpha=0 would collapse every cluster to its size)
+        joined = corpus.join(assigned, "doc_id", "left")
+        balanced = (
+            temperature_sample(
+                joined.filter(F.col("cluster_id").isNotNull()),
+                "cluster_id",
+                alpha=args.alpha,
+            )
+            .unionByName(joined.filter(F.col("cluster_id").isNull()))
+            .drop("cluster_id")
+            .persist()
+        )
+        report["n_after_balance"] = balanced.count()
+        corpus.unpersist()  # only after the balanced frame is materialized
         corpus = balanced
-        report["n_after_balance"] = corpus.count()
 
     def write_split(df, name, order_col):
         manifest = write_training_shards(

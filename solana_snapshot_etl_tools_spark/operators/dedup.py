@@ -185,24 +185,36 @@ def jaccard_pairs(
         )
     # guarded path: candidates from rare shingles only, exact verify
     # from the full (unfiltered) shingle sets
-    # char_shingles is distinct-per-doc, so a plain count IS the doc
-    # frequency — no countDistinct (which would add a dedup pass)
-    rare = (
-        sh.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_doc_freq)
-        .select("sh")
-    )
-    pair_src = sh.join(rare, "sh")
+    cands = _shared_shingle_candidates(sh, max_doc_freq)
+    return _verify_pairs_against_docs(cands, df, id_col, text_col, k, threshold)
+
+
+def _shared_shingle_candidates(
+    sh: DataFrame, max_doc_freq: int | None
+) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing a shingle, generated
+    from shingles in at most ``max_doc_freq`` docs (the anti-quadratic
+    guard — ``None`` disables it). Shared by the Jaccard and
+    containment verifiers. char_shingles is distinct-per-doc, so a
+    plain count IS the doc frequency — no countDistinct (which would
+    add a dedup pass)."""
+    pair_src = sh
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("sh")
+        )
+        pair_src = sh.join(rare, "sh")
     a = pair_src.select(F.col("doc").alias("doc_a"), "sh")
     b = pair_src.select(F.col("doc").alias("doc_b"), "sh")
-    cands = (
+    return (
         a.join(b, "sh")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _verify_pairs_against_docs(cands, df, id_col, text_col, k, threshold)
 
 
 # --- near-dup clustering: pairs → components → keep decision ------------------
@@ -750,23 +762,7 @@ def containment_pairs(
     inert on the test corpora), verification from the full shingle
     sets via the shared verify-once pair-sets join."""
     sh = shingle_sets(df, id_col, text_col, k)
-    pair_src = sh
-    if max_doc_freq is not None:
-        rare = (
-            sh.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_doc_freq)
-            .select("sh")
-        )
-        pair_src = sh.join(rare, "sh")
-    a = pair_src.select(F.col("doc").alias("doc_a"), "sh")
-    b = pair_src.select(F.col("doc").alias("doc_b"), "sh")
-    cands = (
-        a.join(b, "sh")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cands = _shared_shingle_candidates(sh, max_doc_freq)
     sets = _pair_shingle_sets(cands, df, id_col, text_col, k)
     inter = F.size(F.array_intersect("shs_a", "shs_b"))
     na, nb = F.size("shs_a"), F.size("shs_b")

@@ -31,11 +31,13 @@ probe with equi-joins:
 - ``kept_index_rows`` / ``kept_signature_rows`` close the loop:
   ``index' = index UNION kept``.
 
-Hot boilerplate buckets cost O(members), never O(members^2): the
-corpus side of a near probe is capped at ``witnesses_per_bucket``
-smallest-id members per (band, key) — a family is a near-identical
-clique, so estimating against its min-id witnesses decides membership
-— and the exact probes are semi-joins/groupBys (no pair lists at all).
+Buckets up to ``witnesses_per_bucket`` (default 512, matching
+``dedup.MINHASH_MAX_BUCKET``) estimate against EVERY member — the
+recall-preserving path, identical to the full pipeline's bounded
+bucket joins. Only genuinely hot buckets degrade to their min-id
+members, the same approximation ``_cap_hot_buckets``' "star" mode
+makes; the exact probes are semi-joins/groupBys (no pair lists at
+all).
 
 64-bit exact keys: two distinct texts colliding on xxhash64 false-drop
 one unique doc; expected collisions are ``n^2 / 2^65`` (~3 docs at
@@ -57,7 +59,12 @@ from solana_snapshot_etl_tools_spark.operators.dedup import (
 )
 
 EXACT_BAND = -1
-WITNESSES_PER_BUCKET = 8
+# same bound and philosophy as dedup.MINHASH_MAX_BUCKET: buckets up to
+# this size estimate against EVERY member (the recall-preserving path);
+# only genuinely hot buckets (boilerplate families / banding
+# collisions) degrade to their min-id members — the identical
+# approximation the full pipeline's "star" hot-bucket mode makes
+WITNESSES_PER_BUCKET = 512
 
 
 def signature_table(
@@ -110,6 +117,7 @@ def _flag(df: DataFrame, name: str) -> DataFrame:
 def dedup_against_index(
     new_docs: DataFrame,
     index: DataFrame,
+    *,  # keyword-only: the original public signature had id_col third
     old_sigs: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -126,11 +134,12 @@ def dedup_against_index(
 
     With ``old_sigs`` (from ``signature_table``, persisted beside the
     index) the near flag means: minhash-estimated Jaccard >=
-    ``threshold - 0.1`` against one of the bucket's
-    ``witnesses_per_bucket`` smallest-id members (old, or earlier in
-    this shard). Without it the flag degrades to raw bucket
-    membership — high recall, but on high-background-similarity
-    corpora it can flag nearly everything (see module doc).
+    ``threshold - 0.1`` against a member of a shared bucket (every
+    member for buckets <= ``witnesses_per_bucket``; min-id members
+    for hot buckets — the star-mode approximation, see module doc).
+    Without it the flag degrades to raw bucket membership — high
+    recall, but on high-background-similarity corpora it can flag
+    nearly everything (see module doc).
 
     Scale shape: the shard is sketched ONCE (cached via the dedup
     session registry — call ``dedup.release_session_caches()`` at a
@@ -183,8 +192,14 @@ def dedup_against_index(
         )
     else:
         rn = F.row_number().over(W.partitionBy("band", "key").orderBy("doc"))
+        # prune the index to the shard's buckets BEFORE the witness
+        # window — otherwise the row_number sorts the ENTIRE index on
+        # every probe instead of only the touched (band, key) groups
+        touched = old_bands.join(
+            band_new.select("band", "key").distinct(), ["band", "key"], "left_semi"
+        )
         wit_old = (
-            old_bands.withColumn("_rn", rn)
+            touched.withColumn("_rn", rn)
             .filter(F.col("_rn") <= witnesses_per_bucket)
             .select("band", "key", F.col("doc").alias("wdoc"))
         )

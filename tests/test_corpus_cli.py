@@ -47,7 +47,37 @@ def test_cluster_balance_stage(spark, tmp_path_factory, capsys):
     )
     assert len(rep["cluster_sizes"]) == 3
     assert 0 < rep["n_after_balance"] <= rep["n_after_filters"]
-    assert sum(v["rows"] for v in rep["splits"].values()) == rep["n_after_balance"]
+    sizes = {k: v["rows"] for k, v in rep["splits"].items()}
+    assert sum(sizes.values()) == rep["n_after_balance"]
+    # the split hash must be INDEPENDENT of the sampler's acceptance
+    # hash: a knuth-keyed split after knuth-keyed balancing routed
+    # ~all survivors into train (the affine-correlation bug) — val and
+    # test must retain their expected share
+    assert sizes["val"] + sizes["test"] >= 0.02 * rep["n_after_balance"]
+    assert sizes["train"] >= 0.7 * rep["n_after_balance"]
+
+
+def test_cluster_balance_missing_embeddings_pass_through(spark, tmp_path_factory, capsys):
+    """Docs absent from the embeddings table must survive unsampled —
+    and must NOT form a competing minimum stratum that collapses the
+    balanced corpus."""
+    import pyspark.sql.functions as SF
+
+    src_docs = "/root/testdata/sf0.001/documents.parquet"
+    emb_half = str(tmp_path_factory.mktemp("emb_half") / "emb.parquet")
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").filter(
+        SF.col("vec_id") % 2 == 0
+    ).write.parquet(emb_half)
+    out = str(tmp_path_factory.mktemp("corpus_half"))
+    rep = _run(
+        capsys,
+        src_docs, out, "--no-pii",
+        "--embeddings", emb_half,
+        "--cluster-balance", "3",
+    )
+    # roughly half the filtered docs lack an embedding; they all pass
+    # through, so the balanced corpus can never collapse below them
+    assert rep["n_after_balance"] >= 0.4 * rep["n_after_filters"]
 
 
 def test_tokenize_and_pack_path(spark, tmp_path_factory, capsys):
