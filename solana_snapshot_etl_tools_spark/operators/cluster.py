@@ -50,7 +50,7 @@ from solana_snapshot_etl_tools_spark._pickle import register_self
 register_self(__name__)
 
 ASSIGN_SCHEMA = "id long, cluster_id int, sq_dist double"
-_PARTIAL_SCHEMA = "cluster int, s array<double>, n long"
+_PARTIAL_SCHEMA = "cluster int, s array<double>, n long, cost double"
 
 
 def _prep(emb: DataFrame, id_col: str, vec_col: str, normalize: bool) -> DataFrame:
@@ -254,18 +254,20 @@ def _assign_partials(bc):
 
     def gen(batches):
         C = None
-        sums = counts = None
+        sums = counts = costs = None
         for pdf in batches:
             if C is None:
                 C = np.asarray(bc.value, dtype=np.float64)
                 sums = np.zeros_like(C)
                 counts = np.zeros(len(C), dtype=np.int64)
+                costs = np.zeros(len(C), dtype=np.float64)
             if not len(pdf):
                 continue
             X = np.array(pdf["vec"].tolist(), dtype=np.float64)
-            a, _ = _argmin_sqdist(X, C)
+            a, d2 = _argmin_sqdist(X, C)
             np.add.at(sums, a, X)
             np.add.at(counts, a, 1)
+            np.add.at(costs, a, d2)
         if C is not None:
             hit = np.flatnonzero(counts)
             yield pd.DataFrame(
@@ -273,6 +275,7 @@ def _assign_partials(bc):
                     "cluster": hit.astype(np.int32),
                     "s": list(sums[hit]),
                     "n": counts[hit],
+                    "cost": costs[hit],
                 }
             )
 
@@ -292,6 +295,8 @@ def kmeans_fit(
 ) -> dict:
     """Full-corpus Lloyd's. Returns ``{"centroids": k x d float64,
     "sizes": k int64, "n_iter": int, "shift": float,
+    "inertia": float (total within-cluster squared distance — the
+    elbow-selection metric, measured under the returned centroids),
     "normalize": bool}``. Empty clusters keep their previous centroid
     (and report size 0). Stops when every centroid moves < ``tol``
     (L2) or at ``max_iter``. ``sizes`` are the populations under the
@@ -324,8 +329,8 @@ def kmeans_fit(
         if C.shape[0] != k:
             raise ValueError(f"init has {C.shape[0]} rows, expected k={k}")
         def reduce_pass(cent):
-            """One corpus pass: per-cluster (sum vector, count) under
-            centroids ``cent``."""
+            """One corpus pass: per-cluster (sum vector, count, cost)
+            under centroids ``cent``."""
             bc = spark.sparkContext.broadcast(cent)
             try:
                 partials = d.select("vec").mapInPandas(
@@ -333,14 +338,15 @@ def kmeans_fit(
                 )
                 rows = (
                     partials.select(
-                        "cluster", "n", F.posexplode("s").alias("pos", "v")
+                        "cluster", "n", "cost", F.posexplode("s").alias("pos", "v")
                     )
                     .groupBy("cluster", "pos")
                     .agg(
                         F.sum("v").alias("sv"),
-                        # n repeats across a partial's d positions; count
-                        # it once (pos 0) instead of a second pass
+                        # n/cost repeat across a partial's d positions;
+                        # count them once (pos 0) instead of a second pass
                         F.sum(F.when(F.col("pos") == 0, F.col("n"))).alias("nv"),
+                        F.sum(F.when(F.col("pos") == 0, F.col("cost"))).alias("cv"),
                     )
                     .collect()
                 )
@@ -348,16 +354,18 @@ def kmeans_fit(
                 bc.destroy()
             sums = np.zeros_like(cent)
             sz = np.zeros(k, dtype=np.int64)
+            cost = 0.0
             for r in rows:
                 sums[r.cluster, r.pos] = r.sv
                 if r.pos == 0:
                     sz[r.cluster] = r.nv
-            return sums, sz
+                    cost += r.cv
+            return sums, sz, cost
 
         shift = float("inf")
         it = 0
         while it < max_iter and shift >= tol:
-            sums, sizes = reduce_pass(C)
+            sums, sizes, _ = reduce_pass(C)
             new = C.copy()  # empty clusters keep their centroid
             hit = sizes > 0
             new[hit] = sums[hit] / sizes[hit, None]
@@ -372,13 +380,14 @@ def kmeans_fit(
             shift = float(np.sqrt(((new - C) ** 2).sum(axis=1)).max())
             C = new
             it += 1
-        # exact populations under the FINAL centroids
-        _, sizes = reduce_pass(C)
+        # exact populations + inertia under the FINAL centroids
+        _, sizes, inertia = reduce_pass(C)
         return {
             "centroids": C,
             "sizes": sizes,
             "n_iter": it,
             "shift": shift,
+            "inertia": inertia,
             "normalize": normalize,
         }
     finally:

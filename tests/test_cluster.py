@@ -114,6 +114,19 @@ def test_spherical_mode_normalizes_and_assign_uses_model_flag(spark):
     assert np.allclose(np.linalg.norm(model["centroids"], axis=1), 1, atol=1e-12)
 
 
+def test_inertia_matches_assign_and_shrinks_with_k(spark):
+    """model['inertia'] is the within-cluster squared-distance total
+    under the returned centroids (== sum of kmeans_assign sq_dist),
+    and more clusters can only lower it — the elbow-curve contract."""
+    rows, _ = _blobs(n_per=20)
+    df = _df(spark, rows)
+    m3 = C.kmeans_fit(df, 3, seed=5)
+    total = sum(r.sq_dist for r in C.kmeans_assign(df, m3).collect())
+    assert abs(m3["inertia"] - total) < 1e-6 * max(1.0, total)
+    m1 = C.kmeans_fit(df, 1, seed=5)
+    assert m1["inertia"] > m3["inertia"] > 0
+
+
 def test_zero_vector_survives_normalize(spark):
     """An all-zero embedding must not kill the job under ANSI
     (DIVIDE_BY_ZERO) nor NaN-poison centroids — it stays the zero
