@@ -1,0 +1,76 @@
+"""Gopher quality flags (operators/quality.py): one planted violation
+per rule, pass-through of clean prose, and plan narrowness."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from solana_snapshot_etl_tools_spark.operators.quality import gopher_quality_flags
+
+GOOD = (
+    "this is a perfectly ordinary paragraph of english prose with the "
+    "usual mixture of short and longer words that any web document "
+    "would contain and it keeps going for long enough to pass the "
+    "minimum word count rule while staying well clear of every other "
+    "threshold because it has no bullets no ellipses and no symbols "
+    "just plain sentences that read the way normal writing reads"
+)
+
+
+def _flags(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r.doc_id: r.asDict() for r in gopher_quality_flags(df).collect()}
+
+
+def test_clean_prose_passes_all_rules(spark):
+    got = _flags(spark, [(1, GOOD)])[1]
+    assert got["passes_gopher"] is True
+    assert all(v for k, v in got.items() if k.startswith("ok_"))
+
+
+def test_each_rule_fails_on_its_planted_violation(spark):
+    rows = [
+        (1, "too few words here"),  # word count
+        (2, " ".join(["pneumonoultramicroscopic"] * 60)),  # mean word len high
+        (3, GOOD + " " + "# " * 60),  # symbol ratio
+        (4, "\n".join(["- a bullet item of text"] * 10)),  # bullet lines
+        (5, "\n".join([GOOD[:40] + "..."] * 10)),  # ellipsis lines
+        (6, " ".join(["12345"] * 80)),  # alpha words
+        (7, " ".join([f"w{i}x" for i in range(80)])),  # no stopwords
+    ]
+    got = _flags(spark, rows)
+    assert got[1]["ok_word_count"] is False
+    assert got[2]["ok_mean_word_len"] is False
+    assert got[3]["ok_symbol_ratio"] is False
+    assert got[4]["ok_bullet_lines"] is False
+    assert got[5]["ok_ellipsis_lines"] is False
+    assert got[6]["ok_alpha_words"] is False
+    assert got[7]["ok_stopwords"] is False
+    assert all(not v["passes_gopher"] for v in got.values())
+
+
+def test_real_corpus_and_narrow_plan(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = gopher_quality_flags(docs)
+    n = docs.count()
+    assert out.count() == n  # pass-through, one row per doc
+    assert out.columns[: len(docs.columns)] == docs.columns
+    stats = out.agg(
+        F.sum(F.col("passes_gopher").cast("int")),
+        *[
+            F.sum(F.col(c).cast("int"))
+            for c in out.columns
+            if c.startswith("ok_")
+        ],
+    ).first()
+    assert 0 < stats[0] <= n  # some docs pass; rules do bite somewhere
+    # a narrow map: no exchange, no UDF stage
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue()
+    assert "Exchange" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p

@@ -103,6 +103,16 @@ def main() -> int:
                 f"{name}: no oracle_sql entry and not a documented "
                 "rows-only query"
             )
+    # bench.py silently filters HEADLINE to declared names — a typo or
+    # a renamed query would vanish from BENCH_r{N} without any error
+    import bench
+
+    for name in bench.HEADLINE:
+        if name not in declared:
+            failures.append(
+                f"bench HEADLINE contains undeclared query {name!r} — "
+                "it would silently drop from the bench output"
+            )
     for name, rec in rows.items():
         err = rec.get("err")
         if err and not (err == "no_oracle" and name in ROWS_ONLY):
