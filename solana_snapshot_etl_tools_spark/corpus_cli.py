@@ -42,6 +42,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--no-pii", action="store_true", help="skip PII redaction")
     p.add_argument("--quality", type=float, default=0.5,
                    help="min quality_score, inclusive (default 0.5)")
+    p.add_argument("--gopher", action="store_true",
+                   help="additionally require every Gopher rule to pass "
+                   "(operators/quality.py)")
     p.add_argument("--lang", default="en",
                    help="keep docs lang_id == LANG; '' keeps all")
     p.add_argument("--embeddings", metavar="PARQUET", default=None,
@@ -104,6 +107,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     if args.lang:
         filtered = filtered.filter(TXT.lang_id(c) == args.lang)
+    if args.gopher:
+        from solana_snapshot_etl_tools_spark.operators.quality import (
+            gopher_quality_flags,
+        )
+
+        before = filtered.columns
+        filtered = (
+            gopher_quality_flags(filtered)
+            .filter(F.col("passes_gopher"))
+            .select(*before)
+        )
     # the split hash MUST be independent of knuth_hash32: the
     # cluster-balance sampler accepts the LOW-knuth-hash tail of each
     # stratum, and a knuth-keyed split would then route (nearly) all

@@ -34,6 +34,14 @@ def test_document_pipeline_end_to_end(spark, tmp_path_factory, capsys):
         assert df.filter(F.col("text").isNull()).count() == 0
 
 
+def test_gopher_flag_tightens_the_filter(spark, tmp_path_factory, capsys):
+    out1 = str(tmp_path_factory.mktemp("corpus_base"))
+    out2 = str(tmp_path_factory.mktemp("corpus_gopher"))
+    base = _run(capsys, SRC, out1, "--no-pii")
+    strict = _run(capsys, SRC, out2, "--no-pii", "--gopher")
+    assert 0 < strict["n_after_filters"] <= base["n_after_filters"]
+
+
 def test_cluster_balance_stage(spark, tmp_path_factory, capsys):
     out = str(tmp_path_factory.mktemp("corpus_balanced"))
     rep = _run(
