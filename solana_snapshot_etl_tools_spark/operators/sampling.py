@@ -53,6 +53,53 @@ def balanced_sample(
     ).select(*df.columns)
 
 
+def mix_corpora(
+    sources: list[tuple[str, DataFrame, float]],
+    id_col: str = "doc_id",
+    total: int | None = None,
+) -> DataFrame:
+    """Deterministic multi-source pretraining mixture: source ``i``
+    contributes ``~ total * w_i / sum(w)`` rows, sampled by a
+    per-source-salted hash (``xxhash64(id, source_name)`` — salting is
+    REQUIRED: reusing one unsalted hash would select the same id tail
+    from every source, correlating the mixture with any other
+    hash-keyed stage). ``total`` defaults to the largest size at which
+    no source needs more rows than it has (this operator never
+    replicates; upsample by replicating survivors downstream). Output
+    adds a ``source`` column; all sources must share the input schema.
+
+    Scale shape: one count per source (driver-side scalars), then a
+    narrow per-row filter and a union — no shuffle, no window,
+    append-stable per source."""
+    if not sources:
+        raise ValueError("mix_corpora needs at least one source")
+    cols = sources[0][1].columns
+    for name, df, _ in sources:
+        if df.columns != cols:
+            raise ValueError(
+                f"source {name!r} schema {df.columns} != {cols}"
+            )
+    wsum = sum(w for _, _, w in sources)
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    counts = {name: df.count() for name, df, _ in sources}
+    if total is None:
+        total = int(
+            min(counts[n] * wsum / w for n, _, w in sources if w > 0)
+        )
+    out = None
+    for name, df, w in sources:
+        if w <= 0:
+            continue
+        target = min(float(counts[name]), total * w / wsum)
+        u = F.pmod(F.xxhash64(F.col(id_col), F.lit(name)), F.lit(_2_32))
+        part = df.filter(
+            u.cast("double") * counts[name] < target * float(_2_32)
+        ).select(*cols, F.lit(name).alias("source"))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def temperature_sample(
     df: DataFrame,
     stratum_col: str,

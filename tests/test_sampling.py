@@ -6,8 +6,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from solana_snapshot_etl_tools_spark.operators.sampling import (
     balanced_sample,
+    mix_corpora,
     temperature_sample,
 )
 
@@ -116,6 +119,57 @@ def test_temperature_flattens_but_preserves_order(spark):
     # deterministic across layouts
     again = temperature_sample(df.repartition(9), "stratum", alpha=0.5, total=400)
     assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}
+
+
+def _src(spark, n, start=0):
+    return spark.createDataFrame(
+        [(start + i, f"doc {start + i}") for i in range(n)],
+        "doc_id long, text string",
+    )
+
+
+def test_mix_corpora_rates_and_feasibility(spark):
+    """70/30 mixture of a large and a small source: the default total
+    is the largest pure-downsampling size (limited by the small
+    source), rates land near the weights, and the limiting source is
+    included whole."""
+    web, books = _src(spark, 2000), _src(spark, 300, start=10_000)
+    out = mix_corpora([("web", web, 0.7), ("books", books, 0.3)])
+    sizes = {r.source: r["count"] for r in out.groupBy("source").count().collect()}
+    assert sizes["books"] == 300  # limiting source fully included
+    expect_web = 300 / 0.3 * 0.7
+    assert abs(sizes["web"] - expect_web) < 0.25 * expect_web
+    assert out.columns == ["doc_id", "text", "source"]
+
+
+def test_mix_corpora_is_deterministic_and_salted_per_source(spark):
+    """Same ids in two sources must NOT be selected identically — the
+    per-source salt decorrelates the acceptance sets."""
+    a, b = _src(spark, 1000), _src(spark, 1000)  # identical id ranges
+    out = mix_corpora([("a", a, 1.0), ("b", b, 1.0)], total=1000)
+    ids = {
+        s: {r.doc_id for r in out.filter(F.col("source") == s).collect()}
+        for s in ("a", "b")
+    }
+    overlap = len(ids["a"] & ids["b"]) / max(1, len(ids["a"]))
+    assert 0.25 < overlap < 0.75, overlap  # ~random, not ~1.0
+    again = mix_corpora(
+        [("a", a.repartition(7), 1.0), ("b", b, 1.0)], total=1000
+    )
+    assert {(r.doc_id, r.source) for r in out.collect()} == {
+        (r.doc_id, r.source) for r in again.collect()
+    }
+
+
+def test_mix_corpora_validation(spark):
+    a = _src(spark, 10)
+    with pytest.raises(ValueError, match="schema"):
+        mix_corpora([("a", a, 1.0), ("b", a.drop("text"), 1.0)])
+    with pytest.raises(ValueError, match="positive"):
+        mix_corpora([("a", a, 0.0)])
+    # zero-weight source contributes nothing but doesn't error
+    out = mix_corpora([("a", a, 1.0), ("b", _src(spark, 10, 100), 0.0)])
+    assert {r.source for r in out.collect()} == {"a"}
 
 
 def test_temperature_empty_input_returns_empty(spark):
