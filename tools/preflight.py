@@ -42,19 +42,34 @@ def main() -> int:
     if r.returncode != 0:
         failures.append("rotation gate")
 
-    print("== 2/4 entry smoke ==", flush=True)
-    import __spark_entry__ as m
-    from solana_snapshot_etl_tools_spark.session import get_spark
-
-    spark = get_spark(app_name="preflight")
-    try:
-        n = m.entry(spark).count()
-        print(f"entry rows: {n}")
-        if n < 0:
-            failures.append("entry smoke")
-    except Exception as e:
-        print(f"entry FAILED: {e}")
-        failures.append("entry smoke")
+    print("== 2/4 entry smoke (HOSTILE env) ==", flush=True)
+    # the real hostile recipe (verify skill): cwd OUTSIDE the repo so
+    # Spark workers don't inherit the driver's sys.path (catches
+    # by-reference-pickled UDFs), non-UTC host TZ, and the grading
+    # driver's DEFAULT session (ANSI on, no engine confs) — not our
+    # tuned factory
+    hostile = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from pyspark.sql import SparkSession\n"
+        "spark = (SparkSession.builder.master('local[8]')\n"
+        "         .config('spark.ui.enabled','false').getOrCreate())\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        "import __spark_entry__ as m\n"
+        "print('entry rows:', m.entry(spark).count())\n"
+        "df = m.queries()['dedup_minhash_lsh'](spark, '/root/testdata/sf0.001/')\n"
+        "print('udf-query rows:', df.count())\n" % REPO
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", hostile],
+        capture_output=True,
+        text=True,
+        cwd="/tmp",
+        env=dict(os.environ, TZ="America/New_York"),
+    )
+    rows = [ln for ln in r.stdout.splitlines() if "rows:" in ln]
+    print("\n".join(rows) or (r.stderr.strip()[-400:] or "no output"))
+    if r.returncode != 0 or len(rows) != 2:
+        failures.append("hostile entry smoke")
 
     print("== 3/4 prefix correctness sim (sf0.01) ==", flush=True)
     r = subprocess.run(
