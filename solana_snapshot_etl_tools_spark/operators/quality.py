@@ -27,20 +27,23 @@ MIN_ALPHA_WORD_FRAC = 0.8
 MIN_STOPWORDS_PRESENT = 2
 
 
-def gopher_quality_flags(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
+def gopher_quality_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """All Gopher rules as named boolean columns plus their
     conjunction ``passes_gopher``; input columns pass through.
 
     Rules (a doc PASSES when):
     - ``ok_word_count``: 50 <= #words <= 100k
     - ``ok_mean_word_len``: mean word length in [3, 10]
-    - ``ok_symbol_ratio``: (# of '#' or '...') / words <= 0.1
+    - ``ok_symbol_ratio``: '#'/words <= 0.1 AND ellipses/words <= 0.1
+      (each symbol tested separately, per the published rule; the
+      Unicode single-char ellipsis counts too)
     - ``ok_bullet_lines``: <= 90% of lines start with a bullet
     - ``ok_ellipsis_lines``: <= 30% of lines end with an ellipsis
     - ``ok_alpha_words``: >= 80% of words contain a letter
     - ``ok_stopwords``: >= 2 distinct English stop words present
+    Lines split on ``\\r?\\n``; leading/trailing whitespace (incl.
+    tabs and a stray ``\\r``) is tolerated around bullets/ellipses —
+    CRLF web text must not silently pass the line rules.
     """
     t = F.col(text_col)
     w = tokens(t)
@@ -49,29 +52,32 @@ def gopher_quality_flags(
     # empty text: guard the division by the word-count rule's floor)
     total_chars = F.aggregate(w, F.lit(0), lambda a, x: a + F.length(x))
     mean_len = total_chars / F.greatest(nw, F.lit(1))
-    hash_count = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
-    ellipsis_count = F.size(F.split(t, r"\.\.\.")) - 1
-    lines = F.split(t, r"\n")
+    hash_count = F.regexp_count(t, F.lit("#"))
+    ellipsis_count = F.regexp_count(t, F.lit(r"(\.\.\.|…)"))
+    lines = F.split(t, r"\r?\n")
     nl = F.size(lines)
-    bullet_lines = F.size(
-        F.filter(lines, lambda l: F.trim(l).rlike(r"^([-*•])"))
+    bullet_lines = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
     )
-    ellipsis_lines = F.size(F.filter(lines, lambda l: F.rtrim(l).endswith("...")))
     alpha_words = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
     sw = F.array(*[F.lit(s) for s in sorted(STOPWORDS["en"])])
     n_stop = F.size(F.array_intersect(F.array_distinct(w), sw))
 
+    word_floor = F.greatest(nw, F.lit(1))
     flags: dict[str, Column] = {
         "ok_word_count": (nw >= MIN_WORDS) & (nw <= MAX_WORDS),
         "ok_mean_word_len": (mean_len >= MIN_MEAN_WORD_LEN)
         & (mean_len <= MAX_MEAN_WORD_LEN),
-        "ok_symbol_ratio": (hash_count + ellipsis_count)
-        <= F.lit(MAX_SYMBOL_WORD_RATIO) * F.greatest(nw, F.lit(1)),
+        "ok_symbol_ratio": (
+            hash_count <= F.lit(MAX_SYMBOL_WORD_RATIO) * word_floor
+        )
+        & (ellipsis_count <= F.lit(MAX_SYMBOL_WORD_RATIO) * word_floor),
         "ok_bullet_lines": bullet_lines <= F.lit(MAX_BULLET_LINE_FRAC) * nl,
         "ok_ellipsis_lines": ellipsis_lines
         <= F.lit(MAX_ELLIPSIS_LINE_FRAC) * nl,
         "ok_alpha_words": alpha_words
-        >= F.lit(MIN_ALPHA_WORD_FRAC) * F.greatest(nw, F.lit(1)),
+        >= F.lit(MIN_ALPHA_WORD_FRAC) * word_floor,
         "ok_stopwords": n_stop >= MIN_STOPWORDS_PRESENT,
     }
     passes = None

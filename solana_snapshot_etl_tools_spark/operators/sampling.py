@@ -73,12 +73,24 @@ def mix_corpora(
     append-stable per source."""
     if not sources:
         raise ValueError("mix_corpora needs at least one source")
+    names = [name for name, _, _ in sources]
+    if len(set(names)) != len(names):
+        # duplicate names would share a salt (re-correlating selection)
+        # and clobber each other's counts
+        raise ValueError(f"duplicate source names: {sorted(names)}")
     cols = sources[0][1].columns
-    for name, df, _ in sources:
+    if "source" in cols:
+        raise ValueError(
+            "inputs already carry a 'source' column — rename it; the "
+            "mixture output adds its own"
+        )
+    for name, df, w in sources:
         if df.columns != cols:
             raise ValueError(
                 f"source {name!r} schema {df.columns} != {cols}"
             )
+        if w < 0:
+            raise ValueError(f"source {name!r} has negative weight {w}")
     wsum = sum(w for _, _, w in sources)
     if wsum <= 0:
         raise ValueError("weights must sum to a positive value")

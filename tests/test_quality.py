@@ -52,6 +52,33 @@ def test_each_rule_fails_on_its_planted_violation(spark):
     assert all(not v["passes_gopher"] for v in got.values())
 
 
+def test_symbol_ratios_are_tested_separately(spark):
+    """The published rule bounds EACH symbol's ratio at 0.1 — a doc
+    with 8% hashes and 8% ellipses passes (a summed ratio of 0.16
+    would wrongly reject it)."""
+    words = GOOD.split()
+    n = len(words)
+    k = int(0.08 * n)
+    doc = " ".join(words) + " " + "# " * k + "... " * k
+    got = _flags(spark, [(1, doc)])[1]
+    assert got["ok_symbol_ratio"] is True
+
+
+def test_crlf_tabs_and_unicode_ellipsis_are_caught(spark):
+    rows = [
+        # CRLF line endings: the trailing \r must not hide the ellipsis
+        (1, "\r\n".join([GOOD[:40] + "..."] * 10)),
+        # tab-indented bullets still count as bullet lines
+        (2, "\n".join(["\t- a bullet item of text"] * 10)),
+        # the single-char Unicode ellipsis counts like '...'
+        (3, "\n".join([GOOD[:40] + "…"] * 10)),
+    ]
+    got = _flags(spark, rows)
+    assert got[1]["ok_ellipsis_lines"] is False
+    assert got[2]["ok_bullet_lines"] is False
+    assert got[3]["ok_ellipsis_lines"] is False
+
+
 def test_real_corpus_and_narrow_plan(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     out = gopher_quality_flags(docs)

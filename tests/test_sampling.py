@@ -167,6 +167,12 @@ def test_mix_corpora_validation(spark):
         mix_corpora([("a", a, 1.0), ("b", a.drop("text"), 1.0)])
     with pytest.raises(ValueError, match="positive"):
         mix_corpora([("a", a, 0.0)])
+    with pytest.raises(ValueError, match="duplicate"):
+        mix_corpora([("a", a, 1.0), ("a", _src(spark, 5, 100), 1.0)])
+    with pytest.raises(ValueError, match="negative"):
+        mix_corpora([("a", a, 2.0), ("b", _src(spark, 5, 100), -1.0)])
+    with pytest.raises(ValueError, match="'source'"):
+        mix_corpora([("a", a.withColumn("source", F.lit("x")), 1.0)])
     # zero-weight source contributes nothing but doesn't error
     out = mix_corpora([("a", a, 1.0), ("b", _src(spark, 10, 100), 0.0)])
     assert {r.source for r in out.collect()} == {"a"}

@@ -4,10 +4,11 @@ one command, so no round ships a red row discoverable locally.
 Runs, in order:
 1. the rotation gate (tools/check_rotation.py logic) — declared vs
    prefix vs previous CORRECTNESS coverage;
-2. the driver-contract smoke in a HOSTILE env (driver-default session
-   assumptions are NOT replicated here — run the verify skill's cd
-   /tmp + TZ recipe for the full hostile check; this step uses the
-   current process for speed);
+2. the driver-contract smoke in a real HOSTILE env — a subprocess
+   with cwd outside the repo (catches by-reference-pickled UDFs that
+   only fail when workers lack the driver's sys.path), non-UTC TZ,
+   and the grading driver's default ANSI session, running entry()
+   plus one UDF-bearing prefix query;
 3. the full 50-query-prefix correctness sim at sf0.01 (exactly what
    the driver records in CORRECTNESS_r{N}.json);
 4. the bench CLI contract (one JSON line, env override honored) at
