@@ -31,96 +31,80 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Registration order matters: the verification driver checks queries in
-# declaration order with a cap of 50 per round (of 93 declared → 43
+# declaration order with a cap of 50 per round (of 100 declared → 50
 # rotate past the cap each round), so the front of the list rotates
 # each round to keep consecutive-round unions covering all queries
-# with the stalest rows refreshed.
+# with the stalest rows refreshed. With 100 declared the rotation has
+# ZERO slack: each round's prefix is exactly the 50 past the previous
+# round's cap (tools/plan_next_front.py derives it; check_rotation.py
+# gates it).
 #
-# Round 5 front-loads (a) the 32 queries whose last green row is round
-# 3 (they fell past round 4's 50-slot cap; media_* is MANDATORY — its
-# code changed in r4 after its last green row), then (b) everything
-# round 5 touches: the quantize output edge, the three NEW
-# exhaustive-parameter ANN parity queries, the overflow-free split/
-# sample hash, the simhash sketch kernel, the jaccard default guard,
-# and the dedup family that now registers session caches. The r04-green
-# untouched remainder (TPC-H, join/window/agg core, etl decode spine)
-# rotates past the cap; r04 ∪ r05 covers all 85.
+# Round 6 front-loads (a) the 43 queries whose last green row is round
+# 4 (they fell past round 5's cap), then (b) the SEVEN round-5-late
+# queries that have local driver-sim + pytest evidence but no driver
+# row yet (tools/check_rotation.py:NEW_PENDING_FIRST_ROW). 43 + 7 = 50
+# exactly; r05 ∪ r06 covers all 100.
 _FRONT = [
-    # (a) r03-only green rows — stalest evidence, refresh first
-    "media_meta",
-    "media_frame_sample",
-    "media_features",
-    "stream_selected_accounts",
-    "stream_offchain_fanout",
-    "stream_rooted_slots",
-    "stream_block_metadata",
-    "stream_tx_filtered",
-    "stream_tx_nested",
-    "etl_deletion_events",
-    "etl_opcode_stats",
-    "window_running",
-    "window_rank_ties",
-    "window_moving",
-    "window_values",
-    "setops",
-    "scalar_funcs",
-    "string_funcs",
-    "date_funcs",
-    "json_extract",
-    "distinct_topk",
-    "above_avg_orders",
-    "top_supplier_per_nation",
-    "exists_not_exists",
-    "in_subquery_having",
-    "conditional_agg",
-    "explode_tokens",
-    "null_handling",
-    "limit_offset",
-    "bigram_stats",
-    "doc_fingerprint",
-    "sample_balanced_lang",  # also touched r5: overflow-free hash
-    # (b) code touched in round 5
-    "embedding_quantize_int8",  # r4 red row — output edge fixed
-    "ann_cosine_ivf_exact",  # NEW r5 — parity, needs first row
-    "ann_cosine_pq_exact",  # NEW r5 — parity, needs first row
-    "ann_cosine_ivf_pq_exact",  # NEW r5 — parity, needs first row
-    "split_train_val_test",  # overflow-free hash
-    "dedup_simhash",  # sketch kernel sub-chunked
-    "dedup_jaccard_ngram",  # finite max_doc_freq default
-    "dedup_minhash_lsh",  # session-cache registry
-    "dedup_components",  # session-cache registry
-    "pipeline_clean_corpus",  # embeds the capped dedup
-    # NEW round-5 operators — first driver rows
-    "pii_scrub",
-    "quality_repetition",
-    "token_doc_freq",
-    "doc_rarity_score",
-    "dedup_semantic",  # hash-checks cosine_pairs + components end-to-end
-    "pipeline_pretrain_corpus",  # NEW r5 — composite, first row
-    "q4_order_priority",  # NEW r5 — first row
-    "q19_disjunctive_revenue",  # NEW r5 — first row
-    # NOT re-queued despite similarity.py/dedup.py/llm_ops.py changing
-    # this round (slots went to the eight new queries):
-    # ann_cosine_{lsh,ivf,pq,ivf_pq} — their r04 rows are rows-only by
-    # design, and the SAME code paths now get hash-green rows via the
-    # *_exact parity queries above; embedding_cosine_pairs +
-    # ann_cosine_topk — the exact-cosine kernel and ANN_TOPK_SQL
-    # oracle are hash-checked this round by the three *_exact rows and
-    # dedup_semantic; dedup_exact + chunk_documents — r04-green, their
-    # implementing FUNCTIONS are untouched this round (module-level
-    # diffs are elsewhere; see git log -L on exact_dedup_groups /
-    # q_chunk_documents), and exact_dedup is re-exercised hash-green
-    # inside both pipeline_* composites.
-    # cap (50) lands here. Past it, all r04-green with unchanged code:
-    # q1/q3/q5/q6/q10/q14, join/asof/window/agg/pivot families,
-    # collect_sorted, percentiles, text_metrics, lang_id,
-    # doc_length_histogram, dup_span_stats, split/salted leftovers,
-    # and the etl_* fixture decode spine — PLUS the five round-5-late
-    # NEW queries (chunk_cdc, decontaminate_ngram, q18/q2/q22 shapes in
-    # llm_ops2/relational3), deliberately registered past the cap: they
-    # have full pytest + local driver-sim evidence this round and take
-    # 5 of round 6's 7 free prefix slots for their first driver rows
-    # (43 must-refresh + 5 new = 48 ≤ 50; see TODO.md).
+    # (a) r04-green, past round 5's cap — must-refresh
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "join_semi",
+    "join_anti",
+    "join_theta",
+    "window_topk",
+    "sessionize",
+    "rollup_agg",
+    "cube_agg",
+    "pivot",
+    "unpivot",
+    "tumbling_window",
+    "asof_join",
+    "q6_revenue_delta",
+    "q10_returned_items",
+    "q14_promo_share",
+    "sliding_window",
+    "grouping_sets",
+    "percentiles_stddev",
+    "collect_sorted",
+    "etl_account",
+    "etl_token_account",
+    "etl_token_mint",
+    "etl_token_multisig",
+    "etl_token_metadata",
+    "etl_offchain_uri",
+    "etl_program_elfs",
+    "etl_csv_projection",
+    "etl_snapshot_scan",
+    "dup_span_stats",  # touched r6: segment bound (VERDICT item 2)
+    "dedup_exact",
+    "chunk_documents",
+    "ann_cosine_topk",
+    "ann_cosine_lsh",
+    "ann_cosine_ivf",
+    "ann_cosine_pq",
+    "ann_cosine_ivf_pq",
+    "embedding_cosine_pairs",
+    "text_metrics",
+    "lang_id",
+    "doc_length_histogram",
+    "salted_join_orders",
+    # (b) round-5-late queries — first driver rows
+    "chunk_cdc",
+    "decontaminate_ngram",
+    "excise_dup_spans",
+    "pack_sequences",  # touched r6: determinism guard (VERDICT item 3)
+    "q18_large_orders",
+    "q2_min_cost_supplier",
+    "q22_idle_customers",
+    # cap (50) lands here — zero slack. Past it: the entire r05-green
+    # front (media_*, stream_*, etl_deletion_events, etl_opcode_stats,
+    # window/setops/scalar/string/date/json families, subquery family,
+    # bigram/fingerprint, sample_balanced_lang, quantize, the three
+    # ann_*_exact parity queries, split, the dedup family, pii/quality/
+    # vocab/rarity/semantic, both pipelines, q4/q19). Round-6 code
+    # changes must NOT touch their implementing functions (evidence =
+    # r05 green row + git log -L function-unchanged).
 ]
 
 
