@@ -326,9 +326,26 @@ def connected_components(
 
 # --- exact duplicate-substring statistics ------------------------------------
 
+# Bound for the dense per-row temporaries in dup_span_stats' window
+# scan (same rationale as plans/llm_ops.py CDC_SEGMENT_CHARS and
+# operators/excise.py EXCISE_SEGMENT_CHARS): a single dense
+# transform(sequence(1, n-k+1), ..) materializes one hash per
+# character in ONE row-level array — ~8n bytes in a single task
+# allocation, unbounded on multi-MB documents. Splitting the scan
+# into bounded segment slices caps every row-level temporary at
+# ~(segment + k) chars / segment longs; the two-level explode means
+# no flattened O(doc_len) array is ever built either. Output is
+# segmentation-invariant (each window hash reads only the text),
+# pinned by pytest.
+DUP_SPAN_SEGMENT_CHARS = 65536
+
 
 def dup_span_stats(
-    df: DataFrame, id_col: str, text_col: str, k: int = 50
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 50,
+    segment_chars: int = DUP_SPAN_SEGMENT_CHARS,
 ) -> DataFrame:
     """Per-doc exact duplicate-substring statistics — the substring-
     level dedup primitive (Lee et al., "Deduplicating Training Data
@@ -337,18 +354,44 @@ def dup_span_stats(
     distinct k-char windows (lowercased) that also occur in at least
     one other doc.
 
-    Scale shape: the window explode is NARROW; windows are xxhash64'd
-    to 8-byte keys before any shuffle, so the distinct / frequency /
-    rejoin stages move longs, never 50-char strings — at 100 TB the
-    wide stages carry ~8 bytes per window instead of ~50+. No
-    quadratic stage: doc-frequency is one groupBy, membership one
-    equi-join. (The DuckDB oracle compares raw substrings — agreement
-    is exact unless xxhash64 collides inside the corpus, which the
-    hash-checked gate would expose.)"""
+    Scale shape: the window scan is a two-level NARROW explode —
+    bounded ``segment_chars``(+k−1)-char slices first, then per-
+    segment window hashes over a code-point array — so no row-level
+    temporary scales with document length (a multi-MB doc can no
+    longer inflate one row by ~doc_len entries; VERDICT r5), and each
+    window is an O(k) array slice, not a per-position ``substring``
+    (an O(i) scan on UTF-8 strings → O(n²)/doc on huge documents).
+    Windows are xxhash64'd to 8-byte keys before any shuffle, so the
+    distinct / frequency / rejoin stages move longs, never 50-char
+    strings — at 100 TB the wide stages carry ~8 bytes per window
+    instead of ~50+. No quadratic stage: doc-frequency is one
+    groupBy, membership one equi-join. (The DuckDB oracle compares
+    raw substrings — agreement is exact unless xxhash64 collides
+    inside the corpus, which the hash-checked gate would expose.
+    split('') chunks by UTF-16 unit, so astral-plane characters would
+    index differently than substring's code-point view; BMP text —
+    all driver corpora — is exact. sf0.1 A/B of window-key variants:
+    this shape 2.8 s steady vs 3.5 s for the old dense substring scan
+    and 5.7 s for slice+array_join string rebuilds.)"""
+    if segment_chars < 1:
+        raise ValueError(f"segment_chars must be >= 1, got {segment_chars}")
     t = F.lower(F.col(text_col))
-    wins = F.transform(
-        F.sequence(F.lit(1), F.length(t) - (k - 1)),
-        lambda i: F.xxhash64(F.substring(t, i, k)),
+    n = F.length(t)
+    seg = segment_chars
+    # segment j covers window starts [1+j*seg, min((j+1)*seg, n-k+1)]
+    # and needs chars up to start+k-1 → a seg+k-1-char slice
+    # (substring clamps at the string end). Contiguous,
+    # non-overlapping starts ⇒ the window multiset is independent of
+    # seg. Cutting segments from the STRING (not a char array) keeps
+    # the outer pass allocation-light; lower() is evaluated once here
+    # instead of once per window.
+    segments = F.transform(
+        F.sequence(F.lit(1), n - (k - 1), F.lit(seg)),
+        lambda s: F.substring(t, s, seg + k - 1),
+    )
+    win_hashes = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("_cp")) - (k - 1)),
+        lambda i: F.xxhash64(F.slice(F.col("_cp"), i, k)),
     )
     # the distinct window frame feeds three consumers (per-doc sizes,
     # doc-frequency, membership rejoin) and is deliberately NOT
@@ -360,8 +403,12 @@ def dup_span_stats(
     # only when the recomputed subtree is expensive (cf. the minhash
     # signature/pair caches, where it is).
     w = (
-        df.filter(F.length(t) >= k)
-        .select(F.col(id_col).alias("doc"), F.explode(wins).alias("wh"))
+        df.filter(n >= k)
+        .select(F.col(id_col).alias("doc"), F.explode(segments).alias("_sc"))
+        .select(
+            "doc", F.transform(F.split(F.col("_sc"), ""), F.ascii).alias("_cp")
+        )
+        .select("doc", F.explode(win_hashes).alias("wh"))
         .distinct()
     )
     sizes = w.groupBy("doc").agg(F.count(F.lit(1)).alias("n_windows"))

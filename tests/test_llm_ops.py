@@ -246,6 +246,36 @@ def test_dup_span_stats_planted_span(spark):
     assert 0 < out[1].dup_frac < 1
 
 
+def test_dup_span_stats_segment_bound_invariant(spark):
+    """The window scan is segment-bounded (DUP_SPAN_SEGMENT_CHARS):
+    results must be identical for any segment size — including one
+    smaller than k (forcing every window to straddle slice overlap)
+    and one smaller than the doc — because each window hash reads only
+    the text. Pins the bounded-temporary rewrite (round 6) against the
+    unsegmented semantics."""
+    span = "the quick brown fox jumps over the lazy dog again and again!"
+    rows = [
+        (1, "A" * 30 + span + "B" * 30),
+        (2, "C" * 25 + span + "D" * 40),
+        (3, "x" * 120 + "y" * 80),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = sorted(
+        map(tuple, DD.dup_span_stats(df, "doc_id", "text", k=50).collect())
+    )
+    assert base, "planted corpus must produce rows"
+    for seg in (1, 7, 64, 10**9):
+        got = sorted(
+            map(
+                tuple,
+                DD.dup_span_stats(
+                    df, "doc_id", "text", k=50, segment_chars=seg
+                ).collect(),
+            )
+        )
+        assert got == base, f"segment_chars={seg} changed the output"
+
+
 def test_pq_ann_recall_vs_exact(spark):
     """PQ ADC scan + exact refine: 32-bit codes cut the scan 16× yet
     the refined top-k must keep most of the exact neighbors.
