@@ -45,6 +45,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--gopher", action="store_true",
                    help="additionally require every Gopher rule to pass "
                    "(operators/quality.py)")
+    p.add_argument("--gopher-stopwords", metavar="W1,W2,...", default=None,
+                   help="override Gopher A1.1's eight-word stop list for "
+                   "the stop-word rule (comma-separated; for corpora "
+                   "where the paper's English list rejects everything)")
     p.add_argument("--lang", default="en",
                    help="keep docs lang_id == LANG; '' keeps all")
     p.add_argument("--embeddings", metavar="PARQUET", default=None,
@@ -113,8 +117,13 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         before = filtered.columns
+        sw = (
+            [s for s in args.gopher_stopwords.split(",") if s]
+            if args.gopher_stopwords
+            else None
+        )
         filtered = (
-            gopher_quality_flags(filtered)
+            gopher_quality_flags(filtered, stopwords=sw)
             .filter(F.col("passes_gopher"))
             .select(*before)
         )
@@ -189,7 +198,12 @@ def main(argv: list[str] | None = None) -> int:
             pack_token_sequences,
         )
 
-        model = B.bpe_train(corpus, n_merges=args.tokenize)
+        # merges are selected from the TRAIN split only — training the
+        # tokenizer on val/test would leak held-out text into merge
+        # selection (the tokenizer is part of the model)
+        model = B.bpe_train(
+            corpus.filter(F.col("split") == "train"), n_merges=args.tokenize
+        )
         eos = len(B.bpe_vocab(model))
         # embedding tables must cover the EOS id one past the vocab
         report["vocab_size"] = eos

@@ -163,6 +163,7 @@ def kmeans_parallel_init(
     oversample: int | None = None,
     seed: int = 42,
     normalize: bool = False,
+    _prepped: DataFrame | None = None,
 ) -> np.ndarray:
     """k-means|| seeding (Bahmani et al., VLDB'12 — the MLlib
     default): ``rounds`` corpus passes each sampling ~``oversample``
@@ -177,10 +178,14 @@ def kmeans_parallel_init(
     (``xxhash64(id, seed, round)`` vs ``2k * cost / total``) — no
     partition-layout dependence; the candidate weights are one
     count-by-nearest pass. Driver state: candidates + weights
-    (~rounds x 2k x d — kilobytes to MB)."""
+    (~rounds x 2k x d — kilobytes to MB).
+
+    ``_prepped`` (internal — kmeans_fit): the already cast/normalized
+    ``(id, vec)`` frame, so a fit that has cached its own _prep output
+    does not re-run the full-corpus cast+normalize here."""
     spark = emb.sparkSession
     l = oversample or 2 * k
-    base = _prep(emb, id_col, vec_col, normalize)
+    base = _prepped if _prepped is not None else _prep(emb, id_col, vec_col, normalize)
     first = base.orderBy(F.xxhash64(F.col("id"), F.lit(seed)), "id").limit(1).collect()
     if not first:
         raise ValueError("empty corpus")
@@ -317,8 +322,11 @@ def kmeans_fit(
     try:
         if isinstance(init, str):
             if init == "parallel":
+                # reuse the fit's cached prepped frame — re-running
+                # _prep would duplicate the full-corpus cast/normalize
                 C = kmeans_parallel_init(
-                    emb, k, id_col, vec_col, seed=seed, normalize=normalize
+                    emb, k, id_col, vec_col, seed=seed, normalize=normalize,
+                    _prepped=d,
                 )
             elif init == "sample":
                 C = kmeans_init(emb, k, id_col, vec_col, seed, normalize)

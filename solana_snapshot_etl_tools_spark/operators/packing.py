@@ -6,9 +6,10 @@ write_training_shards`` (files).
 
 Determinism contract: the output is a pure function of the input
 table and ``seq_len`` — independent of partition count, cluster size
-and execution order — because every token's GLOBAL offset in the
-virtual concatenated stream is computed exactly, not approximated
-per-partition:
+and execution order (including under duplicate doc ids, whose order
+is fixed by a (length, content-hash) tiebreak) — because every
+token's GLOBAL offset in the virtual concatenated stream is computed
+exactly, not approximated per-partition:
 
 1. global prefix sums of per-doc lengths use the classic scalable
    two-pass shape — range-repartition by id, a PARALLEL window
@@ -68,10 +69,15 @@ def pack_token_sequences(
         *[F.lit(x) for kv in sorted(base.items()) for x in kv]
     )
     # pass 2: parallel within-range cumsum; _end is the global offset
-    # just past this doc's last token
-    win = W.partitionBy("_pid").orderBy("_id").rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
+    # just past this doc's last token. The window order carries a
+    # deterministic tiebreak beyond _id — duplicate ids would
+    # otherwise make the cumsum (and thus the packing) depend on
+    # execution order; with (_n, xxhash64(_t)) the only remaining
+    # ties are fully identical rows, which are interchangeable in the
+    # output (pinned by pytest).
+    win = W.partitionBy("_pid").orderBy(
+        "_id", "_n", F.xxhash64("_t")
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
     d = d.withColumn(
         "_end", base_map[F.col("_pid")] + F.sum("_n").over(win)
     ).withColumn("_start", F.col("_end") - F.col("_n"))

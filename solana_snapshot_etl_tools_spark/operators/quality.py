@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from solana_snapshot_etl_tools_spark.functions.text import STOPWORDS, tokens
+from solana_snapshot_etl_tools_spark.functions.text import tokens
 
 # Gopher §A1.1 thresholds (the published defaults)
 MIN_WORDS, MAX_WORDS = 50, 100_000
@@ -25,11 +25,23 @@ MAX_BULLET_LINE_FRAC = 0.9
 MAX_ELLIPSIS_LINE_FRAC = 0.3
 MIN_ALPHA_WORD_FRAC = 0.8
 MIN_STOPWORDS_PRESENT = 2
+# Gopher A1.1's own stop-word list — deliberately NOT the engine's
+# generic STOPWORDS['en'] (that list is a language-ID feature set;
+# the paper's rule names these exact eight words)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
-def gopher_quality_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def gopher_quality_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
+    min_stopwords: int = MIN_STOPWORDS_PRESENT,
+) -> DataFrame:
     """All Gopher rules as named boolean columns plus their
     conjunction ``passes_gopher``; input columns pass through.
+    ``stopwords`` overrides the paper's eight-word list (faithful
+    default) — e.g. for non-English corpora, where A1.1's English
+    list would reject everything.
 
     Rules (a doc PASSES when):
     - ``ok_word_count``: 50 <= #words <= 100k
@@ -40,7 +52,14 @@ def gopher_quality_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
     - ``ok_bullet_lines``: <= 90% of lines start with a bullet
     - ``ok_ellipsis_lines``: <= 30% of lines end with an ellipsis
     - ``ok_alpha_words``: >= 80% of words contain a letter
-    - ``ok_stopwords``: >= 2 distinct English stop words present
+    - ``ok_stopwords``: >= 2 distinct words from Gopher A1.1's own
+      eight-word stop list (the, be, to, of, and, that, have, with);
+      punctuation is stripped from token edges before matching so
+      'the,' counts — the paper filters on word identity, and
+      whitespace tokenization alone would make the rule stricter
+      than published. Residual deviation: matching is on lowercased
+      surface forms only ('be' does not match 'is'/'was' — the paper
+      does not specify lemmatization, so none is applied).
     Lines split on ``\\r?\\n``; leading/trailing whitespace (incl.
     tabs and a stray ``\\r``) is tolerated around bullets/ellipses —
     CRLF web text must not silently pass the line rules.
@@ -61,8 +80,11 @@ def gopher_quality_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
     )
     alpha_words = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
-    sw = F.array(*[F.lit(s) for s in sorted(STOPWORDS["en"])])
-    n_stop = F.size(F.array_intersect(F.array_distinct(w), sw))
+    sw = F.array(*[F.lit(s) for s in sorted(stopwords or GOPHER_STOPWORDS)])
+    bare = F.transform(
+        w, lambda x: F.regexp_replace(x, r"^[^a-z0-9]+|[^a-z0-9]+$", "")
+    )
+    n_stop = F.size(F.array_intersect(F.array_distinct(bare), sw))
 
     word_floor = F.greatest(nw, F.lit(1))
     flags: dict[str, Column] = {
@@ -78,7 +100,7 @@ def gopher_quality_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
         <= F.lit(MAX_ELLIPSIS_LINE_FRAC) * nl,
         "ok_alpha_words": alpha_words
         >= F.lit(MIN_ALPHA_WORD_FRAC) * word_floor,
-        "ok_stopwords": n_stop >= MIN_STOPWORDS_PRESENT,
+        "ok_stopwords": n_stop >= min_stopwords,
     }
     passes = None
     for c in flags.values():

@@ -57,6 +57,7 @@ def mix_corpora(
     sources: list[tuple[str, DataFrame, float]],
     id_col: str = "doc_id",
     total: int | None = None,
+    allow_shortfall: bool = False,
 ) -> DataFrame:
     """Deterministic multi-source pretraining mixture: source ``i``
     contributes ``~ total * w_i / sum(w)`` rows, sampled by a
@@ -67,6 +68,13 @@ def mix_corpora(
     no source needs more rows than it has (this operator never
     replicates; upsample by replicating survivors downstream). Output
     adds a ``source`` column; all sources must share the input schema.
+
+    An explicit ``total`` that asks some source for more rows than it
+    has raises with the per-source shortfall (a silent cap would skew
+    the realized proportions away from the requested weights with no
+    signal); pass ``allow_shortfall=True`` to accept capped sources —
+    the over-asked sources are then included whole and the mixture is
+    deliberately off-weight.
 
     Scale shape: one count per source (driver-side scalars), then a
     narrow per-row filter and a union — no shuffle, no window,
@@ -99,6 +107,23 @@ def mix_corpora(
         total = int(
             min(counts[n] * wsum / w for n, _, w in sources if w > 0)
         )
+    else:
+        short = {
+            n: (int(total * w / wsum), counts[n])
+            for n, _, w in sources
+            if w > 0 and total * w / wsum > counts[n]
+        }
+        if short and not allow_shortfall:
+            detail = ", ".join(
+                f"{n}: wants {want} has {have}"
+                for n, (want, have) in sorted(short.items())
+            )
+            raise ValueError(
+                f"mix_corpora: total={total} is infeasible without "
+                f"replication ({detail}); lower total, or pass "
+                "allow_shortfall=True to include the over-asked "
+                "sources whole (off-weight mixture)"
+            )
     out = None
     for name, df, w in sources:
         if w <= 0:
@@ -112,12 +137,22 @@ def mix_corpora(
     return out
 
 
+# temperature_sample collects the stratum list driver-side (the p_i
+# exponentiation isn't worth pushing to the cluster for the intended
+# language/domain/cluster strata). The cap turns a caller passing a
+# high-cardinality column (doc ids, urls, ...) into a loud error
+# instead of a silent driver OOM; the probe is a LIMIT count, not a
+# full aggregation.
+TEMPERATURE_MAX_STRATA = 1_000_000
+
+
 def temperature_sample(
     df: DataFrame,
     stratum_col: str,
     id_col: str = "doc_id",
     alpha: float = 0.7,
     total: int | None = None,
+    max_strata: int = TEMPERATURE_MAX_STRATA,
 ) -> DataFrame:
     """Temperature-flattened mixture sampling (the multilingual
     pretraining recipe — mBERT / XLM-R): stratum i is drawn with
@@ -135,7 +170,18 @@ def temperature_sample(
     counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_cnt"))
     counts = counts.withColumnRenamed(stratum_col, "_stratum")
     # p_i and the feasibility cap involve one tiny driver-side pass
-    # over the STRATUM LIST (not the corpus) — #strata rows
+    # over the STRATUM LIST (not the corpus) — #strata rows. Guard
+    # that list's size BEFORE collecting it (cf. similarity.py's
+    # max_rows probe): limit(cap+1).count() stops scanning past the
+    # bound instead of materializing an unbounded result driver-side.
+    if counts.limit(max_strata + 1).count() > max_strata:
+        raise ValueError(
+            f"temperature_sample: {stratum_col!r} has more than "
+            f"{max_strata} distinct strata — the per-stratum weight "
+            "table is built driver-side and would not fit. Use a "
+            "coarser stratum (language/domain/cluster id), or raise "
+            "max_strata deliberately."
+        )
     stats = counts.collect()
     if not stats:  # empty input: empty output, like balanced_sample
         return df

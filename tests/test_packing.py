@@ -63,6 +63,41 @@ def test_pack_is_partitioning_invariant(spark):
     assert a == b
 
 
+def test_pack_deterministic_under_duplicate_ids(spark):
+    """Duplicate doc ids must not make packing depend on execution
+    order: the window tiebreak orders same-id rows by (length,
+    content-hash), so any partitioning/ordering of the input yields
+    the same sequences, and the within-id order is pinned (shorter
+    doc first, then hash order). Fully identical rows remain
+    interchangeable — also covered (two (7, [5,5]) rows)."""
+    dup_rows = [
+        (0, [1, 2, 3]),
+        (1, [10, 11, 12, 13, 14]),
+        (1, [20, 21]),  # same id, different length
+        (2, [30, 31, 32]),
+        (2, [40, 41, 42]),  # same id, same length, different content
+        (7, [5, 5]),
+        (7, [5, 5]),  # fully identical pair
+    ]
+    outs = []
+    for n_part, n_ranges in ((1, 1), (5, 3), (8, 8)):
+        df = spark.createDataFrame(
+            dup_rows, "doc_id long, token_ids array<int>"
+        ).repartition(n_part)
+        outs.append(
+            sorted(
+                (r.seq_id, tuple(r.input_ids), r.n_docs)
+                for r in pack_token_sequences(
+                    df, 8, eos_id=0, num_ranges=n_ranges
+                ).collect()
+            )
+        )
+    assert outs[0] == outs[1] == outs[2]
+    # token conservation under duplicates
+    total = sum(len(t) for _, t in dup_rows) + len(dup_rows)
+    assert sum(len(t) for _, t, _ in outs[0]) == total
+
+
 def test_pack_structure(spark):
     seq_len = 16
     out = pack_token_sequences(_df(spark, ROWS), seq_len, eos_id=0).collect()

@@ -79,21 +79,56 @@ def test_crlf_tabs_and_unicode_ellipsis_are_caught(spark):
     assert got[3]["ok_ellipsis_lines"] is False
 
 
+def test_stopword_rule_unglues_punctuation_and_uses_paper_list(spark):
+    """Gopher A1.1 filters on word identity: 'the,' and 'of.' must
+    count (whitespace tokenization alone would miss them), and the
+    list is the paper's own eight words — 'is'/'a'/'in' from generic
+    stop lists must NOT satisfy the rule."""
+    filler = " ".join(f"w{i}x" for i in range(60))
+    rows = [
+        (1, f"the, end. of. {filler}"),  # glued punctuation: 2 hits
+        (2, f"is a in on for la {filler}"),  # generic-list words: 0 hits
+        (3, f"that... (with) {filler}"),  # brackets/ellipsis stripped
+    ]
+    got = _flags(spark, rows)
+    assert got[1]["ok_stopwords"] is True
+    assert got[2]["ok_stopwords"] is False
+    assert got[3]["ok_stopwords"] is True
+
+
 def test_real_corpus_and_narrow_plan(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     out = gopher_quality_flags(docs)
     n = docs.count()
     assert out.count() == n  # pass-through, one row per doc
     assert out.columns[: len(docs.columns)] == docs.columns
-    stats = out.agg(
-        F.sum(F.col("passes_gopher").cast("int")),
-        *[
-            F.sum(F.col(c).cast("int"))
-            for c in out.columns
-            if c.startswith("ok_")
-        ],
-    ).first()
-    assert 0 < stats[0] <= n  # some docs pass; rules do bite somewhere
+    # the synthetic corpus is tech-word salad: A1.1's faithful
+    # stop-word rule (the paper's own eight words, ≥2 distinct) is
+    # SUPPOSED to reject it — that's the rule detecting non-natural
+    # text. Other rules must still mostly pass (it is word-shaped).
+    stats = {
+        c: v
+        for c, v in zip(
+            [c for c in out.columns if c.startswith("ok_")],
+            out.agg(
+                *[
+                    F.sum(F.col(c).cast("int"))
+                    for c in out.columns
+                    if c.startswith("ok_")
+                ]
+            ).first(),
+        )
+    }
+    assert stats["ok_stopwords"] == 0  # faithful list kills word salad
+    assert stats["ok_mean_word_len"] == n
+    assert stats["ok_alpha_words"] == n
+    # a relaxed per-corpus list (the override parameter) lets the
+    # natural-prose-adjacent docs through
+    relaxed = gopher_quality_flags(
+        docs, stopwords=["the", "scan", "join", "sort", "window"]
+    )
+    n_pass = relaxed.filter(F.col("passes_gopher")).count()
+    assert 0 < n_pass <= n
     # a narrow map: no exchange, no UDF stage
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):

@@ -121,6 +121,17 @@ def test_temperature_flattens_but_preserves_order(spark):
     assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}
 
 
+def test_temperature_stratum_cardinality_cap(spark):
+    """A high-cardinality stratum column (here: the id itself) must
+    fail loudly BEFORE the driver-side collect, not OOM silently; a
+    deliberate max_strata raise re-enables it."""
+    rows = [(i, f"s{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    with pytest.raises(ValueError, match="distinct strata"):
+        temperature_sample(df, "stratum", max_strata=10)
+    assert temperature_sample(df, "stratum", alpha=0.0, max_strata=50).count() == 50
+
+
 def _src(spark, n, start=0):
     return spark.createDataFrame(
         [(start + i, f"doc {start + i}") for i in range(n)],
@@ -176,6 +187,25 @@ def test_mix_corpora_validation(spark):
     # zero-weight source contributes nothing but doesn't error
     out = mix_corpora([("a", a, 1.0), ("b", _src(spark, 10, 100), 0.0)])
     assert {r.source for r in out.collect()} == {"a"}
+
+
+def test_mix_corpora_infeasible_total_raises_with_shortfall(spark):
+    """An explicit total that over-asks a source must not silently cap
+    (the realized mixture would be off-weight with no signal): it
+    raises naming the short sources, and allow_shortfall=True opts
+    into the capped behavior."""
+    a, b = _src(spark, 1000), _src(spark, 50, start=5000)
+    # 50/50 of total=400 wants 200 from b, which has 50
+    with pytest.raises(ValueError, match=r"b: wants 200 has 50"):
+        mix_corpora([("a", a, 1.0), ("b", b, 1.0)], total=400)
+    out = mix_corpora(
+        [("a", a, 1.0), ("b", b, 1.0)], total=400, allow_shortfall=True
+    )
+    sizes = {r.source: r["count"] for r in out.groupBy("source").count().collect()}
+    assert sizes["b"] == 50  # over-asked source included whole
+    assert abs(sizes["a"] - 200) < 60
+    # the default (feasible) total never triggers the guard
+    assert mix_corpora([("a", a, 1.0), ("b", b, 1.0)]).count() > 0
 
 
 def test_temperature_empty_input_returns_empty(spark):
