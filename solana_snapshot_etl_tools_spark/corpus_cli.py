@@ -6,13 +6,16 @@ library stages in production order (the same order the declared
 ``pipeline_pretrain_corpus`` query hash-checks):
 
     exact dedup → [near dedup] → [PII redaction] → quality/lang
-    filter → [cluster-balance the topic mixture] → deterministic
-    split → shards [or BPE-tokenize + pack]
+    filter → [dedup against a prior corpus's persisted index] →
+    [cluster-balance the topic mixture] → deterministic split →
+    shards [or BPE-tokenize + pack] [+ persist the updated index]
 
     python -m solana_snapshot_etl_tools_spark.corpus_cli \\
         DOCS.parquet OUT_DIR \\
         [--near-dedup] [--no-pii] [--quality 0.5] [--lang en] \\
         [--embeddings EMB.parquet --cluster-balance K [--alpha 0.0]] \\
+        [--index-out DIR] \\
+        [--dedup-against-index DIR [--drop-near-candidates]] \\
         [--train-pct 90 --val-pct 5] \\
         [--tokenize N_MERGES [--pack SEQ_LEN]] \\
         [--records-per-shard N] [--cpus N]
@@ -60,6 +63,21 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--alpha", type=float, default=0.0,
                    help="mixture temperature for --cluster-balance "
                    "(0 = equal-size domains, 1 = natural; default 0)")
+    p.add_argument("--index-out", metavar="DIR", default=None,
+                   help="persist the dedup index of the FINAL corpus to "
+                   "DIR/index (exact + LSH band rows, partitioned by "
+                   "band for key-pruned probes) and the minhash "
+                   "signature table to DIR/sigs — later shards probe "
+                   "them via --dedup-against-index")
+    p.add_argument("--dedup-against-index", metavar="DIR", default=None,
+                   help="drop documents already in a prior corpus by "
+                   "probing the persisted index at DIR (exact dups are "
+                   "always dropped; estimated near-dups only with "
+                   "--drop-near-candidates)")
+    p.add_argument("--drop-near-candidates", action="store_true",
+                   help="with --dedup-against-index, also drop estimated "
+                   "near-dup candidates (the aggressive policy; the "
+                   "index cannot exact-verify Jaccard)")
     p.add_argument("--train-pct", type=int, default=90)
     p.add_argument("--val-pct", type=int, default=5)
     p.add_argument("--tokenize", type=int, metavar="N_MERGES", default=None,
@@ -78,6 +96,11 @@ def main(argv: list[str] | None = None) -> int:
         p.error("each split percentage must be in [0, 100]")
     if not 0 < args.train_pct + args.val_pct <= 100:
         p.error("train-pct + val-pct must be in (0, 100]")
+    if args.drop_near_candidates and not args.dedup_against_index:
+        p.error("--drop-near-candidates requires --dedup-against-index")
+    if args.index_out and args.index_out == args.dedup_against_index:
+        p.error("--index-out must differ from --dedup-against-index "
+                "(cannot overwrite an index while probing it)")
 
     from pyspark.sql import functions as F
 
@@ -147,6 +170,43 @@ def main(argv: list[str] | None = None) -> int:
     ).persist()
     report["n_after_filters"] = corpus.count()
 
+    # incremental shard ingestion: probe the prior corpus's persisted
+    # index AFTER this shard is cleaned — both sides of the probe are
+    # then the same (redacted, filtered) text the index was built over.
+    # Probing precedes balancing: the mixture is sampled from the
+    # genuinely-new pool, not from docs about to be dropped as dups.
+    prior_sigs = None
+    if args.dedup_against_index:
+        from solana_snapshot_etl_tools_spark.operators import (
+            incremental as INC,
+        )
+
+        d = args.dedup_against_index
+        prior_index = spark.read.parquet(f"{d}/index")
+        try:
+            prior_sigs = spark.read.parquet(f"{d}/sigs")
+        except Exception:  # index persisted without signatures:
+            prior_sigs = None  # probes degrade to raw bucket membership
+        flagged = INC.dedup_against_index(
+            corpus, prior_index, old_sigs=prior_sigs
+        ).persist()
+        report["n_dup_exact_vs_index"] = flagged.filter(
+            F.col("dup_exact")
+        ).count()
+        report["n_dup_near_vs_index"] = flagged.filter(
+            ~F.col("dup_exact") & F.col("dup_near_candidate")
+        ).count()
+        keep = ~F.col("dup_exact")
+        if args.drop_near_candidates:
+            keep = keep & ~F.col("dup_near_candidate")
+        deduped = flagged.filter(keep).drop(
+            "dup_exact", "dup_near_candidate"
+        ).persist()
+        report["n_after_index_dedup"] = deduped.count()
+        corpus.unpersist()
+        flagged.unpersist()
+        corpus = deduped
+
     if args.cluster_balance is not None:
         from solana_snapshot_etl_tools_spark.operators import cluster as CL
         from solana_snapshot_etl_tools_spark.operators.sampling import (
@@ -181,6 +241,36 @@ def main(argv: list[str] | None = None) -> int:
         report["n_after_balance"] = balanced.count()
         corpus.unpersist()  # only after the balanced frame is materialized
         corpus = balanced
+
+    if args.index_out:
+        from solana_snapshot_etl_tools_spark.operators import (
+            incremental as INC,
+        )
+
+        # the index covers the FINAL corpus (post-balance): docs the
+        # sampler dropped are not in the corpus, so they are not in
+        # the index. With --dedup-against-index this closes the loop:
+        # index' = prior index UNION this shard's kept rows.
+        new_index = INC.build_index(corpus)
+        new_sigs = INC.signature_table(corpus)
+        if args.dedup_against_index:
+            new_index = spark.read.parquet(
+                f"{args.dedup_against_index}/index"
+            ).unionByName(new_index)
+            if prior_sigs is not None:
+                new_sigs = prior_sigs.unionByName(new_sigs)
+        # partitioned by band so a probe's (band, key) equi-join prunes
+        # to one directory per band instead of scanning the full index
+        new_index.write.mode("overwrite").partitionBy("band").parquet(
+            f"{args.index_out}/index"
+        )
+        new_sigs.write.mode("overwrite").parquet(f"{args.index_out}/sigs")
+        report["index_rows"] = spark.read.parquet(
+            f"{args.index_out}/index"
+        ).count()
+        report["signature_rows"] = spark.read.parquet(
+            f"{args.index_out}/sigs"
+        ).count()
 
     def write_split(df, name, order_col):
         manifest = write_training_shards(

@@ -114,3 +114,73 @@ def test_tokenize_and_pack_path(spark, tmp_path_factory, capsys):
     # every sequence except at most the last is exactly seq_len
     assert train.filter("n_tokens != 128").count() <= 1
     assert rep["splits"]["train"]["rows"] == train.count() > 0
+
+
+def test_two_shard_ingestion_cluster_balance_and_index(
+    spark, tmp_path_factory, capsys
+):
+    """The full incremental-ingestion loop in one run pair (VERDICT r5
+    item 5): shard 1 is cleaned, cluster-balanced (cluster.py +
+    sampling.py), and persisted WITH its dedup index; shard 2 (with
+    planted exact copies of shard-1 survivors) probes that index
+    (incremental.py), drops the copies, and writes the updated index
+    — index' = index UNION kept."""
+    base = str(tmp_path_factory.mktemp("inc_e2e"))
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    docs = spark.read.parquet(SRC).select("doc_id", "text")
+    shard1, shard2 = f"{base}/shard1.parquet", f"{base}/shard2.parquet"
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(shard1)
+
+    out1, idx1 = f"{base}/out1", f"{base}/idx1"
+    rep1 = _run(
+        capsys, shard1, out1, "--no-pii",
+        "--embeddings", emb, "--cluster-balance", "3", "--alpha", "0.5",
+        "--index-out", idx1, "--records-per-shard", "100",
+    )
+    assert len(rep1["cluster_sizes"]) == 3
+    assert 0 < rep1["n_after_balance"] <= rep1["n_after_filters"]
+    # index rows: (bands + 1) per doc in the FINAL corpus; sigs 1/doc
+    assert rep1["signature_rows"] == rep1["n_after_balance"]
+    assert rep1["index_rows"] % rep1["n_after_balance"] == 0
+    n_index_rows_per_doc = rep1["index_rows"] // rep1["n_after_balance"]
+    assert n_index_rows_per_doc >= 2  # exact row + >=1 band row
+
+    # plant exact copies of run-1 SURVIVORS (post-filter text, so they
+    # deterministically reach the probe stage in run 2)
+    kept1 = spark.read.parquet(f"{out1}/train").select("doc_id", "text")
+    planted = kept1.limit(8).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    n_planted = planted.count()
+    assert n_planted == 8
+    docs.filter(F.col("doc_id") % 2 == 1).unionByName(planted).write.parquet(
+        shard2
+    )
+
+    out2, idx2 = f"{base}/out2", f"{base}/idx2"
+    rep2 = _run(
+        capsys, shard2, out2, "--no-pii",
+        "--dedup-against-index", idx1, "--drop-near-candidates",
+        "--index-out", idx2, "--records-per-shard", "100",
+    )
+    # every planted copy is flagged exact against the prior index
+    assert rep2["n_dup_exact_vs_index"] >= n_planted
+    assert (
+        rep2["n_after_index_dedup"]
+        == rep2["n_after_filters"]
+        - rep2["n_dup_exact_vs_index"]
+        - rep2["n_dup_near_vs_index"]
+    )
+    # no planted copy survives into shard 2's written corpus
+    for name, sizes in rep2["splits"].items():
+        if sizes["rows"]:
+            assert (
+                spark.read.parquet(f"{out2}/{name}")
+                .filter(F.col("doc_id") >= 10_000_000)
+                .count()
+                == 0
+            )
+    # loop closure: index' = prior index + this shard's kept rows
+    kept2 = sum(v["rows"] for v in rep2["splits"].values())
+    assert rep2["index_rows"] == rep1["index_rows"] + n_index_rows_per_doc * kept2
+    assert rep2["signature_rows"] == rep1["signature_rows"] + kept2
