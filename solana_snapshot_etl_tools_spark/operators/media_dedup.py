@@ -1,0 +1,305 @@
+"""Perceptual-hash near-duplicate detection for media columns — the
+image-dedup capability class of a training-data pipeline (VERDICT r5
+item 8), built from the published pHash recipe (Zauner, "Implementation
+and Benchmarking of Perceptual Image Hash Functions", 2010; the
+imagehash library's DCT variant is the de-facto spelling).
+
+Pipeline shape, mirroring the text near-dup stack (`operators/dedup.py`
+minhash → banded join → verify → components):
+
+1. ``perceptual_hash``: blob → 64-bit pHash, one narrow Arrow-batched
+   ``mapInPandas`` pass over the SAME decode tiers as
+   ``operators/multimodal.py`` (fake container / stdlib WAV-BMP-PNG).
+   Grayscale → area-pool to 32x32 → 2D DCT-II → top-left 8x8 → median
+   threshold → packed bits. Brightness/contrast changes move the
+   median with the coefficients, so the hash is stable under them;
+   small pixel edits flip few bits.
+2. ``phash_near_dup_pairs``: all pairs with Hamming distance <= d,
+   WITHOUT a quadratic join — the pigeonhole band trick (the classic
+   Hamming-space analog of LSH banding, e.g. Manku et al.'s simhash
+   dedup, WWW'07 §3): split 64 bits into d+1 blocks; any pair within
+   distance d agrees on >= 1 block, so an equi-join on (block_idx,
+   block_value) finds every candidate, then ``bit_count(a XOR b) <= d``
+   verifies exactly — all JVM-side column expressions. Hot buckets
+   (flat images hash alike) reuse ``dedup._cap_hot_buckets``'s star
+   mode so no bucket is ever quadratic.
+3. ``phash_dedup``: pairs → ``dedup.connected_components`` → the
+   (media_id, keep_id) decision table, min-id canonical per family.
+
+Scale notes: blobs never shuffle (hashing is a narrow map emitting 16
+bytes/row); the banded self-join shuffles only (block, hash) longs;
+at 100 TB of media the pair stage is the same bounded-bucket equi-join
+the text pipeline already runs at that scale. Reference has no media
+analog (text/accounts only) — this extends SURVEY §2's
+training-pipeline additions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from solana_snapshot_etl_tools_spark.operators.dedup import (
+    _cap_hot_buckets,
+    connected_components,
+    spread_small_input,
+)
+from solana_snapshot_etl_tools_spark.operators.multimodal import (
+    _parse_with,
+    _require_real_codec,
+)
+
+HASH_BITS = 64
+DEFAULT_MAX_HAMMING = 8
+PHASH_MAX_BUCKET = 512
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType()),
+        T.StructField("phash", T.LongType()),  # null = undecodable
+    ]
+)
+
+_DCT_CACHE: dict[int, np.ndarray] = {}
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (rows are frequencies): the 2-D
+    transform is ``M @ A @ M.T``."""
+    m = _DCT_CACHE.get(n)
+    if m is None:
+        k = np.arange(n)[:, None]
+        x = np.arange(n)[None, :]
+        m = np.cos(np.pi / n * (x + 0.5) * k) * np.sqrt(2.0 / n)
+        m[0] /= np.sqrt(2.0)
+        _DCT_CACHE[n] = m
+    return m
+
+
+def _area_pool(a: np.ndarray, size: int) -> np.ndarray:
+    """Exact area-average downsample to (size, size) via an integral
+    image — deterministic, library-free resize. Inputs smaller than
+    ``size`` are tiled up first so every output block is non-empty."""
+    if a.shape[0] < size:
+        a = np.repeat(a, -(-size // a.shape[0]), axis=0)
+    if a.shape[1] < size:
+        a = np.repeat(a, -(-size // a.shape[1]), axis=1)
+    h, w = a.shape
+    ii = np.zeros((h + 1, w + 1))
+    ii[1:, 1:] = a.cumsum(0).cumsum(1)
+    ys = np.linspace(0, h, size + 1).astype(np.int64)
+    xs = np.linspace(0, w, size + 1).astype(np.int64)
+    sums = (
+        ii[np.ix_(ys[1:], xs[1:])]
+        - ii[np.ix_(ys[:-1], xs[1:])]
+        - ii[np.ix_(ys[1:], xs[:-1])]
+        + ii[np.ix_(ys[:-1], xs[:-1])]
+    )
+    areas = (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
+    return sums / areas
+
+
+def _pack_bits(bits: np.ndarray) -> int:
+    """64 bools → signed int64 (two's-complement wrap for LongType)."""
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << HASH_BITS) if v >= (1 << (HASH_BITS - 1)) else v
+
+
+def _phash_of_raster(a: np.ndarray, hash_size: int, highfreq: int) -> int:
+    size = hash_size * highfreq
+    d = _dct_matrix(size)
+    low = (d @ _area_pool(a, size) @ d.T)[:hash_size, :hash_size]
+    med = np.median(low)
+    return _pack_bits((low > med).flatten())
+
+
+def _gray_raster(m: dict) -> np.ndarray | None:
+    """Decoded payload → 2-D float grayscale raster, or None when the
+    payload has no 2-D interpretation we hash."""
+    fmt, p = m["format"], m["payload"]
+    if fmt in ("fimg", "png"):
+        w, h, c = m["width"], m["height"], m["channels"]
+        return (
+            np.frombuffer(p, np.uint8).astype(np.float64).reshape(h, w, c).mean(2)
+        )
+    if fmt == "bmp":
+        w, h, c = m["width"], m["height"], m["channels"]
+        stride = (w * c + 3) // 4 * 4  # rows are 4-byte padded
+        a = np.frombuffer(p, np.uint8).reshape(h, stride)[:, : w * c]
+        a = a.astype(np.float64).reshape(h, w, c).mean(2)
+        return a[::-1]  # BMP rows are bottom-up; flip so a PNG/BMP
+        # pair of the same image hashes identically
+    if fmt == "fvid":
+        # first frame: a thumbnail-level identity proxy (per-frame
+        # hashing composes sample_frames with the image path instead)
+        w, h = m["width"], m["height"]
+        return np.frombuffer(p[: w * h], np.uint8).astype(np.float64).reshape(h, w)
+    if fmt in ("faud", "wav"):
+        # waveform-raster hash: the |amplitude| envelope pooled onto a
+        # square grid, then the same DCT path — median thresholding
+        # makes it gain-invariant, block pooling makes it robust to
+        # small edits (NOT a chromaprint; a deterministic stand-in
+        # with the same column contract)
+        s = np.frombuffer(p[: len(p) // 2 * 2], "<i2").astype(np.float64)
+        if s.size == 0:
+            return None
+        side = 32
+        return np.abs(s)[: s.size // side * side].reshape(-1, side) if (
+            s.size >= side
+        ) else np.abs(s)[None, :]
+    return None
+
+
+def perceptual_hash(
+    media: DataFrame,
+    codec: str = "fake",
+    hash_size: int = 8,
+    highfreq_factor: int = 4,
+) -> DataFrame:
+    """(media_id, kind, blob) → (media_id, kind, phash) — 64-bit DCT
+    perceptual hash; undecodable blobs yield a null hash
+    (skip-not-fail, survey L1)."""
+    if codec not in ("fake", "std"):
+        _require_real_codec(codec)
+    if hash_size * hash_size != HASH_BITS:
+        raise ValueError("hash_size**2 must equal 64 (LongType packing)")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, blob in pdf[["media_id", "kind", "blob"]].itertuples(
+                index=False
+            ):
+                m = _parse_with(codec, blob)
+                raster = _gray_raster(m) if m is not None else None
+                rows.append(
+                    (
+                        mid,
+                        kind,
+                        None
+                        if raster is None
+                        else _phash_of_raster(raster, hash_size, highfreq_factor),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "phash"])
+
+    return spread_small_input(media).mapInPandas(run, PHASH_SCHEMA)
+
+
+def _block_rows(
+    hashes: DataFrame, id_col: str, phash_col: str, n_blocks: int
+) -> DataFrame:
+    """One row per (doc, block_idx, block_val): the 64-bit hash split
+    into ``n_blocks`` contiguous bit blocks (sizes differ by <= 1) —
+    pure column expressions, no UDF."""
+    widths = [
+        HASH_BITS // n_blocks + (1 if i < HASH_BITS % n_blocks else 0)
+        for i in range(n_blocks)
+    ]
+    offs, o = [], 0
+    for w in widths:
+        offs.append(o)
+        o += w
+    # a 64-wide block's mask is all-ones = -1 in two's complement
+    # ((1 << 64) - 1 overflows LongType)
+    masks = [(1 << w) - 1 if w < HASH_BITS else -1 for w in widths]
+    blocks = F.array(
+        *[
+            F.shiftrightunsigned(F.col(phash_col), offs[i]).bitwiseAND(
+                F.lit(masks[i])
+            )
+            for i in range(n_blocks)
+        ]
+    )
+    return (
+        hashes.filter(F.col(phash_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc"),
+            F.col(phash_col).alias("_ph"),
+            F.posexplode(blocks).alias("block_idx", "block_val"),
+        )
+    )
+
+
+def phash_near_dup_pairs(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    phash_col: str = "phash",
+    max_hamming: int = DEFAULT_MAX_HAMMING,
+    max_bucket_size: int | None = PHASH_MAX_BUCKET,
+) -> DataFrame:
+    """Every pair with ``hamming(phash_a, phash_b) <= max_hamming`` —
+    exact (the pigeonhole block join has full recall; ``bit_count``
+    gives exact precision), columns (doc_a, doc_b, hamming), except
+    inside hot buckets where only rep-member pairs are emitted (the
+    star approximation; families stay one component)."""
+    if not 0 <= max_hamming < HASH_BITS:
+        raise ValueError(f"max_hamming must be in [0, {HASH_BITS}), got {max_hamming}")
+    banded = _block_rows(hashes, id_col, phash_col, max_hamming + 1)
+    cool, star = _cap_hot_buckets(
+        banded,
+        ["block_idx", "block_val"],
+        max_bucket_size,
+        "star",
+        rep_extra={"_ph_a": "_ph"},
+    )
+    left = cool.select(
+        "block_idx", "block_val", F.col("doc").alias("doc_a"), F.col("_ph").alias("_ph_a")
+    )
+    right = cool.select(
+        "block_idx", "block_val", F.col("doc").alias("doc_b"), F.col("_ph").alias("_ph_b")
+    )
+    cand = (
+        left.join(right, ["block_idx", "block_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "_ph_a", "_ph_b")
+        .distinct()
+    )
+    if star is not None:
+        # star pairs carry the rep's hash; fetch the member's with one
+        # compact join (hot-bucket rows only, 16 bytes a side)
+        member = hashes.select(
+            F.col(id_col).alias("doc_b"), F.col(phash_col).alias("_ph_b")
+        )
+        cand = cand.unionByName(
+            star.filter(F.col("doc_a") != F.col("doc_b"))
+            .join(member, "doc_b")
+            .select("doc_a", "doc_b", "_ph_a", "_ph_b")
+            .distinct()
+        )
+    ham = F.bit_count(F.col("_ph_a").bitwiseXOR(F.col("_ph_b")))
+    return cand.select(
+        "doc_a", "doc_b", ham.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def phash_dedup(
+    media: DataFrame,
+    codec: str = "fake",
+    max_hamming: int = DEFAULT_MAX_HAMMING,
+    max_bucket_size: int | None = PHASH_MAX_BUCKET,
+) -> DataFrame:
+    """Media frame → (media_id, keep_id) decision table: perceptually
+    near-duplicate families collapse to their min id; undecodable rows
+    keep themselves (they cannot be conflated with anything)."""
+    hashes = perceptual_hash(media, codec=codec)
+    pairs = phash_near_dup_pairs(
+        hashes, max_hamming=max_hamming, max_bucket_size=max_bucket_size
+    )
+    return connected_components(
+        pairs, media.select("media_id"), "media_id"
+    )
+
+
+# ship by value for worker-side decode (see _pickle.py)
+from solana_snapshot_etl_tools_spark._pickle import register_self as _rs  # noqa: E402
+
+_rs(__name__)

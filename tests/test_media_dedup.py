@@ -1,0 +1,234 @@
+"""Perceptual-hash media dedup: hash locality, exact pair-finder
+equivalence with brute force, cross-format collision, hot-bucket
+degradation, end-to-end decision table."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from solana_snapshot_etl_tools_spark.operators import media_dedup as MD
+from solana_snapshot_etl_tools_spark.operators import multimodal as MM
+from solana_snapshot_etl_tools_spark.operators.dedup import connected_components
+
+
+def _hamming(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def _img(seed: int, w: int = 64, h: int = 48, c: int = 3) -> np.ndarray:
+    """A structured test image: a seeded random SMOOTH field (coarse
+    grid blown up) + mild texture — so perturbations behave like photo
+    edits and distinct seeds are genuinely distinct low-frequency
+    content (distinct sinusoid phases are not)."""
+    rng = np.random.default_rng(seed)
+    coarse = rng.integers(30, 226, size=(6, 8)).astype(np.float64)
+    a = np.kron(coarse, np.ones((h // 6, w // 8)))
+    a = np.clip(a + rng.integers(0, 20, size=(h, w)), 0, 255).astype(np.uint8)
+    return np.repeat(a[:, :, None], c, axis=2)
+
+
+def _fimg(pix: np.ndarray) -> bytes:
+    h, w, c = pix.shape
+    return b"FIMG" + struct.pack("<HH", w, h) + bytes([c]) + pix.tobytes()
+
+
+def _png(pix: np.ndarray) -> bytes:
+    """8-bit truecolor PNG, filter 0 rows (CRCs unchecked by the std
+    parser, so zeros suffice)."""
+    h, w, c = pix.shape
+    assert c == 3
+    raw = b"".join(b"\x00" + pix[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(raw)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return struct.pack(">I", len(data)) + ctype + data + b"\x00" * 4
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def _bmp(pix: np.ndarray) -> bytes:
+    """24-bit uncompressed BMP of the same pixels (bottom-up rows,
+    4-byte padded) — grayscale mean is channel-order-blind, so BGR vs
+    RGB does not matter for the hash."""
+    h, w, c = pix.shape
+    assert c == 3
+    stride = (w * 3 + 3) // 4 * 4
+    rows = b"".join(
+        pix[y].tobytes() + b"\x00" * (stride - w * 3) for y in range(h - 1, -1, -1)
+    )
+    header = b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+    header += struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0
+    )
+    return header + rows
+
+
+def _hash_of(blob: bytes, codec: str = "fake") -> int | None:
+    m = MM._parse_with(codec, blob)
+    r = MD._gray_raster(m) if m is not None else None
+    return None if r is None else MD._phash_of_raster(r, 8, 4)
+
+
+# --- hash properties (no Spark) ----------------------------------------------
+
+
+def test_phash_locality_and_separation():
+    base = _img(1)
+    near = base.copy()
+    near[5:8, 5:8] = 0  # small local edit
+    bright = np.clip(base.astype(np.int16) + 20, 0, 255).astype(np.uint8)
+    other = _img(7)
+    hb, hn = _hash_of(_fimg(base)), _hash_of(_fimg(near))
+    hbr, ho = _hash_of(_fimg(bright)), _hash_of(_fimg(other))
+    assert _hamming(hb, hn) <= 8
+    # uniform brightness shift moves every coefficient's baseline AND
+    # the median together → hash is (near-)invariant
+    assert _hamming(hb, hbr) <= 4
+    assert _hamming(hb, ho) > 16
+
+
+def test_phash_cross_format_collision():
+    """The same pixels as FIMG, PNG, and BMP hash IDENTICALLY — the
+    hash is over decoded pixels, not bytes (BMP's bottom-up rows are
+    flipped back by the raster step)."""
+    pix = _img(3)
+    h_f = _hash_of(_fimg(pix))
+    h_p = _hash_of(_png(pix), codec="std")
+    h_b = _hash_of(_bmp(pix), codec="std")
+    assert h_f == h_p == h_b
+
+
+def test_audio_waveform_hash_gain_invariance():
+    rng = np.random.default_rng(11)
+    s = (rng.standard_normal(4000) * 2000).astype("<i2")
+    loud = (s.astype(np.int32) * 4).astype("<i2")  # exact 4x gain
+    other = (np.sin(np.arange(4000) / 5) * 8000).astype("<i2")
+
+    def faud(sam):
+        return b"FAUD" + struct.pack("<II", 16000, len(sam)) + sam.tobytes()
+
+    h, hl, ho = _hash_of(faud(s)), _hash_of(faud(loud)), _hash_of(faud(other))
+    assert h == hl  # median threshold cancels uniform gain exactly
+    assert _hamming(h, ho) > 16
+
+
+def test_phash_golden_value_pinned():
+    """Engine-independence pin: the hash of a fixed raster must never
+    drift (an index persisted by one build must stay probeable)."""
+    pix = _img(42)
+    golden = -9039671881415524388  # pinned at first release
+    assert _hash_of(_fimg(pix)) == golden
+    # and the raster path agrees with the container path
+    r = pix.astype(np.float64).mean(2)
+    assert MD._phash_of_raster(r, 8, 4) == golden
+
+
+# --- pair finder: exact equivalence with brute force -------------------------
+
+
+def test_pair_finder_matches_bruteforce(spark):
+    rng = np.random.default_rng(5)
+    hashes: list[int] = []
+    for _ in range(8):  # 8 families of 5 members within hamming<=4
+        base = int(rng.integers(0, 2**63))
+        hashes.append(base)
+        for _ in range(4):
+            h = base
+            for bit in rng.choice(64, size=int(rng.integers(1, 5)), replace=False):
+                h ^= 1 << int(bit)
+            hashes.append(h)
+    hashes += [int(rng.integers(0, 2**63)) for _ in range(20)]
+    signed = [h - (1 << 64) if h >= (1 << 63) else h for h in hashes]
+    df = spark.createDataFrame(
+        [(i, "image", v) for i, v in enumerate(signed)], MD.PHASH_SCHEMA
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in MD.phash_near_dup_pairs(df, max_hamming=8).collect()
+    }
+    want = {
+        (i, j, _hamming(signed[i], signed[j]))
+        for i in range(len(signed))
+        for j in range(i + 1, len(signed))
+        if _hamming(signed[i], signed[j]) <= 8
+    }
+    assert got == want  # pigeonhole recall AND bit_count precision
+
+
+def test_max_hamming_zero_single_block(spark):
+    """d=0 → one 64-bit block (the all-ones mask must not overflow
+    LongType); only exact hash equality pairs up."""
+    vals = [(1, "image", 7), (2, "image", 7), (3, "image", -7), (4, "image", None)]
+    df = spark.createDataFrame(vals, MD.PHASH_SCHEMA)
+    got = {(r.doc_a, r.doc_b) for r in MD.phash_near_dup_pairs(df, max_hamming=0).collect()}
+    assert got == {(1, 2)}
+
+
+def test_hot_bucket_star_keeps_family_connected(spark):
+    """A family larger than max_bucket_size degrades to rep-member
+    star pairs — but the decision table still collapses it to ONE
+    component (the text pipeline's exact hot-bucket contract)."""
+    n = 40
+    df = spark.createDataFrame(
+        [(i, "image", 123456789) for i in range(n)], MD.PHASH_SCHEMA
+    )
+    pairs = MD.phash_near_dup_pairs(df, max_hamming=4, max_bucket_size=4)
+    rows = pairs.collect()
+    assert 0 < len(rows) < n * (n - 1) // 2  # star, not quadratic
+    decision = connected_components(
+        pairs, df.select(F.col("media_id")), "media_id"
+    )
+    keeps = {r.keep_id for r in decision.collect()}
+    assert keeps == {0}
+
+
+# --- end-to-end --------------------------------------------------------------
+
+
+def test_phash_dedup_end_to_end(spark):
+    base = _img(1)
+    near = base.copy()
+    near[0:3, 0:3] = 255
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(_fimg(base))),
+            (2, "image", bytearray(_fimg(near))),
+            (3, "image", bytearray(_fimg(_img(9)))),
+            (4, "image", bytearray(b"JUNK")),  # undecodable: keeps itself
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    decision = {r.media_id: r.keep_id for r in MD.phash_dedup(media).collect()}
+    assert decision[1] == decision[2] == 1
+    assert decision[3] == 3 and decision[4] == 4
+
+
+def test_perceptual_hash_schema_and_nulls(spark):
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(_fimg(_img(2)))), (2, "image", bytearray(b""))],
+        MM.MEDIA_SCHEMA,
+    )
+    out = MD.perceptual_hash(media)
+    assert [f.name for f in out.schema.fields] == ["media_id", "kind", "phash"]
+    rows = {r.media_id: r.phash for r in out.collect()}
+    assert rows[1] is not None and rows[2] is None
+
+
+def test_bad_params_raise(spark):
+    df = spark.createDataFrame([(1, "image", 5)], MD.PHASH_SCHEMA)
+    with pytest.raises(ValueError):
+        MD.phash_near_dup_pairs(df, max_hamming=64)
+    with pytest.raises(NotImplementedError):
+        MD.perceptual_hash(df, codec="real")
