@@ -299,6 +299,119 @@ def phash_dedup(
     )
 
 
+FRAME_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def perceptual_hash_frames(
+    media: DataFrame,
+    every_k: int = 1,
+    codec: str = "fake",
+    hash_size: int = 8,
+    highfreq_factor: int = 4,
+) -> DataFrame:
+    """Per-frame pHash for videos: every k-th frame → (media_id,
+    frame_idx, phash), the same DCT path as still images, exploded
+    inside the batch iterator like ``multimodal.sample_frames`` (one
+    input row → n output rows without a frame column)."""
+    if codec not in ("fake", "std"):
+        _require_real_codec(codec)
+    if every_k < 1:
+        raise ValueError(f"every_k must be >= 1, got {every_k}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, blob in pdf[["media_id", "kind", "blob"]].itertuples(
+                index=False
+            ):
+                if kind != "video":
+                    continue
+                m = _parse_with(codec, blob)
+                if m is None or m["format"] != "fvid":
+                    continue
+                w, h = m["width"], m["height"]
+                fsize = w * h
+                for idx in range(0, m["n_frames"], every_k):
+                    frame = np.frombuffer(
+                        m["payload"][idx * fsize : (idx + 1) * fsize], np.uint8
+                    ).astype(np.float64).reshape(h, w)
+                    rows.append(
+                        (mid, idx, _phash_of_raster(frame, hash_size, highfreq_factor))
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "phash"])
+
+    return spread_small_input(media).mapInPandas(run, FRAME_PHASH_SCHEMA)
+
+
+def video_near_dup_pairs(
+    frame_hashes: DataFrame,
+    max_hamming: int = DEFAULT_MAX_HAMMING,
+    min_shared_frames: int = 3,
+    max_bucket_size: int | None = PHASH_MAX_BUCKET,
+) -> DataFrame:
+    """Video pairs sharing perceptually-near frames: (media_a, media_b,
+    shared_frames) where ``shared_frames`` counts media_a's DISTINCT
+    frames that match some frame of media_b within ``max_hamming`` —
+    re-encodes/re-containers of the same footage share most sampled
+    frames; unrelated videos share none. Input is
+    ``perceptual_hash_frames`` output. Frames are identified by the
+    (media_id, frame_idx) struct through the same pigeonhole block
+    join, so no id-packing bound is imposed on media_id."""
+    if not 0 <= max_hamming < HASH_BITS:
+        raise ValueError(f"max_hamming must be in [0, {HASH_BITS}), got {max_hamming}")
+    n_blocks = max_hamming + 1
+    keyed = frame_hashes.filter(F.col("phash").isNotNull()).select(
+        F.struct("media_id", "frame_idx").alias("doc"),
+        F.col("phash").alias("_ph"),
+    )
+    banded = _block_rows(keyed, "doc", "_ph", n_blocks)
+    cool, star = _cap_hot_buckets(
+        banded,
+        ["block_idx", "block_val"],
+        max_bucket_size,
+        "star",
+        rep_extra={"_ph_a": "_ph"},
+    )
+    left = cool.select(
+        "block_idx", "block_val", F.col("doc").alias("doc_a"), F.col("_ph").alias("_ph_a")
+    )
+    right = cool.select(
+        "block_idx", "block_val", F.col("doc").alias("doc_b"), F.col("_ph").alias("_ph_b")
+    )
+    cand = (
+        left.join(right, ["block_idx", "block_val"])
+        .filter(F.col("doc_a.media_id") < F.col("doc_b.media_id"))
+        .select("doc_a", "doc_b", "_ph_a", "_ph_b")
+        .distinct()
+    )
+    if star is not None:
+        member = keyed.select(
+            F.col("doc").alias("doc_b"), F.col("_ph").alias("_ph_b")
+        )
+        cand = cand.unionByName(
+            star.filter(F.col("doc_a.media_id") < F.col("doc_b.media_id"))
+            .join(member, "doc_b")
+            .select("doc_a", "doc_b", "_ph_a", "_ph_b")
+            .distinct()
+        )
+    ham = F.bit_count(F.col("_ph_a").bitwiseXOR(F.col("_ph_b")))
+    matched = cand.filter(ham <= max_hamming)
+    return (
+        matched.groupBy(
+            F.col("doc_a.media_id").alias("media_a"),
+            F.col("doc_b.media_id").alias("media_b"),
+        )
+        .agg(F.countDistinct("doc_a.frame_idx").alias("shared_frames"))
+        .filter(F.col("shared_frames") >= min_shared_frames)
+    )
+
+
 # ship by value for worker-side decode (see _pickle.py)
 from solana_snapshot_etl_tools_spark._pickle import register_self as _rs  # noqa: E402
 

@@ -1,0 +1,146 @@
+"""Paragraph-level exact deduplication — the CCNet granularity
+(Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets
+from Web Crawl Data", 2020 §4.1: duplicated *paragraphs* are removed
+by normalized hash; boilerplate headers/footers/navigation repeat
+across pages whose full documents are unique, so document-level dedup
+never catches them). Complements the engine's other granularities:
+`dedup.py` (whole document), `operators/excise.py` (arbitrary ≥k-char
+spans). Paragraphs are the cheap high-yield middle: split points are
+free, normalization kills case/punctuation jitter, and one hash per
+paragraph replaces excise's per-position windows.
+
+Semantics: the FIRST occurrence (min (doc, position)) of each
+normalized paragraph is canonical and survives; every later
+occurrence (a later position of the same doc, or any other doc) is
+removed. Documents are rebuilt with surviving paragraphs in original
+order; all rows pass through with removal stats (skip-not-fail over
+null/empty text).
+
+Scale shape (no text in the decision shuffles): paragraphs explode
+narrowly, the decision pipeline shuffles only (key, doc, pos) longs —
+groupBy key → min struct, join back on key, collect_set of removed
+POSITIONS per doc. The rebuild re-splits the original text MAP-side
+(a (doc → removed positions) join is the only time anything joins the
+text, and only for docs that lose a paragraph) using a higher-order
+``filter`` over the split array — no paragraph text ever shuffles.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, functions as F
+
+DEFAULT_SEP = "\n\n"
+
+
+def _norm_para(c: F.Column) -> F.Column:
+    """CCNet-style normalization before hashing: lowercase, digits
+    out, punctuation out, whitespace collapsed — so 'Hello, World!'
+    and 'hello world' are the same paragraph."""
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"\d+", "")
+    c = F.regexp_replace(c, r"[^\p{L}\s]", "")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = DEFAULT_SEP,
+    min_norm_chars: int = 1,
+) -> DataFrame:
+    """(id, text, ...) → same rows with duplicated paragraphs removed
+    and ``n_paragraphs`` / ``n_removed_paragraphs`` stats appended.
+
+    ``sep`` is a LITERAL separator (split and rebuild must be exact
+    inverses, so no regex). Paragraphs whose normalized form is
+    shorter than ``min_norm_chars`` are exempt — with the default 1,
+    whitespace-only paragraphs never count as duplicates of each
+    other, which would otherwise collapse spacing structure.
+    """
+    if min_norm_chars < 0:
+        raise ValueError(f"min_norm_chars must be >= 0, got {min_norm_chars}")
+    pat = re.escape(sep)
+    doc = F.col(id_col)
+    parts = F.split(F.coalesce(F.col(text_col), F.lit("")), pat, -1)
+
+    paras = docs.select(
+        doc.alias("doc"), F.posexplode_outer(parts).alias("pos", "para")
+    )
+    keyed = (
+        paras.withColumn("_norm", _norm_para(F.col("para")))
+        .filter(F.length("_norm") >= min_norm_chars)
+        .select("doc", "pos", F.xxhash64("_norm").alias("key"))
+    )
+    first = keyed.groupBy("key").agg(
+        F.min(F.struct("doc", "pos")).alias("_first")
+    )
+    removed = (
+        keyed.join(first, "key")
+        .filter(F.struct("doc", "pos") != F.col("_first"))
+        .groupBy("doc")
+        .agg(F.collect_set("pos").alias("_removed"))
+    )
+
+    keep = F.filter(
+        parts,
+        lambda _x, i: F.col("_removed").isNull()
+        | ~F.array_contains(F.col("_removed"), i),
+    )
+    out = docs.join(
+        removed.withColumnRenamed("doc", id_col), id_col, "left"
+    )
+    return out.select(
+        *[c for c in docs.columns if c != text_col],
+        F.when(F.col(text_col).isNull(), F.lit(None))
+        .otherwise(F.array_join(keep, sep))
+        .alias(text_col),
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(F.size(parts))
+        .alias("n_paragraphs"),
+        F.coalesce(F.size("_removed"), F.lit(0)).alias(
+            "n_removed_paragraphs"
+        ),
+    )
+
+
+def paragraph_dup_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = DEFAULT_SEP,
+    min_norm_chars: int = 1,
+) -> DataFrame:
+    """Measurement side: one row per duplicated normalized paragraph
+    — (key, n_occurrences, n_docs, owner_doc, owner_pos) — the
+    paragraph-granularity analog of ``dedup.dup_span_stats``."""
+    pat = re.escape(sep)
+    paras = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode_outer(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), pat, -1)
+        ).alias("pos", "para"),
+    )
+    keyed = (
+        paras.withColumn("_norm", _norm_para(F.col("para")))
+        .filter(F.length("_norm") >= min_norm_chars)
+        .select("doc", "pos", F.xxhash64("_norm").alias("key"))
+    )
+    return (
+        keyed.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc").alias("n_docs"),
+            F.min(F.struct("doc", "pos")).alias("_first"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+        .select(
+            "key",
+            "n_occurrences",
+            "n_docs",
+            F.col("_first.doc").alias("owner_doc"),
+            F.col("_first.pos").alias("owner_pos"),
+        )
+    )

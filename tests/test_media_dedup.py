@@ -232,3 +232,69 @@ def test_bad_params_raise(spark):
         MD.phash_near_dup_pairs(df, max_hamming=64)
     with pytest.raises(NotImplementedError):
         MD.perceptual_hash(df, codec="real")
+
+
+# --- video frame hashing -----------------------------------------------------
+
+
+def _gray(seed: int, w: int = 64, h: int = 48) -> np.ndarray:
+    return _img(seed, w, h, c=1)[:, :, 0]
+
+
+def _fvid(frames: list[np.ndarray]) -> bytes:
+    h, w = frames[0].shape
+    return (
+        b"FVID"
+        + struct.pack("<HHH", w, h, len(frames))
+        + b"".join(f.tobytes() for f in frames)
+    )
+
+
+def test_perceptual_hash_frames_and_video_pairs(spark):
+    frames_a = [_gray(s) for s in range(10, 16)]
+    # B: re-encode proxy — same frames, small per-frame corruption
+    frames_b = []
+    for f in frames_a:
+        g = f.copy()
+        g[0:2, 0:2] = 0
+        frames_b.append(g)
+    frames_c = [_gray(s) for s in range(30, 36)]  # unrelated
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytearray(_fvid(frames_a))),
+            (2, "video", bytearray(_fvid(frames_b))),
+            (3, "video", bytearray(_fvid(frames_c))),
+            (4, "image", bytearray(_fimg(_img(1)))),  # non-video: skipped
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    fh = MD.perceptual_hash_frames(media, every_k=1)
+    rows = fh.collect()
+    assert {r.media_id for r in rows} == {1, 2, 3}
+    assert sum(1 for r in rows if r.media_id == 1) == 6
+    pairs = {
+        (r.media_a, r.media_b): r.shared_frames
+        for r in MD.video_near_dup_pairs(fh, min_shared_frames=3).collect()
+    }
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] == 6  # every sampled frame matches
+
+    # every_k subsamples deterministically
+    fh2 = MD.perceptual_hash_frames(media, every_k=2)
+    assert sorted(
+        r.frame_idx for r in fh2.filter(F.col("media_id") == 1).collect()
+    ) == [0, 2, 4]
+
+
+def test_video_pairs_struct_ids_survive_hot_buckets(spark):
+    """Flat (constant) frames collide into one hot bucket; the star
+    cap must keep the video pair detectable, not explode or drop it."""
+    flat = np.full((48, 64), 128, np.uint8)
+    vids = [(i, "video", bytearray(_fvid([flat] * 4))) for i in range(1, 8)]
+    media = spark.createDataFrame(vids, MM.MEDIA_SCHEMA)
+    fh = MD.perceptual_hash_frames(media)
+    out = MD.video_near_dup_pairs(
+        fh, min_shared_frames=1, max_bucket_size=4
+    ).collect()
+    # rep video (min id) pairs with every other — family stays findable
+    assert {(r.media_a, r.media_b) for r in out} == {(1, i) for i in range(2, 8)}

@@ -1,0 +1,128 @@
+"""Paragraph-level dedup: pure-Python reference equivalence, canonical
+ownership, normalization matching, rebuild exactness, stats."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from solana_snapshot_etl_tools_spark.operators import paragraphs as P
+
+
+def _norm(s: str) -> str:
+    s = s.lower()
+    s = re.sub(r"\d+", "", s)
+    s = re.sub(r"[^\w\s]|_", "", s, flags=re.UNICODE)
+    s = re.sub(r"[0-9]", "", s)
+    return re.sub(r"\s+", " ", s).strip()
+
+
+def _reference(rows, sep="\n\n", min_norm_chars=1):
+    """First-occurrence-wins paragraph dedup, the obvious sequential
+    spelling."""
+    seen = {}
+    for doc_id, text in sorted(rows):
+        if text is None:
+            continue
+        for pos, para in enumerate(text.split(sep)):
+            n = _norm(para)
+            if len(n) >= min_norm_chars and n not in seen:
+                seen[n] = (doc_id, pos)
+    out = {}
+    for doc_id, text in rows:
+        if text is None:
+            out[doc_id] = (None, 0, 0)
+            continue
+        parts = text.split(sep)
+        kept, removed = [], 0
+        for pos, para in enumerate(parts):
+            n = _norm(para)
+            if len(n) >= min_norm_chars and seen.get(n) != (doc_id, pos):
+                removed += 1
+            else:
+                kept.append(para)
+        out[doc_id] = (sep.join(kept), len(parts), removed)
+    return out
+
+
+CORPUS = [
+    (1, "alpha beta\n\nshared footer text\n\nunique one"),
+    (2, "unique two\n\nShared Footer, TEXT!\n\nunique three"),  # norm-dup
+    (3, "shared footer text\n\nshared footer text"),  # all dups
+    (4, "unique four"),
+    (5, None),
+    (6, ""),
+    (7, "x\n\n\n\nx"),  # short/empty paragraphs are exempt; 'x' dedups
+]
+
+
+def test_matches_python_reference(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text, r.n_paragraphs, r.n_removed_paragraphs)
+        for r in P.dedup_paragraphs(df).collect()
+    }
+    assert got == _reference(CORPUS)
+
+
+def test_canonical_ownership_and_rebuild(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    got = {r.doc_id: r for r in P.dedup_paragraphs(df).collect()}
+    # doc 1 owns the footer (min doc); docs 2/3 lose their copies,
+    # including doc 3's SECOND copy of its own first paragraph... which
+    # doc 1 already owns, so doc 3 keeps nothing
+    assert got[1].text == CORPUS[0][1]
+    assert got[2].text == "unique two\n\nunique three"
+    assert got[3].text == "" and got[3].n_removed_paragraphs == 2
+    assert got[4].text == "unique four"
+    assert got[5].text is None
+    assert got[6].text == ""  # empty text: one empty exempt paragraph
+    # doc 7: the empty middle paragraphs are exempt (spacing kept);
+    # the second 'x' is a dup of the first
+    assert got[7].text == "x\n\n" and got[7].n_removed_paragraphs == 1
+
+
+def test_normalization_is_the_match_key(spark):
+    rows = [(1, "Hello, World!"), (2, "hello world"), (3, "hello  world 99")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.n_removed_paragraphs for r in P.dedup_paragraphs(df).collect()}
+    assert got == {1: 0, 2: 1, 3: 1}
+
+
+def test_partitioning_invariance(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    a = {(r.doc_id, r.text) for r in P.dedup_paragraphs(df.coalesce(1)).collect()}
+    b = {(r.doc_id, r.text) for r in P.dedup_paragraphs(df.repartition(13)).collect()}
+    assert a == b
+
+
+def test_extra_columns_pass_through(spark):
+    rows = [(1, "same para", "en"), (2, "same para", "fr")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.doc_id: (r.lang, r.text) for r in P.dedup_paragraphs(df).collect()}
+    assert got == {1: ("en", "same para"), 2: ("fr", "")}
+
+
+def test_dup_stats(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    stats = {
+        (r.owner_doc, r.owner_pos): (r.n_occurrences, r.n_docs)
+        for r in P.paragraph_dup_stats(df).collect()
+    }
+    # footer: docs 1,2,3 with doc 3 twice → 4 occurrences in 3 docs
+    assert stats[(1, 1)] == (4, 3)
+    # 'x' appears twice in doc 7 only
+    assert stats[(7, 0)] == (2, 1)
+    assert len(stats) == 2
+
+
+def test_real_corpus_smoke(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = P.dedup_paragraphs(docs.select("doc_id", "text"), sep="\n")
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.sum("n_removed_paragraphs").alias("removed"),
+    ).collect()[0]
+    assert agg.n == docs.count()  # every row passes through
+    assert agg.removed >= 0
