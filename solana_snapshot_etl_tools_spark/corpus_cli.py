@@ -6,9 +6,10 @@ library stages in production order (the same order the declared
 ``pipeline_pretrain_corpus`` query hash-checks):
 
     exact dedup → [near dedup] → [PII redaction] → quality/lang
-    filter → [dedup against a prior corpus's persisted index] →
-    [cluster-balance the topic mixture] → deterministic split →
-    shards [or BPE-tokenize + pack] [+ persist the updated index]
+    filter → [learned quality model + Pareto keep] → [dedup against a
+    prior corpus's persisted index] → [cluster-balance the topic
+    mixture] → deterministic split → shards [or BPE-tokenize + pack]
+    [+ persist the updated index]
 
     python -m solana_snapshot_etl_tools_spark.corpus_cli \\
         DOCS.parquet OUT_DIR \\
@@ -54,6 +55,16 @@ def main(argv: list[str] | None = None) -> int:
                    "where the paper's English list rejects everything)")
     p.add_argument("--lang", default="en",
                    help="keep docs lang_id == LANG; '' keeps all")
+    p.add_argument("--quality-model", metavar="DIR", default=None,
+                   help="saved quality PipelineModel "
+                   "(operators/quality_model.py) applied AFTER the "
+                   "heuristic filters — GPT-3-style learned tier")
+    p.add_argument("--quality-model-threshold", type=float, default=None,
+                   help="hard probability cut for --quality-model "
+                   "(default: the Pareto keep rule instead)")
+    p.add_argument("--quality-model-alpha", type=float, default=9.0,
+                   help="Pareto shape for --quality-model's keep rule "
+                   "(GPT-3 default 9)")
     p.add_argument("--embeddings", metavar="PARQUET", default=None,
                    help="embeddings parquet with (vec_id, embedding) "
                    "keyed by doc id — enables --cluster-balance")
@@ -150,6 +161,21 @@ def main(argv: list[str] | None = None) -> int:
             .filter(F.col("passes_gopher"))
             .select(*before)
         )
+    if args.quality_model:
+        from pyspark.ml import PipelineModel
+
+        from solana_snapshot_etl_tools_spark.operators.quality_model import (
+            quality_model_filter,
+        )
+
+        filtered = quality_model_filter(
+            filtered,
+            PipelineModel.load(args.quality_model),
+            threshold=args.quality_model_threshold,
+            alpha=args.quality_model_alpha,
+            id_col="doc_id",
+        ).drop("quality_prob")
+
     # the split hash MUST be independent of knuth_hash32: the
     # cluster-balance sampler accepts the LOW-knuth-hash tail of each
     # stratum, and a knuth-keyed split would then route (nearly) all
