@@ -19,10 +19,15 @@ null/empty text).
 Scale shape (no text in the decision shuffles): paragraphs explode
 narrowly, the decision pipeline shuffles only (key, doc, pos) longs —
 groupBy key → min struct, join back on key, collect_set of removed
-POSITIONS per doc. The rebuild re-splits the original text MAP-side
-(a (doc → removed positions) join is the only time anything joins the
-text, and only for docs that lose a paragraph) using a higher-order
-``filter`` over the split array — no paragraph text ever shuffles.
+POSITIONS per doc. No PARAGRAPH text ever shuffles (plan-pinned); the
+rebuild re-splits the original text map-side with a higher-order
+indexed ``filter``, joining only the compact (doc → removed
+positions) table back to the docs. That join is the one place
+document text meets an exchange: under AQE a boilerplate-light
+corpus's removed side broadcasts and the text never crosses the
+network; worst case the text crosses ONE equi-join shuffle —
+the same cost class as ``exact_dedup``'s canonical join, and
+``doc_len``-bounded, never exploded.
 """
 
 from __future__ import annotations

@@ -215,3 +215,40 @@ def temperature_sample(
         .filter(h * F.col("_cnt") < F.col("_tgt") * F.lit(float(_2_32)))
         .select(*df.columns)
     )
+
+
+def upsample_corpus(
+    df: DataFrame,
+    factor: float,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Deterministic fractional up/down-sampling — the per-source
+    epoch weight of a LLaMA-style data recipe (high-quality sources
+    run >1 epoch, e.g. Wikipedia 2.45 epochs; bulk crawl <1). Every
+    row appears ``floor(factor)`` times plus once more for a
+    hash-selected ``frac(factor)`` share, so the realized count is
+    within one Bernoulli draw per row of ``factor * n`` and reruns /
+    shard appends replicate exactly (same contract as the samplers
+    above). ``factor < 1`` degenerates to deterministic downsampling.
+
+    Copies are distinguished by ``epoch_col`` (1-based), keeping
+    (id, epoch) unique downstream — shufflers and packers can salt on
+    it. The explode is narrow (no shuffle); Spark plans it as a
+    generator over the scan, so at 100 TB this costs exactly the
+    extra output rows, never a repartition.
+    """
+    if factor <= 0:
+        raise ValueError(f"factor must be > 0, got {factor}")
+    base = int(factor)
+    frac = factor - base
+    u = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(_2_32))
+    extra = (u.cast("double") < F.lit(frac * float(_2_32))).cast("int")
+    n_copies = F.lit(base) + extra
+    # sequence(1, 0) DESCENDS to [1, 0] — zero copies must be an
+    # empty array (explode then drops the row), not two epochs
+    seqs = F.when(
+        n_copies >= 1, F.sequence(F.lit(1), n_copies)
+    ).otherwise(F.array().cast("array<int>"))
+    return df.withColumn(epoch_col, F.explode(seqs))

@@ -298,3 +298,24 @@ def test_video_pairs_struct_ids_survive_hot_buckets(spark):
     ).collect()
     # rep video (min id) pairs with every other — family stays findable
     assert {(r.media_a, r.media_b) for r in out} == {(1, i) for i in range(2, 8)}
+
+
+def test_pair_plans_never_cartesian(spark):
+    import contextlib
+    import io
+
+    df = spark.createDataFrame(
+        [(i, "image", i * 7) for i in range(20)], MD.PHASH_SCHEMA
+    )
+    fh = spark.createDataFrame(
+        [(i, j, i * 11) for i in range(5) for j in range(3)],
+        MD.FRAME_PHASH_SCHEMA,
+    )
+    for q in (
+        MD.phash_near_dup_pairs(df),
+        MD.video_near_dup_pairs(fh),
+    ):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            q.explain("formatted")
+        assert "CartesianProduct" not in buf.getvalue()

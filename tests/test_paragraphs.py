@@ -126,3 +126,25 @@ def test_real_corpus_smoke(spark):
     ).collect()[0]
     assert agg.n == docs.count()  # every row passes through
     assert agg.removed >= 0
+
+
+def test_plan_no_paragraph_text_in_exchanges(spark):
+    """The docstring's scale claim, pinned: no Exchange ever carries
+    exploded paragraph text; document text appears in at most the one
+    rebuild-join exchange; no cartesian product."""
+    import contextlib
+    import io
+    import re
+
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        P.dedup_paragraphs(df).explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    blocks = re.split(r"\n(?=\(\d+\) )", plan)
+    exchanges = [b for b in blocks if b.splitlines()[0].endswith("Exchange")]
+    assert len(exchanges) >= 3  # key-min, join-back, per-doc collect
+    assert all("para#" not in b for b in exchanges)
+    with_text = [b for b in exchanges if re.search(r"\btext#", b)]
+    assert len(with_text) <= 1

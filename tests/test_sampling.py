@@ -233,3 +233,34 @@ def test_cluster_then_balance_composition(spark):
     sizes = [r["count"] for r in out.groupBy("cluster_id").count().collect()]
     assert len(sizes) == 3 and all(5 <= s <= 45 for s in sizes)
     assert out.columns == assigned.columns  # rows survive intact
+
+
+def test_upsample_corpus_fractional(spark):
+    import pytest as _pytest
+
+    from solana_snapshot_etl_tools_spark.operators.sampling import upsample_corpus
+
+    n = 2000
+    df = spark.range(n).select(F.col("id").alias("doc_id"), F.lit("t").alias("text"))
+    out = upsample_corpus(df, 2.5)
+    per_doc = {r.doc_id: r.cnt for r in out.groupBy("doc_id").agg(
+        F.count("*").alias("cnt")).collect()}
+    assert set(per_doc.values()) <= {2, 3}
+    total = sum(per_doc.values())
+    assert abs(total - 2.5 * n) < 5 * (0.25 * n) ** 0.5  # binomial bound
+    # deterministic on rerun, different under another seed
+    again = upsample_corpus(df, 2.5).groupBy("doc_id").agg(F.count("*").alias("cnt"))
+    assert {(r.doc_id, r.cnt) for r in again.collect()} == set(per_doc.items())
+    other = upsample_corpus(df, 2.5, seed=9).groupBy("doc_id").agg(
+        F.count("*").alias("cnt"))
+    assert {(r.doc_id, r.cnt) for r in other.collect()} != set(per_doc.items())
+    # epochs are 1-based and unique per (id, epoch)
+    assert out.filter(F.col("epoch") < 1).count() == 0
+    assert out.select("doc_id", "epoch").distinct().count() == total
+
+    # integer factor is exact; factor < 1 downsamples
+    assert upsample_corpus(df, 2.0).count() == 2 * n
+    down = upsample_corpus(df, 0.3).count()
+    assert abs(down - 0.3 * n) < 5 * (0.21 * n) ** 0.5
+    with _pytest.raises(ValueError):
+        upsample_corpus(df, 0.0)
