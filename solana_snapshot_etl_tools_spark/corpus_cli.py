@@ -96,6 +96,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--pack", type=int, metavar="SEQ_LEN", default=None,
                    help="pack token ids into fixed-length sequences "
                    "(requires --tokenize)")
+    p.add_argument("--shuffle-seed", type=int, default=None, metavar="N",
+                   help="write shards in a deterministic GLOBAL shuffle "
+                   "order (hash of the row id, seeded) instead of id "
+                   "order — so no shard is crawl-order/topic-correlated "
+                   "and the training loader needs no shuffle buffer")
     p.add_argument("--records-per-shard", type=int, default=65536)
     p.add_argument("--cpus", type=int, default=None)
     args = p.parse_args(argv)
@@ -299,11 +304,19 @@ def main(argv: list[str] | None = None) -> int:
         ).count()
 
     def write_split(df, name, order_col):
+        if args.shuffle_seed is not None:
+            df = df.withColumn(
+                "_ord", F.xxhash64(F.col(order_col), F.lit(args.shuffle_seed))
+            )
+            order_col, drop = "_ord", True
+        else:
+            drop = False
         manifest = write_training_shards(
             df,
             f"{args.out_dir}/{name}",
             records_per_shard=args.records_per_shard,
             order_col=order_col,
+            drop_order_col=drop,
         )
         rows = manifest.collect()
         return {"rows": sum(r.rows for r in rows), "shards": len(rows)}

@@ -78,9 +78,23 @@ def quality_model_train(
     label 1 = curated/high-quality positives, 0 = raw-crawl negatives
     (the GPT-3 setup). Returns a ``PipelineModel`` (MLlib-persistable
     via ``model.write().save(path)``)."""
-    return _pipeline(text_col, label_col, dim, reg, elastic_net, max_iter).fit(
+    model = _pipeline(text_col, label_col, dim, reg, elastic_net, max_iter).fit(
         labeled_docs.withColumn(label_col, F.col(label_col).cast("double"))
     )
+    # strip the training summary: it pins the SparkSession (and its
+    # non-serializable ObservationManager) inside the LR stage, and
+    # transform()'s probability UDF closure captures the model — on a
+    # session where any Observation ever ran, every later scoring
+    # task then dies with "Task not serializable". The summary also
+    # pins the training predictions DataFrame on the driver. (A
+    # save/load roundtrip drops it too; this avoids the I/O.)
+    lr = model.stages[-1]
+    try:
+        empty = labeled_docs.sparkSession._jvm.scala.Option.empty()
+        lr._java_obj.setSummary(empty)
+    except Exception:  # accessor moved in a future Spark: fall back
+        pass  # to serialization working on observation-free sessions
+    return model
 
 
 def quality_model_score(

@@ -79,6 +79,7 @@ def write_training_shards(
     records_per_shard: int = 65536,
     order_col: str | None = None,
     compression: str = "zstd",
+    drop_order_col: bool = False,
 ) -> DataFrame:
     """Training-pipeline sink: pack a cleaned corpus into uniformly
     sized parquet shards, the layout a downstream training loader
@@ -106,6 +107,10 @@ def write_training_shards(
         packed = df.repartitionByRange(shards, F.col(order_col)).sortWithinPartitions(
             order_col
         )
+        if drop_order_col:
+            # a synthetic order key (e.g. a shuffle hash) has fixed
+            # the layout; it need not land in the shards themselves
+            packed = packed.drop(order_col)
     else:
         packed = df.repartition(shards)
     (

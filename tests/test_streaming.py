@@ -183,3 +183,89 @@ def test_corpus_scrub_and_score_stream_matches_batch(spark, tmp_path_factory):
     cols = ["doc_id", "clean", "n_tokens", "quality", "lang_pred", "split"]
     assert _rows(streamed, cols) == _rows(batch, cols)
     assert streamed.count() > 0
+
+
+def test_streaming_shard_ingestion_matches_sequential_batches(
+    spark, tmp_path_factory
+):
+    """`streaming/ingest.py`: two shards arriving as separate
+    micro-batches (maxFilesPerTrigger=1) produce EXACTLY the corpus
+    and index the sequential batch ingestion loop produces — the
+    same-functions-batch-and-stream contract for incremental dedup."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from solana_snapshot_etl_tools_spark.operators import incremental as INC
+    from solana_snapshot_etl_tools_spark.streaming.ingest import (
+        ingest_dedup_stream,
+    )
+
+    base = tmp_path_factory.mktemp("ingest_stream")
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    s1 = docs.filter(F.col("doc_id") % 2 == 0)
+    # shard 2: the odd half + exact copies of five shard-1 docs
+    dups = s1.limit(5).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    s2 = docs.filter(F.col("doc_id") % 2 == 1).unionByName(dups)
+
+    src = str(base / "arrivals")
+    os.makedirs(src)
+    s1.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)  # file-source ordering is by modification time
+    s2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(s1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = ingest_dedup_stream(
+        stream,
+        str(base / "idx"),
+        str(base / "corpus"),
+        str(base / "ckpt"),
+        drop_near_candidates=False,
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    assert q.lastProgress is not None
+
+    got_corpus = {
+        r.doc_id for r in spark.read.parquet(str(base / "corpus")).collect()
+    }
+
+    # sequential batch replay of the same two shards
+    ref_flag1 = INC.dedup_against_index(
+        s1,
+        INC.build_index(s1.limit(0)),
+        old_sigs=INC.signature_table(s1.limit(0)),
+    )
+    ref_kept1 = ref_flag1.filter(~F.col("dup_exact"))
+    idx = INC.build_index(s1.limit(0)).unionByName(
+        INC.kept_index_rows(ref_flag1)
+    )
+    sigs = INC.signature_table(s1.limit(0)).unionByName(
+        INC.kept_signature_rows(ref_flag1)
+    )
+    ref_flag2 = INC.dedup_against_index(s2, idx, old_sigs=sigs)
+    ref_kept2 = ref_flag2.filter(~F.col("dup_exact"))
+    want_corpus = {r.doc_id for r in ref_kept1.collect()} | {
+        r.doc_id for r in ref_kept2.collect()
+    }
+    assert got_corpus == want_corpus
+    # the planted exact copies never reach the corpus
+    assert not any(d >= 1_000_000 for d in got_corpus)
+
+    # index loop closure: (bands + 1) rows per kept doc with a sketch,
+    # 1 sig row per kept doc
+    n_sigs = spark.read.parquet(str(base / "idx/sigs")).count()
+    assert n_sigs == len(got_corpus)
+    n_idx = spark.read.parquet(str(base / "idx/index")).count()
+    assert n_idx % len(got_corpus) == 0 and n_idx >= 2 * len(got_corpus)
