@@ -92,6 +92,8 @@ def main() -> None:
     # shared host, drowning the engine-throughput signal. Timing the
     # warm separately reports the train/query split instead of folding
     # a one-time driver-side fit into one arbitrary query's number.
+    # (reported on STDERR — the driver's stdout contract is exactly
+    # one JSON line with the five agreed keys)
     ann_warm: dict[str, float] = {}
     for name in ("ann_cosine_ivf", "ann_cosine_pq", "ann_cosine_ivf_pq"):
         if name in queries:
@@ -99,6 +101,9 @@ def main() -> None:
             queries[name](spark, SF_DIR).count()
             ann_warm[name] = round(time.time() - t0, 4)
             release_session_caches()
+    import sys
+
+    print(json.dumps({"ann_train_warm_sec": ann_warm}), file=sys.stderr)
 
     per_query: dict[str, float] = {}
     for name in names:
@@ -120,7 +125,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
-                "ann_train_warm_sec": ann_warm,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
