@@ -290,3 +290,69 @@ def kept_signature_rows(
     return signature_table(
         _kept(flagged, drop_near_candidates), id_col, text_col, k=k, n_hashes=n_hashes
     )
+
+
+def compact_index(
+    spark,
+    index_dir: str,
+    sig_rows_per_file: int = 2_000_000,
+) -> dict:
+    """Compact an appended index store (``index_dir/index`` +
+    ``index_dir/sigs``) in place: streaming ingestion appends a few
+    small files per micro-batch, and after thousands of batches the
+    probe pays file-listing + footer overhead per tiny file. Rewrites
+    the index to ~one file per band partition and the signature table
+    to ``sig_rows_per_file``-sized files.
+
+    Safety: the rewrite lands in a temp dir and is COUNT-VERIFIED
+    before the old directory is swapped out — a short write can never
+    destroy index rows. The swap is an ``os.rename`` (atomic on a
+    POSIX filesystem; on an object store use a table format with a
+    manifest instead). Paths are ``refreshByPath``-ed on both sides of
+    the swap — the session file-listing cache otherwise serves stale
+    file sets for appended (or replaced) directories.
+    """
+    import os
+    import shutil
+    import uuid
+
+    stats: dict[str, int] = {}
+    jobs = (
+        ("index", ["band"], None),
+        ("sigs", [], sig_rows_per_file),
+    )
+    for sub, parts, rows_per_file in jobs:
+        path = f"{index_dir}/{sub}"
+        spark.catalog.refreshByPath(path)
+        df = spark.read.parquet(path)
+        before_files = sum(
+            1 for _r, _d, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+        )
+        n = df.count()
+        if parts:
+            # hash-repartition on the partition column: each band lands
+            # wholly in one task -> one file per band directory
+            packed = df.repartition(*[F.col(c) for c in parts])
+            writer = packed.write.partitionBy(*parts)
+        else:
+            n_files = max(1, -(-n // rows_per_file))
+            writer = df.repartition(n_files).write
+        tmp = f"{path}._compact.{uuid.uuid4().hex[:8]}"
+        writer.mode("overwrite").parquet(tmp)
+        check = spark.read.parquet(tmp).count()
+        if check != n:
+            shutil.rmtree(tmp)
+            raise RuntimeError(
+                f"compaction of {path} would change row count "
+                f"({n} -> {check}); source left untouched"
+            )
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+        spark.catalog.refreshByPath(path)
+        after_files = sum(
+            1 for _r, _d, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+        )
+        stats[f"{sub}_rows"] = n
+        stats[f"{sub}_files_before"] = before_files
+        stats[f"{sub}_files_after"] = after_files
+    return stats

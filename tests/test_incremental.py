@@ -202,3 +202,71 @@ def test_index_is_compact_and_probe_carries_no_text(spark):
         I.dedup_against_index(docs.limit(50), idx).explain("formatted")
     p = buf.getvalue()
     assert "CartesianProduct" not in p
+
+
+def test_compact_index_preserves_contents_and_probes(spark, tmp_path_factory):
+    """Compaction after multi-batch appends: identical row multiset,
+    fewer files, identical probe flags; a short rewrite must refuse to
+    swap."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from solana_snapshot_etl_tools_spark.operators.incremental import (
+        build_index,
+        compact_index,
+        dedup_against_index,
+        signature_table,
+    )
+
+    base = tmp_path_factory.mktemp("compact")
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(120)
+    )
+    halves = [docs.filter(F.col("doc_id") % 2 == i) for i in (0, 1)]
+    for h in halves:  # two appends => many small files
+        build_index(h).write.mode("append").partitionBy("band").parquet(
+            f"{base}/index"
+        )
+        signature_table(h).write.mode("append").parquet(f"{base}/sigs")
+    spark.catalog.refreshByPath(f"{base}/index")
+    spark.catalog.refreshByPath(f"{base}/sigs")
+
+    probe = docs.limit(20)
+    before_idx = sorted(
+        (r.doc, r.band, r.key)
+        for r in spark.read.parquet(f"{base}/index").collect()
+    )
+    before_flags = sorted(
+        (r.doc_id, r.dup_exact, r.dup_near_candidate)
+        for r in dedup_against_index(
+            probe,
+            spark.read.parquet(f"{base}/index"),
+            old_sigs=spark.read.parquet(f"{base}/sigs"),
+        ).collect()
+    )
+
+    stats = compact_index(spark, str(base))
+    assert stats["index_files_after"] < stats["index_files_before"]
+    assert stats["sigs_files_after"] <= stats["sigs_files_before"]
+
+    after_idx = sorted(
+        (r.doc, r.band, r.key)
+        for r in spark.read.parquet(f"{base}/index").collect()
+    )
+    assert after_idx == before_idx
+    assert stats["index_rows"] == len(after_idx)
+    after_flags = sorted(
+        (r.doc_id, r.dup_exact, r.dup_near_candidate)
+        for r in dedup_against_index(
+            probe,
+            spark.read.parquet(f"{base}/index"),
+            old_sigs=spark.read.parquet(f"{base}/sigs"),
+        ).collect()
+    )
+    assert after_flags == before_flags
+    # every band directory compacted to one file
+    for band_dir in glob.glob(f"{base}/index/band=*"):
+        assert len(glob.glob(f"{band_dir}/*.parquet")) == 1

@@ -161,3 +161,23 @@ def test_cli_quality_model_stage(spark, model, tmp_path_factory, capsys):
     assert rep["n_input"] == 80
     assert rep["n_after_dedup"] == n_clean + n_junk
     assert abs(rep["n_after_filters"] - n_clean) <= 1
+
+
+def test_score_stream_matches_batch(spark, model, tmp_path_factory):
+    """The fitted pipeline is transform-only (tokenize/NGram/hash/LR),
+    so the SAME model must score a readStream unchanged — the learned
+    tier joins the stateless streaming stages."""
+    from solana_snapshot_etl_tools_spark.streaming.sinks import (
+        run_available_now,
+    )
+
+    docs = _corpus(spark, n=25, start=70_000).drop("label")
+    d = str(tmp_path_factory.mktemp("qm_stream") / "docs")
+    docs.write.parquet(d)
+    streamed = run_available_now(
+        spark, d, docs.schema, lambda s: QM.quality_model_score(s, model)
+    )
+    batch = QM.quality_model_score(spark.read.parquet(d), model)
+    a = {(r.doc_id, r.quality_prob) for r in streamed.collect()}
+    b = {(r.doc_id, r.quality_prob) for r in batch.collect()}
+    assert a == b and len(a) == 50
