@@ -101,6 +101,10 @@ def main(argv: list[str] | None = None) -> int:
                    "order (hash of the row id, seeded) instead of id "
                    "order — so no shard is crawl-order/topic-correlated "
                    "and the training loader needs no shuffle buffer")
+    p.add_argument("--data-card", action="store_true",
+                   help="include the final corpus's data-card stats "
+                   "(token/char totals, length percentiles, language "
+                   "mix, dup rate) in the JSON report")
     p.add_argument("--records-per-shard", type=int, default=65536)
     p.add_argument("--cpus", type=int, default=None)
     args = p.parse_args(argv)
@@ -354,6 +358,13 @@ def main(argv: list[str] | None = None) -> int:
             for name in ("train", "val", "test")
         }
     report["splits"] = splits
+
+    if args.data_card:
+        from solana_snapshot_etl_tools_spark.operators.report import (
+            corpus_report,
+        )
+
+        report["data_card"] = corpus_report(corpus.select("doc_id", "text"))
 
     corpus.unpersist()
     DD.release_session_caches()

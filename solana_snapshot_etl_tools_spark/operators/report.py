@@ -1,0 +1,90 @@
+"""Corpus data card — the release-artifact statistics a training
+corpus ships with (dataset cards per Gebru et al. "Datasheets for
+Datasets"; every LLM data paper publishes this table: sizes, token
+counts, length distribution, language mix, duplication rate).
+
+One wide aggregation pass over the corpus (every statistic is a
+partial-aggregable JVM expression — count / sum / approx percentiles /
+distinct-hash) plus one tiny groupBy for the language mix, so the
+report costs ~two scans regardless of corpus size. No collect ever
+carries rows: the language table is |languages| rows, everything else
+is scalars.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from solana_snapshot_etl_tools_spark.functions.text import (
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+LENGTH_PERCENTILES = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def corpus_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_languages: int = 50,
+) -> dict:
+    """Driver-side dict of corpus statistics:
+
+    - ``n_docs``, ``n_null_text``, ``n_empty_text``
+    - ``n_tokens`` (whitespace tokens), ``n_chars``
+    - ``chars_per_doc`` at ``LENGTH_PERCENTILES`` (approx, 1% error)
+    - ``exact_dup_rate``: 1 - distinct(text hash)/n — the fraction a
+      run of ``exact_dedup`` would remove (64-bit hash identity, the
+      index spelling; collisions only ever overstate by ~n²/2⁶⁵)
+    - ``mean_quality``: the heuristic score's corpus mean
+    - ``languages``: top ``max_languages`` of the n-gram lang-id mix
+    """
+    c = F.col(text_col)
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(c.isNull(), 1)).alias("n_null_text"),
+        F.count(F.when(F.length(c) == 0, 1)).alias("n_empty_text"),
+        F.sum(F.coalesce(token_count(c), F.lit(0))).alias("n_tokens"),
+        F.sum(F.coalesce(F.length(c), F.lit(0))).alias("n_chars"),
+        F.percentile_approx(
+            F.length(c), LENGTH_PERCENTILES, 100
+        ).alias("len_pcts"),
+        # xxhash64(NULL) is the seed constant, NOT null — gate it so a
+        # null text doesn't count as one more distinct document
+        F.approx_count_distinct(
+            F.when(c.isNotNull(), F.xxhash64(c)), 0.01
+        ).alias("n_distinct_text"),
+        F.avg(quality_score(c)).alias("mean_quality"),
+    ).collect()[0]
+    langs = (
+        docs.filter(c.isNotNull())
+        .groupBy(lang_id(c).alias("lang"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "lang")
+        .limit(max_languages)
+        .collect()
+    )
+    n = agg["n_docs"]
+    n_text = n - agg["n_null_text"]
+    distinct = min(agg["n_distinct_text"], n_text)  # approx can overshoot
+    return {
+        "n_docs": n,
+        "n_null_text": agg["n_null_text"],
+        "n_empty_text": agg["n_empty_text"],
+        "n_tokens": int(agg["n_tokens"] or 0),
+        "n_chars": int(agg["n_chars"] or 0),
+        "chars_per_doc_percentiles": dict(
+            zip([str(p) for p in LENGTH_PERCENTILES], agg["len_pcts"] or [])
+        ),
+        "exact_dup_rate": (
+            round(1.0 - distinct / n_text, 6) if n_text else 0.0
+        ),
+        "mean_quality": (
+            round(float(agg["mean_quality"]), 6)
+            if agg["mean_quality"] is not None
+            else None
+        ),
+        "languages": {r["lang"]: r["n"] for r in langs},
+    }

@@ -1,0 +1,73 @@
+"""Corpus data card: exact stats on a planted corpus, consistency on
+the real one, cost shape (two jobs, no row collect)."""
+
+from __future__ import annotations
+
+from solana_snapshot_etl_tools_spark.operators.report import corpus_report
+
+
+def test_planted_corpus_exact(spark):
+    rows = [
+        (1, "hello world"),          # 2 tokens, 11 chars
+        (2, "hello world"),          # exact dup of 1
+        (3, "a b c"),                # 3 tokens
+        (4, ""),                     # empty
+        (5, None),                   # null
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rep = corpus_report(df)
+    assert rep["n_docs"] == 5
+    assert rep["n_null_text"] == 1
+    assert rep["n_empty_text"] == 1
+    assert rep["n_chars"] == 11 + 11 + 5
+    # token_count counts the empty string as one token (the declared
+    # text_metrics semantics, pinned by its driver oracle)
+    assert rep["n_tokens"] == 2 + 2 + 3 + 1
+    # 4 non-null texts, 3 distinct -> dup rate 1/4 (approx_count_distinct
+    # is exact at this cardinality)
+    assert abs(rep["exact_dup_rate"] - 0.25) < 1e-6
+    assert sum(rep["languages"].values()) == 4
+
+
+def test_real_corpus_consistency(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    rep = corpus_report(docs)
+    assert rep["n_docs"] == docs.count()
+    assert rep["n_tokens"] > 0 and rep["n_chars"] > rep["n_tokens"]
+    pcts = rep["chars_per_doc_percentiles"]
+    vals = [pcts[k] for k in ("0.1", "0.5", "0.9")]
+    assert vals[0] <= vals[1] <= vals[2]
+    assert 0.0 <= rep["exact_dup_rate"] < 1.0
+    assert rep["mean_quality"] is not None
+    # the documents fixture is english-dominated
+    assert max(rep["languages"], key=rep["languages"].get) == "en"
+
+
+def test_empty_and_all_null(spark):
+    df = spark.createDataFrame([], "doc_id long, text string")
+    rep = corpus_report(df)
+    assert rep["n_docs"] == 0 and rep["exact_dup_rate"] == 0.0
+    df2 = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    rep2 = corpus_report(df2)
+    assert rep2["n_null_text"] == 1 and rep2["languages"] == {}
+
+
+def test_cli_data_card(spark, tmp_path_factory, capsys):
+    import json
+
+    from solana_snapshot_etl_tools_spark import corpus_cli
+
+    out = str(tmp_path_factory.mktemp("card"))
+    assert corpus_cli.main(
+        ["/root/testdata/sf0.001/documents.parquet", out, "--no-pii",
+         "--data-card", "--records-per-shard", "200"]
+    ) == 0
+    rep = json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.strip()][-1]
+    )
+    card = rep["data_card"]
+    assert card["n_docs"] == rep["n_after_filters"]
+    assert card["n_null_text"] == 0 and card["n_tokens"] > 0
+    assert card["exact_dup_rate"] == 0.0  # post-dedup corpus
