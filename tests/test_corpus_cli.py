@@ -216,3 +216,62 @@ def test_shuffle_seed_globally_shuffles_shards(spark, tmp_path_factory, capsys):
     # same corpus, different layout
     ids = lambda out: {r.doc_id for r in spark.read.parquet(f"{out}/train").collect()}
     assert ids(out_a) == ids(out_b)
+
+
+def test_all_stages_compose_in_one_run(spark, tmp_path_factory, capsys):
+    """Every optional stage at once — the full production recipe in a
+    single invocation: near dedup, learned quality model (Pareto),
+    cluster balance, index persistence, seeded shard shuffle,
+    BPE-tokenize + pack, data card. Stage flags must compose, not
+    merely work in isolation."""
+    from solana_snapshot_etl_tools_spark.operators import quality_model as QM
+
+    base = tmp_path_factory.mktemp("all_stages")
+    docs = spark.read.parquet(SRC).select("doc_id", "text")
+    # a permissive model: positives = the real corpus itself,
+    # negatives = junk strings (so real docs mostly survive)
+    junk = spark.createDataFrame(
+        [(10_000_000 + i, " ".join(["@@@%%!!"] * 30), 0.0) for i in range(150)],
+        "doc_id long, text string, label double",
+    )
+    labeled = docs.withColumn("label", F.lit(1.0)).unionByName(junk)
+    model = QM.quality_model_train(labeled, dim=2**14, max_iter=30)
+    mpath = str(base / "model")
+    model.write().overwrite().save(mpath)
+
+    out, idx = str(base / "out"), str(base / "idx")
+    rep = _run(
+        capsys, SRC, out,
+        "--near-dedup",
+        "--quality-model", mpath, "--quality-model-alpha", "9",
+        "--embeddings", "/root/testdata/sf0.001/embeddings.parquet",
+        "--cluster-balance", "3", "--alpha", "0.5",
+        "--index-out", idx,
+        "--shuffle-seed", "11",
+        "--tokenize", "64", "--pack", "128",
+        "--data-card",
+        "--records-per-shard", "100",
+    )
+    # stage monotonicity through the whole chain
+    assert (
+        rep["n_input"]
+        >= rep["n_after_dedup"]
+        >= rep["n_after_filters"]
+        >= rep["n_after_balance"]
+        > 0
+    )
+    assert len(rep["cluster_sizes"]) == 3
+    # index persisted over the FINAL corpus
+    assert rep["signature_rows"] == rep["n_after_balance"]
+    # packed output: fixed-length sequences, shuffled layout, and the
+    # data card describes the final corpus
+    assert rep["vocab_size"] > 64
+    train = spark.read.parquet(f"{out}/train")
+    assert train.columns == ["seq_id", "input_ids", "n_tokens", "n_docs", "fill_frac"]
+    assert train.filter(F.col("n_tokens") != 128).count() <= 1
+    assert rep["data_card"]["n_docs"] == rep["n_after_balance"]
+    # NOT exactly 0: exact dedup runs on RAW text, then PII redaction
+    # can map docs differing only in their PII spans onto the SAME
+    # cleaned text — the data card measures (and exposes) exactly that
+    # residue; it stays small on this corpus
+    assert rep["data_card"]["exact_dup_rate"] < 0.01
