@@ -44,6 +44,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="also remove minhash-LSH near-dups (jaccard>=0.8 "
                    "components, keep min id)")
     p.add_argument("--no-pii", action="store_true", help="skip PII redaction")
+    p.add_argument("--dedup-cleaned", action="store_true",
+                   help="re-run exact dedup on the REDACTED text — "
+                   "removes the residue where docs differing only in "
+                   "PII spans collide after redaction (the data card's "
+                   "exact_dup_rate measures it)")
     p.add_argument("--quality", type=float, default=0.5,
                    help="min quality_score, inclusive (default 0.5)")
     p.add_argument("--gopher", action="store_true",
@@ -148,6 +153,12 @@ def main(argv: list[str] | None = None) -> int:
         F.col("text") if args.no_pii else TXT.redact_pii(F.col("text"))
     )
     clean = kept.select("doc_id", clean_col.alias("text"))
+    if args.dedup_cleaned and not args.no_pii:
+        # exact dedup ran on RAW text; redaction can map docs that
+        # differed only in their PII spans onto the SAME cleaned text
+        # (the data card measures this residue) — one more cheap
+        # hash-groupBy pass on the cleaned text removes it
+        clean = DD.exact_dedup(clean, "doc_id", "text")
     c = F.col("text")
     filtered = clean.withColumn("_q", TXT.quality_score(c)).filter(
         F.col("_q") >= args.quality

@@ -71,3 +71,38 @@ def test_cli_data_card(spark, tmp_path_factory, capsys):
     assert card["n_docs"] == rep["n_after_filters"]
     assert card["n_null_text"] == 0 and card["n_tokens"] > 0
     assert card["exact_dup_rate"] == 0.0  # post-dedup corpus
+
+
+def test_dedup_cleaned_zeroes_redaction_residue(spark, tmp_path_factory, capsys):
+    """Two docs differing only in PII collide after redaction; the
+    --dedup-cleaned pass removes the residue and the data card reads
+    exactly zero."""
+    import json
+
+    from solana_snapshot_etl_tools_spark import corpus_cli
+
+    base = tmp_path_factory.mktemp("residue")
+    body = "the quick brown fox jumps over the lazy dog " * 3
+    rows = [
+        (1, body + "contact alice@example.com for details"),
+        (2, body + "contact bob@example.net for details"),
+        (3, body + "a genuinely different closing sentence here"),
+    ]
+    src = str(base / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    def run(*extra):
+        out = str(base / ("out" + str(len(extra))))
+        assert corpus_cli.main(
+            [src, out, "--quality", "0", "--lang", "", "--data-card", *extra]
+        ) == 0
+        return json.loads(
+            [l for l in capsys.readouterr().out.splitlines() if l.strip()][-1]
+        )
+
+    plain = run()
+    assert plain["n_after_filters"] == 3  # raw-distinct docs all survive
+    assert plain["data_card"]["exact_dup_rate"] > 0  # ...but 1 and 2 collided
+    fixed = run("--dedup-cleaned")
+    assert fixed["n_after_filters"] == 2  # min-id copy of the collision kept
+    assert fixed["data_card"]["exact_dup_rate"] == 0.0
