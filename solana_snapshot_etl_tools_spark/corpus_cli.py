@@ -296,9 +296,11 @@ def main(argv: list[str] | None = None) -> int:
         # the index covers the FINAL corpus (post-balance): docs the
         # sampler dropped are not in the corpus, so they are not in
         # the index. With --dedup-against-index this closes the loop:
-        # index' = prior index UNION this shard's kept rows.
-        new_index = INC.build_index(corpus)
-        new_sigs = INC.signature_table(corpus)
+        # index' = prior index UNION this shard's kept rows. The
+        # signature frame is cached and shared so the sketch pass over
+        # all text runs once, not once per output.
+        new_sigs = INC.signature_table(corpus).persist()
+        new_index = INC.build_index(corpus, sig=new_sigs)
         if args.dedup_against_index:
             new_index = spark.read.parquet(
                 f"{args.dedup_against_index}/index"
@@ -317,6 +319,7 @@ def main(argv: list[str] | None = None) -> int:
         report["signature_rows"] = spark.read.parquet(
             f"{args.index_out}/sigs"
         ).count()
+        new_sigs.unpersist()
 
     def write_split(df, name, order_col):
         if args.shuffle_seed is not None:

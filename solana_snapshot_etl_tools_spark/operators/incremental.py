@@ -86,16 +86,23 @@ def build_index(
     k: int = 3,
     n_hashes: int = N_HASHES,
     bands: int = LSH_BANDS,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """The persistable dedup index of an (already deduplicated)
     corpus: one exact-hash row (band = -1) per doc plus one row per
-    LSH band. ~ (bands + 1) x 20 bytes per doc."""
+    LSH band. ~ (bands + 1) x 20 bytes per doc.
+
+    ``sig``: a precomputed ``signature_table(docs)`` frame. Callers
+    persisting BOTH the index and the signature table should compute
+    the signatures once, cache them, and pass them here — otherwise
+    the CPU-heavy sketch pass over all text runs twice."""
     exact = docs.select(
         F.col(id_col).alias("doc"),
         F.lit(EXACT_BAND).alias("band"),
         F.xxhash64(text_col).alias("key"),
     )
-    sig = minhash_signatures(docs, id_col, text_col, k=k, n_hashes=n_hashes)
+    if sig is None:
+        sig = minhash_signatures(docs, id_col, text_col, k=k, n_hashes=n_hashes)
     return exact.unionByName(
         banded_signature_rows(sig, bands, n_hashes, key_name="key")
     )
@@ -262,11 +269,14 @@ def kept_index_rows(
     n_hashes: int = N_HASHES,
     bands: int = LSH_BANDS,
     drop_near_candidates: bool = False,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Index rows for the shard's survivors — append to the persisted
     index (``index.unionByName(kept)``) to keep the loop closed.
     ``drop_near_candidates=True`` is the aggressive policy; the
-    default keeps candidates in the corpus and the index."""
+    default keeps candidates in the corpus and the index. ``sig``: a
+    cached ``kept_signature_rows`` frame for the SAME policy, to avoid
+    re-sketching (see ``build_index``)."""
     return build_index(
         _kept(flagged, drop_near_candidates),
         id_col,
@@ -274,6 +284,7 @@ def kept_index_rows(
         k=k,
         n_hashes=n_hashes,
         bands=bands,
+        sig=sig,
     )
 
 
@@ -337,7 +348,8 @@ def compact_index(
         else:
             n_files = max(1, -(-n // rows_per_file))
             writer = df.repartition(n_files).write
-        tmp = f"{path}._compact.{uuid.uuid4().hex[:8]}"
+        token = uuid.uuid4().hex[:8]
+        tmp = f"{path}._compact.{token}"
         writer.mode("overwrite").parquet(tmp)
         check = spark.read.parquet(tmp).count()
         if check != n:
@@ -346,8 +358,13 @@ def compact_index(
                 f"compaction of {path} would change row count "
                 f"({n} -> {check}); source left untouched"
             )
-        shutil.rmtree(path)
+        # crash-safe swap: the live index is never deleted before its
+        # replacement is installed — a kill between the two renames
+        # leaves the old data recoverable under ._old.*, never nothing
+        old = f"{path}._old.{token}"
+        os.rename(path, old)
         os.rename(tmp, path)
+        shutil.rmtree(old)
         spark.catalog.refreshByPath(path)
         after_files = sum(
             1 for _r, _d, fs in os.walk(path) for f in fs if f.endswith(".parquet")

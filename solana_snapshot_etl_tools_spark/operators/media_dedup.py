@@ -57,6 +57,9 @@ from solana_snapshot_etl_tools_spark.operators.multimodal import (
 HASH_BITS = 64
 DEFAULT_MAX_HAMMING = 8
 PHASH_MAX_BUCKET = 512
+# cap on the audio waveform-raster height: bounds per-row temporaries
+# for arbitrarily long recordings (4096 x 32 doubles ~ 1 MB)
+MAX_AUDIO_RASTER_ROWS = 4096
 
 PHASH_SCHEMA = T.StructType(
     [
@@ -135,8 +138,10 @@ def _gray_raster(m: dict) -> np.ndarray | None:
         stride = (w * c + 3) // 4 * 4  # rows are 4-byte padded
         a = np.frombuffer(p, np.uint8).reshape(h, stride)[:, : w * c]
         a = a.astype(np.float64).reshape(h, w, c).mean(2)
-        return a[::-1]  # BMP rows are bottom-up; flip so a PNG/BMP
-        # pair of the same image hashes identically
+        # bottom-up rows (the default) flip so a PNG/BMP pair of the
+        # same image hashes identically; top-down BMPs (negative
+        # height in the header) are already in display order
+        return a if m.get("top_down") else a[::-1]
     if fmt == "fvid":
         # first frame: a thumbnail-level identity proxy (per-frame
         # hashing composes sample_frames with the image path instead)
@@ -152,9 +157,24 @@ def _gray_raster(m: dict) -> np.ndarray | None:
         if s.size == 0:
             return None
         side = 32
-        return np.abs(s)[: s.size // side * side].reshape(-1, side) if (
-            s.size >= side
-        ) else np.abs(s)[None, :]
+        # bound the raster BEFORE building it: a long recording would
+        # otherwise become an O(n_samples) float64 raster + integral
+        # image in one task (the unbounded-temporary class the text
+        # pipeline's segment caps exist to prevent). Block-mean the
+        # envelope down to <= MAX_AUDIO_RASTER_ROWS rows first —
+        # exact-mean pooling composed with _area_pool's pooling, so
+        # short clips hash identically to before.
+        env = np.abs(s)
+        max_rows = MAX_AUDIO_RASTER_ROWS
+        if env.size > max_rows * side:
+            blk = -(-env.size // (max_rows * side))
+            pad = (-env.size) % blk
+            if pad:
+                env = np.pad(env, (0, pad), mode="edge")
+            env = env.reshape(-1, blk).mean(1)
+        return env[: env.size // side * side].reshape(-1, side) if (
+            env.size >= side
+        ) else env[None, :]
     return None
 
 
@@ -195,11 +215,16 @@ def perceptual_hash(
 
 
 def _block_rows(
-    hashes: DataFrame, id_col: str, phash_col: str, n_blocks: int
+    hashes: DataFrame,
+    id_col: str,
+    phash_col: str,
+    n_blocks: int,
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """One row per (doc, block_idx, block_val): the 64-bit hash split
     into ``n_blocks`` contiguous bit blocks (sizes differ by <= 1) —
-    pure column expressions, no UDF."""
+    pure column expressions, no UDF. ``carry`` columns pass through
+    (e.g. ``kind`` so pairing can be restricted per media kind)."""
     widths = [
         HASH_BITS // n_blocks + (1 if i < HASH_BITS % n_blocks else 0)
         for i in range(n_blocks)
@@ -224,6 +249,7 @@ def _block_rows(
         .select(
             F.col(id_col).alias("doc"),
             F.col(phash_col).alias("_ph"),
+            *(carry or []),
             F.posexplode(blocks).alias("block_idx", "block_val"),
         )
     )
@@ -240,32 +266,44 @@ def phash_near_dup_pairs(
     exact (the pigeonhole block join has full recall; ``bit_count``
     gives exact precision), columns (doc_a, doc_b, hamming), except
     inside hot buckets where only rep-member pairs are emitted (the
-    star approximation; families stay one component)."""
+    star approximation; families stay one component).
+
+    When the input carries a ``kind`` column, pairing is restricted to
+    EQUAL kinds: a flat image and a silent audio clip both hash to 0,
+    and without the restriction they would merge into one family and
+    one of them would be "deduplicated" away."""
     if not 0 <= max_hamming < HASH_BITS:
         raise ValueError(f"max_hamming must be in [0, {HASH_BITS}), got {max_hamming}")
-    banded = _block_rows(hashes, id_col, phash_col, max_hamming + 1)
+    kinded = "kind" in hashes.columns
+    keys = (["kind"] if kinded else []) + ["block_idx", "block_val"]
+    banded = _block_rows(
+        hashes, id_col, phash_col, max_hamming + 1,
+        carry=["kind"] if kinded else None,
+    )
     cool, star = _cap_hot_buckets(
         banded,
-        ["block_idx", "block_val"],
+        keys,
         max_bucket_size,
         "star",
         rep_extra={"_ph_a": "_ph"},
     )
     left = cool.select(
-        "block_idx", "block_val", F.col("doc").alias("doc_a"), F.col("_ph").alias("_ph_a")
+        *keys, F.col("doc").alias("doc_a"), F.col("_ph").alias("_ph_a")
     )
     right = cool.select(
-        "block_idx", "block_val", F.col("doc").alias("doc_b"), F.col("_ph").alias("_ph_b")
+        *keys, F.col("doc").alias("doc_b"), F.col("_ph").alias("_ph_b")
     )
     cand = (
-        left.join(right, ["block_idx", "block_val"])
+        left.join(right, keys)
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "_ph_a", "_ph_b")
         .distinct()
     )
     if star is not None:
         # star pairs carry the rep's hash; fetch the member's with one
-        # compact join (hot-bucket rows only, 16 bytes a side)
+        # compact join (hot-bucket rows only, 16 bytes a side). The
+        # bucket keys already include kind, so star pairs are
+        # kind-homogeneous by construction.
         member = hashes.select(
             F.col(id_col).alias("doc_b"), F.col(phash_col).alias("_ph_b")
         )

@@ -180,6 +180,10 @@ def parse_std_media(blob: bytes):
                 height=h,
                 channels=bpp // 8,
                 payload=payload,
+                # negative height = top-down row order (no flip needed);
+                # consumers that reconstruct pixels (media_dedup's
+                # raster) must respect this or they mirror the image
+                top_down=height < 0,
             )
         return None
     except (struct.error, IndexError):

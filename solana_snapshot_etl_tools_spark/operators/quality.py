@@ -79,10 +79,30 @@ def gopher_quality_flags(
     ellipsis_lines = F.size(
         F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
     )
-    alpha_words = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
-    sw = F.array(*[F.lit(s) for s in sorted(stopwords or GOPHER_STOPWORDS)])
+    # \p{L}: the published rule is "contains an alphabetic character",
+    # and [a-z] would fail every Cyrillic/CJK/Greek word (and strip
+    # accented edges) — the exact corpora the stopword override
+    # targets
+    alpha_words = F.size(F.filter(w, lambda x: x.rlike(r"\p{L}")))
+    if stopwords is not None and not stopwords:
+        raise ValueError(
+            "stopwords must be a non-empty list (pass None for the "
+            "Gopher A1.1 default) — an empty list would silently fail "
+            "ok_stopwords for every document"
+        )
+    sw = F.array(
+        *[
+            F.lit(s.lower())  # tokens are lowercased; 'The' must match
+            for s in sorted(
+                stopwords if stopwords is not None else GOPHER_STOPWORDS
+            )
+        ]
+    )
     bare = F.transform(
-        w, lambda x: F.regexp_replace(x, r"^[^a-z0-9]+|[^a-z0-9]+$", "")
+        w,
+        lambda x: F.regexp_replace(
+            x, r"^[^\p{L}\p{N}]+|[^\p{L}\p{N}]+$", ""
+        ),
     )
     n_stop = F.size(F.array_intersect(F.array_distinct(bare), sw))
 

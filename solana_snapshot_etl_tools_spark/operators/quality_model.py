@@ -104,13 +104,24 @@ def quality_model_score(
     scores as the empty document (skip-not-fail)."""
     from pyspark.ml.functions import vector_to_array
 
-    prepared = docs.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+    # the pipeline's tokenizer needs a non-null text_col; score on a
+    # coalesced copy but return the ORIGINAL column — a null text must
+    # come back null, not '' (downstream null/empty accounting)
+    prepared = docs.withColumn("_qm_orig", F.col(text_col)).withColumn(
+        text_col, F.coalesce(F.col(text_col), F.lit(""))
+    )
     # element_at is 1-based; class 1's probability is the second slot
     scored = model.transform(prepared).withColumn(
         "quality_prob",
         F.element_at(vector_to_array("probability"), 2),
     )
-    return scored.select(*docs.columns, "quality_prob")
+    return scored.select(
+        *[
+            F.col("_qm_orig").alias(text_col) if c == text_col else F.col(c)
+            for c in docs.columns
+        ],
+        "quality_prob",
+    )
 
 
 def pareto_keep(

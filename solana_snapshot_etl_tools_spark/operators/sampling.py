@@ -171,10 +171,13 @@ def temperature_sample(
     counts = counts.withColumnRenamed(stratum_col, "_stratum")
     # p_i and the feasibility cap involve one tiny driver-side pass
     # over the STRATUM LIST (not the corpus) — #strata rows. Guard
-    # that list's size BEFORE collecting it (cf. similarity.py's
-    # max_rows probe): limit(cap+1).count() stops scanning past the
-    # bound instead of materializing an unbounded result driver-side.
-    if counts.limit(max_strata + 1).count() > max_strata:
+    # driver memory by collecting AT MOST cap+1 rows: the limit bounds
+    # what reaches the driver, and one aggregation serves both the
+    # guard and the weights (a separate limit().count() probe would
+    # run the identical full-corpus groupBy a second time — limits
+    # do not short-circuit an aggregation's scan).
+    stats = counts.limit(max_strata + 1).collect()
+    if len(stats) > max_strata:
         raise ValueError(
             f"temperature_sample: {stratum_col!r} has more than "
             f"{max_strata} distinct strata — the per-stratum weight "
@@ -182,7 +185,6 @@ def temperature_sample(
             "coarser stratum (language/domain/cluster id), or raise "
             "max_strata deliberately."
         )
-    stats = counts.collect()
     if not stats:  # empty input: empty output, like balanced_sample
         return df
     weights = {r["_stratum"]: float(r["_cnt"]) ** alpha for r in stats}

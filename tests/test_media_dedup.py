@@ -319,3 +319,70 @@ def test_pair_plans_never_cartesian(spark):
         with contextlib.redirect_stdout(buf):
             q.explain("formatted")
         assert "CartesianProduct" not in buf.getvalue()
+
+
+def test_cross_kind_hash_collisions_never_pair(spark):
+    """A flat black image and a silent audio clip both hash to the
+    same value — they must NOT merge into one dedup family (the kind
+    column restricts pairing)."""
+    flat_img = np.zeros((48, 64, 1), np.uint8)
+    silence = np.zeros(4000, "<i2")
+    faud = b"FAUD" + struct.pack("<II", 16000, len(silence)) + silence.tobytes()
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(_fimg(flat_img))),
+            (2, "audio", bytearray(faud)),
+            (3, "image", bytearray(_fimg(flat_img))),  # same-kind dup
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    hashes = MD.perceptual_hash(media)
+    rows = {r.media_id: r.phash for r in hashes.collect()}
+    assert rows[1] == rows[2]  # the cross-kind collision is real...
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in MD.phash_near_dup_pairs(hashes, max_hamming=0).collect()
+    }
+    assert pairs == {(1, 3)}  # ...but only same-kind rows pair
+    decision = {r.media_id: r.keep_id for r in MD.phash_dedup(media).collect()}
+    assert decision[2] == 2  # the audio clip survives untouched
+    assert decision[1] == decision[3] == 1
+
+
+def test_long_audio_raster_is_bounded():
+    """A long recording must hash through a BOUNDED raster (the
+    unbounded per-row temporary class), preserving gain invariance."""
+    rng = np.random.default_rng(3)
+    n = (MD.MAX_AUDIO_RASTER_ROWS * 32) * 3 + 17  # 3x over the cap
+    s = (rng.standard_normal(n) * 1500).astype("<i2")
+    loud = (s.astype(np.int32) * 4).astype("<i2")
+
+    def faud(sam):
+        return b"FAUD" + struct.pack("<II", 16000, len(sam)) + sam.tobytes()
+
+    m = MM.parse_fake_media(faud(s))
+    raster = MD._gray_raster(m)
+    assert raster.shape[0] <= MD.MAX_AUDIO_RASTER_ROWS
+    assert _hash_of(faud(s)) == _hash_of(faud(loud))
+
+
+def test_top_down_bmp_matches_png():
+    """Top-down BMPs (negative height) are already in display order —
+    they must hash identically to the PNG of the same image, not
+    vertically mirrored."""
+    pix = _img(5)
+    h, w, _ = pix.shape
+    stride = (w * 3 + 3) // 4 * 4
+    rows = b"".join(
+        pix[y].tobytes() + b"\x00" * (stride - w * 3) for y in range(h)
+    )  # display order
+    header = b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+    header += struct.pack(
+        "<IiiHHIIiiII", 40, w, -h, 1, 24, 0, len(rows), 2835, 2835, 0, 0
+    )
+    td_bmp = header + rows
+    m = MM.parse_std_media(td_bmp)
+    assert m is not None and m["top_down"] is True
+    assert _hash_of(td_bmp, codec="std") == _hash_of(_png(pix), codec="std")
+    # and the bottom-up spelling still matches too (regression)
+    assert _hash_of(_bmp(pix), codec="std") == _hash_of(_png(pix), codec="std")

@@ -136,3 +136,29 @@ def test_real_corpus_and_narrow_plan(spark):
     p = buf.getvalue()
     assert "Exchange" not in p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_gopher_stopwords_non_latin_and_case(spark):
+    """The stopword override must work for the corpora it exists for:
+    non-Latin scripts survive edge-stripping, uppercase user input
+    matches the lowercased tokens, and an explicit empty list is an
+    error rather than a silent reject-everything."""
+    import pytest as _pytest
+
+    from solana_snapshot_etl_tools_spark.operators.quality import (
+        gopher_quality_flags,
+    )
+
+    ru = " ".join(["и в не на слово текст пример давно"] * 10)
+    df = spark.createDataFrame([(1, ru)], "doc_id long, text string")
+    out = gopher_quality_flags(df, stopwords=["и", "в", "не"]).collect()[0]
+    assert out.ok_stopwords  # Cyrillic tokens are not stripped to ''
+    assert out.ok_alpha_words  # \p{L}, not [a-z]
+
+    en = " ".join(["the cat and the dog sat with a book nearby today"] * 8)
+    df2 = spark.createDataFrame([(1, en)], "doc_id long, text string")
+    up = gopher_quality_flags(df2, stopwords=["The", "AND", "WITH"]).collect()[0]
+    assert up.ok_stopwords  # case-insensitive override
+
+    with _pytest.raises(ValueError):
+        gopher_quality_flags(df2, stopwords=[])

@@ -181,3 +181,16 @@ def test_score_stream_matches_batch(spark, model, tmp_path_factory):
     a = {(r.doc_id, r.quality_prob) for r in streamed.collect()}
     b = {(r.doc_id, r.quality_prob) for r in batch.collect()}
     assert a == b and len(a) == 50
+
+
+def test_null_text_passes_through_unchanged(spark, model):
+    """Scoring must not rewrite a null text to '' in its output —
+    downstream null/empty accounting depends on the distinction."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, "")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in QM.quality_model_score(docs, model).collect()}
+    assert out[1].text is None
+    assert out[2].text == ""
+    # both score as the empty document
+    assert out[1].quality_prob == out[2].quality_prob

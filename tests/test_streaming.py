@@ -269,3 +269,57 @@ def test_streaming_shard_ingestion_matches_sequential_batches(
     assert n_sigs == len(got_corpus)
     n_idx = spark.read.parquet(str(base / "idx/index")).count()
     assert n_idx % len(got_corpus) == 0 and n_idx >= 2 * len(got_corpus)
+
+
+def test_streaming_ingestion_replay_is_idempotent(spark, tmp_path_factory):
+    """Crash-replay semantics: foreachBatch is at-least-once, and a
+    batch is re-run exactly when the previous attempt died after some
+    (or all) of its writes. Replaying the batch processor with the
+    same (batch_df, batch_id) must leave corpus/index/sigs IDENTICAL
+    — the dynamic per-batch overwrite + prior-batches-only flag read
+    make the writes idempotent, not merely appended."""
+    from pyspark.sql import functions as F
+
+    from solana_snapshot_etl_tools_spark.streaming.ingest import (
+        process_ingest_batch,
+    )
+
+    base = tmp_path_factory.mktemp("ingest_replay")
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(80)
+    )
+    s1 = docs.filter(F.col("doc_id") % 2 == 0)
+    # shard 2 contains exact copies of three shard-1 docs
+    s2 = docs.filter(F.col("doc_id") % 2 == 1).unionByName(
+        s1.limit(3).select((F.col("doc_id") + 500_000).alias("doc_id"), "text")
+    )
+    idx, corpus = str(base / "idx"), str(base / "corpus")
+    process_ingest_batch(s1, 0, idx, corpus)
+    process_ingest_batch(s2, 1, idx, corpus)
+
+    def state():
+        out = {}
+        for name, p in (("corpus", corpus), ("index", f"{idx}/index"),
+                        ("sigs", f"{idx}/sigs")):
+            spark.catalog.refreshByPath(p)
+            df = spark.read.parquet(p)
+            out[name] = df.count()
+        ids = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+        return out, ids
+
+    before, ids_before = state()
+    assert len(ids_before) == len(set(ids_before)) == 80  # copies dropped
+
+    # replay batch 1 (the crash-after-some-writes case): same frame,
+    # same batch id — every output must be byte-for-byte re-derived
+    process_ingest_batch(s2, 1, idx, corpus)
+    after, ids_after = state()
+    assert after == before
+    assert ids_after == ids_before
+
+    # and a replay of batch 0 (earliest batch) is equally harmless
+    process_ingest_batch(s1, 0, idx, corpus)
+    final, ids_final = state()
+    assert final == before and ids_final == ids_before
