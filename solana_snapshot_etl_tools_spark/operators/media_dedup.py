@@ -387,20 +387,14 @@ def perceptual_hash_frames(
     return spread_small_input(media).mapInPandas(run, FRAME_PHASH_SCHEMA)
 
 
-def video_near_dup_pairs(
+def _video_frame_matches(
     frame_hashes: DataFrame,
-    max_hamming: int = DEFAULT_MAX_HAMMING,
-    min_shared_frames: int = 3,
-    max_bucket_size: int | None = PHASH_MAX_BUCKET,
+    max_hamming: int,
+    max_bucket_size: int | None,
 ) -> DataFrame:
-    """Video pairs sharing perceptually-near frames: (media_a, media_b,
-    shared_frames) where ``shared_frames`` counts media_a's DISTINCT
-    frames that match some frame of media_b within ``max_hamming`` —
-    re-encodes/re-containers of the same footage share most sampled
-    frames; unrelated videos share none. Input is
-    ``perceptual_hash_frames`` output. Frames are identified by the
-    (media_id, frame_idx) struct through the same pigeonhole block
-    join, so no id-packing bound is imposed on media_id."""
+    """Cross-video frame matches within ``max_hamming``: (media_a,
+    frame_a, media_b, frame_b), media_a < media_b — the shared core of
+    the pair counter and the temporal aligner."""
     if not 0 <= max_hamming < HASH_BITS:
         raise ValueError(f"max_hamming must be in [0, {HASH_BITS}), got {max_hamming}")
     n_blocks = max_hamming + 1
@@ -439,14 +433,105 @@ def video_near_dup_pairs(
             .distinct()
         )
     ham = F.bit_count(F.col("_ph_a").bitwiseXOR(F.col("_ph_b")))
-    matched = cand.filter(ham <= max_hamming)
+    return cand.filter(ham <= max_hamming).select(
+        F.col("doc_a.media_id").alias("media_a"),
+        F.col("doc_a.frame_idx").alias("frame_a"),
+        F.col("doc_b.media_id").alias("media_b"),
+        F.col("doc_b.frame_idx").alias("frame_b"),
+    )
+
+
+def video_near_dup_pairs(
+    frame_hashes: DataFrame,
+    max_hamming: int = DEFAULT_MAX_HAMMING,
+    min_shared_frames: int = 3,
+    max_bucket_size: int | None = PHASH_MAX_BUCKET,
+) -> DataFrame:
+    """Video pairs sharing perceptually-near frames: (media_a, media_b,
+    shared_frames) where ``shared_frames`` counts media_a's DISTINCT
+    frames that match some frame of media_b within ``max_hamming`` —
+    re-encodes/re-containers of the same footage share most sampled
+    frames; unrelated videos share none. Input is
+    ``perceptual_hash_frames`` output. Frames are identified by the
+    (media_id, frame_idx) struct through the same pigeonhole block
+    join, so no id-packing bound is imposed on media_id."""
+    matched = _video_frame_matches(frame_hashes, max_hamming, max_bucket_size)
     return (
-        matched.groupBy(
-            F.col("doc_a.media_id").alias("media_a"),
-            F.col("doc_b.media_id").alias("media_b"),
-        )
-        .agg(F.countDistinct("doc_a.frame_idx").alias("shared_frames"))
+        matched.groupBy("media_a", "media_b")
+        .agg(F.countDistinct("frame_a").alias("shared_frames"))
         .filter(F.col("shared_frames") >= min_shared_frames)
+    )
+
+
+# bound on the per-pair match list the aligner materializes in one
+# task: a degenerate pair (every frame matching every frame — e.g.
+# two long flat videos) would otherwise build an O(na*nb) row array
+MAX_ALIGN_MATCHES = 1 << 17
+
+
+def video_temporal_alignment(
+    frame_hashes: DataFrame,
+    max_hamming: int = DEFAULT_MAX_HAMMING,
+    min_shared_frames: int = 3,
+    max_bucket_size: int | None = PHASH_MAX_BUCKET,
+) -> DataFrame:
+    """Temporal consistency of a video pair's shared frames:
+    (media_a, media_b, shared_frames, aligned_frames) where
+    ``aligned_frames`` is the longest chain of frame matches strictly
+    increasing in BOTH videos' timelines (classic 2-D LIS: sort by
+    (frame_a asc, frame_b desc), patience-LIS on frame_b). A
+    re-encode keeps temporal order, so aligned ≈ shared; a slideshow
+    that merely REUSES the same stills in a different order shares
+    frames but aligns few — the signal that separates "same footage"
+    from "same assets".
+
+    Per-pair match lists are truncated at ``MAX_ALIGN_MATCHES``
+    (sorted prefix, logged shape — degenerate all-frames-match pairs
+    would otherwise build an O(na*nb) array in one task); the LIS is
+    an O(n log n) numpy pass per pair inside an Arrow-batched UDF."""
+    matched = _video_frame_matches(frame_hashes, max_hamming, max_bucket_size)
+    lists = (
+        matched.groupBy("media_a", "media_b")
+        .agg(
+            F.countDistinct("frame_a").alias("shared_frames"),
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct("frame_a", "frame_b"))
+                ),
+                1,
+                MAX_ALIGN_MATCHES,
+            ).alias("_ms"),
+        )
+        .filter(F.col("shared_frames") >= min_shared_frames)
+    )
+
+    @F.pandas_udf("int")
+    def lis_len(ms: pd.Series) -> pd.Series:
+        import bisect
+
+        out = []
+        for pairs in ms:
+            # strictly-increasing-in-both chain: sort (fa asc, fb
+            # desc) so equal-fa matches can't chain, then LIS on fb
+            seq = sorted(
+                ((p["frame_a"], p["frame_b"]) for p in pairs),
+                key=lambda t: (t[0], -t[1]),
+            )
+            tails: list[int] = []
+            for _, fb in seq:
+                i = bisect.bisect_left(tails, fb)
+                if i == len(tails):
+                    tails.append(fb)
+                else:
+                    tails[i] = fb
+            out.append(len(tails))
+        return pd.Series(out, dtype="int32")
+
+    return lists.select(
+        "media_a",
+        "media_b",
+        "shared_frames",
+        lis_len("_ms").alias("aligned_frames"),
     )
 
 

@@ -254,3 +254,92 @@ def upsample_corpus(
         n_copies >= 1, F.sequence(F.lit(1), n_copies)
     ).otherwise(F.array().cast("array<int>"))
     return df.withColumn(epoch_col, F.explode(seqs))
+
+
+def stratified_split(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+    seed: int = 0,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """EXACT stratified train/val/test split: every stratum
+    contributes ``floor(n_i * pct / 100)`` rows to train and
+    ``floor(n_i * (train+val) / 100) - train_i`` to val (the
+    remainder is test), so tiny strata keep their held-out share
+    instead of losing it to hash variance — the guarantee the plain
+    hash split (``split_train_val_test``) provides only in
+    expectation. The price is append-INstability: adding documents
+    re-ranks a stratum, so a rerun on a grown corpus reassigns some
+    rows (the hash split never does). Pick per use case.
+
+    Scale shape (the packing two-pass prefix rank, generalized per
+    stratum — NO per-stratum global sort): the decision runs on a
+    compact (stratum, id, hash) projection; range-partition by
+    (stratum, hash) → per-(range, stratum) counts collected
+    driver-side (<= #ranges + #strata rows) → broadcast base offsets
+    + per-stratum cut points → within-range window rank. Document
+    text touches only the final id equi-join."""
+    if not (0 <= train_pct <= 100 and 0 <= val_pct <= 100):
+        raise ValueError("each split percentage must be in [0, 100]")
+    if train_pct + val_pct > 100:
+        raise ValueError("train_pct + val_pct must be <= 100")
+    from pyspark.sql import Window as W
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    n_part = num_ranges or spark.sparkContext.defaultParallelism
+    d = (
+        df.select(F.col(stratum_col).alias("_s"), F.col(id_col).alias("_i"))
+        .withColumn("_h", F.xxhash64("_i", F.lit(seed)))
+        .repartitionByRange(n_part, "_s", "_h")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    per_range = d.groupBy("_pid", "_s").agg(F.count(F.lit(1)).alias("_c")).collect()
+    if not per_range:
+        return df.withColumn("split", F.lit("train")).limit(0)
+    totals: dict = {}
+    base_rows = []
+    # offsets accumulate in (stratum, range) order — ranges are
+    # contiguous in (_s, _h), so range order IS the stratum's
+    # hash-rank order
+    for r in sorted(
+        per_range, key=lambda r: ((r["_s"] is None, r["_s"]), r["_pid"])
+    ):
+        base_rows.append((r["_pid"], r["_s"], totals.get(r["_s"], 0)))
+        totals[r["_s"]] = totals.get(r["_s"], 0) + r["_c"]
+    cuts = {
+        s: (t * train_pct // 100, t * (train_pct + val_pct) // 100)
+        for s, t in totals.items()
+    }
+    helper = spark.createDataFrame(
+        [(pid, s, b, cuts[s][0], cuts[s][1]) for pid, s, b in base_rows],
+        T.StructType(
+            [
+                T.StructField("_hpid", T.IntegerType(), False),
+                T.StructField("_hs", df.schema[stratum_col].dataType, True),
+                T.StructField("_base", T.LongType(), False),
+                T.StructField("_cut1", T.LongType(), False),
+                T.StructField("_cut2", T.LongType(), False),
+            ]
+        ),
+    )
+    win = W.partitionBy("_pid", "_s").orderBy("_h", "_i")
+    rank = F.col("_base") + F.row_number().over(win) - 1
+    decision = (
+        d.join(
+            F.broadcast(helper),
+            (F.col("_pid") == F.col("_hpid"))
+            & F.col("_s").eqNullSafe(F.col("_hs")),
+        )
+        .select(
+            F.col("_i").alias(id_col),
+            F.when(rank < F.col("_cut1"), "train")
+            .when(rank < F.col("_cut2"), "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+    return df.join(decision, id_col)

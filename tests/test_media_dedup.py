@@ -386,3 +386,79 @@ def test_top_down_bmp_matches_png():
     assert _hash_of(td_bmp, codec="std") == _hash_of(_png(pix), codec="std")
     # and the bottom-up spelling still matches too (regression)
     assert _hash_of(_bmp(pix), codec="std") == _hash_of(_png(pix), codec="std")
+
+
+def test_video_temporal_alignment_separates_reencode_from_slideshow(spark):
+    """A re-encode preserves temporal order (aligned ~= shared); a
+    slideshow reusing the same stills in REVERSE order shares every
+    frame but aligns only one — the 2-D LIS signal."""
+    frames = [_gray(s) for s in range(40, 46)]
+    reenc = []
+    for f in frames:
+        g = f.copy()
+        g[0:2, 0:2] = 0
+        reenc.append(g)
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytearray(_fvid(frames))),
+            (2, "video", bytearray(_fvid(reenc))),        # same order
+            (3, "video", bytearray(_fvid(frames[::-1]))),  # reversed
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    fh = MD.perceptual_hash_frames(media)
+    out = {
+        (r.media_a, r.media_b): (r.shared_frames, r.aligned_frames)
+        for r in MD.video_temporal_alignment(fh, min_shared_frames=1).collect()
+    }
+    assert out[(1, 2)] == (6, 6)  # re-encode: fully aligned
+    shared, aligned = out[(1, 3)]
+    assert shared == 6 and aligned == 1  # same stills, no temporal chain
+    # and the plain pair counter agrees on shared counts
+    pairs = {
+        (r.media_a, r.media_b): r.shared_frames
+        for r in MD.video_near_dup_pairs(fh, min_shared_frames=1).collect()
+    }
+    assert pairs[(1, 2)] == 6 and pairs[(1, 3)] == 6
+
+
+def test_alignment_lis_reference():
+    """The patience-LIS inside the aligner against a brute-force
+    reference on random match sets."""
+    import itertools
+
+    rng = np.random.default_rng(9)
+
+    def brute(seq):
+        best = 0
+        for r in range(1, len(seq) + 1):
+            if r <= best:
+                continue
+            for comb in itertools.combinations(sorted(seq), r):
+                if all(
+                    comb[i][0] < comb[i + 1][0] and comb[i][1] < comb[i + 1][1]
+                    for i in range(len(comb) - 1)
+                ):
+                    best = max(best, r)
+                    break
+        return best
+
+    def patience(seq):
+        import bisect
+
+        s = sorted(seq, key=lambda t: (t[0], -t[1]))
+        tails = []
+        for _, fb in s:
+            i = bisect.bisect_left(tails, fb)
+            if i == len(tails):
+                tails.append(fb)
+            else:
+                tails[i] = fb
+        return len(tails)
+
+    for _ in range(30):
+        n = int(rng.integers(1, 9))
+        seq = {
+            (int(rng.integers(0, 6)), int(rng.integers(0, 6))) for _ in range(n)
+        }
+        assert patience(seq) == brute(seq), sorted(seq)

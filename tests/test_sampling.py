@@ -264,3 +264,54 @@ def test_upsample_corpus_fractional(spark):
     assert abs(down - 0.3 * n) < 5 * (0.21 * n) ** 0.5
     with _pytest.raises(ValueError):
         upsample_corpus(df, 0.0)
+
+
+def test_stratified_split_exact_counts(spark):
+    from solana_snapshot_etl_tools_spark.operators.sampling import stratified_split
+
+    # skewed strata incl. a tiny one and a NULL stratum
+    rows = (
+        [(i, "en") for i in range(1000)]
+        + [(10_000 + i, "fr") for i in range(100)]
+        + [(20_000 + i, "sw") for i in range(7)]
+        + [(30_000 + i, None) for i in range(23)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_split(df, "lang", train_pct=80, val_pct=10)
+    assert out.count() == len(rows)  # exhaustive
+    got = {
+        (r.lang, r.split): r.n
+        for r in out.groupBy("lang", "split").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, t in (("en", 1000), ("fr", 100), ("sw", 7), (None, 23)):
+        n_tr = t * 80 // 100
+        n_val = t * 90 // 100 - n_tr
+        assert got.get((lang, "train"), 0) == n_tr, (lang, got)
+        assert got.get((lang, "val"), 0) == n_val, (lang, got)
+        assert got.get((lang, "test"), 0) == t - n_tr - n_val, (lang, got)
+    # the tiny stratum kept an exact held-out share (80/10 of 7 = 5/1/1)
+    assert got[("sw", "val")] == 1 and got[("sw", "test")] == 1
+
+    # deterministic across reruns and partitionings; seed changes
+    # membership but not counts
+    a = {(r.doc_id, r.split) for r in out.collect()}
+    b = {
+        (r.doc_id, r.split)
+        for r in stratified_split(
+            df.repartition(17), "lang", train_pct=80, val_pct=10
+        ).collect()
+    }
+    assert a == b
+    c = {
+        (r.doc_id, r.split)
+        for r in stratified_split(
+            df, "lang", train_pct=80, val_pct=10, seed=5
+        ).collect()
+    }
+    assert c != a
+    assert {s for _, s in c} == {"train", "val", "test"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        stratified_split(df, "lang", train_pct=80, val_pct=30)
