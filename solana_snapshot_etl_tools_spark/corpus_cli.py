@@ -96,8 +96,14 @@ def main(argv: list[str] | None = None) -> int:
                    "index cannot exact-verify Jaccard)")
     p.add_argument("--train-pct", type=int, default=90)
     p.add_argument("--val-pct", type=int, default=5)
-    p.add_argument("--tokenize", type=int, metavar="N_MERGES", default=None,
-                   help="BPE-train on the cleaned corpus and emit token ids")
+    p.add_argument("--tokenize", type=int, metavar="N", default=None,
+                   help="train a subword tokenizer on the train split "
+                   "and emit token ids — N is the merge budget (bpe) "
+                   "or the vocab size (unigram)")
+    p.add_argument("--tokenizer", choices=["bpe", "unigram"], default="bpe",
+                   help="subword algorithm for --tokenize: Sennrich "
+                   "BPE (default) or the SentencePiece unigram-LM "
+                   "(operators/unigram.py)")
     p.add_argument("--pack", type=int, metavar="SEQ_LEN", default=None,
                    help="pack token ids into fixed-length sequences "
                    "(requires --tokenize)")
@@ -340,25 +346,35 @@ def main(argv: list[str] | None = None) -> int:
         return {"rows": sum(r.rows for r in rows), "shards": len(rows)}
 
     if args.tokenize is not None:
-        from solana_snapshot_etl_tools_spark.operators import bpe as B
         from solana_snapshot_etl_tools_spark.operators.packing import (
             pack_token_sequences,
         )
 
-        # merges are selected from the TRAIN split only — training the
-        # tokenizer on val/test would leak held-out text into merge
+        # the tokenizer is fit on the TRAIN split only — training it
+        # on val/test would leak held-out text into merge/vocab
         # selection (the tokenizer is part of the model)
-        model = B.bpe_train(
-            corpus.filter(F.col("split") == "train"), n_merges=args.tokenize
-        )
-        eos = len(B.bpe_vocab(model))
+        train_docs = corpus.filter(F.col("split") == "train")
+        if args.tokenizer == "unigram":
+            from solana_snapshot_etl_tools_spark.operators import (
+                unigram as UG,
+            )
+
+            model = UG.unigram_train(train_docs, vocab_size=args.tokenize)
+            eos = len(UG.unigram_vocab(model))
+            encode = UG.unigram_encode
+        else:
+            from solana_snapshot_etl_tools_spark.operators import bpe as B
+
+            model = B.bpe_train(train_docs, n_merges=args.tokenize)
+            eos = len(B.bpe_vocab(model))
+            encode = B.bpe_encode
         # embedding tables must cover the EOS id one past the vocab
         report["vocab_size"] = eos
         report["eos_id"] = eos
         report["n_embeddings"] = eos + 1
         splits = {}
         for name in ("train", "val", "test"):
-            enc = B.bpe_encode(corpus.filter(F.col("split") == name), model)
+            enc = encode(corpus.filter(F.col("split") == name), model)
             if args.pack is not None:
                 enc = pack_token_sequences(enc, args.pack, eos_id=eos)
                 splits[name] = write_split(enc, name, "seq_id")

@@ -1,0 +1,182 @@
+"""Unigram-LM tokenizer: Viterbi optimality vs brute force, EM
+likelihood monotonicity, vocab contract, distributed-encode parity,
+compression on the real corpus."""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+import pytest
+
+from solana_snapshot_etl_tools_spark.operators import unigram as U
+
+
+def _all_segmentations(word, pieces, max_len):
+    n = len(word)
+    if n == 0:
+        yield []
+        return
+    for L in range(1, min(max_len, n) + 1):
+        p = word[:L]
+        if p in pieces:
+            for rest in _all_segmentations(word[L:], pieces, max_len):
+                yield [p] + rest
+
+
+def test_viterbi_is_optimal_vs_bruteforce():
+    logp = {
+        "a": math.log(0.3), "b": math.log(0.2), "ab": math.log(0.25),
+        "ba": math.log(0.05), "aba": math.log(0.15), "bb": math.log(0.05),
+    }
+    for word in ("ababab", "abba", "aabba", "bababa", "aaa"):
+        segs = list(_all_segmentations(word, logp, 3))
+        assert segs, word
+        best = max(segs, key=lambda s: sum(logp[p] for p in s))
+        got = U._viterbi(word, logp, 3)
+        assert sum(logp[p] for p in got) == pytest.approx(
+            sum(logp[p] for p in best)
+        ), (word, got, best)
+        assert "".join(got) == word  # lossless
+
+
+def test_forward_backward_matches_enumeration():
+    logp = {"a": math.log(0.4), "b": math.log(0.3), "ab": math.log(0.3)}
+    word = "aab"
+    segs = list(_all_segmentations(word, logp, 2))
+    z_ref = math.log(sum(math.exp(sum(logp[p] for p in s)) for s in segs))
+    z, exp = U._forward_backward(word, logp, 2)
+    assert z == pytest.approx(z_ref)
+    # expected counts from the enumeration posterior
+    ref: dict = {}
+    for s in segs:
+        w = math.exp(sum(logp[p] for p in s) - z_ref)
+        for p in s:
+            ref[p] = ref.get(p, 0.0) + w
+    for p, c in ref.items():
+        assert exp[p] == pytest.approx(c), p
+
+
+def test_unknown_chars_fall_back_per_char():
+    logp = {"a": math.log(0.5), "aa": math.log(0.5)}
+    segs = U._viterbi("axa", logp, 2)
+    assert segs == ["a", None, "a"]  # None = OOV char, never merged
+    z, exp = U._forward_backward("axa", logp, 2)
+    assert z > float("-inf") and "x" not in exp
+
+
+def test_train_contract_and_determinism(spark):
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    # train_limit >= corpus size: the bounded sample is the whole
+    # corpus, so the fit must be partition-invariant (a PROPER subset
+    # via limit() is execution-order-dependent — the documented BPE /
+    # ANN training-sample contract)
+    m = U.unigram_train(docs, vocab_size=200, train_limit=600, em_iters=2)
+    pieces = m["pieces"]
+    assert all(len(p) >= 1 for p in pieces)
+    # every alphabet char survives pruning; vocab size near target
+    assert set(m["alphabet"]) <= set(pieces)
+    assert len(pieces) <= max(200, len(m["alphabet"])) + 0
+    # probabilities normalize
+    assert sum(math.exp(lp) for lp in pieces.values()) == pytest.approx(
+        1.0, abs=1e-6
+    )
+    # deterministic across reruns (memo cleared) and partitionings
+    U.clear_unigram_memo()
+    m2 = U.unigram_train(
+        docs.repartition(7), vocab_size=200, train_limit=600, em_iters=2
+    )
+    assert m2["pieces"] == pieces
+    # memo: same plan returns the same object
+    assert U.unigram_train(
+        docs, vocab_size=200, train_limit=600, em_iters=2
+    ) is U.unigram_train(docs, vocab_size=200, train_limit=600, em_iters=2)
+
+
+def test_em_increases_sample_likelihood(spark):
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    from solana_snapshot_etl_tools_spark.operators.bpe import _word_freqs
+
+    wf = _word_freqs(docs, "text", 100)
+
+    def loglik(model):
+        return sum(
+            c * U._forward_backward(w, model["pieces"], model["max_piece_len"])[0]
+            for w, c in wf.items()
+        )
+
+    U.clear_unigram_memo()
+    m1 = U.unigram_train(docs, vocab_size=300, train_limit=100, em_iters=1)
+    U.clear_unigram_memo()
+    m3 = U.unigram_train(docs, vocab_size=300, train_limit=100, em_iters=4)
+    assert loglik(m3) >= loglik(m1) - 1e-6
+
+
+def test_encode_parity_and_compression(spark):
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text").limit(120)
+    m = U.unigram_train(docs, vocab_size=400, train_limit=120)
+    enc = U.unigram_encode(docs, m)
+    rows = {r.doc_id: (list(r.token_ids), r.n_tokens) for r in enc.collect()}
+    assert len(rows) == 120
+    vocab = U.unigram_vocab(m)
+    inv = {v: k for k, v in vocab.items()}
+    # distributed encode == driver-side Viterbi replay, and decode
+    # roundtrips (no OOV on the training corpus itself)
+    sample = docs.limit(10).collect()
+    for r in sample:
+        ids, n = rows[r.doc_id]
+        assert n == len(ids)
+        replay = []
+        for w in r.text.lower().split():
+            replay.extend(
+                U.OOV_ID if s is None else vocab[s]
+                for s in U._viterbi(w, m["pieces"], m["max_piece_len"])
+            )
+        assert ids == replay
+        assert U.OOV_ID not in ids
+        assert "".join(inv[i] for i in ids) == "".join(r.text.lower().split())
+    # subword pieces beat character-level coding
+    n_chars = sum(
+        len("".join(r.text.lower().split())) for r in docs.collect()
+    )
+    n_toks = sum(n for _, n in rows.values())
+    assert n_toks < 0.8 * n_chars
+
+
+def test_bad_params(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        U.unigram_train(docs, vocab_size=1)
+    with pytest.raises(ValueError):
+        U.unigram_train(docs, shrink=1.5)
+
+
+def test_cli_unigram_tokenize_and_pack(spark, tmp_path_factory, capsys):
+    """--tokenizer unigram feeds the SAME downstream contract as BPE:
+    packed fixed-length sequences with the standard shard schema."""
+    import json
+
+    from solana_snapshot_etl_tools_spark import corpus_cli
+
+    out = str(tmp_path_factory.mktemp("uni_cli"))
+    assert corpus_cli.main(
+        ["/root/testdata/sf0.001/documents.parquet", out, "--no-pii",
+         "--tokenize", "300", "--tokenizer", "unigram", "--pack", "128",
+         "--records-per-shard", "200"]
+    ) == 0
+    rep = json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.strip()][-1]
+    )
+    assert rep["vocab_size"] > 0 and rep["eos_id"] == rep["vocab_size"]
+    train = spark.read.parquet(f"{out}/train")
+    assert train.columns == [
+        "seq_id", "input_ids", "n_tokens", "n_docs", "fill_frac"
+    ]
+    assert train.filter("n_tokens != 128").count() <= 1
+    assert rep["splits"]["train"]["rows"] == train.count() > 0
