@@ -112,6 +112,15 @@ def main(argv: list[str] | None = None) -> int:
                    "order (hash of the row id, seeded) instead of id "
                    "order — so no shard is crawl-order/topic-correlated "
                    "and the training loader needs no shuffle buffer")
+    p.add_argument("--ingest-stream", action="store_true",
+                   help="treat DOCS as a DIRECTORY of arriving parquet "
+                   "shards and run the incremental-dedup ingestion "
+                   "loop (streaming/ingest.py) over everything present "
+                   "(availableNow), appending survivors to OUT_DIR and "
+                   "closing the index loop at --index-out; checkpoint "
+                   "lives under OUT_DIR/_checkpoint, so re-running "
+                   "picks up only NEW shards. Mutually exclusive with "
+                   "the batch pipeline stages")
     p.add_argument("--data-card", action="store_true",
                    help="include the final corpus's data-card stats "
                    "(token/char totals, length percentiles, language "
@@ -127,11 +136,27 @@ def main(argv: list[str] | None = None) -> int:
         p.error("each split percentage must be in [0, 100]")
     if not 0 < args.train_pct + args.val_pct <= 100:
         p.error("train-pct + val-pct must be in (0, 100]")
-    if args.drop_near_candidates and not args.dedup_against_index:
-        p.error("--drop-near-candidates requires --dedup-against-index")
+    if args.drop_near_candidates and not args.dedup_against_index and not args.ingest_stream:
+        p.error("--drop-near-candidates requires --dedup-against-index "
+                "or --ingest-stream")
     if args.index_out and args.index_out == args.dedup_against_index:
         p.error("--index-out must differ from --dedup-against-index "
                 "(cannot overwrite an index while probing it)")
+    if args.ingest_stream:
+        if not args.index_out:
+            p.error("--ingest-stream requires --index-out (the loop's "
+                    "persisted state)")
+        for flag, name in (
+            (args.near_dedup, "--near-dedup"),
+            (args.tokenize, "--tokenize"),
+            (args.cluster_balance, "--cluster-balance"),
+            (args.dedup_against_index, "--dedup-against-index"),
+            (args.quality_model, "--quality-model"),
+        ):
+            if flag:
+                p.error(f"--ingest-stream is a standalone mode ({name} "
+                        "belongs to the batch pipeline)")
+        return _ingest_stream_main(args)
 
     from pyspark.sql import functions as F
 
@@ -404,3 +429,58 @@ def main(argv: list[str] | None = None) -> int:
 
 if __name__ == "__main__":
     sys.exit(main())
+
+
+def _ingest_stream_main(args) -> int:
+    """--ingest-stream: the incremental-dedup ingestion loop
+    (streaming/ingest.py) over every shard currently in the DOCS
+    directory. The checkpoint under OUT_DIR/_checkpoint makes the
+    command resumable: a re-run processes only shards that arrived
+    since (replays are idempotent — see the module docstring)."""
+    from pyspark.sql import functions as F
+
+    from solana_snapshot_etl_tools_spark.session import get_spark
+    from solana_snapshot_etl_tools_spark.streaming.ingest import (
+        ingest_dedup_stream,
+    )
+
+    spark = get_spark(app_name="corpus-ingest", cpus=args.cpus)
+    report: dict[str, object] = {
+        "input": args.docs,
+        "out": args.out_dir,
+        "mode": "ingest-stream",
+    }
+    schema = spark.read.parquet(args.docs).select("doc_id", "text").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one shard = one batch, so
+        # the index loop closes between arrivals exactly like the
+        # batch --dedup-against-index flow
+        .parquet(args.docs)
+    )
+    q = ingest_dedup_stream(
+        stream.select("doc_id", "text"),
+        args.index_out,
+        f"{args.out_dir}/corpus",
+        f"{args.out_dir}/_checkpoint",
+        drop_near_candidates=args.drop_near_candidates,
+        available_now=True,
+    )
+    q.awaitTermination()
+    corpus = spark.read.parquet(f"{args.out_dir}/corpus")
+    report["n_corpus"] = corpus.count()
+    report["n_batches"] = corpus.select("batch").distinct().count()
+    report["index_rows"] = spark.read.parquet(
+        f"{args.index_out}/index"
+    ).count()
+    report["signature_rows"] = spark.read.parquet(
+        f"{args.index_out}/sigs"
+    ).count()
+    if args.data_card:
+        from solana_snapshot_etl_tools_spark.operators.report import (
+            corpus_report,
+        )
+
+        report["data_card"] = corpus_report(corpus.select("doc_id", "text"))
+    print(json.dumps(report))
+    return 0

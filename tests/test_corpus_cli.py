@@ -275,3 +275,59 @@ def test_all_stages_compose_in_one_run(spark, tmp_path_factory, capsys):
     # cleaned text — the data card measures (and exposes) exactly that
     # residue; it stays small on this corpus
     assert rep["data_card"]["exact_dup_rate"] < 0.01
+
+
+def test_ingest_stream_mode(spark, tmp_path_factory, capsys):
+    """--ingest-stream: the CLI drives streaming/ingest.py over a
+    directory of shards; a second invocation picks up only NEW
+    arrivals (checkpoint resume) and keeps deduplicating against the
+    same index."""
+    import os
+    import time
+
+    base = tmp_path_factory.mktemp("cli_stream")
+    # orderBy before limit: a bare limit() is re-evaluated per action
+    # and may pick a DIFFERENT 120 rows for the shard write vs the
+    # planted-copy selection, silently breaking the dup arithmetic
+    docs = (
+        spark.read.parquet(SRC)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(120)
+    )
+    src = str(base / "arrivals")
+    os.makedirs(src)
+    s1 = docs.filter(F.col("doc_id") % 2 == 0)
+    s1.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    # shard 2 includes exact copies of shard-1 docs
+    docs.filter(F.col("doc_id") % 2 == 1).unionByName(
+        s1.limit(4).select((F.col("doc_id") + 900_000).alias("doc_id"), "text")
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    out, idx = str(base / "out"), str(base / "idx")
+    rep = _run(capsys, src, out, "--ingest-stream", "--index-out", idx,
+               "--data-card")
+    assert rep["mode"] == "ingest-stream"
+    assert rep["n_batches"] == 2
+    assert rep["n_corpus"] == 120  # the 4 planted copies dropped
+    assert rep["signature_rows"] == 120
+    assert rep["data_card"]["n_docs"] == 120
+    assert rep["data_card"]["exact_dup_rate"] == 0.0
+
+    # a later arrival: re-run processes ONLY the new shard
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(2_000_000, "a genuinely new document about spark streams")],
+        "doc_id long, text string",
+    ).unionByName(
+        s1.limit(2).select((F.col("doc_id") + 950_000).alias("doc_id"), "text")
+    ).coalesce(1).write.mode("append").parquet(src)
+    rep2 = _run(capsys, src, out, "--ingest-stream", "--index-out", idx)
+    assert rep2["n_batches"] == 3
+    assert rep2["n_corpus"] == 121  # +1 new doc, 2 copies dropped
+    # flag-conflict guard
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        corpus_cli.main([src, out, "--ingest-stream"])  # no --index-out

@@ -23,8 +23,7 @@ def test_planted_corpus_exact(spark):
     # token_count counts the empty string as one token (the declared
     # text_metrics semantics, pinned by its driver oracle)
     assert rep["n_tokens"] == 2 + 2 + 3 + 1
-    # 4 non-null texts, 3 distinct -> dup rate 1/4 (approx_count_distinct
-    # is exact at this cardinality)
+    # 4 non-null texts, 3 distinct -> dup rate exactly 1/4
     assert abs(rep["exact_dup_rate"] - 0.25) < 1e-6
     assert sum(rep["languages"].values()) == 4
 
