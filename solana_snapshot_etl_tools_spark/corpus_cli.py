@@ -13,13 +13,23 @@ library stages in production order (the same order the declared
 
     python -m solana_snapshot_etl_tools_spark.corpus_cli \\
         DOCS.parquet OUT_DIR \\
-        [--near-dedup] [--no-pii] [--quality 0.5] [--lang en] \\
+        [--near-dedup] [--no-pii] [--dedup-cleaned] \\
+        [--quality 0.5] [--lang en] [--gopher] \\
+        [--quality-model DIR [--quality-model-threshold T]] \\
         [--embeddings EMB.parquet --cluster-balance K [--alpha 0.0]] \\
         [--index-out DIR] \\
         [--dedup-against-index DIR [--drop-near-candidates]] \\
         [--train-pct 90 --val-pct 5] \\
-        [--tokenize N_MERGES [--pack SEQ_LEN]] \\
+        [--tokenize N [--tokenizer bpe|unigram] [--pack SEQ_LEN]] \\
+        [--shuffle-seed N] [--data-card] \\
         [--records-per-shard N] [--cpus N]
+
+Streaming ingestion is its own mode — DOCS is then a DIRECTORY of
+arriving shards and the loop state lives at --index-out:
+
+    python -m solana_snapshot_etl_tools_spark.corpus_cli \\
+        ARRIVALS_DIR OUT_DIR --ingest-stream --index-out DIR \\
+        [--drop-near-candidates] [--data-card]
 
 Emits one JSON report line (stage row counts, per-split sizes, shard
 manifest sizes). Every stage is the already-tested library operator;
