@@ -143,6 +143,72 @@ def _forward_backward(
     return z, exp
 
 
+def _lattice_edges(
+    word: str, logp: dict[str, float], max_len: int
+) -> list[list[tuple[int, str | None, float]]]:
+    """Incoming edges per end-position: (start, piece|None, logp);
+    None is the penalized unknown-char fallback, added only where no
+    real piece leaves a position."""
+    n = len(word)
+    unk = min(logp.values(), default=0.0) - _UNK_PENALTY
+    edges: list[list[tuple[int, str | None, float]]] = [[] for _ in range(n + 1)]
+    for i in range(n):
+        any_edge = False
+        for L in range(1, min(max_len, n - i) + 1):
+            lp = logp.get(word[i : i + L])
+            if lp is not None:
+                any_edge = True
+                edges[i + L].append((i, word[i : i + L], lp))
+        if not any_edge:
+            edges[i + 1].append((i, None, unk))
+    return edges
+
+
+def _sample_segmentation(
+    word: str,
+    logp: dict[str, float],
+    max_len: int,
+    alpha: float,
+    rng,
+) -> list[str | None]:
+    """Draw a segmentation with probability ∝ P(segmentation)^alpha —
+    forward filtering / backward sampling over the lattice (Kudo 2018
+    §4 subword regularization). ``alpha → ∞`` degenerates to Viterbi;
+    small alpha flattens toward uniform over segmentations."""
+    import math as _m
+
+    n = len(word)
+    neg = float("-inf")
+    edges = _lattice_edges(word, logp, max_len)
+    a = [neg] * (n + 1)
+    a[0] = 0.0
+    for j in range(1, n + 1):
+        for i, _piece, lp in edges[j]:
+            if a[i] == neg:
+                continue
+            v = a[i] + alpha * lp
+            a[j] = (
+                v if a[j] == neg else max(a[j], v) + _m.log1p(_m.exp(-abs(a[j] - v)))
+            )
+    out: list[str | None] = []
+    j = n
+    while j > 0:
+        opts = [(i, p, lp) for i, p, lp in edges[j] if a[i] != neg]
+        ws = [_m.exp(a[i] + alpha * lp - a[j]) for i, _p, lp in opts]
+        r = rng.random() * sum(ws)
+        acc = 0.0
+        pick = opts[-1]
+        for o, w in zip(opts, ws):
+            acc += w
+            if r <= acc:
+                pick = o
+                break
+        out.append(pick[1])
+        j = pick[0]
+    out.reverse()
+    return out
+
+
 def _viterbi(word: str, logp: dict[str, float], max_len: int) -> list[str | None]:
     """Best segmentation (None marks an unknown-char fallback);
     deterministic: on score ties the segmentation reached by the
@@ -278,10 +344,22 @@ def unigram_encode(
     model: dict,
     id_col: str = "doc_id",
     text_col: str = "text",
+    sample_alpha: float | None = None,
+    seed: int = 0,
 ) -> DataFrame:
     """Distributed Viterbi encode: (id, token_ids, n_tokens) — the
     exact output contract of ``bpe_encode``, so the packing and shard
-    stages downstream are tokenizer-agnostic."""
+    stages downstream are tokenizer-agnostic.
+
+    ``sample_alpha`` turns on SUBWORD REGULARIZATION (Kudo 2018 §4):
+    each word OCCURRENCE is segmented by a draw ∝ P(seg)^alpha
+    (forward-filter / backward-sample) instead of the Viterbi best —
+    the training-time augmentation that makes models robust to
+    segmentation ambiguity. Deterministic: one RNG per document,
+    seeded from (doc id, seed), so re-encoding reproduces the same
+    ids regardless of partitioning; per-occurrence sampling cannot
+    use the word memo (documented cost — use it for training epochs,
+    Viterbi for eval/serving)."""
     from pyspark.sql.types import (
         ArrayType,
         IntegerType,
@@ -303,11 +381,13 @@ def unigram_encode(
     )
 
     def gen(batches):
+        import random
+
         import pandas as pd
 
         word_memo: dict[str, list[int]] = {}
 
-        def ids_for(word: str) -> list[int]:
+        def viterbi_ids(word: str) -> list[int]:
             got = word_memo.get(word)
             if got is None:
                 got = [
@@ -323,8 +403,18 @@ def unigram_encode(
                 if txt is None:
                     continue
                 toks: list[int] = []
-                for w in txt.lower().split():
-                    toks.extend(ids_for(w))
+                if sample_alpha is None:
+                    for w in txt.lower().split():
+                        toks.extend(viterbi_ids(w))
+                else:
+                    rng = random.Random(f"{did}:{seed}")
+                    for w in txt.lower().split():
+                        toks.extend(
+                            OOV_ID if s is None else vocab.get(s, OOV_ID)
+                            for s in _sample_segmentation(
+                                w, pieces, max_len, sample_alpha, rng
+                            )
+                        )
                 out_id.append(did)
                 out_ids.append(toks)
                 out_n.append(len(toks))

@@ -180,3 +180,65 @@ def test_cli_unigram_tokenize_and_pack(spark, tmp_path_factory, capsys):
     ]
     assert train.filter("n_tokens != 128").count() <= 1
     assert rep["splits"]["train"]["rows"] == train.count() > 0
+
+
+def test_sampled_segmentation_distribution():
+    """FFBS draws segmentations with probability proportional to
+    P(seg)^alpha — checked against the closed form on a two-way
+    ambiguous word."""
+    import random
+
+    logp = {"a": math.log(0.4), "aa": math.log(0.2)}
+    # 'aa': segmentations ['aa'] (p=0.2) vs ['a','a'] (p=0.16)
+    for alpha in (1.0, 0.2):
+        w_aa = 0.2**alpha
+        w_a_a = 0.16**alpha
+        p_ref = w_aa / (w_aa + w_a_a)
+        rng = random.Random(42)
+        n = 4000
+        hits = sum(
+            U._sample_segmentation("aa", logp, 2, alpha, rng) == ["aa"]
+            for _ in range(n)
+        )
+        se = (p_ref * (1 - p_ref) / n) ** 0.5
+        assert abs(hits / n - p_ref) < 5 * se, (alpha, hits / n, p_ref)
+    # alpha -> large degenerates to Viterbi
+    rng = random.Random(0)
+    assert all(
+        U._sample_segmentation("aa", logp, 2, 100.0, rng) == ["aa"]
+        for _ in range(50)
+    )
+    # unknown chars still fall back per char while sampling
+    rng = random.Random(1)
+    segs = U._sample_segmentation("axa", logp, 2, 1.0, rng)
+    assert segs[1] is None and "".join(s or "x" for s in segs) == "axa"
+
+
+def test_sampled_encode_is_deterministic_per_doc_and_valid(spark):
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text").orderBy("doc_id").limit(40)
+    U.clear_unigram_memo()
+    m = U.unigram_train(docs, vocab_size=300, train_limit=40)
+    a = {
+        r.doc_id: list(r.token_ids)
+        for r in U.unigram_encode(docs, m, sample_alpha=0.1, seed=3).collect()
+    }
+    b = {
+        r.doc_id: list(r.token_ids)
+        for r in U.unigram_encode(
+            docs.repartition(9), m, sample_alpha=0.1, seed=3
+        ).collect()
+    }
+    assert a == b  # per-doc RNG: partitioning-invariant
+    c = {
+        r.doc_id: list(r.token_ids)
+        for r in U.unigram_encode(docs, m, sample_alpha=0.1, seed=4).collect()
+    }
+    assert c != a  # seed-sensitive
+    # every sampled encoding still decodes to the original text
+    vocab = U.unigram_vocab(m)
+    inv = {v: k for k, v in vocab.items()}
+    for r in docs.limit(5).collect():
+        flat = "".join(r.text.lower().split())
+        assert "".join(inv[i] for i in a[r.doc_id]) == flat
