@@ -454,6 +454,10 @@ def _ingest_stream_main(args) -> int:
         ingest_dedup_stream,
     )
 
+    from pyspark.sql import functions as F
+
+    from solana_snapshot_etl_tools_spark.functions import text as TXT
+
     spark = get_spark(app_name="corpus-ingest", cpus=args.cpus)
     report: dict[str, object] = {
         "input": args.docs,
@@ -467,9 +471,22 @@ def _ingest_stream_main(args) -> int:
         # the index loop closes between arrivals exactly like the
         # batch --dedup-against-index flow
         .parquet(args.docs)
+        .select("doc_id", "text")
     )
+    # the SAME stateless cleaning tier as batch mode (PII redaction,
+    # quality and language filters are pure column expressions, so
+    # they run unchanged on the stream) — silently ignoring the flags
+    # here would make --ingest-stream a trap
+    if not args.no_pii:
+        stream = stream.select(
+            "doc_id", TXT.redact_pii(F.col("text")).alias("text")
+        )
+    c = F.col("text")
+    stream = stream.filter(TXT.quality_score(c) >= args.quality)
+    if args.lang:
+        stream = stream.filter(TXT.lang_id(c) == args.lang)
     q = ingest_dedup_stream(
-        stream.select("doc_id", "text"),
+        stream,
         args.index_out,
         f"{args.out_dir}/corpus",
         f"{args.out_dir}/_checkpoint",

@@ -307,6 +307,7 @@ def test_ingest_stream_mode(spark, tmp_path_factory, capsys):
 
     out, idx = str(base / "out"), str(base / "idx")
     rep = _run(capsys, src, out, "--ingest-stream", "--index-out", idx,
+               "--no-pii", "--quality", "0", "--lang", "",
                "--data-card")
     assert rep["mode"] == "ingest-stream"
     assert rep["n_batches"] == 2
@@ -323,7 +324,8 @@ def test_ingest_stream_mode(spark, tmp_path_factory, capsys):
     ).unionByName(
         s1.limit(2).select((F.col("doc_id") + 950_000).alias("doc_id"), "text")
     ).coalesce(1).write.mode("append").parquet(src)
-    rep2 = _run(capsys, src, out, "--ingest-stream", "--index-out", idx)
+    rep2 = _run(capsys, src, out, "--ingest-stream", "--index-out", idx,
+                "--no-pii", "--quality", "0", "--lang", "")
     assert rep2["n_batches"] == 3
     assert rep2["n_corpus"] == 121  # +1 new doc, 2 copies dropped
     # flag-conflict guard
@@ -331,3 +333,29 @@ def test_ingest_stream_mode(spark, tmp_path_factory, capsys):
 
     with _pytest.raises(SystemExit):
         corpus_cli.main([src, out, "--ingest-stream"])  # no --index-out
+
+
+def test_ingest_stream_honors_cleaning_flags(spark, tmp_path_factory, capsys):
+    """The stream mode applies the SAME stateless cleaning tier as
+    batch mode — flags must not be silently ignored."""
+    import os
+
+    base = tmp_path_factory.mktemp("cli_stream_clean")
+    src = str(base / "arrivals")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox reads many good long books about "
+                "science and nature " * 3),
+            (2, "@@@@ %% !! ## ~~~~"),  # junk: fails the quality floor
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    rep = _run(
+        capsys, src, str(base / "out"), "--ingest-stream",
+        "--index-out", str(base / "idx"), "--no-pii",
+        "--quality", "0.5", "--lang", "",
+    )
+    assert rep["n_corpus"] == 1
+    ids = {r.doc_id for r in spark.read.parquet(f"{base}/out/corpus").collect()}
+    assert ids == {1}
