@@ -106,6 +106,13 @@ def main(argv: list[str] | None = None) -> int:
                    "index cannot exact-verify Jaccard)")
     p.add_argument("--train-pct", type=int, default=90)
     p.add_argument("--val-pct", type=int, default=5)
+    p.add_argument("--stratified-split", choices=["lang"], default=None,
+                   help="replace the hash split with the EXACT "
+                   "stratified split over the FINAL corpus (floor-"
+                   "exact per-stratum shares — tiny strata keep their "
+                   "held-out rows; append-unstable, see "
+                   "operators/sampling.py:stratified_split). 'lang' "
+                   "stratifies by the n-gram language id")
     p.add_argument("--tokenize", type=int, metavar="N", default=None,
                    help="train a subword tokenizer on the train split "
                    "and emit token ids — N is the merge budget (bpe) "
@@ -328,6 +335,26 @@ def main(argv: list[str] | None = None) -> int:
         report["n_after_balance"] = balanced.count()
         corpus.unpersist()  # only after the balanced frame is materialized
         corpus = balanced
+
+    if args.stratified_split:
+        from solana_snapshot_etl_tools_spark.operators.sampling import (
+            stratified_split,
+        )
+
+        # the exact split must run on the FINAL corpus (balancing
+        # after it would distort the floor-exact shares), replacing
+        # the provisional hash split assigned above
+        strat = TXT.lang_id(F.col("text"))
+        resplit = stratified_split(
+            corpus.drop("split").withColumn("_stratum", strat),
+            "_stratum",
+            train_pct=args.train_pct,
+            val_pct=args.val_pct,
+        ).drop("_stratum").persist()
+        report["split_mode"] = f"stratified:{args.stratified_split}"
+        resplit.count()
+        corpus.unpersist()
+        corpus = resplit
 
     if args.index_out:
         from solana_snapshot_etl_tools_spark.operators import (

@@ -359,3 +359,37 @@ def test_ingest_stream_honors_cleaning_flags(spark, tmp_path_factory, capsys):
     assert rep["n_corpus"] == 1
     ids = {r.doc_id for r in spark.read.parquet(f"{base}/out/corpus").collect()}
     assert ids == {1}
+
+
+def test_stratified_split_cli_mode(spark, tmp_path_factory, capsys):
+    """--stratified-split lang: floor-exact per-language shares in the
+    WRITTEN outputs — the tiny language keeps its held-out rows."""
+    from solana_snapshot_etl_tools_spark.functions.text import lang_id
+
+    out = str(tmp_path_factory.mktemp("strat"))
+    rep = _run(
+        capsys, SRC, out, "--no-pii", "--lang", "",
+        "--stratified-split", "lang", "--train-pct", "80",
+        "--val-pct", "10", "--records-per-shard", "200",
+    )
+    assert rep["split_mode"] == "stratified:lang"
+    frames = {
+        name: spark.read.parquet(f"{out}/{name}").withColumn(
+            "_l", lang_id(F.col("text"))
+        )
+        for name, sz in rep["splits"].items()
+        if sz["rows"]
+    }
+    per = {}
+    for name, df in frames.items():
+        for r in df.groupBy("_l").count().collect():
+            per.setdefault(r._l, {})[name] = r["count"]
+    assert len(per) >= 2  # the corpus is genuinely multi-stratum
+    for lang, counts in per.items():
+        t = sum(counts.values())
+        n_tr = t * 80 // 100
+        n_val = t * 90 // 100 - n_tr
+        assert counts.get("train", 0) == n_tr, (lang, counts)
+        assert counts.get("val", 0) == n_val, (lang, counts)
+    total = sum(sum(c.values()) for c in per.values())
+    assert total == rep["n_after_filters"]
