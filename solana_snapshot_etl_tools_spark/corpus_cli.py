@@ -163,12 +163,18 @@ def main(argv: list[str] | None = None) -> int:
         if not args.index_out:
             p.error("--ingest-stream requires --index-out (the loop's "
                     "persisted state)")
+        # every batch-only flag is REJECTED, not ignored — a silently
+        # dropped stage would pollute the append-only corpus/index
+        # state in a way later runs cannot repair
         for flag, name in (
             (args.near_dedup, "--near-dedup"),
             (args.tokenize, "--tokenize"),
             (args.cluster_balance, "--cluster-balance"),
             (args.dedup_against_index, "--dedup-against-index"),
             (args.quality_model, "--quality-model"),
+            (args.dedup_cleaned, "--dedup-cleaned"),
+            (args.stratified_split, "--stratified-split"),
+            (args.shuffle_seed is not None, "--shuffle-seed"),
         ):
             if flag:
                 p.error(f"--ingest-stream is a standalone mode ({name} "
@@ -464,8 +470,6 @@ def main(argv: list[str] | None = None) -> int:
     return 0
 
 
-if __name__ == "__main__":
-    sys.exit(main())
 
 
 def _ingest_stream_main(args) -> int:
@@ -476,14 +480,11 @@ def _ingest_stream_main(args) -> int:
     since (replays are idempotent — see the module docstring)."""
     from pyspark.sql import functions as F
 
+    from solana_snapshot_etl_tools_spark.functions import text as TXT
     from solana_snapshot_etl_tools_spark.session import get_spark
     from solana_snapshot_etl_tools_spark.streaming.ingest import (
         ingest_dedup_stream,
     )
-
-    from pyspark.sql import functions as F
-
-    from solana_snapshot_etl_tools_spark.functions import text as TXT
 
     spark = get_spark(app_name="corpus-ingest", cpus=args.cpus)
     report: dict[str, object] = {
@@ -512,6 +513,22 @@ def _ingest_stream_main(args) -> int:
     stream = stream.filter(TXT.quality_score(c) >= args.quality)
     if args.lang:
         stream = stream.filter(TXT.lang_id(c) == args.lang)
+    if args.gopher:
+        from solana_snapshot_etl_tools_spark.operators.quality import (
+            gopher_quality_flags,
+        )
+
+        sw = (
+            [s for s in args.gopher_stopwords.split(",") if s]
+            if args.gopher_stopwords
+            else None
+        )
+        before = stream.columns
+        stream = (
+            gopher_quality_flags(stream, stopwords=sw)
+            .filter(F.col("passes_gopher"))
+            .select(*before)
+        )
     q = ingest_dedup_stream(
         stream,
         args.index_out,
@@ -521,16 +538,26 @@ def _ingest_stream_main(args) -> int:
         available_now=True,
     )
     q.awaitTermination()
-    corpus = spark.read.parquet(f"{args.out_dir}/corpus")
-    report["n_corpus"] = corpus.count()
-    report["n_batches"] = corpus.select("batch").distinct().count()
-    report["index_rows"] = spark.read.parquet(
-        f"{args.index_out}/index"
-    ).count()
-    report["signature_rows"] = spark.read.parquet(
-        f"{args.index_out}/sigs"
-    ).count()
-    if args.data_card:
+
+    def read_count(path):
+        # a run where NOTHING survived (all dups / all filtered)
+        # leaves a schema-less directory — that is n=0, not a crash
+        from pyspark.errors import AnalysisException
+
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException:
+            return None
+
+    corpus = read_count(f"{args.out_dir}/corpus")
+    report["n_corpus"] = corpus.count() if corpus is not None else 0
+    report["n_batches"] = (
+        corpus.select("batch").distinct().count() if corpus is not None else 0
+    )
+    for key, sub in (("index_rows", "index"), ("signature_rows", "sigs")):
+        df = read_count(f"{args.index_out}/{sub}")
+        report[key] = df.count() if df is not None else 0
+    if args.data_card and corpus is not None:
         from solana_snapshot_etl_tools_spark.operators.report import (
             corpus_report,
         )
@@ -538,3 +565,7 @@ def _ingest_stream_main(args) -> int:
         report["data_card"] = corpus_report(corpus.select("doc_id", "text"))
     print(json.dumps(report))
     return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

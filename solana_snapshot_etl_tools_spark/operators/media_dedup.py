@@ -486,23 +486,34 @@ def video_temporal_alignment(
     from "same assets".
 
     Per-pair match lists are truncated at ``MAX_ALIGN_MATCHES``
-    (sorted prefix, logged shape — degenerate all-frames-match pairs
-    would otherwise build an O(na*nb) array in one task); the LIS is
-    an O(n log n) numpy pass per pair inside an Arrow-batched UDF."""
+    BEFORE aggregation (a spill-safe ``row_number`` window over the
+    pair, not a post-``collect_list`` slice — a degenerate
+    all-frames-match pair would otherwise materialize the full
+    O(na*nb) array inside the aggregation buffer of one task);
+    ``shared_frames`` is still counted over the UNtruncated matches.
+    The LIS is an O(n log n) pass per pair inside an Arrow-batched
+    UDF. A truncated pair's ``aligned_frames`` is a lower bound."""
+    from pyspark.sql import Window as W
+
     matched = _video_frame_matches(frame_hashes, max_hamming, max_bucket_size)
-    lists = (
+    shared = (
         matched.groupBy("media_a", "media_b")
-        .agg(
-            F.countDistinct("frame_a").alias("shared_frames"),
-            F.slice(
-                F.sort_array(
-                    F.collect_list(F.struct("frame_a", "frame_b"))
-                ),
-                1,
-                MAX_ALIGN_MATCHES,
-            ).alias("_ms"),
-        )
+        .agg(F.countDistinct("frame_a").alias("shared_frames"))
         .filter(F.col("shared_frames") >= min_shared_frames)
+    )
+    bounded = matched.withColumn(
+        "_rn",
+        F.row_number().over(
+            W.partitionBy("media_a", "media_b").orderBy("frame_a", "frame_b")
+        ),
+    ).filter(F.col("_rn") <= MAX_ALIGN_MATCHES)
+    lists = shared.join(
+        bounded.groupBy("media_a", "media_b").agg(
+            F.sort_array(
+                F.collect_list(F.struct("frame_a", "frame_b"))
+            ).alias("_ms")
+        ),
+        ["media_a", "media_b"],
     )
 
     @F.pandas_udf("int")

@@ -281,7 +281,11 @@ def stratified_split(
     (stratum, hash) → per-(range, stratum) counts collected
     driver-side (<= #ranges + #strata rows) → broadcast base offsets
     + per-stratum cut points → within-range window rank. Document
-    text touches only the final id equi-join."""
+    text touches only the final id equi-join. The ranged frame is
+    localCheckpoint-ed (registered with the dedup session cache
+    registry) — materialize the result before calling
+    ``release_session_caches``, same contract as
+    ``connected_components``."""
     if not (0 <= train_pct <= 100 and 0 <= val_pct <= 100):
         raise ValueError("each split percentage must be in [0, 100]")
     if train_pct + val_pct > 100:
@@ -297,6 +301,22 @@ def stratified_split(
         .repartitionByRange(n_part, "_s", "_h")
         .withColumn("_pid", F.spark_partition_id())
     )
+    # MATERIALIZE the ranged frame before the two passes read it: the
+    # RangePartitioner's boundaries come from a per-JOB sample on
+    # large inputs (Spark documents repartitionByRange output as "may
+    # not be consistent"), so without lineage truncation the count job
+    # and the rank/join job could assign rows to DIFFERENT ranges and
+    # the broadcast base offsets would be silently wrong — on the one
+    # operator whose whole contract is exactness. localCheckpoint
+    # pins one materialization (or fails loudly); the registry frees
+    # the storage at the caller's next release_session_caches().
+    from solana_snapshot_etl_tools_spark.operators.dedup import (
+        _CheckpointHandle,
+        _SESSION_CACHES,
+    )
+
+    d = d.localCheckpoint(eager=True)
+    _SESSION_CACHES.append(_CheckpointHandle(d))
     per_range = d.groupBy("_pid", "_s").agg(F.count(F.lit(1)).alias("_c")).collect()
     if not per_range:
         return df.withColumn("split", F.lit("train")).limit(0)

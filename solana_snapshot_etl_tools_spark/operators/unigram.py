@@ -211,8 +211,11 @@ def _sample_segmentation(
 
 def _viterbi(word: str, logp: dict[str, float], max_len: int) -> list[str | None]:
     """Best segmentation (None marks an unknown-char fallback);
-    deterministic: on score ties the segmentation reached by the
-    LONGEST last piece wins (strict > while scanning L ascending)."""
+    deterministic: ties resolve last-writer-wins under the fixed
+    scan order (start positions ascending, then piece length
+    ascending with ``>=``) — i.e. among equal-score paths the one
+    whose last piece starts LATEST (the shortest last piece) is
+    kept. Output is stable across runs/partitionings either way."""
     n = len(word)
     unk = min(logp.values(), default=0.0) - _UNK_PENALTY
     neg = float("-inf")
@@ -268,8 +271,11 @@ def unigram_train(
     if not 0.0 < shrink < 1.0:
         raise ValueError(f"shrink must be in (0, 1), got {shrink}")
     try:
+        # the public semanticHash() — the same memo-key spelling as
+        # bpe.py / similarity.py (works on Spark Connect too, unlike
+        # the _jdf internals)
         key = (
-            docs.select(text_col)._jdf.queryExecution().analyzed().semanticHash(),
+            docs.select(text_col).semanticHash(),
             text_col, vocab_size, train_limit, max_piece_len,
             em_iters, seed_factor, shrink,
         )

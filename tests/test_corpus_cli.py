@@ -393,3 +393,68 @@ def test_stratified_split_cli_mode(spark, tmp_path_factory, capsys):
         assert counts.get("val", 0) == n_val, (lang, counts)
     total = sum(sum(c.values()) for c in per.values())
     assert total == rep["n_after_filters"]
+
+
+def test_ingest_stream_python_m_entrypoint(tmp_path_factory, spark):
+    """The documented `python -m ... --ingest-stream` invocation must
+    work: _ingest_stream_main was once defined AFTER the __main__
+    guard, so the module-level run crashed with NameError while every
+    in-process test passed."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    base = tmp_path_factory.mktemp("cli_m")
+    src = str(base / "arrivals")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "the quick brown fox reads many good long books " * 3)],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    r = subprocess.run(
+        [sys.executable, "-m", "solana_snapshot_etl_tools_spark.corpus_cli",
+         src, str(base / "out"), "--ingest-stream",
+         "--index-out", str(base / "idx"), "--no-pii", "--lang", "",
+         "--cpus", "4"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = _json.loads(
+        [l for l in r.stdout.splitlines() if l.strip()][-1]
+    )
+    assert rep["n_corpus"] == 1
+
+
+def test_ingest_stream_rejects_batch_only_flags_and_survives_empty(
+    spark, tmp_path_factory, capsys
+):
+    import os
+
+    import pytest as _pytest
+
+    base = tmp_path_factory.mktemp("cli_guard")
+    src = str(base / "arrivals")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "the quick brown fox reads many good long books " * 3)],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    for flag in (["--shuffle-seed", "3"], ["--stratified-split", "lang"],
+                 ["--dedup-cleaned"]):
+        with _pytest.raises(SystemExit):
+            corpus_cli.main(
+                [src, str(base / "o"), "--ingest-stream",
+                 "--index-out", str(base / "i"), *flag]
+            )
+    # --gopher IS honored (stateless filter): the faithful A1.1 list
+    # rejects the synthetic corpus, so NOTHING survives — the run
+    # must still report n_corpus=0 instead of crashing on the
+    # schema-less output directory
+    rep = _run(
+        capsys, src, str(base / "out"), "--ingest-stream",
+        "--index-out", str(base / "idx"), "--no-pii", "--lang", "",
+        "--gopher", "--data-card",
+    )
+    assert rep["n_corpus"] == 0 and rep["n_batches"] == 0
+    assert rep["index_rows"] == 0 and "data_card" not in rep

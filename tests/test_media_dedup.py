@@ -462,3 +462,23 @@ def test_alignment_lis_reference():
             (int(rng.integers(0, 6)), int(rng.integers(0, 6))) for _ in range(n)
         }
         assert patience(seq) == brute(seq), sorted(seq)
+
+
+def test_alignment_truncation_is_pre_aggregation(spark, monkeypatch):
+    """The per-pair match bound applies BEFORE collect_list; shared
+    counts stay exact and the truncated alignment is a lower bound."""
+    frames = [_gray(s) for s in range(60, 66)]
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytearray(_fvid(frames))),
+            (2, "video", bytearray(_fvid(frames))),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    fh = MD.perceptual_hash_frames(media)
+    monkeypatch.setattr(MD, "MAX_ALIGN_MATCHES", 3)
+    out = MD.video_temporal_alignment(fh, min_shared_frames=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.shared_frames == 6  # counted over UNtruncated matches
+    assert 1 <= r.aligned_frames <= 3  # bounded by the truncation
