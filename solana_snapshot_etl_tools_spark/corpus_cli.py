@@ -171,7 +171,6 @@ def main(argv: list[str] | None = None) -> int:
             (args.tokenize, "--tokenize"),
             (args.cluster_balance, "--cluster-balance"),
             (args.dedup_against_index, "--dedup-against-index"),
-            (args.quality_model, "--quality-model"),
             (args.dedup_cleaned, "--dedup-cleaned"),
             (args.stratified_split, "--stratified-split"),
             (args.shuffle_seed is not None, "--shuffle-seed"),
@@ -529,6 +528,23 @@ def _ingest_stream_main(args) -> int:
             .filter(F.col("passes_gopher"))
             .select(*before)
         )
+    if args.quality_model:
+        # the learned tier is transform-only at serve time (pinned by
+        # test_score_stream_matches_batch) and the Pareto keep is a
+        # deterministic per-id hash — both run unchanged on a stream
+        from pyspark.ml import PipelineModel
+
+        from solana_snapshot_etl_tools_spark.operators.quality_model import (
+            quality_model_filter,
+        )
+
+        stream = quality_model_filter(
+            stream,
+            PipelineModel.load(args.quality_model),
+            threshold=args.quality_model_threshold,
+            alpha=args.quality_model_alpha,
+            id_col="doc_id",
+        ).drop("quality_prob")
     q = ingest_dedup_stream(
         stream,
         args.index_out,

@@ -194,3 +194,40 @@ def test_null_text_passes_through_unchanged(spark, model):
     assert out[2].text == ""
     # both score as the empty document
     assert out[1].quality_prob == out[2].quality_prob
+
+
+def test_ingest_stream_honors_quality_model(
+    spark, model, tmp_path_factory, capsys
+):
+    """--quality-model runs unchanged in --ingest-stream mode: the
+    junk half of an arriving shard is dropped before the dedup loop."""
+    import json as _json
+    import os
+
+    from solana_snapshot_etl_tools_spark import corpus_cli
+
+    base = tmp_path_factory.mktemp("qm_stream_cli")
+    mpath = str(base / "model")
+    model.write().overwrite().save(mpath)
+    src = str(base / "arrivals")
+    os.makedirs(src)
+    _corpus(spark, n=15, start=0).drop("label").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    assert corpus_cli.main(
+        [src, str(base / "out"), "--ingest-stream",
+         "--index-out", str(base / "idx"), "--no-pii",
+         "--quality", "0", "--lang", "",
+         "--quality-model", mpath, "--quality-model-threshold", "0.5"]
+    ) == 0
+    rep = _json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.strip()][-1]
+    )
+    # distinct clean docs survive; every junk doc is dropped pre-index
+    n_clean = len({_clean(i) for i in range(15)})
+    assert abs(rep["n_corpus"] - n_clean) <= 1
+    ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{base}/out/corpus").collect()
+    }
+    assert all(i < 15 for i in ids)  # junk ids (15..29) all gone
