@@ -29,7 +29,12 @@ arriving shards and the loop state lives at --index-out:
 
     python -m solana_snapshot_etl_tools_spark.corpus_cli \\
         ARRIVALS_DIR OUT_DIR --ingest-stream --index-out DIR \\
-        [--drop-near-candidates] [--data-card]
+        [--no-pii] [--quality Q] [--lang L] [--gopher] \\
+        [--quality-model DIR] [--drop-near-candidates] [--data-card]
+
+(The stateless cleaning tiers — PII redaction, quality/language/
+Gopher filters, the learned quality model — run unchanged on the
+stream; batch-only stages are rejected, never silently ignored.)
 
 Emits one JSON report line (stage row counts, per-split sizes, shard
 manifest sizes). Every stage is the already-tested library operator;
