@@ -511,7 +511,11 @@ def video_temporal_alignment(
         bounded.groupBy("media_a", "media_b").agg(
             F.sort_array(
                 F.collect_list(F.struct("frame_a", "frame_b"))
-            ).alias("_ms")
+            ).alias("_ms"),
+            # the dominant temporal offset (mode of frame_b - frame_a):
+            # a trimmed/delayed re-encode aligns at a constant shift —
+            # the offset localizes WHERE the shared footage sits
+            F.mode(F.col("frame_b") - F.col("frame_a")).alias("offset"),
         ),
         ["media_a", "media_b"],
     )
@@ -543,6 +547,7 @@ def video_temporal_alignment(
         "media_b",
         "shared_frames",
         lis_len("_ms").alias("aligned_frames"),
+        "offset",
     )
 
 

@@ -482,3 +482,24 @@ def test_alignment_truncation_is_pre_aggregation(spark, monkeypatch):
     r = out[0]
     assert r.shared_frames == 6  # counted over UNtruncated matches
     assert 1 <= r.aligned_frames <= 3  # bounded by the truncation
+
+
+def test_alignment_offset_localizes_trimmed_reencode(spark):
+    """A delayed copy (same footage, frames shifted by k) reports the
+    dominant offset k — localizing where the shared footage sits."""
+    frames = [_gray(s) for s in range(70, 78)]
+    filler = [_gray(s) for s in range(90, 93)]
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytearray(_fvid(frames))),
+            # 3 filler frames, then the same footage: offset +3
+            (2, "video", bytearray(_fvid(filler + frames))),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    fh = MD.perceptual_hash_frames(media)
+    out = MD.video_temporal_alignment(fh, min_shared_frames=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.offset == 3
+    assert r.aligned_frames >= len(frames) - 1

@@ -315,3 +315,50 @@ def test_stratified_split_exact_counts(spark):
 
     with _pytest.raises(ValueError):
         stratified_split(df, "lang", train_pct=80, val_pct=30)
+
+
+def test_stratified_split_property(spark):
+    """Hypothesis: for ANY strata sizes and percentages, the split is
+    exhaustive, disjoint, and floor-exact per stratum."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from solana_snapshot_etl_tools_spark.operators.sampling import (
+        stratified_split,
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        sizes=st.lists(st.integers(1, 40), min_size=1, max_size=4),
+        tr=st.integers(0, 100),
+        extra=st.integers(0, 100),
+    )
+    def check(sizes, tr, extra):
+        va = min(100 - tr, extra)
+        rows, nid = [], 0
+        for s_i, n in enumerate(sizes):
+            for _ in range(n):
+                rows.append((nid, f"s{s_i}"))
+                nid += 1
+        df = spark.createDataFrame(rows, "doc_id long, stratum string")
+        out = stratified_split(
+            df, "stratum", train_pct=tr, val_pct=va, seed=nid
+        ).collect()
+        assert len(out) == len(rows)
+        assert len({r.doc_id for r in out}) == len(rows)
+        per: dict = {}
+        for r in out:
+            per.setdefault(r.stratum, {}).setdefault(r.split, 0)
+            per[r.stratum][r.split] += 1
+        for s_i, n in enumerate(sizes):
+            got = per[f"s{s_i}"]
+            n_tr = n * tr // 100
+            n_va = n * (tr + va) // 100 - n_tr
+            assert got.get("train", 0) == n_tr
+            assert got.get("val", 0) == n_va
+            assert got.get("test", 0) == n - n_tr - n_va
+
+    check()
