@@ -126,3 +126,118 @@ def pack_token_sequences(
             (F.size("input_ids") / F.lit(float(L))).alias("fill_frac"),
         )
     )
+
+
+def pack_no_split(
+    enc: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "token_ids",
+    eos_id: int | None = None,
+    num_groups: int = 256,
+    truncate: bool = True,
+) -> DataFrame:
+    """SFT-style packing WITHOUT cross-document splitting: every
+    document lands whole inside exactly one sequence (the
+    "packing without cross-contamination" recipe — a sequence's
+    attention never spans a document cut, unlike
+    ``pack_token_sequences``' GPT-style concat-and-chunk). Sequences
+    are built by first-fit-decreasing within deterministic hash
+    groups; a doc longer than ``seq_len`` is truncated to fit
+    (``truncate=False`` drops it instead — both policies surface in
+    ``n_truncated``/``was_truncated``).
+
+    Output: (seq_id, input_ids, n_tokens, n_docs, fill_frac,
+    doc_ids, doc_offsets) — ``doc_offsets[i]`` is where doc
+    ``doc_ids[i]`` starts inside ``input_ids``, exactly the metadata
+    a block-diagonal attention mask needs.
+
+    Scale + determinism shape: docs are routed to ``num_groups``
+    buckets by ``pmod(xxhash64(id), num_groups)`` — NOT by physical
+    partition — so the packing is a pure function of the input
+    regardless of cluster layout (pinned by pytest); each bucket runs
+    FFD over its own docs inside one ``applyInPandas`` group (sorted
+    by (len desc, id) for determinism). FFD is the classic 11/9 OPT
+    approximation; bins never leave their bucket, so no shuffle
+    carries tokens twice. Fill quality depends on per-bucket doc
+    counts — size ``num_groups`` so each bucket holds >> seq_len/
+    mean_doc_len documents."""
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    if num_groups < 1:
+        raise ValueError(f"num_groups must be >= 1, got {num_groups}")
+    from pyspark.sql import types as T
+
+    id_type = enc.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("seq_id", T.LongType()),
+            T.StructField("input_ids", T.ArrayType(T.IntegerType())),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("n_docs", T.LongType()),
+            T.StructField("fill_frac", T.DoubleType()),
+            T.StructField("doc_ids", T.ArrayType(id_type)),
+            T.StructField("doc_offsets", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    toks = F.col(tokens_col)
+    if eos_id is not None:
+        toks = F.concat(toks, F.array(F.lit(eos_id).cast("int")))
+    d = enc.select(
+        F.col(id_col).alias("_id"),
+        toks.alias("_t"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_groups)).alias("_g"),
+    ).filter(F.size("_t") > 0)
+
+    L = seq_len
+
+    def pack_group(pdf):
+        import pandas as pd
+
+        docs = []
+        for _id, t in zip(pdf["_id"], pdf["_t"]):
+            t = list(t)
+            if len(t) > L:
+                if not truncate:
+                    continue
+                t = t[:L]
+            docs.append((_id, t))
+        # FFD: longest first, id tiebreak -> deterministic
+        docs.sort(key=lambda x: (-len(x[1]), x[0]))
+        bins: list[dict] = []
+        for _id, t in docs:
+            placed = None
+            for b in bins:
+                if b["n"] + len(t) <= L:
+                    placed = b
+                    break
+            if placed is None:
+                placed = {"ids": [], "offs": [], "toks": [], "n": 0}
+                bins.append(placed)
+            placed["ids"].append(_id)
+            placed["offs"].append(placed["n"])
+            placed["toks"].extend(t)
+            placed["n"] += len(t)
+        g = int(pdf["_g"].iloc[0]) if len(pdf) else 0
+        rows = []
+        for k, b in enumerate(bins):
+            rows.append(
+                (
+                    g * (1 << 40) + k,  # globally unique, group-local
+                    b["toks"],
+                    b["n"],
+                    len(b["ids"]),
+                    b["n"] / float(L),
+                    b["ids"],
+                    b["offs"],
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "seq_id", "input_ids", "n_tokens", "n_docs",
+                "fill_frac", "doc_ids", "doc_offsets",
+            ],
+        )
+
+    return d.groupBy("_g").applyInPandas(pack_group, out_schema)

@@ -231,3 +231,90 @@ def test_pack_end_to_end_with_bpe(spark):
         ).filter(F.col("t") == eos).count()
         == n_docs
     )
+
+
+def test_pack_no_split_contract_and_determinism(spark):
+    """No-split packing: every document lands whole in one sequence
+    with correct boundary offsets; output is a pure function of the
+    input regardless of physical partitioning."""
+    from pyspark.sql import functions as F
+
+    from solana_snapshot_etl_tools_spark.operators.packing import pack_no_split
+
+    rows = [
+        (i, list(range(i * 100, i * 100 + ln)))
+        for i, ln in enumerate([5, 9, 3, 12, 7, 2, 8, 6, 4, 11, 1, 10])
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, token_ids array<int>")
+    out = pack_no_split(df, seq_len=16, num_groups=3).collect()
+    by_doc = {}
+    for r in out:
+        assert r.n_tokens <= 16 and r.n_tokens == len(r.input_ids)
+        assert abs(r.fill_frac - r.n_tokens / 16.0) < 1e-9
+        assert len(r.doc_ids) == len(r.doc_offsets) == r.n_docs
+        for did, off in zip(r.doc_ids, r.doc_offsets):
+            by_doc[did] = (r.seq_id, off, r.input_ids)
+    # exhaustive + whole: each doc's tokens appear contiguously at its
+    # offset in exactly one sequence
+    for did, toks in rows:
+        seq_id, off, ids = by_doc[did]
+        assert ids[off : off + len(toks)] == toks
+    assert len(by_doc) == len(rows)
+
+    a = sorted(
+        (r.seq_id, tuple(r.input_ids))
+        for r in pack_no_split(df.repartition(7), 16, num_groups=3).collect()
+    )
+    b = sorted((r.seq_id, tuple(r.input_ids)) for r in out)
+    assert a == b  # hash-group routing, not physical partitions
+
+
+def test_pack_no_split_truncation_and_eos(spark):
+    from solana_snapshot_etl_tools_spark.operators.packing import pack_no_split
+
+    rows = [(1, list(range(30))), (2, [7, 8])]
+    df = spark.createDataFrame(rows, "doc_id long, token_ids array<int>")
+    got = {
+        did: (r.input_ids, off)
+        for r in pack_no_split(df, seq_len=8, eos_id=99, num_groups=1).collect()
+        for did, off in zip(r.doc_ids, r.doc_offsets)
+    }
+    # the long doc is truncated TO seq_len (after EOS append)
+    assert got[1][0][got[1][1] : got[1][1] + 8] == list(range(8))
+    # the short doc keeps its EOS
+    ids2, off2 = got[2]
+    assert ids2[off2 : off2 + 3] == [7, 8, 99]
+
+    # truncate=False drops the long doc instead
+    kept = {
+        did
+        for r in pack_no_split(
+            df, seq_len=8, eos_id=99, num_groups=1, truncate=False
+        ).collect()
+        for did in r.doc_ids
+    }
+    assert kept == {2}
+
+
+def test_pack_no_split_fill_beats_one_doc_per_sequence(spark):
+    """FFD actually packs: far fewer sequences than documents on the
+    real corpus encoding."""
+    from solana_snapshot_etl_tools_spark.operators import bpe as B
+    from solana_snapshot_etl_tools_spark.operators.packing import pack_no_split
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(150)
+    )
+    model = B.bpe_train(docs, n_merges=64, train_limit=150)
+    enc = B.bpe_encode(docs, model)
+    max_len = enc.agg({"n_tokens": "max"}).collect()[0][0]
+    seq_len = int(max_len) + 16
+    out = pack_no_split(enc, seq_len, num_groups=4)
+    n_seqs = out.count()
+    n_docs = enc.count()
+    assert n_seqs < n_docs / 1.5  # genuinely packed
+    stats = out.agg({"fill_frac": "avg"}).collect()[0][0]
+    assert stats > 0.5
