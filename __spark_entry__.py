@@ -39,72 +39,69 @@ def entry(spark: SparkSession) -> DataFrame:
 # round's cap (tools/plan_next_front.py derives it; check_rotation.py
 # gates it).
 #
-# Round 6 front-loads (a) the 43 queries whose last green row is round
-# 4 (they fell past round 5's cap), then (b) the SEVEN round-5-late
-# queries that have local driver-sim + pytest evidence but no driver
-# row yet (tools/check_rotation.py:NEW_PENDING_FIRST_ROW). 43 + 7 = 50
-# exactly; r05 ∪ r06 covers all 100.
+# Round 7 front-loads the 50 queries whose last green row is round 5
+# (they fell past round 6's cap) — exactly
+# tools/plan_next_front.py's output; r06 ∪ r07 covers all 100.
 _FRONT = [
-    # (a) r04-green, past round 5's cap — must-refresh
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q5_nation_revenue",
-    "join_semi",
-    "join_anti",
-    "join_theta",
-    "window_topk",
-    "sessionize",
-    "rollup_agg",
-    "cube_agg",
-    "pivot",
-    "unpivot",
-    "tumbling_window",
-    "asof_join",
-    "q6_revenue_delta",
-    "q10_returned_items",
-    "q14_promo_share",
-    "sliding_window",
-    "grouping_sets",
-    "percentiles_stddev",
-    "collect_sorted",
-    "etl_account",
-    "etl_token_account",
-    "etl_token_mint",
-    "etl_token_multisig",
-    "etl_token_metadata",
-    "etl_offchain_uri",
-    "etl_program_elfs",
-    "etl_csv_projection",
-    "etl_snapshot_scan",
-    "dup_span_stats",  # touched r6: segment bound (VERDICT item 2)
-    "dedup_exact",
-    "chunk_documents",
-    "ann_cosine_topk",
-    "ann_cosine_lsh",
-    "ann_cosine_ivf",
-    "ann_cosine_pq",
-    "ann_cosine_ivf_pq",
-    "embedding_cosine_pairs",
-    "text_metrics",
-    "lang_id",
-    "doc_length_histogram",
-    "salted_join_orders",
-    # (b) round-5-late queries — first driver rows
-    "chunk_cdc",
-    "decontaminate_ngram",
-    "excise_dup_spans",
-    "pack_sequences",  # touched r6: determinism guard (VERDICT item 3)
-    "q18_large_orders",
-    "q2_min_cost_supplier",
-    "q22_idle_customers",
-    # cap (50) lands here — zero slack. Past it: the entire r05-green
-    # front (media_*, stream_*, etl_deletion_events, etl_opcode_stats,
-    # window/setops/scalar/string/date/json families, subquery family,
-    # bigram/fingerprint, sample_balanced_lang, quantize, the three
-    # ann_*_exact parity queries, split, the dedup family, pii/quality/
-    # vocab/rarity/semantic, both pipelines, q4/q19). Round-6 code
-    # changes must NOT touch their implementing functions (evidence =
-    # r05 green row + git log -L function-unchanged).
+    "window_running",
+    "window_rank_ties",
+    "window_moving",
+    "setops",
+    "scalar_funcs",
+    "json_extract",
+    "distinct_topk",
+    "above_avg_orders",
+    "q4_order_priority",
+    "q19_disjunctive_revenue",
+    "top_supplier_per_nation",
+    "exists_not_exists",
+    "in_subquery_having",
+    "conditional_agg",
+    "string_funcs",
+    "date_funcs",
+    "window_values",
+    "explode_tokens",
+    "null_handling",
+    "limit_offset",
+    "etl_deletion_events",
+    "etl_opcode_stats",
+    "media_meta",
+    "media_frame_sample",
+    "media_features",
+    "stream_selected_accounts",
+    "stream_offchain_fanout",
+    "stream_rooted_slots",
+    "stream_block_metadata",
+    "stream_tx_filtered",
+    "stream_tx_nested",
+    "pipeline_clean_corpus",
+    "pipeline_pretrain_corpus",
+    "embedding_quantize_int8",
+    "dedup_jaccard_ngram",
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "dedup_simhash",
+    "ann_cosine_ivf_exact",
+    "ann_cosine_pq_exact",
+    "ann_cosine_ivf_pq_exact",
+    "doc_fingerprint",
+    "bigram_stats",
+    "sample_balanced_lang",
+    "split_train_val_test",
+    "pii_scrub",
+    "quality_repetition",
+    "token_doc_freq",
+    "doc_rarity_score",
+    "dedup_semantic",
+    # cap (50) lands here — zero slack. Past it: the entire r06-green
+    # front (TPC-H q1/q3/q5/q6/q10/q14/q18/q2/q22, join/window/agg/
+    # pivot/setops anchors, the etl_* fixture decode spine,
+    # dup_span_stats, dedup_exact, chunk_documents/chunk_cdc,
+    # decontaminate_ngram, excise_dup_spans, pack_sequences, the five
+    # production-parameter ann_cosine_* variants, embedding_cosine_pairs,
+    # text_metrics/lang_id/doc_length_histogram, salted_join_orders).
+    # Round-7 code changes must NOT touch their implementing functions
+    # (evidence = r06 green row + git log -L function-unchanged).
 ]
 
 

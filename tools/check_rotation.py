@@ -45,15 +45,7 @@ ROWS_ONLY = {
 # exist yet (pytest + tools/driver_sim evidence only). Each one must be
 # in the NEXT round's front-load (TODO.md slot budget) and must leave
 # this set the moment it has a green row — the gate flags a stale entry.
-NEW_PENDING_FIRST_ROW = {
-    "chunk_cdc",
-    "decontaminate_ngram",
-    "q18_large_orders",
-    "q2_min_cost_supplier",
-    "q22_idle_customers",
-    "excise_dup_spans",
-    "pack_sequences",
-}
+NEW_PENDING_FIRST_ROW: set[str] = set()  # ceiling reached; r06 landed all first rows
 
 
 def main() -> int:
