@@ -285,12 +285,26 @@ def main(argv: list[str] | None = None) -> int:
             incremental as INC,
         )
 
+        from pyspark.errors import AnalysisException
+
         d = args.dedup_against_index
         prior_index = spark.read.parquet(f"{d}/index")
         try:
             prior_sigs = spark.read.parquet(f"{d}/sigs")
-        except Exception:  # index persisted without signatures:
-            prior_sigs = None  # probes degrade to raw bucket membership
+        except AnalysisException as e:
+            # ONLY a genuinely absent sigs table (index persisted
+            # without signatures) degrades probes to raw bucket
+            # membership; permissions / corrupt-footer / transient FS
+            # errors re-raise — same contract as ingest._read_prior
+            cls = ""
+            try:
+                cls = e.getCondition() or ""
+            except Exception:
+                pass
+            if "PATH_NOT_FOUND" not in cls and "Path does not exist" not in str(e):
+                raise
+            prior_sigs = None
+            report["near_dup_probe_degraded"] = "no_signature_table"
         flagged = INC.dedup_against_index(
             corpus, prior_index, old_sigs=prior_sigs
         ).persist()

@@ -514,8 +514,12 @@ def video_temporal_alignment(
             ).alias("_ms"),
             # the dominant temporal offset (mode of frame_b - frame_a):
             # a trimmed/delayed re-encode aligns at a constant shift —
-            # the offset localizes WHERE the shared footage sits
-            F.mode(F.col("frame_b") - F.col("frame_a")).alias("offset"),
+            # the offset localizes WHERE the shared footage sits.
+            # deterministic=True: ties resolve to the lowest offset so
+            # the column is reproducible across runs/partitionings
+            F.mode(F.col("frame_b") - F.col("frame_a"), True).alias(
+                "offset"
+            ),
         ),
         ["media_a", "media_b"],
     )

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame
 from solana_snapshot_etl_tools_spark.operators.bpe import _word_freqs
 
 OOV_ID = 0
+OOV_PIECE = "<oov>"  # reserved sentinel; _seed_pieces rejects it as a piece
 _UNK_PENALTY = 16.0  # nats worse than the worst real piece
 
 _UNIGRAM_MEMO: dict = {}
@@ -63,6 +64,10 @@ def _seed_pieces(
             top = min(max_piece_len, n - i)
             for L in range(2, top + 1):
                 subs[w[i : i + L]] += c
+    # the reserved OOV sentinel must never become a learned piece — a
+    # corpus containing the literal substring "<oov>" would otherwise
+    # seed a piece that unigram_vocab silently shadows onto id 0
+    subs.pop(OOV_PIECE, None)
     ranked = sorted(
         subs.items(), key=lambda kv: (-kv[1] * len(kv[0]), kv[0])
     )[:seed_size]
@@ -339,7 +344,12 @@ def unigram_train(
 def unigram_vocab(model: dict) -> dict[str, int]:
     """id table: 0 is OOV, then every piece in sorted order —
     deterministic, like ``bpe_vocab``."""
-    vocab = {"<oov>": OOV_ID}
+    vocab = {OOV_PIECE: OOV_ID}
+    if OOV_PIECE in model["pieces"]:
+        raise ValueError(
+            "model contains a piece equal to the reserved OOV sentinel "
+            f"{OOV_PIECE!r} — retrain with the current _seed_pieces"
+        )
     for p in sorted(model["pieces"]):
         vocab.setdefault(p, len(vocab))
     return vocab

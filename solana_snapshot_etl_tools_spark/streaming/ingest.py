@@ -58,7 +58,7 @@ def _read_prior(spark, path: str, batch_id: int, mk_empty):
     except AnalysisException as e:
         cls = ""
         try:
-            cls = e.getErrorClass() or ""
+            cls = e.getCondition() or ""
         except Exception:
             pass
         if "PATH_NOT_FOUND" in cls or "Path does not exist" in str(e):

@@ -458,3 +458,43 @@ def test_ingest_stream_rejects_batch_only_flags_and_survives_empty(
     )
     assert rep["n_corpus"] == 0 and rep["n_batches"] == 0
     assert rep["index_rows"] == 0 and "data_card" not in rep
+
+
+def test_missing_sigs_degrades_loudly_but_corrupt_sigs_raise(
+    spark, tmp_path_factory, capsys
+):
+    """ADVICE r6: a genuinely-absent signature table degrades probes to
+    raw bucket membership AND records it in the report; any other sigs
+    read failure (corrupt file) raises instead of silently degrading."""
+    import shutil
+
+    import pytest
+
+    base = str(tmp_path_factory.mktemp("sigs_degrade"))
+    shard = f"{base}/shard.parquet"
+    spark.read.parquet(SRC).select("doc_id", "text").filter(
+        F.col("doc_id") % 2 == 0
+    ).write.parquet(shard)
+    out1, idx = f"{base}/out1", f"{base}/idx"
+    _run(capsys, shard, out1, "--no-pii", "--index-out", idx,
+         "--records-per-shard", "100")
+
+    shutil.rmtree(f"{idx}/sigs")
+    rep = _run(
+        capsys, shard, f"{base}/out2", "--no-pii",
+        "--dedup-against-index", idx, "--records-per-shard", "100",
+    )
+    assert rep["near_dup_probe_degraded"] == "no_signature_table"
+    assert rep["n_dup_exact_vs_index"] > 0  # exact probing still works
+
+    # corrupt sigs (dir exists, unreadable parquet) must NOT degrade
+    import os
+
+    os.makedirs(f"{idx}/sigs", exist_ok=True)
+    with open(f"{idx}/sigs/part-00000.parquet", "wb") as f:
+        f.write(b"not a parquet file")
+    with pytest.raises(Exception):
+        _run(
+            capsys, shard, f"{base}/out3", "--no-pii",
+            "--dedup-against-index", idx, "--records-per-shard", "100",
+        )

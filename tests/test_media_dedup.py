@@ -503,3 +503,23 @@ def test_alignment_offset_localizes_trimmed_reencode(spark):
     r = out[0]
     assert r.offset == 3
     assert r.aligned_frames >= len(frames) - 1
+
+
+def test_alignment_offset_deterministic_on_ties(spark):
+    """ADVICE r6: with two equally common offsets the reported offset
+    is the LOWEST (deterministic mode), not a partition-order artifact.
+    Swapping two frames gives offsets {0,0,...,+k,-k}: drop the zeros
+    by using a 2-frame pair where the copy is the reversal — matches
+    (0,1) and (1,0) tie at +1/-1 and must resolve to -1."""
+    a, b = _gray(100), _gray(140)
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytearray(_fvid([a, b]))),
+            (2, "video", bytearray(_fvid([b, a]))),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    fh = MD.perceptual_hash_frames(media)
+    for _ in range(3):
+        out = MD.video_temporal_alignment(fh, min_shared_frames=1).collect()
+        assert len(out) == 1 and out[0].offset == -1

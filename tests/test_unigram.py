@@ -242,3 +242,25 @@ def test_sampled_encode_is_deterministic_per_doc_and_valid(spark):
     for r in docs.limit(5).collect():
         flat = "".join(r.text.lower().split())
         assert "".join(inv[i] for i in a[r.doc_id]) == flat
+
+
+def test_oov_sentinel_never_becomes_a_piece(spark):
+    """ADVICE r6: a corpus drowning in the literal substring '<oov>'
+    still never learns it as a piece — the sentinel stays reserved for
+    id 0 and the text encodes through smaller real pieces."""
+    docs = spark.createDataFrame(
+        [(i, "<oov> " * 20) for i in range(30)], ["doc_id", "text"]
+    )
+    model = U.unigram_train(docs, vocab_size=64, em_iters=1)
+    assert U.OOV_PIECE not in model["pieces"]
+    vocab = U.unigram_vocab(model)
+    assert vocab[U.OOV_PIECE] == U.OOV_ID
+    enc = U.unigram_encode(docs.limit(1), model).collect()[0]
+    # the literal text still round-trips through real sub-pieces —
+    # not as a wall of OOV ids
+    assert any(t != U.OOV_ID for t in enc.token_ids)
+    # and a hand-built model carrying the sentinel is rejected loudly
+    bad = dict(model)
+    bad["pieces"] = dict(model["pieces"], **{U.OOV_PIECE: -1.0})
+    with pytest.raises(ValueError, match="reserved OOV sentinel"):
+        U.unigram_vocab(bad)
