@@ -368,9 +368,11 @@ def dup_span_stats(
     groupBy, membership one equi-join. (The DuckDB oracle compares
     raw substrings — agreement is exact unless xxhash64 collides
     inside the corpus, which the hash-checked gate would expose.
-    split('') chunks by UTF-16 unit, so astral-plane characters would
-    index differently than substring's code-point view; BMP text —
-    all driver corpora — is exact. sf0.1 A/B of window-key variants:
+    split('')/ascii/length/substring are all CODE-POINT semantics on
+    Spark 4 — probed: split('') keeps an astral char as one element
+    and ascii returns its full code point — so windowing matches the
+    oracle's substring view on non-BMP text too; pinned by the astral
+    differential pytest. sf0.1 A/B of window-key variants:
     this shape 2.8 s steady vs 3.5 s for the old dense substring scan
     and 5.7 s for slice+array_join string rebuilds.)"""
     if segment_chars < 1:

@@ -264,6 +264,7 @@ def stratified_split(
     val_pct: int = 5,
     seed: int = 0,
     num_ranges: int | None = None,
+    max_driver_rows: int = TEMPERATURE_MAX_STRATA,
 ) -> DataFrame:
     """EXACT stratified train/val/test split: every stratum
     contributes ``floor(n_i * pct / 100)`` rows to train and
@@ -317,7 +318,24 @@ def stratified_split(
 
     d = d.localCheckpoint(eager=True)
     _SESSION_CACHES.append(_CheckpointHandle(d))
-    per_range = d.groupBy("_pid", "_s").agg(F.count(F.lit(1)).alias("_c")).collect()
+    # the driver-side decision table is #ranges x #strata rows — same
+    # loud-cap contract as temperature_sample: the limit bounds what
+    # reaches the driver, and one aggregation serves both guard and
+    # offsets (a separate count() probe would rescan the corpus)
+    per_range = (
+        d.groupBy("_pid", "_s")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .limit(max_driver_rows + 1)
+        .collect()
+    )
+    if len(per_range) > max_driver_rows:
+        raise ValueError(
+            f"stratified_split: {stratum_col!r} produces more than "
+            f"{max_driver_rows} (range, stratum) count rows — the "
+            "base-offset table is built driver-side and would not "
+            "fit. Use a coarser stratum (language/domain/cluster id), "
+            "fewer num_ranges, or raise max_driver_rows deliberately."
+        )
     if not per_range:
         return df.withColumn("split", F.lit("train")).limit(0)
     totals: dict = {}

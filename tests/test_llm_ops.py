@@ -1028,3 +1028,54 @@ def test_zero_vector_survives_l2_normalize_everywhere(spark):
         assert SIM.lsh_ann_topk(emb, q, dims=4, k=3).count() > 0
     finally:
         spark.conf.unset("spark.sql.ansi.enabled")
+
+
+def test_dup_span_stats_is_code_point_exact_on_astral_text(spark):
+    """VERDICT r6 item 2: Spark 4's split('')/ascii/length/substring
+    are all CODE-POINT semantics (probed: split('') keeps an emoji as
+    one element, ascii returns 128512), so astral-plane characters
+    window identically to a pure-Python (code-point) reference — the
+    previously documented UTF-16 divergence does not exist on this
+    engine. Differential vs Python on an emoji-laden corpus, at both
+    the default and a tiny segment bound."""
+    k = 7
+    base = "\U0001F600\U0001F680abc\U0001D11E" * 4  # 20 code points/rep
+    docs = [
+        (1, base + "tail one \U0001F4A9\U0001F4A9"),
+        (2, base + "tail TWO \U0001FAE0!!"),       # shares base windows
+        (3, "unique \U0001F9E9 text with no shared span at all"),
+        (4, "\U0001F600" * (k - 1)),               # below k: filtered
+    ]
+
+    def ref(rows):
+        wins = {
+            d: {t.lower()[i : i + k] for i in range(len(t) - k + 1)}
+            for d, t in rows
+            if len(t) >= k
+        }
+        from collections import Counter
+
+        freq = Counter(w for ws in wins.values() for w in ws)
+        return {
+            d: (
+                len(ws),
+                sum(1 for w in ws if freq[w] >= 2),
+                sum(1 for w in ws if freq[w] >= 2) / len(ws),
+            )
+            for d, ws in wins.items()
+        }
+
+    expect = ref(docs)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for seg in (DD.DUP_SPAN_SEGMENT_CHARS, 5):
+        got = {
+            r.doc_id: (r.n_windows, r.n_shared_windows, r.dup_frac)
+            for r in DD.dup_span_stats(
+                df, "doc_id", "text", k=k, segment_chars=seg
+            ).collect()
+        }
+        assert set(got) == set(expect) == {1, 2, 3}
+        for d in got:
+            assert got[d][0] == expect[d][0], (seg, d)
+            assert got[d][1] == expect[d][1], (seg, d)
+            assert abs(got[d][2] - expect[d][2]) < 1e-12, (seg, d)

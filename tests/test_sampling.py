@@ -362,3 +362,25 @@ def test_stratified_split_property(spark):
             assert got.get("test", 0) == n - n_tr - n_va
 
     check()
+
+
+def test_stratified_split_loud_driver_row_cap(spark):
+    """VERDICT r6 item 3: a high-cardinality stratum column errors
+    loudly instead of collecting ranges x strata rows driver-side; a
+    deliberate max_driver_rows raise re-enables it (the
+    temperature_sample cap contract)."""
+    import pytest as _pytest
+
+    from solana_snapshot_etl_tools_spark.operators.sampling import (
+        stratified_split,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(60)], ["doc_id", "stratum"]
+    )
+    with _pytest.raises(ValueError, match="driver-side"):
+        stratified_split(df, "stratum", max_driver_rows=10)
+    out = stratified_split(
+        df, "stratum", train_pct=50, val_pct=25, max_driver_rows=1000
+    )
+    assert out.count() == 60
