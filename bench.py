@@ -116,6 +116,81 @@ def main() -> None:
         # a prior query's sketch/pair caches can't help the next one,
         # they only occupy executor storage
         release_session_caches()
+    # round-6 operator diagnostics (STDERR, not in the headline
+    # contract): paragraph dedup over the real documents table and the
+    # pHash image-dedup pipeline over a deterministic synthetic corpus
+    # (200 planted families x 10 brightness variants) — so round-over-
+    # round drift on the newest operators is visible without touching
+    # the driver's five-key stdout contract
+    diag: dict[str, float] = {}
+    try:
+        from solana_snapshot_etl_tools_spark.operators.paragraphs import (
+            dedup_paragraphs,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        t0 = time.time()
+        dedup_paragraphs(docs).count()
+        diag["dedup_paragraphs_sec"] = round(time.time() - t0, 4)
+        release_session_caches()
+
+        from solana_snapshot_etl_tools_spark.operators.media_dedup import (
+            phash_dedup,
+        )
+
+        n_img, n_fam = 2000, 200
+        base = spark.range(n_img).select(
+            F.col("id").alias("media_id"),
+            (F.col("id") % n_fam).alias("_fam"),
+            (F.col("id") / n_fam).cast("int").alias("_var"),
+        )
+
+        def gen(batches):
+            import struct as _st
+
+            import numpy as _np
+            import pandas as _pd
+
+            for pdf in batches:
+                blobs = []
+                for f, v in zip(pdf["_fam"], pdf["_var"]):
+                    rng = _np.random.default_rng(int(f))
+                    a = _np.kron(
+                        rng.integers(30, 226, size=(6, 8)).astype(_np.float64),
+                        _np.ones((8, 8)),
+                    )
+                    a = _np.clip(
+                        a + rng.integers(0, 20, size=a.shape) + 2 * int(v),
+                        0,
+                        255,
+                    ).astype(_np.uint8)
+                    pix = _np.repeat(a[:, :, None], 3, axis=2)
+                    h, w, c = pix.shape
+                    blobs.append(
+                        b"FIMG" + _st.pack("<HH", w, h) + bytes([c]) + pix.tobytes()
+                    )
+                yield _pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "kind": "image",
+                        "blob": blobs,
+                    }
+                )
+
+        media = base.mapInPandas(
+            gen, "media_id long, kind string, blob binary"
+        )
+        t0 = time.time()
+        decisions = phash_dedup(media).count()
+        diag["phash_dedup_sec"] = round(time.time() - t0, 4)
+        diag["phash_dedup_rows"] = decisions
+        release_session_caches()
+    except Exception as e:  # diagnostics never break the contract
+        diag["error"] = f"{type(e).__name__}: {e}"[:200]
+    print(json.dumps({"r6_operator_diag": diag}), file=sys.stderr)
+
     total = round(sum(per_query.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -30,11 +30,16 @@ arriving shards and the loop state lives at --index-out:
     python -m solana_snapshot_etl_tools_spark.corpus_cli \\
         ARRIVALS_DIR OUT_DIR --ingest-stream --index-out DIR \\
         [--no-pii] [--quality Q] [--lang L] [--gopher] \\
-        [--quality-model DIR] [--drop-near-candidates] [--data-card]
+        [--quality-model DIR] [--drop-near-candidates] \\
+        [--stratified-split lang [--train-pct P --val-pct V]] \\
+        [--data-card]
 
 (The stateless cleaning tiers — PII redaction, quality/language/
 Gopher filters, the learned quality model — run unchanged on the
-stream; batch-only stages are rejected, never silently ignored.)
+stream; --stratified-split runs post-drain as an exact batch split
+over the corpus accumulated so far, rewriting the derived split dirs
+each run; the remaining batch-only stages are rejected, never
+silently ignored.)
 
 Emits one JSON report line (stage row counts, per-split sizes, shard
 manifest sizes). Every stage is the already-tested library operator;
@@ -177,7 +182,6 @@ def main(argv: list[str] | None = None) -> int:
             (args.cluster_balance, "--cluster-balance"),
             (args.dedup_against_index, "--dedup-against-index"),
             (args.dedup_cleaned, "--dedup-cleaned"),
-            (args.stratified_split, "--stratified-split"),
             (args.shuffle_seed is not None, "--shuffle-seed"),
         ):
             if flag:
@@ -592,6 +596,37 @@ def _ingest_stream_main(args) -> int:
     for key, sub in (("index_rows", "index"), ("signature_rows", "sigs")):
         df = read_count(f"{args.index_out}/{sub}")
         report[key] = df.count() if df is not None else 0
+    if args.stratified_split and corpus is not None:
+        # post-drain batch stage: the exact split is a VIEW over the
+        # corpus accumulated SO FAR, rewritten whole each run (the
+        # append-only state stays OUT_DIR/corpus + the index; split
+        # dirs are derived). stratified_split is append-unstable by
+        # contract — a rerun after more arrivals reassigns some rows,
+        # exactly as its docstring warns; callers wanting stable
+        # assignment use the batch pipeline's hash split.
+        from solana_snapshot_etl_tools_spark.operators.dedup import (
+            release_session_caches,
+        )
+        from solana_snapshot_etl_tools_spark.operators.sampling import (
+            stratified_split,
+        )
+
+        strat = TXT.lang_id(F.col("text"))
+        resplit = stratified_split(
+            corpus.select("doc_id", "text").withColumn("_stratum", strat),
+            "_stratum",
+            train_pct=args.train_pct,
+            val_pct=args.val_pct,
+        ).drop("_stratum").persist()
+        splits = {}
+        for name in ("train", "val", "test"):
+            part = resplit.filter(F.col("split") == name).drop("split")
+            part.write.mode("overwrite").parquet(f"{args.out_dir}/{name}")
+            splits[name] = {"rows": part.count()}
+        report["split_mode"] = f"stratified:{args.stratified_split}"
+        report["splits"] = splits
+        resplit.unpersist()
+        release_session_caches()
     if args.data_card and corpus is not None:
         from solana_snapshot_etl_tools_spark.operators.report import (
             corpus_report,

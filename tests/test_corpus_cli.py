@@ -440,7 +440,7 @@ def test_ingest_stream_rejects_batch_only_flags_and_survives_empty(
         [(1, "the quick brown fox reads many good long books " * 3)],
         "doc_id long, text string",
     ).coalesce(1).write.mode("append").parquet(src)
-    for flag in (["--shuffle-seed", "3"], ["--stratified-split", "lang"],
+    for flag in (["--shuffle-seed", "3"], ["--tokenize", "64"],
                  ["--dedup-cleaned"]):
         with _pytest.raises(SystemExit):
             corpus_cli.main(
@@ -498,3 +498,97 @@ def test_missing_sigs_degrades_loudly_but_corrupt_sigs_raise(
             capsys, shard, f"{base}/out3", "--no-pii",
             "--dedup-against-index", idx, "--records-per-shard", "100",
         )
+
+
+def test_ingest_stream_quality_model_stratified_split_data_card_one_run(
+    spark, tmp_path_factory, capsys
+):
+    """VERDICT r6 item 6: --ingest-stream x --quality-model x
+    --stratified-split x --data-card in ONE invocation at sf0.1.
+    The learned tier filters each arriving batch; after the stream
+    drains, the exact stratified split rewrites the derived split
+    dirs over the accumulated corpus; the data card describes it."""
+    import os
+    import time
+
+    from solana_snapshot_etl_tools_spark.operators import quality_model as QM
+    from solana_snapshot_etl_tools_spark.operators.sampling import (
+        stratified_split,
+    )
+
+    base = tmp_path_factory.mktemp("stream_full")
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .select("doc_id", "text")
+    )
+    junk = spark.createDataFrame(
+        [(10_000_000 + i, " ".join(["@@@%%!!"] * 30), 0.0) for i in range(200)],
+        "doc_id long, text string, label double",
+    )
+    model = QM.quality_model_train(
+        docs.withColumn("label", F.lit(1.0)).unionByName(junk),
+        dim=2**14, max_iter=30,
+    )
+    mpath = str(base / "model")
+    model.write().overwrite().save(mpath)
+
+    src = str(base / "arrivals")
+    os.makedirs(src)
+    # 3 shards; shard 3 plants exact copies of shard-1 docs
+    s1 = docs.filter(F.col("doc_id") % 3 == 0)
+    s1.coalesce(2).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    docs.filter(F.col("doc_id") % 3 == 1).coalesce(2).write.mode(
+        "append"
+    ).parquet(src)
+    time.sleep(1.1)
+    docs.filter(F.col("doc_id") % 3 == 2).unionByName(
+        s1.orderBy("doc_id").limit(20).select(
+            (F.col("doc_id") + 30_000_000).alias("doc_id"), "text"
+        )
+    ).coalesce(2).write.mode("append").parquet(src)
+
+    out, idx = str(base / "out"), str(base / "idx")
+    rep = _run(
+        capsys, src, out, "--ingest-stream", "--index-out", idx,
+        "--no-pii", "--quality", "0", "--lang", "",
+        "--quality-model", mpath, "--quality-model-alpha", "9",
+        "--stratified-split", "lang", "--train-pct", "80", "--val-pct", "10",
+        "--data-card",
+    )
+    assert rep["mode"] == "ingest-stream" and rep["n_batches"] == 3
+    # the learned tier dropped some docs; the 20 planted copies are
+    # gone (dedup runs AFTER the model filter, so a copy whose
+    # original was model-dropped could in principle survive — the
+    # split-dir check below pins that none did here)
+    assert 0 < rep["n_corpus"] < 5000
+    assert rep["signature_rows"] == rep["n_corpus"]
+    # split dirs are a disjoint exact partition of the corpus
+    sizes = {k: v["rows"] for k, v in rep["splits"].items()}
+    assert rep["split_mode"] == "stratified:lang"
+    assert sum(sizes.values()) == rep["n_corpus"]
+    parts = {
+        name: spark.read.parquet(f"{out}/{name}")
+        for name, v in rep["splits"].items() if v["rows"]
+    }
+    ids = [set(r.doc_id for r in p.select("doc_id").collect()) for p in parts.values()]
+    assert sum(len(s) for s in ids) == len(set().union(*ids)) == rep["n_corpus"]
+    assert not any(i >= 30_000_000 for s in ids for i in s)  # copies dropped
+    # floor-exact shares vs an independent recomputation of the split
+    corpus = spark.read.parquet(f"{out}/corpus").select("doc_id", "text")
+    from solana_snapshot_etl_tools_spark.functions.text import lang_id
+
+    expect = {
+        r["split"]: r["n"]
+        for r in stratified_split(
+            corpus.withColumn("_stratum", lang_id(F.col("text"))),
+            "_stratum", train_pct=80, val_pct=10,
+        ).groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert {k: v for k, v in sizes.items() if v} == expect
+    # data-card assertions: the card describes the accumulated corpus
+    card = rep["data_card"]
+    assert card["n_docs"] == rep["n_corpus"]
+    assert card["exact_dup_rate"] == 0.0  # post-dedup corpus
+    assert card["n_tokens"] > 0 and card["mean_quality"] > 0
+    assert sum(card["languages"].values()) == card["n_docs"]
