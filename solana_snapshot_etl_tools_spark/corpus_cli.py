@@ -90,6 +90,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--quality-model-alpha", type=float, default=9.0,
                    help="Pareto shape for --quality-model's keep rule "
                    "(GPT-3 default 9)")
+    p.add_argument("--lm-reference", metavar="PARQUET", default=None,
+                   help="train a stupid-backoff n-gram LM on this "
+                   "HIGH-QUALITY reference corpus (parquet with a "
+                   "text column) and drop documents whose perplexity "
+                   "under it exceeds --lm-max-ppl — the CCNet filter "
+                   "(operators/ngram_lm.py)")
+    p.add_argument("--lm-max-ppl", type=float, default=None,
+                   help="perplexity keep threshold for --lm-reference")
+    p.add_argument("--lm-ngram", type=int, default=3,
+                   help="LM order for --lm-reference (default 3)")
+    p.add_argument("--lm-min-count", type=int, default=2,
+                   help="prune reference n-grams of order >= 2 seen "
+                   "fewer times (default 2)")
     p.add_argument("--embeddings", metavar="PARQUET", default=None,
                    help="embeddings parquet with (vec_id, embedding) "
                    "keyed by doc id — enables --cluster-balance")
@@ -166,6 +179,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.drop_near_candidates and not args.dedup_against_index and not args.ingest_stream:
         p.error("--drop-near-candidates requires --dedup-against-index "
                 "or --ingest-stream")
+    if bool(args.lm_reference) != (args.lm_max_ppl is not None):
+        p.error("--lm-reference and --lm-max-ppl go together")
     if args.index_out and args.index_out == args.dedup_against_index:
         p.error("--index-out must differ from --dedup-against-index "
                 "(cannot overwrite an index while probing it)")
@@ -183,6 +198,9 @@ def main(argv: list[str] | None = None) -> int:
             (args.dedup_against_index, "--dedup-against-index"),
             (args.dedup_cleaned, "--dedup-cleaned"),
             (args.shuffle_seed is not None, "--shuffle-seed"),
+            # LM scoring is a join+aggregation pipeline over the full
+            # frame — not a stateless row filter; batch mode only
+            (args.lm_reference, "--lm-reference"),
         ):
             if flag:
                 p.error(f"--ingest-stream is a standalone mode ({name} "
@@ -257,6 +275,27 @@ def main(argv: list[str] | None = None) -> int:
             alpha=args.quality_model_alpha,
             id_col="doc_id",
         ).drop("quality_prob")
+    if args.lm_reference:
+        # the CCNet recipe: an n-gram LM trained on a HIGH-QUALITY
+        # reference corpus scores the crawl; high-perplexity (unlike-
+        # the-reference) documents are dropped. Runs after the cheap
+        # heuristic filters so the LM join scores fewer rows.
+        from solana_snapshot_etl_tools_spark.operators.ngram_lm import (
+            ngram_lm_train,
+            perplexity_filter,
+        )
+
+        ref = spark.read.parquet(args.lm_reference).select("text")
+        lm = ngram_lm_train(
+            ref, n=args.lm_ngram, min_count=args.lm_min_count
+        )
+        # persisted for the run (the corpus frame downstream re-reads
+        # the filter lineage); freed by the end-of-run
+        # release_session_caches with every other operator cache
+        lm["counts"] = lm["counts"].persist()
+        DD._SESSION_CACHES.append(lm["counts"])
+        filtered = perplexity_filter(filtered, lm, args.lm_max_ppl)
+        report["n_after_lm_filter"] = filtered.count()
 
     # the split hash MUST be independent of knuth_hash32: the
     # cluster-balance sampler accepts the LOW-knuth-hash tail of each

@@ -1,0 +1,239 @@
+"""Distributed n-gram language model with stupid backoff — the
+CCNet-style perplexity quality filter (Wenzek et al. 2020 §4.3 score
+documents with a corpus-trained LM; RedPajama/Gopher use the same
+signal). The backoff scheme is Brants et al., "Large Language Models
+in Machine Translation" (EMNLP 2007) §4 "Stupid Backoff" — chosen
+over Kneser-Ney PRECISELY because it was designed for distributed
+count-based training: no discount fitting, no continuation counts, so
+both training and scoring stay pure Spark aggregations/joins and the
+model itself is a DataFrame, never driver state.
+
+    S(w | ctx) = count(ctx·w)/count(ctx)        if count(ctx·w) > 0
+               = 0.4 · S(w | shorter ctx)       otherwise
+    S(w) = count(w)/total                        (unigram base case)
+
+Extends the engine's quality family: `q_doc_rarity` is the
+transcendental-free unigram proxy; this is the real higher-order LM.
+
+Scale shape (100 TB honest):
+- TRAIN is one narrow explode (each position emits its 1..n-gram
+  keys) + one groupBy — the classic MapReduce n-gram count. The model
+  STAYS a distributed (key, cnt) table keyed by 8-byte hashes; only
+  ``total`` (one long) lives on the driver.
+- SCORE melts each position into (2n-1) hashed-key rows (n gram
+  orders + n-1 context orders), joins the count table ONCE on the
+  long key, and folds back per position — longs-only shuffles, join
+  volume (2n-1)·tokens. Hot keys (common n-grams) are AQE's
+  skew-join case; small pruned models broadcast automatically.
+- N-grams are keyed by ``xxhash64(order-salted token join)`` — 8-byte
+  keys end-to-end; a collision merges two counts (vanishingly rare,
+  and a quality SCORE, not an exactness surface — documented).
+
+``min_count`` prunes rare high-order n-grams at train time (the
+standard size/quality trade; backoff covers the pruned mass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from solana_snapshot_etl_tools_spark.functions.text import tokens
+
+BACKOFF = 0.4  # Brants et al. 2007: "empirically determined"
+BOS, EOS = "<s>", "</s>"
+_SEP = "\x1f"
+
+
+def _padded(text: Column, n: int) -> Column:
+    """(n-1) BOS markers + whitespace tokens + EOS; null/blank text →
+    null (skip-not-fail: unscorable, never a crash)."""
+    toks = tokens(text)
+    toks = F.filter(toks, lambda t: t != "")
+    pad = F.array(*[F.lit(BOS)] * (n - 1))
+    return F.when(
+        text.isNotNull() & (F.size(toks) > 0),
+        F.concat(pad, toks, F.array(F.lit(EOS))),
+    )
+
+
+def _gram_key(toks: Column, start: Column, order: int) -> Column:
+    """8-byte key of the ``order``-gram starting at 1-based ``start``
+    — order-salted so a unigram and a bigram can never collide."""
+    return F.xxhash64(
+        F.lit(order), F.array_join(F.slice(toks, start, order), _SEP)
+    )
+
+
+def ngram_lm_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_count: int = 1,
+) -> dict:
+    """Count-based LM over the corpus: returns
+    ``{"n": n, "counts": DataFrame(key long, cnt long), "total": int}``.
+    ``counts`` is DISTRIBUTED (cache it across many score calls if
+    desired); ``total`` is the corpus token count incl. EOS (the
+    unigram denominator). ``min_count`` drops n-grams of order ≥ 2
+    seen fewer times (unigrams always survive — they are the backoff
+    floor)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    toks = _padded(F.col(text_col), n)
+    base = docs.select(toks.alias("_t")).filter(F.col("_t").isNotNull())
+    # every order-o gram, o = 1..n: position i scores token i+n-1, so
+    # grams START anywhere a full o-gram fits. One explode per order,
+    # unioned — each is narrow; the single groupBy is the only shuffle.
+    def _keys_of_order(o: int):
+        # NB: a `lambda s, o=o:` two-parameter lambda would be called
+        # by Spark as (element, index) — transform dispatches on arity
+        # — silently rebinding o to the array index; hence the factory
+        return lambda s: _gram_key(F.col("_t"), s, o)
+
+    per_order = []
+    for o in range(1, n + 1):
+        starts = F.sequence(F.lit(1), F.size(F.col("_t")) - (o - 1))
+        per_order.append(
+            base.select(
+                F.explode(
+                    F.transform(starts, _keys_of_order(o))
+                ).alias("key"),
+                F.lit(o).alias("_o"),
+            )
+        )
+    allgrams = per_order[0]
+    for p in per_order[1:]:
+        allgrams = allgrams.unionByName(p)
+    counts = (
+        allgrams.groupBy("key", "_o")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter((F.col("_o") == 1) | (F.col("cnt") >= min_count))
+        .select("key", "cnt")
+    )
+    # total = non-BOS token occurrences (each position scored once) —
+    # BOS is context-only, so it is excluded from the unigram base
+    total = (
+        base.select(
+            F.sum(F.size(F.col("_t")) - (n - 1)).alias("s")
+        ).collect()[0]["s"]
+        or 0
+    )
+    return {"n": n, "counts": counts, "total": int(total)}
+
+
+def lm_score(
+    docs: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens, avg_logprob, perplexity) per scorable document —
+    mean natural-log stupid-backoff score per position (incl. EOS),
+    ``perplexity = exp(-avg_logprob)``. Unscorable rows (null/blank
+    text) are absent from the output; OOV tokens take the pseudo-count
+    floor ``BACKOFF^(n-1)/total`` so scores stay finite."""
+    n, total = model["n"], model["total"]
+    if total <= 0:
+        raise ValueError("model trained on an empty corpus")
+    counts = model["counts"]
+    toks = _padded(F.col(text_col), n)
+    base = (
+        docs.select(F.col(id_col).alias("_doc"), toks.alias("_t"))
+        .filter(F.col("_t").isNotNull())
+        .select(
+            "_doc",
+            F.explode(F.sequence(F.lit(n), F.size(F.col("_t")))).alias("_i"),
+            F.col("_t"),
+        )
+    )
+    # melt: position i scores token at i using up-to-(n-1) context —
+    # roles g{o} (the o-gram ending at i) and c{o} (its context, the
+    # (o-1)-gram before i), all keyed by the salted hash
+    roles = []
+    for o in range(1, n + 1):
+        roles.append(
+            F.struct(
+                F.lit(f"g{o}").alias("role"),
+                _gram_key(F.col("_t"), F.col("_i") - (o - 1), o).alias("key"),
+            )
+        )
+        if o >= 2:
+            roles.append(
+                F.struct(
+                    F.lit(f"c{o}").alias("role"),
+                    _gram_key(
+                        F.col("_t"), F.col("_i") - (o - 1), o - 1
+                    ).alias("key"),
+                )
+            )
+    melted = base.select(
+        "_doc", "_i", F.explode(F.array(*roles)).alias("_r")
+    ).select("_doc", "_i", F.col("_r.role").alias("role"), F.col("_r.key").alias("key"))
+    joined = melted.join(counts, "key", "left").select(
+        "_doc", "_i", "role", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    pivot = joined.groupBy("_doc", "_i").agg(
+        *[
+            F.max(F.when(F.col("role") == r, F.col("cnt"))).alias(r)
+            for o in range(1, n + 1)
+            for r in ([f"g{o}"] + ([f"c{o}"] if o >= 2 else []))
+        ]
+    )
+    # stupid backoff, highest order with a nonzero gram count wins;
+    # contexts containing BOS exist by construction (they were counted
+    # at train time), but a SCORE-time context unseen in training has
+    # cnt 0 — that order then backs off too (cnt(gram)>0 implies
+    # cnt(context)>0 within one corpus, so this only triggers across
+    # corpora, where backoff is the defined behavior)
+    # build from the BASE up: OOV floor first, then each order (low to
+    # high) overrides when its gram count is present — the final
+    # expression picks the HIGHEST order with a nonzero count, exactly
+    # the backoff recursion unrolled
+    floor = F.log(F.lit(BACKOFF ** (n - 1) / total))
+    expr = floor
+    for o in range(1, n + 1):
+        g = F.coalesce(F.col(f"g{o}"), F.lit(0))
+        denom = (
+            F.coalesce(F.col(f"c{o}"), F.lit(0)) if o >= 2 else F.lit(total)
+        )
+        cand = F.log(g.cast("double") / denom.cast("double")) + F.lit(
+            n - o
+        ) * F.log(F.lit(BACKOFF))
+        expr = F.when((g > 0) & (denom > 0), cand).otherwise(expr)
+    per_pos = pivot.select("_doc", expr.alias("_lp"))
+    return (
+        per_pos.groupBy("_doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg("_lp").alias("avg_logprob"),
+        )
+        .select(
+            F.col("_doc").alias(id_col),
+            "n_tokens",
+            "avg_logprob",
+            F.exp(-F.col("avg_logprob")).alias("perplexity"),
+        )
+    )
+
+
+def perplexity_filter(
+    docs: DataFrame,
+    model: dict,
+    max_perplexity: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Documents whose LM perplexity is ≤ ``max_perplexity`` — the
+    CCNet keep rule (their "head"/"middle" buckets are two thresholds
+    of this). Unscorable rows (null/blank text) are dropped: a
+    perplexity gate that passes empty text would undo the quality
+    filters upstream."""
+    scored = lm_score(docs, model, id_col=id_col, text_col=text_col)
+    keep = scored.filter(F.col("perplexity") <= max_perplexity).select(
+        F.col(id_col).alias("_keep_id")
+    )
+    return docs.join(
+        keep, docs[id_col] == F.col("_keep_id"), "inner"
+    ).drop("_keep_id")

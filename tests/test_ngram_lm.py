@@ -1,0 +1,215 @@
+"""Stupid-backoff n-gram LM: exact score parity with a pure-Python
+reference (incl. OOV/backoff paths), fluency discrimination on held-out
+text, pruning semantics, partition invariance, filter contract."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from solana_snapshot_etl_tools_spark.operators import ngram_lm as LM
+
+TRAIN = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox likes the lazy dog"),
+    (3, "a lazy dog sleeps all day long"),
+    (4, "the brown fox and the brown dog play"),
+    (5, "quick quick quick brown brown fox"),
+]
+SCORE = [
+    (10, "the quick brown fox"),            # in-distribution
+    (11, "the lazy dog sleeps"),            # mixes contexts, backoff
+    (12, "zebra quantum flux"),             # all OOV
+    (13, "the"),                            # single token
+    (14, ""),                               # unscorable
+    (15, None),                             # unscorable
+    (16, "dog the over jumps"),             # seen words, unseen order
+]
+
+
+def _ref_model(rows, n):
+    from collections import Counter
+
+    counts = Counter()
+    total = 0
+    for _i, t in rows:
+        toks = [w for w in (t or "").lower().split() if w]
+        if not toks:
+            continue
+        seq = [LM.BOS] * (n - 1) + toks + [LM.EOS]
+        total += len(seq) - (n - 1)
+        for o in range(1, n + 1):
+            for s in range(len(seq) - o + 1):
+                counts[tuple(seq[s : s + o])] += 1
+    return counts, total
+
+
+def _ref_scores(rows, counts, total, n):
+    out = {}
+    for i, t in rows:
+        toks = [w for w in (t or "").lower().split() if w]
+        if not toks:
+            continue
+        seq = [LM.BOS] * (n - 1) + toks + [LM.EOS]
+        lps = []
+        for pos in range(n - 1, len(seq)):
+            lp = math.log(LM.BACKOFF ** (n - 1) / total)
+            for o in range(1, n + 1):
+                g = counts.get(tuple(seq[pos - o + 1 : pos + 1]), 0)
+                denom = (
+                    counts.get(tuple(seq[pos - o + 1 : pos]), 0)
+                    if o >= 2
+                    else total
+                )
+                if g > 0 and denom > 0:
+                    lp = math.log(g / denom) + (n - o) * math.log(LM.BACKOFF)
+            lps.append(lp)
+        avg = sum(lps) / len(lps)
+        out[i] = (len(lps), avg, math.exp(-avg))
+    return out
+
+
+@pytest.mark.parametrize("n", [1, 2, 3])
+def test_score_parity_with_python_reference(spark, n):
+    train = spark.createDataFrame(TRAIN, "doc_id long, text string")
+    score = spark.createDataFrame(SCORE, "doc_id long, text string")
+    model = LM.ngram_lm_train(train, n=n)
+    counts, total = _ref_model(TRAIN, n)
+    assert model["total"] == total
+    got = {
+        r.doc_id: (r.n_tokens, r.avg_logprob, r.perplexity)
+        for r in LM.lm_score(score, model).collect()
+    }
+    want = _ref_scores(SCORE, counts, total, n)
+    assert set(got) == set(want)  # 14/15 absent: unscorable
+    for d in want:
+        assert got[d][0] == want[d][0], d
+        assert got[d][1] == pytest.approx(want[d][1], rel=1e-12), d
+        assert got[d][2] == pytest.approx(want[d][2], rel=1e-12), d
+
+
+def test_fluent_text_scores_lower_perplexity(spark):
+    """Train on the real corpus; a held-out fluent sentence built from
+    its vocabulary must beat (a) shuffled word salad of the SAME
+    words and (b) OOV gibberish."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    model = LM.ngram_lm_train(docs, n=3)
+    # a bigram-frequent phrase from the corpus domain vs its reversal
+    probe = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "dog lazy the over jumps fox brown quick the"),
+            (3, "xqzt vvkpq zzyxw aaabq mmnop qrstu"),
+        ],
+        "doc_id long, text string",
+    )
+    ppl = {r.doc_id: r.perplexity for r in LM.lm_score(probe, model).collect()}
+    assert ppl[1] < ppl[2] < ppl[3]
+
+
+def test_min_count_pruning_backs_off_not_crashes(spark):
+    train = spark.createDataFrame(TRAIN, "doc_id long, text string")
+    full = LM.ngram_lm_train(train, n=3, min_count=1)
+    pruned = LM.ngram_lm_train(train, n=3, min_count=2)
+    assert pruned["counts"].count() < full["counts"].count()
+    probe = spark.createDataFrame(
+        [(1, "a lazy dog sleeps all day long")], "doc_id long, text string"
+    )
+    a = LM.lm_score(probe, full).collect()[0]
+    b = LM.lm_score(probe, pruned).collect()[0]
+    # the singleton trigrams of doc 3 are pruned → backoff engages →
+    # score drops, but stays finite
+    assert b.avg_logprob < a.avg_logprob
+    assert math.isfinite(b.avg_logprob)
+    # unigrams always survive pruning: even an aggressive cut scores
+    deep = LM.ngram_lm_train(train, n=3, min_count=10_000)
+    c = LM.lm_score(probe, deep).collect()[0]
+    assert math.isfinite(c.avg_logprob)
+
+
+def test_partition_invariance(spark):
+    train = spark.createDataFrame(TRAIN, "doc_id long, text string")
+    score = spark.createDataFrame(SCORE, "doc_id long, text string")
+    m1 = LM.ngram_lm_train(train, n=3)
+    m2 = LM.ngram_lm_train(train.repartition(7), n=3)
+    a = sorted(
+        (r.doc_id, r.n_tokens, r.avg_logprob)
+        for r in LM.lm_score(score, m1).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.n_tokens, r.avg_logprob)
+        for r in LM.lm_score(score.repartition(5), m2).collect()
+    )
+    assert a == b
+
+
+def test_perplexity_filter_contract(spark):
+    train = spark.createDataFrame(TRAIN, "doc_id long, text string")
+    model = LM.ngram_lm_train(train, n=2)
+    score = spark.createDataFrame(SCORE, "doc_id long, text string")
+    ppl = {r.doc_id: r.perplexity for r in LM.lm_score(score, model).collect()}
+    cut = sorted(ppl.values())[len(ppl) // 2]
+    kept = LM.perplexity_filter(score, model, cut)
+    assert set(r.doc_id for r in kept.collect()) == {
+        d for d, p in ppl.items() if p <= cut
+    }
+    assert kept.columns == ["doc_id", "text"]
+    # null/empty text never passes the gate
+    assert kept.filter(F.col("doc_id").isin(14, 15)).count() == 0
+
+
+def test_bad_params(spark):
+    df = spark.createDataFrame(TRAIN, "doc_id long, text string")
+    with pytest.raises(ValueError):
+        LM.ngram_lm_train(df, n=0)
+    with pytest.raises(ValueError):
+        LM.ngram_lm_train(df, min_count=0)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        LM.lm_score(df, LM.ngram_lm_train(empty))
+
+
+def test_cli_lm_filter_stage(spark, tmp_path_factory, capsys):
+    """--lm-reference/--lm-max-ppl: the CCNet stage composes in the
+    batch pipeline (report key, monotone keep counts) and is rejected
+    in stream mode (join+agg pipeline, not a stateless row filter)."""
+    import json as _json
+
+    from solana_snapshot_etl_tools_spark import corpus_cli
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+
+    def run(*argv):
+        assert corpus_cli.main(list(argv)) == 0
+        out = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+        return _json.loads(out[-1])
+
+    base = tmp_path_factory.mktemp("lm_cli")
+    loose = run(src, str(base / "o1"), "--no-pii",
+                "--lm-reference", src, "--lm-max-ppl", "1e9")
+    tight = run(src, str(base / "o2"), "--no-pii",
+                "--lm-reference", src, "--lm-max-ppl", "26")
+    assert loose["n_after_lm_filter"] == loose["n_after_filters"]
+    assert tight["n_after_lm_filter"] < loose["n_after_lm_filter"]
+    assert sum(v["rows"] for v in tight["splits"].values()) == tight[
+        "n_after_lm_filter"
+    ]
+
+    import os
+
+    import pytest as _pytest
+
+    arrivals = str(base / "arrivals")
+    os.makedirs(arrivals)
+    with _pytest.raises(SystemExit):
+        corpus_cli.main(
+            [arrivals, str(base / "o3"), "--ingest-stream",
+             "--index-out", str(base / "i"),
+             "--lm-reference", src, "--lm-max-ppl", "100"]
+        )
+    with _pytest.raises(SystemExit):  # threshold without reference
+        corpus_cli.main([src, str(base / "o4"), "--lm-max-ppl", "100"])
