@@ -16,6 +16,8 @@ library stages in production order (the same order the declared
         [--near-dedup] [--no-pii] [--dedup-cleaned] \\
         [--quality 0.5] [--lang en] [--gopher] \\
         [--quality-model DIR [--quality-model-threshold T]] \\
+        [--lm-reference REF.parquet [--lm-save DIR] | --lm-model DIR] \\
+        [--lm-max-ppl P] \\
         [--embeddings EMB.parquet --cluster-balance K [--alpha 0.0]] \\
         [--index-out DIR] \\
         [--dedup-against-index DIR [--drop-near-candidates]] \\
@@ -31,15 +33,16 @@ arriving shards and the loop state lives at --index-out:
         ARRIVALS_DIR OUT_DIR --ingest-stream --index-out DIR \\
         [--no-pii] [--quality Q] [--lang L] [--gopher] \\
         [--quality-model DIR] [--drop-near-candidates] \\
+        [--lm-reference REF.parquet | --lm-model DIR] [--lm-max-ppl P] \\
         [--stratified-split lang [--train-pct P --val-pct V]] \\
         [--data-card]
 
 (The stateless cleaning tiers — PII redaction, quality/language/
 Gopher filters, the learned quality model — run unchanged on the
-stream; --stratified-split runs post-drain as an exact batch split
-over the corpus accumulated so far, rewriting the derived split dirs
-each run; the remaining batch-only stages are rejected, never
-silently ignored.)
+stream; the LM perplexity filter and --stratified-split run
+post-drain as batch stages over the corpus accumulated so far,
+rewriting the derived split dirs each run; the remaining batch-only
+stages are rejected, never silently ignored.)
 
 Emits one JSON report line (stage row counts, per-split sizes, shard
 manifest sizes). Every stage is the already-tested library operator;
@@ -96,8 +99,17 @@ def main(argv: list[str] | None = None) -> int:
                    "text column) and drop documents whose perplexity "
                    "under it exceeds --lm-max-ppl — the CCNet filter "
                    "(operators/ngram_lm.py)")
+    p.add_argument("--lm-model", metavar="DIR", default=None,
+                   help="load a PRE-TRAINED LM persisted by --lm-save "
+                   "(ngram_lm.lm_save) instead of training one with "
+                   "--lm-reference — the CCNet train-once/score-many "
+                   "posture")
+    p.add_argument("--lm-save", metavar="DIR", default=None,
+                   help="after training the --lm-reference LM, persist "
+                   "it to DIR for later --lm-model runs")
     p.add_argument("--lm-max-ppl", type=float, default=None,
-                   help="perplexity keep threshold for --lm-reference")
+                   help="perplexity keep threshold for "
+                   "--lm-reference/--lm-model")
     p.add_argument("--lm-ngram", type=int, default=3,
                    help="LM order for --lm-reference (default 3)")
     p.add_argument("--lm-min-count", type=int, default=2,
@@ -179,8 +191,15 @@ def main(argv: list[str] | None = None) -> int:
     if args.drop_near_candidates and not args.dedup_against_index and not args.ingest_stream:
         p.error("--drop-near-candidates requires --dedup-against-index "
                 "or --ingest-stream")
-    if bool(args.lm_reference) != (args.lm_max_ppl is not None):
-        p.error("--lm-reference and --lm-max-ppl go together")
+    if args.lm_reference and args.lm_model:
+        p.error("--lm-reference and --lm-model are exclusive (train a "
+                "new LM or load a saved one, not both)")
+    if bool(args.lm_reference or args.lm_model) != (args.lm_max_ppl is not None):
+        p.error("--lm-max-ppl goes with exactly one of "
+                "--lm-reference/--lm-model")
+    if args.lm_save and not args.lm_reference:
+        p.error("--lm-save requires --lm-reference (it persists the "
+                "freshly trained LM)")
     if args.index_out and args.index_out == args.dedup_against_index:
         p.error("--index-out must differ from --dedup-against-index "
                 "(cannot overwrite an index while probing it)")
@@ -198,9 +217,10 @@ def main(argv: list[str] | None = None) -> int:
             (args.dedup_against_index, "--dedup-against-index"),
             (args.dedup_cleaned, "--dedup-cleaned"),
             (args.shuffle_seed is not None, "--shuffle-seed"),
-            # LM scoring is a join+aggregation pipeline over the full
-            # frame — not a stateless row filter; batch mode only
-            (args.lm_reference, "--lm-reference"),
+            # NB: --lm-reference/--lm-model ARE allowed here — LM
+            # scoring is a join+aggregation pipeline, so it runs as a
+            # POST-DRAIN batch stage over the accumulated corpus (the
+            # --stratified-split precedent), never inside the stream
         ):
             if flag:
                 p.error(f"--ingest-stream is a standalone mode ({name} "
@@ -275,26 +295,40 @@ def main(argv: list[str] | None = None) -> int:
             alpha=args.quality_model_alpha,
             id_col="doc_id",
         ).drop("quality_prob")
-    if args.lm_reference:
+    if args.lm_reference or args.lm_model:
         # the CCNet recipe: an n-gram LM trained on a HIGH-QUALITY
         # reference corpus scores the crawl; high-perplexity (unlike-
         # the-reference) documents are dropped. Runs after the cheap
-        # heuristic filters so the LM join scores fewer rows.
+        # heuristic filters so the LM join scores fewer rows. With
+        # --lm-model the (train-once) LM is loaded instead of rebuilt.
         from solana_snapshot_etl_tools_spark.operators.ngram_lm import (
+            lm_load,
+            lm_save,
             ngram_lm_train,
             perplexity_filter,
         )
 
-        ref = spark.read.parquet(args.lm_reference).select("text")
-        lm = ngram_lm_train(
-            ref, n=args.lm_ngram, min_count=args.lm_min_count
-        )
-        # persisted for the run (the corpus frame downstream re-reads
-        # the filter lineage); freed by the end-of-run
+        if args.lm_model:
+            lm = lm_load(spark, args.lm_model)
+            report["lm_model"] = args.lm_model
+        else:
+            ref = spark.read.parquet(args.lm_reference).select("text")
+            lm = ngram_lm_train(
+                ref, n=args.lm_ngram, min_count=args.lm_min_count
+            )
+            if args.lm_save:
+                lm_save(lm, args.lm_save)
+                report["lm_saved_to"] = args.lm_save
+        # cached for the run (many downstream actions re-read the
+        # filter lineage); freed by the end-of-run
         # release_session_caches with every other operator cache
-        lm["counts"] = lm["counts"].persist()
-        DD._SESSION_CACHES.append(lm["counts"])
-        filtered = perplexity_filter(filtered, lm, args.lm_max_ppl)
+        lm["counts"] = DD._cache_for_session(lm["counts"])
+        # the scoring pipeline (explode + count-table join + two
+        # groupBys over the corpus) must run ONCE, not once per
+        # downstream action — cache the filtered frame before counting
+        filtered = DD._cache_for_session(
+            perplexity_filter(filtered, lm, args.lm_max_ppl)
+        )
         report["n_after_lm_filter"] = filtered.count()
 
     # the split hash MUST be independent of knuth_hash32: the
@@ -635,6 +669,39 @@ def _ingest_stream_main(args) -> int:
     for key, sub in (("index_rows", "index"), ("signature_rows", "sigs")):
         df = read_count(f"{args.index_out}/{sub}")
         report[key] = df.count() if df is not None else 0
+    if (args.lm_reference or args.lm_model) and corpus is not None:
+        # post-drain batch stage (the --stratified-split precedent):
+        # LM scoring is a join+aggregation pipeline, so it cannot run
+        # as a stateless row filter INSIDE the stream — instead the
+        # corpus accumulated so far is scored after the drain, and
+        # every derived view below (split dirs, data card) sees only
+        # the LM-kept subset. The append-only state (OUT_DIR/corpus +
+        # the index) stays unfiltered — the split dirs are already
+        # derived views rewritten whole each run.
+        from solana_snapshot_etl_tools_spark.operators import dedup as DD
+        from solana_snapshot_etl_tools_spark.operators.ngram_lm import (
+            lm_load,
+            lm_save,
+            ngram_lm_train,
+            perplexity_filter,
+        )
+
+        if args.lm_model:
+            lm = lm_load(spark, args.lm_model)
+            report["lm_model"] = args.lm_model
+        else:
+            ref = spark.read.parquet(args.lm_reference).select("text")
+            lm = ngram_lm_train(
+                ref, n=args.lm_ngram, min_count=args.lm_min_count
+            )
+            if args.lm_save:
+                lm_save(lm, args.lm_save)
+                report["lm_saved_to"] = args.lm_save
+        lm["counts"] = DD._cache_for_session(lm["counts"])
+        corpus = DD._cache_for_session(
+            perplexity_filter(corpus, lm, args.lm_max_ppl)
+        )
+        report["n_after_lm_filter"] = corpus.count()
     if args.stratified_split and corpus is not None:
         # post-drain batch stage: the exact split is a VIEW over the
         # corpus accumulated SO FAR, rewritten whole each run (the
@@ -643,9 +710,6 @@ def _ingest_stream_main(args) -> int:
         # contract — a rerun after more arrivals reassigns some rows,
         # exactly as its docstring warns; callers wanting stable
         # assignment use the batch pipeline's hash split.
-        from solana_snapshot_etl_tools_spark.operators.dedup import (
-            release_session_caches,
-        )
         from solana_snapshot_etl_tools_spark.operators.sampling import (
             stratified_split,
         )
@@ -665,13 +729,17 @@ def _ingest_stream_main(args) -> int:
         report["split_mode"] = f"stratified:{args.stratified_split}"
         report["splits"] = splits
         resplit.unpersist()
-        release_session_caches()
     if args.data_card and corpus is not None:
         from solana_snapshot_etl_tools_spark.operators.report import (
             corpus_report,
         )
 
         report["data_card"] = corpus_report(corpus.select("doc_id", "text"))
+    from solana_snapshot_etl_tools_spark.operators.dedup import (
+        release_session_caches,
+    )
+
+    release_session_caches()
     print(json.dumps(report))
     return 0
 

@@ -31,6 +31,21 @@ Scale shape (100 TB honest):
 
 ``min_count`` prunes rare high-order n-grams at train time (the
 standard size/quality trade; backoff covers the pruned mass).
+
+BOS convention (single-BOS, the KenLM/CCNet one): although the token
+array is padded with (n-1) BOS markers so every position has a full
+n-token window, TRAINING only counts grams starting at position
+>= n-1 — i.e. grams containing at most ONE BOS, exactly the o-grams
+of the conceptual ``[<s>] + tokens + [</s>]`` sentence. So
+count(<s>) = 1 per document and S(w|<s>) = count(<s>·w)/count(<s>)
+matches the standard formulation (an (n-1)-fold pad would deflate
+that denominator by (n-1)). Numerator/denominator consistency holds:
+every counted o-gram's (o-1)-prefix context starts at the same
+position and is therefore counted too. At SCORE time the first n-2
+positions of a document reference multi-BOS grams that were never
+counted — those orders simply back off (count 0), so the first token
+is scored as BACKOFF^(n-2) · count(<s>·w)/count(<s>): the natural
+stupid-backoff reading of "less context available at the boundary".
 """
 
 from __future__ import annotations
@@ -83,8 +98,10 @@ def ngram_lm_train(
         raise ValueError(f"min_count must be >= 1, got {min_count}")
     toks = _padded(F.col(text_col), n)
     base = docs.select(toks.alias("_t")).filter(F.col("_t").isNotNull())
-    # every order-o gram, o = 1..n: position i scores token i+n-1, so
-    # grams START anywhere a full o-gram fits. One explode per order,
+    # every order-o gram, o = 1..n, starting at position >= n-1: the
+    # single-BOS convention (module docstring) — grams deeper in the
+    # pad would hold >= 2 BOS and have no counterpart in the
+    # conceptual [<s>]+tokens+[</s>] sentence. One explode per order,
     # unioned — each is narrow; the single groupBy is the only shuffle.
     def _keys_of_order(o: int):
         # NB: a `lambda s, o=o:` two-parameter lambda would be called
@@ -92,9 +109,16 @@ def ngram_lm_train(
         # — silently rebinding o to the array index; hence the factory
         return lambda s: _gram_key(F.col("_t"), s, o)
 
+    lo = max(1, n - 1)
     per_order = []
     for o in range(1, n + 1):
-        starts = F.sequence(F.lit(1), F.size(F.col("_t")) - (o - 1))
+        stop = F.size(F.col("_t")) - (o - 1)
+        # sequence(lo, stop) with lo > stop DESCENDS — guard to empty
+        # (a k-token doc has no o-grams for o > k+2, matching the
+        # conceptual (k+2)-long single-BOS sentence)
+        starts = F.when(
+            stop >= F.lit(lo), F.sequence(F.lit(lo), stop)
+        ).otherwise(F.array().cast("array<int>"))
         per_order.append(
             base.select(
                 F.explode(
@@ -121,6 +145,41 @@ def ngram_lm_train(
         or 0
     )
     return {"n": n, "counts": counts, "total": int(total)}
+
+
+def lm_save(model: dict, path: str) -> None:
+    """Persist a trained LM to ``path`` — ``counts`` as parquet (the
+    distributed table never funnels through the driver) plus a
+    one-row JSON ``meta`` ({format, n, total}). The CCNet recipe
+    trains ONCE on the high-quality reference and scores many crawls;
+    this is the train-once artifact. Both writes go through the
+    Hadoop FS layer, so ``path`` may be local, HDFS, or S3."""
+    counts = model["counts"]
+    counts.write.mode("overwrite").parquet(f"{path}/counts")
+    spark = counts.sparkSession
+    spark.createDataFrame(
+        [(1, int(model["n"]), int(model["total"]))],
+        "format int, n int, total long",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+
+
+def lm_load(spark, path: str) -> dict:
+    """Load a model persisted by :func:`lm_save`. The returned dict is
+    interchangeable with a fresh :func:`ngram_lm_train` result (pinned
+    by test: saved-model scores ≡ fresh-model scores)."""
+    rows = spark.read.json(f"{path}/meta").collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"corrupt LM meta at {path}/meta: expected 1 row, got {len(rows)}"
+        )
+    meta = rows[0].asDict()
+    if meta.get("format") != 1 or "n" not in meta or "total" not in meta:
+        raise ValueError(f"unrecognized LM meta at {path}/meta: {meta}")
+    return {
+        "n": int(meta["n"]),
+        "total": int(meta["total"]),
+        "counts": spark.read.parquet(f"{path}/counts"),
+    }
 
 
 def lm_score(
@@ -182,10 +241,12 @@ def lm_score(
         ]
     )
     # stupid backoff, highest order with a nonzero gram count wins;
-    # contexts containing BOS exist by construction (they were counted
-    # at train time), but a SCORE-time context unseen in training has
-    # cnt 0 — that order then backs off too (cnt(gram)>0 implies
-    # cnt(context)>0 within one corpus, so this only triggers across
+    # multi-BOS grams/contexts (the first n-2 positions' high orders)
+    # were never counted under the single-BOS convention, so those
+    # orders back off by construction; any other context unseen in
+    # training has cnt 0 and backs off too (cnt(gram)>0 implies
+    # cnt(context)>0 within one corpus — contexts are prefixes counted
+    # from the same start positions — so that only triggers across
     # corpora, where backoff is the defined behavior)
     # build from the BASE up: OOV floor first, then each order (low to
     # high) overrides when its gram count is present — the final

@@ -503,11 +503,14 @@ def test_missing_sigs_degrades_loudly_but_corrupt_sigs_raise(
 def test_ingest_stream_quality_model_stratified_split_data_card_one_run(
     spark, tmp_path_factory, capsys
 ):
-    """VERDICT r6 item 6: --ingest-stream x --quality-model x
+    """--ingest-stream x --quality-model x --lm-reference x
     --stratified-split x --data-card in ONE invocation at sf0.1.
     The learned tier filters each arriving batch; after the stream
-    drains, the exact stratified split rewrites the derived split
-    dirs over the accumulated corpus; the data card describes it."""
+    drains, the LM perplexity filter scores the accumulated corpus
+    (post-drain batch stage), then the exact stratified split rewrites
+    the derived split dirs over the LM-kept subset; the data card
+    describes that subset. The LM keep-set is re-derived independently
+    with the library and must match the split dirs EXACTLY."""
     import os
     import time
 
@@ -542,17 +545,28 @@ def test_ingest_stream_quality_model_stratified_split_data_card_one_run(
         "append"
     ).parquet(src)
     time.sleep(1.1)
+    # shard 3 also plants LM-OOV word salad (clean-looking lowercase
+    # alpha text the heuristics pass) — whichever tier drops it
+    # (learned model or the post-drain LM filter), it must be absent
+    # from the split dirs
+    salad = spark.createDataFrame(
+        [(40_000_000 + i, "zxqveth kplwors mnbvty qwersal " * 8)
+         for i in range(30)],
+        "doc_id long, text string",
+    )
     docs.filter(F.col("doc_id") % 3 == 2).unionByName(
         s1.orderBy("doc_id").limit(20).select(
             (F.col("doc_id") + 30_000_000).alias("doc_id"), "text"
         )
-    ).coalesce(2).write.mode("append").parquet(src)
+    ).unionByName(salad).coalesce(2).write.mode("append").parquet(src)
 
     out, idx = str(base / "out"), str(base / "idx")
+    ref = "/root/testdata/sf0.1/documents.parquet"
     rep = _run(
         capsys, src, out, "--ingest-stream", "--index-out", idx,
         "--no-pii", "--quality", "0", "--lang", "",
         "--quality-model", mpath, "--quality-model-alpha", "9",
+        "--lm-reference", ref, "--lm-max-ppl", "10000", "--lm-ngram", "2",
         "--stratified-split", "lang", "--train-pct", "80", "--val-pct", "10",
         "--data-card",
     )
@@ -561,34 +575,47 @@ def test_ingest_stream_quality_model_stratified_split_data_card_one_run(
     # gone (dedup runs AFTER the model filter, so a copy whose
     # original was model-dropped could in principle survive — the
     # split-dir check below pins that none did here)
-    assert 0 < rep["n_corpus"] < 5000
-    assert rep["signature_rows"] == rep["n_corpus"]
-    # split dirs are a disjoint exact partition of the corpus
+    assert 0 < rep["n_corpus"] < 5100
+    assert rep["signature_rows"] == rep["n_corpus"]  # index: unfiltered
+    assert 0 < rep["n_after_lm_filter"] <= rep["n_corpus"]
+    # split dirs are a disjoint exact partition of the LM-KEPT subset
     sizes = {k: v["rows"] for k, v in rep["splits"].items()}
     assert rep["split_mode"] == "stratified:lang"
-    assert sum(sizes.values()) == rep["n_corpus"]
+    assert sum(sizes.values()) == rep["n_after_lm_filter"]
     parts = {
         name: spark.read.parquet(f"{out}/{name}")
         for name, v in rep["splits"].items() if v["rows"]
     }
     ids = [set(r.doc_id for r in p.select("doc_id").collect()) for p in parts.values()]
-    assert sum(len(s) for s in ids) == len(set().union(*ids)) == rep["n_corpus"]
-    assert not any(i >= 30_000_000 for s in ids for i in s)  # copies dropped
-    # floor-exact shares vs an independent recomputation of the split
+    assert sum(len(s) for s in ids) == len(set().union(*ids)) == rep[
+        "n_after_lm_filter"
+    ]
+    assert not any(i >= 30_000_000 for s in ids for i in s)  # copies+salad out
+    # independent recomputation: train the same LM with the library,
+    # filter the accumulated corpus, and the keep-ID SET must equal
+    # the split dirs exactly (then the floor-exact shares must too)
+    from solana_snapshot_etl_tools_spark.operators import ngram_lm as LM
+
     corpus = spark.read.parquet(f"{out}/corpus").select("doc_id", "text")
+    lm = LM.ngram_lm_train(
+        spark.read.parquet(ref).select("text"), n=2, min_count=2
+    )
+    kept = LM.perplexity_filter(corpus, lm, 10000)
+    want_ids = set(r.doc_id for r in kept.select("doc_id").collect())
+    assert set().union(*ids) == want_ids
     from solana_snapshot_etl_tools_spark.functions.text import lang_id
 
     expect = {
         r["split"]: r["n"]
         for r in stratified_split(
-            corpus.withColumn("_stratum", lang_id(F.col("text"))),
+            kept.withColumn("_stratum", lang_id(F.col("text"))),
             "_stratum", train_pct=80, val_pct=10,
         ).groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert {k: v for k, v in sizes.items() if v} == expect
-    # data-card assertions: the card describes the accumulated corpus
+    # data-card assertions: the card describes the LM-kept subset
     card = rep["data_card"]
-    assert card["n_docs"] == rep["n_corpus"]
+    assert card["n_docs"] == rep["n_after_lm_filter"]
     assert card["exact_dup_rate"] == 0.0  # post-dedup corpus
     assert card["n_tokens"] > 0 and card["mean_quality"] > 0
     assert sum(card["languages"].values()) == card["n_docs"]

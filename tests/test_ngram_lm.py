@@ -30,6 +30,9 @@ SCORE = [
 
 
 def _ref_model(rows, n):
+    # single-BOS convention (KenLM/CCNet): counts come from the
+    # conceptual [<s>]+tokens+[</s>] sentence, so count(<s>) = 1 per
+    # doc — NOT from the (n-1)-fold scoring pad
     from collections import Counter
 
     counts = Counter()
@@ -38,8 +41,8 @@ def _ref_model(rows, n):
         toks = [w for w in (t or "").lower().split() if w]
         if not toks:
             continue
-        seq = [LM.BOS] * (n - 1) + toks + [LM.EOS]
-        total += len(seq) - (n - 1)
+        seq = ([LM.BOS] if n >= 2 else []) + toks + [LM.EOS]
+        total += len(toks) + 1  # predicted positions: tokens + EOS
         for o in range(1, n + 1):
             for s in range(len(seq) - o + 1):
                 counts[tuple(seq[s : s + o])] += 1
@@ -162,6 +165,59 @@ def test_perplexity_filter_contract(spark):
     assert kept.filter(F.col("doc_id").isin(14, 15)).count() == 0
 
 
+def test_single_bos_convention(spark):
+    """count(<s>) must be 1 per document (the KenLM/CCNet single-BOS
+    convention) — an (n-1)-fold pad would deflate the S(w|<s>)
+    denominator by (n-1). Checked via the hashed key directly."""
+    import pyspark.sql.functions as FX
+
+    train = spark.createDataFrame(TRAIN, "doc_id long, text string")
+    for n in (2, 3, 5):
+        model = LM.ngram_lm_train(train, n=n)
+        key = spark.range(1).select(
+            FX.xxhash64(FX.lit(1), FX.lit(LM.BOS)).alias("k")
+        ).collect()[0].k
+        bos = model["counts"].filter(FX.col("key") == key).collect()
+        assert len(bos) == 1 and bos[0].cnt == len(TRAIN), (n, bos)
+
+
+def test_save_load_roundtrip(spark, tmp_path_factory):
+    """lm_save → lm_load: the loaded model scores IDENTICALLY to the
+    fresh in-memory model (the train-once / score-many contract)."""
+    d = str(tmp_path_factory.mktemp("lm_model"))
+    train = spark.createDataFrame(TRAIN, "doc_id long, text string")
+    score = spark.createDataFrame(SCORE, "doc_id long, text string")
+    fresh = LM.ngram_lm_train(train, n=3, min_count=1)
+    LM.lm_save(fresh, d)
+    loaded = LM.lm_load(spark, d)
+    assert loaded["n"] == fresh["n"]
+    assert loaded["total"] == fresh["total"]
+    a = sorted(
+        (r.doc_id, r.n_tokens, r.avg_logprob)
+        for r in LM.lm_score(score, fresh).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.n_tokens, r.avg_logprob)
+        for r in LM.lm_score(score, loaded).collect()
+    )
+    assert [(d, t) for d, t, _ in a] == [(d, t) for d, t, _ in b]
+    for (_, _, x), (_, _, y) in zip(a, b):
+        # the parquet roundtrip repartitions the counts table, so the
+        # per-position double summation order may differ by an ULP
+        assert x == pytest.approx(y, rel=1e-12)
+    # overwrite semantics: re-saving a different model wins whole
+    smaller = LM.ngram_lm_train(train, n=2, min_count=2)
+    LM.lm_save(smaller, d)
+    again = LM.lm_load(spark, d)
+    assert again["n"] == 2
+    assert again["counts"].count() == smaller["counts"].count()
+    # corrupt/missing meta is loud
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        LM.lm_load(spark, d + "/nope")
+
+
 def test_bad_params(spark):
     df = spark.createDataFrame(TRAIN, "doc_id long, text string")
     with pytest.raises(ValueError):
@@ -199,17 +255,45 @@ def test_cli_lm_filter_stage(spark, tmp_path_factory, capsys):
         "n_after_lm_filter"
     ]
 
-    import os
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):  # threshold without reference/model
+        corpus_cli.main([src, str(base / "o4"), "--lm-max-ppl", "100"])
+    with _pytest.raises(SystemExit):  # --lm-save needs --lm-reference
+        corpus_cli.main([src, str(base / "o5"), "--lm-save",
+                         str(base / "m"), "--lm-max-ppl", "100"])
+
+
+def test_cli_lm_save_then_model_reuse(spark, tmp_path_factory, capsys):
+    """--lm-save persists the reference-trained LM; a later run with
+    --lm-model loads it instead of retraining and filters
+    IDENTICALLY (same keep count, same split sizes) — the CCNet
+    train-once / score-many posture as a CLI surface."""
+    import json as _json
+
+    from solana_snapshot_etl_tools_spark import corpus_cli
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    base = tmp_path_factory.mktemp("lm_model_cli")
+    mdir = str(base / "model")
+
+    def run(*argv):
+        assert corpus_cli.main(list(argv)) == 0
+        out = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+        return _json.loads(out[-1])
+
+    trained = run(src, str(base / "o1"), "--no-pii",
+                  "--lm-reference", src, "--lm-max-ppl", "26",
+                  "--lm-save", mdir)
+    assert trained["lm_saved_to"] == mdir
+    reused = run(src, str(base / "o2"), "--no-pii",
+                 "--lm-model", mdir, "--lm-max-ppl", "26")
+    assert reused["lm_model"] == mdir
+    assert reused["n_after_lm_filter"] == trained["n_after_lm_filter"]
+    assert reused["splits"] == trained["splits"]
 
     import pytest as _pytest
 
-    arrivals = str(base / "arrivals")
-    os.makedirs(arrivals)
-    with _pytest.raises(SystemExit):
-        corpus_cli.main(
-            [arrivals, str(base / "o3"), "--ingest-stream",
-             "--index-out", str(base / "i"),
-             "--lm-reference", src, "--lm-max-ppl", "100"]
-        )
-    with _pytest.raises(SystemExit):  # threshold without reference
-        corpus_cli.main([src, str(base / "o4"), "--lm-max-ppl", "100"])
+    with _pytest.raises(SystemExit):  # exclusive flags
+        corpus_cli.main([src, str(base / "o3"), "--lm-reference", src,
+                         "--lm-model", mdir, "--lm-max-ppl", "26"])
