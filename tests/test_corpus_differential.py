@@ -144,3 +144,126 @@ FROM dupes GROUP BY norm HAVING count(*) > 1
     want = sorted(tuple(r) for r in con.execute(sql).fetchall())
     con.close()
     assert got == want and len(got) >= 3
+
+
+# ---------------------------------------------------------------------------
+# Stupid-backoff LM scorer: DuckDB SQL parity prototype (the
+# paragraph-dedup precedent). A SECOND independent oracle beside the
+# pure-Python reference in test_ngram_lm.py: n-gram counts via
+# pre-exploded grams (single-BOS convention), scoring via per-role
+# correlated lookups + the greatest-order CASE — spelled entirely in
+# SQL for the fixed order n=3 the prototype pins.
+# ---------------------------------------------------------------------------
+
+_LM_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))),
+                     '\\s+'), x -> x <> '') AS t
+  FROM {table} WHERE text IS NOT NULL
+),
+padded AS (
+  SELECT doc_id, ['<s>', '<s>'] || t || ['</s>'] AS p
+  FROM toks WHERE len(t) > 0
+)
+"""
+_LM_TOTAL_SQL = _LM_SQL + """
+SELECT sum(len(p) - 2) FROM padded
+"""
+_LM_COUNTS_SQL = _LM_SQL + """
+, grams AS (
+  -- single-BOS convention: starts >= n-1 = 2, so every counted gram
+  -- holds at most one BOS (count(<s>) = 1 per document)
+  SELECT o.o AS o,
+         array_to_string(p[CAST(u.s AS INT):CAST(u.s + o.o - 1 AS INT)],
+                         chr(31)) AS g
+  FROM padded, unnest([1, 2, 3]) AS o(o),
+       unnest(range(2, len(p) - o.o + 2)) AS u(s)
+)
+SELECT o, g, count(*) AS cnt FROM grams
+GROUP BY o, g HAVING (o = 1 OR count(*) >= {mc})
+"""
+_LM_SCORE_SQL = _LM_SQL.format(table="score") + """
+, pos AS (
+  SELECT doc_id, CAST(u.s AS INT) AS i, p
+  FROM padded, unnest(range(3, len(p) + 1)) AS u(s)
+),
+looked AS (
+  SELECT doc_id, i,
+    coalesce((SELECT cnt FROM counts c
+              WHERE c.o = 1 AND c.g = p[i]), 0) AS g1,
+    coalesce((SELECT cnt FROM counts c
+              WHERE c.o = 2
+                AND c.g = array_to_string(p[i-1:i], chr(31))), 0) AS g2,
+    coalesce((SELECT cnt FROM counts c
+              WHERE c.o = 3
+                AND c.g = array_to_string(p[i-2:i], chr(31))), 0) AS g3,
+    coalesce((SELECT cnt FROM counts c
+              WHERE c.o = 1 AND c.g = p[i-1]), 0) AS c2,
+    coalesce((SELECT cnt FROM counts c
+              WHERE c.o = 2
+                AND c.g = array_to_string(p[i-2:i-1], chr(31))), 0) AS c3
+  FROM pos
+),
+perpos AS (
+  -- the backoff recursion unrolled, highest order with a nonzero
+  -- gram count (and context) wins; OOV floor = 0.4^2 / total
+  SELECT doc_id,
+    CASE WHEN g3 > 0 AND c3 > 0 THEN ln(g3 * 1.0 / c3)
+         WHEN g2 > 0 AND c2 > 0 THEN ln(g2 * 1.0 / c2) + ln(0.4)
+         WHEN g1 > 0 THEN ln(g1 * 1.0 / {total}) + 2 * ln(0.4)
+         ELSE ln(0.4 * 0.4 / {total}) END AS lp
+  FROM looked
+)
+SELECT doc_id, count(*) AS n_tokens, avg(lp) AS avg_logprob,
+       exp(-avg(lp)) AS perplexity
+FROM perpos GROUP BY doc_id
+"""
+
+
+@pytest.mark.parametrize("min_count", [1, 2])
+def test_lm_score_duckdb_parity_prototype(spark, min_count):
+    """VERDICT r7 item 3: the distributed stupid-backoff scorer
+    (melt -> one count-table equi-join -> fold) matches an
+    independent all-SQL DuckDB spelling of the same math — counts,
+    totals, per-document n_tokens/avg_logprob/perplexity — on a
+    corpus exercising OOV, unseen-order backoff, single-token docs,
+    unscorable rows, and (min_count=2) pruning."""
+    import duckdb
+
+    from solana_snapshot_etl_tools_spark.operators import ngram_lm as LM
+    from tests.test_ngram_lm import SCORE, TRAIN
+
+    train = spark.createDataFrame(TRAIN, "doc_id long, text string")
+    score = spark.createDataFrame(SCORE, "doc_id long, text string")
+    model = LM.ngram_lm_train(train, n=3, min_count=min_count)
+    got = {
+        r.doc_id: (r.n_tokens, r.avg_logprob, r.perplexity)
+        for r in LM.lm_score(score, model).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE train (doc_id BIGINT, text VARCHAR)")
+    con.execute("CREATE TABLE score (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO train VALUES (?, ?)", TRAIN)
+    con.executemany("INSERT INTO score VALUES (?, ?)", SCORE)
+    con.execute(
+        "CREATE TABLE counts AS "
+        + _LM_COUNTS_SQL.format(table="train", mc=min_count)
+    )
+    # the SQL total must equal the model's (predicted positions:
+    # real tokens + EOS per scorable training doc)
+    total = con.execute(_LM_TOTAL_SQL.format(table="train")).fetchone()[0]
+    assert total == model["total"]
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            _LM_SCORE_SQL.format(total=total)
+        ).fetchall()
+    }
+    con.close()
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][0] == want[d][0], d
+        assert got[d][1] == pytest.approx(want[d][1], rel=1e-12), d
+        assert got[d][2] == pytest.approx(want[d][2], rel=1e-12), d
