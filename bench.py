@@ -187,6 +187,62 @@ def main() -> None:
         diag["phash_dedup_sec"] = round(time.time() - t0, 4)
         diag["phash_dedup_rows"] = decisions
         release_session_caches()
+
+        # n-gram LM train+score over the real documents table (round-7
+        # operator), plus the same scorer on a SYNTHETIC ZIPF-HEAVY
+        # corpus: the count-table equi-join key distribution is
+        # Zipfian by nature (common n-grams are hot keys) and the
+        # module delegates skew to AQE — this pair of numbers is the
+        # drift tracker that would justify a salted-replicate fallback
+        # if the zipf/uniform ratio ever blows up
+        from solana_snapshot_etl_tools_spark.operators import (
+            ngram_lm as NLM,
+        )
+
+        t0 = time.time()
+        lm = NLM.ngram_lm_train(docs, n=3, min_count=2)
+        lm["counts"] = lm["counts"].persist()
+        lm["counts"].count()
+        diag["ngram_lm_train_sec"] = round(time.time() - t0, 4)
+        t0 = time.time()
+        NLM.lm_score(docs, lm).count()
+        diag["ngram_lm_score_sec"] = round(time.time() - t0, 4)
+        lm["counts"].unpersist()
+
+        # log-uniform ranks => p(rank) ~ 1/rank (Zipf s=1): the
+        # hottest token lands on ~7% of ALL positions, so its melted
+        # role rows hammer one join key — the adversarial shape
+        zipf = spark.range(2000).select(
+            F.col("id").alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(200)),
+                    lambda p: F.concat(
+                        F.lit("w"),
+                        F.floor(
+                            F.exp(
+                                F.pmod(
+                                    F.xxhash64(F.col("id"), p), F.lit(1000003)
+                                )
+                                / F.lit(1000003.0)
+                                * F.log(F.lit(1.0e6))
+                            )
+                        ).cast("string"),
+                    ),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        t0 = time.time()
+        zlm = NLM.ngram_lm_train(zipf, n=3, min_count=2)
+        zlm["counts"] = zlm["counts"].persist()
+        zlm["counts"].count()
+        diag["lm_zipf_train_sec"] = round(time.time() - t0, 4)
+        t0 = time.time()
+        NLM.lm_score(zipf, zlm).count()
+        diag["lm_zipf_score_sec"] = round(time.time() - t0, 4)
+        zlm["counts"].unpersist()
+        release_session_caches()
     except Exception as e:  # diagnostics never break the contract
         diag["error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps({"r6_operator_diag": diag}), file=sys.stderr)
