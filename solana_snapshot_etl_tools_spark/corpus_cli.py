@@ -535,6 +535,15 @@ def main(argv: list[str] | None = None) -> int:
         report["vocab_size"] = eos
         report["eos_id"] = eos
         report["n_embeddings"] = eos + 1
+        # the shards are unusable without the vocab that produced the
+        # ids — persist the tokenizer artifact next to them
+        from solana_snapshot_etl_tools_spark.operators.bpe import (
+            tokenizer_save,
+        )
+
+        tok_path = f"{args.out_dir}/tokenizer.json"
+        tokenizer_save(model, tok_path, args.tokenizer)
+        report["tokenizer"] = tok_path
         splits = {}
         for name in ("train", "val", "test"):
             enc = encode(corpus.filter(F.col("split") == name), model)

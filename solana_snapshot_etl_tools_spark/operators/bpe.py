@@ -135,6 +135,100 @@ def bpe_vocab(model: dict) -> dict[str, int]:
     return vocab
 
 
+def _decode_tokens(
+    enc: DataFrame,
+    symbols: list[str],
+    sentinel: str,
+    id_col: str,
+    tokens_col: str,
+) -> DataFrame:
+    """Shared decode kernel for both tokenizers: map ids back to their
+    symbol strings (shipped by value — the same kilobyte broadcast
+    shape as the encode closures), join, and turn the word-boundary
+    ``sentinel`` into spaces. Ids outside the vocab (e.g. the packing
+    EOS, one past the vocab by contract) decode to nothing; OOV is
+    ``symbols[0]`` (the callers set U+FFFD). Narrow Arrow-batched
+    ``mapInPandas`` — no shuffle, the exact inverse shape of encode."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    id_type = enc.schema[id_col].dataType
+    out_schema = StructType(
+        [StructField(id_col, id_type), StructField("text", StringType())]
+    )
+    n_sym = len(symbols)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids_out, txt_out = [], []
+            for did, ids in zip(pdf[id_col], pdf[tokens_col]):
+                if ids is None:
+                    continue
+                s = "".join(
+                    symbols[t] if 0 <= t < n_sym else "" for t in ids
+                )
+                ids_out.append(did)
+                txt_out.append(s.replace(sentinel, " ").strip())
+            yield pd.DataFrame({id_col: ids_out, "text": txt_out})
+
+    return enc.select(id_col, tokens_col).mapInPandas(gen, out_schema)
+
+
+def bpe_decode(
+    enc: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    tokens_col: str = "token_ids",
+) -> DataFrame:
+    """Inverse of :func:`bpe_encode` up to its documented
+    normalization: ``decode(encode(text)) == " ".join(text.lower()
+    .split())`` for any text whose characters are all in the training
+    alphabet (pinned by test). OOV ids decode to U+FFFD; ids past the
+    vocab (the packing EOS) decode to nothing. Caveat, as in every
+    plain-text BPE: a corpus whose literal text builds the ``</w>``
+    sentinel string out of real characters via merges would alias a
+    word boundary at decode time — byte-level escaping is the known
+    fix if a real corpus ever hits it."""
+    vocab = bpe_vocab(model)
+    symbols = [""] * len(vocab)
+    for s, i in vocab.items():
+        symbols[i] = s
+    symbols[OOV_ID] = "�"
+    return _decode_tokens(enc, symbols, EOW, id_col, tokens_col)
+
+
+def tokenizer_save(model: dict, path: str, algo: str) -> None:
+    """Persist a trained subword tokenizer (``bpe_train`` or
+    ``unigram_train`` output) as one JSON file — the artifact a
+    training job needs alongside the packed shards (ids are useless
+    without the vocab that produced them). Models are kilobyte-scale
+    driver dicts, so this is a plain local write, not a Spark job."""
+    import json
+    import os
+
+    if algo not in ("bpe", "unigram"):
+        raise ValueError(f"unknown tokenizer algo {algo!r}")
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump({"format": 1, "algo": algo, "model": model}, f)
+
+
+def tokenizer_load(path: str) -> tuple[str, dict]:
+    """Load a :func:`tokenizer_save` artifact → ``(algo, model)``.
+    The model dict is interchangeable with a fresh fit (JSON turns
+    BPE's merge tuples into lists; every consumer iterates pairs, so
+    the shapes are equivalent — pinned by save/load parity tests)."""
+    import json
+
+    with open(path, encoding="utf-8") as f:
+        blob = json.load(f)
+    if blob.get("format") != 1 or blob.get("algo") not in ("bpe", "unigram"):
+        raise ValueError(f"unrecognized tokenizer artifact at {path}: "
+                         f"format={blob.get('format')} algo={blob.get('algo')}")
+    return blob["algo"], blob["model"]
+
+
 def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     sym = list(word) + [EOW]
     while len(sym) > 1:

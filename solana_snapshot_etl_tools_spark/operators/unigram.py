@@ -25,6 +25,14 @@ Simplifications vs the reference implementation, documented:
 - E-step is full forward-backward (real expected counts, not
   Viterbi-hard EM); determinism comes from sorted iteration and
   lexicographic tie-breaks, as everywhere else in the engine.
+
+Word boundaries use the SentencePiece convention: every word is
+prefixed with the ``▁`` (U+2581) marker before segmentation, at train
+and encode time alike, so pieces carry their word-initial position and
+``unigram_decode`` can reconstruct spacing exactly (BPE marks the
+boundary with a ``</w>`` suffix instead; both decode through the same
+kernel). Round trip, pinned by test: ``decode(encode(text)) ==
+" ".join(text.lower().split())`` when no character is OOV.
 """
 
 from __future__ import annotations
@@ -37,6 +45,7 @@ from solana_snapshot_etl_tools_spark.operators.bpe import _word_freqs
 
 OOV_ID = 0
 OOV_PIECE = "<oov>"  # reserved sentinel; _seed_pieces rejects it as a piece
+WORD_MARKER = "▁"  # ▁ — SentencePiece word-begin marker
 _UNK_PENALTY = 16.0  # nats worse than the worst real piece
 
 _UNIGRAM_MEMO: dict = {}
@@ -289,7 +298,13 @@ def unigram_train(
     if key is not None and key in _UNIGRAM_MEMO:
         return _UNIGRAM_MEMO[key]
 
-    wf = _word_freqs(docs, text_col, train_limit)
+    # SentencePiece convention: the word-begin marker is part of the
+    # word the model is fit on, so word-initial pieces are learned
+    # distinctly and decode can restore spacing
+    wf = {
+        WORD_MARKER + w: c
+        for w, c in _word_freqs(docs, text_col, train_limit).items()
+    }
     alphabet, counts = _seed_pieces(
         wf, max_piece_len, seed_factor * vocab_size
     )
@@ -421,14 +436,15 @@ def unigram_encode(
                 toks: list[int] = []
                 if sample_alpha is None:
                     for w in txt.lower().split():
-                        toks.extend(viterbi_ids(w))
+                        toks.extend(viterbi_ids(WORD_MARKER + w))
                 else:
                     rng = random.Random(f"{did}:{seed}")
                     for w in txt.lower().split():
                         toks.extend(
                             OOV_ID if s is None else vocab.get(s, OOV_ID)
                             for s in _sample_segmentation(
-                                w, pieces, max_len, sample_alpha, rng
+                                WORD_MARKER + w, pieces, max_len,
+                                sample_alpha, rng,
                             )
                         )
                 out_id.append(did)
@@ -443,6 +459,29 @@ def unigram_encode(
     return spread_small_input(docs.select(id_col, text_col)).mapInPandas(
         gen, out_schema
     )
+
+
+def unigram_decode(
+    enc: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    tokens_col: str = "token_ids",
+) -> DataFrame:
+    """Inverse of :func:`unigram_encode` up to its documented
+    normalization: pieces join, ``▁`` markers become spaces —
+    ``decode(encode(text)) == " ".join(text.lower().split())`` when no
+    character is OOV (pinned by test; holds for Viterbi AND sampled
+    segmentations, which differ only in piece boundaries). OOV ids
+    decode to U+FFFD; ids past the vocab (the packing EOS) decode to
+    nothing."""
+    from solana_snapshot_etl_tools_spark.operators.bpe import _decode_tokens
+
+    vocab = unigram_vocab(model)
+    symbols = [""] * len(vocab)
+    for s, i in vocab.items():
+        symbols[i] = s
+    symbols[OOV_ID] = "�"
+    return _decode_tokens(enc, symbols, WORD_MARKER, id_col, tokens_col)
 
 
 # the encode closure references module functions (_viterbi) — ship

@@ -147,3 +147,53 @@ def test_bpe_train_is_memoized_and_deterministic(spark):
     assert B.bpe_train(_docs(spark), n_merges=30) == B.bpe_train(
         _docs(spark), n_merges=30
     )
+
+
+def test_bpe_decode_roundtrips_and_saves(spark, tmp_path):
+    """decode(encode(text)) == the documented normalization for every
+    in-alphabet doc; OOV ids surface as U+FFFD; out-of-vocab ids (the
+    packing EOS) decode to nothing; the JSON artifact round-trips the
+    model (VERDICT r7 item 5)."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(80)
+    )
+    model = B.bpe_train(docs, n_merges=128)
+    enc = B.bpe_encode(docs, model)
+    dec = {r.doc_id: r.text for r in B.bpe_decode(enc, model).collect()}
+    for r in docs.collect():
+        assert dec[r.doc_id] == " ".join(r.text.lower().split())
+
+    # save/load parity: the loaded model encodes and decodes the same
+    p = str(tmp_path / "tok" / "tokenizer.json")
+    B.tokenizer_save(model, p, "bpe")
+    algo, loaded = B.tokenizer_load(p)
+    assert algo == "bpe"
+    enc2 = {
+        r.doc_id: list(r.token_ids)
+        for r in B.bpe_encode(docs, loaded).collect()
+    }
+    assert enc2 == {
+        r.doc_id: list(r.token_ids) for r in enc.collect()
+    }
+    assert B.bpe_vocab(loaded) == B.bpe_vocab(model)
+
+    # OOV and EOS behavior, pinned
+    eos = len(B.bpe_vocab(model))
+    weird = spark.createDataFrame(
+        [(1, [B.OOV_ID, eos]), (2, None)],
+        "doc_id long, token_ids array<int>",
+    )
+    rows = {r.doc_id: r.text for r in B.bpe_decode(weird, model).collect()}
+    assert rows == {1: "�"}  # OOV -> replacement char, EOS -> nothing
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown tokenizer algo"):
+        B.tokenizer_save(model, p, "wordpiece")
+    bad = str(tmp_path / "bad.json")
+    with open(bad, "w") as f:
+        f.write('{"format": 9}')
+    with pytest.raises(ValueError, match="unrecognized tokenizer"):
+        B.tokenizer_load(bad)

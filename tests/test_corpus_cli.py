@@ -115,6 +115,62 @@ def test_tokenize_and_pack_path(spark, tmp_path_factory, capsys):
     assert train.filter("n_tokens != 128").count() <= 1
     assert rep["splits"]["train"]["rows"] == train.count() > 0
 
+    # --- the full shards round trip (VERDICT r7 item 5): the saved
+    # tokenizer artifact + the packed shards reconstruct the cleaned
+    # train split exactly, modulo the documented normalization
+    # (lowercase + whitespace collapse) ---
+    from solana_snapshot_etl_tools_spark.functions import text as TXT
+    from solana_snapshot_etl_tools_spark.functions.hashing import _2_32
+    from solana_snapshot_etl_tools_spark.operators import dedup as DD
+    from solana_snapshot_etl_tools_spark.operators.bpe import (
+        bpe_decode,
+        tokenizer_load,
+    )
+
+    algo, model = tokenizer_load(rep["tokenizer"])
+    assert algo == "bpe"
+    eos = rep["eos_id"]
+
+    # stitch the global token stream back together (seq order; packing
+    # may split a document across sequence boundaries) and cut on EOS
+    seqs = train.orderBy("seq_id").select("input_ids").collect()
+    stream: list[int] = []
+    for r in seqs:
+        stream.extend(r.input_ids)
+    assert stream and stream[-1] == eos
+    docs_back, cur = [], []
+    for t in stream:
+        if t == eos:
+            docs_back.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    assert not cur  # every doc is EOS-terminated
+    dec = bpe_decode(
+        spark.createDataFrame(
+            [(i, ids) for i, ids in enumerate(docs_back)],
+            "doc_id long, token_ids array<int>",
+        ),
+        model,
+    )
+    got = sorted(r.text for r in dec.collect())
+
+    # independent library recomputation of the cleaned train texts
+    # (the CLI's exact stage chain at these flags: exact dedup →
+    # quality ≥ 0.5 → lang en → xxhash64 split)
+    docs = spark.read.parquet(SRC).select("doc_id", "text")
+    kept = DD.exact_dedup(docs, "doc_id", "text")
+    c = F.col("text")
+    filtered = kept.filter(TXT.quality_score(c) >= 0.5).filter(
+        TXT.lang_id(c) == "en"
+    )
+    h = F.pmod(F.xxhash64("doc_id", F.lit("corpus-split")), F.lit(100 * _2_32))
+    train_docs = filtered.filter(h < F.lit(90) * F.lit(_2_32))
+    want = sorted(
+        " ".join(r.text.lower().split()) for r in train_docs.collect()
+    )
+    assert got == want
+
 
 def test_two_shard_ingestion_cluster_balance_and_index(
     spark, tmp_path_factory, capsys

@@ -105,7 +105,9 @@ def test_em_increases_sample_likelihood(spark):
 
     def loglik(model):
         return sum(
-            c * U._forward_backward(w, model["pieces"], model["max_piece_len"])[0]
+            c * U._forward_backward(
+                U.WORD_MARKER + w, model["pieces"], model["max_piece_len"]
+            )[0]
             for w, c in wf.items()
         )
 
@@ -136,11 +138,21 @@ def test_encode_parity_and_compression(spark):
         for w in r.text.lower().split():
             replay.extend(
                 U.OOV_ID if s is None else vocab[s]
-                for s in U._viterbi(w, m["pieces"], m["max_piece_len"])
+                for s in U._viterbi(
+                    U.WORD_MARKER + w, m["pieces"], m["max_piece_len"]
+                )
             )
         assert ids == replay
         assert U.OOV_ID not in ids
-        assert "".join(inv[i] for i in ids) == "".join(r.text.lower().split())
+        # pieces carry the ▁ word-begin marker, so the join restores
+        # word boundaries exactly (the decode contract)
+        assert "".join(inv[i] for i in ids).replace(
+            U.WORD_MARKER, " "
+        ).strip() == " ".join(r.text.lower().split())
+    # distributed decode == the documented normalization, end to end
+    dec = {r.doc_id: r.text for r in U.unigram_decode(enc, m).collect()}
+    for r in docs.collect():
+        assert dec[r.doc_id] == " ".join(r.text.lower().split())
     # subword pieces beat character-level coding
     n_chars = sum(
         len("".join(r.text.lower().split())) for r in docs.collect()
@@ -180,6 +192,15 @@ def test_cli_unigram_tokenize_and_pack(spark, tmp_path_factory, capsys):
     ]
     assert train.filter("n_tokens != 128").count() <= 1
     assert rep["splits"]["train"]["rows"] == train.count() > 0
+    # the tokenizer artifact is saved next to the shards and loads
+    # back as the same model (full stream round-trip is pinned on the
+    # BPE side of the same CLI path; decode parity in
+    # test_unigram_decode_and_tokenizer_artifact)
+    from solana_snapshot_etl_tools_spark.operators.bpe import tokenizer_load
+
+    algo, loaded = tokenizer_load(rep["tokenizer"])
+    assert algo == "unigram"
+    assert len(U.unigram_vocab(loaded)) == rep["vocab_size"]
 
 
 def test_sampled_segmentation_distribution():
@@ -240,8 +261,10 @@ def test_sampled_encode_is_deterministic_per_doc_and_valid(spark):
     vocab = U.unigram_vocab(m)
     inv = {v: k for k, v in vocab.items()}
     for r in docs.limit(5).collect():
-        flat = "".join(r.text.lower().split())
-        assert "".join(inv[i] for i in a[r.doc_id]) == flat
+        norm = " ".join(r.text.lower().split())
+        assert "".join(inv[i] for i in a[r.doc_id]).replace(
+            U.WORD_MARKER, " "
+        ).strip() == norm
 
 
 def test_oov_sentinel_never_becomes_a_piece(spark):
@@ -264,3 +287,52 @@ def test_oov_sentinel_never_becomes_a_piece(spark):
     bad["pieces"] = dict(model["pieces"], **{U.OOV_PIECE: -1.0})
     with pytest.raises(ValueError, match="reserved OOV sentinel"):
         U.unigram_vocab(bad)
+
+
+def test_unigram_decode_and_tokenizer_artifact(spark, tmp_path):
+    """unigram_decode inverts both Viterbi and sampled encodings up to
+    the documented normalization, and the JSON tokenizer artifact
+    round-trips the model (VERDICT r7 item 5)."""
+    from solana_snapshot_etl_tools_spark.operators.bpe import (
+        tokenizer_load,
+        tokenizer_save,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(60)
+    )
+    U.clear_unigram_memo()
+    m = U.unigram_train(docs, vocab_size=300, train_limit=60)
+    norm = {
+        r.doc_id: " ".join(r.text.lower().split()) for r in docs.collect()
+    }
+    for enc in (
+        U.unigram_encode(docs, m),
+        U.unigram_encode(docs, m, sample_alpha=0.1, seed=7),
+    ):
+        dec = {r.doc_id: r.text for r in U.unigram_decode(enc, m).collect()}
+        assert dec == norm
+
+    p = str(tmp_path / "tokenizer.json")
+    tokenizer_save(m, p, "unigram")
+    algo, loaded = tokenizer_load(p)
+    assert algo == "unigram"
+    a = {
+        r.doc_id: list(r.token_ids)
+        for r in U.unigram_encode(docs, loaded).collect()
+    }
+    b = {
+        r.doc_id: list(r.token_ids)
+        for r in U.unigram_encode(docs, m).collect()
+    }
+    assert a == b
+    assert U.unigram_vocab(loaded) == U.unigram_vocab(m)
+
+    # OOV and EOS behavior, pinned (matches the BPE decode contract)
+    eos = len(U.unigram_vocab(m))
+    weird = spark.createDataFrame(
+        [(1, [U.OOV_ID, eos])], "doc_id long, token_ids array<int>"
+    )
+    assert U.unigram_decode(weird, m).collect()[0].text == "�"
