@@ -1,0 +1,209 @@
+"""Source/domain-level corpus curation (RefinedWeb / FineWeb recipe).
+
+Web-scale pretraining pipelines curate at the DOMAIN granularity
+before (and in addition to) the document granularity: a blocklist
+drops whole sources, and a per-source document cap stops any single
+domain from dominating the mixture (RefinedWeb §3.1 applies exactly
+this pair of rules at its URL-filtering stage; the reference ETL has
+no analog — this module is part of the training-data surface the
+Spark engine adds on top of it).
+
+Scale shape of :func:`source_cap` — the exact deterministic cap
+WITHOUT a full per-source sort:
+
+A naive cap is ``row_number() OVER (PARTITION BY source ORDER BY
+hash) <= cap`` — correct, but the window sorts every row of every
+source, and the one giant domain (there is always one) becomes a
+single sort task. Instead the rank key is split into a coarse bucket
+(the top ``bucket_bits`` bits, made order-consistent for signed longs
+by flipping the sign bit first) and a fine residue:
+
+1. one small aggregate counts (source, bucket) pairs — map-side
+   combinable, at most ``2^bucket_bits`` rows per source;
+2. a running total over that TINY frame (each window partition is
+   <= 2^bucket_bits rows, never corpus-sized) finds, per over-cap
+   source, the single BOUNDARY bucket where the cap lands and the
+   residual quota inside it;
+3. every row strictly below its source's boundary bucket is kept with
+   NO per-row ranking at all; only the boundary bucket's rows — an
+   expected ``1/2^bucket_bits`` fraction of the source — are ranked
+   by a window. The biggest sort any task performs shrinks by the
+   bucket fan-out (1024x at the default), which is exactly the
+   pigeonhole trick the dedup/similarity modules use for their band
+   joins.
+
+The kept set is a pure function of the corpus content (hash of the
+document id, ties broken by id) — invariant to partitioning and
+execution order, pinned by test. Like ``stratified_split`` it is
+append-UNSTABLE by design: adding documents to an over-cap source can
+rotate which of its documents hold the capped slots (a newly arrived
+id may hash below the old boundary). Cap a finalized corpus, or cap
+per-snapshot as FineWeb does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# 1024 buckets: boundary-bucket ranking touches ~0.1% of an over-cap
+# source, while the (source, bucket) count frame stays tiny
+DEFAULT_BUCKET_BITS = 10
+
+# Long.MIN_VALUE: x ^ _SIGN_BIT maps signed order onto unsigned
+# order, so the top bits of the flipped key bucket monotonically
+_SIGN_BIT = -(1 << 63)
+
+
+def source_cap(
+    df: DataFrame,
+    cap: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "source-cap",
+    order_by: Column | None = None,
+    bucket_bits: int = DEFAULT_BUCKET_BITS,
+) -> DataFrame:
+    """Keep at most ``cap`` documents per ``source_col`` value,
+    deterministically — the survivors are the ``cap`` lowest
+    ``xxhash64(id, salt)`` documents of each source (a seeded uniform
+    choice; different ``salt`` values draw different survivors).
+    Sources at or under the cap pass through whole, all columns
+    intact. A NULL source is a source like any other.
+
+    ``order_by`` replaces the hash with an explicit preference rank —
+    an INTEGRAL expression, ascending, ties broken by ``id_col``
+    (e.g. the negation of a scaled quality score keeps the BEST
+    ``cap`` documents per source instead of a uniform sample, and an
+    engine-independent expression makes the kept set reproducible
+    outside Spark — the DuckDB parity test ranks by id this way).
+    Non-integral expressions are rejected: a silent cast-to-long
+    would truncate float ranks and reorder them."""
+    if cap <= 0:
+        raise ValueError(f"source_cap needs cap >= 1, got {cap}")
+    if not 1 <= bucket_bits <= 30:
+        raise ValueError(f"bucket_bits must be in [1, 30], got {bucket_bits}")
+
+    if order_by is None:
+        key = F.xxhash64(F.col(id_col), F.lit(salt))
+    else:
+        src_dt = df.select(order_by.alias("_k")).schema["_k"]
+        if src_dt.dataType.simpleString() not in (
+            "tinyint", "smallint", "int", "bigint",
+        ):
+            raise ValueError(
+                "source_cap(order_by=...) needs an integral expression "
+                f"(got {src_dt.dataType.simpleString()}); scale floats "
+                "to integers explicitly so rank order is exact"
+            )
+        # a NULL rank ranks LAST (it can only lose a capped slot, and
+        # a null key would otherwise fall through both keep branches)
+        key = F.coalesce(order_by.cast("long"), F.lit((1 << 63) - 1))
+    work = df.withColumn("_key", key)
+    # coarse bucket = top bits of the sign-flipped key: monotone in
+    # key order, so per-bucket prefix counts locate the cap exactly
+    work = work.withColumn(
+        "_bkt",
+        F.shiftrightunsigned(
+            F.col("_key").bitwiseXOR(F.lit(_SIGN_BIT)), 64 - bucket_bits
+        ),
+    )
+
+    counts = work.groupBy(F.col(source_col).alias("_src"), "_bkt").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    cum_win = (
+        Window.partitionBy("_src")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.withColumn("_cum", F.sum("_cnt").over(cum_win))
+
+    # one decision row per OVER-cap source: its boundary bucket and
+    # the residual quota inside it. Under-cap sources vanish from the
+    # frame entirely (left-join null => keep whole).
+    # null-safe join: a NULL source must still meet its own total,
+    # or it would silently escape the cap
+    totals = cum.groupBy("_src").agg(F.max("_cum").alias("_total"))
+    over = totals.filter(F.col("_total") > cap).select(
+        F.col("_src").alias("_osrc")
+    )
+    boundary = (
+        cum.join(over, F.col("_src").eqNullSafe(F.col("_osrc")))
+        .filter(
+            (F.col("_cum") - F.col("_cnt") < cap) & (F.col("_cum") >= cap)
+        )
+        .select(
+            "_src",
+            F.col("_bkt").alias("_b_star"),
+            (F.lit(cap) - (F.col("_cum") - F.col("_cnt"))).alias("_quota"),
+        )
+    )
+
+    joined = work.join(
+        boundary, F.col(source_col).eqNullSafe(F.col("_src")), "left"
+    )
+    keep_whole = joined.filter(
+        F.col("_b_star").isNull() | (F.col("_bkt") < F.col("_b_star"))
+    )
+    # only the boundary bucket is ranked — the 1/2^bucket_bits sliver
+    edge = joined.filter(F.col("_bkt") == F.col("_b_star"))
+    rank_win = Window.partitionBy(F.col(source_col)).orderBy("_key", id_col)
+    edge_kept = edge.withColumn(
+        "_rn", F.row_number().over(rank_win)
+    ).filter(F.col("_rn") <= F.col("_quota"))
+
+    out_cols = df.columns
+    return keep_whole.select(*out_cols).unionByName(
+        edge_kept.select(*out_cols)
+    )
+
+
+def source_blocklist_filter(
+    df: DataFrame,
+    blocked,
+    source_col: str = "source",
+) -> DataFrame:
+    """Drop every document whose source is on the blocklist — the
+    other half of the RefinedWeb URL-filtering stage. ``blocked`` is
+    either a small in-memory collection (compiled to an ``isin``
+    predicate — pushes down to the parquet scan) or a single-column
+    DataFrame of blocked sources (broadcast anti-join — the shape for
+    a blocklist too big to inline, e.g. a maintained abuse list).
+    NULL sources are never dropped by a list they don't appear in."""
+    if isinstance(blocked, DataFrame):
+        bcol = blocked.columns[0]
+        return df.join(
+            F.broadcast(blocked.select(F.col(bcol).alias(source_col))),
+            on=source_col,
+            how="left_anti",
+        )
+    blocked = list(blocked)
+    if not blocked:
+        return df
+    return df.filter(
+        ~F.col(source_col).isin(blocked) | F.col(source_col).isNull()
+    )
+
+
+def source_stats(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Per-source mixture stats: document count, character total, and
+    corpus share — the table a curation pass reads before choosing a
+    cap. One partial-aggregable groupBy; ``top_k`` applies a partial
+    top-k (TakeOrderedAndProject over the already-aggregated one-row-
+    per-source frame, never a global sort of the corpus)."""
+    stats = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length(text_col)).alias("n_chars"),
+    )
+    total = df.count()
+    stats = stats.withColumn(
+        "doc_share", F.col("n_docs") / F.lit(float(total or 1))
+    )
+    if top_k is not None:
+        stats = stats.orderBy(F.desc("n_docs"), "source").limit(top_k)
+    return stats

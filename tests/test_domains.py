@@ -1,0 +1,208 @@
+"""Source/domain-level curation (operators/domains.py): the bucketed
+exact per-source cap vs the naive full-window spelling, partition
+invariance, null/under-cap semantics, the order_by preference mode
+(with a DuckDB parity check), blocklist filtering, and source stats.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window, functions as F
+
+from solana_snapshot_etl_tools_spark.operators import domains as DOM
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+
+
+def _naive_cap_ids(df, cap, salt="source-cap"):
+    """The reference semantics: full per-source window over the same
+    rank key the operator uses."""
+    w = Window.partitionBy("source").orderBy(
+        F.xxhash64("doc_id", F.lit(salt)), "doc_id"
+    )
+    return {
+        r.doc_id
+        for r in df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .select("doc_id")
+        .collect()
+    }
+
+
+def test_source_cap_matches_naive_window(spark):
+    docs = _docs(spark)
+    per_source = {
+        r.source: r.cnt
+        for r in docs.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert len(per_source) >= 2 and max(per_source.values()) > 3
+    for cap in (1, 3, 17, 10**6):
+        got = {
+            r.doc_id for r in DOM.source_cap(docs, cap).select("doc_id").collect()
+        }
+        assert got == _naive_cap_ids(docs, cap), f"cap={cap}"
+        # per-source counts are exactly min(cap, n)
+        kept_per_source = {
+            r.source: r.cnt
+            for r in DOM.source_cap(docs, cap)
+            .groupBy("source")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        assert kept_per_source == {
+            s: min(cap, n) for s, n in per_source.items()
+        }
+
+
+def test_source_cap_small_buckets_and_salt(spark):
+    """bucket_bits=2 forces many rows into each bucket, so the cap
+    almost always lands mid-bucket — the boundary-ranking path is
+    exercised hard. A different salt draws a DIFFERENT survivor set
+    of the same per-source sizes."""
+    docs = _docs(spark)
+    for cap in (2, 9):
+        got = {
+            r.doc_id
+            for r in DOM.source_cap(docs, cap, bucket_bits=2)
+            .select("doc_id")
+            .collect()
+        }
+        assert got == _naive_cap_ids(docs, cap)
+    a = {r.doc_id for r in DOM.source_cap(docs, 5).select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in DOM.source_cap(docs, 5, salt="epoch-2").select("doc_id").collect()
+    }
+    assert a == _naive_cap_ids(docs, 5)
+    assert b == _naive_cap_ids(docs, 5, salt="epoch-2")
+    assert a != b  # seeded uniform choice, not a fixed subset
+
+
+def test_source_cap_partition_invariance(spark):
+    docs = _docs(spark)
+    a = {
+        r.doc_id
+        for r in DOM.source_cap(docs.repartition(1), 7).select("doc_id").collect()
+    }
+    b = {
+        r.doc_id
+        for r in DOM.source_cap(docs.repartition(13), 7).select("doc_id").collect()
+    }
+    assert a == b == _naive_cap_ids(docs, 7)
+
+
+def test_source_cap_null_source_and_skew(spark):
+    """A NULL source is capped like any other; one source holding
+    ~90% of the corpus (the always-one-giant-domain shape) still
+    matches the naive semantics."""
+    rows = [(i, f"t{i}", None if i % 10 else "rare") for i in range(200)]
+    skew = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    kept = DOM.source_cap(skew, 25)
+    by_src = {
+        r.source: r.cnt
+        for r in kept.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert by_src == {None: 25, "rare": 20}  # rare has 20 docs, under cap
+    assert {r.doc_id for r in kept.collect()} == _naive_cap_ids(skew, 25)
+
+
+def test_source_cap_order_by_duckdb_parity(spark):
+    """order_by=doc_id is engine-independent: DuckDB's row_number
+    spelling of the same cap keeps the identical id set."""
+    import duckdb
+
+    docs = _docs(spark)
+    cap = 11
+    got = sorted(
+        r.doc_id
+        for r in DOM.source_cap(docs, cap, order_by=F.col("doc_id"))
+        .select("doc_id")
+        .collect()
+    )
+    con = duckdb.connect()
+    want = [
+        r[0]
+        for r in con.execute(
+            f"""
+            SELECT doc_id FROM (
+              SELECT doc_id, row_number() OVER (
+                PARTITION BY source ORDER BY doc_id
+              ) AS rn
+              FROM read_parquet('{SF_DIR}/documents.parquet')
+            ) WHERE rn <= {cap} ORDER BY doc_id
+            """
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_source_cap_order_by_keeps_best_quality(spark):
+    """The preference mode: rank by negated scaled quality keeps each
+    source's best-scoring documents."""
+    from solana_snapshot_etl_tools_spark.functions import text as TXT
+
+    docs = _docs(spark).withColumn(
+        "_q1000", (TXT.quality_score(F.col("text")) * 1000).cast("long")
+    )
+    cap = 5
+    kept = DOM.source_cap(docs, cap, order_by=-F.col("_q1000"))
+    w = Window.partitionBy("source").orderBy(F.col("_q1000").desc(), "doc_id")
+    want = {
+        r.doc_id
+        for r in docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .collect()
+    }
+    # ties at the same quality are broken by id in BOTH spellings
+    # only when the id tiebreak direction matches; the operator
+    # tie-breaks ascending-id, the naive window here too
+    assert {r.doc_id for r in kept.collect()} == want
+
+
+def test_source_cap_rejects_bad_args(spark):
+    docs = _docs(spark)
+    with pytest.raises(ValueError, match="cap >= 1"):
+        DOM.source_cap(docs, 0)
+    with pytest.raises(ValueError, match="bucket_bits"):
+        DOM.source_cap(docs, 5, bucket_bits=0)
+    with pytest.raises(ValueError, match="integral expression"):
+        DOM.source_cap(docs, 5, order_by=F.rand())
+
+
+def test_source_blocklist_filter(spark):
+    rows = [
+        (1, "a", "spamfarm.example"),
+        (2, "b", "good.example"),
+        (3, "c", None),
+        (4, "d", "spamfarm.example"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    kept = DOM.source_blocklist_filter(df, ["spamfarm.example"])
+    assert {r.doc_id for r in kept.collect()} == {2, 3}  # NULL survives
+    # DataFrame blocklist (broadcast anti-join path), same result
+    bl = spark.createDataFrame([("spamfarm.example",)], "domain string")
+    kept2 = DOM.source_blocklist_filter(df, bl)
+    assert {r.doc_id for r in kept2.collect()} == {2, 3}
+    # empty list is the identity
+    assert DOM.source_blocklist_filter(df, []).count() == 4
+
+
+def test_source_stats(spark):
+    docs = _docs(spark)
+    pdf = docs.toPandas()
+    stats = {r.source: r for r in DOM.source_stats(docs).collect()}
+    for src, grp in pdf.groupby("source"):
+        assert stats[src].n_docs == len(grp)
+        assert stats[src].n_chars == int(grp["text"].str.len().sum())
+        assert stats[src].doc_share == pytest.approx(len(grp) / len(pdf))
+    top2 = DOM.source_stats(docs, top_k=2).collect()
+    assert len(top2) == 2
+    assert [r.n_docs for r in top2] == sorted(
+        [r.n_docs for r in stats.values()], reverse=True
+    )[:2]
