@@ -5,8 +5,9 @@ the engine's OWN surface for the training-data side, chaining the
 library stages in production order (the same order the declared
 ``pipeline_pretrain_corpus`` query hash-checks):
 
-    exact dedup → [near dedup] → [PII redaction] → quality/lang
-    filter → [learned quality model + Pareto keep] → [dedup against a
+    [source blocklist] → exact dedup → [near dedup] → [PII redaction]
+    → quality/lang filter → [learned quality model + Pareto keep] →
+    [LM perplexity filter] → [per-source cap] → [dedup against a
     prior corpus's persisted index] → [cluster-balance the topic
     mixture] → deterministic split → shards [or BPE-tokenize + pack]
     [+ persist the updated index]
@@ -18,6 +19,7 @@ library stages in production order (the same order the declared
         [--quality-model DIR [--quality-model-threshold T]] \\
         [--lm-reference REF.parquet [--lm-save DIR] | --lm-model DIR] \\
         [--lm-max-ppl P] \\
+        [--source-blocklist FILE] [--source-cap N] \\
         [--embeddings EMB.parquet --cluster-balance K [--alpha 0.0]] \\
         [--index-out DIR] \\
         [--dedup-against-index DIR [--drop-near-candidates]] \\
@@ -34,6 +36,7 @@ arriving shards and the loop state lives at --index-out:
         [--no-pii] [--quality Q] [--lang L] [--gopher] \\
         [--quality-model DIR] [--drop-near-candidates] \\
         [--lm-reference REF.parquet | --lm-model DIR] [--lm-max-ppl P] \\
+        [--source-blocklist FILE] \\
         [--stratified-split lang [--train-pct P --val-pct V]] \\
         [--data-card]
 
@@ -115,6 +118,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--lm-min-count", type=int, default=2,
                    help="prune reference n-grams of order >= 2 seen "
                    "fewer times (default 2)")
+    p.add_argument("--source-blocklist", metavar="FILE", default=None,
+                   help="newline-delimited source/domain names; matching "
+                   "documents are dropped FIRST, before any other stage "
+                   "(needs a 'source' column in DOCS — the RefinedWeb "
+                   "URL-filter blocklist half, operators/domains.py)")
+    p.add_argument("--source-cap", type=int, metavar="N", default=None,
+                   help="keep at most N documents per source, a "
+                   "deterministic seeded choice, applied AFTER the "
+                   "quality/LM filters so cap slots go to documents "
+                   "that survive them (needs a 'source' column — the "
+                   "RefinedWeb anti-domination half)")
     p.add_argument("--embeddings", metavar="PARQUET", default=None,
                    help="embeddings parquet with (vec_id, embedding) "
                    "keyed by doc id — enables --cluster-balance")
@@ -191,6 +205,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.drop_near_candidates and not args.dedup_against_index and not args.ingest_stream:
         p.error("--drop-near-candidates requires --dedup-against-index "
                 "or --ingest-stream")
+    if args.source_cap is not None and args.source_cap < 1:
+        p.error("--source-cap must be >= 1")
     if args.lm_reference and args.lm_model:
         p.error("--lm-reference and --lm-model are exclusive (train a "
                 "new LM or load a saved one, not both)")
@@ -217,6 +233,10 @@ def main(argv: list[str] | None = None) -> int:
             (args.dedup_against_index, "--dedup-against-index"),
             (args.dedup_cleaned, "--dedup-cleaned"),
             (args.shuffle_seed is not None, "--shuffle-seed"),
+            # a GLOBAL per-source quota cannot be enforced one batch
+            # at a time (--source-blocklist, a stateless filter, IS
+            # allowed on the stream)
+            (args.source_cap is not None, "--source-cap"),
             # NB: --lm-reference/--lm-model ARE allowed here — LM
             # scoring is a join+aggregation pipeline, so it runs as a
             # POST-DRAIN batch stage over the accumulated corpus (the
@@ -238,8 +258,30 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="corpus-build", cpus=args.cpus)
     report: dict[str, object] = {"input": args.docs, "out": args.out_dir}
 
-    docs = spark.read.parquet(args.docs).select("doc_id", "text")
+    need_source = bool(args.source_blocklist) or args.source_cap is not None
+    raw = spark.read.parquet(args.docs)
+    if need_source and "source" not in raw.columns:
+        p.error("--source-blocklist/--source-cap need a 'source' "
+                "column in DOCS")
+    # 'source' rides the whole chain only when the cap needs it at the
+    # end (every stage between here and the cap preserves extra
+    # columns); a blocklist alone is consumed at the scan
+    cap_cols = ["source"] if args.source_cap is not None else []
+    docs = raw.select(
+        "doc_id", "text",
+        *(["source"] if need_source else []),
+    )
     report["n_input"] = docs.count()
+    if args.source_blocklist:
+        from solana_snapshot_etl_tools_spark.operators import (
+            domains as DOM,
+        )
+
+        with open(args.source_blocklist) as fh:
+            blocked = [ln.strip() for ln in fh if ln.strip()]
+        docs = DOM.source_blocklist_filter(docs, blocked)
+        report["n_after_blocklist"] = docs.count()
+    docs = docs.select("doc_id", "text", *cap_cols)
 
     kept = DD.exact_dedup(docs, "doc_id", "text")
     if args.near_dedup:
@@ -252,7 +294,7 @@ def main(argv: list[str] | None = None) -> int:
     clean_col = (
         F.col("text") if args.no_pii else TXT.redact_pii(F.col("text"))
     )
-    clean = kept.select("doc_id", clean_col.alias("text"))
+    clean = kept.select("doc_id", clean_col.alias("text"), *cap_cols)
     if args.dedup_cleaned and not args.no_pii:
         # exact dedup ran on RAW text; redaction can map docs that
         # differed only in their PII spans onto the SAME cleaned text
@@ -330,6 +372,20 @@ def main(argv: list[str] | None = None) -> int:
             perplexity_filter(filtered, lm, args.lm_max_ppl)
         )
         report["n_after_lm_filter"] = filtered.count()
+
+    if args.source_cap is not None:
+        from solana_snapshot_etl_tools_spark.operators import (
+            domains as DOM,
+        )
+
+        # LAST of the document filters: cap slots must go to documents
+        # that survived quality/LM filtering, or an over-cap source
+        # could spend its whole quota on rows the next stage drops.
+        # Cached before counting — split/tokenize/shards all re-read it
+        filtered = DD._cache_for_session(
+            DOM.source_cap(filtered, args.source_cap).drop("source")
+        )
+        report["n_after_source_cap"] = filtered.count()
 
     # the split hash MUST be independent of knuth_hash32: the
     # cluster-balance sampler accepts the LOW-knuth-hash tail of each
@@ -596,15 +652,35 @@ def _ingest_stream_main(args) -> int:
         "out": args.out_dir,
         "mode": "ingest-stream",
     }
-    schema = spark.read.parquet(args.docs).select("doc_id", "text").schema
+    raw = spark.read.parquet(args.docs)
+    in_cols = ["doc_id", "text"]
+    if args.source_blocklist:
+        if "source" not in raw.columns:
+            raise SystemExit(
+                "--source-blocklist needs a 'source' column in DOCS"
+            )
+        in_cols.append("source")
+    schema = raw.select(*in_cols).schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)  # one shard = one batch, so
         # the index loop closes between arrivals exactly like the
         # batch --dedup-against-index flow
         .parquet(args.docs)
-        .select("doc_id", "text")
+        .select(*in_cols)
     )
+    if args.source_blocklist:
+        # stateless per-row predicate — runs unchanged on the stream,
+        # like the cleaning tier below
+        from solana_snapshot_etl_tools_spark.operators import (
+            domains as DOM,
+        )
+
+        with open(args.source_blocklist) as fh:
+            blocked = [ln.strip() for ln in fh if ln.strip()]
+        stream = DOM.source_blocklist_filter(stream, blocked).select(
+            "doc_id", "text"
+        )
     # the SAME stateless cleaning tier as batch mode (PII redaction,
     # quality and language filters are pure column expressions, so
     # they run unchanged on the stream) — silently ignoring the flags

@@ -675,3 +675,118 @@ def test_ingest_stream_quality_model_stratified_split_data_card_one_run(
     assert card["exact_dup_rate"] == 0.0  # post-dedup corpus
     assert card["n_tokens"] > 0 and card["mean_quality"] > 0
     assert sum(card["languages"].values()) == card["n_docs"]
+
+
+def test_source_blocklist_and_cap_batch(spark, tmp_path_factory, capsys):
+    """--source-blocklist drops blocked sources at the scan;
+    --source-cap keeps exactly min(cap, survivors) per source, the
+    SAME survivors the library operator picks on the uncapped run's
+    output (the cap is the last filter, so the uncapped corpus IS its
+    input)."""
+    base = tmp_path_factory.mktemp("src_curation")
+    bl = base / "blocked.txt"
+    bl.write_text("src0\nsrc7\n\n")
+    out1, out2 = str(base / "uncapped"), str(base / "capped")
+    common = (SRC, "--no-pii", "--lang", "", "--quality", "0.0",
+              "--source-blocklist", str(bl))
+    rep1 = _run(capsys, common[0], out1, *common[1:])
+    n_blocked = (
+        spark.read.parquet(SRC)
+        .filter(F.col("source").isin("src0", "src7"))
+        .count()
+    )
+    assert rep1["n_after_blocklist"] == rep1["n_input"] - n_blocked
+    src_of = spark.read.parquet(SRC).select("doc_id", "source")
+
+    def kept_ids(out, rep):
+        ids = set()
+        for name, v in rep["splits"].items():
+            if v["rows"]:
+                ids |= {
+                    r.doc_id
+                    for r in spark.read.parquet(f"{out}/{name}")
+                    .select("doc_id").collect()
+                }
+        return ids
+
+    ids1 = kept_ids(out1, rep1)
+    by_src1 = {
+        r.source: r.cnt
+        for r in src_of.filter(F.col("doc_id").isin(list(ids1)))
+        .groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert "src0" not in by_src1 and "src7" not in by_src1
+
+    cap = 5
+    rep2 = _run(capsys, common[0], out2, *common[1:], "--source-cap", str(cap))
+    ids2 = kept_ids(out2, rep2)
+    assert rep2["n_after_source_cap"] == len(ids2) <= len(ids1)
+    by_src2 = {
+        r.source: r.cnt
+        for r in src_of.filter(F.col("doc_id").isin(list(ids2)))
+        .groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert by_src2 == {s: min(cap, n) for s, n in by_src1.items()}
+    # the capped ids are the library operator's choice on the
+    # uncapped survivors — CLI adds composition, not new semantics
+    from solana_snapshot_etl_tools_spark.operators import domains as DOM
+
+    uncapped = src_of.filter(F.col("doc_id").isin(list(ids1)))
+    want = {
+        r.doc_id
+        for r in DOM.source_cap(uncapped, cap, id_col="doc_id")
+        .select("doc_id").collect()
+    }
+    assert ids2 == want
+
+
+def test_source_flags_require_source_column(spark, tmp_path_factory, capsys):
+    import pytest as _pytest
+
+    base = tmp_path_factory.mktemp("src_missing")
+    no_src = str(base / "no_src.parquet")
+    spark.read.parquet(SRC).select("doc_id", "text").write.parquet(no_src)
+    for flag in (["--source-cap", "3"],
+                 ["--source-blocklist", __file__]):
+        with _pytest.raises(SystemExit):
+            corpus_cli.main([no_src, str(base / "o"), *flag])
+
+
+def test_source_blocklist_streams_and_cap_rejected(
+    spark, tmp_path_factory, capsys
+):
+    """--source-blocklist is a stateless filter, so it runs INSIDE
+    --ingest-stream; --source-cap (a global quota) is rejected there."""
+    import os
+
+    import pytest as _pytest
+
+    base = tmp_path_factory.mktemp("src_stream")
+    src = str(base / "arrivals")
+    os.makedirs(src)
+    good = "the quick brown fox reads many good long books " * 3
+    spark.createDataFrame(
+        [(1, good + "a", "keep.example"),
+         (2, good + "b", "spam.example"),
+         (3, good + "c", None)],
+        "doc_id long, text string, source string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    bl = base / "bl.txt"
+    bl.write_text("spam.example\n")
+    with _pytest.raises(SystemExit):
+        corpus_cli.main(
+            [src, str(base / "o1"), "--ingest-stream",
+             "--index-out", str(base / "i1"), "--source-cap", "5"]
+        )
+    rep = _run(
+        capsys, src, str(base / "out"), "--ingest-stream",
+        "--index-out", str(base / "idx"), "--no-pii", "--lang", "",
+        "--source-blocklist", str(bl),
+    )
+    assert rep["n_corpus"] == 2  # NULL source survives, spam dropped
+    kept = {
+        r.doc_id
+        for r in spark.read.parquet(f"{base}/out/corpus")
+        .select("doc_id").collect()
+    }
+    assert kept == {1, 3}
