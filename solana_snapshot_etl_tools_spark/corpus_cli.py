@@ -608,6 +608,26 @@ def main(argv: list[str] | None = None) -> int:
                 splits[name] = write_split(enc, name, "seq_id")
             else:
                 splits[name] = write_split(enc, name, "doc_id")
+        if args.pack is None and splits["train"]["rows"]:
+            # tokenizer-evaluation line: fertility + vocab utilization
+            # of the train split, computed from the WRITTEN shards (a
+            # re-read, never a re-encode; packed shards drop the
+            # per-document encoding, so the line is unpacked-only)
+            from solana_snapshot_etl_tools_spark.operators import (
+                tokenizer_stats as TS,
+            )
+
+            train_enc = spark.read.parquet(f"{args.out_dir}/train")
+            fert = TS.fertility_summary(
+                corpus.filter(F.col("split") == "train"), train_enc
+            )
+            util = TS.vocab_utilization(train_enc, eos, top_k=5)
+            report["tokenizer_eval"] = {
+                "corpus_fertility": fert["corpus_fertility"],
+                "corpus_chars_per_token": fert["corpus_chars_per_token"],
+                "vocab_coverage": util["coverage"],
+                "unigram_entropy_bits": util["unigram_entropy_bits"],
+            }
     else:
         splits = {
             name: write_split(

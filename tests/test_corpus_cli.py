@@ -790,3 +790,40 @@ def test_source_blocklist_streams_and_cap_rejected(
         .select("doc_id").collect()
     }
     assert kept == {1, 3}
+
+
+def test_tokenizer_eval_report_line(spark, tmp_path_factory, capsys):
+    """Unpacked --tokenize emits a tokenizer_eval report line; its
+    numbers must equal the library's fertility/utilization computed
+    independently from the written train shards."""
+    import pytest as _pytest
+
+    out = str(tmp_path_factory.mktemp("tok_eval"))
+    rep = _run(
+        capsys, SRC, out, "--no-pii", "--tokenize", "48",
+        "--records-per-shard", "200",
+    )
+    ev = rep["tokenizer_eval"]
+    assert ev["corpus_fertility"] >= 1.0
+    assert 0 < ev["vocab_coverage"] <= 1.0
+
+    from solana_snapshot_etl_tools_spark.operators import (
+        tokenizer_stats as TS,
+    )
+
+    train_enc = spark.read.parquet(f"{out}/train")
+    # the written shards carry enough to recompute words: decode is
+    # not needed — join back to the source text by id
+    docs = spark.read.parquet(SRC).select("doc_id", "text")
+    fert = TS.fertility_summary(docs, train_enc)
+    util = TS.vocab_utilization(train_enc, rep["eos_id"])
+    assert ev["corpus_fertility"] == _pytest.approx(
+        fert["corpus_fertility"]
+    )
+    assert ev["corpus_chars_per_token"] == _pytest.approx(
+        fert["corpus_chars_per_token"]
+    )
+    assert ev["vocab_coverage"] == _pytest.approx(util["coverage"])
+    assert ev["unigram_entropy_bits"] == _pytest.approx(
+        util["unigram_entropy_bits"]
+    )
