@@ -108,3 +108,193 @@ def decontaminate(
         "n_grams",
         (F.col("n_hit") / F.col("n_grams")).alias("contamination"),
     )
+
+
+# --- embedding-space decontamination -------------------------------------------
+#
+# Verbatim n-gram overlap misses PARAPHRASED benchmark leakage
+# (reworded eval questions survive an 8-gram rule untouched); the
+# complementary detector matches in embedding space: a training
+# document whose embedding sits within a cosine threshold of any
+# benchmark item's embedding is flagged, with its best-matching bench
+# item and the score, so the drop/audit decision happens downstream
+# exactly like the n-gram detector above.
+
+# ~150 MB of float64 at 768 dims — past this the broadcast path stops
+# being the cheap exact plan and the LSH path is the answer
+MAX_BROADCAST_BENCH = 25_000
+
+
+def decontaminate_embedding(
+    corpus_emb: DataFrame,
+    bench_emb: DataFrame,
+    threshold: float,
+    dims: int,
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    vec_col: str = "embedding",
+    method: str = "lsh",
+    n_tables: int = 12,
+    n_planes: int = 10,
+) -> DataFrame:
+    """One row per contaminated corpus document: ``(id, bench_id,
+    cosine)`` where ``bench_id`` is the HIGHEST-cosine benchmark item
+    at ``cosine >= threshold`` (ties broken by min bench id).
+
+    ``method="broadcast"`` is the exact plan for benchmark suites of
+    ordinary size: the bench matrix (capped loudly at
+    ``MAX_BROADCAST_BENCH`` rows) ships in the closure and every
+    corpus partition scans it with one numpy matmul per Arrow batch —
+    no shuffle at all, corpus never moves.
+
+    ``method="lsh"`` is the scale path when the bench side is itself
+    large: both sides hash through the shared hyperplane tables
+    (``similarity.lsh_signatures``), candidates come from the
+    (table, bucket) equi-join, and ONLY candidates get the exact
+    cosine — the standard recall/cost trade (raise ``n_tables`` for
+    recall; parity with the broadcast plan on separated data is
+    pinned by test)."""
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from solana_snapshot_etl_tools_spark.operators import similarity as SIM
+
+    if method == "broadcast":
+        return _decontaminate_embedding_broadcast(
+            corpus_emb, bench_emb, threshold, dims,
+            id_col, bench_id_col, vec_col,
+        )
+    if method != "lsh":
+        raise ValueError(f"method must be 'broadcast' or 'lsh', got {method!r}")
+
+    sig_c = SIM.lsh_signatures(
+        corpus_emb, id_col, vec_col, dims, n_tables, n_planes,
+        ident="_doc", with_vectors=False,
+    )
+    sig_b = SIM.lsh_signatures(
+        bench_emb, bench_id_col, vec_col, dims, n_tables, n_planes,
+        ident="_bench", with_vectors=False,
+    )
+    cand = (
+        sig_c.join(sig_b, ["table", "bucket"])
+        .select("_doc", "_bench")
+        .distinct()
+    )
+    # vectors re-attach to the DEDUPLICATED candidate set only — the
+    # bucket join itself shuffles (id, table, bucket) longs
+    cv = corpus_emb.select(
+        F.col(id_col).alias("_doc"),
+        F.col(vec_col).cast("array<double>").alias("_vc"),
+    )
+    bv = bench_emb.select(
+        F.col(bench_id_col).alias("_bench"),
+        F.col(vec_col).cast("array<double>").alias("_vb"),
+    )
+    scored = (
+        cand.join(cv, "_doc")
+        .join(bv, "_bench")
+        .select(
+            "_doc",
+            "_bench",
+            SIM.cosine(F.col("_vc"), F.col("_vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    return (
+        scored.groupBy("_doc")
+        .agg(
+            F.max("cosine").alias("cosine"),
+            F.min_by("_bench", F.struct(-F.col("cosine"), F.col("_bench")))
+            .alias(bench_id_col),
+        )
+        .select(F.col("_doc").alias(id_col), bench_id_col, "cosine")
+    )
+
+
+def _decontaminate_embedding_broadcast(
+    corpus_emb, bench_emb, threshold, dims, id_col, bench_id_col, vec_col
+):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    rows = (
+        bench_emb.select(bench_id_col, vec_col)
+        .limit(MAX_BROADCAST_BENCH + 1)
+        .collect()
+    )
+    if len(rows) > MAX_BROADCAST_BENCH:
+        raise ValueError(
+            f"decontaminate_embedding(method='broadcast') caps the bench "
+            f"side at {MAX_BROADCAST_BENCH} rows — use method='lsh' for "
+            "a benchmark set this large"
+        )
+    bench_ids = [r[0] for r in rows]
+    B = np.array([r[1] for r in rows], dtype=np.float64)
+    if B.size and B.shape[1] != dims:
+        raise ValueError(
+            f"bench embedding length {B.shape[1]} != dims {dims}"
+        )
+    # pre-normalize once; zero vectors get norm 1 so they score 0
+    bn = np.linalg.norm(B, axis=1) if B.size else np.zeros(0)
+    Bn = B / np.where(bn == 0, 1.0, bn)[:, None] if B.size else B
+
+    id_type = corpus_emb.schema[id_col].dataType
+    bench_id_type = bench_emb.schema[bench_id_col].dataType
+    out_schema = StructType(
+        [
+            StructField(id_col, id_type),
+            StructField(bench_id_col, bench_id_type),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf) or not len(Bn):
+                continue
+            lens = pdf["_v"].map(len).to_numpy()
+            if (lens != dims).any():
+                bad = int(lens[lens != dims][0])
+                raise ValueError(
+                    f"corpus embedding length {bad} != dims {dims}"
+                )
+            V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            vn = np.linalg.norm(V, axis=1)
+            Vn = V / np.where(vn == 0, 1.0, vn)[:, None]
+            S = Vn @ Bn.T  # (batch, n_bench) cosine matrix
+            # best bench item per doc, min-id tiebreak: argmax scans
+            # in bench order, so the first max wins — bench_ids is
+            # sorted below to make that the minimum id
+            best = S.argmax(axis=1)
+            score = S[np.arange(len(V)), best]
+            keep = score >= threshold
+            if not keep.any():
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: pdf["_id"].to_numpy()[keep],
+                    bench_id_col: [bench_ids[i] for i in best[keep]],
+                    "cosine": score[keep],
+                }
+            )
+
+    # sort bench columns by id so numpy's first-argmax tiebreak IS the
+    # min-id rule the LSH path's min_by applies
+    if len(bench_ids):
+        order = np.argsort(np.array(bench_ids), kind="stable")
+        bench_ids = [bench_ids[i] for i in order]
+        Bn = Bn[order]
+
+    narrow = corpus_emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    from solana_snapshot_etl_tools_spark.operators.dedup import (
+        spread_small_input,
+    )
+
+    return spread_small_input(narrow).mapInPandas(scan, out_schema)

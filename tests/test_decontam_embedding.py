@@ -1,0 +1,156 @@
+"""Embedding-space decontamination (operators/decontam.py): the exact
+broadcast scan vs the LSH-bucketed scale path — planted near-matches,
+threshold semantics, tiebreaks, guards, and real-embedding self-hits."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from solana_snapshot_etl_tools_spark.operators import decontam as DC
+
+DIMS = 16
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _planted(spark, seed=7, n_clean=40, n_bench=6):
+    """Corpus = noisy copies of some bench vectors (contaminated) +
+    random vectors far from every bench item (clean). 16-dim random
+    unit vectors have pairwise |cos| ~ 0.25 with overwhelming
+    probability, so threshold 0.9 separates perfectly."""
+    rng = np.random.default_rng(seed)
+
+    def unit(v):
+        return (v / np.linalg.norm(v)).tolist()
+
+    bench = [(100 + j, unit(rng.normal(size=DIMS))) for j in range(n_bench)]
+    corpus, dirty = [], {}
+    for i, (bid, bv) in enumerate(bench[: n_bench // 2 * 2]):
+        noisy = unit(np.array(bv) + rng.normal(scale=0.02, size=DIMS))
+        corpus.append((i, noisy))
+        dirty[i] = bid
+    base = len(corpus)
+    for i in range(n_clean):
+        corpus.append((base + i, unit(rng.normal(size=DIMS))))
+    c = spark.createDataFrame(corpus, "doc_id long, embedding array<double>")
+    b = spark.createDataFrame(bench, "bench_id long, embedding array<double>")
+    return c, b, dirty
+
+
+def test_broadcast_exact_finds_planted(spark):
+    c, b, dirty = _planted(spark)
+    got = {
+        r.doc_id: (r.bench_id, r.cosine)
+        for r in DC.decontaminate_embedding(
+            c, b, threshold=0.9, dims=DIMS, method="broadcast"
+        ).collect()
+    }
+    assert set(got) == set(dirty)
+    for doc, bid in dirty.items():
+        assert got[doc][0] == bid
+        assert got[doc][1] > 0.99  # tiny noise, near-unit cosine
+
+
+def test_lsh_matches_broadcast_on_separated_data(spark):
+    c, b, dirty = _planted(spark)
+    exact = {
+        r.doc_id: r.bench_id
+        for r in DC.decontaminate_embedding(
+            c, b, threshold=0.9, dims=DIMS, method="broadcast"
+        ).collect()
+    }
+    lsh = {
+        r.doc_id: r.bench_id
+        for r in DC.decontaminate_embedding(
+            c, b, threshold=0.9, dims=DIMS, method="lsh",
+            n_tables=16, n_planes=8,
+        ).collect()
+    }
+    # near-identical vectors collide in at least one of 16 tables with
+    # overwhelming probability — full recall on this data, and no
+    # false positives because the exact cosine gate runs on candidates
+    assert lsh == exact == dirty
+
+
+def test_threshold_and_best_match_semantics(spark):
+    # one doc equally close to two bench items: min-id tiebreak; one
+    # doc at cosine just UNDER threshold: excluded
+    e0 = [1.0] + [0.0] * (DIMS - 1)
+    e1 = [0.0, 1.0] + [0.0] * (DIMS - 2)
+    mid = (np.array(e0) + np.array(e1)) / np.linalg.norm(
+        np.array(e0) + np.array(e1)
+    )
+    c = spark.createDataFrame(
+        [(1, e0), (2, mid.tolist())],
+        "doc_id long, embedding array<double>",
+    )
+    b = spark.createDataFrame(
+        [(201, e0), (200, e0)],  # duplicate bench item, distinct ids
+        "bench_id long, embedding array<double>",
+    )
+    for method in ("broadcast", "lsh"):
+        rows = {
+            r.doc_id: r
+            for r in DC.decontaminate_embedding(
+                c, b, threshold=0.9, dims=DIMS, method=method
+            ).collect()
+        }
+        assert set(rows) == {1}, method  # mid is at cos ~0.707 < 0.9
+        assert rows[1].bench_id == 200, method  # exact tie -> min id
+        assert rows[1].cosine == pytest.approx(1.0)
+
+
+def test_guards(spark):
+    c = spark.createDataFrame(
+        [(1, [1.0] * DIMS)], "doc_id long, embedding array<double>"
+    )
+    b = spark.createDataFrame(
+        [(2, [1.0] * DIMS)], "bench_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="threshold"):
+        DC.decontaminate_embedding(c, b, threshold=0.0, dims=DIMS)
+    with pytest.raises(ValueError, match="method"):
+        DC.decontaminate_embedding(c, b, threshold=0.9, dims=DIMS, method="x")
+    bad = spark.createDataFrame(
+        [(3, [1.0] * (DIMS - 1))], "doc_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="!= dims"):
+        DC.decontaminate_embedding(
+            bad, b, threshold=0.9, dims=DIMS, method="broadcast"
+        ).collect()
+    # empty bench set: nothing is contaminated, both paths
+    empty = spark.createDataFrame([], "bench_id long, embedding array<double>")
+    for method in ("broadcast", "lsh"):
+        assert (
+            DC.decontaminate_embedding(
+                c, empty, threshold=0.9, dims=DIMS, method=method
+            ).count()
+            == 0
+        )
+
+
+def test_real_embeddings_self_contamination(spark):
+    """Bench = a sample of the corpus itself: every sampled id must be
+    flagged against itself at cosine ~1, none of the disjoint rest at
+    a tight threshold beyond their true neighbors."""
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select(F.col("vec_id").alias("doc_id"), "embedding")
+    )
+    dims = len(emb.first().embedding)
+    bench = (
+        emb.orderBy("doc_id").limit(8)
+        .select(F.col("doc_id").alias("bench_id"), "embedding")
+    )
+    flagged = {
+        r.doc_id: r
+        for r in DC.decontaminate_embedding(
+            emb, bench, threshold=0.999, dims=dims, method="broadcast"
+        ).collect()
+    }
+    bench_ids = {r.bench_id for r in bench.collect()}
+    assert bench_ids <= set(flagged)
+    for bid in bench_ids:
+        assert flagged[bid].bench_id == bid
+        assert flagged[bid].cosine == pytest.approx(1.0)
