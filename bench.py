@@ -243,6 +243,44 @@ def main() -> None:
         diag["lm_zipf_score_sec"] = round(time.time() - t0, 4)
         zlm["counts"].unpersist()
         release_session_caches()
+
+        # round-8 operators: the bucketed per-source cap over the real
+        # documents table (vs its naive full-window upper bound at
+        # first recording) and embedding decontamination with the
+        # embeddings table probing a 64-item bench sample — both paths
+        from solana_snapshot_etl_tools_spark.operators import (
+            domains as DOMS,
+        )
+
+        src_docs = spark.read.parquet(
+            f"{SF_DIR}/documents.parquet"
+        ).select("doc_id", "text", "source")
+        t0 = time.time()
+        DOMS.source_cap(src_docs, 50).count()
+        diag["source_cap_sec"] = round(time.time() - t0, 4)
+
+        from solana_snapshot_etl_tools_spark.operators import (
+            decontam as DCN,
+        )
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        )
+        dims = len(emb.first().embedding)
+        bench_emb = emb.orderBy("doc_id").limit(64).select(
+            F.col("doc_id").alias("bench_id"), "embedding"
+        )
+        t0 = time.time()
+        DCN.decontaminate_embedding(
+            emb, bench_emb, threshold=0.99, dims=dims, method="broadcast"
+        ).count()
+        diag["decontam_embedding_broadcast_sec"] = round(time.time() - t0, 4)
+        t0 = time.time()
+        DCN.decontaminate_embedding(
+            emb, bench_emb, threshold=0.99, dims=dims, method="lsh"
+        ).count()
+        diag["decontam_embedding_lsh_sec"] = round(time.time() - t0, 4)
+        release_session_caches()
     except Exception as e:  # diagnostics never break the contract
         diag["error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps({"r6_operator_diag": diag}), file=sys.stderr)
