@@ -267,3 +267,74 @@ def test_lm_score_duckdb_parity_prototype(spark, min_count):
         assert got[d][0] == want[d][0], d
         assert got[d][1] == pytest.approx(want[d][1], rel=1e-12), d
         assert got[d][2] == pytest.approx(want[d][2], rel=1e-12), d
+
+
+def test_decontaminate_embedding_duckdb_parity_prototype(spark):
+    """The embedding decontaminator has an exact SQL spelling —
+    cross-join cosine, threshold, best-match-per-doc with min-id
+    tiebreak — proven against DuckDB's list_cosine_similarity on the
+    real embeddings table with the bench side sampled from it (so
+    self-matches at cosine 1 are guaranteed present). Both engine
+    paths (exact broadcast scan and LSH-bucketed candidates) must
+    agree with it on (doc, bench) pairs and on scores to float
+    tolerance."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from solana_snapshot_etl_tools_spark.operators.decontam import (
+        decontaminate_embedding,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    dims = len(emb.first().embedding)
+    bench = emb.orderBy("doc_id").limit(12).select(
+        F.col("doc_id").alias("bench_id"), "embedding"
+    )
+    threshold = 0.9
+
+    con = duckdb.connect()
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            f"""
+            WITH corpus AS (
+              SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v
+              FROM read_parquet('{SF_DIR}/embeddings.parquet')
+            ),
+            bench AS (
+              SELECT doc_id AS bench_id, v FROM corpus
+              ORDER BY doc_id LIMIT 12
+            ),
+            scored AS (
+              SELECT c.doc_id, b.bench_id,
+                     list_cosine_similarity(c.v, b.v) AS cos
+              FROM corpus c CROSS JOIN bench b
+            ),
+            best AS (
+              SELECT doc_id, bench_id, cos, row_number() OVER (
+                PARTITION BY doc_id ORDER BY cos DESC, bench_id
+              ) AS rn
+              FROM scored WHERE cos >= {threshold}
+            )
+            SELECT doc_id, bench_id, cos FROM best WHERE rn = 1
+            """
+        ).fetchall()
+    }
+    con.close()
+    assert want, "bench sample must contaminate at least itself"
+
+    for method in ("broadcast", "lsh"):
+        got = {
+            r.doc_id: (r.bench_id, r.cosine)
+            for r in decontaminate_embedding(
+                emb, bench, threshold=threshold, dims=dims, method=method,
+                n_tables=16, n_planes=8,
+            ).collect()
+        }
+        assert set(got) == set(want), method
+        for doc, (bid, cos) in want.items():
+            gbid, gcos = got[doc]
+            assert gbid == bid, (method, doc)
+            assert abs(gcos - cos) < 1e-9, (method, doc)

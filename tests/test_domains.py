@@ -206,3 +206,64 @@ def test_source_stats(spark):
     assert [r.n_docs for r in top2] == sorted(
         [r.n_docs for r in stats.values()], reverse=True
     )[:2]
+
+
+# --- property check: random frames vs a pure-Python reference -----------------
+
+try:
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    import pyspark.sql.functions as _F
+
+    _SETTINGS = settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+
+    # few sources, variable multiplicities, null sources included
+    _frames = st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", None]),
+            st.integers(min_value=0, max_value=2**20),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[1],
+    )
+
+    @_SETTINGS
+    @given(rows=_frames, cap=st.integers(min_value=1, max_value=9),
+           bits=st.sampled_from([1, 3, 10]))
+    def test_source_cap_property_matches_reference(spark, rows, cap, bits):
+        """On ANY frame the kept set equals the pure-Python spelling
+        of the semantics: per source, the cap lowest (xxhash64(id,
+        salt), id) documents."""
+        df = spark.createDataFrame(
+            [(i, f"t{i}", s) for s, i in rows],
+            "doc_id long, text string, source string",
+        )
+        hashes = {
+            r.doc_id: r.h
+            for r in df.select(
+                "doc_id", _F.xxhash64("doc_id", _F.lit("source-cap")).alias("h")
+            ).collect()
+        }
+        by_src: dict = {}
+        for s, i in rows:
+            by_src.setdefault(s, []).append(i)
+        want = set()
+        for ids in by_src.values():
+            ids.sort(key=lambda i: (hashes[i], i))
+            want.update(ids[:cap])
+        got = {
+            r.doc_id
+            for r in DOM.source_cap(df, cap, bucket_bits=bits)
+            .select("doc_id").collect()
+        }
+        assert got == want
