@@ -381,3 +381,107 @@ def stratified_split(
         )
     )
     return df.join(decision, id_col)
+
+
+def target_mixture_sample(
+    df: DataFrame,
+    stratum_col: str,
+    target: dict,
+    id_col: str = "doc_id",
+    total: int | None = None,
+    allow_shortfall: bool = False,
+) -> DataFrame:
+    """Downsample strata WITHIN one frame to an explicit mixture —
+    the "make code 20%, web 70%, books 10%" knob (the in-frame
+    complement of ``mix_corpora``, which composes separate frames;
+    ``temperature_sample`` derives its shares from the data, this
+    takes them from the recipe). ``target`` maps stratum value →
+    weight (normalized to shares; a None key addresses the NULL
+    stratum). Strata NOT listed are dropped — an explicit mixture is
+    a whitelist.
+
+    ``total`` defaults to the largest output at which no listed
+    stratum needs more rows than it has (pure downsampling — the
+    scarcest stratum relative to its share sets the scale). An
+    explicit infeasible ``total`` raises with the per-stratum
+    shortfall unless ``allow_shortfall=True`` (over-asked strata then
+    pass whole and the realized mixture is deliberately off-target) —
+    the ``mix_corpora`` contract exactly. A listed stratum with ZERO
+    corpus rows is always reported this way (silently renormalizing
+    around it would hide a broken recipe).
+
+    Scale shape: identical to the samplers above — one partial-agg
+    groupBy for stratum counts, a driver-side table of len(target)
+    rows, broadcast targets, deterministic per-row hash acceptance.
+    Append-stable per stratum, never replicates."""
+    if not target:
+        raise ValueError("target_mixture_sample needs a non-empty target")
+    if any(w < 0 for w in target.values()):
+        raise ValueError(f"negative weight in target: {target}")
+    wsum = float(sum(target.values()))
+    if wsum <= 0:
+        raise ValueError("target weights must sum to a positive value")
+
+    counts = {
+        r["_stratum"]: float(r["_cnt"])
+        for r in df.groupBy(F.col(stratum_col).alias("_stratum"))
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .collect()
+        if r["_stratum"] in target
+    }
+    listed = {s: w for s, w in target.items() if w > 0}
+    have = {s: counts.get(s, 0.0) for s in listed}
+    absent = sorted((s for s in listed if have[s] == 0), key=str)
+    if absent and not allow_shortfall:
+        raise ValueError(
+            f"target_mixture_sample: listed strata have no corpus "
+            f"rows: {absent} — fix the recipe/column, or pass "
+            "allow_shortfall=True to scale the mixture to the "
+            "present strata (the absent shares just go unfilled)"
+        )
+    feasible = [have[s] * wsum / w for s, w in listed.items() if have[s] > 0]
+    if total is None:
+        # largest output with want_s <= have_s for every PRESENT
+        # stratum (under allow_shortfall the absent ones are already
+        # acknowledged as unfillable and do not zero the scale)
+        total = int(min(feasible)) if feasible else 0
+    short = {
+        s: (int(total * w / wsum), int(have[s]))
+        for s, w in listed.items()
+        if total * w / wsum > have[s] and have[s] > 0
+    }
+    if short and not allow_shortfall:
+        detail = ", ".join(
+            f"{s!r}: wants {want} has {have}"
+            for s, (want, have) in sorted(short.items(), key=lambda kv: str(kv[0]))
+        )
+        raise ValueError(
+            f"target_mixture_sample: total={total} is infeasible "
+            f"without replication ({detail}); lower total, fix the "
+            "recipe, or pass allow_shortfall=True to take the "
+            "over-asked strata whole (off-target mixture)"
+        )
+
+    rows = [
+        (s, counts.get(s, 0.0), min(counts.get(s, 0.0), total * w / wsum))
+        for s, w in listed.items()
+        if counts.get(s, 0.0) > 0
+    ]
+    if not rows:
+        return df.filter(F.lit(False))
+    targets = df.sparkSession.createDataFrame(
+        rows,
+        df.select(stratum_col)
+        .withColumnRenamed(stratum_col, "_stratum")
+        .schema.add("_cnt", "double")
+        .add("_tgt", "double"),
+    )
+    h = knuth_hash32(F.col(id_col)).cast("double")
+    return (
+        df.join(
+            F.broadcast(targets),
+            F.col(stratum_col).eqNullSafe(F.col("_stratum")),
+        )
+        .filter(h * F.col("_cnt") < F.col("_tgt") * F.lit(float(_2_32)))
+        .select(*df.columns)
+    )

@@ -384,3 +384,146 @@ def test_stratified_split_loud_driver_row_cap(spark):
         df, "stratum", train_pct=50, val_pct=25, max_driver_rows=1000
     )
     assert out.count() == 60
+
+
+# --- target_mixture_sample -----------------------------------------------------
+
+
+def _mixture_frame(spark):
+    # web 700, code 200, books 60, junk 40 (unlisted), one NULL row
+    rows = (
+        [(i, "web") for i in range(700)]
+        + [(1000 + i, "code") for i in range(200)]
+        + [(2000 + i, "books") for i in range(60)]
+        + [(3000 + i, "junk") for i in range(40)]
+        + [(4000, None)]
+    )
+    return spark.createDataFrame(rows, "doc_id long, stratum string")
+
+
+def _expected_ids(df, targets_by_stratum):
+    """The operator's exact keep rule replayed row-by-row:
+    knuth_hash(id) * n_stratum < tgt_stratum * 2^32."""
+    from solana_snapshot_etl_tools_spark.functions.hashing import (
+        _2_32,
+        knuth_hash32,
+    )
+
+    rows = df.select(
+        "doc_id", "stratum", knuth_hash32(F.col("doc_id")).alias("h")
+    ).collect()
+    counts: dict = {}
+    for r in rows:
+        counts[r.stratum] = counts.get(r.stratum, 0) + 1
+    keep = set()
+    for r in rows:
+        t = targets_by_stratum.get(r.stratum)
+        if t is None:
+            continue
+        tgt = min(counts[r.stratum], t)
+        if float(r.h) * counts[r.stratum] < tgt * float(_2_32):
+            keep.add(r.doc_id)
+    return keep
+
+
+def test_target_mixture_exact_keep_rule_and_scale(spark):
+    from solana_snapshot_etl_tools_spark.operators.sampling import (
+        target_mixture_sample,
+    )
+
+    df = _mixture_frame(spark)
+    target = {"web": 0.7, "code": 0.2, "books": 0.1}
+    out = target_mixture_sample(df, "stratum", target)
+    got = {r.doc_id for r in out.collect()}
+    # books is the scarcest stratum relative to its share:
+    # total = 60 / 0.1 = 600 -> want web 420, code 120, books 60
+    want = _expected_ids(
+        df, {"web": 600 * 0.7, "code": 600 * 0.2, "books": 600 * 0.1}
+    )
+    assert got == want
+    # unlisted strata (junk, NULL) never survive
+    srcs = {r.stratum for r in out.select("stratum").distinct().collect()}
+    assert srcs <= {"web", "code", "books"}
+    # realized shares near the recipe (hash acceptance is expectation)
+    sizes = {
+        r.stratum: r["count"]
+        for r in out.groupBy("stratum").count().collect()
+    }
+    assert sizes["books"] == 60  # scarcest passes through whole
+    assert 340 <= sizes["web"] <= 500 and 90 <= sizes["code"] <= 150
+
+
+def test_target_mixture_null_key_and_unnormalized_weights(spark):
+    from solana_snapshot_etl_tools_spark.operators.sampling import (
+        target_mixture_sample,
+    )
+
+    df = _mixture_frame(spark)
+    # weights need not sum to 1; a None key addresses the NULL stratum
+    out = target_mixture_sample(
+        df, "stratum", {None: 1.0, "books": 59.0}, total=60
+    )
+    got = {r.doc_id for r in out.collect()}
+    want = _expected_ids(df, {None: 1.0, "books": 59.0})
+    assert got == want
+    assert 4000 in got  # the single NULL row fills its whole share
+
+
+def test_target_mixture_shortfall_contract(spark):
+    from solana_snapshot_etl_tools_spark.operators.sampling import (
+        target_mixture_sample,
+    )
+
+    df = _mixture_frame(spark)
+    # infeasible explicit total names the over-asked strata
+    with pytest.raises(ValueError, match="books.*wants 100 has 60"):
+        target_mixture_sample(
+            df, "stratum", {"web": 0.5, "books": 0.5}, total=200
+        )
+    # allow_shortfall: books passes whole, web fills its want
+    out = target_mixture_sample(
+        df, "stratum", {"web": 0.5, "books": 0.5}, total=200,
+        allow_shortfall=True,
+    )
+    sizes = {
+        r.stratum: r["count"] for r in out.groupBy("stratum").count().collect()
+    }
+    assert sizes["books"] == 60
+    # a listed stratum absent from the corpus raises...
+    with pytest.raises(ValueError, match="no corpus rows"):
+        target_mixture_sample(df, "stratum", {"web": 0.9, "wiki": 0.1})
+    # ...unless allow_shortfall, which scales to the present strata
+    out2 = target_mixture_sample(
+        df, "stratum", {"web": 0.9, "wiki": 0.1}, allow_shortfall=True
+    )
+    assert 0 < out2.count() <= 700
+    assert {r.stratum for r in out2.select("stratum").distinct().collect()} == {
+        "web"
+    }
+
+
+def test_target_mixture_validation_and_determinism(spark):
+    from solana_snapshot_etl_tools_spark.operators.sampling import (
+        target_mixture_sample,
+    )
+
+    df = _mixture_frame(spark)
+    with pytest.raises(ValueError, match="non-empty"):
+        target_mixture_sample(df, "stratum", {})
+    with pytest.raises(ValueError, match="negative"):
+        target_mixture_sample(df, "stratum", {"web": -1.0})
+    with pytest.raises(ValueError, match="positive"):
+        target_mixture_sample(df, "stratum", {"web": 0.0})
+    a = {
+        r.doc_id
+        for r in target_mixture_sample(
+            df.repartition(1), "stratum", {"web": 0.5, "code": 0.5}
+        ).collect()
+    }
+    b = {
+        r.doc_id
+        for r in target_mixture_sample(
+            df.repartition(17), "stratum", {"web": 0.5, "code": 0.5}
+        ).collect()
+    }
+    assert a == b and a
