@@ -139,8 +139,16 @@ def source_cap(
         )
     )
 
+    # boundary has ONE row per over-cap source — broadcast it, or the
+    # left join plans as a SortMergeJoin that sorts the whole corpus
+    # (observed in the optimized plan before the hint). With the
+    # broadcast, the keep-whole branch is scan → map-side join →
+    # filter (zero corpus shuffle) and only the boundary sliver ever
+    # reaches the ranking window's exchange.
     joined = work.join(
-        boundary, F.col(source_col).eqNullSafe(F.col("_src")), "left"
+        F.broadcast(boundary),
+        F.col(source_col).eqNullSafe(F.col("_src")),
+        "left",
     )
     keep_whole = joined.filter(
         F.col("_b_star").isNull() | (F.col("_bkt") < F.col("_b_star"))
