@@ -1,0 +1,104 @@
+"""URL canonicalization (functions/url.py): known-vector exactness,
+junk tolerance, and the composition with the domain-level curation
+operators it feeds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from solana_snapshot_etl_tools_spark.functions import url as U
+
+
+def _eval(spark, urls, col_fn):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r.v for r in df.select(col_fn(F.col("url")).alias("v")).collect()]
+
+
+def test_url_host_vectors(spark):
+    cases = {
+        "http://WWW.Example.com:80/a/": "example.com",
+        "https://Sub.Example.COM./x": "sub.example.com",
+        "https://example.com:8080/a": "example.com",
+        "not a url": None,
+        "": None,
+        None: None,
+        "http://localhost/x": "localhost",
+        "http://192.168.0.1/x": "192.168.0.1",
+    }
+    got = _eval(spark, list(cases), U.url_host)
+    assert got == list(cases.values())
+
+
+def test_url_registered_domain_vectors(spark):
+    cases = {
+        "https://news.bbc.co.uk/x": "bbc.co.uk",
+        "https://a.b.example.com/": "example.com",
+        "https://example.com/": "example.com",
+        "https://shop.amazon.com.au/": "amazon.com.au",
+        "http://localhost/x": "localhost",
+        "http://192.168.0.1/x": "192.168.0.1",
+        "junk": None,
+    }
+    got = _eval(spark, list(cases), U.url_registered_domain)
+    assert got == list(cases.values())
+
+
+def test_url_normalize_vectors(spark):
+    cases = {
+        # case, www, default port, trailing slash
+        "http://WWW.Example.com:80/a/": "http://example.com/a",
+        # fragment gone, params sorted
+        "https://example.com:8080/a?b=2&a=1#frag": "https://example.com/a?a=1&b=2",
+        # tracking params dropped, survivors kept
+        "https://news.bbc.co.uk/x?utm_source=t&id=3": "https://news.bbc.co.uk/x?id=3",
+        # all params tracking -> no query at all
+        "https://example.com/?utm_campaign=z&fbclid=y": "https://example.com",
+        "https://example.com": "https://example.com",
+        "not a url": None,
+        None: None,
+    }
+    got = _eval(spark, list(cases), U.url_normalize)
+    assert got == list(cases.values())
+
+
+def test_variants_normalize_equal(spark):
+    """The module's contract: per-page variants collapse to ONE
+    normalized identity, distinct pages stay distinct."""
+    variants = [
+        "http://WWW.Site.org/p/1/",
+        "https://site.org/p/1?utm_source=feed",
+        "https://site.org:443/p/1#top",
+        "https://site.org/p/1?gclid=abc&utm_medium=x",
+    ]
+    others = ["https://site.org/p/2", "https://other.org/p/1"]
+    norm = _eval(spark, variants + others, U.url_normalize)
+    # scheme differs on the first (http vs https) — host+path identical
+    assert len({n.split("://")[1] for n in norm[:4]}) == 1
+    # http vs https kept distinct deliberately: 2 identities for the
+    # variants + the 2 genuinely different pages
+    assert len(set(norm)) == 4
+    assert norm[1] == norm[2] == norm[3] == "https://site.org/p/1"
+
+
+def test_feeds_source_cap(spark):
+    """End-to-end: derive source via url_registered_domain, then the
+    domain cap sees ONE source per site despite subdomain/case/param
+    noise."""
+    from solana_snapshot_etl_tools_spark.operators import domains as DOM
+
+    rows = [
+        (i, f"https://{'sub.' if i % 2 else 'WWW.'}big.co.uk/p/{i}?utm_source=x")
+        for i in range(40)
+    ] + [(100 + i, f"https://small.net/p/{i}") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, url string").withColumn(
+        "source", U.url_registered_domain(F.col("url"))
+    )
+    assert {
+        r.source for r in df.select("source").distinct().collect()
+    } == {"big.co.uk", "small.net"}
+    kept = DOM.source_cap(df.withColumn("text", F.lit("t")), 10)
+    by = {
+        r.source: r.cnt
+        for r in kept.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert by == {"big.co.uk": 10, "small.net": 3}
