@@ -215,3 +215,37 @@ def source_stats(
     if top_k is not None:
         stats = stats.orderBy(F.desc("n_docs"), "source").limit(top_k)
     return stats
+
+
+def dedup_by_url(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact URL-level dedup: one surviving row (min id) per
+    NORMALIZED page identity (``functions.url.url_normalize`` — case/
+    www/port/fragment/tracking-param variants of one page collapse to
+    one key). Crawls carry the same page under many raw URLs long
+    before the text-level dedups see it, and the key here is a short
+    string instead of a document hash — this pass is the cheap
+    front-line, text dedup stays the backstop. Rows whose URL does
+    not normalize (junk, null) pass through untouched: URL dedup can
+    only act where URL identity exists.
+
+    Same shape as ``dedup.exact_dedup``: groupBy min-id on the key,
+    left-semi join back — two partial-aggregable shuffles of short
+    strings, never the document text."""
+    from solana_snapshot_etl_tools_spark.functions.url import url_normalize
+
+    key = url_normalize(F.col(url_col))
+    keyed = df.withColumn("_k", key)
+    keep = (
+        keyed.filter(F.col("_k").isNotNull())
+        .groupBy("_k")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("_k")
+    )
+    deduped = keyed.filter(F.col("_k").isNotNull()).join(
+        keep, id_col, "left_semi"
+    )
+    return deduped.unionByName(keyed.filter(F.col("_k").isNull())).drop("_k")

@@ -102,3 +102,26 @@ def test_feeds_source_cap(spark):
         for r in kept.groupBy("source").agg(F.count("*").alias("cnt")).collect()
     }
     assert by == {"big.co.uk": 10, "small.net": 3}
+
+
+def test_dedup_by_url(spark):
+    from solana_snapshot_etl_tools_spark.operators.domains import dedup_by_url
+
+    rows = [
+        (1, "http://WWW.Example.com/p?utm_source=a", "t1"),
+        (2, "https://example.com/p", "t2"),      # same page, https
+        (3, "http://example.com:80/p/", "t3"),   # same page as 1
+        (4, "https://example.com/q", "t4"),      # different page
+        (5, "junk url", "t5"),                   # no identity: passes
+        (6, None, "t6"),                         # no identity: passes
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    kept = {r.doc_id for r in dedup_by_url(df).collect()}
+    # 1 and 3 share http://example.com/p (min id 1 wins); 2 is the
+    # https identity; 4 unique; 5/6 pass through
+    assert kept == {1, 2, 4, 5, 6}
+    out = dedup_by_url(df)
+    assert out.columns == ["doc_id", "url", "text"]
+    # partition invariance
+    kept2 = {r.doc_id for r in dedup_by_url(df.repartition(7)).collect()}
+    assert kept2 == kept
