@@ -1,0 +1,78 @@
+"""HTML → text extraction (functions/html.py): known-vector
+exactness, entity decoding, structure preservation, junk tolerance,
+and the composition into the paragraph-level operators it feeds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from solana_snapshot_etl_tools_spark.functions import html as H
+
+
+def _one(spark, doc, fn=None):
+    df = spark.createDataFrame([(doc,)], "html string")
+    col = (fn or H.html_to_text)(F.col("html"))
+    return df.select(col.alias("v")).collect()[0].v
+
+
+def test_basic_page(spark):
+    doc = """<!DOCTYPE html><html><head><title>My &amp; Page</title>
+    <style>body { color: red }</style>
+    <script>var x = "<p>not text</p>";</script></head>
+    <body><h1>Header</h1>
+    <p>First paragraph with <b>bold</b> and <a href="/x">a link</a>.</p>
+    <p>Second&nbsp;paragraph &mdash; with entities &lt;tag&gt;.</p>
+    <!-- a comment with <p>markup</p> inside -->
+    <div>footer text</div></body></html>"""
+    text = _one(spark, doc)
+    assert "not text" not in text and "color: red" not in text
+    assert "comment" not in text
+    lines = [l for l in text.split("\n") if l]
+    assert lines[0] == "Header"
+    assert lines[1] == "First paragraph with bold and a link."
+    assert lines[2] == "Second paragraph — with entities <tag>."
+    assert lines[3] == "footer text"
+    # the title element is head content, dropped from the body text
+    assert "My & Page" not in text
+    assert _one(spark, doc, H.html_title) == "My & Page"
+
+
+def test_entities_and_whitespace(spark):
+    assert _one(spark, "a &amp;&amp; b &copy; &hellip;") == "a && b © …"
+    assert _one(spark, "x   \t  y\r\n\r\n\r\nz") == "x y\n\nz"
+
+
+def test_plain_text_and_edges(spark):
+    assert _one(spark, "no markup at all") == "no markup at all"
+    assert _one(spark, "") == ""
+    assert _one(spark, None) is None
+    # unclosed script degrades (drops the tail), never errors
+    assert isinstance(_one(spark, "<script>var x = 1; <p>hi"), str)
+    # comparison operators in text are not tags
+    assert _one(spark, "if a < b and b > c") == "if a < b and b > c"
+    assert _one(spark, "<p>no title</p>", H.html_title) is None
+
+
+def test_block_structure_feeds_paragraph_dedup(spark):
+    """Extracted block boundaries are real paragraph boundaries: the
+    repeated footer <div> across pages is exactly what
+    dedup_paragraphs removes."""
+    from solana_snapshot_etl_tools_spark.operators.paragraphs import (
+        dedup_paragraphs,
+    )
+
+    footer = "<div>Copyright Example Corp - all rights reserved</div>"
+    pages = [
+        (1, f"<p>alpha body one</p>{footer}"),
+        (2, f"<p>beta body two</p>{footer}"),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, html string").select(
+        "doc_id",
+        F.regexp_replace(
+            H.html_to_text(F.col("html")), r"\n+", "\n\n"
+        ).alias("text"),
+    )
+    out = {r.doc_id: r for r in dedup_paragraphs(df).collect()}
+    assert out[1].n_removed_paragraphs == 0
+    assert out[2].n_removed_paragraphs == 1  # the shared footer
+    assert "Copyright" in out[1].text and "Copyright" not in out[2].text
