@@ -5,7 +5,8 @@ the engine's OWN surface for the training-data side, chaining the
 library stages in production order (the same order the declared
 ``pipeline_pretrain_corpus`` query hash-checks):
 
-    [source blocklist] → exact dedup → [near dedup] → [PII redaction]
+    [HTML extract] → [source blocklist] → [URL dedup] →
+    exact dedup → [near dedup] → [PII redaction]
     → quality/lang filter → [learned quality model + Pareto keep] →
     [LM perplexity filter] → [per-source cap] → [dedup against a
     prior corpus's persisted index] → [cluster-balance the topic
@@ -14,6 +15,7 @@ library stages in production order (the same order the declared
 
     python -m solana_snapshot_etl_tools_spark.corpus_cli \\
         DOCS.parquet OUT_DIR \\
+        [--html-extract] [--url-dedup] \\
         [--near-dedup] [--no-pii] [--dedup-cleaned] \\
         [--quality 0.5] [--lang en] [--gopher] \\
         [--quality-model DIR [--quality-model-threshold T]] \\
@@ -66,6 +68,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("docs", help="input parquet with (doc_id, text)")
     p.add_argument("out_dir", help="output root (per-split subdirs)")
+    p.add_argument("--html-extract", action="store_true",
+                   help="the text column holds raw HTML — extract "
+                   "visible text first (functions/html.py, WET-style "
+                   "heuristic; block boundaries become newlines)")
+    p.add_argument("--url-dedup", action="store_true",
+                   help="exact URL-level dedup on the normalized page "
+                   "identity BEFORE text dedup (needs a 'url' column; "
+                   "operators/domains.py:dedup_by_url)")
     p.add_argument("--near-dedup", action="store_true",
                    help="also remove minhash-LSH near-dups (jaccard>=0.8 "
                    "components, keep min id)")
@@ -237,6 +247,9 @@ def main(argv: list[str] | None = None) -> int:
             # at a time (--source-blocklist, a stateless filter, IS
             # allowed on the stream)
             (args.source_cap is not None, "--source-cap"),
+            # url dedup is a global groupBy; the stream's incremental
+            # index already dedups content across batches
+            (args.url_dedup, "--url-dedup"),
             # NB: --lm-reference/--lm-model ARE allowed here — LM
             # scoring is a join+aggregation pipeline, so it runs as a
             # POST-DRAIN batch stage over the accumulated corpus (the
@@ -266,11 +279,19 @@ def main(argv: list[str] | None = None) -> int:
     # 'source' rides the whole chain only when the cap needs it at the
     # end (every stage between here and the cap preserves extra
     # columns); a blocklist alone is consumed at the scan
+    if args.url_dedup and "url" not in raw.columns:
+        p.error("--url-dedup needs a 'url' column in DOCS")
     cap_cols = ["source"] if args.source_cap is not None else []
     docs = raw.select(
         "doc_id", "text",
         *(["source"] if need_source else []),
+        *(["url"] if args.url_dedup else []),
     )
+    if args.html_extract:
+        # row-preserving transform, BEFORE every text-reading stage
+        from solana_snapshot_etl_tools_spark.functions import html as HTML
+
+        docs = docs.withColumn("text", HTML.html_to_text(F.col("text")))
     report["n_input"] = docs.count()
     if args.source_blocklist:
         from solana_snapshot_etl_tools_spark.operators import (
@@ -281,6 +302,15 @@ def main(argv: list[str] | None = None) -> int:
             blocked = [ln.strip() for ln in fh if ln.strip()]
         docs = DOM.source_blocklist_filter(docs, blocked)
         report["n_after_blocklist"] = docs.count()
+    if args.url_dedup:
+        from solana_snapshot_etl_tools_spark.operators.domains import (
+            dedup_by_url,
+        )
+
+        # the cheap front line: one page under many raw URLs dies on
+        # its short normalized key before any text-level dedup runs
+        docs = dedup_by_url(docs)
+        report["n_after_url_dedup"] = docs.count()
     docs = docs.select("doc_id", "text", *cap_cols)
 
     kept = DD.exact_dedup(docs, "doc_id", "text")
@@ -701,10 +731,16 @@ def _ingest_stream_main(args) -> int:
         stream = DOM.source_blocklist_filter(stream, blocked).select(
             "doc_id", "text"
         )
-    # the SAME stateless cleaning tier as batch mode (PII redaction,
-    # quality and language filters are pure column expressions, so
-    # they run unchanged on the stream) — silently ignoring the flags
-    # here would make --ingest-stream a trap
+    # the SAME stateless cleaning tier as batch mode (HTML extraction,
+    # PII redaction, quality and language filters are pure column
+    # expressions, so they run unchanged on the stream) — silently
+    # ignoring the flags here would make --ingest-stream a trap
+    if args.html_extract:
+        from solana_snapshot_etl_tools_spark.functions import html as HTML
+
+        stream = stream.withColumn(
+            "text", HTML.html_to_text(F.col("text"))
+        )
     if not args.no_pii:
         stream = stream.select(
             "doc_id", TXT.redact_pii(F.col("text")).alias("text")

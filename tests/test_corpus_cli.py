@@ -827,3 +827,70 @@ def test_tokenizer_eval_report_line(spark, tmp_path_factory, capsys):
     assert ev["unigram_entropy_bits"] == _pytest.approx(
         util["unigram_entropy_bits"]
     )
+
+
+def test_html_extract_and_url_dedup_batch(spark, tmp_path_factory, capsys):
+    """The crawl-side front of the pipeline in one run: HTML-held
+    text extracted, URL variants of one page deduped on normalized
+    identity, then the ordinary stages over the extracted text."""
+    base = tmp_path_factory.mktemp("crawl_front")
+    body = ("the quick brown fox reads many good long books and "
+            "writes fine essays about them " * 3)
+    rows = [
+        (1, f"<html><script>junk()</script><p>{body}alpha</p></html>",
+         "http://WWW.a.com/p?utm_source=x"),
+        (2, f"<p>{body}alpha dup page</p>",
+         "https://a.com/p"),            # would survive text dedup...
+        (3, f"<p>{body}alpha</p>",
+         "http://a.com:80/p/"),         # ...but 1 and 3 share a URL identity
+        (4, f"<p>{body}beta</p>", "https://a.com/q"),
+        (5, f"<p>{body}gamma</p>", None),  # no URL identity: passes
+    ]
+    src = str(base / "crawl.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, url_junk string, url string"
+    ).withColumnRenamed("url_junk", "text").write.parquet(src)
+    out = str(base / "out")
+    rep = _run(
+        capsys, src, out, "--html-extract", "--url-dedup",
+        "--no-pii", "--lang", "", "--quality", "0.0",
+    )
+    # url variants: {1,3} -> min id 1; 2 is the https identity; 4, 5 pass
+    assert rep["n_input"] == 5 and rep["n_after_url_dedup"] == 4
+    kept = set()
+    for name, v in rep["splits"].items():
+        if v["rows"]:
+            df = spark.read.parquet(f"{out}/{name}")
+            kept |= {r.doc_id for r in df.select("doc_id").collect()}
+            # extraction really happened before the text stages
+            for r in df.collect():
+                assert "<p>" not in r.text and "junk()" not in r.text
+    assert kept == {1, 2, 4, 5}
+    # the loud guard: --url-dedup on a frame without a url column
+    import pytest as _pytest
+
+    no_url = str(base / "no_url.parquet")
+    spark.read.parquet(src).select("doc_id", "text").write.parquet(no_url)
+    with _pytest.raises(SystemExit):
+        corpus_cli.main([no_url, str(base / "o2"), "--url-dedup"])
+
+
+def test_html_extract_streams(spark, tmp_path_factory, capsys):
+    import os
+
+    base = tmp_path_factory.mktemp("html_stream")
+    src = str(base / "arrivals")
+    os.makedirs(src)
+    body = "the quick brown fox reads many good long books " * 3
+    spark.createDataFrame(
+        [(1, f"<div>{body}one</div>"), (2, f"<p>{body}two</p>")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    rep = _run(
+        capsys, src, str(base / "out"), "--ingest-stream",
+        "--index-out", str(base / "idx"), "--no-pii", "--lang", "",
+        "--html-extract",
+    )
+    assert rep["n_corpus"] == 2
+    for r in spark.read.parquet(f"{base}/out/corpus").collect():
+        assert "<" not in r.text and r.text.startswith("the quick")
