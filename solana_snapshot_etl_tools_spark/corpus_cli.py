@@ -18,6 +18,7 @@ library stages in production order (the same order the declared
         [--html-extract] [--url-dedup] \\
         [--near-dedup] [--no-pii] [--dedup-cleaned] \\
         [--quality 0.5] [--lang en] [--gopher] \\
+        [--term-blocklist FILE [--term-max-ratio R]] \\
         [--quality-model DIR [--quality-model-threshold T]] \\
         [--lm-reference REF.parquet [--lm-save DIR] | --lm-model DIR] \\
         [--lm-max-ppl P] \\
@@ -96,6 +97,14 @@ def main(argv: list[str] | None = None) -> int:
                    "where the paper's English list rejects everything)")
     p.add_argument("--lang", default="en",
                    help="keep docs lang_id == LANG; '' keeps all")
+    p.add_argument("--term-blocklist", metavar="FILE", default=None,
+                   help="newline-delimited bad-word/phrase list (C4 "
+                   "rule): drop documents whose blocklist-term density "
+                   "exceeds --term-max-ratio (operators/safety.py; "
+                   "token-granular, never substrings)")
+    p.add_argument("--term-max-ratio", type=float, default=None,
+                   help="density threshold for --term-blocklist "
+                   "(default 0.0 — any hit drops)")
     p.add_argument("--quality-model", metavar="DIR", default=None,
                    help="saved quality PipelineModel "
                    "(operators/quality_model.py) applied AFTER the "
@@ -217,6 +226,8 @@ def main(argv: list[str] | None = None) -> int:
                 "or --ingest-stream")
     if args.source_cap is not None and args.source_cap < 1:
         p.error("--source-cap must be >= 1")
+    if args.term_max_ratio is not None and not args.term_blocklist:
+        p.error("--term-max-ratio requires --term-blocklist")
     if args.lm_reference and args.lm_model:
         p.error("--lm-reference and --lm-model are exclusive (train a "
                 "new LM or load a saved one, not both)")
@@ -352,6 +363,16 @@ def main(argv: list[str] | None = None) -> int:
             gopher_quality_flags(filtered, stopwords=sw)
             .filter(F.col("passes_gopher"))
             .select(*before)
+        )
+    if args.term_blocklist:
+        from solana_snapshot_etl_tools_spark.operators import safety as SAF
+
+        with open(args.term_blocklist) as fh:
+            terms = [ln.strip() for ln in fh if ln.strip()]
+        # column spelling: zero-exchange, identical in stream mode
+        filtered = filtered.filter(
+            SAF.blocklist_ratio_column(c, terms)
+            <= (args.term_max_ratio or 0.0)
         )
     if args.quality_model:
         from pyspark.ml import PipelineModel
@@ -764,6 +785,15 @@ def _ingest_stream_main(args) -> int:
             gopher_quality_flags(stream, stopwords=sw)
             .filter(F.col("passes_gopher"))
             .select(*before)
+        )
+    if args.term_blocklist:
+        from solana_snapshot_etl_tools_spark.operators import safety as SAF
+
+        with open(args.term_blocklist) as fh:
+            terms = [ln.strip() for ln in fh if ln.strip()]
+        stream = stream.filter(
+            SAF.blocklist_ratio_column(c, terms)
+            <= (args.term_max_ratio or 0.0)
         )
     if args.quality_model:
         # the learned tier is transform-only at serve time (pinned by

@@ -894,3 +894,59 @@ def test_html_extract_streams(spark, tmp_path_factory, capsys):
     assert rep["n_corpus"] == 2
     for r in spark.read.parquet(f"{base}/out/corpus").collect():
         assert "<" not in r.text and r.text.startswith("the quick")
+
+
+def test_term_blocklist_stage_batch_and_stream(spark, tmp_path_factory, capsys):
+    """--term-blocklist drops high-density documents in BOTH modes
+    with the identical (column-expression) rule; the Scunthorpe case
+    survives."""
+    import os
+
+    import pytest as _pytest
+
+    base = tmp_path_factory.mktemp("term_bl")
+    good = "the quick brown fox reads many good long books " * 3
+    rows = [
+        (1, good + "a clean essay"),
+        (2, good + ("zorblat " * 40)),     # dense bad term
+        (3, good + "subzorblat classzorblat"),  # substrings: clean
+        (4, good + "one zorblat mention"),      # low density
+    ]
+    src = str(base / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    bl = base / "terms.txt"
+    bl.write_text("zorblat\n")
+    rep = _run(
+        capsys, src, str(base / "out"), "--no-pii", "--lang", "",
+        "--quality", "0.0", "--term-blocklist", str(bl),
+        "--term-max-ratio", "0.05",
+    )
+    kept = set()
+    for name, v in rep["splits"].items():
+        if v["rows"]:
+            kept |= {
+                r.doc_id
+                for r in spark.read.parquet(f"{base}/out/{name}")
+                .select("doc_id").collect()
+            }
+    assert kept == {1, 3, 4}
+    with _pytest.raises(SystemExit):
+        corpus_cli.main([src, str(base / "o2"), "--term-max-ratio", "0.1"])
+
+    arrivals = str(base / "arrivals")
+    os.makedirs(arrivals)
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(arrivals)
+    rep2 = _run(
+        capsys, arrivals, str(base / "sout"), "--ingest-stream",
+        "--index-out", str(base / "sidx"), "--no-pii", "--lang", "",
+        "--quality", "0.0", "--term-blocklist", str(bl),
+        "--term-max-ratio", "0.05",
+    )
+    skept = {
+        r.doc_id
+        for r in spark.read.parquet(f"{base}/sout/corpus")
+        .select("doc_id").collect()
+    }
+    assert skept == kept
