@@ -142,3 +142,60 @@ def redact_pii(col: Column) -> Column:
     for kind, pat in PII_PATTERNS.items():
         out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
     return out
+
+
+# --- Unicode script detection ---------------------------------------------------
+#
+# The routing signal lang_id's trigram heuristic cannot give: which
+# WRITING SYSTEM a document uses. Multilingual curation branches on it
+# (per-script tokenizers, per-script quality thresholds) before any
+# language call is trustworthy. Pure JVM regexp_count over Java's
+# \p{Is<Script>} classes — no UDF.
+
+SCRIPT_PATTERNS = {
+    "latin": r"\p{IsLatin}",
+    "cyrillic": r"\p{IsCyrillic}",
+    "cjk": r"[\p{IsHan}\p{IsHiragana}\p{IsKatakana}]",
+    "arabic": r"\p{IsArabic}",
+    "devanagari": r"\p{IsDevanagari}",
+    "hangul": r"\p{IsHangul}",
+    "greek": r"\p{IsGreek}",
+    "hebrew": r"\p{IsHebrew}",
+}
+
+
+def script_ratio(col: Column, script: str) -> Column:
+    """Fraction of the text's LETTER characters in the given script
+    (keys of ``SCRIPT_PATTERNS``); 0.0 when the text has no letters."""
+    if script not in SCRIPT_PATTERNS:
+        raise ValueError(
+            f"unknown script {script!r}; one of {sorted(SCRIPT_PATTERNS)}"
+        )
+    letters = F.regexp_count(col, F.lit(r"\p{L}"))
+    hits = F.regexp_count(col, F.lit(SCRIPT_PATTERNS[script]))
+    return F.when(letters > 0, hits.cast("double") / letters).otherwise(
+        F.lit(0.0)
+    )
+
+
+def dominant_script(col: Column) -> Column:
+    """The script with the most characters in the text; ties break
+    toward the earlier entry in ``SCRIPT_PATTERNS`` order, and text
+    with no character of ANY known script (including empty/NULL) is
+    ``'unknown'``. One ``greatest`` over (count, -position) structs —
+    still a single codegen'd projection."""
+    names = list(SCRIPT_PATTERNS)
+    ranked = [
+        F.struct(
+            F.regexp_count(F.coalesce(col, F.lit("")), F.lit(p)).alias("c"),
+            F.lit(-i).alias("ni"),
+        )
+        for i, p in enumerate(SCRIPT_PATTERNS.values())
+    ]
+    best = F.greatest(*ranked)
+    return F.when(
+        best["c"] > 0,
+        F.element_at(
+            F.array(*[F.lit(n) for n in names]), (-best["ni"]) + F.lit(1)
+        ),
+    ).otherwise(F.lit("unknown"))
