@@ -50,7 +50,9 @@ def _normalize_terms(terms) -> dict[int, list[str]]:
         if n > MAX_TERMS:
             raise ValueError(
                 f"term blocklist exceeds {MAX_TERMS} entries — that is "
-                "not a wordlist; match it as a DataFrame join instead"
+                "not a wordlist; pass it as a single-column DataFrame "
+                "(term_blocklist_stats joins it distributed, no "
+                "driver collection)"
             )
         # [\W_] mirrors the document tokenizer (underscore is a
         # separator there too — \w alone would keep it and create
@@ -77,17 +79,52 @@ def term_blocklist_stats(
     included — a filter needs the clean rows too). ``n_hits`` counts
     matched token positions for single words plus one per matched
     phrase occurrence; ``hit_ratio = n_hits / n_tokens`` (0.0 for
-    empty text)."""
-    by_len = _normalize_terms(terms)
+    empty text). ``terms`` is an in-memory iterable (broadcast) or a
+    single-column DataFrame for lists too big to collect — the terms
+    then stay distributed end-to-end and only their distinct phrase
+    LENGTHS reach the driver."""
     toks = df.select(
         F.col(id_col).alias("_id"), _word_tokens(F.col(text_col)).alias("_t")
     )
     totals = toks.select("_id", F.size("_t").alias("n_tokens"))
 
     spark = df.sparkSession
+    if isinstance(terms, DataFrame):
+        # the huge-blocklist path the MAX_TERMS error points at: terms
+        # stay distributed — normalized with the SAME tokenization,
+        # grouped by phrase length; only the tiny distinct-length list
+        # reaches the driver
+        tcol = terms.columns[0]
+        norm = (
+            terms.select(
+                F.array_join(_word_tokens(F.col(tcol)), " ").alias("_gram")
+            )
+            .filter(F.length("_gram") > 0)
+            .distinct()
+            .withColumn("_k", F.size(F.split(F.col("_gram"), " ")))
+        )
+        lengths = sorted(r._k for r in norm.select("_k").distinct().collect())
+        # no broadcast hint: a list big enough to arrive as a frame
+        # may exceed broadcast limits — AQE picks the join strategy
+        groups = [
+            (k, norm.filter(F.col("_k") == k).select("_gram"))
+            for k in lengths
+        ]
+    else:
+        by_len = _normalize_terms(terms)
+        groups = [
+            (
+                k,
+                F.broadcast(
+                    spark.createDataFrame(
+                        [(w,) for w in words], "_gram string"
+                    )
+                ),
+            )
+            for k, words in sorted(by_len.items())
+        ]
     hit_frames = []
-    for k, words in sorted(by_len.items()):
-        lst = spark.createDataFrame([(w,) for w in words], "_gram string")
+    for k, lst in groups:
         if k == 1:
             grams = toks.select("_id", F.explode("_t").alias("_gram"))
         else:
@@ -103,7 +140,7 @@ def term_blocklist_stats(
                 ).alias("_gram"),
             )
         hit_frames.append(
-            grams.join(F.broadcast(lst), "_gram")
+            grams.join(lst, "_gram")
             .groupBy("_id")
             .agg(F.count(F.lit(1)).alias("_h"))
         )

@@ -137,3 +137,27 @@ def test_column_variant_equals_join_variant(spark):
         S.blocklist_hits_column(
             F.col("text"), [f"w{i}" for i in range(S.MAX_COLUMN_TERMS + 1)]
         )
+
+
+def test_dataframe_blocklist_equals_list_blocklist(spark):
+    """A blocklist passed as a single-column DataFrame (the
+    too-big-to-collect path) produces the identical stats as the
+    in-memory list, including phrase terms and the normalization."""
+    docs = _docs(spark)
+    want = {
+        r.doc_id: (r.n_tokens, r.n_hits, r.hit_ratio)
+        for r in S.term_blocklist_stats(docs, TERMS).collect()
+    }
+    bl = spark.createDataFrame(
+        [(t,) for t in TERMS + ["BADWORD", None, "  "]], "term string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_hits, r.hit_ratio)
+        for r in S.term_blocklist_stats(docs, bl).collect()
+    }
+    assert got == want
+    # and through the filter
+    kept = {r.doc_id for r in S.term_blocklist_filter(docs, bl).collect()}
+    assert kept == {
+        r.doc_id for r in S.term_blocklist_filter(docs, TERMS).collect()
+    }
