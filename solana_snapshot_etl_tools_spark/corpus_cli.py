@@ -228,6 +228,9 @@ def main(argv: list[str] | None = None) -> int:
         p.error("--source-cap must be >= 1")
     if args.term_max_ratio is not None and not args.term_blocklist:
         p.error("--term-max-ratio requires --term-blocklist")
+    if args.term_max_ratio is not None and args.term_max_ratio < 0:
+        p.error("--term-max-ratio must be >= 0 (a negative threshold "
+                "silently drops every document)")
     if args.lm_reference and args.lm_model:
         p.error("--lm-reference and --lm-model are exclusive (train a "
                 "new LM or load a saved one, not both)")
@@ -369,10 +372,11 @@ def main(argv: list[str] | None = None) -> int:
 
         with open(args.term_blocklist) as fh:
             terms = [ln.strip() for ln in fh if ln.strip()]
-        # column spelling: zero-exchange, identical in stream mode
-        filtered = filtered.filter(
-            SAF.blocklist_ratio_column(c, terms)
-            <= (args.term_max_ratio or 0.0)
+        # the join spelling: batch mode has no reason to inherit the
+        # column variant's 10k InSet cap (real abuse lists exceed it);
+        # the stream path keeps the zero-exchange column rule
+        filtered = SAF.term_blocklist_filter(
+            filtered, terms, max_ratio=args.term_max_ratio or 0.0
         )
     if args.quality_model:
         from pyspark.ml import PipelineModel
@@ -409,13 +413,18 @@ def main(argv: list[str] | None = None) -> int:
             lm = ngram_lm_train(
                 ref, n=args.lm_ngram, min_count=args.lm_min_count
             )
+            # cache BEFORE saving: lm_save's parquet write then
+            # materializes the cache, and the scoring join reuses it —
+            # the training aggregation runs once, not twice
+            lm["counts"] = DD._cache_for_session(lm["counts"])
             if args.lm_save:
                 lm_save(lm, args.lm_save)
                 report["lm_saved_to"] = args.lm_save
-        # cached for the run (many downstream actions re-read the
-        # filter lineage); freed by the end-of-run
-        # release_session_caches with every other operator cache
-        lm["counts"] = DD._cache_for_session(lm["counts"])
+        if args.lm_model:
+            # loaded models need the same run-lifetime cache (many
+            # downstream actions re-read the filter lineage); freed by
+            # the end-of-run release_session_caches
+            lm["counts"] = DD._cache_for_session(lm["counts"])
         # the scoring pipeline (explode + count-table join + two
         # groupBys over the corpus) must run ONCE, not once per
         # downstream action — cache the filtered frame before counting
@@ -865,10 +874,15 @@ def _ingest_stream_main(args) -> int:
             lm = ngram_lm_train(
                 ref, n=args.lm_ngram, min_count=args.lm_min_count
             )
+            # cache BEFORE saving: lm_save's parquet write then
+            # materializes the cache, and the scoring join reuses it —
+            # the training aggregation runs once, not twice
+            lm["counts"] = DD._cache_for_session(lm["counts"])
             if args.lm_save:
                 lm_save(lm, args.lm_save)
                 report["lm_saved_to"] = args.lm_save
-        lm["counts"] = DD._cache_for_session(lm["counts"])
+        if args.lm_model:
+            lm["counts"] = DD._cache_for_session(lm["counts"])
         corpus = DD._cache_for_session(
             perplexity_filter(corpus, lm, args.lm_max_ppl)
         )

@@ -31,11 +31,12 @@ _BLOCK_TAGS = (
 _COMMENTS = r"(?s)<!--.*?-->"
 _ANY_TAG = r"(?s)</?[a-zA-Z!][^>]*>"
 
-# the high-frequency named entities; numeric entities are folded for
-# the ASCII range via the decimal/hex patterns below
+# the high-frequency named entities. ORDER MATTERS: '&amp;' decodes
+# LAST — decoding it first would turn '&amp;lt;' into '&lt;' and then
+# a later pass into '<', double-decoding escaped markup (pages that
+# DISCUSS html) into phantom tags
 _ENTITIES = (
     ("&nbsp;", " "),
-    ("&amp;", "&"),
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
@@ -49,6 +50,7 @@ _ENTITIES = (
     ("&rdquo;", "”"),
     ("&ldquo;", "“"),
     ("&copy;", "©"),
+    ("&amp;", "&"),
 )
 
 

@@ -198,31 +198,71 @@ def bpe_decode(
     return _decode_tokens(enc, symbols, EOW, id_col, tokens_col)
 
 
+def _hadoop_fs(path: str):
+    """(jvm Path, FileSystem) for a scheme-qualified path, via the
+    active session's Hadoop configuration."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            f"writing/reading {path!r} needs an active SparkSession "
+            "(its Hadoop FS layer resolves the scheme)"
+        )
+    jp = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jp, jp.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
 def tokenizer_save(model: dict, path: str, algo: str) -> None:
     """Persist a trained subword tokenizer (``bpe_train`` or
     ``unigram_train`` output) as one JSON file — the artifact a
     training job needs alongside the packed shards (ids are useless
     without the vocab that produced them). Models are kilobyte-scale
-    driver dicts, so this is a plain local write, not a Spark job."""
+    driver dicts; scheme-qualified paths (``s3://``, ``hdfs://``,
+    ``file://``) route through the Hadoop FS layer so the artifact
+    lands NEXT TO the shards it describes (every other artifact of a
+    CLI run already does), bare paths write locally."""
     import json
     import os
 
     if algo not in ("bpe", "unigram"):
         raise ValueError(f"unknown tokenizer algo {algo!r}")
+    data = json.dumps({"format": 1, "algo": algo, "model": model})
+    if "://" in path:
+        jp, fs = _hadoop_fs(path)
+        out = fs.create(jp, True)
+        try:
+            out.write(bytearray(data.encode("utf-8")))
+        finally:
+            out.close()
+        return
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w", encoding="utf-8") as f:
-        json.dump({"format": 1, "algo": algo, "model": model}, f)
+        f.write(data)
 
 
 def tokenizer_load(path: str) -> tuple[str, dict]:
     """Load a :func:`tokenizer_save` artifact → ``(algo, model)``.
     The model dict is interchangeable with a fresh fit (JSON turns
     BPE's merge tuples into lists; every consumer iterates pairs, so
-    the shapes are equivalent — pinned by save/load parity tests)."""
+    the shapes are equivalent — pinned by save/load parity tests).
+    Scheme-qualified paths read through the Hadoop FS layer like
+    :func:`tokenizer_save` writes."""
     import json
 
-    with open(path, encoding="utf-8") as f:
-        blob = json.load(f)
+    if "://" in path:
+        jp, fs = _hadoop_fs(path)
+        stream = fs.open(jp)
+        try:
+            # InputStream.readAllBytes (Java 9+) — py4j copies byte[]
+            # results to Python bytes; reading INTO a passed buffer
+            # would not write back across the bridge
+            blob = json.loads(bytes(stream.readAllBytes()).decode("utf-8"))
+        finally:
+            stream.close()
+    else:
+        with open(path, encoding="utf-8") as f:
+            blob = json.load(f)
     if blob.get("format") != 1 or blob.get("algo") not in ("bpe", "unigram"):
         raise ValueError(f"unrecognized tokenizer artifact at {path}: "
                          f"format={blob.get('format')} algo={blob.get('algo')}")

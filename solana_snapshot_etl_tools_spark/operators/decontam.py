@@ -232,12 +232,22 @@ def _decontaminate_embedding_broadcast(
             f"side at {MAX_BROADCAST_BENCH} rows — use method='lsh' for "
             "a benchmark set this large"
         )
+    # validate per-row BEFORE np.array: a null or ragged vector would
+    # otherwise surface as an object-dtype IndexError/TypeError that
+    # masks the actual data problem
+    for r in rows:
+        if r[1] is None:
+            raise ValueError(
+                f"decontaminate_embedding: NULL bench embedding "
+                f"(bench_id={r[0]!r})"
+            )
+        if len(r[1]) != dims:
+            raise ValueError(
+                f"bench embedding length {len(r[1])} != dims {dims} "
+                f"(bench_id={r[0]!r})"
+            )
     bench_ids = [r[0] for r in rows]
     B = np.array([r[1] for r in rows], dtype=np.float64)
-    if B.size and B.shape[1] != dims:
-        raise ValueError(
-            f"bench embedding length {B.shape[1]} != dims {dims}"
-        )
     # pre-normalize once; zero vectors get norm 1 so they score 0
     bn = np.linalg.norm(B, axis=1) if B.size else np.zeros(0)
     Bn = B / np.where(bn == 0, 1.0, bn)[:, None] if B.size else B
@@ -256,6 +266,12 @@ def _decontaminate_embedding_broadcast(
         for pdf in batches:
             if not len(pdf) or not len(Bn):
                 continue
+            if pdf["_v"].isna().any():
+                bad_id = pdf["_id"][pdf["_v"].isna()].iloc[0]
+                raise ValueError(
+                    "decontaminate_embedding: NULL corpus embedding "
+                    f"(id={bad_id!r})"
+                )
             lens = pdf["_v"].map(len).to_numpy()
             if (lens != dims).any():
                 bad = int(lens[lens != dims][0])

@@ -177,7 +177,10 @@ def source_blocklist_filter(
     predicate — pushes down to the parquet scan) or a single-column
     DataFrame of blocked sources (broadcast anti-join — the shape for
     a blocklist too big to inline, e.g. a maintained abuse list).
-    NULL sources are never dropped by a list they don't appear in."""
+    NULL sources are never dropped by a list they don't appear in; a
+    ``None`` ENTRY in an in-memory list explicitly blocks the NULL
+    source (fed raw into ``isin`` it would instead NULL the whole
+    predicate and silently wipe every non-null source)."""
     if isinstance(blocked, DataFrame):
         bcol = blocked.columns[0]
         return df.join(
@@ -186,11 +189,14 @@ def source_blocklist_filter(
             how="left_anti",
         )
     blocked = list(blocked)
-    if not blocked:
-        return df
-    return df.filter(
-        ~F.col(source_col).isin(blocked) | F.col(source_col).isNull()
-    )
+    block_null = any(b is None for b in blocked)
+    blocked = [b for b in blocked if b is not None]
+    keep = F.lit(True)
+    if blocked:
+        keep = ~F.col(source_col).isin(blocked) | F.col(source_col).isNull()
+    if block_null:
+        keep = keep & F.col(source_col).isNotNull()
+    return df.filter(keep)
 
 
 def source_stats(
@@ -204,11 +210,20 @@ def source_stats(
     cap. One partial-aggregable groupBy; ``top_k`` applies a partial
     top-k (TakeOrderedAndProject over the already-aggregated one-row-
     per-source frame, never a global sort of the corpus)."""
-    stats = df.groupBy(F.col(source_col).alias("source")).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.length(text_col)).alias("n_chars"),
+    from solana_snapshot_etl_tools_spark.operators.dedup import (
+        _cache_for_session,
     )
-    total = df.count()
+
+    stats = _cache_for_session(
+        df.groupBy(F.col(source_col).alias("source")).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length(text_col)).alias("n_chars"),
+        )
+    )
+    # the corpus total comes from the TINY cached per-source frame
+    # (sum of n_docs) — a df.count() here would rescan the corpus a
+    # second time for a number the aggregation already knows
+    total = (stats.agg(F.sum("n_docs")).collect()[0][0]) or 0
     stats = stats.withColumn(
         "doc_share", F.col("n_docs") / F.lit(float(total or 1))
     )

@@ -422,12 +422,22 @@ def target_mixture_sample(
     if wsum <= 0:
         raise ValueError("target weights must sum to a positive value")
 
+    # the whitelist filter runs BEFORE the aggregation: the count
+    # frame (and the collect) is then bounded by len(target), never by
+    # the corpus's stratum cardinality (millions of domains would
+    # otherwise reach the driver just to be discarded here)
+    keys = [k for k in target if k is not None]
+    listed_pred = F.lit(False)
+    if keys:
+        listed_pred = F.col(stratum_col).isin(keys)
+    if None in target:
+        listed_pred = listed_pred | F.col(stratum_col).isNull()
     counts = {
         r["_stratum"]: float(r["_cnt"])
-        for r in df.groupBy(F.col(stratum_col).alias("_stratum"))
+        for r in df.filter(listed_pred)
+        .groupBy(F.col(stratum_col).alias("_stratum"))
         .agg(F.count(F.lit(1)).alias("_cnt"))
         .collect()
-        if r["_stratum"] in target
     }
     listed = {s: w for s, w in target.items() if w > 0}
     have = {s: counts.get(s, 0.0) for s in listed}

@@ -120,28 +120,36 @@ def vocab_utilization(
         encoded.select(F.explode("token_ids").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()  # ≤ vocab_size rows; ONE corpus-wide explode feeds
+        # both the stats fold and the top-k below
     )
-    total_row = freq.agg(
-        F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("used")
-    ).collect()[0]
-    n = int(total_row.n or 0)
-    if n == 0:
-        return {
-            "n_tokens": 0,
-            "n_vocab_used": 0,
-            "coverage": 0.0,
-            "unigram_entropy_bits": None,
-            "effective_vocab": None,
-            "top_tokens": [],
-        }
-    p = F.col("cnt") / F.lit(float(n))
-    ent = freq.agg(
-        (-F.sum(p * F.log2(p))).alias("h")
-    ).collect()[0].h
-    top = [
-        {"token_id": r.tok, "count": r.cnt}
-        for r in freq.orderBy(F.desc("cnt"), "tok").limit(top_k).collect()
-    ]
+    try:
+        # H = log2(n) - (Σ cnt·log2(cnt)) / n — the whole entropy
+        # folds into the same single aggregate as the totals
+        total_row = freq.agg(
+            F.sum("cnt").alias("n"),
+            F.count(F.lit(1)).alias("used"),
+            F.sum(F.col("cnt") * F.log2("cnt")).alias("clog"),
+        ).collect()[0]
+        n = int(total_row.n or 0)
+        if n == 0:
+            return {
+                "n_tokens": 0,
+                "n_vocab_used": 0,
+                "coverage": 0.0,
+                "unigram_entropy_bits": None,
+                "effective_vocab": None,
+                "top_tokens": [],
+            }
+        import math
+
+        ent = math.log2(n) - float(total_row.clog) / n
+        top = [
+            {"token_id": r.tok, "count": r.cnt}
+            for r in freq.orderBy(F.desc("cnt"), "tok").limit(top_k).collect()
+        ]
+    finally:
+        freq.unpersist()
     return {
         "n_tokens": n,
         "n_vocab_used": int(total_row.used),

@@ -197,3 +197,28 @@ def test_bpe_decode_roundtrips_and_saves(spark, tmp_path):
         f.write('{"format": 9}')
     with pytest.raises(ValueError, match="unrecognized tokenizer"):
         B.tokenizer_load(bad)
+
+
+def test_tokenizer_artifact_hadoop_scheme_roundtrip(spark, tmp_path):
+    """Review r8: scheme-qualified artifact paths route through the
+    Hadoop FS layer (file:// exercises it locally) — a remote out_dir
+    must not crash the end of a tokenize run."""
+    from solana_snapshot_etl_tools_spark.operators.bpe import (
+        bpe_train,
+        tokenizer_load,
+        tokenizer_save,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab abc"), (2, "abc abc ab")], "doc_id long, text string"
+    )
+    model = bpe_train(docs, n_merges=4)
+    path = f"file://{tmp_path}/artifacts/tok.json"
+    tokenizer_save(model, path, "bpe")
+    algo, loaded = tokenizer_load(path)
+    assert algo == "bpe"
+    assert loaded.keys() == model.keys()
+    # identical artifact through the Hadoop scheme and the local path
+    local = f"{tmp_path}/tok_local.json"
+    tokenizer_save(model, local, "bpe")
+    assert tokenizer_load(local)[1] == loaded

@@ -932,6 +932,12 @@ def test_term_blocklist_stage_batch_and_stream(spark, tmp_path_factory, capsys):
     assert kept == {1, 3, 4}
     with _pytest.raises(SystemExit):
         corpus_cli.main([src, str(base / "o2"), "--term-max-ratio", "0.1"])
+    # review r8: a negative threshold would silently empty the corpus
+    with _pytest.raises(SystemExit):
+        corpus_cli.main(
+            [src, str(base / "o3"), "--term-blocklist", str(bl),
+             "--term-max-ratio", "-0.1"]
+        )
 
     arrivals = str(base / "arrivals")
     os.makedirs(arrivals)

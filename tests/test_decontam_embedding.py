@@ -154,3 +154,29 @@ def test_real_embeddings_self_contamination(spark):
     for bid in bench_ids:
         assert flagged[bid].bench_id == bid
         assert flagged[bid].cosine == pytest.approx(1.0)
+
+
+def test_null_embeddings_raise_loudly(spark):
+    """Review r8: null/ragged vectors must surface as the guarded
+    ValueError, not an object-dtype TypeError that masks the data
+    problem."""
+    import pyspark.sql.utils  # noqa: F401
+
+    c = spark.createDataFrame(
+        [(1, [1.0] * DIMS), (2, None)],
+        "doc_id long, embedding array<double>",
+    )
+    b = spark.createDataFrame(
+        [(9, [1.0] * DIMS)], "bench_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="NULL corpus embedding"):
+        DC.decontaminate_embedding(
+            c, b, threshold=0.9, dims=DIMS, method="broadcast"
+        ).collect()
+    nb = spark.createDataFrame(
+        [(9, None)], "bench_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="NULL bench embedding"):
+        DC.decontaminate_embedding(
+            c.limit(1), nb, threshold=0.9, dims=DIMS, method="broadcast"
+        )

@@ -267,3 +267,21 @@ if _HYP:
             .select("doc_id").collect()
         }
         assert got == want
+
+
+def test_blocklist_none_entry_blocks_null_source(spark):
+    """Review r8: a None entry fed raw into isin NULLs the whole
+    predicate and silently wipes every non-null source; it now means
+    'block the NULL source' explicitly."""
+    rows = [(1, "a", "good.com"), (2, "b", "spam.com"), (3, "c", None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    kept = {
+        r.doc_id
+        for r in DOM.source_blocklist_filter(df, ["spam.com", None]).collect()
+    }
+    assert kept == {1}
+    # None alone: only the NULL source dies
+    kept2 = {
+        r.doc_id for r in DOM.source_blocklist_filter(df, [None]).collect()
+    }
+    assert kept2 == {1, 2}

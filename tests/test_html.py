@@ -76,3 +76,15 @@ def test_block_structure_feeds_paragraph_dedup(spark):
     assert out[1].n_removed_paragraphs == 0
     assert out[2].n_removed_paragraphs == 1  # the shared footer
     assert "Copyright" in out[1].text and "Copyright" not in out[2].text
+
+
+def test_escaped_entities_decode_once(spark):
+    """Review r8: '&amp;' must decode LAST — decoding it first turned
+    '&amp;lt;' into a phantom '<' (double-decode), corrupting any page
+    that DISCUSSES html."""
+    assert _one(spark, "use &amp;lt;b&amp;gt; for bold") == "use &lt;b&gt; for bold"
+    assert _one(spark, "<p>a &amp;amp; b</p>") == "a &amp; b"
+    assert (
+        _one(spark, "<title>x &amp;lt; y</title>", H.html_title)
+        == "x &lt; y"
+    )
