@@ -8,8 +8,8 @@ library stages in production order (the same order the declared
     [HTML extract] → [source blocklist] → [URL dedup] →
     exact dedup → [near dedup] → [PII redaction]
     → quality/lang filter → [learned quality model + Pareto keep] →
-    [LM perplexity filter] → [per-source cap] → [dedup against a
-    prior corpus's persisted index] → [cluster-balance the topic
+    [LM perplexity filter] → [per-source cap] → [source mixture] →
+    [dedup against a prior corpus's persisted index] → [cluster-balance the topic
     mixture] → deterministic split → shards [or BPE-tokenize + pack]
     [+ persist the updated index]
 
@@ -23,6 +23,7 @@ library stages in production order (the same order the declared
         [--lm-reference REF.parquet [--lm-save DIR] | --lm-model DIR] \\
         [--lm-max-ppl P] \\
         [--source-blocklist FILE] [--source-cap N] \\
+        [--source-mixture SRC=W,SRC=W,...] \\
         [--embeddings EMB.parquet --cluster-balance K [--alpha 0.0]] \\
         [--index-out DIR] \\
         [--dedup-against-index DIR [--drop-near-candidates]] \\
@@ -148,6 +149,14 @@ def main(argv: list[str] | None = None) -> int:
                    "quality/LM filters so cap slots go to documents "
                    "that survive them (needs a 'source' column — the "
                    "RefinedWeb anti-domination half)")
+    p.add_argument("--source-mixture", metavar="SRC=W,SRC=W,...",
+                   default=None,
+                   help="sample the corpus to an explicit per-source "
+                   "recipe (weights normalize to shares; sources not "
+                   "listed are dropped; sampling.py:"
+                   "target_mixture_sample semantics incl. the loud "
+                   "shortfall contract). Runs after --source-cap. "
+                   "Needs a 'source' column")
     p.add_argument("--embeddings", metavar="PARQUET", default=None,
                    help="embeddings parquet with (vec_id, embedding) "
                    "keyed by doc id — enables --cluster-balance")
@@ -226,6 +235,22 @@ def main(argv: list[str] | None = None) -> int:
                 "or --ingest-stream")
     if args.source_cap is not None and args.source_cap < 1:
         p.error("--source-cap must be >= 1")
+    mixture = None
+    if args.source_mixture:
+        mixture = {}
+        for part in args.source_mixture.split(","):
+            part = part.strip()
+            if not part:
+                continue
+            if "=" not in part:
+                p.error(f"--source-mixture entry {part!r} is not SRC=W")
+            k, _, v = part.rpartition("=")
+            try:
+                mixture[k] = float(v)
+            except ValueError:
+                p.error(f"--source-mixture weight {v!r} is not a number")
+        if not mixture:
+            p.error("--source-mixture parsed to an empty recipe")
     if args.term_max_ratio is not None and not args.term_blocklist:
         p.error("--term-max-ratio requires --term-blocklist")
     if args.term_max_ratio is not None and args.term_max_ratio < 0:
@@ -261,6 +286,7 @@ def main(argv: list[str] | None = None) -> int:
             # at a time (--source-blocklist, a stateless filter, IS
             # allowed on the stream)
             (args.source_cap is not None, "--source-cap"),
+            (args.source_mixture is not None, "--source-mixture"),
             # url dedup is a global groupBy; the stream's incremental
             # index already dedups content across batches
             (args.url_dedup, "--url-dedup"),
@@ -285,7 +311,8 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="corpus-build", cpus=args.cpus)
     report: dict[str, object] = {"input": args.docs, "out": args.out_dir}
 
-    need_source = bool(args.source_blocklist) or args.source_cap is not None
+    ride_source = args.source_cap is not None or mixture is not None
+    need_source = bool(args.source_blocklist) or ride_source
     raw = spark.read.parquet(args.docs)
     if need_source and "source" not in raw.columns:
         p.error("--source-blocklist/--source-cap need a 'source' "
@@ -295,7 +322,7 @@ def main(argv: list[str] | None = None) -> int:
     # columns); a blocklist alone is consumed at the scan
     if args.url_dedup and "url" not in raw.columns:
         p.error("--url-dedup needs a 'url' column in DOCS")
-    cap_cols = ["source"] if args.source_cap is not None else []
+    cap_cols = ["source"] if ride_source else []
     docs = raw.select(
         "doc_id", "text",
         *(["source"] if need_source else []),
@@ -442,10 +469,23 @@ def main(argv: list[str] | None = None) -> int:
         # that survived quality/LM filtering, or an over-cap source
         # could spend its whole quota on rows the next stage drops.
         # Cached before counting — split/tokenize/shards all re-read it
-        filtered = DD._cache_for_session(
-            DOM.source_cap(filtered, args.source_cap).drop("source")
-        )
+        capped = DOM.source_cap(filtered, args.source_cap)
+        if mixture is None:
+            capped = capped.drop("source")  # last source-keyed stage
+        filtered = DD._cache_for_session(capped)
         report["n_after_source_cap"] = filtered.count()
+
+    if mixture is not None:
+        from solana_snapshot_etl_tools_spark.operators.sampling import (
+            target_mixture_sample,
+        )
+
+        filtered = DD._cache_for_session(
+            target_mixture_sample(filtered, "source", mixture).drop(
+                "source"
+            )
+        )
+        report["n_after_source_mixture"] = filtered.count()
 
     # the split hash MUST be independent of knuth_hash32: the
     # cluster-balance sampler accepts the LOW-knuth-hash tail of each

@@ -956,3 +956,61 @@ def test_term_blocklist_stage_batch_and_stream(spark, tmp_path_factory, capsys):
         .select("doc_id").collect()
     }
     assert skept == kept
+
+
+def test_source_mixture_stage(spark, tmp_path_factory, capsys):
+    """--source-mixture samples the final corpus to an explicit
+    per-source recipe — the kept ids must equal the library sampler
+    applied to the uncapped run's survivors, and unlisted sources
+    must vanish."""
+    base = tmp_path_factory.mktemp("src_mix")
+    out1, out2 = str(base / "plain"), str(base / "mixed")
+    common = (SRC, "--no-pii", "--lang", "", "--quality", "0.0")
+    rep1 = _run(capsys, common[0], out1, *common[1:])
+    rep2 = _run(
+        capsys, common[0], out2, *common[1:],
+        "--source-mixture", "src1=3,src2=1",
+    )
+
+    def kept_ids(out, rep):
+        ids = set()
+        for name, v in rep["splits"].items():
+            if v["rows"]:
+                ids |= {
+                    r.doc_id
+                    for r in spark.read.parquet(f"{out}/{name}")
+                    .select("doc_id").collect()
+                }
+        return ids
+
+    ids1, ids2 = kept_ids(out1, rep1), kept_ids(out2, rep2)
+    assert rep2["n_after_source_mixture"] == len(ids2) < len(ids1)
+    src_of = spark.read.parquet(SRC).select("doc_id", "source")
+    srcs = {
+        r.source
+        for r in src_of.filter(F.col("doc_id").isin(list(ids2)))
+        .select("source").distinct().collect()
+    }
+    assert srcs <= {"src1", "src2"}
+    from solana_snapshot_etl_tools_spark.operators.sampling import (
+        target_mixture_sample,
+    )
+
+    uncapped = src_of.filter(F.col("doc_id").isin(list(ids1)))
+    want = {
+        r.doc_id
+        for r in target_mixture_sample(
+            uncapped, "source", {"src1": 3.0, "src2": 1.0}
+        ).collect()
+    }
+    assert ids2 == want
+    # malformed recipes and stream mode are rejected loudly
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        corpus_cli.main([SRC, str(base / "o"), "--source-mixture", "src1"])
+    with _pytest.raises(SystemExit):
+        corpus_cli.main(
+            [SRC, str(base / "o"), "--ingest-stream", "--index-out",
+             str(base / "i"), "--source-mixture", "src1=1"]
+        )
