@@ -280,6 +280,35 @@ def main() -> None:
             emb, bench_emb, threshold=0.99, dims=dims, method="lsh"
         ).count()
         diag["decontam_embedding_lsh_sec"] = round(time.time() - t0, 4)
+
+        # round-8 late additions: the C4 term-blocklist join spelling
+        # and the WET-style HTML extractor over synthetic markup
+        # wrapped around the real documents table
+        from solana_snapshot_etl_tools_spark.functions.html import (
+            html_to_text,
+        )
+        from solana_snapshot_etl_tools_spark.operators.safety import (
+            term_blocklist_stats,
+        )
+
+        t0 = time.time()
+        term_blocklist_stats(
+            docs, ["scan", "join", "sort window", "hash table"]
+        ).count()
+        diag["term_blocklist_sec"] = round(time.time() - t0, 4)
+        wrapped = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("<html><head><script>x()</script></head><body><p>"),
+                F.col("text"),
+                F.lit("</p><div>footer</div></body></html>"),
+            ).alias("text"),
+        )
+        t0 = time.time()
+        wrapped.select(html_to_text(F.col("text")).alias("t")).agg(
+            F.sum(F.length("t"))
+        ).collect()
+        diag["html_extract_sec"] = round(time.time() - t0, 4)
         release_session_caches()
     except Exception as e:  # diagnostics never break the contract
         diag["error"] = f"{type(e).__name__}: {e}"[:200]
