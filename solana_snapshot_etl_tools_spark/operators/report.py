@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from solana_snapshot_etl_tools_spark.functions.text import (
+    dominant_script,
     lang_id,
     quality_score,
     token_count,
@@ -40,6 +41,9 @@ def corpus_report(
       index spelling; collisions only ever overstate by ~n²/2⁶⁵)
     - ``mean_quality``: the heuristic score's corpus mean
     - ``languages``: top ``max_languages`` of the n-gram lang-id mix
+    - ``scripts``: the writing-system mix (``dominant_script`` per
+      doc — the signal multilingual release notes report beside the
+      language table; at most ~9 rows, one more tiny groupBy)
     """
     c = F.col(text_col)
     agg = docs.agg(
@@ -73,6 +77,13 @@ def corpus_report(
         .limit(max_languages)
         .collect()
     )
+    scripts = (
+        docs.filter(c.isNotNull())
+        .groupBy(dominant_script(c).alias("script"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "script")
+        .collect()
+    )
     n = agg["n_docs"]
     n_text = n - agg["n_null_text"]
     return {
@@ -93,4 +104,5 @@ def corpus_report(
             else None
         ),
         "languages": {r["lang"]: r["n"] for r in langs},
+        "scripts": {r["script"]: r["n"] for r in scripts},
     }

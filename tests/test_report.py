@@ -105,3 +105,25 @@ def test_dedup_cleaned_zeroes_redaction_residue(spark, tmp_path_factory, capsys)
     fixed = run("--dedup-cleaned")
     assert fixed["n_after_filters"] == 2  # min-id copy of the collision kept
     assert fixed["data_card"]["exact_dup_rate"] == 0.0
+
+
+def test_scripts_mix(spark):
+    """The data card's writing-system table: counts per dominant
+    script, null text excluded, sums to the non-null doc count."""
+    from solana_snapshot_etl_tools_spark.operators.report import (
+        corpus_report,
+    )
+
+    rows = [
+        (1, "plain english text here"),
+        (2, "Привет мир, это русский текст"),
+        (3, "你好世界 これはテスト"),
+        (4, "1234 !!!"),   # scriptless -> unknown
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    card = corpus_report(df)
+    assert card["scripts"] == {
+        "latin": 1, "cyrillic": 1, "cjk": 1, "unknown": 1
+    }
+    assert sum(card["scripts"].values()) == card["n_docs"] - card["n_null_text"]
