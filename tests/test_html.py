@@ -88,3 +88,40 @@ def test_escaped_entities_decode_once(spark):
         _one(spark, "<title>x &amp;lt; y</title>", H.html_title)
         == "x &lt; y"
     )
+
+
+def test_extractor_never_errors_fuzz(spark):
+    """The heuristic contract: pathological markup degrades, never
+    errors — fuzz over tag-soup alphabets in one Spark job."""
+    import pytest as _pytest
+
+    hypothesis = _pytest.importorskip("hypothesis")
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        docs=st.lists(
+            st.text(alphabet="<>&;/ab c!-=\"'\n", max_size=80),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def check(docs):
+        df = spark.createDataFrame([(d,) for d in docs], "html string")
+        out = [
+            r.v
+            for r in df.select(
+                H.html_to_text(F.col("html")).alias("v"),
+                H.html_title(F.col("html")).alias("t"),
+            ).collect()
+        ]
+        assert len(out) == len(docs)
+        for v in out:
+            assert v is None or isinstance(v, str)
+
+    check()

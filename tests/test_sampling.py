@@ -527,3 +527,79 @@ def test_target_mixture_validation_and_determinism(spark):
         ).collect()
     }
     assert a == b and a
+
+
+def test_target_mixture_property_matches_replay(spark):
+    """Hypothesis: on ANY frame and recipe, the kept set equals a
+    pure-Python replay of the documented keep rule (per listed
+    stratum: tgt = min(n_s, total*w/Σw) with total = min over present
+    strata of n_s*Σw/w_s; keep iff knuth_hash(id)*n_s < tgt*2^32)."""
+    import pytest as _pytest
+
+    hypothesis = _pytest.importorskip("hypothesis")
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from solana_snapshot_etl_tools_spark.functions.hashing import (
+        _2_32,
+        knuth_hash32,
+    )
+    from solana_snapshot_etl_tools_spark.operators.sampling import (
+        target_mixture_sample,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b", "c", None]),
+                st.integers(min_value=0, max_value=2**20),
+            ),
+            min_size=1,
+            max_size=40,
+            unique_by=lambda t: t[1],
+        ),
+        wa=st.floats(min_value=0.1, max_value=5),
+        wb=st.floats(min_value=0.1, max_value=5),
+        with_null=st.booleans(),
+    )
+    def check(rows, wa, wb, with_null):
+        target = {"a": wa, "b": wb}
+        if with_null:
+            target[None] = 1.0
+        present = {s for s, _ in rows}
+        if not ({"a", "b"} | ({None} if with_null else set())) <= present:
+            return  # absent listed strata raise by contract; covered elsewhere
+        df = spark.createDataFrame(
+            [(i, s) for s, i in rows], "doc_id long, stratum string"
+        )
+        hashes = {
+            r.doc_id: r.h
+            for r in df.select(
+                "doc_id", knuth_hash32(F.col("doc_id")).alias("h")
+            ).collect()
+        }
+        counts: dict = {}
+        for s, _ in rows:
+            counts[s] = counts.get(s, 0) + 1
+        wsum = sum(target.values())
+        total = int(min(counts[s] * wsum / w for s, w in target.items()))
+        keep = set()
+        for s, i in rows:
+            if s not in target:
+                continue
+            tgt = min(counts[s], total * target[s] / wsum)
+            if float(hashes[i]) * counts[s] < tgt * float(_2_32):
+                keep.add(i)
+        got = {
+            r.doc_id
+            for r in target_mixture_sample(df, "stratum", target)
+            .select("doc_id").collect()
+        }
+        assert got == keep
+
+    check()
