@@ -338,3 +338,81 @@ def test_decontaminate_embedding_duckdb_parity_prototype(spark):
             gbid, gcos = got[doc]
             assert gbid == bid, (method, doc)
             assert abs(gcos - cos) < 1e-9, (method, doc)
+
+
+def test_term_blocklist_duckdb_parity_prototype(spark):
+    """The C4 term-blocklist density has an exact SQL spelling —
+    tokenize, per-length n-grams via list_slice, join vs the term
+    table, per-doc count over ALL rows — proven against DuckDB on an
+    ASCII corpus (the two engines' \\w-class tokenizers agree there;
+    the operator's unicode classes are pinned separately in
+    tests/test_safety.py)."""
+    import duckdb
+
+    from solana_snapshot_etl_tools_spark.operators.safety import (
+        term_blocklist_stats,
+    )
+
+    rows = [
+        (1, "a clean document with plain text"),
+        (2, "BadWord appears twice: badword!"),
+        (3, "the rude phrase here and one ugly word"),
+        (4, "classy scunthorpe subclass"),
+        (5, ""),
+        (6, None),
+        (7, "rude phrase"),
+    ]
+    terms = ["badword", "rude phrase here", "ugly"]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.n_tokens, r.n_hits, round(r.hit_ratio, 9))
+        for r in term_blocklist_stats(df, terms).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    con.execute("CREATE TABLE terms(gram VARCHAR, k INT)")
+    con.executemany(
+        "INSERT INTO terms VALUES (?, ?)",
+        [(t, len(t.split())) for t in terms],
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split_regex(lower(coalesce(text, '')),
+                                          '[^a-z0-9]+'),
+                       x -> len(x) > 0) AS t
+              FROM docs
+            ),
+            grams AS (
+              SELECT doc_id,
+                     unnest([array_to_string(list_slice(t, i, i + k - 1), ' ')
+                             for i in range(1, len(t) - k + 2)]) AS gram
+              FROM toks, (SELECT DISTINCT k FROM terms) ks
+            ),
+            hits AS (
+              SELECT doc_id, count(*) AS n_hits
+              FROM grams JOIN terms USING (gram)
+              GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   len(t) AS n_tokens,
+                   coalesce(n_hits, 0) AS n_hits,
+                   round(CASE WHEN len(t) > 0
+                         THEN coalesce(n_hits, 0) / len(t)
+                         ELSE 0.0 END, 9) AS hit_ratio
+            FROM toks LEFT JOIN hits USING (doc_id)
+            ORDER BY doc_id
+            """
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+    # and the planted truth, independently of both engines
+    by_id = {g[0]: g for g in got}
+    assert by_id[2][2] == 2 and by_id[3][2] == 2 and by_id[4][2] == 0
