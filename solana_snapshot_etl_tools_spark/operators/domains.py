@@ -236,31 +236,237 @@ def dedup_by_url(
     df: DataFrame,
     url_col: str = "url",
     id_col: str = "doc_id",
+    prefer_col: Column | None = None,
 ) -> DataFrame:
-    """Exact URL-level dedup: one surviving row (min id) per
-    NORMALIZED page identity (``functions.url.url_normalize`` — case/
-    www/port/fragment/tracking-param variants of one page collapse to
-    one key). Crawls carry the same page under many raw URLs long
-    before the text-level dedups see it, and the key here is a short
-    string instead of a document hash — this pass is the cheap
-    front-line, text dedup stays the backstop. Rows whose URL does
-    not normalize (junk, null) pass through untouched: URL dedup can
-    only act where URL identity exists.
+    """Exact URL-level dedup: one surviving row per NORMALIZED page
+    identity (``functions.url.url_normalize`` — case/www/port/
+    fragment/tracking-param variants of one page collapse to one key).
+    Crawls carry the same page under many raw URLs long before the
+    text-level dedups see it, and the key here is a short string
+    instead of a document hash — this pass is the cheap front-line,
+    text dedup stays the backstop. Rows whose URL does not normalize
+    (junk, null) pass through untouched: URL dedup can only act where
+    URL identity exists.
 
-    Same shape as ``dedup.exact_dedup``: groupBy min-id on the key,
-    left-semi join back — two partial-aggregable shuffles of short
-    strings, never the document text."""
+    The default survivor is the MIN-id row. ``prefer_col`` replaces
+    that with an explicit preference rank — an INTEGRAL expression,
+    minimum wins, ties broken by ``id_col`` (the ``source_cap
+    order_by`` contract; e.g. the negation of a capture timestamp
+    keeps the FRESHEST capture of each page, the negation of a scaled
+    quality score the best one). A NULL rank ranks LAST — a row with
+    no preference signal only wins a key nothing else claims.
+    Non-integral expressions are rejected: a silent cast-to-long would
+    truncate float ranks and reorder them.
+
+    Same shape as ``dedup.exact_dedup``: groupBy the winning id per
+    key (a ``min`` over (rank, id) structs — partial-aggregable),
+    left-semi join back — two shuffles of short strings plus ids,
+    never the document text."""
     from solana_snapshot_etl_tools_spark.functions.url import url_normalize
 
     key = url_normalize(F.col(url_col))
     keyed = df.withColumn("_k", key)
-    keep = (
-        keyed.filter(F.col("_k").isNotNull())
-        .groupBy("_k")
-        .agg(F.min(id_col).alias(id_col))
-        .drop("_k")
-    )
-    deduped = keyed.filter(F.col("_k").isNotNull()).join(
-        keep, id_col, "left_semi"
-    )
+    with_key = keyed.filter(F.col("_k").isNotNull())
+    if prefer_col is None:
+        keep = with_key.groupBy("_k").agg(F.min(id_col).alias(id_col))
+    else:
+        rank_dt = df.select(prefer_col.alias("_r")).schema["_r"]
+        if rank_dt.dataType.simpleString() not in (
+            "tinyint", "smallint", "int", "bigint",
+        ):
+            raise ValueError(
+                "dedup_by_url(prefer_col=...) needs an integral "
+                f"expression (got {rank_dt.dataType.simpleString()}); "
+                "scale floats to integers explicitly so rank order is "
+                "exact"
+            )
+        rank = F.coalesce(prefer_col.cast("long"), F.lit((1 << 63) - 1))
+        keep = (
+            with_key.groupBy("_k")
+            .agg(
+                F.min(
+                    F.struct(rank.alias("_r"), F.col(id_col).alias("_i"))
+                ).alias("_w")
+            )
+            .select(F.col("_w._i").alias(id_col))
+        )
+    deduped = with_key.join(keep.select(id_col), id_col, "left_semi")
     return deduped.unionByName(keyed.filter(F.col("_k").isNull())).drop("_k")
+
+
+# --- PSL-exact registrable domains -----------------------------------------------
+#
+# functions/url.py:url_registered_domain is a pure-column HEURISTIC
+# (last two labels, three under a short multi-part-suffix list). When
+# a Public Suffix List snapshot IS available, the exact rule set makes
+# domain grouping correct for the long tail (wildcard rules like
+# *.nagoya.jp, exceptions like !city.nagoya.jp, deep suffixes like
+# pvt.k12.ma.us). PSL matching is longest-suffix with exception
+# priority — a variable-length lookup a single column expression
+# cannot spell. The Spark-first shape: PSL rules have a handful of
+# distinct label COUNTS (1..5 in the real list), so the longest-match
+# resolves as one broadcast left join PER label count against the
+# host's k-label suffix — every join map-side, zero corpus shuffle,
+# no explode, no groupBy. The corpus never moves.
+
+# the real PSL is ~15k entries; two orders of magnitude past that is
+# not a suffix list and the driver-side parse should refuse loudly
+MAX_PSL_RULES = 200_000
+
+_IPV4_RE = r"^\d{1,3}(\.\d{1,3}){3}$"
+
+
+def _parse_psl(entries) -> dict[str, dict[str, int]]:
+    """Driver-side parse of raw PSL lines into three keyed rule maps:
+    ``exact[suffix] = n_labels``, ``wild[parent] = n_labels(parent)``
+    (the rule is ``*.parent``), ``exc[suffix] = n_labels - 1`` (the
+    public suffix an exception rule yields). Comments (``//``), blank
+    lines, and inline trailing text after whitespace are dropped per
+    the PSL file format."""
+    exact: dict[str, int] = {}
+    wild: dict[str, int] = {}
+    exc: dict[str, int] = {}
+    n_rules = 0
+    for raw in entries:
+        if raw is None:
+            continue
+        line = str(raw).strip()
+        if not line or line.startswith("//"):
+            continue
+        rule = line.split()[0].lower().rstrip(".")
+        if not rule:
+            continue
+        n_rules += 1
+        if n_rules > MAX_PSL_RULES:
+            raise ValueError(
+                f"PSL rule list exceeds {MAX_PSL_RULES} entries — this "
+                "is not a Public Suffix List snapshot"
+            )
+        if rule.startswith("!"):
+            body = rule[1:]
+            if body:
+                exc[body] = len(body.split(".")) - 1
+        elif rule.startswith("*."):
+            parent = rule[2:]
+            if parent:
+                wild[parent] = len(parent.split("."))
+        elif "*" in rule:
+            raise ValueError(
+                f"unsupported PSL wildcard position in rule {rule!r} "
+                "(only leading '*.' wildcards exist in the PSL format)"
+            )
+        else:
+            exact[rule] = len(rule.split("."))
+    return {"exact": exact, "wild": wild, "exc": exc}
+
+
+def with_registered_domain(
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: str = "registered_domain",
+    psl=None,
+    fallback_to_host: bool = True,
+) -> DataFrame:
+    """Attach the registrable domain of each row's URL as ``out_col``
+    — the exact ``source`` key for :func:`source_cap` /
+    :func:`source_blocklist_filter` grouping.
+
+    With ``psl=None`` this is the zero-shuffle heuristic column
+    (``functions.url.url_registered_domain``), unchanged. With ``psl``
+    — a single-column DataFrame of raw PSL lines or an in-memory
+    iterable of them — matching is PSL-exact: the public suffix is the
+    longest matching rule (wildcard ``*.x`` rules match one extra
+    label; ``!exception`` rules take absolute priority; unlisted TLDs
+    fall back to the implicit ``*`` rule, public suffix = last label)
+    and the registrable domain is the suffix plus one label.
+
+    Hosts that ARE a public suffix have no registrable domain: with
+    ``fallback_to_host=True`` (default — the heuristic's posture) the
+    host itself is emitted, with ``False`` a NULL. IPv4-literal hosts
+    pass through as themselves; no host parses to NULL. NB:
+    ``url_host`` strips a leading ``www.`` label before matching —
+    page-identity normalization this module keys everything on.
+
+    Scale shape: the rule maps are tiny and driver-parsed (loud
+    ``MAX_PSL_RULES`` cap); per distinct rule label count k, one
+    BROADCAST left join matches the host's k-label suffix — map-side,
+    the corpus never shuffles, and the join count is bounded by the
+    PSL's label depth (5 in the real list), not its size."""
+    from solana_snapshot_etl_tools_spark.functions.url import (
+        url_host,
+        url_registered_domain,
+    )
+
+    if psl is None:
+        return df.withColumn(out_col, url_registered_domain(F.col(url_col)))
+    if isinstance(psl, DataFrame):
+        rows = psl.limit(MAX_PSL_RULES + 1).collect()
+        rules = _parse_psl(r[0] for r in rows)
+    else:
+        rules = _parse_psl(psl)
+
+    spark = df.sparkSession
+    host = url_host(F.col(url_col))
+    work = df.withColumn("_psl_host", host).withColumn(
+        "_psl_labels", F.split(F.col("_psl_host"), r"\.")
+    )
+    n = F.size("_psl_labels")
+
+    # one tiny (key, exact_len, wild_len, exc_len) table per label
+    # count: exact rules of k labels, wildcard PARENTS of k labels
+    # (match length k+1, valid only when the host is deeper than the
+    # parent), exception rules of k labels (public suffix k-1)
+    by_k: dict[int, dict[str, list]] = {}
+    for kind, mapping in rules.items():
+        for key_s, _ in mapping.items():
+            k = len(key_s.split("."))
+            by_k.setdefault(k, {})[key_s] = None
+    match_cols: list[Column] = []
+    exc_cols: list[Column] = []
+    for k in sorted(by_k):
+        tbl = [
+            (
+                key_s,
+                rules["exact"].get(key_s),
+                k + 1 if key_s in rules["wild"] else None,
+                rules["exc"].get(key_s),
+            )
+            for key_s in by_k[k]
+        ]
+        rdf = spark.createDataFrame(
+            tbl, f"_psl_key{k} string, _psl_x{k} int, _psl_w{k} int, _psl_e{k} int"
+        )
+        sfx = F.array_join(F.slice(F.col("_psl_labels"), -k, k), ".")
+        work = work.withColumn(f"_psl_sfx{k}", sfx).join(
+            F.broadcast(rdf),
+            F.col(f"_psl_sfx{k}") == F.col(f"_psl_key{k}"),
+            "left",
+        )
+        match_cols.append(F.col(f"_psl_x{k}"))
+        # a wildcard rule of k+1 labels matches only hosts DEEPER than
+        # its parent (host "ck" does not match "*.ck")
+        match_cols.append(F.when(n > k, F.col(f"_psl_w{k}")))
+        exc_cols.append(F.col(f"_psl_e{k}"))
+
+    # exception rules prevail over every other match (PSL algorithm);
+    # otherwise the longest match wins; unlisted TLDs get the implicit
+    # "*" rule (public suffix = the last label)
+    ps_len = F.coalesce(
+        F.greatest(*exc_cols) if len(exc_cols) > 1 else exc_cols[0],
+        F.greatest(*match_cols, F.lit(1)),
+    )
+    reg = F.array_join(
+        F.slice(F.col("_psl_labels"), -(ps_len + 1), ps_len + 1), "."
+    )
+    no_reg = (
+        F.col("_psl_host") if fallback_to_host else F.lit(None).cast("string")
+    )
+    is_ip = F.col("_psl_host").rlike(_IPV4_RE)
+    out = (
+        F.when(F.col("_psl_host").isNull(), F.lit(None).cast("string"))
+        .when(is_ip, F.col("_psl_host"))
+        .when(n > ps_len, reg)
+        .otherwise(no_reg)
+    )
+    work = work.withColumn(out_col, out)
+    return work.select(*df.columns, out_col)

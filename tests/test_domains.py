@@ -285,3 +285,161 @@ def test_blocklist_none_entry_blocks_null_source(spark):
         r.doc_id for r in DOM.source_blocklist_filter(df, [None]).collect()
     }
     assert kept2 == {1, 2}
+
+
+# --- PSL-exact registrable domains ----------------------------------------------
+
+# a planted mini-PSL exercising every rule kind: plain suffixes at two
+# depths, a wildcard, its exception, a deep 3-label suffix, comments
+MINI_PSL = [
+    "// ===BEGIN ICANN DOMAINS===",
+    "",
+    "com",
+    "uk",
+    "co.uk",
+    "jp",
+    "*.nagoya.jp",
+    "!city.nagoya.jp",
+    "us",
+    "k12.ma.us",
+    "pvt.k12.ma.us",
+    "// trailing comment",
+]
+
+
+def _psl_reg(spark, urls, psl=MINI_PSL, **kw):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = DOM.with_registered_domain(df, psl=psl, **kw)
+    return [r.registered_domain for r in out.collect()]
+
+
+def test_psl_exact_rules(spark):
+    cases = {
+        # plain suffix, one and two labels deep
+        "http://a.b.example.com/x": "example.com",
+        "https://news.bbc.co.uk": "bbc.co.uk",
+        # the uk TLD itself is also a rule: example.uk registers there
+        "http://example.uk": "example.uk",
+        # wildcard *.nagoya.jp: one extra label is the public suffix
+        "http://x.blah.nagoya.jp": "x.blah.nagoya.jp",
+        # exception !city.nagoya.jp beats the wildcard
+        "http://www.city.nagoya.jp": "city.nagoya.jp",
+        "http://ward.city.nagoya.jp": "city.nagoya.jp",
+        # longest match wins: pvt.k12.ma.us over k12.ma.us over us
+        "http://school.pvt.k12.ma.us": "school.pvt.k12.ma.us",
+        "http://x.k12.ma.us": "x.k12.ma.us",
+        "http://plain.ma.us": "ma.us",
+        # unlisted TLD: implicit * rule, suffix = last label
+        "http://foo.bar.unlistedtld": "bar.unlistedtld",
+        # IPv4 literal passes through
+        "http://192.168.0.1/x": "192.168.0.1",
+    }
+    urls = list(cases)
+    assert _psl_reg(spark, urls) == [cases[u] for u in urls]
+
+
+def test_psl_host_is_public_suffix(spark):
+    # blah.nagoya.jp IS a public suffix under *.nagoya.jp — no
+    # registrable domain exists; default falls back to the host
+    urls = ["http://blah.nagoya.jp", "http://co.uk", "not a url"]
+    assert _psl_reg(spark, urls) == ["blah.nagoya.jp", "co.uk", None]
+    assert _psl_reg(spark, urls, fallback_to_host=False) == [None, None, None]
+
+
+def test_psl_accepts_dataframe_and_matches_iterable(spark):
+    psl_df = spark.createDataFrame([(ln,) for ln in MINI_PSL], "line string")
+    urls = ["http://a.example.co.uk", "http://www.city.nagoya.jp"]
+    assert _psl_reg(spark, urls, psl=psl_df) == _psl_reg(spark, urls)
+
+
+def test_psl_none_is_heuristic_unchanged(spark):
+    from solana_snapshot_etl_tools_spark.functions.url import (
+        url_registered_domain,
+    )
+
+    urls = [
+        "http://a.b.example.com/x",
+        "https://news.bbc.co.uk",
+        "http://localhost",
+        "junk",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [
+        r.registered_domain
+        for r in DOM.with_registered_domain(df).collect()
+    ]
+    want = [
+        r.v
+        for r in df.select(
+            url_registered_domain(F.col("url")).alias("v")
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_psl_feeds_source_cap_grouping(spark):
+    # the stated purpose: exact registrable-domain grouping for the
+    # per-source cap — all nagoya-wildcard subdomains stay SEPARATE
+    # sources while co.uk subdomains of one registrant collapse
+    rows = [
+        (i, f"http://s{i}.big.co.uk/p{i}") for i in range(8)
+    ] + [(100, "http://a.one.nagoya.jp/x"), (101, "http://b.two.nagoya.jp/y")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    dom = DOM.with_registered_domain(df, psl=MINI_PSL)
+    capped = DOM.source_cap(dom, 3, source_col="registered_domain")
+    by = {
+        r.registered_domain: r.cnt
+        for r in capped.groupBy("registered_domain")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert by == {"big.co.uk": 3, "a.one.nagoya.jp": 1, "b.two.nagoya.jp": 1}
+
+
+def test_psl_rejects_oversized_and_bad_wildcards(spark):
+    df = spark.createDataFrame([("http://x.com",)], "url string")
+    with pytest.raises(ValueError, match="wildcard position"):
+        DOM.with_registered_domain(df, psl=["foo.*.bar"])
+    import solana_snapshot_etl_tools_spark.operators.domains as D
+
+    old = D.MAX_PSL_RULES
+    D.MAX_PSL_RULES = 3
+    try:
+        with pytest.raises(ValueError, match="exceeds 3"):
+            DOM.with_registered_domain(df, psl=["a", "b", "c", "d"])
+    finally:
+        D.MAX_PSL_RULES = old
+
+
+def test_dedup_by_url_prefer_col(spark):
+    from solana_snapshot_etl_tools_spark.operators.domains import dedup_by_url
+
+    rows = [
+        # one page, three captures at different timestamps
+        (1, "http://Example.com/p?utm_source=x", 100),
+        (2, "https://example.com/q", 50),     # different page (scheme+path)
+        (3, "http://example.com/p/", 300),    # same page as 1, fresher
+        (4, "http://example.com/p", None),    # same page, no timestamp
+        (5, "bad url", 999),                  # no identity: passes
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, ts long")
+    # freshest capture wins: rank by NEGATED timestamp (min wins)
+    kept = {
+        r.doc_id
+        for r in dedup_by_url(df, prefer_col=-F.col("ts")).collect()
+    }
+    assert kept == {2, 3, 5}
+    # NULL rank ranks last: with ts nulled on 1 and 3, id tiebreak
+    nulled = df.withColumn(
+        "ts", F.when(F.col("doc_id") == 2, F.col("ts"))
+    )
+    kept2 = {
+        r.doc_id
+        for r in dedup_by_url(nulled, prefer_col=-F.col("ts")).collect()
+    }
+    assert kept2 == {1, 2, 5}
+    # non-integral rank is rejected loudly
+    with pytest.raises(ValueError, match="integral"):
+        dedup_by_url(df, prefer_col=F.col("ts") / 2)
+    # default path unchanged: min id
+    assert {r.doc_id for r in dedup_by_url(df).collect()} == {1, 2, 5}
