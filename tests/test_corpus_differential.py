@@ -416,3 +416,48 @@ def test_term_blocklist_duckdb_parity_prototype(spark):
     # and the planted truth, independently of both engines
     by_id = {g[0]: g for g in got}
     assert by_id[2][2] == 2 and by_id[3][2] == 2 and by_id[4][2] == 0
+
+
+def test_source_cap_hash_mode_duckdb_parity_prototype(spark):
+    """The DEFAULT source_cap mode ranks by xxhash64(doc_id, salt) —
+    DuckDB has no bit-compatible xxhash64, so the Spark-computed rank
+    key is exported as a column and DuckDB spells the full cap logic
+    (per-source rank by (key, id), keep rank <= cap) in SQL over it.
+    This pins the boundary-bucket machinery (bucketing, running
+    total, residual quota, edge ranking) against the plain windowed
+    statement of the semantics, on the real sf0.001 corpus where
+    sources are genuinely over and under the cap."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from solana_snapshot_etl_tools_spark.operators import domains as DOM
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    # the exact key the operator's default mode uses (salt included)
+    keyed = docs.withColumn(
+        "_key", F.xxhash64(F.col("doc_id"), F.lit("source-cap"))
+    )
+    pdf = keyed.toPandas()
+    con = duckdb.connect()
+    con.register("keyed", pdf)
+    for cap in (1, 7, 40):
+        want = sorted(
+            r[0]
+            for r in con.execute(
+                f"""
+                SELECT doc_id FROM (
+                  SELECT doc_id, row_number() OVER (
+                    PARTITION BY source ORDER BY _key, doc_id
+                  ) AS rn
+                  FROM keyed
+                ) WHERE rn <= {cap}
+                """
+            ).fetchall()
+        )
+        got = sorted(
+            r.doc_id
+            for r in DOM.source_cap(docs, cap).select("doc_id").collect()
+        )
+        assert got == want, f"cap={cap}"
