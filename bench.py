@@ -310,6 +310,30 @@ def main() -> None:
         ).collect()
         diag["html_extract_sec"] = round(time.time() - t0, 4)
         release_session_caches()
+
+        # round-9: recall drift tracker for the four production-
+        # parameter ANN rows (structurally no_oracle in the driver) —
+        # recall@k vs the exact brute-force top-k on the same query
+        # set, so a quality regression surfaces round-over-round the
+        # same way a timing regression does
+        exact_pairs = {
+            (r.query_id, r.neighbor_id)
+            for r in queries["ann_cosine_topk"](spark, SF_DIR).collect()
+        }
+        release_session_caches()
+        if exact_pairs:
+            for m in ("lsh", "ivf", "pq", "ivf_pq"):
+                qname = f"ann_cosine_{m}"
+                if qname not in queries:
+                    continue
+                approx = {
+                    (r.query_id, r.neighbor_id)
+                    for r in queries[qname](spark, SF_DIR).collect()
+                }
+                diag[f"ann_{m}_recall_at5"] = round(
+                    len(approx & exact_pairs) / len(exact_pairs), 4
+                )
+                release_session_caches()
     except Exception as e:  # diagnostics never break the contract
         diag["error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps({"r6_operator_diag": diag}), file=sys.stderr)

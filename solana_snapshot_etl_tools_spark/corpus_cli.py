@@ -7,8 +7,9 @@ library stages in production order (the same order the declared
 
     [HTML extract] → [source blocklist] → [URL dedup] →
     exact dedup → [near dedup] → [PII redaction]
-    → quality/lang filter → [learned quality model + Pareto keep] →
-    [LM perplexity filter] → [per-source cap] → [source mixture] →
+    → quality/lang/script filter → [learned quality model + Pareto
+    keep] → [LM perplexity filter] → [embedding decontamination] →
+    [per-source cap] → [source mixture] →
     [dedup against a prior corpus's persisted index] → [cluster-balance the topic
     mixture] → deterministic split → shards [or BPE-tokenize + pack]
     [+ persist the updated index]
@@ -17,14 +18,16 @@ library stages in production order (the same order the declared
         DOCS.parquet OUT_DIR \\
         [--html-extract] [--url-dedup] \\
         [--near-dedup] [--no-pii] [--dedup-cleaned] \\
-        [--quality 0.5] [--lang en] [--gopher] \\
+        [--quality 0.5] [--lang en] [--script-filter latin,cyrillic] \\
+        [--gopher] \\
         [--term-blocklist FILE [--term-max-ratio R]] \\
         [--quality-model DIR [--quality-model-threshold T]] \\
         [--lm-reference REF.parquet [--lm-save DIR] | --lm-model DIR] \\
         [--lm-max-ppl P] \\
         [--source-blocklist FILE] [--source-cap N] \\
         [--source-mixture SRC=W,SRC=W,...] \\
-        [--embeddings EMB.parquet --cluster-balance K [--alpha 0.0]] \\
+        [--embeddings EMB.parquet [--cluster-balance K [--alpha 0.0]] \\
+         [--decontam-bench BENCH.parquet --decontam-threshold T]] \\
         [--index-out DIR] \\
         [--dedup-against-index DIR [--drop-near-candidates]] \\
         [--train-pct 90 --val-pct 5] \\
@@ -37,11 +40,14 @@ arriving shards and the loop state lives at --index-out:
 
     python -m solana_snapshot_etl_tools_spark.corpus_cli \\
         ARRIVALS_DIR OUT_DIR --ingest-stream --index-out DIR \\
-        [--no-pii] [--quality Q] [--lang L] [--gopher] \\
+        [--no-pii] [--quality Q] [--lang L] [--script-filter S,...] \\
+        [--gopher] \\
         [--quality-model DIR] [--drop-near-candidates] \\
         [--lm-reference REF.parquet | --lm-model DIR] [--lm-max-ppl P] \\
+        [--embeddings EMB.parquet --decontam-bench B.parquet \\
+         --decontam-threshold T] \\
         [--source-blocklist FILE] \\
-        [--stratified-split lang [--train-pct P --val-pct V]] \\
+        [--stratified-split lang|script [--train-pct P --val-pct V]] \\
         [--data-card]
 
 (The stateless cleaning tiers — PII redaction, quality/language/
@@ -98,6 +104,15 @@ def main(argv: list[str] | None = None) -> int:
                    "where the paper's English list rejects everything)")
     p.add_argument("--lang", default="en",
                    help="keep docs lang_id == LANG; '' keeps all")
+    p.add_argument("--script-filter", metavar="S1,S2,...", default=None,
+                   help="keep only documents whose DOMINANT writing "
+                   "system is one of the listed scripts (functions/"
+                   "text.py:dominant_script — latin, cyrillic, cjk, "
+                   "arabic, devanagari, hangul, greek, hebrew, "
+                   "unknown). Pure column expression: runs unchanged "
+                   "in --ingest-stream. Multilingual curation routes "
+                   "on the script BEFORE any language call is "
+                   "trustworthy")
     p.add_argument("--term-blocklist", metavar="FILE", default=None,
                    help="newline-delimited bad-word/phrase list (C4 "
                    "rule): drop documents whose blocklist-term density "
@@ -138,6 +153,21 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--lm-min-count", type=int, default=2,
                    help="prune reference n-grams of order >= 2 seen "
                    "fewer times (default 2)")
+    p.add_argument("--decontam-bench", metavar="PARQUET", default=None,
+                   help="benchmark EMBEDDINGS parquet ((bench_id|"
+                   "vec_id, embedding)): drop documents whose "
+                   "embedding sits within --decontam-threshold cosine "
+                   "of any benchmark item — the PARAPHRASE-leak check "
+                   "n-gram decontamination misses (operators/"
+                   "decontam.py:decontaminate_embedding, broadcast "
+                   "path). Needs --embeddings for the corpus-side "
+                   "vectors; documents without an embedding pass "
+                   "through unchecked. In --ingest-stream this runs "
+                   "as a POST-DRAIN batch stage over the accumulated "
+                   "corpus (the LM-filter precedent)")
+    p.add_argument("--decontam-threshold", type=float, default=None,
+                   help="cosine flag threshold for --decontam-bench, "
+                   "in (0, 1]")
     p.add_argument("--source-blocklist", metavar="FILE", default=None,
                    help="newline-delimited source/domain names; matching "
                    "documents are dropped FIRST, before any other stage "
@@ -183,13 +213,17 @@ def main(argv: list[str] | None = None) -> int:
                    "index cannot exact-verify Jaccard)")
     p.add_argument("--train-pct", type=int, default=90)
     p.add_argument("--val-pct", type=int, default=5)
-    p.add_argument("--stratified-split", choices=["lang"], default=None,
+    p.add_argument("--stratified-split", choices=["lang", "script"],
+                   default=None,
                    help="replace the hash split with the EXACT "
                    "stratified split over the FINAL corpus (floor-"
                    "exact per-stratum shares — tiny strata keep their "
                    "held-out rows; append-unstable, see "
                    "operators/sampling.py:stratified_split). 'lang' "
-                   "stratifies by the n-gram language id")
+                   "stratifies by the n-gram language id, 'script' by "
+                   "the dominant writing system — every script's "
+                   "held-out share survives even when one script "
+                   "dominates the corpus")
     p.add_argument("--tokenize", type=int, metavar="N", default=None,
                    help="train a subword tokenizer on the train split "
                    "and emit token ids — N is the merge budget (bpe) "
@@ -251,6 +285,23 @@ def main(argv: list[str] | None = None) -> int:
                 p.error(f"--source-mixture weight {v!r} is not a number")
         if not mixture:
             p.error("--source-mixture parsed to an empty recipe")
+    scripts = None
+    if args.script_filter is not None:
+        from solana_snapshot_etl_tools_spark.functions.text import (
+            SCRIPT_PATTERNS,
+        )
+
+        allowed = set(SCRIPT_PATTERNS) | {"unknown"}
+        scripts = [
+            s.strip().lower() for s in args.script_filter.split(",")
+            if s.strip()
+        ]
+        bad = sorted(set(scripts) - allowed)
+        if bad:
+            p.error(f"--script-filter: unknown script(s) {bad}; "
+                    f"one of {sorted(allowed)}")
+        if not scripts:
+            p.error("--script-filter parsed to an empty list")
     if args.term_max_ratio is not None and not args.term_blocklist:
         p.error("--term-max-ratio requires --term-blocklist")
     if args.term_max_ratio is not None and args.term_max_ratio < 0:
@@ -265,6 +316,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.lm_save and not args.lm_reference:
         p.error("--lm-save requires --lm-reference (it persists the "
                 "freshly trained LM)")
+    if bool(args.decontam_bench) != (args.decontam_threshold is not None):
+        p.error("--decontam-bench and --decontam-threshold go together")
+    if args.decontam_bench and not args.embeddings:
+        p.error("--decontam-bench needs --embeddings for the "
+                "corpus-side vectors")
+    if args.decontam_bench and not 0 < args.decontam_threshold <= 1:
+        p.error("--decontam-threshold must be in (0, 1]")
     if args.index_out and args.index_out == args.dedup_against_index:
         p.error("--index-out must differ from --dedup-against-index "
                 "(cannot overwrite an index while probing it)")
@@ -378,6 +436,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     if args.lang:
         filtered = filtered.filter(TXT.lang_id(c) == args.lang)
+    if scripts:
+        # writing-system routing: one codegen'd projection, runs
+        # before the (less reliable) language filter's survivors feed
+        # later stages — same placement as the stream path
+        filtered = filtered.filter(TXT.dominant_script(c).isin(scripts))
     if args.gopher:
         from solana_snapshot_etl_tools_spark.operators.quality import (
             gopher_quality_flags,
@@ -459,6 +522,15 @@ def main(argv: list[str] | None = None) -> int:
             perplexity_filter(filtered, lm, args.lm_max_ppl)
         )
         report["n_after_lm_filter"] = filtered.count()
+
+    if args.decontam_bench:
+        # paraphrase-leak decontamination: after the LM filter (fewer
+        # rows to score), before the source cap (cap slots must not go
+        # to rows about to be dropped as contaminated)
+        filtered = DD._cache_for_session(
+            _decontam_filter(spark, filtered, args, report)
+        )
+        report["n_after_decontam"] = filtered.count()
 
     if args.source_cap is not None:
         from solana_snapshot_etl_tools_spark.operators import (
@@ -601,7 +673,11 @@ def main(argv: list[str] | None = None) -> int:
         # the exact split must run on the FINAL corpus (balancing
         # after it would distort the floor-exact shares), replacing
         # the provisional hash split assigned above
-        strat = TXT.lang_id(F.col("text"))
+        strat = (
+            TXT.dominant_script(F.col("text"))
+            if args.stratified_split == "script"
+            else TXT.lang_id(F.col("text"))
+        )
         resplit = stratified_split(
             corpus.drop("split").withColumn("_stratum", strat),
             "_stratum",
@@ -752,6 +828,47 @@ def main(argv: list[str] | None = None) -> int:
 
 
 
+def _decontam_filter(spark, corpus, args, report):
+    """The --decontam-bench stage, shared by the batch pipeline and
+    the stream mode's post-drain pass: score the corpus docs that HAVE
+    an embedding against the benchmark embedding set (broadcast path —
+    eval suites are MBs; the loud MAX_BROADCAST_BENCH cap guards the
+    closure) and anti-join the flagged ids out. Documents without an
+    embedding pass through unchecked — they cannot be scored, and
+    silently dropping them would punish missing metadata."""
+    from pyspark.sql import functions as F
+
+    from solana_snapshot_etl_tools_spark.operators import dedup as DD
+    from solana_snapshot_etl_tools_spark.operators.decontam import (
+        decontaminate_embedding,
+    )
+
+    emb = (
+        spark.read.parquet(args.embeddings)
+        .select(F.col("vec_id").alias("doc_id"), "embedding")
+        .join(corpus.select("doc_id"), "doc_id", "left_semi")
+    )
+    bench = spark.read.parquet(args.decontam_bench)
+    bid = "bench_id" if "bench_id" in bench.columns else "vec_id"
+    bench = bench.select(F.col(bid).alias("bench_id"), "embedding")
+    first = bench.select("embedding").first()
+    if first is None:
+        report["n_decontam_flagged"] = 0
+        return corpus
+    dims = len(first[0])
+    flagged = DD._cache_for_session(
+        decontaminate_embedding(
+            emb,
+            bench,
+            threshold=args.decontam_threshold,
+            dims=dims,
+            method="broadcast",
+        ).select("doc_id")
+    )
+    report["n_decontam_flagged"] = flagged.count()
+    return corpus.join(flagged, "doc_id", "left_anti")
+
+
 def _ingest_stream_main(args) -> int:
     """--ingest-stream: the incremental-dedup ingestion loop
     (streaming/ingest.py) over every shard currently in the DOCS
@@ -819,6 +936,15 @@ def _ingest_stream_main(args) -> int:
     stream = stream.filter(TXT.quality_score(c) >= args.quality)
     if args.lang:
         stream = stream.filter(TXT.lang_id(c) == args.lang)
+    if args.script_filter:
+        # dominant_script is a pure column expression — the same
+        # writing-system routing as batch mode, stream-safe (already
+        # validated by main's argparse pass)
+        scripts = [
+            s.strip().lower() for s in args.script_filter.split(",")
+            if s.strip()
+        ]
+        stream = stream.filter(TXT.dominant_script(c).isin(scripts))
     if args.gopher:
         from solana_snapshot_etl_tools_spark.operators.quality import (
             gopher_quality_flags,
@@ -927,6 +1053,18 @@ def _ingest_stream_main(args) -> int:
             perplexity_filter(corpus, lm, args.lm_max_ppl)
         )
         report["n_after_lm_filter"] = corpus.count()
+    if args.decontam_bench and corpus is not None:
+        # post-drain batch stage (the LM precedent): the paraphrase-
+        # leak check needs the corpus-side embedding join, so it runs
+        # over the corpus accumulated so far; every derived view below
+        # (split dirs, data card) sees only the decontaminated subset,
+        # while the append-only state stays unfiltered
+        from solana_snapshot_etl_tools_spark.operators import dedup as DD2
+
+        corpus = DD2._cache_for_session(
+            _decontam_filter(spark, corpus, args, report)
+        )
+        report["n_after_decontam"] = corpus.count()
     if args.stratified_split and corpus is not None:
         # post-drain batch stage: the exact split is a VIEW over the
         # corpus accumulated SO FAR, rewritten whole each run (the
@@ -939,7 +1077,11 @@ def _ingest_stream_main(args) -> int:
             stratified_split,
         )
 
-        strat = TXT.lang_id(F.col("text"))
+        strat = (
+            TXT.dominant_script(F.col("text"))
+            if args.stratified_split == "script"
+            else TXT.lang_id(F.col("text"))
+        )
         resplit = stratified_split(
             corpus.select("doc_id", "text").withColumn("_stratum", strat),
             "_stratum",

@@ -1014,3 +1014,218 @@ def test_source_mixture_stage(spark, tmp_path_factory, capsys):
             [SRC, str(base / "o"), "--ingest-stream", "--index-out",
              str(base / "i"), "--source-mixture", "src1=1"]
         )
+
+
+def test_script_filter_batch_routes_on_writing_system(
+    spark, tmp_path_factory, capsys
+):
+    """--script-filter: the dominant-script routing stage, end to end.
+    A mixed Latin/Cyrillic/CJK corpus routed to latin-only keeps
+    exactly the Latin documents in the written shards."""
+    import os
+    import pytest as _pytest
+
+    base = tmp_path_factory.mktemp("script_route")
+    src = str(base / "docs")
+    latin = "the quick brown fox reads many fine books about rivers "
+    cyr = "быстрая коричневая лиса читает много хороших книг о реках "
+    cjk = "敏捷的棕色狐狸读了很多关于河流的好书籍 "
+    rows = [
+        (1, latin * 4),
+        (2, cyr * 4),
+        (3, cjk * 4),
+        (4, (latin + "and more plain text ") * 4),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    out = str(base / "out")
+    rep = _run(
+        capsys, src, out, "--no-pii", "--quality", "0", "--lang", "",
+        "--script-filter", "latin", "--records-per-shard", "100",
+    )
+    kept = set()
+    for name, sz in rep["splits"].items():
+        if sz["rows"]:
+            kept |= {
+                r.doc_id
+                for r in spark.read.parquet(f"{out}/{name}").collect()
+            }
+    assert kept == {1, 4}
+    # two scripts: latin + cyrillic survive
+    out2 = str(base / "out2")
+    rep2 = _run(
+        capsys, src, out2, "--no-pii", "--quality", "0", "--lang", "",
+        "--script-filter", "latin,cyrillic",
+    )
+    assert rep2["n_after_filters"] == 3
+    # unknown script name dies loudly at argparse time
+    with _pytest.raises(SystemExit):
+        corpus_cli.main([src, str(base / "never"), "--script-filter",
+                         "klingon"])
+    assert os.path.exists(out)
+
+
+def test_script_filter_streams(spark, tmp_path_factory, capsys):
+    """--script-filter runs unchanged inside --ingest-stream (pure
+    column expression)."""
+    import os
+
+    base = tmp_path_factory.mktemp("script_stream")
+    src = str(base / "arrivals")
+    os.makedirs(src)
+    latin = "plain latin text with many common readable words here "
+    cyr = "обычный русский текст с множеством привычных слов здесь "
+    spark.createDataFrame(
+        [(1, latin * 4), (2, cyr * 4)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    rep = _run(
+        capsys, src, str(base / "out"), "--ingest-stream",
+        "--index-out", str(base / "idx"), "--no-pii",
+        "--quality", "0", "--lang", "", "--script-filter", "cyrillic",
+    )
+    assert rep["n_corpus"] == 1
+    ids = {
+        r.doc_id for r in spark.read.parquet(f"{base}/out/corpus").collect()
+    }
+    assert ids == {2}
+
+
+def test_stratified_split_by_script(spark, tmp_path_factory, capsys):
+    """--stratified-split script: floor-exact per-writing-system
+    shares in the written outputs."""
+    from solana_snapshot_etl_tools_spark.functions.text import (
+        dominant_script,
+    )
+
+    base = tmp_path_factory.mktemp("script_strat")
+    src = str(base / "docs")
+    latin = "the quick brown fox reads many fine books about rivers "
+    cyr = "быстрая коричневая лиса читает много хороших книг о реках "
+    rows = [(i, latin * 3 + f"doc {i} ") for i in range(20)] + [
+        (100 + i, cyr * 3 + f"док {i} ") for i in range(10)
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    out = str(base / "out")
+    rep = _run(
+        capsys, src, out, "--no-pii", "--quality", "0", "--lang", "",
+        "--stratified-split", "script", "--train-pct", "80",
+        "--val-pct", "10", "--records-per-shard", "100",
+    )
+    assert rep["split_mode"] == "stratified:script"
+    per = {}
+    for name, sz in rep["splits"].items():
+        if not sz["rows"]:
+            continue
+        df = spark.read.parquet(f"{out}/{name}").withColumn(
+            "_s", dominant_script(F.col("text"))
+        )
+        for r in df.groupBy("_s").count().collect():
+            per.setdefault(r._s, {})[name] = r["count"]
+    assert set(per) == {"latin", "cyrillic"}
+    for script, counts in per.items():
+        t = sum(counts.values())
+        n_tr = t * 80 // 100
+        n_val = t * 90 // 100 - n_tr
+        assert counts.get("train", 0) == n_tr, (script, counts)
+        assert counts.get("val", 0) == n_val, (script, counts)
+
+
+def _decontam_fixture(spark, base):
+    """Docs 1-5; embeddings for 1-4 (5 has none); bench matches 1
+    exactly and 2 nearly; 3/4 orthogonal."""
+    src = str(base / "docs")
+    spark.createDataFrame(
+        [(i, f"document number {i} with plain readable words " * 3)
+         for i in range(1, 6)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    emb = str(base / "emb")
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.04, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>"
+    ).write.parquet(emb)
+    bench = str(base / "bench")
+    spark.createDataFrame(
+        [(900, [1.0, 0.0, 0.0, 0.0]), (901, [0.0, 0.0, 0.0, 1.0])],
+        "bench_id long, embedding array<double>",
+    ).write.parquet(bench)
+    return src, emb, bench
+
+
+def test_decontam_bench_batch_stage(spark, tmp_path_factory, capsys):
+    """--decontam-bench in the batch pipeline: embedding-space
+    decontamination drops the paraphrase-leak docs; docs without an
+    embedding pass through unchecked."""
+    import pytest as _pytest
+
+    base = tmp_path_factory.mktemp("decontam_batch")
+    src, emb, bench = _decontam_fixture(spark, base)
+    out = str(base / "out")
+    rep = _run(
+        capsys, src, out, "--no-pii", "--quality", "0", "--lang", "",
+        "--embeddings", emb, "--decontam-bench", bench,
+        "--decontam-threshold", "0.98", "--records-per-shard", "100",
+    )
+    assert rep["n_decontam_flagged"] == 2  # docs 1 and 2 match bench 900
+    assert rep["n_after_decontam"] == 3
+    kept = set()
+    for name, sz in rep["splits"].items():
+        if sz["rows"]:
+            kept |= {
+                r.doc_id
+                for r in spark.read.parquet(f"{out}/{name}").collect()
+            }
+    assert kept == {3, 4, 5}  # 5 has no embedding: passes through
+    # flag-pairing guards
+    with _pytest.raises(SystemExit):
+        corpus_cli.main([src, out, "--decontam-bench", bench])
+    with _pytest.raises(SystemExit):
+        corpus_cli.main([src, out, "--decontam-bench", bench,
+                         "--decontam-threshold", "0.98"])  # no --embeddings
+    with _pytest.raises(SystemExit):
+        corpus_cli.main([src, out, "--embeddings", emb,
+                         "--decontam-bench", bench,
+                         "--decontam-threshold", "1.5"])
+
+
+def test_decontam_bench_composes_with_ingest_stream(
+    spark, tmp_path_factory, capsys
+):
+    """The multi-flag stream e2e: --ingest-stream + cleaning flags +
+    --decontam-bench (post-drain) + --stratified-split + --data-card.
+    The append-only corpus keeps every survivor of the IN-stream
+    tiers; the derived views (split dirs, data card) see only the
+    decontaminated subset."""
+    import os
+
+    base = tmp_path_factory.mktemp("decontam_stream")
+    src, emb, bench = _decontam_fixture(spark, base)
+    arrivals = str(base / "arrivals")
+    os.makedirs(arrivals)
+    spark.read.parquet(src).coalesce(1).write.mode("append").parquet(arrivals)
+    out = str(base / "out")
+    rep = _run(
+        capsys, arrivals, out, "--ingest-stream",
+        "--index-out", str(base / "idx"), "--no-pii",
+        "--quality", "0", "--lang", "",
+        "--embeddings", emb, "--decontam-bench", bench,
+        "--decontam-threshold", "0.98",
+        "--stratified-split", "lang", "--train-pct", "80",
+        "--val-pct", "10", "--data-card",
+    )
+    assert rep["n_corpus"] == 5           # append-only state: unfiltered
+    assert rep["n_decontam_flagged"] == 2
+    assert rep["n_after_decontam"] == 3
+    assert rep["data_card"]["n_docs"] == 3
+    split_ids = set()
+    for name, sz in rep["splits"].items():
+        if sz["rows"]:
+            split_ids |= {
+                r.doc_id
+                for r in spark.read.parquet(f"{out}/{name}").collect()
+            }
+    assert split_ids == {3, 4, 5}
