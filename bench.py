@@ -334,6 +334,16 @@ def main() -> None:
                     len(approx & exact_pairs) / len(exact_pairs), 4
                 )
                 release_session_caches()
+
+        # round-9: DSIR target-resampling over the real documents
+        # table (hashed 10k-bucket featurization, Gumbel-top-k via
+        # the boundary-bucket rank)
+        from solana_snapshot_etl_tools_spark.operators import dsir as DSR
+
+        t0 = time.time()
+        DSR.dsir_top_k(docs, docs.filter("doc_id % 17 = 0"), 500).count()
+        diag["dsir_top_k_sec"] = round(time.time() - t0, 4)
+        release_session_caches()
     except Exception as e:  # diagnostics never break the contract
         diag["error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps({"r6_operator_diag": diag}), file=sys.stderr)

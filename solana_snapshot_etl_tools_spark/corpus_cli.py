@@ -9,7 +9,7 @@ library stages in production order (the same order the declared
     exact dedup → [near dedup] → [PII redaction]
     → quality/lang/script filter → [learned quality model + Pareto
     keep] → [LM perplexity filter] → [embedding decontamination] →
-    [per-source cap] → [source mixture] →
+    [DSIR target-resampling] → [per-source cap] → [source mixture] →
     [dedup against a prior corpus's persisted index] → [cluster-balance the topic
     mixture] → deterministic split → shards [or BPE-tokenize + pack]
     [+ persist the updated index]
@@ -24,6 +24,7 @@ library stages in production order (the same order the declared
         [--quality-model DIR [--quality-model-threshold T]] \\
         [--lm-reference REF.parquet [--lm-save DIR] | --lm-model DIR] \\
         [--lm-max-ppl P] \\
+        [--dsir-target T.parquet --dsir-keep N] \\
         [--source-blocklist FILE] [--source-cap N] \\
         [--source-mixture SRC=W,SRC=W,...] \\
         [--embeddings EMB.parquet [--cluster-balance K [--alpha 0.0]] \\
@@ -153,6 +154,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--lm-min-count", type=int, default=2,
                    help="prune reference n-grams of order >= 2 seen "
                    "fewer times (default 2)")
+    p.add_argument("--dsir-target", metavar="PARQUET", default=None,
+                   help="target-corpus parquet (text column) for DSIR "
+                   "data selection (Xie et al. 2023, operators/"
+                   "dsir.py): hashed-ngram importance weights vs the "
+                   "raw pool, seeded Gumbel-top-k resampling keeps "
+                   "exactly --dsir-keep documents that LOOK LIKE the "
+                   "target. Runs after the cleaning filters, before "
+                   "the source cap. Batch-only (global selection)")
+    p.add_argument("--dsir-keep", type=int, metavar="N", default=None,
+                   help="number of documents DSIR keeps "
+                   "(goes with --dsir-target)")
     p.add_argument("--decontam-bench", metavar="PARQUET", default=None,
                    help="benchmark EMBEDDINGS parquet ((bench_id|"
                    "vec_id, embedding)): drop documents whose "
@@ -316,6 +328,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.lm_save and not args.lm_reference:
         p.error("--lm-save requires --lm-reference (it persists the "
                 "freshly trained LM)")
+    if bool(args.dsir_target) != (args.dsir_keep is not None):
+        p.error("--dsir-target and --dsir-keep go together")
+    if args.dsir_keep is not None and args.dsir_keep < 1:
+        p.error("--dsir-keep must be >= 1")
     if bool(args.decontam_bench) != (args.decontam_threshold is not None):
         p.error("--decontam-bench and --decontam-threshold go together")
     if args.decontam_bench and not args.embeddings:
@@ -344,6 +360,8 @@ def main(argv: list[str] | None = None) -> int:
             # at a time (--source-blocklist, a stateless filter, IS
             # allowed on the stream)
             (args.source_cap is not None, "--source-cap"),
+            # DSIR's top-k is a global selection over the whole pool
+            (args.dsir_target is not None, "--dsir-target"),
             (args.source_mixture is not None, "--source-mixture"),
             # url dedup is a global groupBy; the stream's incremental
             # index already dedups content across batches
@@ -531,6 +549,25 @@ def main(argv: list[str] | None = None) -> int:
             _decontam_filter(spark, filtered, args, report)
         )
         report["n_after_decontam"] = filtered.count()
+
+    if args.dsir_target:
+        from solana_snapshot_etl_tools_spark.operators.dsir import (
+            dsir_top_k,
+        )
+
+        # data SELECTION after the cleaning/decontamination filters
+        # (DSIR resamples the clean pool toward the target look) and
+        # before the source cap (anti-domination applies to what was
+        # actually selected)
+        tgt = spark.read.parquet(args.dsir_target).select("text")
+        filtered = DD._cache_for_session(
+            dsir_top_k(
+                filtered,
+                tgt.withColumn("doc_id", F.monotonically_increasing_id()),
+                args.dsir_keep,
+            )
+        )
+        report["n_after_dsir"] = filtered.count()
 
     if args.source_cap is not None:
         from solana_snapshot_etl_tools_spark.operators import (

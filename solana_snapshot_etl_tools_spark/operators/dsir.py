@@ -1,0 +1,231 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169).
+
+The published recipe for choosing pretraining data that LOOKS LIKE a
+target distribution without training a classifier: featurize every
+document as a bag of hashed word uni+bigrams, fit two bag-of-ngrams
+generative models — one on the target corpus, one on the raw pool —
+and score each raw document with the log importance weight
+
+    log w(x) = sum_f  c_x(f) * [ log p_target(f) - log p_raw(f) ]
+
+(c_x = the document's feature counts, both distributions add-alpha
+smoothed). Selection then resamples the pool with probability
+proportional to w — implemented here as seeded Gumbel-top-k, the
+standard equivalence (add Gumbel noise to each log weight, keep the
+k largest; Vieira 2014).
+
+Spark-first shape (everything JVM column expressions, no UDF):
+
+- featurization is one narrow explode of the token array plus its
+  bigrams, pre-aggregated per (doc, feature) before any join;
+- each distribution is one partial-agg groupBy; the two meet in ONE
+  tiny full-outer join keyed by feature — with the paper's hashed
+  buckets (default 10k) that log-ratio table is bucket-count-sized
+  and BROADCAST, so scoring the 100 TB pool is a map-side join plus
+  one partial-agg sum per document. The pool never moves;
+- ``n_buckets=None`` keeps raw gram strings as feature keys — the
+  engine-independent spelling the DuckDB differential test checks
+  (the table is then vocabulary-sized and the join stays distributed);
+- top-k never global-sorts: the quantized score reuses
+  ``domains.source_cap``'s boundary-bucket rank (pigeonhole finds the
+  k-th score's bucket from per-bucket counts; only that ~1/2^bits
+  sliver is window-ranked).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+from solana_snapshot_etl_tools_spark.functions import text as TXT
+
+# the paper's featurization: word unigrams + bigrams hashed to 10k
+# buckets
+N_BUCKETS_DEFAULT = 10_000
+
+# quantization step for the rank key handed to source_cap (integral
+# contract): 2^-30 granularity — far beyond the noise floor of the
+# weights themselves — while leaving ~2^33 of magnitude headroom (a
+# log weight scales with document length; even a 10^8-gram document
+# stays orders of magnitude inside it). The cast clamps first: an
+# ANSI session must never throw on a pathological score
+_QUANT_BITS = 30
+_QUANT_CLAMP = float((1 << 62))
+
+
+def _doc_features(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int | None,
+    salt: str,
+) -> DataFrame:
+    """(id, feat, cnt): per-document COUNTS of word uni+bigrams —
+    lowercased whitespace tokens, empty tokens dropped. ``n_buckets``
+    hashes features onto long buckets (the paper's spelling);
+    ``None`` keeps gram strings (oracle-able). One narrow explode,
+    pre-aggregated before anything joins it."""
+    toks = F.filter(TXT.tokens(F.col(text_col)), lambda t: F.length(t) > 0)
+    big = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(toks, big)
+    out = df.select(id_col, F.explode(grams).alias("feat"))
+    if n_buckets is not None:
+        out = out.select(
+            id_col,
+            F.pmod(F.xxhash64("feat", F.lit(salt)), F.lit(n_buckets)).alias(
+                "feat"
+            ),
+        )
+    return out.groupBy(id_col, "feat").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def _log_ratio_table(
+    target_feats: DataFrame,
+    raw_feats: DataFrame,
+    n_buckets: int | None,
+    alpha: float,
+):
+    """One row per feature: ``log p_target(feat) - log p_raw(feat)``
+    under add-alpha smoothing. Returns (table, B) where B is the
+    smoothing support size — the bucket count when hashing, the union
+    vocabulary size in gram mode."""
+    t = target_feats.groupBy("feat").agg(F.sum("cnt").alias("_ct"))
+    r = raw_feats.groupBy("feat").agg(F.sum("cnt").alias("_cr"))
+    joined = t.join(r, "feat", "full_outer").select(
+        "feat",
+        F.coalesce("_ct", F.lit(0)).alias("_ct"),
+        F.coalesce("_cr", F.lit(0)).alias("_cr"),
+    )
+    if n_buckets is None:
+        # gram mode: the smoothing support is the observed union
+        # vocabulary (every raw gram is in the table by construction)
+        stats = joined.agg(
+            F.count(F.lit(1)), F.sum("_ct"), F.sum("_cr")
+        ).collect()[0]
+        b, nt, nr = int(stats[0]), int(stats[1] or 0), int(stats[2] or 0)
+    else:
+        b = n_buckets
+        stats = joined.agg(F.sum("_ct"), F.sum("_cr")).collect()[0]
+        nt, nr = int(stats[0] or 0), int(stats[1] or 0)
+    if nt == 0:
+        raise ValueError("DSIR target corpus has no tokens")
+    if nr == 0:
+        raise ValueError("DSIR raw pool has no tokens")
+    log_zt = math.log(nt + alpha * b)
+    log_zr = math.log(nr + alpha * b)
+    table = joined.select(
+        "feat",
+        (
+            F.log(F.col("_ct") + F.lit(alpha))
+            - F.lit(log_zt)
+            - F.log(F.col("_cr") + F.lit(alpha))
+            + F.lit(log_zr)
+        ).alias("_lr"),
+    )
+    return table, b
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int | None = N_BUCKETS_DEFAULT,
+    alpha: float = 0.1,
+    salt: str = "dsir",
+) -> DataFrame:
+    """(id, log_weight) for every raw document with at least one
+    token; a document with no tokens has no features and therefore no
+    row (its weight is the empty product — callers treat it as
+    log 0-information, see :func:`dsir_top_k`).
+
+    With the default hashed buckets the log-ratio table is B rows and
+    broadcast — scoring is scan → map-side join → one partial-agg
+    sum, zero pool shuffle beyond the per-(doc, feat) combine."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    raw_feats = _doc_features(raw, id_col, text_col, n_buckets, salt)
+    tgt_feats = _doc_features(target, id_col, text_col, n_buckets, salt)
+    table, _ = _log_ratio_table(tgt_feats, raw_feats, n_buckets, alpha)
+    if n_buckets is not None:
+        table = F.broadcast(table)
+    return (
+        raw_feats.join(table, "feat")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("cnt") * F.col("_lr")).alias("log_weight"))
+    )
+
+
+def dsir_top_k(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int | None = N_BUCKETS_DEFAULT,
+    alpha: float = 0.1,
+    gumbel: bool = True,
+    seed: str = "dsir-gumbel",
+) -> DataFrame:
+    """The selection step: keep exactly ``min(k, |raw|)`` documents.
+    With ``gumbel=True`` (the paper's resampling semantics) each
+    document's score is ``log_weight + Gumbel(0,1)`` with the noise
+    drawn deterministically from ``xxhash64(id, seed)`` — Gumbel-top-k
+    IS sampling without replacement proportionally to the weights, and
+    the seeded noise makes the draw reproducible and append-stable.
+    ``gumbel=False`` keeps the top-k by weight outright (deterministic
+    hard selection). Ties break by id.
+
+    Documents with no tokens score ``-inf``-like (LONG_MIN quantized):
+    they are chosen only when fewer than k scorable documents exist.
+
+    No global sort: the quantized score feeds ``source_cap``'s
+    boundary-bucket ranking under one constant source — per-bucket
+    counts locate the k-th score, and only that sliver is ranked."""
+    from solana_snapshot_etl_tools_spark.operators.domains import source_cap
+
+    if k < 1:
+        raise ValueError(f"dsir_top_k needs k >= 1, got {k}")
+    w = dsir_log_weights(
+        raw, target, id_col, text_col, n_buckets, alpha,
+    )
+    scored = raw.join(w, id_col, "left")
+    score = F.col("log_weight")
+    if gumbel:
+        # u in (0,1) from the id hash (never exactly 0/1: offset half
+        # a step), g = -log(-log(u)) ~ Gumbel(0,1)
+        m = F.lit(float(1 << 40))
+        u = (
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1 << 40))
+            + F.lit(0.5)
+        ) / m
+        score = score + (-F.log(-F.log(u)))
+    # least/greatest SKIP nulls — guard first, or a tokenless doc's
+    # NULL score would clamp to +2^62 and rank FIRST instead of last
+    q = F.when(
+        score.isNotNull(),
+        F.round(
+            F.greatest(
+                F.least(score * F.lit(float(1 << _QUANT_BITS)),
+                        F.lit(_QUANT_CLAMP)),
+                F.lit(-_QUANT_CLAMP),
+            )
+        ).cast("long"),
+    )
+    # min wins in source_cap's order_by: negate; tokenless docs rank
+    # LAST via the order_by NULL contract
+    ranked = scored.withColumn("_neg_q", -q).withColumn(
+        "_one", F.lit("all")
+    )
+    kept = source_cap(
+        ranked, k, source_col="_one", id_col=id_col,
+        order_by=F.col("_neg_q"),
+    )
+    return kept.select(*raw.columns)

@@ -413,7 +413,13 @@ def target_mixture_sample(
     Scale shape: identical to the samplers above — one partial-agg
     groupBy for stratum counts, a driver-side table of len(target)
     rows, broadcast targets, deterministic per-row hash acceptance.
-    Append-stable per stratum, never replicates."""
+    Append-stable per stratum, never replicates.
+
+    NB: hash acceptance hits each stratum's quota in EXPECTATION (the
+    binomial spread is ~sqrt(n) around it), like ``temperature_sample``.
+    Callers needing floor-EXACT per-stratum counts use
+    :func:`stratified_split`'s two-pass prefix-rank machinery — that
+    exactness costs a per-stratum rank, this sampler stays one scan."""
     if not target:
         raise ValueError("target_mixture_sample needs a non-empty target")
     if any(w < 0 for w in target.values()):

@@ -1229,3 +1229,47 @@ def test_decontam_bench_composes_with_ingest_stream(
                 for r in spark.read.parquet(f"{out}/{name}").collect()
             }
     assert split_ids == {3, 4, 5}
+
+
+def test_dsir_stage_batch(spark, tmp_path_factory, capsys):
+    """--dsir-target/--dsir-keep: target-resampling keeps exactly N
+    documents and skews the kept set toward target-like text."""
+    import pytest as _pytest
+
+    base = tmp_path_factory.mktemp("dsir_cli")
+    src = str(base / "docs")
+    sparky = "spark shuffle partitions executors streaming optimizer join "
+    offtopic = "sourdough bread rye flour honey garden tomato basil sun "
+    rows = [(i, sparky + f"variant {i} " * 2) for i in range(10)] + [
+        (100 + i, offtopic + f"note {i} " * 2) for i in range(10)
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    tgt = str(base / "target")
+    spark.createDataFrame(
+        [("the spark optimizer shuffles streaming partitions",)],
+        "text string",
+    ).write.parquet(tgt)
+    out = str(base / "out")
+    rep = _run(
+        capsys, src, out, "--no-pii", "--quality", "0", "--lang", "",
+        "--dsir-target", tgt, "--dsir-keep", "8",
+        "--records-per-shard", "100",
+    )
+    assert rep["n_after_dsir"] == 8
+    kept = set()
+    for name, sz in rep["splits"].items():
+        if sz["rows"]:
+            kept |= {
+                r.doc_id
+                for r in spark.read.parquet(f"{out}/{name}").collect()
+            }
+    assert len(kept) == 8
+    # the resample must skew hard toward the target-like half
+    assert sum(1 for i in kept if i < 100) >= 6
+    # pairing + stream-mode guards
+    with _pytest.raises(SystemExit):
+        corpus_cli.main([src, out, "--dsir-target", tgt])
+    with _pytest.raises(SystemExit):
+        corpus_cli.main([src, out, "--ingest-stream", "--index-out",
+                         str(base / "idx"), "--dsir-target", tgt,
+                         "--dsir-keep", "5"])

@@ -461,3 +461,77 @@ def test_source_cap_hash_mode_duckdb_parity_prototype(spark):
             for r in DOM.source_cap(docs, cap).select("doc_id").collect()
         )
         assert got == want, f"cap={cap}"
+
+
+def test_dsir_weights_duckdb_parity_prototype(spark):
+    """Gram-mode DSIR log weights (operators/dsir.py) spelled fully in
+    DuckDB SQL — featurize (uni+bigrams of the lowercased whitespace
+    tokens), add-alpha smooth both distributions over the union
+    vocabulary, per-doc weighted log-ratio sum — on the real sf0.001
+    corpus with a slice of itself as the target."""
+    import duckdb
+
+    from solana_snapshot_etl_tools_spark.operators import dsir as DS
+
+    raw = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    target = raw.filter("doc_id % 17 = 0")
+    alpha = 0.1
+    got = {
+        r.doc_id: r.log_weight
+        for r in DS.dsir_log_weights(
+            raw, target, n_buckets=None, alpha=alpha
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    feats = """
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM read_parquet('{src}/documents.parquet') {where}
+    ),
+    uni AS (SELECT doc_id, unnest(toks) AS g FROM docs),
+    bi AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS g
+      FROM docs
+    )
+    SELECT doc_id, g, count(*) AS c
+    FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+    GROUP BY 1, 2
+    """
+    con.execute(
+        "CREATE TABLE rf AS " + feats.format(src=SF_DIR, where="")
+    )
+    con.execute(
+        "CREATE TABLE tf AS "
+        + feats.format(src=SF_DIR, where="WHERE doc_id % 17 = 0")
+    )
+    want = dict(
+        con.execute(
+            f"""
+        WITH t AS (SELECT g, sum(c) ct FROM tf GROUP BY g),
+        r AS (SELECT g, sum(c) cr FROM rf GROUP BY g),
+        tab AS (
+          SELECT coalesce(t.g, r.g) AS g,
+                 coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr
+          FROM t FULL OUTER JOIN r ON t.g = r.g
+        ),
+        consts AS (
+          SELECT count(*) AS b, sum(ct) AS nt, sum(cr) AS nr FROM tab
+        )
+        SELECT rf.doc_id,
+               sum(rf.c * (ln(tab.ct + {alpha}) - ln(nt + {alpha} * b)
+                         - ln(tab.cr + {alpha}) + ln(nr + {alpha} * b)))
+        FROM rf JOIN tab ON rf.g = tab.g CROSS JOIN consts
+        GROUP BY rf.doc_id
+        """
+        ).fetchall()
+    )
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i] == pytest.approx(want[i], rel=1e-9), i

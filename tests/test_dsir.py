@@ -1,0 +1,151 @@
+"""DSIR importance resampling (operators/dsir.py): gram-mode weight
+exactness vs an independent Python reference, hashed-mode selection
+behavior, Gumbel-top-k determinism, and the no-global-sort top-k."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from solana_snapshot_etl_tools_spark.operators import dsir as DS
+
+TARGET_TEXTS = [
+    "spark streaming joins shuffle partitions across executors",
+    "the spark optimizer prunes partitions before the shuffle stage",
+    "streaming watermarks bound late data in spark aggregations",
+]
+RAW_ROWS = [
+    (1, "spark shuffle partitions and the streaming optimizer"),
+    (2, "a recipe for sourdough bread with rye flour and honey"),
+    (3, "spark streaming aggregations shuffle late data"),
+    (4, "gardening tips for tomatoes peppers and basil in july"),
+    (5, "the optimizer prunes partitions in spark"),
+    (6, "medieval castles were built on hilltops for defense"),
+    (7, ""),  # tokenless: no weight row
+]
+
+
+def _feats(text: str) -> Counter:
+    toks = [t for t in text.strip().lower().split() if t]
+    return Counter(toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])])
+
+
+def _ref_log_weights(raw_rows, target_texts, alpha):
+    ct: Counter = Counter()
+    cr: Counter = Counter()
+    for t in target_texts:
+        ct.update(_feats(t))
+    for _, t in raw_rows:
+        cr.update(_feats(t))
+    vocab = set(ct) | set(cr)
+    b, nt, nr = len(vocab), sum(ct.values()), sum(cr.values())
+    out = {}
+    for i, t in raw_rows:
+        f = _feats(t)
+        if not f:
+            continue
+        out[i] = sum(
+            c
+            * (
+                math.log(ct[g] + alpha)
+                - math.log(nt + alpha * b)
+                - math.log(cr[g] + alpha)
+                + math.log(nr + alpha * b)
+            )
+            for g, c in f.items()
+        )
+    return out
+
+
+def _frames(spark):
+    raw = spark.createDataFrame(RAW_ROWS, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TARGET_TEXTS)],
+        "doc_id long, text string",
+    )
+    return raw, target
+
+
+def test_gram_mode_weights_match_python_reference(spark):
+    raw, target = _frames(spark)
+    for alpha in (0.1, 1.0):
+        got = {
+            r.doc_id: r.log_weight
+            for r in DS.dsir_log_weights(
+                raw, target, n_buckets=None, alpha=alpha
+            ).collect()
+        }
+        want = _ref_log_weights(RAW_ROWS, TARGET_TEXTS, alpha)
+        assert set(got) == set(want) == {1, 2, 3, 4, 5, 6}
+        for i in want:
+            assert got[i] == pytest.approx(want[i], rel=1e-9), (alpha, i)
+
+
+def test_weights_separate_target_like_docs(spark):
+    raw, target = _frames(spark)
+    # hashed mode (the production spelling): every target-like doc
+    # outweighs every off-topic doc
+    got = {
+        r.doc_id: r.log_weight
+        for r in DS.dsir_log_weights(raw, target).collect()
+    }
+    assert min(got[1], got[3], got[5]) > max(got[2], got[4], got[6])
+    # partition invariance
+    got2 = {
+        r.doc_id: r.log_weight
+        for r in DS.dsir_log_weights(raw.repartition(7), target).collect()
+    }
+    assert got == got2
+
+
+def test_top_k_hard_selection_matches_reference_ranking(spark):
+    raw, target = _frames(spark)
+    want = _ref_log_weights(RAW_ROWS, TARGET_TEXTS, 0.1)
+    order = sorted(want, key=lambda i: (-want[i], i))
+    for k in (1, 2, 3, 6):
+        kept = {
+            r.doc_id
+            for r in DS.dsir_top_k(
+                raw, target, k, n_buckets=None, gumbel=False
+            ).collect()
+        }
+        assert kept == set(order[:k]), k
+    out = DS.dsir_top_k(raw, target, 2, gumbel=False)
+    assert out.columns == ["doc_id", "text"]
+
+
+def test_gumbel_selection_deterministic_and_exactly_k(spark):
+    raw, target = _frames(spark)
+    a = {r.doc_id for r in DS.dsir_top_k(raw, target, 3).collect()}
+    b = {
+        r.doc_id
+        for r in DS.dsir_top_k(raw.repartition(5), target, 3).collect()
+    }
+    assert a == b and len(a) == 3
+    # a different seed is a different draw of the same distribution
+    c = {
+        r.doc_id
+        for r in DS.dsir_top_k(raw, target, 3, seed="other").collect()
+    }
+    assert len(c) == 3
+    # k past the scorable pool: the tokenless doc fills last
+    everything = {
+        r.doc_id for r in DS.dsir_top_k(raw, target, 100).collect()
+    }
+    assert everything == {i for i, _ in RAW_ROWS}
+    k6 = {r.doc_id for r in DS.dsir_top_k(raw, target, 6).collect()}
+    assert 7 not in k6  # tokenless ranks strictly last
+
+
+def test_dsir_rejects_bad_args(spark):
+    raw, target = _frames(spark)
+    with pytest.raises(ValueError, match="k >= 1"):
+        DS.dsir_top_k(raw, target, 0)
+    with pytest.raises(ValueError, match="alpha"):
+        DS.dsir_log_weights(raw, target, alpha=0.0)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="target corpus has no tokens"):
+        DS.dsir_log_weights(raw, empty).collect()
