@@ -5,7 +5,8 @@ the engine's OWN surface for the training-data side, chaining the
 library stages in production order (the same order the declared
 ``pipeline_pretrain_corpus`` query hash-checks):
 
-    [HTML extract] → [source blocklist] → [URL dedup] →
+    [HTML extract] → [unicode normalize] → [source blocklist] →
+    [URL dedup] →
     exact dedup → [near dedup] → [PII redaction]
     → quality/lang/script filter → [learned quality model + Pareto
     keep] → [LM perplexity filter] → [embedding decontamination] →
@@ -16,7 +17,7 @@ library stages in production order (the same order the declared
 
     python -m solana_snapshot_etl_tools_spark.corpus_cli \\
         DOCS.parquet OUT_DIR \\
-        [--html-extract] [--url-dedup] \\
+        [--html-extract] [--normalize] [--url-dedup] \\
         [--near-dedup] [--no-pii] [--dedup-cleaned] \\
         [--quality 0.5] [--lang en] [--script-filter latin,cyrillic] \\
         [--gopher] \\
@@ -81,6 +82,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="the text column holds raw HTML — extract "
                    "visible text first (functions/html.py, WET-style "
                    "heuristic; block boundaries become newlines)")
+    p.add_argument("--normalize", action="store_true",
+                   help="Unicode-normalize the text first (after "
+                   "--html-extract when both are set): strip control/"
+                   "invisible characters, NFKC, collapse whitespace "
+                   "(functions/normalize.py). Runs unchanged in "
+                   "--ingest-stream")
     p.add_argument("--url-dedup", action="store_true",
                    help="exact URL-level dedup on the normalized page "
                    "identity BEFORE text dedup (needs a 'url' column; "
@@ -409,6 +416,12 @@ def main(argv: list[str] | None = None) -> int:
         from solana_snapshot_etl_tools_spark.functions import html as HTML
 
         docs = docs.withColumn("text", HTML.html_to_text(F.col("text")))
+    if args.normalize:
+        from solana_snapshot_etl_tools_spark.functions.normalize import (
+            normalize_text,
+        )
+
+        docs = docs.withColumn("text", normalize_text(F.col("text")))
     report["n_input"] = docs.count()
     if args.source_blocklist:
         from solana_snapshot_etl_tools_spark.operators import (
@@ -965,6 +978,12 @@ def _ingest_stream_main(args) -> int:
         stream = stream.withColumn(
             "text", HTML.html_to_text(F.col("text"))
         )
+    if args.normalize:
+        from solana_snapshot_etl_tools_spark.functions.normalize import (
+            normalize_text,
+        )
+
+        stream = stream.withColumn("text", normalize_text(F.col("text")))
     if not args.no_pii:
         stream = stream.select(
             "doc_id", TXT.redact_pii(F.col("text")).alias("text")
