@@ -645,6 +645,12 @@ def main(argv: list[str] | None = None) -> int:
         d = args.dedup_against_index
         prior_index = spark.read.parquet(f"{d}/index")
         try:
+            # bloom sidecar (index_bloom, written by --index-out):
+            # definite exact-probe misses never reach the key join
+            prior_bloom = spark.read.parquet(f"{d}/bloom")
+        except AnalysisException:
+            prior_bloom = None  # older index store — probe without it
+        try:
             prior_sigs = spark.read.parquet(f"{d}/sigs")
         except AnalysisException as e:
             # ONLY a genuinely absent sigs table (index persisted
@@ -661,7 +667,7 @@ def main(argv: list[str] | None = None) -> int:
             prior_sigs = None
             report["near_dup_probe_degraded"] = "no_signature_table"
         flagged = INC.dedup_against_index(
-            corpus, prior_index, old_sigs=prior_sigs
+            corpus, prior_index, old_sigs=prior_sigs, bloom=prior_bloom
         ).persist()
         report["n_dup_exact_vs_index"] = flagged.filter(
             F.col("dup_exact")
@@ -770,6 +776,11 @@ def main(argv: list[str] | None = None) -> int:
         report["signature_rows"] = spark.read.parquet(
             f"{args.index_out}/sigs"
         ).count()
+        # bloom sidecar over the persisted index's exact keys — later
+        # --dedup-against-index probes drop definite misses map-side
+        INC.index_bloom(
+            spark.read.parquet(f"{args.index_out}/index")
+        ).write.mode("overwrite").parquet(f"{args.index_out}/bloom")
         new_sigs.unpersist()
 
     def write_split(df, name, order_col):

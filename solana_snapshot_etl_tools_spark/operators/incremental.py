@@ -121,6 +121,27 @@ def _flag(df: DataFrame, name: str) -> DataFrame:
     return df.select("doc").distinct().withColumn(name, F.lit(True))
 
 
+def index_bloom(
+    index: DataFrame,
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Bloom-filter sidecar over the index's EXACT keys
+    (``operators/bloom.py``) — persist beside the index and pass to
+    :func:`dedup_against_index` as ``bloom=`` so the shard's exact
+    probe drops definite misses map-side before the key join ever
+    shuffles. Size ``expected_items`` for the index the filter will
+    GROW into when the store is append-maintained."""
+    from solana_snapshot_etl_tools_spark.operators.bloom import bloom_build
+
+    return bloom_build(
+        index.filter(F.col("band") == EXACT_BAND).select("key"),
+        "key",
+        expected_items=expected_items,
+        fpp=fpp,
+    )
+
+
 def dedup_against_index(
     new_docs: DataFrame,
     index: DataFrame,
@@ -133,6 +154,7 @@ def dedup_against_index(
     k: int = 3,
     n_hashes: int = N_HASHES,
     bands: int = LSH_BANDS,
+    bloom: DataFrame | None = None,
 ) -> DataFrame:
     """Flag each new row with ``dup_exact`` / ``dup_near_candidate``
     (vs the corpus index AND earlier rows of this shard); all input
@@ -167,8 +189,23 @@ def dedup_against_index(
     )
 
     # --- exact flags ---------------------------------------------------------
+    # with a bloom sidecar (index_bloom), definite misses never reach
+    # the key join: the membership test is map-side, false positives
+    # only add join rows, and false negatives cannot occur — the flag
+    # set is IDENTICAL with and without the filter (pinned by test)
+    probe = exact_new
+    if bloom is not None:
+        from solana_snapshot_etl_tools_spark.operators.bloom import (
+            bloom_might_contain,
+        )
+
+        probe = (
+            bloom_might_contain(exact_new, bloom, "key", "_mc")
+            .filter(F.col("_mc"))
+            .drop("_mc")
+        )
     ex_old = _flag(
-        exact_new.join(
+        probe.join(
             index.filter(F.col("band") == EXACT_BAND).select("key").distinct(),
             "key",
             "left_semi",

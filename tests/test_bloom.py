@@ -1,0 +1,155 @@
+"""Bloom-filter sidecar (operators/bloom.py): no false negatives by
+construction, measured fpp near the configured target, parquet
+persistence, multi-column keys, and the incremental-probe
+integration's flag equivalence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from solana_snapshot_etl_tools_spark.operators import bloom as B
+
+
+def _members(spark, n, offset=0):
+    return spark.range(offset, offset + n).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("key")
+    )
+
+
+def test_no_false_negatives(spark):
+    members = _members(spark, 5000)
+    filt = B.bloom_build(members, "key", fpp=0.01)
+    flagged = B.bloom_might_contain(members, filt, "key")
+    assert flagged.filter(~F.col("might_contain")).count() == 0
+    # partition invariance of the build
+    filt2 = B.bloom_build(members.repartition(13), "key", fpp=0.01)
+    flagged2 = B.bloom_might_contain(members, filt2, "key")
+    assert flagged2.filter(~F.col("might_contain")).count() == 0
+
+
+def test_false_positive_rate_near_target(spark):
+    members = _members(spark, 5000)
+    filt = B.bloom_build(members, "key", fpp=0.01)
+    probes = _members(spark, 20000, offset=1_000_000)  # disjoint
+    hits = (
+        B.bloom_might_contain(probes, filt, "key")
+        .filter(F.col("might_contain"))
+        .count()
+    )
+    # 1% target: allow generous slack but catch an order-of-magnitude
+    # break in either the sizing math or the bit arithmetic
+    assert hits / 20000 < 0.03
+
+
+def test_parquet_roundtrip_and_multi_column(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("bloom")
+    members = spark.range(1000).select(
+        (F.col("id") % 50).alias("a"),
+        F.concat(F.lit("s"), F.col("id")).alias("b"),
+    )
+    filt = B.bloom_build(members, ["a", "b"], fpp=0.01)
+    path = str(base / "bloom.parquet")
+    filt.write.parquet(path)
+    loaded = spark.read.parquet(path)
+    flagged = B.bloom_might_contain(members, loaded, ["a", "b"])
+    assert flagged.filter(~F.col("might_contain")).count() == 0
+    # a different column pairing is a different key: (b, a) misses
+    swapped = members.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    cross = (
+        B.bloom_might_contain(swapped, loaded, ["a", "b"])
+        .filter(F.col("might_contain"))
+        .count()
+    )
+    assert cross < 50
+
+
+def test_empty_build_and_guards(spark):
+    empty = spark.createDataFrame([], "key string")
+    filt = B.bloom_build(empty, "key")
+    out = B.bloom_might_contain(_members(spark, 10), filt, "key")
+    assert out.filter(F.col("might_contain")).count() == 0
+    with pytest.raises(ValueError, match="fpp"):
+        B.bloom_build(empty, "key", fpp=1.5)
+    with pytest.raises(ValueError, match="MAX_BLOOM_BYTES"):
+        B.bloom_build(empty, "key", expected_items=10**13, fpp=0.001)
+
+
+def test_incremental_probe_flags_identical_with_bloom(spark):
+    from solana_snapshot_etl_tools_spark.operators import incremental as INC
+    from solana_snapshot_etl_tools_spark.operators.dedup import (
+        release_session_caches,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    old = docs.filter("doc_id % 2 = 0")
+    new = docs.filter("doc_id % 2 = 1").unionByName(
+        # planted exact copies of indexed docs under new ids
+        old.limit(5).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        )
+    )
+    index = INC.build_index(old)
+    filt = INC.index_bloom(index)
+    base = {
+        (r.doc_id, r.dup_exact, r.dup_near_candidate)
+        for r in INC.dedup_against_index(new, index).collect()
+    }
+    release_session_caches()
+    with_bloom = {
+        (r.doc_id, r.dup_exact, r.dup_near_candidate)
+        for r in INC.dedup_against_index(new, index, bloom=filt).collect()
+    }
+    release_session_caches()
+    assert base == with_bloom
+    assert sum(1 for _, ex, _n in base if ex) == 5
+    # the filter really prunes: only the planted copies (plus rare
+    # false positives) survive the map-side test
+    keyed = new.select("doc_id", F.xxhash64("text").alias("key"))
+    survivors = (
+        B.bloom_might_contain(keyed, filt, "key")
+        .filter(F.col("might_contain"))
+        .count()
+    )
+    assert 5 <= survivors <= 15
+
+
+def test_cli_index_out_writes_and_probe_reads_bloom(
+    spark, tmp_path_factory, capsys
+):
+    """--index-out persists the bloom sidecar; a later
+    --dedup-against-index run reads it and keeps the identical dup
+    arithmetic (the filter is transparent)."""
+    import json
+
+    from solana_snapshot_etl_tools_spark import corpus_cli
+
+    base = tmp_path_factory.mktemp("bloom_cli")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text").orderBy("doc_id").limit(80)
+    s1, s2d = str(base / "s1"), str(base / "s2")
+    docs.filter("doc_id % 2 = 0").write.parquet(s1)
+    docs.filter("doc_id % 2 = 1").unionByName(
+        docs.filter("doc_id % 2 = 0").limit(3).select(
+            (F.col("doc_id") + 70_000_000).alias("doc_id"), "text"
+        )
+    ).write.parquet(s2d)
+
+    def run(*argv):
+        assert corpus_cli.main(list(argv)) == 0
+        out = [
+            l for l in capsys.readouterr().out.splitlines() if l.strip()
+        ]
+        return json.loads(out[-1])
+
+    idx = str(base / "idx")
+    run(s1, str(base / "out1"), "--no-pii", "--quality", "0",
+        "--lang", "", "--index-out", idx)
+    assert spark.read.parquet(f"{idx}/bloom").count() >= 1
+    rep = run(s2d, str(base / "out2"), "--no-pii", "--quality", "0",
+              "--lang", "", "--dedup-against-index", idx)
+    assert rep["n_dup_exact_vs_index"] == 3
+    assert rep["n_after_index_dedup"] == rep["n_after_filters"] - 3
