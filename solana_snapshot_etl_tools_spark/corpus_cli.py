@@ -24,7 +24,7 @@ library stages in production order (the same order the declared
         [--term-blocklist FILE [--term-max-ratio R]] \\
         [--quality-model DIR [--quality-model-threshold T]] \\
         [--lm-reference REF.parquet [--lm-save DIR] | --lm-model DIR] \\
-        [--lm-max-ppl P] \\
+        [--lm-max-ppl P | --lm-keep-buckets head,middle] \\
         [--dsir-target T.parquet --dsir-keep N] \\
         [--source-blocklist FILE] [--source-cap N] \\
         [--source-mixture SRC=W,SRC=W,...] \\
@@ -45,7 +45,8 @@ arriving shards and the loop state lives at --index-out:
         [--no-pii] [--quality Q] [--lang L] [--script-filter S,...] \\
         [--gopher] \\
         [--quality-model DIR] [--drop-near-candidates] \\
-        [--lm-reference REF.parquet | --lm-model DIR] [--lm-max-ppl P] \\
+        [--lm-reference REF.parquet | --lm-model DIR] \\
+        [--lm-max-ppl P | --lm-keep-buckets head,middle] \\
         [--embeddings EMB.parquet --decontam-bench B.parquet \\
          --decontam-threshold T] \\
         [--source-blocklist FILE] \\
@@ -156,6 +157,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--lm-max-ppl", type=float, default=None,
                    help="perplexity keep threshold for "
                    "--lm-reference/--lm-model")
+    p.add_argument("--lm-keep-buckets", metavar="B1,B2", default=None,
+                   help="CCNet bucket keep rule (alternative to "
+                   "--lm-max-ppl): split the corpus into head/middle/"
+                   "tail at its own perplexity terciles "
+                   "(operators/ngram_lm.py:perplexity_buckets) and "
+                   "keep the listed buckets (the paper keeps "
+                   "head,middle)")
     p.add_argument("--lm-ngram", type=int, default=3,
                    help="LM order for --lm-reference (default 3)")
     p.add_argument("--lm-min-count", type=int, default=2,
@@ -329,9 +337,20 @@ def main(argv: list[str] | None = None) -> int:
     if args.lm_reference and args.lm_model:
         p.error("--lm-reference and --lm-model are exclusive (train a "
                 "new LM or load a saved one, not both)")
-    if bool(args.lm_reference or args.lm_model) != (args.lm_max_ppl is not None):
-        p.error("--lm-max-ppl goes with exactly one of "
-                "--lm-reference/--lm-model")
+    lm_buckets = None
+    if args.lm_keep_buckets is not None:
+        lm_buckets = [
+            b.strip().lower() for b in args.lm_keep_buckets.split(",")
+            if b.strip()
+        ]
+        bad = sorted(set(lm_buckets) - {"head", "middle", "tail"})
+        if bad or not lm_buckets:
+            p.error(f"--lm-keep-buckets: unknown bucket(s) {bad or '(empty)'}"
+                    "; comma-list of head/middle/tail")
+    n_lm_rules = (args.lm_max_ppl is not None) + (lm_buckets is not None)
+    if bool(args.lm_reference or args.lm_model) != (n_lm_rules == 1):
+        p.error("exactly one of --lm-max-ppl/--lm-keep-buckets goes "
+                "with exactly one of --lm-reference/--lm-model")
     if args.lm_save and not args.lm_reference:
         p.error("--lm-save requires --lm-reference (it persists the "
                 "freshly trained LM)")
@@ -523,6 +542,7 @@ def main(argv: list[str] | None = None) -> int:
             lm_load,
             lm_save,
             ngram_lm_train,
+            perplexity_buckets,
             perplexity_filter,
         )
 
@@ -549,9 +569,16 @@ def main(argv: list[str] | None = None) -> int:
         # the scoring pipeline (explode + count-table join + two
         # groupBys over the corpus) must run ONCE, not once per
         # downstream action — cache the filtered frame before counting
-        filtered = DD._cache_for_session(
-            perplexity_filter(filtered, lm, args.lm_max_ppl)
-        )
+        if lm_buckets is not None:
+            # the CCNet bucket rule: cutoffs from THIS corpus's own
+            # perplexity terciles, keep the listed buckets (unscorable
+            # rows have a NULL bucket and drop, like perplexity_filter)
+            kept = perplexity_buckets(filtered, lm).filter(
+                F.col("ppl_bucket").isin(lm_buckets)
+            ).drop("perplexity", "ppl_bucket")
+        else:
+            kept = perplexity_filter(filtered, lm, args.lm_max_ppl)
+        filtered = DD._cache_for_session(kept)
         report["n_after_lm_filter"] = filtered.count()
 
     if args.decontam_bench:
@@ -1096,6 +1123,7 @@ def _ingest_stream_main(args) -> int:
             lm_load,
             lm_save,
             ngram_lm_train,
+            perplexity_buckets,
             perplexity_filter,
         )
 
@@ -1116,9 +1144,19 @@ def _ingest_stream_main(args) -> int:
                 report["lm_saved_to"] = args.lm_save
         if args.lm_model:
             lm["counts"] = DD._cache_for_session(lm["counts"])
-        corpus = DD._cache_for_session(
-            perplexity_filter(corpus, lm, args.lm_max_ppl)
-        )
+        if args.lm_keep_buckets is not None:
+            # validated by main's argparse pass before dispatch
+            lm_buckets = [
+                b.strip().lower()
+                for b in args.lm_keep_buckets.split(",")
+                if b.strip()
+            ]
+            kept = perplexity_buckets(corpus, lm).filter(
+                F.col("ppl_bucket").isin(lm_buckets)
+            ).drop("perplexity", "ppl_bucket")
+        else:
+            kept = perplexity_filter(corpus, lm, args.lm_max_ppl)
+        corpus = DD._cache_for_session(kept)
         report["n_after_lm_filter"] = corpus.count()
     if args.decontam_bench and corpus is not None:
         # post-drain batch stage (the LM precedent): the paraphrase-

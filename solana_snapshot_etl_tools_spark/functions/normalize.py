@@ -41,12 +41,14 @@ def strip_control_chars(col: Column) -> Column:
 
 
 def collapse_whitespace(col: Column) -> Column:
-    """Canonical inline whitespace: runs of spaces/tabs become one
-    space, trailing space before a newline is dropped, runs of 3+
-    newlines become exactly two (paragraph break), and the ends are
-    trimmed. Newlines inside survive — paragraph structure is a
-    signal later stages (paragraph dedup, Gopher rules) read."""
-    out = F.regexp_replace(col, "[ \\t]+", " ")
+    """Canonical inline whitespace: CRLF/CR become LF first (web text
+    mixes all three), runs of spaces/tabs become one space, space
+    around a newline is dropped, runs of 3+ newlines become exactly
+    two (paragraph break), and the ends are trimmed. Newlines inside
+    survive — paragraph structure is a signal later stages (paragraph
+    dedup, Gopher rules) read."""
+    out = F.regexp_replace(col, "\\r\\n?", "\n")
+    out = F.regexp_replace(out, "[ \\t]+", " ")
     out = F.regexp_replace(out, " ?\\n ?", "\n")
     out = F.regexp_replace(out, "\\n{3,}", "\n\n")
     return F.trim(out)

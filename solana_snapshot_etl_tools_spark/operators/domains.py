@@ -412,6 +412,24 @@ def with_registered_domain(
     )
     n = F.size("_psl_labels")
 
+    if not (rules["exact"] or rules["wild"] or rules["exc"]):
+        # an empty rule set is ONLY the implicit "*" rule: public
+        # suffix = the last label everywhere
+        is_ip = F.col("_psl_host").rlike(_IPV4_RE)
+        reg2 = F.array_join(F.slice(F.col("_psl_labels"), -2, 2), ".")
+        no_reg = (
+            F.col("_psl_host")
+            if fallback_to_host
+            else F.lit(None).cast("string")
+        )
+        out = (
+            F.when(F.col("_psl_host").isNull(), F.lit(None).cast("string"))
+            .when(is_ip, F.col("_psl_host"))
+            .when(n > 1, reg2)
+            .otherwise(no_reg)
+        )
+        return work.withColumn(out_col, out).select(*df.columns, out_col)
+
     # one tiny (key, exact_len, wild_len, exc_len) table per label
     # count: exact rules of k labels, wildcard PARENTS of k labels
     # (match length k+1, valid only when the host is deeper than the

@@ -298,3 +298,70 @@ def perplexity_filter(
     return docs.join(
         keep, docs[id_col] == F.col("_keep_id"), "inner"
     ).drop("_keep_id")
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stratum_col: str | None = None,
+    cuts: tuple = (1 / 3, 2 / 3),
+    labels: tuple = ("head", "middle", "tail"),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """CCNet's head/middle/tail split: every input row plus
+    ``perplexity`` and ``ppl_bucket``, where the bucket cutoffs are
+    the ``cuts`` perplexity percentiles of THIS corpus — computed per
+    ``stratum_col`` value when given (the paper computes per-LANGUAGE
+    cutoffs, so no language is judged by another's fluency scale).
+    Upper bounds are inclusive; unscorable rows (null/blank text)
+    keep NULL in both new columns — route or drop them explicitly.
+
+    Scale shape: one ``lm_score`` pass (join + two partial aggs), one
+    tiny ``percentile_approx`` aggregate (one row per stratum — the
+    approximate sketch aggregates map-side; an exact percentile would
+    buffer every value per group), broadcast back, and the bucket
+    label is a pure fold over the cutoff array. ``accuracy`` is the
+    percentile_approx knob (default 10k ≈ exact at test scales)."""
+    if len(labels) != len(cuts) + 1:
+        raise ValueError(
+            f"need len(labels) == len(cuts) + 1, got {len(labels)} labels "
+            f"for {len(cuts)} cuts"
+        )
+    if list(cuts) != sorted(cuts) or not all(0 < c < 1 for c in cuts):
+        raise ValueError(f"cuts must be ascending in (0, 1), got {cuts}")
+    scored = lm_score(docs, model, id_col=id_col, text_col=text_col).select(
+        F.col(id_col), F.col("perplexity")
+    )
+    work = docs.join(scored, id_col, "left")
+    strat = (
+        F.col(stratum_col) if stratum_col is not None else F.lit("_all")
+    )
+    cuts_df = (
+        work.filter(F.col("perplexity").isNotNull())
+        .groupBy(strat.alias("_strat"))
+        .agg(
+            F.percentile_approx(
+                "perplexity",
+                F.array(*[F.lit(float(c)) for c in cuts]),
+                F.lit(accuracy),
+            ).alias("_cuts")
+        )
+    )
+    joined = work.join(
+        F.broadcast(cuts_df), strat.eqNullSafe(F.col("_strat")), "left"
+    )
+    # 0-based bucket index = how many cutoffs are strictly below the
+    # value (ties land in the LOWER bucket — inclusive upper bounds)
+    idx = F.size(
+        F.filter(F.col("_cuts"), lambda c: c < F.col("perplexity"))
+    )
+    label_arr = F.array(*[F.lit(str(lb)) for lb in labels])
+    bucket = F.when(
+        F.col("perplexity").isNotNull() & F.col("_cuts").isNotNull(),
+        F.element_at(label_arr, idx + 1),
+    )
+    return joined.select(
+        *docs.columns, "perplexity", bucket.alias("ppl_bucket")
+    )

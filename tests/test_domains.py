@@ -443,3 +443,16 @@ def test_dedup_by_url_prefer_col(spark):
         dedup_by_url(df, prefer_col=F.col("ts") / 2)
     # default path unchanged: min id
     assert {r.doc_id for r in dedup_by_url(df).collect()} == {1, 2, 5}
+
+
+def test_psl_empty_rule_set_is_implicit_star(spark):
+    """Review r9: an all-comment/empty PSL crashed on greatest() with
+    one arg — it now means only the implicit '*' rule (public suffix
+    = last label)."""
+    urls = ["http://a.b.example.zz", "http://lonely", "http://10.0.0.1"]
+    got = _psl_reg(spark, urls, psl=["// only comments", ""])
+    assert got == ["example.zz", "lonely", "10.0.0.1"]
+    got2 = _psl_reg(
+        spark, urls, psl=["// only comments"], fallback_to_host=False
+    )
+    assert got2 == ["example.zz", None, "10.0.0.1"]

@@ -297,3 +297,130 @@ def test_cli_lm_save_then_model_reuse(spark, tmp_path_factory, capsys):
     with _pytest.raises(SystemExit):  # exclusive flags
         corpus_cli.main([src, str(base / "o3"), "--lm-reference", src,
                          "--lm-model", mdir, "--lm-max-ppl", "26"])
+
+
+def test_perplexity_buckets_ordering_and_shares(spark):
+    """Bucket cutoffs from the corpus's own percentiles: every head
+    perplexity <= every middle <= every tail (exact, regardless of the
+    sketch's cut placement), shares roughly tercile-sized, unscorable
+    rows NULL in both columns."""
+    train = spark.createDataFrame(TRAIN, "doc_id long, text string")
+    model = LM.ngram_lm_train(train, n=2, min_count=1)
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox dog day {'zebra ' * (i % 7)}") for i in range(60)]
+        + [(100, ""), (101, None)],
+        "doc_id long, text string",
+    )
+    out = LM.perplexity_buckets(docs, model).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.ppl_bucket, []).append(r)
+    assert set(by) == {"head", "middle", "tail", None}
+    assert {r.doc_id for r in by[None]} == {100, 101}
+    assert all(r.perplexity is None for r in by[None])
+    hi_head = max(r.perplexity for r in by["head"])
+    mid = [r.perplexity for r in by["middle"]]
+    lo_tail = min(r.perplexity for r in by["tail"])
+    assert hi_head <= min(mid) and max(mid) <= lo_tail
+    for name in ("head", "middle", "tail"):
+        assert 10 <= len(by[name]) <= 30, (name, len(by[name]))
+    # all input columns pass through
+    assert {len(r.asDict()) for r in out} == {4}
+
+
+def test_perplexity_buckets_per_stratum(spark):
+    """Per-stratum cutoffs (CCNet's per-language rule): a stratum
+    whose every doc is high-perplexity still splits INTERNALLY instead
+    of landing wholly in the tail."""
+    train = spark.createDataFrame(TRAIN, "doc_id long, text string")
+    model = LM.ngram_lm_train(train, n=2, min_count=1)
+    fluent = [
+        (i, "en", f"the quick brown fox dog {'lazy ' * (i % 5)}")
+        for i in range(30)
+    ]
+    weird = [
+        (100 + i, "zz", f"zebra quantum flux {'blorp ' * (i % 5)}")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(
+        fluent + weird, "doc_id long, lang string, text string"
+    )
+    out = LM.perplexity_buckets(docs, model, stratum_col="lang").collect()
+    per = {}
+    for r in out:
+        per.setdefault((r.lang, r.ppl_bucket), 0)
+        per[(r.lang, r.ppl_bucket)] += 1
+    for lang in ("en", "zz"):
+        for b in ("head", "middle", "tail"):
+            assert per.get((lang, b), 0) >= 5, (lang, b, per)
+    with pytest.raises(ValueError, match="labels"):
+        LM.perplexity_buckets(docs, model, labels=("a", "b"))
+    with pytest.raises(ValueError, match="ascending"):
+        LM.perplexity_buckets(docs, model, cuts=(0.9, 0.1))
+
+
+def test_cli_lm_keep_buckets(spark, tmp_path_factory, capsys):
+    """--lm-keep-buckets head,middle drops the worst tercile; the
+    dropped docs are exactly the highest-perplexity ones."""
+    import json as _json
+
+    from solana_snapshot_etl_tools_spark import corpus_cli
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+
+    def run(*argv):
+        assert corpus_cli.main(list(argv)) == 0
+        out = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+        return _json.loads(out[-1])
+
+    base = tmp_path_factory.mktemp("lm_buckets_cli")
+    rep = run(src, str(base / "o1"), "--no-pii",
+              "--lm-reference", src, "--lm-keep-buckets", "head,middle")
+    all_b = run(src, str(base / "o2"), "--no-pii",
+                "--lm-reference", src,
+                "--lm-keep-buckets", "head,middle,tail")
+    assert all_b["n_after_lm_filter"] == all_b["n_after_filters"]
+    n = all_b["n_after_lm_filter"]
+    # head+middle ≈ 2/3 (sketch cutoffs; generous slack)
+    assert 0.55 * n <= rep["n_after_lm_filter"] <= 0.8 * n
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):  # both rules at once
+        corpus_cli.main([src, str(base / "o3"), "--lm-reference", src,
+                         "--lm-max-ppl", "100",
+                         "--lm-keep-buckets", "head"])
+    with _pytest.raises(SystemExit):  # unknown bucket
+        corpus_cli.main([src, str(base / "o4"), "--lm-reference", src,
+                         "--lm-keep-buckets", "torso"])
+
+
+def test_cli_lm_keep_buckets_stream_post_drain(spark, tmp_path_factory, capsys):
+    """--lm-keep-buckets runs post-drain under --ingest-stream (the
+    --lm-max-ppl precedent): the append-only corpus keeps everything,
+    the derived views see only the kept buckets."""
+    import json as _json
+    import os
+
+    from solana_snapshot_etl_tools_spark import corpus_cli
+
+    base = tmp_path_factory.mktemp("lm_buckets_stream")
+    arrivals = str(base / "arrivals")
+    os.makedirs(arrivals)
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text").orderBy("doc_id").limit(60)
+    docs.coalesce(1).write.mode("append").parquet(arrivals)
+    assert corpus_cli.main(
+        [arrivals, str(base / "out"), "--ingest-stream",
+         "--index-out", str(base / "idx"), "--no-pii",
+         "--quality", "0", "--lang", "",
+         "--lm-reference", "/root/testdata/sf0.001/documents.parquet",
+         "--lm-keep-buckets", "head,middle", "--data-card"]
+    ) == 0
+    rep = _json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.strip()][-1]
+    )
+    assert rep["n_corpus"] == 60  # append-only state unfiltered
+    assert 0.5 * 60 <= rep["n_after_lm_filter"] <= 0.8 * 60
+    assert rep["data_card"]["n_docs"] == rep["n_after_lm_filter"]

@@ -37,6 +37,8 @@ def test_collapse_whitespace(spark):
         "line one   \nline two": "line one\nline two",
         "p1\n\n\n\n\np2": "p1\n\np2",
         "  trimmed  ": "trimmed",
+        "crlf\r\nand cr\rendings": "crlf\nand cr\nendings",
+        "p1\r\n\r\n\r\n\r\np2": "p1\n\np2",
         "": "",
         None: None,
     }
