@@ -344,6 +344,54 @@ def main() -> None:
         DSR.dsir_top_k(docs, docs.filter("doc_id % 17 = 0"), 500).count()
         diag["dsir_top_k_sec"] = round(time.time() - t0, 4)
         release_session_caches()
+
+        # round-9: NFKC normalization over the real documents table,
+        # the bloom sidecar build+probe over its exact keys, and the
+        # CCNet perplexity-bucket split
+        from solana_snapshot_etl_tools_spark.functions.normalize import (
+            normalize_text,
+        )
+
+        t0 = time.time()
+        docs.select(normalize_text(F.col("text")).alias("t")).agg(
+            F.sum(F.length("t"))
+        ).collect()
+        diag["normalize_text_sec"] = round(time.time() - t0, 4)
+
+        from solana_snapshot_etl_tools_spark.operators import (
+            bloom as BLM,
+            incremental as INC,
+        )
+
+        t0 = time.time()
+        idx = INC.build_index(docs)
+        filt = INC.index_bloom(idx).persist()
+        filt.count()
+        diag["bloom_build_sec"] = round(time.time() - t0, 4)
+        probe = docs.select(
+            "doc_id", F.xxhash64("text").alias("key")
+        )
+        t0 = time.time()
+        BLM.bloom_might_contain(probe, filt, "key").filter(
+            F.col("might_contain")
+        ).count()
+        diag["bloom_probe_sec"] = round(time.time() - t0, 4)
+        filt.unpersist()
+        release_session_caches()
+
+        from solana_snapshot_etl_tools_spark.operators import (
+            ngram_lm as NLM2,
+        )
+
+        lm9 = NLM2.ngram_lm_train(docs, n=3, min_count=2)
+        lm9["counts"] = lm9["counts"].persist()
+        lm9["counts"].count()
+        t0 = time.time()
+        NLM2.perplexity_buckets(docs, lm9).groupBy("ppl_bucket").count(
+        ).collect()
+        diag["ppl_buckets_sec"] = round(time.time() - t0, 4)
+        lm9["counts"].unpersist()
+        release_session_caches()
     except Exception as e:  # diagnostics never break the contract
         diag["error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps({"r6_operator_diag": diag}), file=sys.stderr)

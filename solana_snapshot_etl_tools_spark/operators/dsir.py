@@ -183,12 +183,20 @@ def dsir_top_k(
     ``gumbel=False`` keeps the top-k by weight outright (deterministic
     hard selection). Ties break by id.
 
-    Documents with no tokens score ``-inf``-like (LONG_MIN quantized):
-    they are chosen only when fewer than k scorable documents exist.
+    Documents with no tokens score ``-inf``-like (NULL rank, ranks
+    last): they are chosen only when fewer than k scorable documents
+    exist.
 
-    No global sort: the quantized score feeds ``source_cap``'s
-    boundary-bucket ranking under one constant source — per-bucket
-    counts locate the k-th score, and only that sliver is ranked."""
+    No global sort, and the weight pipeline runs ONCE: the ranking
+    happens over a cached NARROW (id, rank) frame — ``source_cap``'s
+    boundary-bucket machinery reads that frame three times (bucket
+    counts, keep-whole, edge rank), which must not re-execute the
+    explode/join weight computation, and document text must never
+    enter the ranking plan at all. The selected ids then semi-join
+    back to ``raw`` in one pass."""
+    from solana_snapshot_etl_tools_spark.operators.dedup import (
+        _cache_for_session,
+    )
     from solana_snapshot_etl_tools_spark.operators.domains import source_cap
 
     if k < 1:
@@ -196,7 +204,6 @@ def dsir_top_k(
     w = dsir_log_weights(
         raw, target, id_col, text_col, n_buckets, alpha,
     )
-    scored = raw.join(w, id_col, "left")
     score = F.col("log_weight")
     if gumbel:
         # u in (0,1) from the id hash (never exactly 0/1: offset half
@@ -219,13 +226,17 @@ def dsir_top_k(
             )
         ).cast("long"),
     )
-    # min wins in source_cap's order_by: negate; tokenless docs rank
-    # LAST via the order_by NULL contract
-    ranked = scored.withColumn("_neg_q", -q).withColumn(
-        "_one", F.lit("all")
+    # min wins in source_cap's order_by: negate; tokenless docs (left
+    # join -> NULL weight -> NULL rank) rank LAST via the order_by
+    # NULL contract. Cached: ~16 bytes/row, freed by
+    # dedup.release_session_caches()
+    narrow = _cache_for_session(
+        raw.select(id_col)
+        .join(w, id_col, "left")
+        .select(id_col, (-q).alias("_neg_q"), F.lit("all").alias("_one"))
     )
-    kept = source_cap(
-        ranked, k, source_col="_one", id_col=id_col,
+    kept_ids = source_cap(
+        narrow, k, source_col="_one", id_col=id_col,
         order_by=F.col("_neg_q"),
-    )
-    return kept.select(*raw.columns)
+    ).select(id_col)
+    return raw.join(kept_ids, id_col, "left_semi")
