@@ -65,15 +65,17 @@ def _doc_features(
     ``None`` keeps gram strings (oracle-able). One narrow explode,
     pre-aggregated before anything joins it."""
     toks = F.filter(TXT.tokens(F.col(text_col)), lambda t: F.length(t) > 0)
-    big = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat(
-                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # bigrams via zip_with over two slices — each slice evaluates the
+    # token expression ONCE per row. An element_at(toks, i) lambda
+    # would re-run the whole lower+split+filter chain per POSITION
+    # (O(tokens^2) per document — measured 10s vs 1s at sf0.1, the
+    # same trap chunk_cdc hit with per-position substring)
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    big = F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
     grams = F.concat(toks, big)
     out = df.select(id_col, F.explode(grams).alias("feat"))
     if n_buckets is not None:
@@ -149,10 +151,24 @@ def dsir_log_weights(
     With the default hashed buckets the log-ratio table is B rows and
     broadcast — scoring is scan → map-side join → one partial-agg
     sum, zero pool shuffle beyond the per-(doc, feat) combine."""
+    from solana_snapshot_etl_tools_spark.operators.dedup import (
+        _cache_for_session,
+    )
+
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
-    raw_feats = _doc_features(raw, id_col, text_col, n_buckets, salt)
-    tgt_feats = _doc_features(target, id_col, text_col, n_buckets, salt)
+    # the raw feature frame has THREE consumers (the normalizer-stats
+    # aggregate, the ratio table, the scoring join) and the target two
+    # — cache both or the explode+combine pipelines re-execute per
+    # consumer (measured 3x wall at sf0.1). Freed by
+    # dedup.release_session_caches(); at cluster scale the cached
+    # frames are (id, feat, cnt) triples, a fraction of the text
+    raw_feats = _cache_for_session(
+        _doc_features(raw, id_col, text_col, n_buckets, salt)
+    )
+    tgt_feats = _cache_for_session(
+        _doc_features(target, id_col, text_col, n_buckets, salt)
+    )
     table, _ = _log_ratio_table(tgt_feats, raw_feats, n_buckets, alpha)
     if n_buckets is not None:
         table = F.broadcast(table)
