@@ -456,3 +456,53 @@ def test_psl_empty_rule_set_is_implicit_star(spark):
         spark, urls, psl=["// only comments"], fallback_to_host=False
     )
     assert got2 == ["example.zz", None, "10.0.0.1"]
+
+
+def test_psl_randomized_vs_python_reference(spark):
+    """500 seeded random hosts over a rule set that exercises every
+    rule kind, compared against an independent pure-Python spelling of
+    the PSL algorithm (longest match, wildcard = one extra label,
+    exceptions prevail, implicit '*' fallback)."""
+    import random
+
+    rules = DOM._parse_psl(MINI_PSL)
+
+    def ref(host, fallback=True):
+        labels = host.split(".")
+        n = len(labels)
+        best, exc = 1, None
+        for k in range(1, n + 1):
+            sfx = ".".join(labels[-k:])
+            if sfx in rules["exc"]:
+                e = rules["exc"][sfx]
+                exc = e if exc is None else max(exc, e)
+            if sfx in rules["exact"]:
+                best = max(best, k)
+            if sfx in rules["wild"] and n > k:
+                best = max(best, k + 1)
+        ps = exc if exc is not None else best
+        if n > ps:
+            return ".".join(labels[-(ps + 1):])
+        return host if fallback else None
+
+    rng = random.Random(99)
+    vocab = ["a", "b", "city", "nagoya", "jp", "co", "uk", "ck",
+             "k12", "ma", "us", "com", "example", "x", "pvt", "www"]
+    hosts = [
+        ".".join(rng.choice(vocab) for _ in range(rng.randint(1, 5)))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(
+        [(h, f"http://{h}/p") for h in hosts], "host string, url string"
+    )
+    for fb in (True, False):
+        got = [
+            (r.host, r.registered_domain)
+            for r in DOM.with_registered_domain(
+                df, psl=MINI_PSL, fallback_to_host=fb
+            ).collect()
+        ]
+        for h, g in got:
+            # url_host strips a leading www. label before matching
+            eff = h[4:] if h.startswith("www.") and len(h) > 4 else h
+            assert g == ref(eff, fallback=fb), (h, eff, g, fb)
