@@ -123,3 +123,33 @@ def test_cli_normalize_stage(spark, tmp_path_factory, capsys):
     assert len(texts) == 1
     assert texts[0].startswith("This fine text has many plain words")
     assert "​" not in texts[0] and "  " not in texts[0]
+
+
+def test_cli_normalize_streams(spark, tmp_path_factory, capsys):
+    """--normalize runs inside --ingest-stream — the NFKC pandas UDF
+    is the one Python-side stage in the streaming cleaning tier."""
+    import json
+    import os
+
+    from solana_snapshot_etl_tools_spark import corpus_cli
+
+    base = tmp_path_factory.mktemp("normalize_stream")
+    src = str(base / "arrivals")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "Ｗｉｄｅ  ﬁne​ text with  plain common words here " * 3)],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    assert corpus_cli.main(
+        [src, str(base / "out"), "--ingest-stream",
+         "--index-out", str(base / "idx"), "--no-pii",
+         "--quality", "0", "--lang", "", "--normalize"]
+    ) == 0
+    rep = json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.strip()][-1]
+    )
+    assert rep["n_corpus"] == 1
+    [text] = [
+        r.text for r in spark.read.parquet(f"{base}/out/corpus").collect()
+    ]
+    assert text.startswith("Wide fine text") and "  " not in text
