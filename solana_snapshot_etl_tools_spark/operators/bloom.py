@@ -83,6 +83,8 @@ def bloom_build(
     cols,
     expected_items: int | None = None,
     fpp: float = 0.01,
+    m_bits: int | None = None,
+    n_hashes: int | None = None,
 ) -> DataFrame:
     """Build the filter over ``xxhash64(cols)`` of every row. Returns
     a (chunk int, bits binary, m_bits long, n_hashes int) DataFrame —
@@ -92,14 +94,29 @@ def bloom_build(
 
     ``expected_items`` sizes the filter (default: ``df.count()`` —
     one cheap aggregate). Size for the INDEX the filter will grow
-    into, not today's row count, when the sidecar is appended to."""
+    into, not today's row count, when the sidecar is appended to.
+    APPEND contract: chunk-row frames from several builds UNION into
+    one valid filter (``_assemble`` ORs same-chunk rows) iff every
+    build used the same ``(m_bits, n_hashes)`` — pass them explicitly
+    (e.g. read from the existing sidecar) when growing a filter
+    incrementally, as the streaming ingest loop does."""
     if not 0 < fpp < 1:
         raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    if (m_bits is None) != (n_hashes is None):
+        raise ValueError("m_bits and n_hashes go together")
     if isinstance(cols, str):
         cols = [cols]
-    if expected_items is None:
-        expected_items = df.count()
-    m, k = _params(expected_items, fpp)
+    if m_bits is not None:
+        if m_bits % CHUNK_BITS or m_bits // 8 > MAX_BLOOM_BYTES:
+            raise ValueError(
+                f"m_bits must be a CHUNK_BITS multiple within "
+                f"MAX_BLOOM_BYTES, got {m_bits}"
+            )
+        m, k = m_bits, max(1, int(n_hashes))
+    else:
+        if expected_items is None:
+            expected_items = df.count()
+        m, k = _params(expected_items, fpp)
 
     def sparse_updates(batches):
         import numpy as np
@@ -144,13 +161,23 @@ def bloom_build(
 
 def _assemble(bloom: DataFrame):
     """Collect the chunk rows into one numpy bit array (loud size
-    cap) plus (m, k). Absent chunks are all-zero."""
+    cap) plus (m, k). Absent chunks are all-zero; SAME-chunk rows OR
+    together — an appended sidecar (several builds with shared params
+    unioned/partition-appended) assembles to the filter over the
+    union of their key sets. Mixed parameters are a corrupt store and
+    raise."""
     import numpy as np
 
     rows = bloom.select("chunk", "bits", "m_bits", "n_hashes").collect()
     if not rows:
         return None
     m, k = int(rows[0].m_bits), int(rows[0].n_hashes)
+    for r in rows:
+        if int(r.m_bits) != m or int(r.n_hashes) != k:
+            raise ValueError(
+                "bloom chunk rows disagree on (m_bits, n_hashes) — "
+                "appended builds must share parameters"
+            )
     if m // 8 > MAX_BLOOM_BYTES:
         raise ValueError(
             f"bloom filter of {m // 8} bytes exceeds MAX_BLOOM_BYTES"
@@ -159,7 +186,7 @@ def _assemble(bloom: DataFrame):
     step = CHUNK_BITS // 8
     for r in rows:
         c = int(r.chunk)
-        arr[c * step:(c + 1) * step] = np.frombuffer(r.bits, dtype=np.uint8)
+        arr[c * step:(c + 1) * step] |= np.frombuffer(r.bits, dtype=np.uint8)
     return arr, m, k
 
 

@@ -18,15 +18,23 @@ no concurrent-writer coordination is needed because Structured
 Streaming already guarantees one batch at a time per query.
 
 Replay idempotence (foreachBatch is at-least-once): every output —
-corpus, index, signatures — is partitioned by ``batch`` and written
-with DYNAMIC partition overwrite, and the flags are computed against
-strictly PRIOR batches (``batch < batch_id``). A replayed batch
-therefore recomputes the identical decision from the identical prior
-state and rewrites exactly its own partitions, no matter where the
-previous attempt died between the three writes — a crash between
-writes can neither duplicate documents nor lose them (pinned by
-``test_streaming_ingestion_replay_is_idempotent``). This is strictly
-stronger than the reference's fire-and-forget delivery (SURVEY ST6).
+corpus, index, signatures, bloom sidecar — is partitioned by
+``batch`` and written with DYNAMIC partition overwrite, and the flags
+are computed against strictly PRIOR batches (``batch < batch_id``). A
+replayed batch therefore recomputes the identical decision from the
+identical prior state and rewrites exactly its own partitions, no
+matter where the previous attempt died between the four writes — a
+crash between writes can neither duplicate documents nor lose them
+(pinned by ``test_streaming_ingestion_replay_is_idempotent``). This is
+strictly stronger than the reference's fire-and-forget delivery
+(SURVEY ST6).
+
+The bloom sidecar (``operators/bloom.py``) accelerates each batch's
+exact probe map-side. It is USED only when its batch coverage equals
+the index's (``_prior_bloom``): a sidecar missing an index batch —
+a pre-sidecar store upgraded mid-stream — would answer "definitely
+absent" for keys it never saw and silently skip real duplicates, so
+unequal coverage disables it (unaccelerated, never wrong).
 """
 
 from __future__ import annotations
@@ -67,6 +75,50 @@ def _read_prior(spark, path: str, batch_id: int, mk_empty):
     return df.filter(F.col("batch") < batch_id).drop("batch")
 
 
+def _prior_batches(spark, path: str, batch_id: int) -> set | None:
+    """Distinct prior batch ids under a batch-partitioned path, or
+    None when the path does not exist (partition-column listing — no
+    data files read)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException:
+        return None
+    return {
+        r.batch
+        for r in df.filter(F.col("batch") < batch_id)
+        .select("batch")
+        .distinct()
+        .collect()
+    }
+
+
+def _prior_bloom(spark, index_dir: str, batch_id: int):
+    """The bloom sidecar over PRIOR batches — used only when its
+    batch coverage equals the index's. A sidecar missing some index
+    batch (a store created before the sidecar existed, then upgraded
+    mid-stream) would answer "definitely absent" for keys it never
+    saw and silently skip real duplicates; unequal coverage therefore
+    disables the filter (the probe is merely unaccelerated — never
+    wrong)."""
+    bb = _prior_batches(spark, f"{index_dir}/bloom", batch_id)
+    if bb is None:
+        return None
+    ib = _prior_batches(spark, f"{index_dir}/index", batch_id)
+    if ib is None or bb != ib:
+        return None
+    return spark.read.parquet(f"{index_dir}/bloom").filter(
+        F.col("batch") < batch_id
+    ).drop("batch")
+
+
+# default sizing for the stream loop's bloom sidecar: ~10M keys at
+# 1% fpp is a ~12 MB closure — callers ingesting toward a larger
+# corpus pass their own target through ingest_dedup_stream
+BLOOM_EXPECTED_ITEMS = 10_000_000
+
+
 def process_ingest_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -76,10 +128,14 @@ def process_ingest_batch(
     text_col: str = "text",
     threshold: float = 0.8,
     drop_near_candidates: bool = False,
+    bloom_expected_items: int = BLOOM_EXPECTED_ITEMS,
 ) -> None:
     """One micro-batch of the ingestion loop — public so the replay
     contract is directly testable: calling this twice with the same
-    (batch_df, batch_id) must leave corpus/index/sigs identical."""
+    (batch_df, batch_id) must leave corpus/index/sigs/bloom identical."""
+    from solana_snapshot_etl_tools_spark.operators.bloom import (
+        bloom_build,
+    )
     from solana_snapshot_etl_tools_spark.operators.dedup import (
         _CheckpointHandle,
     )
@@ -97,6 +153,7 @@ def process_ingest_batch(
         batch_id,
         lambda: signature_table(batch_df.limit(0), id_col, text_col),
     )
+    bloom = _prior_bloom(spark, index_dir, batch_id)
     # MATERIALIZE the flags before any write: flagged's lazy plan
     # READS index/sigs — paths this batch writes to. A merely
     # persisted frame can be silently recomputed (cache eviction, a
@@ -113,6 +170,7 @@ def process_ingest_batch(
         id_col=id_col,
         text_col=text_col,
         threshold=threshold,
+        bloom=bloom,
     ).localCheckpoint(eager=True)
     handle = _CheckpointHandle(flagged)
     try:
@@ -157,12 +215,44 @@ def process_ingest_batch(
             write_batch(ksigs, f"{index_dir}/sigs")
         finally:
             ksigs.unpersist()
+        # this batch's bloom sidecar partial over the kept docs' exact
+        # keys — the SAME (m, k) as any existing sidecar rows (mixed
+        # parameters would corrupt the OR-assembly), else sized fresh.
+        # Batch-partitioned dynamic overwrite like every other output:
+        # a replay rewrites exactly its own partial
+        from pyspark.errors import AnalysisException
+
+        keys = kept.select(F.xxhash64(text_col).alias("key"))
+        mk = None
+        try:
+            row1 = (
+                spark.read.parquet(f"{index_dir}/bloom")
+                .select("m_bits", "n_hashes")
+                .first()
+            )
+            if row1 is not None:
+                mk = (int(row1.m_bits), int(row1.n_hashes))
+        except AnalysisException:
+            pass
+        partial = (
+            bloom_build(keys, "key", m_bits=mk[0], n_hashes=mk[1])
+            if mk is not None
+            else bloom_build(
+                keys, "key", expected_items=bloom_expected_items
+            )
+        )
+        write_batch(partial, f"{index_dir}/bloom")
         # the session-level FileStatusCache serves STALE listings for
         # a path written to in the same session — without an explicit
         # refresh, the NEXT batch's index/sigs read (and any
         # same-session reader of the corpus) silently misses this
         # batch's files
-        for p in (f"{index_dir}/index", f"{index_dir}/sigs", corpus_dir):
+        for p in (
+            f"{index_dir}/index",
+            f"{index_dir}/sigs",
+            f"{index_dir}/bloom",
+            corpus_dir,
+        ):
             spark.catalog.refreshByPath(p)
     finally:
         handle.unpersist()
@@ -179,6 +269,7 @@ def ingest_dedup_stream(
     threshold: float = 0.8,
     drop_near_candidates: bool = False,
     available_now: bool = False,
+    bloom_expected_items: int = BLOOM_EXPECTED_ITEMS,
 ):
     """Start the ingestion query over a streaming ``shards`` frame.
     ``index_dir`` holds ``index/`` (partitioned by (batch, band)) and
@@ -198,6 +289,7 @@ def ingest_dedup_stream(
             text_col=text_col,
             threshold=threshold,
             drop_near_candidates=drop_near_candidates,
+            bloom_expected_items=bloom_expected_items,
         )
 
     writer = (

@@ -153,3 +153,60 @@ def test_cli_index_out_writes_and_probe_reads_bloom(
               "--lang", "", "--dedup-against-index", idx)
     assert rep["n_dup_exact_vs_index"] == 3
     assert rep["n_after_index_dedup"] == rep["n_after_filters"] - 3
+
+
+def test_stream_ingest_maintains_bloom_and_guards_coverage(
+    spark, tmp_path_factory
+):
+    """The ingest loop writes a batch-partitioned bloom partial per
+    micro-batch and uses it for later batches' probes; a sidecar whose
+    batch coverage does not match the index (pre-sidecar store
+    upgraded mid-stream) is ignored, never trusted."""
+    import shutil
+
+    from solana_snapshot_etl_tools_spark.streaming.ingest import (
+        _prior_bloom,
+        process_ingest_batch,
+    )
+
+    base = tmp_path_factory.mktemp("bloom_stream")
+    idx, corp = str(base / "idx"), str(base / "corpus")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text").orderBy("doc_id").limit(60)
+    b0 = docs.filter("doc_id % 2 = 0")
+    b1 = docs.filter("doc_id % 2 = 1").unionByName(
+        b0.limit(4).select((F.col("doc_id") + 5_000_000).alias("doc_id"), "text")
+    )
+    process_ingest_batch(b0, 0, idx, corp)
+    process_ingest_batch(b1, 1, idx, corp)
+    # the sidecar exists, covers both batches, and the planted copies died
+    bloom = spark.read.parquet(f"{idx}/bloom")
+    assert {r.batch for r in bloom.select("batch").distinct().collect()} == {0, 1}
+    kept = spark.read.parquet(corp)
+    assert kept.count() == 60
+    assert kept.filter("doc_id >= 5000000").count() == 0
+    # replay batch 1: bloom partial rewritten identically
+    before = sorted(
+        (r.batch, r.chunk, bytes(r.bits)) for r in bloom.collect()
+    )
+    process_ingest_batch(b1, 1, idx, corp)
+    spark.catalog.refreshByPath(f"{idx}/bloom")
+    after = sorted(
+        (r.batch, r.chunk, bytes(r.bits))
+        for r in spark.read.parquet(f"{idx}/bloom").collect()
+    )
+    assert before == after
+    assert spark.read.parquet(corp).count() == 60
+    # coverage guard: a sidecar missing batch 0 must be IGNORED
+    shutil.rmtree(f"{idx}/bloom/batch=0")
+    spark.catalog.refreshByPath(f"{idx}/bloom")
+    assert _prior_bloom(spark, idx, 2) is None
+    # and with holes, a new batch with copies of batch-0 docs still
+    # catches them (probe runs unaccelerated, never wrong)
+    b2 = b0.limit(3).select(
+        (F.col("doc_id") + 6_000_000).alias("doc_id"), "text"
+    )
+    process_ingest_batch(b2, 2, idx, corp)
+    spark.catalog.refreshByPath(corp)
+    assert spark.read.parquet(corp).filter("doc_id >= 6000000").count() == 0
