@@ -365,12 +365,28 @@ def compact_index(
     import uuid
 
     stats: dict[str, int] = {}
-    jobs = (
+    jobs = [
         ("index", ["band"], None),
         ("sigs", [], sig_rows_per_file),
-    )
+    ]
+    # the stream loop's bloom sidecar accretes one small partial per
+    # micro-batch; compact it to one file per batch partition. The
+    # batch layout MUST survive: the coverage guard (_prior_bloom)
+    # compares batch sets, and the per-batch dynamic-overwrite writer
+    # keeps appending batch=N directories
+    if os.path.isdir(f"{index_dir}/bloom"):
+        jobs.append(("bloom", ["batch"], None))
+    import glob as _glob
+
     for sub, parts, rows_per_file in jobs:
         path = f"{index_dir}/{sub}"
+        # a STREAM-written store is batch-partitioned (replay
+        # idempotence); compaction must preserve that layout or the
+        # loop's next dynamic-overwrite write would create a mixed
+        # (conflicting) partition scheme under the same root
+        if "batch" not in parts and _glob.glob(f"{path}/batch=*"):
+            parts = ["batch"] + parts
+            rows_per_file = None
         spark.catalog.refreshByPath(path)
         df = spark.read.parquet(path)
         before_files = sum(

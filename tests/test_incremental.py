@@ -270,3 +270,54 @@ def test_compact_index_preserves_contents_and_probes(spark, tmp_path_factory):
     # every band directory compacted to one file
     for band_dir in glob.glob(f"{base}/index/band=*"):
         assert len(glob.glob(f"{band_dir}/*.parquet")) == 1
+
+
+def test_compact_stream_store_preserves_batch_layout(spark, tmp_path_factory):
+    """Compacting a STREAM-written store (batch-partitioned index/
+    sigs/bloom) preserves the batch layout so the ingest loop can
+    RESUME afterward: the next batch's dynamic-overwrite write and the
+    bloom coverage guard both keep working."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from solana_snapshot_etl_tools_spark.operators.incremental import (
+        compact_index,
+    )
+    from solana_snapshot_etl_tools_spark.streaming.ingest import (
+        _prior_bloom,
+        process_ingest_batch,
+    )
+
+    base = tmp_path_factory.mktemp("compact_stream")
+    idx, corp = str(base / "idx"), str(base / "corpus")
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(60)
+    )
+    process_ingest_batch(docs.filter("doc_id % 2 = 0"), 0, idx, corp)
+    process_ingest_batch(docs.filter("doc_id % 2 = 1"), 1, idx, corp)
+
+    stats = compact_index(spark, idx)
+    assert stats["index_rows"] > 0 and stats["bloom_rows"] >= 1
+    # batch dirs survive compaction for all three outputs
+    for sub in ("index", "sigs", "bloom"):
+        assert glob.glob(f"{idx}/{sub}/batch=*"), sub
+    assert _prior_bloom(spark, idx, 2) is not None  # coverage intact
+
+    # the loop RESUMES: batch 2 with planted copies of batch-0 docs
+    b2 = docs.filter("doc_id % 2 = 0").limit(4).select(
+        (F.col("doc_id") + 9_000_000).alias("doc_id"), "text"
+    ).unionByName(
+        spark.createDataFrame(
+            [(9_999_999, "a genuinely new document about compaction")],
+            "doc_id long, text string",
+        )
+    )
+    process_ingest_batch(b2, 2, idx, corp)
+    spark.catalog.refreshByPath(corp)
+    kept = spark.read.parquet(corp)
+    assert kept.count() == 61  # 60 + the one new doc; 4 copies died
+    assert kept.filter("doc_id = 9999999").count() == 1
