@@ -25,7 +25,8 @@ library stages in production order (the same order the declared
         [--quality-model DIR [--quality-model-threshold T]] \\
         [--lm-reference REF.parquet [--lm-save DIR] | --lm-model DIR] \\
         [--lm-max-ppl P | --lm-keep-buckets head,middle] \\
-        [--dsir-target T.parquet --dsir-keep N] \\
+        [--dsir-target T.parquet [--dsir-save DIR] | --dsir-model DIR] \\
+        [--dsir-keep N] \\
         [--source-blocklist FILE] [--source-cap N] \\
         [--source-mixture SRC=W,SRC=W,...] \\
         [--embeddings EMB.parquet [--cluster-balance K [--alpha 0.0]] \\
@@ -49,6 +50,7 @@ arriving shards and the loop state lives at --index-out:
         [--lm-max-ppl P | --lm-keep-buckets head,middle] \\
         [--embeddings EMB.parquet --decontam-bench B.parquet \\
          --decontam-threshold T] \\
+        [--dsir-target T.parquet | --dsir-model DIR] [--dsir-keep N] \\
         [--source-blocklist FILE] \\
         [--stratified-split lang|script [--train-pct P --val-pct V]] \\
         [--data-card]
@@ -178,8 +180,16 @@ def main(argv: list[str] | None = None) -> int:
                    "target. Runs after the cleaning filters, before "
                    "the source cap. Batch-only (global selection)")
     p.add_argument("--dsir-keep", type=int, metavar="N", default=None,
-                   help="number of documents DSIR keeps "
-                   "(goes with --dsir-target)")
+                   help="number of documents DSIR keeps (goes with "
+                   "exactly one of --dsir-target/--dsir-model)")
+    p.add_argument("--dsir-model", metavar="DIR", default=None,
+                   help="load a FITTED importance model persisted by "
+                   "--dsir-save (dsir.dsir_load) instead of fitting "
+                   "one with --dsir-target — scoring then uses the "
+                   "fit-time raw distribution (train-once posture)")
+    p.add_argument("--dsir-save", metavar="DIR", default=None,
+                   help="after fitting the --dsir-target model, "
+                   "persist it to DIR for later --dsir-model runs")
     p.add_argument("--decontam-bench", metavar="PARQUET", default=None,
                    help="benchmark EMBEDDINGS parquet ((bench_id|"
                    "vec_id, embedding)): drop documents whose "
@@ -354,10 +364,19 @@ def main(argv: list[str] | None = None) -> int:
     if args.lm_save and not args.lm_reference:
         p.error("--lm-save requires --lm-reference (it persists the "
                 "freshly trained LM)")
-    if bool(args.dsir_target) != (args.dsir_keep is not None):
-        p.error("--dsir-target and --dsir-keep go together")
+    if args.dsir_target and args.dsir_model:
+        p.error("--dsir-target and --dsir-model are exclusive (fit a "
+                "new importance model or load a saved one, not both)")
+    if bool(args.dsir_target or args.dsir_model) != (
+        args.dsir_keep is not None
+    ):
+        p.error("--dsir-keep goes with exactly one of "
+                "--dsir-target/--dsir-model")
     if args.dsir_keep is not None and args.dsir_keep < 1:
         p.error("--dsir-keep must be >= 1")
+    if args.dsir_save and not args.dsir_target:
+        p.error("--dsir-save requires --dsir-target (it persists the "
+                "freshly fitted model)")
     if bool(args.decontam_bench) != (args.decontam_threshold is not None):
         p.error("--decontam-bench and --decontam-threshold go together")
     if args.decontam_bench and not args.embeddings:
@@ -386,8 +405,10 @@ def main(argv: list[str] | None = None) -> int:
             # at a time (--source-blocklist, a stateless filter, IS
             # allowed on the stream)
             (args.source_cap is not None, "--source-cap"),
-            # DSIR's top-k is a global selection over the whole pool
-            (args.dsir_target is not None, "--dsir-target"),
+            # NB: --dsir-target/--dsir-model ARE allowed here — DSIR
+            # is a join+aggregation selection, so it runs as a
+            # POST-DRAIN batch stage over the accumulated corpus (the
+            # LM precedent), never inside the stream
             (args.source_mixture is not None, "--source-mixture"),
             # url dedup is a global groupBy; the stream's incremental
             # index already dedups content across batches
@@ -590,22 +611,13 @@ def main(argv: list[str] | None = None) -> int:
         )
         report["n_after_decontam"] = filtered.count()
 
-    if args.dsir_target:
-        from solana_snapshot_etl_tools_spark.operators.dsir import (
-            dsir_top_k,
-        )
-
+    if args.dsir_target or args.dsir_model:
         # data SELECTION after the cleaning/decontamination filters
         # (DSIR resamples the clean pool toward the target look) and
         # before the source cap (anti-domination applies to what was
         # actually selected)
-        tgt = spark.read.parquet(args.dsir_target).select("text")
         filtered = DD._cache_for_session(
-            dsir_top_k(
-                filtered,
-                tgt.withColumn("doc_id", F.monotonically_increasing_id()),
-                args.dsir_keep,
-            )
+            _dsir_select(spark, filtered, args, report)
         )
         report["n_after_dsir"] = filtered.count()
 
@@ -916,6 +928,37 @@ def main(argv: list[str] | None = None) -> int:
 
 
 
+def _dsir_select(spark, corpus, args, report):
+    """The --dsir-target/--dsir-model selection stage, shared by the
+    batch pipeline and the stream mode's post-drain pass: fit (or
+    load) the importance model, keep exactly --dsir-keep documents by
+    seeded Gumbel-top-k. With --dsir-model, scoring uses the FIT-TIME
+    raw distribution (the train-once posture)."""
+    from pyspark.sql import functions as F
+
+    from solana_snapshot_etl_tools_spark.operators.dsir import (
+        dsir_fit,
+        dsir_load,
+        dsir_save,
+        dsir_top_k,
+    )
+
+    if args.dsir_model:
+        model = dsir_load(spark, args.dsir_model)
+        report["dsir_model"] = args.dsir_model
+    else:
+        tgt = (
+            spark.read.parquet(args.dsir_target)
+            .select("text")
+            .withColumn("doc_id", F.monotonically_increasing_id())
+        )
+        model = dsir_fit(corpus, tgt)
+        if args.dsir_save:
+            dsir_save(model, args.dsir_save)
+            report["dsir_saved_to"] = args.dsir_save
+    return dsir_top_k(corpus, None, args.dsir_keep, model=model)
+
+
 def _decontam_filter(spark, corpus, args, report):
     """The --decontam-bench stage, shared by the batch pipeline and
     the stream mode's post-drain pass: score the corpus docs that HAVE
@@ -1170,6 +1213,17 @@ def _ingest_stream_main(args) -> int:
             _decontam_filter(spark, corpus, args, report)
         )
         report["n_after_decontam"] = corpus.count()
+    if (args.dsir_target or args.dsir_model) and corpus is not None:
+        # post-drain batch stage (the LM precedent): a join+agg
+        # selection over the corpus accumulated so far; the derived
+        # views below see the resampled subset, the append-only state
+        # stays whole
+        from solana_snapshot_etl_tools_spark.operators import dedup as DD3
+
+        corpus = DD3._cache_for_session(
+            _dsir_select(spark, corpus, args, report)
+        )
+        report["n_after_dsir"] = corpus.count()
     if args.stratified_split and corpus is not None:
         # post-drain batch stage: the exact split is a VIEW over the
         # corpus accumulated SO FAR, rewritten whole each run (the

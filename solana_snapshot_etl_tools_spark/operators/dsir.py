@@ -134,6 +134,110 @@ def _log_ratio_table(
     return table, b
 
 
+def dsir_fit(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int | None = N_BUCKETS_DEFAULT,
+    alpha: float = 0.1,
+    salt: str = "dsir",
+) -> dict:
+    """Fit the importance model: the per-feature log-ratio table plus
+    the featurization parameters. The returned dict feeds
+    :func:`dsir_score` / :func:`dsir_top_k` and persists via
+    :func:`dsir_save` — the train-once/apply-many posture the LM and
+    quality-model filters follow. Scoring a LATER crawl against a
+    saved table uses the FIT-TIME raw distribution as the denominator
+    (the standard posture; refit when the pool drifts)."""
+    from solana_snapshot_etl_tools_spark.operators.dedup import (
+        _cache_for_session,
+    )
+
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    # cache both feature frames: each has two plan consumers here
+    # (the normalizer-stats aggregate and the ratio table), and the
+    # raw side is reused by dsir_score's identical-plan cache hit
+    # when scoring the fit pool itself. Freed by
+    # dedup.release_session_caches(); the cached frames are
+    # (id, feat, cnt) triples, a fraction of the text
+    raw_feats = _cache_for_session(
+        _doc_features(raw, id_col, text_col, n_buckets, salt)
+    )
+    tgt_feats = _cache_for_session(
+        _doc_features(target, id_col, text_col, n_buckets, salt)
+    )
+    table, _ = _log_ratio_table(tgt_feats, raw_feats, n_buckets, alpha)
+    return {"table": table, "n_buckets": n_buckets, "salt": salt}
+
+
+def dsir_score(
+    docs: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, log_weight) for every document with at least one token; a
+    document with no tokens has no features and therefore no row (its
+    weight is the empty product — callers treat it as
+    log 0-information, see :func:`dsir_top_k`).
+
+    With the default hashed buckets the log-ratio table is B rows and
+    broadcast — scoring is scan → map-side join → one partial-agg
+    sum, zero pool shuffle beyond the per-(doc, feat) combine.
+    Features the table never saw (possible when scoring a new crawl
+    against a saved model) carry no evidence and drop out of the
+    sum."""
+    feats = _doc_features(
+        docs, id_col, text_col, model["n_buckets"], model["salt"]
+    )
+    table = model["table"]
+    if model["n_buckets"] is not None:
+        table = F.broadcast(table)
+    return (
+        feats.join(table, "feat")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("cnt") * F.col("_lr")).alias("log_weight"))
+    )
+
+
+def dsir_save(model: dict, path: str) -> None:
+    """Persist a fitted model — the log-ratio table as parquet (the
+    distributed frame never funnels through the driver) plus a
+    one-row JSON meta. Both writes go through the Hadoop FS layer, so
+    ``path`` may be local, HDFS, or S3. Gram mode (``n_buckets is
+    None``) stores the sentinel -1."""
+    table = model["table"]
+    table.write.mode("overwrite").parquet(f"{path}/table")
+    spark = table.sparkSession
+    nb = -1 if model["n_buckets"] is None else int(model["n_buckets"])
+    spark.createDataFrame(
+        [(1, nb, str(model["salt"]))],
+        "format int, n_buckets int, salt string",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+
+
+def dsir_load(spark, path: str) -> dict:
+    """Load a model persisted by :func:`dsir_save` — interchangeable
+    with a fresh :func:`dsir_fit` result (pinned by test)."""
+    rows = spark.read.json(f"{path}/meta").collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"corrupt DSIR meta at {path}/meta: expected 1 row, got "
+            f"{len(rows)}"
+        )
+    meta = rows[0].asDict()
+    if meta.get("format") != 1 or "n_buckets" not in meta or "salt" not in meta:
+        raise ValueError(f"unrecognized DSIR meta at {path}/meta: {meta}")
+    nb = int(meta["n_buckets"])
+    return {
+        "table": spark.read.parquet(f"{path}/table"),
+        "n_buckets": None if nb < 0 else nb,
+        "salt": meta["salt"],
+    }
+
+
 def dsir_log_weights(
     raw: DataFrame,
     target: DataFrame,
@@ -143,45 +247,15 @@ def dsir_log_weights(
     alpha: float = 0.1,
     salt: str = "dsir",
 ) -> DataFrame:
-    """(id, log_weight) for every raw document with at least one
-    token; a document with no tokens has no features and therefore no
-    row (its weight is the empty product — callers treat it as
-    log 0-information, see :func:`dsir_top_k`).
-
-    With the default hashed buckets the log-ratio table is B rows and
-    broadcast — scoring is scan → map-side join → one partial-agg
-    sum, zero pool shuffle beyond the per-(doc, feat) combine."""
-    from solana_snapshot_etl_tools_spark.operators.dedup import (
-        _cache_for_session,
-    )
-
-    if alpha <= 0:
-        raise ValueError(f"alpha must be > 0, got {alpha}")
-    # the raw feature frame has THREE consumers (the normalizer-stats
-    # aggregate, the ratio table, the scoring join) and the target two
-    # — cache both or the explode+combine pipelines re-execute per
-    # consumer (measured 3x wall at sf0.1). Freed by
-    # dedup.release_session_caches(); at cluster scale the cached
-    # frames are (id, feat, cnt) triples, a fraction of the text
-    raw_feats = _cache_for_session(
-        _doc_features(raw, id_col, text_col, n_buckets, salt)
-    )
-    tgt_feats = _cache_for_session(
-        _doc_features(target, id_col, text_col, n_buckets, salt)
-    )
-    table, _ = _log_ratio_table(tgt_feats, raw_feats, n_buckets, alpha)
-    if n_buckets is not None:
-        table = F.broadcast(table)
-    return (
-        raw_feats.join(table, "feat")
-        .groupBy(id_col)
-        .agg(F.sum(F.col("cnt") * F.col("_lr")).alias("log_weight"))
-    )
+    """Fit on (raw, target) and score ``raw`` in one call — the
+    one-shot spelling (see :func:`dsir_fit` / :func:`dsir_score`)."""
+    model = dsir_fit(raw, target, id_col, text_col, n_buckets, alpha, salt)
+    return dsir_score(raw, model, id_col, text_col)
 
 
 def dsir_top_k(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     k: int,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -189,6 +263,7 @@ def dsir_top_k(
     alpha: float = 0.1,
     gumbel: bool = True,
     seed: str = "dsir-gumbel",
+    model: dict | None = None,
 ) -> DataFrame:
     """The selection step: keep exactly ``min(k, |raw|)`` documents.
     With ``gumbel=True`` (the paper's resampling semantics) each
@@ -217,9 +292,14 @@ def dsir_top_k(
 
     if k < 1:
         raise ValueError(f"dsir_top_k needs k >= 1, got {k}")
-    w = dsir_log_weights(
-        raw, target, id_col, text_col, n_buckets, alpha,
-    )
+    if (target is None) == (model is None):
+        raise ValueError(
+            "dsir_top_k takes exactly one of target (fresh fit) or "
+            "model (a dsir_fit/dsir_load result)"
+        )
+    if model is None:
+        model = dsir_fit(raw, target, id_col, text_col, n_buckets, alpha)
+    w = dsir_score(raw, model, id_col, text_col)
     score = F.col("log_weight")
     if gumbel:
         # u in (0,1) from the id hash (never exactly 0/1: offset half
