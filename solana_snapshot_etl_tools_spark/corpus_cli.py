@@ -91,6 +91,16 @@ def main(argv: list[str] | None = None) -> int:
                    "invisible characters, NFKC, collapse whitespace "
                    "(functions/normalize.py). Runs unchanged in "
                    "--ingest-stream")
+    p.add_argument("--boilerplate-min-df", type=int, metavar="N",
+                   default=None,
+                   help="line-wise boilerplate removal (RefinedWeb/C4 "
+                   "rule): strip EVERY copy of any normalized line "
+                   "appearing in >= N distinct documents — "
+                   "navigation/footer/cookie banners "
+                   "(operators/paragraphs.py:boilerplate_filter). "
+                   "Runs after --html-extract/--normalize, before the "
+                   "dedup tier. Batch-only (global doc-frequency "
+                   "count)")
     p.add_argument("--url-dedup", action="store_true",
                    help="exact URL-level dedup on the normalized page "
                    "identity BEFORE text dedup (needs a 'url' column; "
@@ -377,6 +387,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.dsir_save and not args.dsir_target:
         p.error("--dsir-save requires --dsir-target (it persists the "
                 "freshly fitted model)")
+    if args.boilerplate_min_df is not None and args.boilerplate_min_df < 2:
+        p.error("--boilerplate-min-df must be >= 2")
     if bool(args.decontam_bench) != (args.decontam_threshold is not None):
         p.error("--decontam-bench and --decontam-threshold go together")
     if args.decontam_bench and not args.embeddings:
@@ -413,6 +425,8 @@ def main(argv: list[str] | None = None) -> int:
             # url dedup is a global groupBy; the stream's incremental
             # index already dedups content across batches
             (args.url_dedup, "--url-dedup"),
+            # line doc-frequency is a global distinct count
+            (args.boilerplate_min_df is not None, "--boilerplate-min-df"),
             # NB: --lm-reference/--lm-model ARE allowed here — LM
             # scoring is a join+aggregation pipeline, so it runs as a
             # POST-DRAIN batch stage over the accumulated corpus (the
@@ -462,6 +476,16 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         docs = docs.withColumn("text", normalize_text(F.col("text")))
+    if args.boilerplate_min_df is not None:
+        from solana_snapshot_etl_tools_spark.operators.paragraphs import (
+            boilerplate_filter,
+        )
+
+        # strip corpus-frequent lines BEFORE the dedup tier: two pages
+        # differing only in their shared boilerplate must collapse
+        docs = boilerplate_filter(
+            docs, args.boilerplate_min_df
+        ).drop("n_lines", "n_removed_lines")
     report["n_input"] = docs.count()
     if args.source_blocklist:
         from solana_snapshot_etl_tools_spark.operators import (

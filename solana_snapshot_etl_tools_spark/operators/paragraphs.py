@@ -88,7 +88,19 @@ def dedup_paragraphs(
         .groupBy("doc")
         .agg(F.collect_set("pos").alias("_removed"))
     )
+    return _rebuild_without(
+        docs, removed, parts, id_col, text_col, sep,
+        "n_paragraphs", "n_removed_paragraphs",
+    )
 
+
+def _rebuild_without(
+    docs, removed, parts, id_col, text_col, sep, n_name, removed_name
+):
+    """Map-side rebuild shared by the paragraph-granularity filters:
+    join ONLY the compact (doc → removed positions) table back and
+    re-split the original text with a higher-order indexed filter —
+    paragraph text never shuffles."""
     keep = F.filter(
         parts,
         lambda _x, i: F.col("_removed").isNull()
@@ -104,10 +116,68 @@ def dedup_paragraphs(
         .alias(text_col),
         F.when(F.col(text_col).isNull(), F.lit(0))
         .otherwise(F.size(parts))
-        .alias("n_paragraphs"),
-        F.coalesce(F.size("_removed"), F.lit(0)).alias(
-            "n_removed_paragraphs"
-        ),
+        .alias(n_name),
+        F.coalesce(F.size("_removed"), F.lit(0)).alias(removed_name),
+    )
+
+
+def boilerplate_filter(
+    docs: DataFrame,
+    min_doc_freq: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_norm_chars: int = 1,
+) -> DataFrame:
+    """RefinedWeb/C4 line-wise boilerplate removal: a normalized LINE
+    that appears in at least ``min_doc_freq`` DISTINCT documents is
+    navigation/footer/cookie-banner boilerplate — EVERY occurrence is
+    removed, including the first (unlike :func:`dedup_paragraphs`,
+    whose duplicated content has a canonical copy worth keeping,
+    boilerplate has none). Default granularity is the single line
+    (``sep="\\n"``) — the recipes' unit; pass ``"\\n\\n"`` for
+    paragraph-level. Stats columns ``n_lines`` /
+    ``n_removed_lines`` append; null text passes through.
+
+    Within one document a repeated line counts ONCE toward its
+    document frequency (the count is distinct-docs, not occurrences).
+
+    Scale shape: same as :func:`dedup_paragraphs` — the decision
+    pipeline shuffles (key, doc, pos) longs (one partial-aggregable
+    distinct-doc count per key), the rebuild is map-side, text meets
+    at most the one (doc → removed positions) equi-join."""
+    if min_doc_freq < 2:
+        raise ValueError(
+            f"min_doc_freq must be >= 2, got {min_doc_freq} (1 would "
+            "remove every non-exempt line)"
+        )
+    import re as _re
+
+    pat = _re.escape(sep)
+    parts = F.split(F.coalesce(F.col(text_col), F.lit("")), pat, -1)
+    lines = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode_outer(parts).alias("pos", "para"),
+    )
+    keyed = (
+        lines.withColumn("_norm", _norm_para(F.col("para")))
+        .filter(F.length("_norm") >= min_norm_chars)
+        .select("doc", "pos", F.xxhash64("_norm").alias("key"))
+    )
+    hot = (
+        keyed.groupBy("key")
+        .agg(F.count_distinct("doc").alias("_df"))
+        .filter(F.col("_df") >= min_doc_freq)
+        .select("key")
+    )
+    removed = (
+        keyed.join(hot, "key", "left_semi")
+        .groupBy("doc")
+        .agg(F.collect_set("pos").alias("_removed"))
+    )
+    return _rebuild_without(
+        docs, removed, parts, id_col, text_col, sep,
+        "n_lines", "n_removed_lines",
     )
 
 

@@ -1273,3 +1273,44 @@ def test_dsir_stage_batch(spark, tmp_path_factory, capsys):
         corpus_cli.main([src, out, "--ingest-stream", "--index-out",
                          str(base / "idx"), "--dsir-target", tgt,
                          "--dsir-keep", "5"])
+
+
+def test_boilerplate_stage_batch_and_stream_rejection(
+    spark, tmp_path_factory, capsys
+):
+    """--boilerplate-min-df strips corpus-frequent lines BEFORE the
+    dedup tier (pages differing only in shared banners collapse);
+    rejected in stream mode (global distinct count)."""
+    import pytest as _pytest
+
+    base = tmp_path_factory.mktemp("boiler_cli")
+    src = str(base / "docs")
+    banner = "Accept our cookies to continue"
+    body = "a genuinely readable article with many plain words "
+    rows = [
+        (1, f"{banner}\n{body}about rivers " * 1),
+        (2, f"{banner}\n{body}about trains "),
+        # 3 and 4: same article, different banner position — only
+        # boilerplate removal lets exact dedup collapse them
+        (3, f"{banner}\n{body}about ships "),
+        (4, f"{body}about ships \n{banner}"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    out = str(base / "out")
+    rep = _run(
+        capsys, src, out, "--no-pii", "--quality", "0", "--lang", "",
+        "--boilerplate-min-df", "3", "--records-per-shard", "100",
+    )
+    assert rep["n_after_dedup"] == 3  # 3/4 collapsed post-banner-strip
+    texts = {
+        r.doc_id: r.text
+        for name, sz in rep["splits"].items()
+        if sz["rows"]
+        for r in spark.read.parquet(f"{out}/{name}").collect()
+    }
+    assert all("cookies" not in t for t in texts.values())
+    with _pytest.raises(SystemExit):
+        corpus_cli.main([src, out, "--ingest-stream", "--index-out",
+                         str(base / "idx"), "--boilerplate-min-df", "3"])
+    with _pytest.raises(SystemExit):
+        corpus_cli.main([src, out, "--boilerplate-min-df", "1"])

@@ -148,3 +148,110 @@ def test_plan_no_paragraph_text_in_exchanges(spark):
     assert all("para#" not in b for b in exchanges)
     with_text = [b for b in exchanges if re.search(r"\btext#", b)]
     assert len(with_text) <= 1
+
+
+# --- line-wise boilerplate removal ----------------------------------------------
+
+
+def test_boilerplate_filter_removes_every_copy(spark):
+    from solana_snapshot_etl_tools_spark.operators.paragraphs import (
+        boilerplate_filter,
+    )
+
+    rows = [
+        (1, "Cookie notice!\nunique article one\ncookie notice"),
+        (2, "cookie Notice\nanother piece entirely"),
+        (3, "COOKIE notice\nthird story here\nfooter text"),
+        (4, "no banners at all\nfooter text"),
+        (5, None),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in boilerplate_filter(df, 3).collect()}
+    # "cookie notice" normalizes equal across 3 docs -> every copy
+    # dies, INCLUDING the first and doc 1's second occurrence
+    assert out[1].text == "unique article one"
+    assert out[1].n_removed_lines == 2
+    assert out[2].text == "another piece entirely"
+    # "footer text" is in only 2 docs: below min_doc_freq 3, survives
+    assert out[3].text == "third story here\nfooter text"
+    assert out[4].text == "no banners at all\nfooter text"
+    assert out[5].text is None and out[5].n_removed_lines == 0
+    assert out[6].text == "" and out[6].n_lines == 1
+    # at threshold 2 the footer dies too
+    out2 = {
+        r.doc_id: r.text for r in boilerplate_filter(df, 2).collect()
+    }
+    assert out2[3] == "third story here" and out2[4] == "no banners at all"
+    # within-doc repeats count ONCE toward doc frequency: a line
+    # repeated 5 times in one doc is not boilerplate
+    df3 = spark.createDataFrame(
+        [(1, "same line\n" * 5 + "tail"), (2, "other text")],
+        "doc_id long, text string",
+    )
+    out3 = {r.doc_id: r.text for r in boilerplate_filter(df3, 2).collect()}
+    assert out3[1].startswith("same line")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match=">= 2"):
+        boilerplate_filter(df, 1)
+
+
+def test_boilerplate_filter_duckdb_parity_prototype(spark):
+    """The whole rule in DuckDB SQL over the real corpus with a
+    planted banner: normalize lines, count distinct docs per
+    normalized line, rebuild docs without the hot lines."""
+    import duckdb
+
+    from solana_snapshot_etl_tools_spark.operators.paragraphs import (
+        boilerplate_filter,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(60)
+        .withColumn(
+            "text",
+            F.concat(F.lit("Subscribe NOW!\n"), F.col("text"),
+                     F.lit("\nsubscribe now")),
+        )
+    )
+    got = {
+        r.doc_id: r.text
+        for r in boilerplate_filter(docs, 10).collect()
+    }
+    con = duckdb.connect()
+    con.register("docs", docs.toPandas())
+    want = dict(
+        con.execute(
+            """
+            WITH lines AS (
+              SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+                     generate_subscripts(string_split(text, chr(10)), 1) AS pos
+              FROM docs
+            ),
+            keyed AS (
+              SELECT doc_id, pos, line,
+                     trim(regexp_replace(regexp_replace(regexp_replace(
+                       lower(line), '[0-9]+', '', 'g'),
+                       '[^\\p{L}\\s]', '', 'g'),
+                       '\\s+', ' ', 'g')) AS norm
+              FROM lines
+            ),
+            hot AS (
+              SELECT norm FROM keyed WHERE len(norm) >= 1
+              GROUP BY norm HAVING count(DISTINCT doc_id) >= 10
+            )
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY pos)
+                     FILTER (WHERE norm NOT IN (SELECT norm FROM hot)
+                             OR len(norm) < 1)
+            FROM keyed GROUP BY doc_id
+            """
+        ).fetchall()
+    )
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i] == (want[i] or ""), i
