@@ -176,6 +176,14 @@ def main(argv: list[str] | None = None) -> int:
                    "(operators/ngram_lm.py:perplexity_buckets) and "
                    "keep the listed buckets (the paper keeps "
                    "head,middle)")
+    p.add_argument("--lm-bucket-by", choices=["corpus", "lang", "script"],
+                   default="corpus",
+                   help="cutoff granularity for --lm-keep-buckets: "
+                   "'corpus' (one global tercile split), 'lang' / "
+                   "'script' (CCNet's per-language rule — cutoffs per "
+                   "n-gram language id / dominant writing system, so "
+                   "no language is judged by another's fluency scale "
+                   "against the reference)")
     p.add_argument("--lm-ngram", type=int, default=3,
                    help="LM order for --lm-reference (default 3)")
     p.add_argument("--lm-min-count", type=int, default=2,
@@ -371,6 +379,8 @@ def main(argv: list[str] | None = None) -> int:
     if bool(args.lm_reference or args.lm_model) != (n_lm_rules == 1):
         p.error("exactly one of --lm-max-ppl/--lm-keep-buckets goes "
                 "with exactly one of --lm-reference/--lm-model")
+    if args.lm_bucket_by != "corpus" and lm_buckets is None:
+        p.error("--lm-bucket-by goes with --lm-keep-buckets")
     if args.lm_save and not args.lm_reference:
         p.error("--lm-save requires --lm-reference (it persists the "
                 "freshly trained LM)")
@@ -616,9 +626,12 @@ def main(argv: list[str] | None = None) -> int:
         # downstream action — cache the filtered frame before counting
         if lm_buckets is not None:
             # the CCNet bucket rule: cutoffs from THIS corpus's own
-            # perplexity terciles, keep the listed buckets (unscorable
+            # perplexity terciles — per language/script with
+            # --lm-bucket-by — keep the listed buckets (unscorable
             # rows have a NULL bucket and drop, like perplexity_filter)
-            kept = perplexity_buckets(filtered, lm).filter(
+            kept = perplexity_buckets(
+                filtered, lm, stratum_col=_lm_stratum(args)
+            ).filter(
                 F.col("ppl_bucket").isin(lm_buckets)
             ).drop("perplexity", "ppl_bucket")
         else:
@@ -952,6 +965,20 @@ def main(argv: list[str] | None = None) -> int:
 
 
 
+def _lm_stratum(args):
+    """--lm-bucket-by as a stratum expression for perplexity_buckets
+    (None = corpus-global cutoffs)."""
+    from pyspark.sql import functions as F
+
+    from solana_snapshot_etl_tools_spark.functions import text as TXT
+
+    if args.lm_bucket_by == "lang":
+        return TXT.lang_id(F.col("text"))
+    if args.lm_bucket_by == "script":
+        return TXT.dominant_script(F.col("text"))
+    return None
+
+
 def _dsir_select(spark, corpus, args, report):
     """The --dsir-target/--dsir-model selection stage, shared by the
     batch pipeline and the stream mode's post-drain pass: fit (or
@@ -1218,7 +1245,9 @@ def _ingest_stream_main(args) -> int:
                 for b in args.lm_keep_buckets.split(",")
                 if b.strip()
             ]
-            kept = perplexity_buckets(corpus, lm).filter(
+            kept = perplexity_buckets(
+                corpus, lm, stratum_col=_lm_stratum(args)
+            ).filter(
                 F.col("ppl_bucket").isin(lm_buckets)
             ).drop("perplexity", "ppl_bucket")
         else:

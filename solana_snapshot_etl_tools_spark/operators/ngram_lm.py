@@ -305,7 +305,7 @@ def perplexity_buckets(
     model: dict,
     id_col: str = "doc_id",
     text_col: str = "text",
-    stratum_col: str | None = None,
+    stratum_col=None,
     cuts: tuple = (1 / 3, 2 / 3),
     labels: tuple = ("head", "middle", "tail"),
     accuracy: int = 10_000,
@@ -313,7 +313,8 @@ def perplexity_buckets(
     """CCNet's head/middle/tail split: every input row plus
     ``perplexity`` and ``ppl_bucket``, where the bucket cutoffs are
     the ``cuts`` perplexity percentiles of THIS corpus — computed per
-    ``stratum_col`` value when given (the paper computes per-LANGUAGE
+    ``stratum_col`` (a column name or a Column expression, e.g.
+    ``lang_id(text)``) when given (the paper computes per-LANGUAGE
     cutoffs, so no language is judged by another's fluency scale).
     Upper bounds are inclusive; unscorable rows (null/blank text)
     keep NULL in both new columns — route or drop them explicitly.
@@ -335,9 +336,12 @@ def perplexity_buckets(
         F.col(id_col), F.col("perplexity")
     )
     work = docs.join(scored, id_col, "left")
-    strat = (
-        F.col(stratum_col) if stratum_col is not None else F.lit("_all")
-    )
+    if stratum_col is None:
+        strat = F.lit("_all")
+    elif isinstance(stratum_col, str):
+        strat = F.col(stratum_col)
+    else:
+        strat = stratum_col
     cuts_df = (
         work.filter(F.col("perplexity").isNotNull())
         .groupBy(strat.alias("_strat"))

@@ -424,3 +424,67 @@ def test_cli_lm_keep_buckets_stream_post_drain(spark, tmp_path_factory, capsys):
     assert rep["n_corpus"] == 60  # append-only state unfiltered
     assert 0.5 * 60 <= rep["n_after_lm_filter"] <= 0.8 * 60
     assert rep["data_card"]["n_docs"] == rep["n_after_lm_filter"]
+
+
+def test_cli_lm_bucket_by_script(spark, tmp_path_factory, capsys):
+    """--lm-bucket-by script: per-writing-system cutoffs keep a head
+    share of EVERY script; corpus-global cutoffs against a Latin
+    reference drop the (uniformly high-perplexity) Cyrillic side
+    wholesale."""
+    import json as _json
+
+    from solana_snapshot_etl_tools_spark import corpus_cli
+    from solana_snapshot_etl_tools_spark.functions.text import (
+        dominant_script,
+    )
+
+    base = tmp_path_factory.mktemp("lm_bucket_by")
+    latin = "the quick brown fox reads many fine books about rivers "
+    cyr = "быстрая коричневая лиса читает много хороших книг о реках "
+    rows = [(i, latin + f"doc {i} " * (1 + i % 3)) for i in range(18)] + [
+        (100 + i, cyr + f"док {i} " * (1 + i % 3)) for i in range(18)
+    ]
+    src = str(base / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    ref = str(base / "ref")
+    spark.createDataFrame(
+        [(i, latin * 2) for i in range(6)], "doc_id long, text string"
+    ).write.parquet(ref)
+
+    def run(*argv):
+        assert corpus_cli.main(list(argv)) == 0
+        out = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+        return _json.loads(out[-1])
+
+    def kept_scripts(out_dir, rep):
+        per = {}
+        for name, sz in rep["splits"].items():
+            if not sz["rows"]:
+                continue
+            df = spark.read.parquet(f"{out_dir}/{name}").withColumn(
+                "_s", dominant_script(F.col("text"))
+            )
+            for r in df.groupBy("_s").count().collect():
+                per[r._s] = per.get(r._s, 0) + r["count"]
+        return per
+
+    o1 = str(base / "global")
+    rep1 = run(src, o1, "--no-pii", "--quality", "0", "--lang", "",
+               "--lm-reference", ref, "--lm-keep-buckets", "head")
+    g = kept_scripts(o1, rep1)
+    # global terciles vs a Latin reference: the head is Latin-only
+    assert g.get("cyrillic", 0) == 0 and g.get("latin", 0) > 0
+
+    o2 = str(base / "by_script")
+    rep2 = run(src, o2, "--no-pii", "--quality", "0", "--lang", "",
+               "--lm-reference", ref, "--lm-keep-buckets", "head",
+               "--lm-bucket-by", "script")
+    s = kept_scripts(o2, rep2)
+    # per-script cutoffs: each script keeps its own head share
+    assert s.get("cyrillic", 0) >= 4 and s.get("latin", 0) >= 4
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):  # bucket-by without buckets
+        corpus_cli.main([src, o1, "--lm-reference", ref,
+                         "--lm-max-ppl", "100", "--lm-bucket-by", "lang"])
