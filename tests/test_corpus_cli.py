@@ -1266,13 +1266,14 @@ def test_dsir_stage_batch(spark, tmp_path_factory, capsys):
     assert len(kept) == 8
     # the resample must skew hard toward the target-like half
     assert sum(1 for i in kept if i < 100) >= 6
-    # pairing + stream-mode guards
+    # pairing guards (stream mode ACCEPTS --dsir-target since the
+    # post-drain stage landed — covered by
+    # test_cli_dsir_save_then_model_and_stream_post_drain)
     with _pytest.raises(SystemExit):
         corpus_cli.main([src, out, "--dsir-target", tgt])
     with _pytest.raises(SystemExit):
-        corpus_cli.main([src, out, "--ingest-stream", "--index-out",
-                         str(base / "idx"), "--dsir-target", tgt,
-                         "--dsir-keep", "5"])
+        corpus_cli.main([src, out, "--dsir-target", tgt,
+                         "--dsir-keep", "0"])
 
 
 def test_boilerplate_stage_batch_and_stream_rejection(
