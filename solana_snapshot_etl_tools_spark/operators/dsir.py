@@ -336,3 +336,142 @@ def dsir_top_k(
         order_by=F.col("_neg_q"),
     ).select(id_col)
     return raw.join(kept_ids, id_col, "left_semi")
+
+
+def _calibrate(w: DataFrame, n_expected: int, max_iter: int):
+    """The scale c solving ``sum(min(1, c*w)) = n_expected`` over the
+    (id, _w) frame, or None when the ask is infeasible (n_expected >=
+    scorable pool / zero weight mass). Fixed point ``c = (n_expected
+    - n_clamped) / sum(w unclamped)`` — monotone across the clamp
+    boundary, one aggregate per step."""
+    row = w.agg(F.count(F.lit(1)), F.sum("_w")).collect()[0]
+    n_scorable, total_w = int(row[0]), float(row[1] or 0.0)
+    if n_scorable <= n_expected or total_w <= 0:
+        return None
+    c = n_expected / total_w
+    for _ in range(max_iter):
+        stats = w.agg(
+            F.sum(F.when(F.col("_w") * c >= 1.0, 1).otherwise(0)),
+            F.sum(F.when(F.col("_w") * c < 1.0, F.col("_w"))),
+        ).collect()[0]
+        n_clamped, mass = int(stats[0] or 0), float(stats[1] or 0.0)
+        if n_clamped >= n_expected or mass <= 0:
+            # the weight mass is so peaked that the clamped docs alone
+            # meet the ask: keep that clamp-set distribution
+            break
+        c_next = (n_expected - n_clamped) / mass
+        if abs(c_next - c) <= 1e-12 * max(1.0, abs(c)):
+            c = c_next
+            break
+        c = c_next
+    return c
+
+
+def dsir_scale(
+    raw: DataFrame,
+    model: dict,
+    n_expected: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_iter: int = 8,
+) -> float:
+    """Calibrate the :func:`dsir_sample` scale ONCE on a reference
+    pool (typically the fit pool) and reuse it with
+    ``dsir_sample(..., scale=c)`` on later arrivals — the
+    append-stable streaming posture: a fixed (model, scale) pair makes
+    every per-row decision depend only on (id, weight). Returns the
+    keep-everything degenerate as ``float('inf')`` when ``n_expected``
+    covers the whole scorable pool."""
+    from solana_snapshot_etl_tools_spark.operators.dedup import (
+        _cache_for_session,
+    )
+
+    if n_expected < 1:
+        raise ValueError(f"dsir_scale needs n_expected >= 1, got {n_expected}")
+    w = _cache_for_session(
+        dsir_score(raw, model, id_col, text_col).select(
+            id_col, F.exp(F.col("log_weight")).alias("_w")
+        )
+    )
+    c = _calibrate(w, n_expected, max_iter)
+    return float("inf") if c is None else float(c)
+
+
+def dsir_sample(
+    raw: DataFrame,
+    target: DataFrame | None,
+    n_expected: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int | None = N_BUCKETS_DEFAULT,
+    alpha: float = 0.1,
+    seed: str = "dsir-sample",
+    model: dict | None = None,
+    max_iter: int = 8,
+    scale: float | None = None,
+) -> DataFrame:
+    """Bernoulli selection proportional to the importance weight —
+    the cheaper complement of :func:`dsir_top_k`: each document keeps
+    independently with probability ``min(1, c·w_i)``, at the cost of
+    a ~sqrt(n) binomial spread around ``n_expected`` instead of an
+    exact count.
+
+    By default ``c`` is CALIBRATED TO THIS POOL so the expected keep
+    count equals ``n_expected`` even where the probability clamps at
+    1 (very target-like docs): the fixed point ``c = (n_expected -
+    n_clamped) / sum(w_i unclamped)`` converges in a few steps
+    because each step only moves documents across the clamp boundary
+    monotonically — each iteration is ONE aggregate over the cached
+    (id, weight) frame, never a sort. Per-pool calibration makes the
+    draw append-UNSTABLE (growing the pool shrinks c and can flip
+    prior keeps — the ``stratified_split`` caveat). For append-STABLE
+    streaming use, pass an explicit ``scale`` (e.g. calibrated once
+    on the fit pool and reused with a held-fixed ``model``): the
+    per-row rule then depends only on (id, weight, scale) and new
+    documents never flip old decisions — the hash-acceptance contract
+    the sampler family shares. ``n_expected`` is ignored when
+    ``scale`` is given.
+
+    Infeasible asks (``n_expected`` >= pool, or a weight mass so
+    peaked that every scorable doc clamps) keep every scorable
+    document. Tokenless documents have no weight and are never kept
+    (weight 0 — unlike :func:`dsir_top_k`'s rank-last fill, a
+    proportional draw of zero weight is zero).
+
+    The acceptance draw is ``u < p`` with ``u`` from
+    ``xxhash64(id, seed)`` — deterministic, partition-invariant."""
+    from solana_snapshot_etl_tools_spark.operators.dedup import (
+        _cache_for_session,
+    )
+
+    if n_expected < 1:
+        raise ValueError(f"dsir_sample needs n_expected >= 1, got {n_expected}")
+    if (target is None) == (model is None):
+        raise ValueError(
+            "dsir_sample takes exactly one of target (fresh fit) or "
+            "model (a dsir_fit/dsir_load result)"
+        )
+    if model is None:
+        model = dsir_fit(raw, target, id_col, text_col, n_buckets, alpha)
+    w = _cache_for_session(
+        dsir_score(raw, model, id_col, text_col).select(
+            id_col, F.exp(F.col("log_weight")).alias("_w")
+        )
+    )
+    if scale is not None:
+        if scale <= 0:
+            raise ValueError(f"scale must be > 0, got {scale}")
+        c = float(scale)
+    else:
+        c = _calibrate(w, n_expected, max_iter)
+        if c is None:  # infeasible ask: keep every scorable doc
+            return raw.join(w.select(id_col), id_col, "left_semi")
+    # deterministic u in [0,1) from the id hash
+    u = (
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1 << 40))
+        / F.lit(float(1 << 40))
+    )
+    kept_ids = w.filter(u < F.least(F.col("_w") * F.lit(c), F.lit(1.0))).select(
+        id_col
+    )
+    return raw.join(kept_ids, id_col, "left_semi")

@@ -252,3 +252,82 @@ def test_cli_dsir_save_then_model_and_stream_post_drain(
     with _pytest.raises(SystemExit):  # save needs target
         corpus_cli.main([src, str(base / "o5"), "--dsir-model", mdl,
                          "--dsir-keep", "5", "--dsir-save", mdl])
+
+
+def test_dsir_sample_calibration_and_append_stability(spark):
+    """Bernoulli selection ∝ weight: realized keep count lands near
+    the calibrated expectation even with clamped (p=1) docs,
+    target-like docs keep at a far higher rate, decisions are
+    append-stable, and tokenless docs are never kept."""
+    sparky = "spark shuffle partitions executors streaming optimizer "
+    offtopic = "sourdough bread rye flour honey garden tomato basil "
+    rows = (
+        [(i, sparky + f"v{i} " * (1 + i % 3)) for i in range(100)]
+        + [(1000 + i, offtopic + f"n{i} " * (1 + i % 3)) for i in range(300)]
+        + [(9000, "")]
+    )
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(0, "the spark optimizer shuffles streaming partitions "
+             "across executors")],
+        "doc_id long, text string",
+    )
+    kept = {
+        r.doc_id for r in DS.dsir_sample(raw, target, 120).collect()
+    }
+    assert 9000 not in kept
+    # calibrated expectation: binomial spread around 120 (sd ~ 10)
+    assert 80 <= len(kept) <= 160, len(kept)
+    on = sum(1 for i in kept if i < 1000)
+    off = len(kept) - on
+    # the sparky 25% of the pool dominates the draw
+    assert on >= 2 * off, (on, off)
+    # determinism + partition invariance
+    kept2 = {
+        r.doc_id
+        for r in DS.dsir_sample(raw.repartition(11), target, 120).collect()
+    }
+    assert kept2 == kept
+    # append stability needs BOTH the model and the scale held fixed
+    # (per-pool calibration is append-unstable by contract): calibrate
+    # the scale ONCE on the fit pool (dsir_scale), then growing the
+    # pool never flips an old decision
+    model = DS.dsir_fit(raw, target)
+    c = DS.dsir_scale(raw, model, 120)
+    assert 0 < c < float("inf")
+    base_kept = {
+        r.doc_id
+        for r in DS.dsir_sample(
+            raw, None, 1, model=model, scale=c
+        ).collect()
+    }
+    assert 80 <= len(base_kept) <= 160  # same draw as the calibrated run
+    grown = raw.unionByName(
+        spark.createDataFrame(
+            [(5000 + i, offtopic + f"x{i}") for i in range(50)],
+            "doc_id long, text string",
+        )
+    )
+    grown_kept = {
+        r.doc_id
+        for r in DS.dsir_sample(
+            grown, None, 1, model=model, scale=c
+        ).collect()
+    }
+    assert {i for i in grown_kept if i < 5000} == base_kept
+    # while per-pool calibration (no scale) is a NEW draw on the grown
+    # pool — the documented stratified_split-style caveat
+    recal = {
+        r.doc_id
+        for r in DS.dsir_sample(grown, None, 120, model=model).collect()
+    }
+    assert 80 <= len(recal) <= 160
+    # infeasible ask keeps every scorable doc
+    everything = {
+        r.doc_id for r in DS.dsir_sample(raw, target, 10_000).collect()
+    }
+    assert everything == {i for i, _ in rows if i != 9000}
+    with pytest.raises(ValueError, match="exactly one"):
+        DS.dsir_sample(raw, target, 10, model=model)
+    with pytest.raises(ValueError, match="n_expected"):
+        DS.dsir_sample(raw, target, 0)
