@@ -241,3 +241,183 @@ def bloom_might_contain(
 from solana_snapshot_etl_tools_spark._pickle import register_self as _rs  # noqa: E402
 
 _rs(__name__)
+
+
+# --- sharded filters (past the closure cap) --------------------------------------
+#
+# One filter bigger than MAX_BLOOM_BYTES cannot ride a task closure.
+# The scale design the module docstring promises: split the KEY SPACE
+# into shards (a hash of the key, NOT of the bit positions), give
+# every shard its own right-sized filter, persist them as one parquet
+# table partitioned by shard, and probe by repartitioning the probe
+# frame on the shard key — each task then loads ONLY its shards'
+# chunk rows from storage (partition-pruned parquet read, executor-
+# side) and holds one shard's bit array at a time. Memory per task =
+# one shard, not the filter.
+
+_SHARD_SALT = "bloom-shard"
+
+
+def bloom_build_sharded(
+    df: DataFrame,
+    cols,
+    n_shards: int,
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """(shard, chunk, bits, m_bits, n_hashes, n_shards) rows — write
+    with ``.partitionBy("shard")`` so probes prune to their shards.
+    Sizing is per shard (``expected_items / n_shards``); keys route to
+    shards by an INDEPENDENT hash salt, so shard skew is the binomial
+    spread, not data skew."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if isinstance(cols, str):
+        cols = [cols]
+    if expected_items is None:
+        expected_items = df.count()
+    per_shard = max(1, -(-expected_items // n_shards))
+    m, k = _params(per_shard, fpp)
+    cs = [F.col(c) for c in cols]
+    shard = F.pmod(F.xxhash64(*cs, F.lit(_SHARD_SALT)), F.lit(n_shards))
+    keyed = df.select(
+        shard.alias("_shard"),
+        F.xxhash64(*cs).alias("_h1"),
+        F.xxhash64(*cs, F.lit(_SALT2)).alias("_h2"),
+    )
+
+    def sparse_updates(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_s, out_c, out_b = [], [], []
+            for s in pdf["_shard"].unique():
+                sub = pdf[pdf["_shard"] == s]
+                pos = _positions(sub["_h1"], sub["_h2"], k, m).ravel()
+                chunks = (pos // CHUNK_BITS).astype(np.int64)
+                for c in np.unique(chunks):
+                    local = pos[chunks == c] - c * CHUNK_BITS
+                    bits = np.zeros(CHUNK_BITS // 8, dtype=np.uint8)
+                    np.bitwise_or.at(
+                        bits, local // 8, (1 << (local % 8)).astype(np.uint8)
+                    )
+                    out_s.append(int(s))
+                    out_c.append(int(c))
+                    out_b.append(bits.tobytes())
+            yield pd.DataFrame(
+                {"shard": out_s, "chunk": out_c, "bits": out_b}
+            )
+
+    def or_group(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        acc = np.zeros(CHUNK_BITS // 8, dtype=np.uint8)
+        for blob in pdf["bits"]:
+            acc |= np.frombuffer(blob, dtype=np.uint8)
+        return pd.DataFrame(
+            {"shard": [key[0]], "chunk": [key[1]], "bits": [acc.tobytes()]}
+        )
+
+    partials = keyed.mapInPandas(
+        sparse_updates, "shard int, chunk int, bits binary"
+    )
+    merged = partials.groupBy("shard", "chunk").applyInPandas(
+        or_group, "shard int, chunk int, bits binary"
+    )
+    return merged.select(
+        "shard", "chunk", "bits",
+        F.lit(m).alias("m_bits"), F.lit(k).alias("n_hashes"),
+        F.lit(n_shards).alias("n_shards"),
+    )
+
+
+def bloom_might_contain_sharded(
+    df: DataFrame,
+    bloom_path: str,
+    cols,
+    flag_col: str = "might_contain",
+) -> DataFrame:
+    """Probe a sharded filter persisted at ``bloom_path`` (written by
+    ``bloom_build_sharded(...).write.partitionBy("shard")``): the
+    probe frame repartitions on the shard key, and each task loads
+    ONLY its shards' chunk rows via a partition-pruned parquet read —
+    executor-side, one shard's bit array in memory at a time. Same
+    contract as :func:`bloom_might_contain`: False = definitely
+    absent, no false negatives."""
+    import os
+
+    if isinstance(cols, str):
+        cols = [cols]
+    spark = df.sparkSession
+    meta = spark.read.parquet(bloom_path).select(
+        "m_bits", "n_hashes", "n_shards"
+    ).first()
+    if meta is None:
+        return df.withColumn(flag_col, F.lit(False))
+    m, k, n_shards = int(meta.m_bits), int(meta.n_hashes), int(meta.n_shards)
+    # the path must be worker-resolvable; make local paths absolute
+    path = bloom_path if "://" in bloom_path else os.path.abspath(bloom_path)
+
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(flag_col, BooleanType())]
+    )
+    cs = [F.col(c) for c in cols]
+    work = (
+        df.withColumn(
+            "_shard",
+            F.pmod(F.xxhash64(*cs, F.lit(_SHARD_SALT)), F.lit(n_shards)),
+        )
+        .withColumn("_h1", F.xxhash64(*cs))
+        .withColumn("_h2", F.xxhash64(*cs, F.lit(_SALT2)))
+        .repartition(n_shards, F.col("_shard"))
+    )
+
+    def test(batches):
+        import numpy as np
+        import pyarrow.dataset as ds
+
+        step = CHUNK_BITS // 8
+        cache: dict[int, np.ndarray] = {}
+
+        def load(s: int) -> np.ndarray:
+            if s not in cache:
+                # a task sees the few shards hashing to its partition;
+                # keep them all (bounded by shards-per-partition)
+                tbl = ds.dataset(path, format="parquet",
+                                 partitioning="hive").to_table(
+                    columns=["chunk", "bits"],
+                    filter=ds.field("shard") == s,
+                )
+                arr = np.zeros(m // 8, dtype=np.uint8)
+                for c, blob in zip(
+                    tbl.column("chunk").to_pylist(),
+                    tbl.column("bits").to_pylist(),
+                ):
+                    arr[c * step:(c + 1) * step] |= np.frombuffer(
+                        blob, dtype=np.uint8
+                    )
+                cache[s] = arr
+            return cache[s]
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            flags = np.zeros(len(pdf), dtype=bool)
+            for s in pdf["_shard"].unique():
+                mask = (pdf["_shard"] == s).to_numpy()
+                sub = pdf[mask]
+                arr = load(int(s))
+                pos = _positions(sub["_h1"], sub["_h2"], k, m)
+                hit = (arr[pos // 8] >> (pos % 8).astype(np.uint8)) & 1
+                flags[mask] = hit.all(axis=1)
+            out = pdf.drop(columns=["_shard", "_h1", "_h2"])
+            out[flag_col] = flags
+            yield out
+
+    return work.mapInPandas(test, out_schema)

@@ -210,3 +210,38 @@ def test_stream_ingest_maintains_bloom_and_guards_coverage(
     process_ingest_batch(b2, 2, idx, corp)
     spark.catalog.refreshByPath(corp)
     assert spark.read.parquet(corp).filter("doc_id >= 6000000").count() == 0
+
+
+def test_sharded_bloom_same_contract(spark, tmp_path_factory):
+    """The key-space-sharded variant (the past-MAX_BLOOM_BYTES design):
+    no false negatives, sane fpp, executor-side partition-pruned shard
+    loads, one shard's array in memory at a time."""
+    base = tmp_path_factory.mktemp("bloom_sharded")
+    members = _members(spark, 4000)
+    filt = B.bloom_build_sharded(members, "key", n_shards=7, fpp=0.01)
+    path = str(base / "bloom")
+    filt.write.partitionBy("shard").parquet(path)
+    # every shard materialized, per-shard sizing recorded
+    stored = spark.read.parquet(path)
+    assert stored.select("shard").distinct().count() == 7
+    assert stored.select("n_shards").first().n_shards == 7
+
+    flagged = B.bloom_might_contain_sharded(members, path, "key")
+    assert flagged.filter(~F.col("might_contain")).count() == 0
+    probes = _members(spark, 20000, offset=1_000_000)
+    hits = (
+        B.bloom_might_contain_sharded(probes, path, "key")
+        .filter(F.col("might_contain"))
+        .count()
+    )
+    assert hits / 20000 < 0.03
+    # build partition invariance
+    filt2 = B.bloom_build_sharded(
+        members.repartition(13), "key", n_shards=7, fpp=0.01
+    )
+    path2 = str(base / "bloom2")
+    filt2.write.partitionBy("shard").parquet(path2)
+    again = B.bloom_might_contain_sharded(members, path2, "key")
+    assert again.filter(~F.col("might_contain")).count() == 0
+    with pytest.raises(ValueError, match="n_shards"):
+        B.bloom_build_sharded(members, "key", n_shards=0)
