@@ -379,6 +379,23 @@ def main() -> None:
         filt.unpersist()
         release_session_caches()
 
+        from solana_snapshot_etl_tools_spark.operators.paragraphs import (
+            boilerplate_filter,
+        )
+
+        banner = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("Subscribe to our newsletter\n"), F.col("text")
+            ).alias("text"),
+        )
+        t0 = time.time()
+        boilerplate_filter(banner, 10).agg(
+            F.sum("n_removed_lines")
+        ).collect()
+        diag["boilerplate_filter_sec"] = round(time.time() - t0, 4)
+        release_session_caches()
+
         from solana_snapshot_etl_tools_spark.operators import (
             ngram_lm as NLM2,
         )

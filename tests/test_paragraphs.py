@@ -255,3 +255,30 @@ def test_boilerplate_filter_duckdb_parity_prototype(spark):
     assert set(got) == set(want)
     for i in want:
         assert got[i] == (want[i] or ""), i
+
+
+def test_boilerplate_filter_paragraph_granularity(spark):
+    """sep='\\n\\n' switches the unit to paragraphs — a banner
+    paragraph containing internal newlines dies whole."""
+    from solana_snapshot_etl_tools_spark.operators.paragraphs import (
+        boilerplate_filter,
+    )
+
+    banner = "Follow us:\ntwitter facebook"
+    rows = [
+        (1, f"{banner}\n\nstory one"),
+        (2, f"{banner}\n\nstory two"),
+        (3, f"story three\n\n{banner}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.text
+        for r in boilerplate_filter(df, 3, sep="\n\n").collect()
+    }
+    assert out == {1: "story one", 2: "story two", 3: "story three"}
+    # at line granularity only the banner's LINES die (both of them)
+    out2 = {
+        r.doc_id: r.text
+        for r in boilerplate_filter(df, 3, sep="\n").collect()
+    }
+    assert out2[1] == "\nstory one"  # the blank separator line survives
