@@ -155,6 +155,7 @@ def dedup_against_index(
     n_hashes: int = N_HASHES,
     bands: int = LSH_BANDS,
     bloom: DataFrame | None = None,
+    bloom_sharded_path: str | None = None,
 ) -> DataFrame:
     """Flag each new row with ``dup_exact`` / ``dup_near_candidate``
     (vs the corpus index AND earlier rows of this shard); all input
@@ -194,6 +195,11 @@ def dedup_against_index(
     # only add join rows, and false negatives cannot occur — the flag
     # set is IDENTICAL with and without the filter (pinned by test)
     probe = exact_new
+    if bloom is not None and bloom_sharded_path is not None:
+        raise ValueError(
+            "pass one of bloom (chunk-row frame) or bloom_sharded_path "
+            "(a bloom_build_sharded store), not both"
+        )
     if bloom is not None:
         from solana_snapshot_etl_tools_spark.operators.bloom import (
             bloom_might_contain,
@@ -201,6 +207,20 @@ def dedup_against_index(
 
         probe = (
             bloom_might_contain(exact_new, bloom, "key", "_mc")
+            .filter(F.col("_mc"))
+            .drop("_mc")
+        )
+    elif bloom_sharded_path is not None:
+        # the past-closure-cap spelling: each task loads only its key
+        # shards from the store (partition-pruned, executor-side)
+        from solana_snapshot_etl_tools_spark.operators.bloom import (
+            bloom_might_contain_sharded,
+        )
+
+        probe = (
+            bloom_might_contain_sharded(
+                exact_new, bloom_sharded_path, "key", "_mc"
+            )
             .filter(F.col("_mc"))
             .drop("_mc")
         )

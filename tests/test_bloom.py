@@ -245,3 +245,49 @@ def test_sharded_bloom_same_contract(spark, tmp_path_factory):
     assert again.filter(~F.col("might_contain")).count() == 0
     with pytest.raises(ValueError, match="n_shards"):
         B.bloom_build_sharded(members, "key", n_shards=0)
+
+
+def test_incremental_probe_with_sharded_store(spark, tmp_path_factory):
+    """dedup_against_index(bloom_sharded_path=...) — identical flags
+    to the unaccelerated probe, with the sharded store's executor-side
+    loads."""
+    from solana_snapshot_etl_tools_spark.operators import incremental as INC
+    from solana_snapshot_etl_tools_spark.operators.dedup import (
+        release_session_caches,
+    )
+
+    base = tmp_path_factory.mktemp("inc_sharded")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    old = docs.filter("doc_id % 2 = 0")
+    new = docs.filter("doc_id % 2 = 1").unionByName(
+        old.limit(5).select(
+            (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
+        )
+    )
+    index = INC.build_index(old)
+    path = str(base / "bloom")
+    B.bloom_build_sharded(
+        index.filter("band = -1").select("key"), "key", n_shards=4
+    ).write.partitionBy("shard").parquet(path)
+    base_flags = {
+        (r.doc_id, r.dup_exact, r.dup_near_candidate)
+        for r in INC.dedup_against_index(new, index).collect()
+    }
+    release_session_caches()
+    sharded_flags = {
+        (r.doc_id, r.dup_exact, r.dup_near_candidate)
+        for r in INC.dedup_against_index(
+            new, index, bloom_sharded_path=path
+        ).collect()
+    }
+    release_session_caches()
+    assert sharded_flags == base_flags
+    assert sum(1 for _, ex, _n in base_flags if ex) == 5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not both"):
+        INC.dedup_against_index(
+            new, index, bloom=spark.range(0).select(), bloom_sharded_path=path
+        )
