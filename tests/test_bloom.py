@@ -291,3 +291,50 @@ def test_incremental_probe_with_sharded_store(spark, tmp_path_factory):
         INC.dedup_against_index(
             new, index, bloom=spark.range(0).select(), bloom_sharded_path=path
         )
+
+
+def test_bloom_flags_match_python_reference_exactly(spark):
+    """Beyond no-false-negatives: rebuild the filter in pure Python
+    from the Spark-exported double hashes and require EXACT flag
+    agreement (members and non-members alike) — pins the sizing, the
+    position arithmetic, and the bit packing end-to-end."""
+    import numpy as np
+
+    members = _members(spark, 800)
+    probes = _members(spark, 2000, offset=500)  # overlaps members 500..799
+    filt = B.bloom_build(members, "key", fpp=0.01)
+    m = int(filt.select("m_bits").first().m_bits)
+    k = int(filt.select("n_hashes").first().n_hashes)
+
+    def hashes(df):
+        return {
+            r.key: (np.uint64(r._h1 & (2**64 - 1)),
+                    np.uint64(r._h2 & (2**64 - 1)))
+            for r in df.select(
+                "key",
+                F.xxhash64("key").alias("_h1"),
+                F.xxhash64("key", F.lit("bloom-h2")).alias("_h2"),
+            ).collect()
+        }
+
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    np.seterr(over="ignore")  # uint64 wraparound IS the scheme
+    for h1, h2 in hashes(members).values():
+        for i in range(k):
+            p = int((h1 + np.uint64(i) * h2) % np.uint64(m))
+            bits[p // 8] |= 1 << (p % 8)
+
+    want = {}
+    for key, (h1, h2) in hashes(probes).items():
+        want[key] = all(
+            bits[(p := int((h1 + np.uint64(i) * h2) % np.uint64(m))) // 8]
+            >> (p % 8) & 1
+            for i in range(k)
+        )
+    got = {
+        r.key: r.might_contain
+        for r in B.bloom_might_contain(probes, filt, "key").collect()
+    }
+    assert got == want
+    # and the reference agrees a real member is always present
+    assert all(want[f"key-{i}"] for i in range(500, 800))

@@ -506,3 +506,42 @@ def test_psl_randomized_vs_python_reference(spark):
             # url_host strips a leading www. label before matching
             eff = h[4:] if h.startswith("www.") and len(h) > 4 else h
             assert g == ref(eff, fallback=fb), (h, eff, g, fb)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.text(max_size=30),
+            st.sampled_from(
+                ["com", "co.uk", "*.ck", "!www.ck", "// c", "", "  ",
+                 "*.", "!", "a.b.c.d.e", "UPPER.Case", "rule trailing junk"]
+            ),
+        ),
+        max_size=30,
+    )
+)
+def test_parse_psl_fuzz_invariants(lines):
+    """_parse_psl never crashes on junk (except the documented
+    mid-string-wildcard rejection) and its outputs obey the format
+    invariants: lowercase keys, no '!'/'*.' prefixes, label counts
+    consistent."""
+    try:
+        rules = DOM._parse_psl(lines)
+    except ValueError as e:
+        assert "wildcard position" in str(e)
+        return
+    for kind, mapping in rules.items():
+        for key, n in mapping.items():
+            assert key == key.lower()
+            assert not key.startswith("!") and not key.startswith("*.")
+            labels = key.split(".")
+            if kind == "exact":
+                assert n == len(labels)
+            elif kind == "wild":
+                assert n == len(labels)
+            else:  # exc: public suffix = rule minus leftmost label
+                assert n == len(labels) - 1
