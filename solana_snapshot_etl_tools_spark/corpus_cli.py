@@ -26,7 +26,7 @@ library stages in production order (the same order the declared
         [--lm-reference REF.parquet [--lm-save DIR] | --lm-model DIR] \\
         [--lm-max-ppl P | --lm-keep-buckets head,middle] \\
         [--dsir-target T.parquet [--dsir-save DIR] | --dsir-model DIR] \\
-        [--dsir-keep N] \\
+        [--dsir-keep N | --dsir-sample N] \\
         [--source-blocklist FILE] [--source-cap N] \\
         [--source-mixture SRC=W,SRC=W,...] \\
         [--embeddings EMB.parquet [--cluster-balance K [--alpha 0.0]] \\
@@ -198,8 +198,15 @@ def main(argv: list[str] | None = None) -> int:
                    "target. Runs after the cleaning filters, before "
                    "the source cap. Batch-only (global selection)")
     p.add_argument("--dsir-keep", type=int, metavar="N", default=None,
-                   help="number of documents DSIR keeps (goes with "
-                   "exactly one of --dsir-target/--dsir-model)")
+                   help="keep EXACTLY N documents via Gumbel-top-k "
+                   "(goes with exactly one of "
+                   "--dsir-target/--dsir-model)")
+    p.add_argument("--dsir-sample", type=int, metavar="N", default=None,
+                   help="keep N documents IN EXPECTATION via "
+                   "Bernoulli draws proportional to the importance "
+                   "weight (dsir.dsir_sample — the cheaper selection, "
+                   "~sqrt(N) binomial spread; per-pool calibration, "
+                   "append-unstable). Alternative to --dsir-keep")
     p.add_argument("--dsir-model", metavar="DIR", default=None,
                    help="load a FITTED importance model persisted by "
                    "--dsir-save (dsir.dsir_load) instead of fitting "
@@ -387,13 +394,16 @@ def main(argv: list[str] | None = None) -> int:
     if args.dsir_target and args.dsir_model:
         p.error("--dsir-target and --dsir-model are exclusive (fit a "
                 "new importance model or load a saved one, not both)")
-    if bool(args.dsir_target or args.dsir_model) != (
-        args.dsir_keep is not None
-    ):
-        p.error("--dsir-keep goes with exactly one of "
-                "--dsir-target/--dsir-model")
+    n_dsir_rules = (args.dsir_keep is not None) + (
+        args.dsir_sample is not None
+    )
+    if bool(args.dsir_target or args.dsir_model) != (n_dsir_rules == 1):
+        p.error("exactly one of --dsir-keep/--dsir-sample goes with "
+                "exactly one of --dsir-target/--dsir-model")
     if args.dsir_keep is not None and args.dsir_keep < 1:
         p.error("--dsir-keep must be >= 1")
+    if args.dsir_sample is not None and args.dsir_sample < 1:
+        p.error("--dsir-sample must be >= 1")
     if args.dsir_save and not args.dsir_target:
         p.error("--dsir-save requires --dsir-target (it persists the "
                 "freshly fitted model)")
@@ -994,6 +1004,8 @@ def _dsir_select(spark, corpus, args, report):
         dsir_top_k,
     )
 
+    from solana_snapshot_etl_tools_spark.operators.dsir import dsir_sample
+
     if args.dsir_model:
         model = dsir_load(spark, args.dsir_model)
         report["dsir_model"] = args.dsir_model
@@ -1007,6 +1019,8 @@ def _dsir_select(spark, corpus, args, report):
         if args.dsir_save:
             dsir_save(model, args.dsir_save)
             report["dsir_saved_to"] = args.dsir_save
+    if args.dsir_sample is not None:
+        return dsir_sample(corpus, None, args.dsir_sample, model=model)
     return dsir_top_k(corpus, None, args.dsir_keep, model=model)
 
 

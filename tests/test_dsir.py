@@ -331,3 +331,52 @@ def test_dsir_sample_calibration_and_append_stability(spark):
         DS.dsir_sample(raw, target, 10, model=model)
     with pytest.raises(ValueError, match="n_expected"):
         DS.dsir_sample(raw, target, 0)
+
+
+def test_cli_dsir_sample_stage(spark, tmp_path_factory, capsys):
+    """--dsir-sample: the Bernoulli alternative — near-expected keep
+    count, target-skewed, exactly-one-rule validation."""
+    import json as _json
+
+    from solana_snapshot_etl_tools_spark import corpus_cli
+
+    base = tmp_path_factory.mktemp("dsir_sample_cli")
+    src = str(base / "docs")
+    sparky = "spark shuffle partitions executors streaming optimizer "
+    offtopic = "sourdough bread rye flour honey garden tomato basil "
+    rows = [(i, sparky + f"v{i} " * 2) for i in range(40)] + [
+        (100 + i, offtopic + f"n{i} " * 2) for i in range(120)
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    tgt = str(base / "target")
+    spark.createDataFrame(
+        [("the spark optimizer shuffles streaming partitions",)],
+        "text string",
+    ).write.parquet(tgt)
+
+    def run(*argv):
+        assert corpus_cli.main(list(argv)) == 0
+        out = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+        return _json.loads(out[-1])
+
+    out = str(base / "out")
+    rep = run(src, out, "--no-pii", "--quality", "0", "--lang", "",
+              "--dsir-target", tgt, "--dsir-sample", "50")
+    assert 30 <= rep["n_after_dsir"] <= 75
+    kept = set()
+    for name, sz in rep["splits"].items():
+        if sz["rows"]:
+            kept |= {
+                r.doc_id
+                for r in spark.read.parquet(f"{out}/{name}").collect()
+            }
+    on = sum(1 for i in kept if i < 100)
+    assert on >= (len(kept) - on), (on, len(kept))  # target-skewed
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):  # both rules
+        corpus_cli.main([src, out, "--dsir-target", tgt,
+                         "--dsir-keep", "5", "--dsir-sample", "5"])
+    with _pytest.raises(SystemExit):  # rule without source
+        corpus_cli.main([src, out, "--dsir-sample", "5"])
