@@ -535,3 +535,49 @@ def test_dsir_weights_duckdb_parity_prototype(spark):
     assert set(got) == set(want)
     for i in want:
         assert got[i] == pytest.approx(want[i], rel=1e-9), i
+
+
+def test_perplexity_bucket_assignment_duckdb_parity_prototype(spark):
+    """The bucket ASSIGNMENT fold (count of cutoffs strictly below the
+    value, inclusive upper bounds) spelled in DuckDB SQL over the
+    Spark-computed perplexities and cutoffs — pins the fold logic
+    independent of the percentile sketch."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from solana_snapshot_etl_tools_spark.operators import ngram_lm as LM
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    model = LM.ngram_lm_train(docs, n=2, min_count=1)
+    out = LM.perplexity_buckets(docs, model)
+    rows = out.select("doc_id", "perplexity", "ppl_bucket").collect()
+    scored = [(r.doc_id, r.perplexity) for r in rows if r.perplexity is not None]
+    got = {r.doc_id: r.ppl_bucket for r in rows if r.perplexity is not None}
+    # the SAME cutoffs the operator used (its one-row aggregate)
+    cuts = (
+        LM.lm_score(docs, model)
+        .agg(
+            F.percentile_approx(
+                "perplexity", F.array(F.lit(1 / 3), F.lit(2 / 3)), F.lit(10_000)
+            )
+        )
+        .collect()[0][0]
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE s (doc_id BIGINT, ppl DOUBLE)")
+    con.executemany("INSERT INTO s VALUES (?, ?)", scored)
+    want = dict(
+        con.execute(
+            f"""
+            SELECT doc_id,
+                   ['head','middle','tail'][
+                     1 + (CASE WHEN ppl > {cuts[0]!r} THEN 1 ELSE 0 END)
+                       + (CASE WHEN ppl > {cuts[1]!r} THEN 1 ELSE 0 END)
+                   ]
+            FROM s
+            """
+        ).fetchall()
+    )
+    assert got == want

@@ -153,3 +153,22 @@ def test_cli_normalize_streams(spark, tmp_path_factory, capsys):
         r.text for r in spark.read.parquet(f"{base}/out/corpus").collect()
     ]
     assert text.startswith("Wide fine text") and "  " not in text
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), max_codepoint=0x2FFF
+            ),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_normalize_text_idempotent_property(spark, texts):
+    once = _apply(spark, texts, N.normalize_text)
+    twice = _apply(spark, once, N.normalize_text)
+    assert twice == once
