@@ -736,6 +736,30 @@ def main(argv: list[str] | None = None) -> int:
             prior_bloom = spark.read.parquet(f"{d}/bloom")
         except AnalysisException:
             prior_bloom = None  # older index store — probe without it
+        if prior_bloom is not None:
+            # coverage guard (the batch-mode twin of the stream loop's
+            # ingest._prior_bloom): a STREAM-written store is batch-
+            # partitioned, and its bloom sidecar can cover fewer
+            # batches than the index — a store upgraded mid-stream
+            # (partials only for post-upgrade batches) or crashed
+            # between the index and bloom writes. A filter covering
+            # fewer keys than the index answers "definitely absent"
+            # for keys it never saw and would silently skip real exact
+            # duplicates, so unequal batch coverage disables it — the
+            # probe is merely unaccelerated, never wrong. Batch-set
+            # listing touches partition directories only, no data read.
+            def _batches(df):
+                if "batch" not in df.columns:
+                    return None
+                return {r.batch for r in df.select("batch").distinct().collect()}
+
+            bloom_cov = _batches(prior_bloom)
+            index_cov = _batches(prior_index)
+            if bloom_cov != index_cov:
+                prior_bloom = None
+                report["bloom_probe_disabled"] = "batch_coverage_mismatch"
+            elif bloom_cov is not None:
+                prior_bloom = prior_bloom.drop("batch")
         try:
             prior_sigs = spark.read.parquet(f"{d}/sigs")
         except AnalysisException as e:

@@ -58,6 +58,18 @@ def url_host(url: Column) -> Column:
     return F.when(F.length(h) > 0, h)
 
 
+def url_host_raw(url: Column) -> Column:
+    """Lowercased host with a trailing dot stripped but the leading
+    ``www.`` label KEPT; NULL for strings with no parseable host.
+    PSL-exact registrable-domain matching needs the unstripped host —
+    the real list's ``!www.ck`` exception rule can only ever match a
+    host that still has its ``www`` label. :func:`url_host` (stripped)
+    remains the page-identity key everywhere else."""
+    h = F.lower(F.try_parse_url(url, F.lit("HOST")))
+    h = F.regexp_replace(h, r"\.$", "")
+    return F.when(F.length(h) > 0, h)
+
+
 def url_registered_domain(url: Column) -> Column:
     """The registrable domain of the host — ``news.bbc.co.uk`` →
     ``bbc.co.uk``, ``a.b.example.com`` → ``example.com``. The natural

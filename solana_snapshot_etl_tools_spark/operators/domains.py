@@ -383,9 +383,15 @@ def with_registered_domain(
     Hosts that ARE a public suffix have no registrable domain: with
     ``fallback_to_host=True`` (default — the heuristic's posture) the
     host itself is emitted, with ``False`` a NULL. IPv4-literal hosts
-    pass through as themselves; no host parses to NULL. NB:
-    ``url_host`` strips a leading ``www.`` label before matching —
-    page-identity normalization this module keys everything on.
+    pass through as themselves; no host parses to NULL. NB: PSL
+    matching runs on the UNSTRIPPED host (``url_host_raw``): the real
+    list's ``!www.ck`` exception rule can only match a host that
+    still has its ``www`` label, and registrable domains like
+    ``www.com`` exist. The ``www.``-stripped ``url_host`` stays the
+    page-identity key elsewhere in this module; for the registrable
+    domain the two agree whenever ``www`` is not itself the
+    meaningful label (``www.example.com`` → ``example.com`` either
+    way).
 
     Scale shape: the rule maps are tiny and driver-parsed (loud
     ``MAX_PSL_RULES`` cap); per distinct rule label count k, one
@@ -393,7 +399,7 @@ def with_registered_domain(
     the corpus never shuffles, and the join count is bounded by the
     PSL's label depth (5 in the real list), not its size."""
     from solana_snapshot_etl_tools_spark.functions.url import (
-        url_host,
+        url_host_raw,
         url_registered_domain,
     )
 
@@ -406,7 +412,7 @@ def with_registered_domain(
         rules = _parse_psl(psl)
 
     spark = df.sparkSession
-    host = url_host(F.col(url_col))
+    host = url_host_raw(F.col(url_col))
     work = df.withColumn("_psl_host", host).withColumn(
         "_psl_labels", F.split(F.col("_psl_host"), r"\.")
     )

@@ -339,31 +339,52 @@ def dsir_top_k(
 
 
 def _calibrate(w: DataFrame, n_expected: int, max_iter: int):
-    """The scale c solving ``sum(min(1, c*w)) = n_expected`` over the
-    (id, _w) frame, or None when the ask is infeasible (n_expected >=
-    scorable pool / zero weight mass). Fixed point ``c = (n_expected
-    - n_clamped) / sum(w unclamped)`` — monotone across the clamp
-    boundary, one aggregate per step."""
+    """The scale c solving ``E(c) = sum(min(1, c*w)) = n_expected``
+    over the (id, _w) frame, or None when the ask is infeasible
+    (n_expected >= scorable pool / zero weight mass). E(c) is monotone
+    and piecewise linear in c, so the fixed point ``c = (n_expected -
+    n_clamped) / sum(w unclamped)`` is bracketed as it runs: every
+    probe with E below the ask raises the lower bound, every probe
+    above lowers the upper, and a fixed-point step that would leave
+    the bracket (very peaked weight mass, where the clamp set alone
+    exceeds the ask and the naive step is undefined or oscillates)
+    falls back to bisection inside it — the expected keep count can
+    no longer silently exceed the requested N. One aggregate over the
+    cached narrow frame per step either way; ``max_iter`` bounds the
+    fixed-point phase and the bisection fallback gets enough extra
+    steps to converge to ~1e-9 relative."""
     row = w.agg(F.count(F.lit(1)), F.sum("_w")).collect()[0]
     n_scorable, total_w = int(row[0]), float(row[1] or 0.0)
     if n_scorable <= n_expected or total_w <= 0:
         return None
-    c = n_expected / total_w
-    for _ in range(max_iter):
+    # min(1, c0*w) <= c0*w, so E(c0) <= n_expected: a sure lower bound
+    lo, hi = n_expected / total_w, None
+    c = lo
+    for _ in range(max(max_iter, 48)):
         stats = w.agg(
             F.sum(F.when(F.col("_w") * c >= 1.0, 1).otherwise(0)),
             F.sum(F.when(F.col("_w") * c < 1.0, F.col("_w"))),
         ).collect()[0]
         n_clamped, mass = int(stats[0] or 0), float(stats[1] or 0.0)
-        if n_clamped >= n_expected or mass <= 0:
-            # the weight mass is so peaked that the clamped docs alone
-            # meet the ask: keep that clamp-set distribution
-            break
-        c_next = (n_expected - n_clamped) / mass
-        if abs(c_next - c) <= 1e-12 * max(1.0, abs(c)):
-            c = c_next
-            break
-        c = c_next
+        e = n_clamped + c * mass
+        if abs(e - n_expected) <= 1e-9 * n_expected:
+            return c
+        if e < n_expected:
+            lo = max(lo, c)
+        else:
+            hi = c if hi is None else min(hi, c)
+        if hi is not None and hi - lo <= 1e-12 * hi:
+            return lo  # bracket exhausted at float precision: the
+            # under-side endpoint keeps E <= the ask
+        nxt = (
+            (n_expected - n_clamped) / mass
+            if mass > 0.0 and n_clamped < n_expected
+            else None
+        )
+        if nxt is None or nxt <= lo or (hi is not None and nxt >= hi):
+            # peaked case: bisect (or double while no upper bound yet)
+            nxt = (lo + hi) / 2.0 if hi is not None else c * 2.0
+        c = nxt
     return c
 
 
@@ -432,9 +453,12 @@ def dsir_sample(
     the sampler family shares. ``n_expected`` is ignored when
     ``scale`` is given.
 
-    Infeasible asks (``n_expected`` >= pool, or a weight mass so
-    peaked that every scorable doc clamps) keep every scorable
-    document. Tokenless documents have no weight and are never kept
+    Infeasible asks (``n_expected`` >= scorable pool, or zero weight
+    mass) keep every scorable document. A weight mass peaked enough
+    that the naive fixed point would overshoot (clamp set alone past
+    the ask) is NOT infeasible — E(c) is monotone in c, so the
+    calibrator's bisection fallback finds the exact scale instead of
+    keeping an overshooting one. Tokenless documents have no weight and are never kept
     (weight 0 — unlike :func:`dsir_top_k`'s rank-last fill, a
     proportional draw of zero weight is zero).
 

@@ -85,6 +85,12 @@ def _prior_batches(spark, path: str, batch_id: int) -> set | None:
         df = spark.read.parquet(path)
     except AnalysisException:
         return None
+    if "batch" not in df.columns:
+        # not a batch-partitioned store (e.g. a batch-mode index_bloom
+        # output under the same root): report "no coverage info" so
+        # the caller's coverage guard disables the accelerator instead
+        # of crashing the micro-batch on an unresolved-column error
+        return None
     return {
         r.batch
         for r in df.filter(F.col("batch") < batch_id)

@@ -338,3 +338,88 @@ def test_bloom_flags_match_python_reference_exactly(spark):
     assert got == want
     # and the reference agrees a real member is always present
     assert all(want[f"key-{i}"] for i in range(500, 800))
+
+def test_cli_dedup_against_stream_store_guards_bloom_coverage(
+    spark, tmp_path_factory, capsys
+):
+    """Advisor r9 (medium): the batch-mode --dedup-against-index must
+    apply the same bloom batch-coverage guard as the stream loop. A
+    stream-written store whose sidecar lost a batch (upgraded
+    mid-stream / crashed between writes) would otherwise answer
+    'definitely absent' for the missing batch's keys and silently
+    skip real exact duplicates."""
+    import json
+    import shutil
+
+    from solana_snapshot_etl_tools_spark import corpus_cli
+    from solana_snapshot_etl_tools_spark.streaming.ingest import (
+        process_ingest_batch,
+    )
+
+    base = tmp_path_factory.mktemp("bloom_cov_cli")
+    idx, corp = str(base / "idx"), str(base / "corpus")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text").orderBy("doc_id").limit(60)
+    b0 = docs.filter("doc_id % 2 = 0")
+    b1 = docs.filter("doc_id % 2 = 1")
+    process_ingest_batch(b0, 0, idx, corp)
+    process_ingest_batch(b1, 1, idx, corp)
+
+    # a shard holding one exact copy from EACH batch
+    shard = str(base / "shard")
+    b0.limit(1).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    ).unionByName(
+        b1.limit(1).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+        )
+    ).write.parquet(shard)
+
+    def run(out):
+        assert corpus_cli.main(
+            [shard, str(base / out), "--no-pii", "--quality", "0",
+             "--lang", "", "--dedup-against-index", idx]
+        ) == 0
+        lines = [
+            l for l in capsys.readouterr().out.splitlines() if l.strip()
+        ]
+        return json.loads(lines[-1])
+
+    # full coverage: the batch-partitioned sidecar is usable as-is
+    rep = run("out_full")
+    assert rep["n_dup_exact_vs_index"] == 2
+    assert "bloom_probe_disabled" not in rep
+
+    # drop one batch partition from the sidecar only: coverage now
+    # mismatches the index -> the filter must be DISABLED, and both
+    # copies must still be flagged by the unaccelerated probe
+    shutil.rmtree(f"{idx}/bloom/batch=1")
+    spark.catalog.refreshByPath(f"{idx}/bloom")
+    rep2 = run("out_hole")
+    assert rep2["bloom_probe_disabled"] == "batch_coverage_mismatch"
+    assert rep2["n_dup_exact_vs_index"] == 2
+
+
+def test_prior_batches_tolerates_unpartitioned_store(
+    spark, tmp_path_factory
+):
+    """Advisor r9: a batch-mode (un-partitioned) bloom under a stream
+    root must read as 'no coverage info' (guard disables the filter),
+    not crash the micro-batch with an unresolved-column error."""
+    from solana_snapshot_etl_tools_spark.operators import incremental as INC
+    from solana_snapshot_etl_tools_spark.streaming.ingest import (
+        _prior_batches,
+        _prior_bloom,
+    )
+
+    base = tmp_path_factory.mktemp("bloom_unpart")
+    idx = str(base / "idx")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text").limit(20)
+    index = INC.build_index(docs)
+    index.write.parquet(f"{idx}/index")
+    INC.index_bloom(index).write.parquet(f"{idx}/bloom")  # no batch col
+    assert _prior_batches(spark, f"{idx}/bloom", 3) is None
+    assert _prior_bloom(spark, idx, 3) is None

@@ -445,6 +445,27 @@ def test_dedup_by_url_prefer_col(spark):
     assert {r.doc_id for r in dedup_by_url(df).collect()} == {1, 2, 5}
 
 
+def test_psl_matches_unstripped_www_host(spark):
+    """Advisor r9: PSL matching must see the host WITH its leading
+    www label — the real list's !www.ck exception can only ever match
+    there, and www.com is a genuine registrable domain."""
+    psl = MINI_PSL + ["ck", "*.ck", "!www.ck"]
+    cases = {
+        # the exception rule: www.ck IS the registrable domain
+        "http://www.ck/x": "www.ck",
+        "http://sub.www.ck": "www.ck",
+        # wildcard *.ck still governs other ck hosts
+        "http://a.anything.ck": "a.anything.ck",
+        # www.com registers under com: www is the registrant label
+        "http://www.com": "www.com",
+        # the common case is unchanged by keeping www
+        "http://www.example.com/p": "example.com",
+        "http://www.city.nagoya.jp": "city.nagoya.jp",
+    }
+    urls = list(cases)
+    assert _psl_reg(spark, urls, psl=psl) == [cases[u] for u in urls]
+
+
 def test_psl_empty_rule_set_is_implicit_star(spark):
     """Review r9: an all-comment/empty PSL crashed on greatest() with
     one arg — it now means only the implicit '*' rule (public suffix
@@ -503,9 +524,9 @@ def test_psl_randomized_vs_python_reference(spark):
             ).collect()
         ]
         for h, g in got:
-            # url_host strips a leading www. label before matching
-            eff = h[4:] if h.startswith("www.") and len(h) > 4 else h
-            assert g == ref(eff, fallback=fb), (h, eff, g, fb)
+            # PSL matching runs on the UNSTRIPPED host (www kept):
+            # exception rules like !www.ck can only match it there
+            assert g == ref(h, fallback=fb), (h, g, fb)
 
 
 from hypothesis import given, settings, strategies as st

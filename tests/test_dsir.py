@@ -380,3 +380,43 @@ def test_cli_dsir_sample_stage(spark, tmp_path_factory, capsys):
                          "--dsir-keep", "5", "--dsir-sample", "5"])
     with _pytest.raises(SystemExit):  # rule without source
         corpus_cli.main([src, out, "--dsir-sample", "5"])
+
+def test_calibrate_exact_on_peaked_weight_profiles(spark):
+    """Advisor r9: on very peaked weight masses the old fixed point
+    could stop at the clamp boundary with the ask unmet; the bracketed
+    solver must land sum(min(1, c*w)) on n_expected for every profile
+    (clamp-heavy tiers, Zipf spectra, exact-boundary ties)."""
+    profiles = {
+        # n clamp-exact heavies + a near-massless tail (the old break:
+        # clamp set alone reaches the ask on the first iterate)
+        "clamp_exact": [1000.0] * 3 + [1e-6] * 97,
+        # two heavy tiers that cross on successive iterates
+        "tiers": [1000.0] * 5 + [30.0] * 50 + [0.01] * 100,
+        # continuous Zipf-squared spectrum: crossings on every step
+        "zipf2": [1.0 / (i * i) for i in range(1, 400)],
+        # heavy head + heterogeneous mid band straddling the boundary
+        "straddle": [1000.0] * 3 + [1.9] + [0.1] * 19 + [1e-4] * 50,
+    }
+    for name, ws in profiles.items():
+        for n_expected in (2, 3, 7):
+            if n_expected >= len(ws):
+                continue
+            w = spark.createDataFrame(
+                [(i, float(v)) for i, v in enumerate(ws)],
+                "doc_id long, _w double",
+            )
+            c = DS._calibrate(w, n_expected, max_iter=8)
+            assert c is not None and c > 0, (name, n_expected)
+            e = sum(min(1.0, c * v) for v in ws)
+            assert abs(e - n_expected) <= 1e-6 * n_expected, (
+                name, n_expected, c, e,
+            )
+    # infeasibility contract unchanged: ask >= pool, or zero mass
+    w = spark.createDataFrame(
+        [(i, 1.0) for i in range(5)], "doc_id long, _w double"
+    )
+    assert DS._calibrate(w, 5, 8) is None
+    z = spark.createDataFrame(
+        [(i, 0.0) for i in range(5)], "doc_id long, _w double"
+    )
+    assert DS._calibrate(z, 2, 8) is None
