@@ -26,7 +26,7 @@ library stages in production order (the same order the declared
         [--lm-reference REF.parquet [--lm-save DIR] | --lm-model DIR] \\
         [--lm-max-ppl P | --lm-keep-buckets head,middle] \\
         [--dsir-target T.parquet [--dsir-save DIR] | --dsir-model DIR] \\
-        [--dsir-keep N | --dsir-sample N] \\
+        [--dsir-keep N | --dsir-sample N | --dsir-sample-scale C] \\
         [--source-blocklist FILE] [--source-cap N] \\
         [--source-mixture SRC=W,SRC=W,...] \\
         [--embeddings EMB.parquet [--cluster-balance K [--alpha 0.0]] \\
@@ -50,8 +50,9 @@ arriving shards and the loop state lives at --index-out:
         [--lm-max-ppl P | --lm-keep-buckets head,middle] \\
         [--embeddings EMB.parquet --decontam-bench B.parquet \\
          --decontam-threshold T] \\
-        [--dsir-target T.parquet | --dsir-model DIR] [--dsir-keep N] \\
-        [--source-blocklist FILE] \\
+        [--dsir-target T.parquet | --dsir-model DIR] \\
+        [--dsir-keep N | --dsir-sample N | --dsir-sample-scale C] \\
+        [--source-blocklist FILE] [--boilerplate-min-df N] \\
         [--stratified-split lang|script [--train-pct P --val-pct V]] \\
         [--data-card]
 
@@ -98,9 +99,10 @@ def main(argv: list[str] | None = None) -> int:
                    "appearing in >= N distinct documents — "
                    "navigation/footer/cookie banners "
                    "(operators/paragraphs.py:boilerplate_filter). "
-                   "Runs after --html-extract/--normalize, before the "
-                   "dedup tier. Batch-only (global doc-frequency "
-                   "count)")
+                   "Batch: after --html-extract/--normalize, before "
+                   "the dedup tier. Stream: a post-drain stage over "
+                   "the accumulated corpus (rewrites derived views; "
+                   "the append-only state keeps raw arrival text)")
     p.add_argument("--url-dedup", action="store_true",
                    help="exact URL-level dedup on the normalized page "
                    "identity BEFORE text dedup (needs a 'url' column; "
@@ -207,6 +209,17 @@ def main(argv: list[str] | None = None) -> int:
                    "weight (dsir.dsir_sample — the cheaper selection, "
                    "~sqrt(N) binomial spread; per-pool calibration, "
                    "append-unstable). Alternative to --dsir-keep")
+    p.add_argument("--dsir-sample-scale", type=float, metavar="C",
+                   default=None,
+                   help="Bernoulli DSIR selection with a FIXED "
+                   "precalibrated scale (dsir.dsir_sample(scale=C)) — "
+                   "the append-stable streaming posture: requires "
+                   "--dsir-model (a held-fixed fit), and together the "
+                   "(model, scale) pair makes every keep decision a "
+                   "pure function of (id, weight) so new arrivals "
+                   "never flip old ones. Calibrate C once on the fit "
+                   "pool: a --dsir-sample run reports it as "
+                   "dsir_calibrated_scale")
     p.add_argument("--dsir-model", metavar="DIR", default=None,
                    help="load a FITTED importance model persisted by "
                    "--dsir-save (dsir.dsir_load) instead of fitting "
@@ -394,16 +407,27 @@ def main(argv: list[str] | None = None) -> int:
     if args.dsir_target and args.dsir_model:
         p.error("--dsir-target and --dsir-model are exclusive (fit a "
                 "new importance model or load a saved one, not both)")
-    n_dsir_rules = (args.dsir_keep is not None) + (
-        args.dsir_sample is not None
+    n_dsir_rules = (
+        (args.dsir_keep is not None)
+        + (args.dsir_sample is not None)
+        + (args.dsir_sample_scale is not None)
     )
     if bool(args.dsir_target or args.dsir_model) != (n_dsir_rules == 1):
-        p.error("exactly one of --dsir-keep/--dsir-sample goes with "
-                "exactly one of --dsir-target/--dsir-model")
+        p.error("exactly one of --dsir-keep/--dsir-sample/"
+                "--dsir-sample-scale goes with exactly one of "
+                "--dsir-target/--dsir-model")
     if args.dsir_keep is not None and args.dsir_keep < 1:
         p.error("--dsir-keep must be >= 1")
     if args.dsir_sample is not None and args.dsir_sample < 1:
         p.error("--dsir-sample must be >= 1")
+    if args.dsir_sample_scale is not None:
+        if args.dsir_sample_scale <= 0:
+            p.error("--dsir-sample-scale must be > 0")
+        if not args.dsir_model:
+            p.error("--dsir-sample-scale requires --dsir-model: the "
+                    "append-stable contract needs BOTH the fit and the "
+                    "scale held fixed (a per-pool fit would re-weight "
+                    "old documents)")
     if args.dsir_save and not args.dsir_target:
         p.error("--dsir-save requires --dsir-target (it persists the "
                 "freshly fitted model)")
@@ -445,8 +469,10 @@ def main(argv: list[str] | None = None) -> int:
             # url dedup is a global groupBy; the stream's incremental
             # index already dedups content across batches
             (args.url_dedup, "--url-dedup"),
-            # line doc-frequency is a global distinct count
-            (args.boilerplate_min_df is not None, "--boilerplate-min-df"),
+            # NB: --boilerplate-min-df IS allowed here — line
+            # doc-frequency is a global distinct count, so it runs as
+            # a POST-DRAIN batch stage rewriting the derived views
+            # (the LM precedent), never inside the stream
             # NB: --lm-reference/--lm-model ARE allowed here — LM
             # scoring is a join+aggregation pipeline, so it runs as a
             # POST-DRAIN batch stage over the accumulated corpus (the
@@ -1024,11 +1050,11 @@ def _dsir_select(spark, corpus, args, report):
     from solana_snapshot_etl_tools_spark.operators.dsir import (
         dsir_fit,
         dsir_load,
+        dsir_sample,
         dsir_save,
+        dsir_scale,
         dsir_top_k,
     )
-
-    from solana_snapshot_etl_tools_spark.operators.dsir import dsir_sample
 
     if args.dsir_model:
         model = dsir_load(spark, args.dsir_model)
@@ -1043,8 +1069,24 @@ def _dsir_select(spark, corpus, args, report):
         if args.dsir_save:
             dsir_save(model, args.dsir_save)
             report["dsir_saved_to"] = args.dsir_save
+    if args.dsir_sample_scale is not None:
+        # append-stable posture: a held-fixed (model, scale) pair —
+        # this run's decisions agree with every other run that uses
+        # the same pair, regardless of what else is in its pool
+        report["dsir_scale"] = args.dsir_sample_scale
+        return dsir_sample(
+            corpus, None, 1, model=model, scale=args.dsir_sample_scale
+        )
     if args.dsir_sample is not None:
-        return dsir_sample(corpus, None, args.dsir_sample, model=model)
+        # calibrate explicitly (identical arithmetic to dsir_sample's
+        # internal path — the cached weight frame is reused) so the
+        # scale lands in the report for later --dsir-sample-scale runs
+        c = dsir_scale(corpus, model, args.dsir_sample)
+        if c == float("inf"):  # infeasible ask: keep-all degenerate
+            report["dsir_calibrated_scale"] = "infeasible_keep_all"
+            return dsir_sample(corpus, None, args.dsir_sample, model=model)
+        report["dsir_calibrated_scale"] = c
+        return dsir_sample(corpus, None, 1, model=model, scale=c)
     return dsir_top_k(corpus, None, args.dsir_keep, model=model)
 
 
@@ -1241,6 +1283,31 @@ def _ingest_stream_main(args) -> int:
     for key, sub in (("index_rows", "index"), ("signature_rows", "sigs")):
         df = read_count(f"{args.index_out}/{sub}")
         report[key] = df.count() if df is not None else 0
+    if args.boilerplate_min_df is not None and corpus is not None:
+        # post-drain batch stage, FIRST among them (batch mode strips
+        # boilerplate before everything downstream): line document
+        # frequency is a GLOBAL distinct count, so the corpus
+        # accumulated so far is rewritten as a DERIVED view — text
+        # with corpus-frequent lines stripped — that the LM filter,
+        # decontamination, DSIR, the split dirs and the data card all
+        # see. The append-only state (OUT_DIR/corpus + the index)
+        # stays keyed on the RAW arrival text: two pages differing
+        # only in shared boilerplate therefore collapse via the index
+        # only once their lines were already frequent at arrival time;
+        # re-running the BATCH pipeline over the drained corpus gives
+        # the batch ordering (strip before dedup) exactly.
+        from solana_snapshot_etl_tools_spark.operators import dedup as DD0
+        from solana_snapshot_etl_tools_spark.operators.paragraphs import (
+            boilerplate_filter,
+        )
+
+        stripped = boilerplate_filter(corpus, args.boilerplate_min_df)
+        report["n_boilerplate_lines_removed"] = int(
+            stripped.agg(F.sum("n_removed_lines")).collect()[0][0] or 0
+        )
+        corpus = DD0._cache_for_session(
+            stripped.drop("n_lines", "n_removed_lines")
+        )
     if (args.lm_reference or args.lm_model) and corpus is not None:
         # post-drain batch stage (the --stratified-split precedent):
         # LM scoring is a join+aggregation pipeline, so it cannot run

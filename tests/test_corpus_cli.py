@@ -1276,12 +1276,13 @@ def test_dsir_stage_batch(spark, tmp_path_factory, capsys):
                          "--dsir-keep", "0"])
 
 
-def test_boilerplate_stage_batch_and_stream_rejection(
+def test_boilerplate_stage_batch_and_stream(
     spark, tmp_path_factory, capsys
 ):
     """--boilerplate-min-df strips corpus-frequent lines BEFORE the
-    dedup tier (pages differing only in shared banners collapse);
-    rejected in stream mode (global distinct count)."""
+    dedup tier in batch mode (pages differing only in shared banners
+    collapse); in stream mode it runs post-drain over the accumulated
+    corpus, rewriting the derived views only."""
     import pytest as _pytest
 
     base = tmp_path_factory.mktemp("boiler_cli")
@@ -1311,7 +1312,31 @@ def test_boilerplate_stage_batch_and_stream_rejection(
     }
     assert all("cookies" not in t for t in texts.values())
     with _pytest.raises(SystemExit):
-        corpus_cli.main([src, out, "--ingest-stream", "--index-out",
-                         str(base / "idx"), "--boilerplate-min-df", "3"])
-    with _pytest.raises(SystemExit):
         corpus_cli.main([src, out, "--boilerplate-min-df", "1"])
+
+    # stream mode: boilerplate runs POST-DRAIN — the derived split
+    # views lose the banner, the append-only corpus keeps the raw
+    # arrival text (the batch-ordering caveat is documented)
+    import os
+
+    arrivals = str(base / "arrivals")
+    os.makedirs(arrivals)
+    spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(arrivals)
+    sout, idx = str(base / "sout"), str(base / "idx")
+    srep = _run(
+        capsys, arrivals, sout, "--ingest-stream", "--index-out", idx,
+        "--no-pii", "--quality", "0", "--lang", "",
+        "--boilerplate-min-df", "3", "--stratified-split", "lang",
+    )
+    assert srep["n_boilerplate_lines_removed"] >= 3
+    raw = [r.text for r in spark.read.parquet(f"{sout}/corpus").collect()]
+    assert any("cookies" in t for t in raw)  # append-only state whole
+    stream_texts = [
+        r.text
+        for name, sz in srep["splits"].items()
+        if sz["rows"]
+        for r in spark.read.parquet(f"{sout}/{name}").collect()
+    ]
+    assert stream_texts and all("cookies" not in t for t in stream_texts)

@@ -420,3 +420,83 @@ def test_calibrate_exact_on_peaked_weight_profiles(spark):
         [(i, 0.0) for i in range(5)], "doc_id long, _w double"
     )
     assert DS._calibrate(z, 2, 8) is None
+
+def test_cli_dsir_sample_scale_stream_posture(spark, tmp_path_factory, capsys):
+    """--dsir-sample-scale: the append-stable CLI posture — calibrate
+    once (--dsir-sample reports dsir_calibrated_scale), then replay
+    the fixed (model, scale) pair on a grown pool without flipping a
+    single prior decision. Validation: the flag demands --dsir-model."""
+    import json as _json
+
+    from solana_snapshot_etl_tools_spark import corpus_cli
+
+    base = tmp_path_factory.mktemp("dsir_scale_cli")
+    sparky = "spark shuffle partitions executors streaming optimizer "
+    offtopic = "sourdough bread rye flour honey garden tomato basil "
+    rows = [(i, sparky + f"v{i} " * 2) for i in range(40)] + [
+        (100 + i, offtopic + f"n{i} " * 2) for i in range(120)
+    ]
+    src = str(base / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    grown_rows = rows + [(500 + i, offtopic + f"g{i} " * 2) for i in range(60)]
+    grown = str(base / "grown")
+    spark.createDataFrame(
+        grown_rows, "doc_id long, text string"
+    ).write.parquet(grown)
+    tgt = str(base / "target")
+    spark.createDataFrame(
+        [("the spark optimizer shuffles streaming partitions",)],
+        "text string",
+    ).write.parquet(tgt)
+
+    def run(*argv):
+        assert corpus_cli.main(list(argv)) == 0
+        out = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+        return _json.loads(out[-1])
+
+    def kept_ids(out, rep):
+        ids = set()
+        for name, sz in rep["splits"].items():
+            if sz["rows"]:
+                ids |= {
+                    r.doc_id
+                    for r in spark.read.parquet(f"{out}/{name}").collect()
+                }
+        return ids
+
+    mdl = str(base / "model")
+    out1 = str(base / "out1")
+    rep1 = run(src, out1, "--no-pii", "--quality", "0", "--lang", "",
+               "--dsir-target", tgt, "--dsir-sample", "50",
+               "--dsir-save", mdl)
+    c = rep1["dsir_calibrated_scale"]
+    assert isinstance(c, float) and c > 0
+    base_kept = kept_ids(out1, rep1)
+    assert 30 <= len(base_kept) <= 75
+
+    # same pool, fixed (model, scale): identical draw
+    out2 = str(base / "out2")
+    rep2 = run(src, out2, "--no-pii", "--quality", "0", "--lang", "",
+               "--dsir-model", mdl, "--dsir-sample-scale", str(c))
+    assert rep2["dsir_scale"] == c
+    assert kept_ids(out2, rep2) == base_kept
+
+    # grown pool, fixed pair: every prior decision survives verbatim
+    out3 = str(base / "out3")
+    rep3 = run(grown, out3, "--no-pii", "--quality", "0", "--lang", "",
+               "--dsir-model", mdl, "--dsir-sample-scale", str(c))
+    grown_kept = kept_ids(out3, rep3)
+    assert {i for i in grown_kept if i < 500} == base_kept
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):  # needs --dsir-model, not target
+        corpus_cli.main([src, str(base / "o4"), "--dsir-target", tgt,
+                         "--dsir-sample-scale", "0.5"])
+    with _pytest.raises(SystemExit):  # two rules at once
+        corpus_cli.main([src, str(base / "o5"), "--dsir-model", mdl,
+                         "--dsir-sample-scale", "0.5",
+                         "--dsir-sample", "5"])
+    with _pytest.raises(SystemExit):  # non-positive scale
+        corpus_cli.main([src, str(base / "o6"), "--dsir-model", mdl,
+                         "--dsir-sample-scale", "0"])
