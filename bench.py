@@ -409,6 +409,20 @@ def main() -> None:
         diag["ppl_buckets_sec"] = round(time.time() - t0, 4)
         lm9["counts"].unpersist()
         release_session_caches()
+
+        # round-10: SemDeDup over the full embeddings table (fit +
+        # assign + per-cluster triangular max)
+        from solana_snapshot_etl_tools_spark.operators.semdedup import (
+            semdedup,
+        )
+
+        emb10 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        t0 = time.time()
+        dec10 = semdedup(emb10, 16, threshold=0.95)
+        n_drop = dec10.filter(~F.col("kept")).count()
+        diag["semdedup_sec"] = round(time.time() - t0, 4)
+        diag["semdedup_dropped"] = n_drop
+        release_session_caches()
     except Exception as e:  # diagnostics never break the contract
         diag["error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps({"r6_operator_diag": diag}), file=sys.stderr)

@@ -11,8 +11,8 @@ library stages in production order (the same order the declared
     → quality/lang/script filter → [learned quality model + Pareto
     keep] → [LM perplexity filter] → [embedding decontamination] →
     [DSIR target-resampling] → [per-source cap] → [source mixture] →
-    [dedup against a prior corpus's persisted index] → [cluster-balance the topic
-    mixture] → deterministic split → shards [or BPE-tokenize + pack]
+    [dedup against a prior corpus's persisted index] → [SemDeDup] →
+    [cluster-balance the topic mixture] → deterministic split → shards [or BPE-tokenize + pack]
     [+ persist the updated index]
 
     python -m solana_snapshot_etl_tools_spark.corpus_cli \\
@@ -30,6 +30,7 @@ library stages in production order (the same order the declared
         [--source-blocklist FILE] [--source-cap N] \\
         [--source-mixture SRC=W,SRC=W,...] \\
         [--embeddings EMB.parquet [--cluster-balance K [--alpha 0.0]] \\
+         [--semdedup EPS [--semdedup-k K]] \\
          [--decontam-bench BENCH.parquet --decontam-threshold T]] \\
         [--index-out DIR] \\
         [--dedup-against-index DIR [--drop-near-candidates]] \\
@@ -48,8 +49,8 @@ arriving shards and the loop state lives at --index-out:
         [--quality-model DIR] [--drop-near-candidates] \\
         [--lm-reference REF.parquet | --lm-model DIR] \\
         [--lm-max-ppl P | --lm-keep-buckets head,middle] \\
-        [--embeddings EMB.parquet --decontam-bench B.parquet \\
-         --decontam-threshold T] \\
+        [--embeddings EMB.parquet [--decontam-bench B.parquet \\
+         --decontam-threshold T] [--semdedup EPS [--semdedup-k K]]] \\
         [--dsir-target T.parquet | --dsir-model DIR] \\
         [--dsir-keep N | --dsir-sample N | --dsir-sample-scale C] \\
         [--source-blocklist FILE] [--boilerplate-min-df N] \\
@@ -268,6 +269,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--cluster-balance", type=int, metavar="K", default=None,
                    help="k-means the corpus into K topic domains over "
                    "--embeddings and temperature-flatten the mixture")
+    p.add_argument("--semdedup", type=float, metavar="EPS", default=None,
+                   help="SemDeDup (Abbas et al. 2023) over --embeddings: "
+                   "spherical-k-means-bucket the vectors, drop every "
+                   "document >= EPS-cosine-similar to an earlier "
+                   "(farther-from-centroid) one in its cluster "
+                   "(operators/semdedup.py). Docs without an embedding "
+                   "pass through. Runs before --cluster-balance; in "
+                   "--ingest-stream it is a post-drain stage (the "
+                   "decontamination precedent)")
+    p.add_argument("--semdedup-k", type=int, metavar="K", default=None,
+                   help="cluster count for --semdedup (default: "
+                   "embedding_count/1024, min 2 — keeps each cluster's "
+                   "pairwise block small)")
     p.add_argument("--alpha", type=float, default=0.0,
                    help="mixture temperature for --cluster-balance "
                    "(0 = equal-size domains, 1 = natural; default 0)")
@@ -335,6 +349,16 @@ def main(argv: list[str] | None = None) -> int:
         p.error("--pack requires --tokenize")
     if args.cluster_balance is not None and not args.embeddings:
         p.error("--cluster-balance requires --embeddings")
+    if args.semdedup is not None:
+        if not args.embeddings:
+            p.error("--semdedup requires --embeddings")
+        if not 0.0 < args.semdedup < 1.0:
+            p.error("--semdedup EPS must be in (0, 1)")
+    if args.semdedup_k is not None:
+        if args.semdedup is None:
+            p.error("--semdedup-k only makes sense with --semdedup")
+        if args.semdedup_k < 2:
+            p.error("--semdedup-k must be >= 2")
     if not (0 <= args.train_pct <= 100 and 0 <= args.val_pct <= 100):
         p.error("each split percentage must be in [0, 100]")
     if not 0 < args.train_pct + args.val_pct <= 100:
@@ -822,6 +846,14 @@ def main(argv: list[str] | None = None) -> int:
         flagged.unpersist()
         corpus = deduped
 
+    if args.semdedup is not None:
+        # semantic dedup BEFORE topic balancing: the balancer should
+        # sample from distinct content, not from semantic copies
+        corpus = DD._cache_for_session(
+            _semdedup_stage(spark, corpus, args, report)
+        )
+        report["n_after_semdedup"] = corpus.count()
+
     if args.cluster_balance is not None:
         from solana_snapshot_etl_tools_spark.operators import cluster as CL
         from solana_snapshot_etl_tools_spark.operators.sampling import (
@@ -1088,6 +1120,44 @@ def _dsir_select(spark, corpus, args, report):
         report["dsir_calibrated_scale"] = c
         return dsir_sample(corpus, None, 1, model=model, scale=c)
     return dsir_top_k(corpus, None, args.dsir_keep, model=model)
+
+
+def _semdedup_stage(spark, corpus, args, report):
+    """The --semdedup stage, shared by the batch pipeline and the
+    stream mode's post-drain pass: spherical-k-means-bucketed
+    semantic dedup (operators/semdedup.py) over the corpus docs that
+    HAVE an embedding; docs without one pass through (the
+    decontamination posture — unjudgeable is not droppable)."""
+    from pyspark.sql import functions as F
+
+    from solana_snapshot_etl_tools_spark.operators.semdedup import (
+        semdedup_filter,
+    )
+
+    emb = (
+        spark.read.parquet(args.embeddings)
+        .select("vec_id", "embedding")
+        .join(
+            corpus.select(F.col("doc_id").alias("vec_id")),
+            "vec_id",
+            "left_semi",
+        )
+    )
+    n_emb = emb.count()
+    if n_emb == 0:
+        report["n_semdedup_dropped"] = 0
+        return corpus
+    # default k targets ~1k-vector clusters: the per-task pairwise
+    # block stays tiny and the fit's k x d driver state stays small
+    k = args.semdedup_k or max(2, n_emb // 1024)
+    k = max(1, min(k, n_emb))
+    report["semdedup_k"] = k
+    before = corpus.count()
+    kept = semdedup_filter(
+        corpus, emb, k, threshold=args.semdedup
+    )
+    report["n_semdedup_dropped"] = before - kept.count()
+    return kept
 
 
 def _decontam_filter(spark, corpus, args, report):
@@ -1371,6 +1441,18 @@ def _ingest_stream_main(args) -> int:
             _decontam_filter(spark, corpus, args, report)
         )
         report["n_after_decontam"] = corpus.count()
+    if args.semdedup is not None and corpus is not None:
+        # post-drain batch stage (the decontamination precedent):
+        # the k-means fit is a global iterative aggregation, so
+        # semantic dedup runs over the corpus accumulated so far;
+        # derived views see the deduped subset, the append-only
+        # state stays whole
+        from solana_snapshot_etl_tools_spark.operators import dedup as DDs
+
+        corpus = DDs._cache_for_session(
+            _semdedup_stage(spark, corpus.select("doc_id", "text"), args, report)
+        )
+        report["n_after_semdedup"] = corpus.count()
     if (args.dsir_target or args.dsir_model) and corpus is not None:
         # post-drain batch stage (the LM precedent): a join+agg
         # selection over the corpus accumulated so far; the derived

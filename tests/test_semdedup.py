@@ -1,0 +1,268 @@
+"""SemDeDup (operators/semdedup.py): exact agreement with a pure
+numpy spelling of the paper's triangular-max rule, planted near-dup
+groups, chain semantics, partition invariance, and the loud guards."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from solana_snapshot_etl_tools_spark.operators import semdedup as SD
+from solana_snapshot_etl_tools_spark.operators.cluster import kmeans_fit
+
+
+def _norm(X):
+    X = np.asarray(X, dtype=np.float64)
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return X / n
+
+
+def _ref_semdedup(ids, X, centroids, eps):
+    """Independent spelling: nearest (normalized) centroid, order by
+    (sq_dist desc, id asc), drop on max-cosine-to-earlier >= eps.
+    Vectors pass through float32 first — the array<float> column
+    quantizes them before the engine ever sees them."""
+    Xn = _norm(np.asarray(X, dtype=np.float32).astype(np.float64))
+    C = np.asarray(centroids, dtype=np.float64)
+    D = (C * C).sum(axis=1)[None, :] - 2.0 * (Xn @ C.T)
+    a = np.argmin(D, axis=1)
+    d2 = np.maximum(D[np.arange(len(a)), a] + (Xn * Xn).sum(axis=1), 0.0)
+    out = {}
+    for c in np.unique(a):
+        m = a == c
+        cids, cd2, CX = np.asarray(ids)[m], d2[m], Xn[m]
+        order = np.lexsort((cids, -cd2))
+        cids, CX = cids[order], CX[order]
+        S = CX @ CX.T
+        for i, did in enumerate(cids):
+            if i == 0:
+                out[did] = (int(c), True, None, None)
+                continue
+            sims = S[i, :i]
+            j = int(np.argmax(sims))
+            best = float(sims[j])
+            out[did] = (int(c), best < eps, best, int(cids[j]))
+    return out
+
+
+def _emb_df(spark, ids, X):
+    return spark.createDataFrame(
+        [(int(i), [float(v) for v in row]) for i, row in zip(ids, X)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_semdedup_matches_numpy_reference(spark):
+    rng = np.random.default_rng(7)
+    # 4 loose blobs with planted tight near-dup knots inside them
+    centers = rng.normal(size=(4, 16))
+    rows, ids = [], []
+    i = 0
+    for c in centers:
+        for _ in range(30):
+            rows.append(c + 0.8 * rng.normal(size=16))
+            ids.append(i); i += 1
+        knot = c + 0.8 * rng.normal(size=16)
+        for _ in range(6):  # six ~identical copies
+            rows.append(knot + 0.003 * rng.normal(size=16))
+            ids.append(i); i += 1
+    X = np.array(rows)
+    emb = _emb_df(spark, ids, X)
+    model = kmeans_fit(emb, 4, max_iter=25, seed=3, normalize=True)
+    dec = SD.semdedup(emb, model=model, threshold=0.92)
+    got = {
+        r.vec_id: (r.cluster_id, r.kept, r.max_prior_sim, r.witness_id)
+        for r in dec.collect()
+    }
+    want = _ref_semdedup(ids, X, model["centroids"], 0.92)
+    assert set(got) == set(want)
+    for did in want:
+        gc, gk, gs, gw = got[did]
+        wc, wk, ws, ww = want[did]
+        assert (gc, gk, gw) == (wc, wk, ww), (did, got[did], want[did])
+        if ws is None:
+            assert gs is None
+        else:
+            assert gs == pytest.approx(ws, rel=1e-9)
+    # each 6-knot collapses to >= 1 survivor and loses most copies
+    kept_n = sum(1 for v in got.values() if v[1])
+    assert kept_n < len(ids) - 4 * 3  # at least ~3 dropped per knot
+
+    # partition invariance: identical table from a different layout
+    dec2 = SD.semdedup(
+        emb.repartition(13), model=model, threshold=0.92
+    )
+    got2 = {
+        r.vec_id: (r.cluster_id, r.kept, r.max_prior_sim, r.witness_id)
+        for r in dec2.collect()
+    }
+    assert got2 == got
+
+
+def test_semdedup_chain_keeps_ends_drops_middle(spark):
+    """A~B~C with A≁C: the farthest-first ordering puts the middle
+    (nearest the centroid) LAST, so both ends survive — the
+    documented divergence from component dedup (which keeps one)."""
+    import math
+
+    def v(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r), 0.0]
+
+    emb = _emb_df(spark, [1, 2, 3], np.array([v(0), v(25), v(50)]))
+    # one cluster: k=1 (any centroid), eps between cos(25) and cos(50)
+    dec = SD.semdedup(emb, 1, threshold=0.85, seed=1)
+    rows = {r.vec_id: r for r in dec.collect()}
+    assert rows[1].kept and rows[3].kept and not rows[2].kept
+    assert rows[2].witness_id in (1, 3)
+    # component dedup over the same pairs would keep exactly one
+    from solana_snapshot_etl_tools_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    comp = semantic_dedup(emb, threshold=0.85)
+    assert {r.keep_id for r in comp.collect()} == {1}
+
+
+def test_semdedup_filter_and_missing_embeddings(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 6)], "doc_id long, text string"
+    )
+    # 1 and 2 near-identical; 5 has NO embedding -> passes through
+    emb = _emb_df(
+        spark,
+        [1, 2, 3, 4],
+        np.array(
+            [[1.0, 0.0], [0.999, 0.01], [0.0, 1.0], [-1.0, 0.0]]
+        ),
+    )
+    out = SD.semdedup_filter(docs, emb, 1, threshold=0.95)
+    kept = {r.doc_id for r in out.collect()}
+    assert 5 in kept and {3, 4} <= kept
+    assert len(kept & {1, 2}) == 1  # one of the near-pair survives
+    assert out.columns == docs.columns
+
+
+def test_semdedup_zero_vector_always_kept(spark):
+    emb = _emb_df(
+        spark, [1, 2, 3],
+        np.array([[1.0, 0.0], [1.0, 1e-4], [0.0, 0.0]]),
+    )
+    dec = SD.semdedup(emb, 1, threshold=0.9)
+    rows = {r.vec_id: r.kept for r in dec.collect()}
+    assert rows[3] is True
+    assert sum(rows.values()) == 2  # zero vec + one of the pair
+
+
+def test_semdedup_guards(spark):
+    emb = _emb_df(spark, [1, 2, 3], np.eye(3))
+    with pytest.raises(ValueError, match="exactly one"):
+        SD.semdedup(emb)
+    m = kmeans_fit(emb, 1, normalize=True)
+    with pytest.raises(ValueError, match="exactly one"):
+        SD.semdedup(emb, 1, model=m)
+    with pytest.raises(ValueError, match="threshold"):
+        SD.semdedup(emb, 1, threshold=1.0)
+    with pytest.raises(ValueError, match="SPHERICAL"):
+        SD.semdedup(emb, model=kmeans_fit(emb, 1))
+    with pytest.raises(Exception, match="max_cluster_size=2"):
+        SD.semdedup(emb, 1, max_cluster_size=2).collect()
+    # ragged / NULL embeddings die loudly — in the k-means kernel if
+    # fitting here, or in semdedup's own in-group guards with a
+    # prefitted model; never a silent wrong answer
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(
+        Exception, match="ragged|inhomogeneous|sequence|mismatch"
+    ):
+        SD.semdedup(ragged, 1, threshold=0.5).collect()
+    withnull = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(
+        Exception, match="NULL embedding|None|NoneType|unsupported"
+    ):
+        SD.semdedup(withnull, 1, threshold=0.5).collect()
+
+def test_cli_semdedup_batch_and_stream(spark, tmp_path_factory, capsys):
+    """--semdedup composes with the batch pipeline (before
+    cluster-balance) and with --ingest-stream as a post-drain stage;
+    docs without embeddings pass through; validation rules hold."""
+    import json as _json
+    import os
+
+    from solana_snapshot_etl_tools_spark import corpus_cli
+
+    base = tmp_path_factory.mktemp("semdedup_cli")
+    # 12 docs: ids 1-6 share one embedding knot (near-identical), ids
+    # 7-10 distinct, 11-12 have NO embedding
+    rng = np.random.default_rng(5)
+    rows = [(i, f"document number {i} with plain words") for i in range(1, 13)]
+    src = str(base / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    knot = rng.normal(size=8)
+    vecs = [(i, (knot + 0.002 * rng.normal(size=8)).tolist()) for i in range(1, 7)]
+    vecs += [(i, rng.normal(size=8).tolist()) for i in range(7, 11)]
+    embp = str(base / "emb")
+    spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(embp)
+
+    def run(*argv):
+        assert corpus_cli.main(list(argv)) == 0
+        out = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+        return _json.loads(out[-1])
+
+    out1 = str(base / "out1")
+    rep = run(src, out1, "--no-pii", "--quality", "0", "--lang", "",
+              "--embeddings", embp, "--semdedup", "0.9",
+              "--semdedup-k", "2")
+    assert rep["semdedup_k"] == 2
+    assert rep["n_semdedup_dropped"] >= 4  # most of the 6-knot dies
+    kept = {
+        r.doc_id
+        for name, sz in rep["splits"].items()
+        if sz["rows"]
+        for r in spark.read.parquet(f"{out1}/{name}").collect()
+    }
+    assert {7, 8, 9, 10, 11, 12} <= kept  # distinct + embedding-less
+    assert len(kept & {1, 2, 3, 4, 5, 6}) <= 2
+
+    # stream mode: post-drain stage, append-only corpus stays whole
+    arrivals = str(base / "arrivals")
+    os.makedirs(arrivals)
+    spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(arrivals)
+    sout = str(base / "sout")
+    srep = run(arrivals, sout, "--ingest-stream", "--index-out",
+               str(base / "idx"), "--no-pii", "--quality", "0",
+               "--lang", "", "--embeddings", embp, "--semdedup", "0.9",
+               "--semdedup-k", "2", "--stratified-split", "lang")
+    assert srep["n_corpus"] == 12  # append-only state whole
+    assert srep["n_after_semdedup"] == 12 - srep["n_semdedup_dropped"]
+    split_ids = {
+        r.doc_id
+        for name, sz in srep["splits"].items()
+        if sz["rows"]
+        for r in spark.read.parquet(f"{sout}/{name}").collect()
+    }
+    assert len(split_ids) == srep["n_after_semdedup"]
+    assert {7, 8, 9, 10, 11, 12} <= split_ids
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):  # needs --embeddings
+        corpus_cli.main([src, str(base / "o2"), "--semdedup", "0.9"])
+    with _pytest.raises(SystemExit):  # EPS out of range
+        corpus_cli.main([src, str(base / "o3"), "--embeddings", embp,
+                         "--semdedup", "1.5"])
+    with _pytest.raises(SystemExit):  # -k without --semdedup
+        corpus_cli.main([src, str(base / "o4"), "--embeddings", embp,
+                         "--semdedup-k", "4"])
