@@ -36,7 +36,7 @@ library stages in production order (the same order the declared
         [--dedup-against-index DIR [--drop-near-candidates]] \\
         [--train-pct 90 --val-pct 5] \\
         [--tokenize N [--tokenizer bpe|unigram] [--pack SEQ_LEN]] \\
-        [--shuffle-seed N] [--data-card] \\
+        [--shuffle-seed N] [--data-card] [--profile] \\
         [--records-per-shard N] [--cpus N]
 
 Streaming ingestion is its own mode — DOCS is then a DIRECTORY of
@@ -55,7 +55,7 @@ arriving shards and the loop state lives at --index-out:
         [--dsir-keep N | --dsir-sample N | --dsir-sample-scale C] \\
         [--source-blocklist FILE] [--boilerplate-min-df N] \\
         [--stratified-split lang|script [--train-pct P --val-pct V]] \\
-        [--data-card]
+        [--data-card] [--profile]
 
 (The stateless cleaning tiers — PII redaction, quality/language/
 Gopher filters, the learned quality model — run unchanged on the
@@ -338,6 +338,16 @@ def main(argv: list[str] | None = None) -> int:
                    "lives under OUT_DIR/_checkpoint, so re-running "
                    "picks up only NEW shards. Mutually exclusive with "
                    "the batch pipeline stages")
+    p.add_argument("--profile", action="store_true",
+                   help="persist a MERGEABLE sketch profile of the "
+                   "final corpus to OUT_DIR/profile (operators/"
+                   "profile.py: counts, sums, DataSketches HLL "
+                   "distincts — rows that later union without "
+                   "rescanning the corpus) and put the estimates in "
+                   "the report. In --ingest-stream the store is "
+                   "per-batch and INCREMENTAL: each run profiles only "
+                   "batches not yet in the store (partition-pruned), "
+                   "so corpus-level numbers never rescan old data")
     p.add_argument("--data-card", action="store_true",
                    help="include the final corpus's data-card stats "
                    "(token/char totals, length percentiles, language "
@@ -1042,6 +1052,22 @@ def main(argv: list[str] | None = None) -> int:
         }
     report["splits"] = splits
 
+    if args.profile:
+        from solana_snapshot_etl_tools_spark.operators.profile import (
+            corpus_profile,
+            profile_estimates,
+        )
+
+        prof = corpus_profile(corpus.select("doc_id", "text"))
+        prof.write.mode("overwrite").parquet(f"{args.out_dir}/profile")
+        spark.catalog.refreshByPath(f"{args.out_dir}/profile")
+        report["profile"] = {
+            k: v
+            for k, v in profile_estimates(
+                spark.read.parquet(f"{args.out_dir}/profile")
+            ).collect()[0].asDict().items()
+        }
+
     if args.data_card:
         from solana_snapshot_etl_tools_spark.operators.report import (
             corpus_report,
@@ -1353,6 +1379,51 @@ def _ingest_stream_main(args) -> int:
     for key, sub in (("index_rows", "index"), ("signature_rows", "sigs")):
         df = read_count(f"{args.index_out}/{sub}")
         report[key] = df.count() if df is not None else 0
+    if args.profile and corpus is not None:
+        # incremental per-batch profile of the APPEND-ONLY store,
+        # before any post-drain filter rewrites the view: each run
+        # profiles only batches absent from the store (a partition-
+        # pruned read — old batches are never rescanned), appends
+        # their partials under batch=N dirs (dynamic overwrite, so
+        # replays rewrite identically instead of duplicating), and
+        # reports the merged estimates
+        from pyspark.errors import AnalysisException
+
+        from solana_snapshot_etl_tools_spark.operators.profile import (
+            corpus_profile,
+            merge_profiles,
+            profile_estimates,
+        )
+
+        pstore = f"{args.out_dir}/profile"
+        try:
+            done = {
+                r.batch
+                for r in spark.read.parquet(pstore)
+                .select("batch").distinct().collect()
+            }
+        except AnalysisException:
+            done = set()
+        fresh = (
+            corpus.filter(~F.col("batch").isin(sorted(done)))
+            if done
+            else corpus
+        )
+        if fresh.limit(1).count():
+            part = corpus_profile(
+                fresh.select("doc_id", "text", "batch"), by="batch"
+            )
+            (
+                part.repartition("batch")
+                .write.partitionBy("batch")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(pstore)
+            )
+            spark.catalog.refreshByPath(pstore)
+        report["profile"] = profile_estimates(
+            merge_profiles(spark.read.parquet(pstore))
+        ).collect()[0].asDict()
     if args.boilerplate_min_df is not None and corpus is not None:
         # post-drain batch stage, FIRST among them (batch mode strips
         # boilerplate before everything downstream): line document

@@ -1,0 +1,175 @@
+"""Mergeable corpus profiles — DataSketches HLL partials that make
+100 TB statistics INCREMENTAL.
+
+``report.corpus_report`` answers "what does this corpus look like"
+with one full scan; at web scale the question is asked after every
+shard arrival, and rescanning petabytes for a dashboard number is the
+anti-pattern. The sketch posture (the one every warehouse profiler
+uses): each shard/batch/source computes a tiny PROFILE ROW — counts,
+sums, min/max, and HLL sketches for the distinct-counts — and those
+rows MERGE exactly (sums add, sketches union) without ever touching
+the corpus again. Spark ships the DataSketches HLL agg family
+(``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_sketch_estimate``,
+Spark 3.5+) whose sketches are little-endian-stable binaries — safe
+to persist in parquet beside the corpus and union years later.
+
+What is (and is not) in the profile: everything in it is exactly
+mergeable — counts, sums, extrema, HLL distincts. Quantiles are NOT
+(``percentile_approx`` partials are not exposed), so length
+percentiles stay in ``corpus_report``'s one-shot scan; the profile
+carries the mean via (sum, count) instead.
+
+Scale shape: one map-side-combinable aggregation per profile call
+(the token-distinct sketch folds each document's tokens inside ONE
+projection — no explode, no shuffle of token rows); a profile row is
+a few KB regardless of input size; merging N profile rows is an
+aggregation over N tiny rows. The streaming ingest loop can persist
+one profile row per micro-batch (batch-partitioned, replay-idempotent
+dynamic overwrite — the bloom sidecar's layout) and the corpus-level
+numbers come from ``merge_profiles`` over that store: zero corpus
+rescans.
+
+Reference scope note: the reference ETL has no analog; this is part
+of the training-data surface the Spark engine adds (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# lgConfigK=12 -> ~1.6% relative standard error, 4 KB sketches; the
+# DataSketches default tradeoff most profilers ship
+DEFAULT_LG_K = 12
+
+_SKETCHES = ("texts_hll", "tokens_hll")
+_SUMS = ("n_docs", "n_null_text", "n_empty_text", "n_tokens", "n_chars")
+
+
+def _token_hashes(c: Column) -> Column:
+    """One xxhash64 per whitespace token, computed INSIDE a single
+    array expression — the distinct-token sketch then aggregates
+    array elements without an explode ever shuffling token rows."""
+    toks = F.filter(F.split(c, r"\s+"), lambda t: F.length(t) > 0)
+    return F.transform(toks, lambda t: F.xxhash64(t))
+
+
+def corpus_profile(
+    docs: DataFrame,
+    by: str | list[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lg_k: int = DEFAULT_LG_K,
+) -> DataFrame:
+    """One mergeable profile row per ``by`` group (or one global row
+    with ``by=None``): ``n_docs / n_null_text / n_empty_text /
+    n_tokens / n_chars / max_chars`` plus HLL sketch binaries
+    ``texts_hll`` (distinct text content, via xxhash64) and
+    ``tokens_hll`` (distinct whitespace tokens). Persist rows as
+    parquet; combine with :func:`merge_profiles`; read numbers with
+    :func:`profile_estimates`.
+
+    All profiles that will ever be merged must share ``lg_k`` (the
+    sketch union requires one register width; the column
+    ``hll_lg_k`` records it and :func:`merge_profiles` enforces it).
+    """
+    if not 4 <= lg_k <= 21:
+        raise ValueError(f"lg_k must be in [4, 21], got {lg_k}")
+    c = F.col(text_col)
+    keys = [by] if isinstance(by, str) else list(by or [])
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(c.isNull(), 1)).alias("n_null_text"),
+        F.count(F.when(F.length(c) == 0, 1)).alias("n_empty_text"),
+        # same token rule as the sketch below (empty/whitespace-only
+        # texts contribute 0 — unlike the data card's token_count,
+        # whose split() artifact counts 1 for empty text)
+        F.sum(
+            F.coalesce(F.size(_token_hashes(c)), F.lit(0))
+        ).alias("n_tokens"),
+        F.sum(F.coalesce(F.length(c), F.lit(0)).cast("long")).alias("n_chars"),
+        F.max(F.length(c)).alias("max_chars"),
+        # xxhash64(NULL) hashes the seed, not NULL — gate first so a
+        # null text never lands in the distinct-content sketch
+        F.hll_sketch_agg(
+            F.when(c.isNotNull(), F.xxhash64(c)), F.lit(lg_k)
+        ).alias("texts_hll"),
+    ]
+    base = docs.groupBy(*keys).agg(*aggs) if keys else docs.agg(*aggs)
+    # the token-distinct sketch needs one ROW per token for the agg
+    # input, so the tokens ARE exploded — but generate + partial
+    # hash-agg plan into the same stage, so only per-partition
+    # sketches (not token rows) ever cross the shuffle
+    exploded = docs.select(
+        *keys, F.explode_outer(_token_hashes(c)).alias("_tok_h")
+    )
+    tok_agg = F.hll_sketch_agg("_tok_h", F.lit(lg_k)).alias("tokens_hll")
+    tok_prof = (
+        exploded.groupBy(*keys).agg(tok_agg) if keys else exploded.agg(tok_agg)
+    )
+    prof = base.join(tok_prof, keys) if keys else base.crossJoin(tok_prof)
+    return prof.withColumn("hll_lg_k", F.lit(lg_k))
+
+
+def merge_profiles(
+    profiles: DataFrame,
+    by: str | list[str] | None = None,
+) -> DataFrame:
+    """Re-aggregate profile rows (e.g. per-batch partials, or
+    per-source rows rolled up to the corpus): sums add, extrema max,
+    sketches union. ``by=None`` merges everything into one row;
+    passing the original group columns keeps per-group rows (useful
+    to merge per-(source, batch) partials down to per-source).
+    Profiles with differing ``hll_lg_k`` raise — their sketches are
+    not unionable at full precision."""
+    keys = [by] if isinstance(by, str) else list(by or [])
+    aggs = (
+        [F.sum(k).alias(k) for k in _SUMS]
+        + [
+            F.max("max_chars").alias("max_chars"),
+            F.hll_union_agg("texts_hll").alias("texts_hll"),
+            F.hll_union_agg("tokens_hll").alias("tokens_hll"),
+            F.min("hll_lg_k").alias("_lgk_min"),
+            F.max("hll_lg_k").alias("_lgk_max"),
+        ]
+    )
+    out = profiles.groupBy(*keys).agg(*aggs) if keys else profiles.agg(*aggs)
+    bad = out.filter(F.col("_lgk_min") != F.col("_lgk_max")).limit(1).collect()
+    if bad:
+        raise ValueError(
+            "merge_profiles: mixed hll_lg_k values "
+            f"({bad[0]['_lgk_min']} vs {bad[0]['_lgk_max']}) — profiles "
+            "must share one sketch precision to union losslessly"
+        )
+    return out.withColumn("hll_lg_k", F.col("_lgk_min")).drop(
+        "_lgk_min", "_lgk_max"
+    )
+
+
+def profile_estimates(profiles: DataFrame) -> DataFrame:
+    """The human-readable view: sketch binaries become estimates
+    (``distinct_texts`` / ``distinct_tokens``) plus the derived
+    numbers every data card quotes — ``exact_dup_rate`` (1 -
+    distinct/n over non-null docs, the fraction exact dedup would
+    remove, up to sketch error) and ``tokens_per_doc``."""
+    n_eff = F.col("n_docs") - F.col("n_null_text")
+    return profiles.select(
+        *[
+            c
+            for c in profiles.columns
+            if c not in _SKETCHES and c != "hll_lg_k"
+        ],
+        F.hll_sketch_estimate("texts_hll").alias("distinct_texts"),
+        F.hll_sketch_estimate("tokens_hll").alias("distinct_tokens"),
+        F.when(
+            n_eff > 0,
+            F.greatest(
+                F.lit(0.0),
+                F.lit(1.0)
+                - F.hll_sketch_estimate("texts_hll") / n_eff.cast("double"),
+            ),
+        ).alias("exact_dup_rate"),
+        F.when(
+            F.col("n_docs") > 0,
+            F.col("n_tokens") / F.col("n_docs").cast("double"),
+        ).alias("tokens_per_doc"),
+    )

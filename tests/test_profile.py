@@ -1,0 +1,235 @@
+"""Mergeable sketch profiles (operators/profile.py): estimate
+accuracy vs exact counts, exact merge-equals-whole, per-group rows,
+parquet persistence of sketch binaries, DuckDB parity for the exact
+scalars, and the guards."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from solana_snapshot_etl_tools_spark.operators import profile as P
+
+SRC = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _est(df):
+    return P.profile_estimates(df).collect()[0].asDict()
+
+
+def test_profile_estimates_match_exact_counts(spark):
+    docs = spark.read.parquet(SRC).select("doc_id", "text")
+    prof = P.corpus_profile(docs)
+    got = _est(prof)
+
+    exact = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.filter(
+            F.split(F.col("text"), r"\s+"), lambda t: F.length(t) > 0
+        ))).alias("n_tokens"),
+        F.sum(F.length("text")).alias("n_chars"),
+        F.count_distinct(F.xxhash64("text")).alias("d_texts"),
+    ).collect()[0]
+    d_tokens = (
+        docs.select(F.explode(F.split("text", r"\s+")).alias("t"))
+        .filter(F.length("t") > 0)
+        .agg(F.count_distinct("t"))
+        .collect()[0][0]
+    )
+    # the summed scalars are EXACT
+    assert got["n_docs"] == exact["n_docs"]
+    assert got["n_tokens"] == exact["n_tokens"]
+    assert got["n_chars"] == exact["n_chars"]
+    # the sketched distincts land within the lg_k=12 error band
+    assert got["distinct_texts"] == pytest.approx(exact["d_texts"], rel=0.05)
+    assert got["distinct_tokens"] == pytest.approx(d_tokens, rel=0.05)
+    assert got["exact_dup_rate"] == pytest.approx(
+        1.0 - exact["d_texts"] / exact["n_docs"], abs=0.05
+    )
+    assert got["tokens_per_doc"] == pytest.approx(
+        exact["n_tokens"] / exact["n_docs"]
+    )
+
+    # DuckDB parity for the exact scalars (same whitespace token rule)
+    import duckdb
+
+    con = duckdb.connect()
+    nd, nt, nc = con.execute(
+        "SELECT count(*),"
+        " sum(len(regexp_split_to_array(trim(text), '\\s+')))"
+        "  FILTER (WHERE trim(text) <> ''),"
+        " sum(length(text)) "
+        f"FROM read_parquet('{SRC}')"
+    ).fetchone()
+    assert got["n_docs"] == nd
+    assert got["n_tokens"] == (nt or 0)
+    assert got["n_chars"] == nc
+
+
+def test_profile_merge_equals_whole_and_persists(spark, tmp_path_factory):
+    docs = spark.read.parquet(SRC).select("doc_id", "text")
+    whole = _est(P.corpus_profile(docs))
+    parts = [
+        P.corpus_profile(docs.filter(F.pmod("doc_id", F.lit(3)) == i))
+        for i in range(3)
+    ]
+    store = str(tmp_path_factory.mktemp("profiles") / "p.parquet")
+    parts[0].unionByName(parts[1]).unionByName(parts[2]).write.parquet(store)
+    merged = _est(P.merge_profiles(spark.read.parquet(store)))
+    # the summed scalars agree EXACTLY; the sketch estimates agree to
+    # sketch precision only — DataSketches drops the HIP estimator on
+    # union (composite estimator thereafter), so the merged estimate
+    # is NOT bit-identical to the whole-corpus sketch's
+    for k in ("n_docs", "n_null_text", "n_empty_text", "n_tokens",
+              "n_chars", "max_chars", "tokens_per_doc"):
+        assert merged[k] == whole[k], k
+    for k in ("distinct_texts", "distinct_tokens"):
+        assert merged[k] == pytest.approx(whole[k], rel=0.03), k
+    assert merged["exact_dup_rate"] == pytest.approx(
+        whole["exact_dup_rate"], abs=0.03
+    )
+
+
+def test_profile_by_group_and_rollup(spark):
+    docs = spark.read.parquet(SRC).select(
+        "doc_id", "text", "source",
+        F.pmod("doc_id", F.lit(2)).alias("batch"),
+    )
+    fine = P.corpus_profile(docs, by=["source", "batch"])
+    rolled = P.merge_profiles(fine, by="source")
+    direct = P.corpus_profile(docs, by="source")
+    got = {
+        r["source"]: r
+        for r in P.profile_estimates(rolled).collect()
+    }
+    want = {
+        r["source"]: r
+        for r in P.profile_estimates(direct).collect()
+    }
+    assert set(got) == set(want)
+    for s in want:
+        assert got[s].asDict() == want[s].asDict(), s
+    # group keys survive on the estimates view
+    assert "source" in P.profile_estimates(direct).columns
+
+
+def test_profile_null_and_empty_text(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, None), (4, "hello world")],
+        "doc_id long, text string",
+    )
+    got = _est(P.corpus_profile(docs))
+    assert got["n_docs"] == 4
+    assert got["n_null_text"] == 1
+    assert got["n_empty_text"] == 1
+    assert got["n_tokens"] == 4
+    assert got["distinct_tokens"] == 2
+    # 3 non-null texts, 2 distinct ("hello world" x2 and "")
+    assert got["distinct_texts"] == 2
+    assert got["exact_dup_rate"] == pytest.approx(1 / 3, rel=1e-9)
+
+
+def test_profile_guards(spark):
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="lg_k"):
+        P.corpus_profile(docs, lg_k=2)
+    mixed = P.corpus_profile(docs, lg_k=11).unionByName(
+        P.corpus_profile(docs, lg_k=12)
+    )
+    with pytest.raises(Exception, match="lg_k|lgConfigK|union"):
+        P.merge_profiles(mixed).collect()
+
+
+def test_profile_token_sketch_aggregates_map_side(spark):
+    """The token explode must partial-aggregate in its own stage:
+    the plan shows the HLL partial BELOW the exchange — token rows
+    never cross the shuffle."""
+    docs = spark.read.parquet(SRC).select("doc_id", "text")
+    prof = P.corpus_profile(docs)
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    first_agg = plan.find("hll_sketch_agg")
+    assert first_agg != -1
+    # a partial-mode aggregate of the token sketch appears in the plan
+    assert re.search(r"partial_hll_sketch_agg", plan), plan[:2000]
+
+
+def test_cli_profile_batch_and_incremental_stream(
+    spark, tmp_path_factory, capsys
+):
+    """--profile: batch mode persists one mergeable profile row and
+    reports estimates; stream mode keeps a per-batch store that only
+    ever profiles NEW batches (old partials untouched on disk) and
+    reports the merged numbers."""
+    import glob
+    import json as _json
+    import os
+    import time
+
+    from solana_snapshot_etl_tools_spark import corpus_cli
+
+    base = tmp_path_factory.mktemp("profile_cli")
+    docs = spark.read.parquet(SRC).select("doc_id", "text").orderBy(
+        "doc_id"
+    ).limit(80)
+
+    def run(*argv):
+        assert corpus_cli.main(list(argv)) == 0
+        out = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+        return _json.loads(out[-1])
+
+    # batch mode
+    src = str(base / "docs")
+    docs.write.parquet(src)
+    out1 = str(base / "out1")
+    rep = run(src, out1, "--no-pii", "--quality", "0", "--lang", "",
+              "--profile")
+    assert rep["profile"]["n_docs"] == rep["n_after_filters"]
+    assert rep["profile"]["distinct_texts"] > 0
+    assert spark.read.parquet(f"{out1}/profile").count() == 1
+
+    # stream mode, incremental store
+    arrivals = str(base / "arrivals")
+    os.makedirs(arrivals)
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.mode(
+        "append"
+    ).parquet(arrivals)
+    sout, idx = str(base / "sout"), str(base / "idx")
+    srep = run(arrivals, sout, "--ingest-stream", "--index-out", idx,
+               "--no-pii", "--quality", "0", "--lang", "", "--profile")
+    assert srep["profile"]["n_docs"] == srep["n_corpus"]
+    store = f"{sout}/profile"
+    assert sorted(glob.glob(f"{store}/batch=*")) == [f"{store}/batch=0"]
+    b0_state = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{store}/batch=0/*.parquet")
+    }
+
+    time.sleep(1.1)
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.mode(
+        "append"
+    ).parquet(arrivals)
+    srep2 = run(arrivals, sout, "--ingest-stream", "--index-out", idx,
+                "--no-pii", "--quality", "0", "--lang", "", "--profile")
+    assert srep2["n_batches"] == 2
+    assert srep2["profile"]["n_docs"] == srep2["n_corpus"] == 80
+    assert sorted(os.path.basename(p) for p in glob.glob(
+        f"{store}/batch=*")) == ["batch=0", "batch=1"]
+    # batch 0's partial was NOT rewritten: incremental means the old
+    # batch is neither rescanned nor re-profiled
+    b0_after = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{store}/batch=0/*.parquet")
+    }
+    assert b0_after == b0_state
+    # merged store numbers equal a direct whole-corpus profile's sums
+    from solana_snapshot_etl_tools_spark.operators import profile as PR
+
+    whole = PR.profile_estimates(
+        PR.corpus_profile(
+            spark.read.parquet(f"{sout}/corpus").select("doc_id", "text")
+        )
+    ).collect()[0]
+    assert srep2["profile"]["n_tokens"] == whole["n_tokens"]
+    assert srep2["profile"]["n_chars"] == whole["n_chars"]
