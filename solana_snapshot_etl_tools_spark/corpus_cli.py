@@ -20,7 +20,7 @@ library stages in production order (the same order the declared
         [--html-extract] [--normalize] [--url-dedup] \\
         [--near-dedup] [--no-pii] [--dedup-cleaned] \\
         [--quality 0.5] [--lang en] [--script-filter latin,cyrillic] \\
-        [--gopher] \\
+        [--gopher] [--fineweb] \\
         [--term-blocklist FILE [--term-max-ratio R]] \\
         [--quality-model DIR [--quality-model-threshold T]] \\
         [--lm-reference REF.parquet [--lm-save DIR] | --lm-model DIR] \\
@@ -45,7 +45,7 @@ arriving shards and the loop state lives at --index-out:
     python -m solana_snapshot_etl_tools_spark.corpus_cli \\
         ARRIVALS_DIR OUT_DIR --ingest-stream --index-out DIR \\
         [--no-pii] [--quality Q] [--lang L] [--script-filter S,...] \\
-        [--gopher] \\
+        [--gopher] [--fineweb] \\
         [--quality-model DIR] [--drop-near-candidates] \\
         [--lm-reference REF.parquet | --lm-model DIR] \\
         [--lm-max-ppl P | --lm-keep-buckets head,middle] \\
@@ -122,6 +122,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--gopher", action="store_true",
                    help="additionally require every Gopher rule to pass "
                    "(operators/quality.py)")
+    p.add_argument("--fineweb", action="store_true",
+                   help="additionally require FineWeb's three "
+                   "line-level rules to pass (operators/quality.py:"
+                   "fineweb_quality_flags — punct-line fraction, "
+                   "duplicated-line character mass, short-line "
+                   "fraction, published thresholds). Pure column "
+                   "expressions: runs unchanged in --ingest-stream")
     p.add_argument("--gopher-stopwords", metavar="W1,W2,...", default=None,
                    help="override Gopher A1.1's eight-word stop list for "
                    "the stop-word rule (comma-separated; for corpora "
@@ -630,6 +637,17 @@ def main(argv: list[str] | None = None) -> int:
         filtered = (
             gopher_quality_flags(filtered, stopwords=sw)
             .filter(F.col("passes_gopher"))
+            .select(*before)
+        )
+    if args.fineweb:
+        from solana_snapshot_etl_tools_spark.operators.quality import (
+            fineweb_quality_flags,
+        )
+
+        before = filtered.columns
+        filtered = (
+            fineweb_quality_flags(filtered)
+            .filter(F.col("passes_fineweb"))
             .select(*before)
         )
     if args.term_blocklist:
@@ -1323,6 +1341,18 @@ def _ingest_stream_main(args) -> int:
         stream = (
             gopher_quality_flags(stream, stopwords=sw)
             .filter(F.col("passes_gopher"))
+            .select(*before)
+        )
+    if args.fineweb:
+        # pure column expressions — stream-safe like --gopher
+        from solana_snapshot_etl_tools_spark.operators.quality import (
+            fineweb_quality_flags,
+        )
+
+        before = stream.columns
+        stream = (
+            fineweb_quality_flags(stream)
+            .filter(F.col("passes_fineweb"))
             .select(*before)
         )
     if args.term_blocklist:
