@@ -28,7 +28,8 @@ library stages in production order (the same order the declared
         [--dsir-target T.parquet [--dsir-save DIR] | --dsir-model DIR] \\
         [--dsir-keep N | --dsir-sample N | --dsir-sample-scale C] \\
         [--source-blocklist FILE] [--source-cap N] \\
-        [--source-mixture SRC=W,SRC=W,...] \\
+        [--source-mixture SRC=W,SRC=W,... \\
+         [--token-budget B [--max-epochs E]]] \\
         [--embeddings EMB.parquet [--cluster-balance K [--alpha 0.0]] \\
          [--semdedup EPS [--semdedup-k K]] \\
          [--decontam-bench BENCH.parquet --decontam-threshold T]] \\
@@ -270,6 +271,22 @@ def main(argv: list[str] | None = None) -> int:
                    "target_mixture_sample semantics incl. the loud "
                    "shortfall contract). Runs after --source-cap. "
                    "Needs a 'source' column")
+    p.add_argument("--token-budget", type=int, metavar="B", default=None,
+                   help="plan the --source-mixture recipe in TOKENS "
+                   "for a B-token training run (sampling.py:"
+                   "token_budget_plan): per-source epoch factors = "
+                   "(B * share) / available_tokens. The CLI applies "
+                   "the DOWNSAMPLING side (factors clamped to 1 — "
+                   "materializing epoch copies would duplicate doc "
+                   "ids across the split machinery) and reports the "
+                   "full plan, including >1 epoch factors for the "
+                   "training loader; materialize copies with "
+                   "sampling.apply_token_budget_plan when needed")
+    p.add_argument("--max-epochs", type=float, metavar="E", default=None,
+                   help="cap any --token-budget epoch factor at E "
+                   "(the repetition-harms bound); the capped "
+                   "shortfall is reported, never silently "
+                   "renormalized")
     p.add_argument("--embeddings", metavar="PARQUET", default=None,
                    help="embeddings parquet with (vec_id, embedding) "
                    "keyed by doc id — enables --cluster-balance")
@@ -401,6 +418,17 @@ def main(argv: list[str] | None = None) -> int:
                 p.error(f"--source-mixture weight {v!r} is not a number")
         if not mixture:
             p.error("--source-mixture parsed to an empty recipe")
+    if args.token_budget is not None:
+        if not mixture:
+            p.error("--token-budget needs --source-mixture (the "
+                    "recipe whose shares it turns into token counts)")
+        if args.token_budget < 1:
+            p.error("--token-budget must be >= 1")
+    if args.max_epochs is not None:
+        if args.token_budget is None:
+            p.error("--max-epochs only makes sense with --token-budget")
+        if args.max_epochs <= 0:
+            p.error("--max-epochs must be > 0")
     scripts = None
     if args.script_filter is not None:
         from solana_snapshot_etl_tools_spark.functions.text import (
@@ -761,7 +789,33 @@ def main(argv: list[str] | None = None) -> int:
         filtered = DD._cache_for_session(capped)
         report["n_after_source_cap"] = filtered.count()
 
-    if mixture is not None:
+    if mixture is not None and args.token_budget is not None:
+        from solana_snapshot_etl_tools_spark.operators.sampling import (
+            apply_token_budget_plan,
+            token_budget_plan,
+        )
+
+        plan = token_budget_plan(
+            filtered, mixture, args.token_budget,
+            max_epochs=args.max_epochs,
+        )
+        report["token_budget_plan"] = plan
+        # the CLI materializes only the DOWNSAMPLING side: clamp the
+        # factors at 1 (epoch copies would duplicate doc ids through
+        # the split hash — leakage across splits); the loader reads
+        # the >1 factors from the reported plan
+        clamped = {
+            "sources": {
+                s: {**p, "factor": min(1.0, p["factor"])}
+                for s, p in plan["sources"].items()
+            }
+        }
+        filtered = DD._cache_for_session(
+            apply_token_budget_plan(filtered, clamped)
+            .drop("source", "epoch")
+        )
+        report["n_after_source_mixture"] = filtered.count()
+    elif mixture is not None:
         from solana_snapshot_etl_tools_spark.operators.sampling import (
             target_mixture_sample,
         )

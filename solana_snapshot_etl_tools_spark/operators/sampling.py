@@ -501,3 +501,156 @@ def target_mixture_sample(
         .filter(h * F.col("_cnt") < F.col("_tgt") * F.lit(float(_2_32)))
         .select(*df.columns)
     )
+
+
+def token_budget_plan(
+    docs: DataFrame,
+    weights: dict,
+    budget_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    max_epochs: float | None = None,
+) -> dict:
+    """Turn a (mixture recipe, token budget) pair into per-source
+    EPOCH FACTORS — the LLaMA-style data-recipe planner: "train on
+    B tokens at shares w" becomes, per source, ``factor_s =
+    (B * w_s) / available_tokens_s`` (>1 means the source repeats,
+    <1 means it downsamples). ``target_mixture_sample`` plans in DOC
+    counts and can only shrink; this plans in TOKENS — what loss
+    curves are budgeted in — and upsamples scarce high-weight
+    sources instead of erroring on them.
+
+    ``weights`` maps source → weight (normalized to shares; a None
+    key addresses the NULL source; sources not listed are dropped —
+    the whitelist contract). ``max_epochs`` caps any factor (the
+    repetition-harms bound, e.g. 4 per Muennighoff et al. 2023);
+    capped sources contribute fewer tokens and the plan records the
+    shortfall honestly instead of silently renormalizing.
+
+    Tokens are whitespace tokens (``functions.text.token_count`` —
+    the data card's rule). Returns a plain dict (JSON-safe): per
+    source ``available_tokens / available_docs / share /
+    target_tokens / factor / capped``, plus ``planned_tokens``,
+    ``shortfall_tokens`` and the realized ``planned_shares``.
+
+    Scale shape: ONE partial-agg groupBy over the whitelisted scan
+    (the count frame is bounded by len(weights), the
+    ``target_mixture_sample`` discipline); the plan itself is
+    driver-side arithmetic over len(weights) rows. Apply it with
+    :func:`apply_token_budget_plan` — one more scan, no shuffle."""
+    from solana_snapshot_etl_tools_spark.functions.text import token_count
+
+    if not weights:
+        raise ValueError("token_budget_plan needs a non-empty weights map")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError(f"weights must be > 0: {weights}")
+    if budget_tokens < 1:
+        raise ValueError(f"budget_tokens must be >= 1, got {budget_tokens}")
+    if max_epochs is not None and max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+
+    keys = [k for k in weights if k is not None]
+    listed = F.lit(False)
+    if keys:
+        listed = F.col(source_col).isin(keys)
+    if None in weights:
+        listed = listed | F.col(source_col).isNull()
+    counts = (
+        docs.filter(listed)
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("_docs"),
+            F.sum(
+                F.coalesce(token_count(F.col(text_col)), F.lit(0))
+            ).alias("_toks"),
+        )
+        .collect()
+    )
+    avail = {r[source_col]: (int(r["_docs"]), int(r["_toks"])) for r in counts}
+    wsum = float(sum(weights.values()))
+    plan_sources: dict = {}
+    planned_total = 0
+    shortfall = 0
+    for src, w in weights.items():
+        share = w / wsum
+        docs_n, toks = avail.get(src, (0, 0))
+        target = share * budget_tokens
+        if toks <= 0:
+            factor, capped, planned = 0.0, False, 0.0
+            shortfall += target
+        else:
+            factor = target / toks
+            capped = max_epochs is not None and factor > max_epochs
+            if capped:
+                factor = float(max_epochs)
+            planned = factor * toks
+            shortfall += max(0.0, target - planned)
+        planned_total += planned
+        plan_sources[src] = {
+            "available_docs": docs_n,
+            "available_tokens": toks,
+            "share": share,
+            "target_tokens": int(round(target)),
+            "factor": factor,
+            "capped": capped,
+        }
+    planned_shares = {
+        src: (
+            p["factor"] * p["available_tokens"] / planned_total
+            if planned_total > 0
+            else 0.0
+        )
+        for src, p in plan_sources.items()
+    }
+    return {
+        "budget_tokens": int(budget_tokens),
+        "sources": plan_sources,
+        "planned_tokens": int(round(planned_total)),
+        "shortfall_tokens": int(round(shortfall)),
+        "planned_shares": planned_shares,
+    }
+
+
+def apply_token_budget_plan(
+    docs: DataFrame,
+    plan: dict,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Materialize a :func:`token_budget_plan`: every doc of source s
+    appears ``floor(factor_s)`` times plus once more for a
+    hash-selected ``frac(factor_s)`` share (the ``upsample_corpus``
+    arithmetic, with the factor joined per source). Copies carry a
+    1-based ``epoch_col``; unlisted sources are dropped. Expected
+    kept tokens per source = factor * available (binomial spread);
+    deterministic and append-stable per (id, seed).
+
+    Scale shape: the len(plan) factor table is BROADCAST onto the
+    scan (map-side join), the copy explode is a narrow generator —
+    zero shuffles end to end."""
+    spark = docs.sparkSession
+    rows = [
+        (src, float(p["factor"])) for src, p in plan["sources"].items()
+    ]
+    if not rows:
+        raise ValueError("plan has no sources")
+    ftab = spark.createDataFrame(rows, f"_src string, _factor double")
+    joined = docs.join(
+        F.broadcast(ftab),
+        F.col(source_col).eqNullSafe(F.col("_src")),
+        "inner",
+    )
+    base = F.floor(F.col("_factor")).cast("int")
+    frac = F.col("_factor") - base.cast("double")
+    u = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(_2_32))
+    extra = (u.cast("double") < frac * F.lit(float(_2_32))).cast("int")
+    n_copies = base + extra
+    seqs = F.when(
+        n_copies >= 1, F.sequence(F.lit(1), n_copies)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        joined.withColumn(epoch_col, F.explode(seqs))
+        .drop("_src", "_factor")
+    )

@@ -603,3 +603,164 @@ def test_target_mixture_property_matches_replay(spark):
         assert got == keep
 
     check()
+
+
+# --- token-budget planning ---------------------------------------------------
+
+from solana_snapshot_etl_tools_spark.operators.sampling import (
+    apply_token_budget_plan,
+    token_budget_plan,
+)
+
+
+def _budget_corpus(spark):
+    rows = (
+        [(i, "web", "w " * 10) for i in range(1000)]          # 10k tokens
+        + [(2000 + i, "wiki", "k " * 20) for i in range(50)]  # 1k tokens
+        + [(3000 + i, "code", "c " * 5) for i in range(100)]  # 500 tokens
+        + [(4000 + i, None, "n " * 10) for i in range(20)]    # NULL source
+    )
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+
+
+def test_token_budget_plan_math(spark):
+    docs = _budget_corpus(spark)
+    plan = token_budget_plan(
+        docs, {"web": 7, "wiki": 2, "code": 1}, budget_tokens=5000
+    )
+    s = plan["sources"]
+    assert s["web"]["available_tokens"] == 10_000
+    assert s["wiki"]["available_tokens"] == 1_000
+    assert s["code"]["available_tokens"] == 500
+    assert s["web"]["factor"] == pytest.approx(3500 / 10_000)
+    assert s["wiki"]["factor"] == pytest.approx(1000 / 1_000)
+    assert s["code"]["factor"] == pytest.approx(500 / 500)
+    assert plan["planned_tokens"] == 5000
+    assert plan["shortfall_tokens"] == 0
+    assert plan["planned_shares"]["web"] == pytest.approx(0.7)
+
+    # scarce high-weight source upsamples; max_epochs caps it and the
+    # shortfall is reported, never silently renormalized
+    plan2 = token_budget_plan(
+        docs, {"web": 1, "code": 1}, budget_tokens=8000
+    )
+    assert plan2["sources"]["code"]["factor"] == pytest.approx(8.0)
+    plan3 = token_budget_plan(
+        docs, {"web": 1, "code": 1}, budget_tokens=8000, max_epochs=4
+    )
+    assert plan3["sources"]["code"]["factor"] == 4.0
+    assert plan3["sources"]["code"]["capped"] is True
+    assert plan3["shortfall_tokens"] == 2000
+    assert plan3["planned_tokens"] == 6000
+
+    # a listed source with zero corpus rows: honest zero + shortfall
+    plan4 = token_budget_plan(docs, {"web": 1, "books": 1}, 2000)
+    assert plan4["sources"]["books"]["factor"] == 0.0
+    assert plan4["shortfall_tokens"] == 1000
+
+    # NULL-source addressing via the None key
+    plan5 = token_budget_plan(docs, {None: 1}, 100)
+    assert plan5["sources"][None]["available_tokens"] == 200
+
+    import json as _json
+
+    _json.dumps(plan3)  # the plan is JSON-safe by construction
+
+    with pytest.raises(ValueError, match="non-empty"):
+        token_budget_plan(docs, {}, 100)
+    with pytest.raises(ValueError, match="> 0"):
+        token_budget_plan(docs, {"web": 0}, 100)
+    with pytest.raises(ValueError, match="budget_tokens"):
+        token_budget_plan(docs, {"web": 1}, 0)
+    with pytest.raises(ValueError, match="max_epochs"):
+        token_budget_plan(docs, {"web": 1}, 100, max_epochs=0)
+
+
+def test_apply_token_budget_plan(spark):
+    from solana_snapshot_etl_tools_spark.functions.text import token_count
+
+    docs = _budget_corpus(spark)
+    plan = token_budget_plan(
+        docs, {"web": 1, "wiki": 2, None: 1}, budget_tokens=4000
+    )
+    out = apply_token_budget_plan(docs, plan)
+    got = {
+        r.source: r.toks
+        for r in out.groupBy("source")
+        .agg(F.sum(token_count(F.col("text"))).alias("toks"))
+        .collect()
+    }
+    for src in ("web", "wiki", None):
+        want = plan["sources"][src]["factor"] * plan["sources"][src][
+            "available_tokens"
+        ]
+        sd = 3 * (plan["sources"][src]["available_tokens"] ** 0.5) * 25
+        assert abs(got[src] - want) <= max(sd, 600), (src, got[src], want)
+    # unlisted source dropped; epochs 1-based; (id, epoch) unique
+    assert out.filter(F.col("source") == "code").count() == 0
+    assert out.agg(F.min("epoch")).collect()[0][0] == 1
+    n = out.count()
+    assert out.select("doc_id", "epoch").distinct().count() == n
+    # wiki's factor = 2000/1000 = 2: every wiki doc appears >= 2 times
+    wiki_epochs = out.filter(F.col("source") == "wiki").groupBy(
+        "doc_id"
+    ).count()
+    assert wiki_epochs.agg(F.min("count")).collect()[0][0] >= 2
+    # determinism + partition invariance
+    out2 = apply_token_budget_plan(docs.repartition(17), plan)
+    a = sorted((r.doc_id, r.epoch) for r in out.collect())
+    b = sorted((r.doc_id, r.epoch) for r in out2.collect())
+    assert a == b
+    # zero shuffles: broadcast join + generator only
+    plan_str = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan_str.replace("BroadcastExchange", "BX")
+
+
+def test_cli_token_budget_stage(spark, tmp_path_factory, capsys):
+    """--token-budget: the mixture stage plans in tokens, applies the
+    downsampling side, and reports the full plan (incl. the >1 epoch
+    factors the CLI deliberately does not materialize)."""
+    import json as _json
+
+    from solana_snapshot_etl_tools_spark import corpus_cli
+
+    base = tmp_path_factory.mktemp("budget_cli")
+    # texts must be unique per doc: the CLI's exact-dedup tier runs
+    # before the mixture stage and would collapse identical rows
+    rows = (
+        [(i, "web", "plain web words " * 4 + f"w{i} x y") for i in range(400)]
+        + [(1000 + i, "wiki", "wiki words here " * 4 + f"k{i} x y")
+           for i in range(40)]
+    )
+    src = str(base / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.parquet(src)
+
+    def run(*argv):
+        assert corpus_cli.main(list(argv)) == 0
+        out = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+        return _json.loads(out[-1])
+
+    # web: 400x15=6000 tokens, wiki: 40x15=600. budget 3000 at 50/50
+    # -> web factor 0.25 (applied), wiki factor 2.5 (reported only)
+    rep = run(src, str(base / "out"), "--no-pii", "--quality", "0",
+              "--lang", "", "--source-mixture", "web=1,wiki=1",
+              "--token-budget", "3000", "--max-epochs", "4")
+    plan = rep["token_budget_plan"]
+    assert plan["sources"]["web"]["factor"] == pytest.approx(0.25)
+    assert plan["sources"]["wiki"]["factor"] == pytest.approx(2.5)
+    assert plan["shortfall_tokens"] == 0
+    # applied corpus: web downsampled to ~100 docs, wiki whole (clamp)
+    n = rep["n_after_source_mixture"]
+    assert 40 + 60 <= n <= 40 + 145, n
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):  # budget without mixture
+        corpus_cli.main([src, str(base / "o2"), "--token-budget", "100"])
+    with _pytest.raises(SystemExit):  # max-epochs without budget
+        corpus_cli.main([src, str(base / "o3"), "--source-mixture",
+                         "web=1", "--max-epochs", "2"])
