@@ -631,12 +631,21 @@ def apply_token_budget_plan(
     scan (map-side join), the copy explode is a narrow generator —
     zero shuffles end to end."""
     spark = docs.sparkSession
+    src_type = docs.schema[source_col].dataType.simpleString()
+    if src_type != "string":
+        # the factor table is string-keyed (plan keys are the JSON
+        # recipe's); a silent type-mismatched eqNullSafe join would
+        # match NOTHING and drop the whole corpus
+        raise ValueError(
+            f"apply_token_budget_plan needs a string {source_col!r} "
+            f"column, got {src_type}: cast the source key explicitly"
+        )
     rows = [
         (src, float(p["factor"])) for src, p in plan["sources"].items()
     ]
     if not rows:
         raise ValueError("plan has no sources")
-    ftab = spark.createDataFrame(rows, f"_src string, _factor double")
+    ftab = spark.createDataFrame(rows, "_src string, _factor double")
     joined = docs.join(
         F.broadcast(ftab),
         F.col(source_col).eqNullSafe(F.col("_src")),

@@ -106,8 +106,8 @@ def semdedup(
         raise ValueError(f"max_cluster_size must be >= 1, got {max_cluster_size}")
 
     from solana_snapshot_etl_tools_spark.operators.cluster import (
+        _argmin_sqdist,
         _prep,
-        kmeans_assign,
         kmeans_fit,
     )
 
@@ -123,12 +123,42 @@ def semdedup(
             "an unnormalized model would rank by magnitude, not angle"
         )
 
-    assigned = kmeans_assign(emb, model, id_col=id_col, vec_col=vec_col)
-    work = _prep(emb, id_col, vec_col, normalize=True).join(
-        assigned.select(
-            F.col(id_col).cast("long").alias("id"), "cluster_id", "sq_dist"
-        ),
-        "id",
+    # assignment is computed INLINE with the vector (one narrow Arrow
+    # pass, centroids broadcast) instead of kmeans_assign + a join —
+    # the join spelling shuffled the vectors on id before the cluster
+    # groupBy shuffled them again; this way they cross exactly once
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(
+        np.asarray(model["centroids"], dtype=np.float64)
+    )
+
+    def assign_gen(batches):
+        C = None
+        for pdf in batches:
+            if C is None:
+                C = np.asarray(bc.value, dtype=np.float64)
+            if not len(pdf):
+                continue
+            bad = pdf.loc[pdf["vec"].isna(), "id"].tolist()
+            if bad:
+                raise ValueError(
+                    f"semdedup: NULL embedding for ids {bad[:10]}"
+                    f"{'…' if len(bad) > 10 else ''}"
+                )
+            try:
+                X = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            except ValueError as e:
+                raise ValueError(
+                    "semdedup: ragged embedding lengths (ids "
+                    f"{pdf['id'].tolist()[:10]}…): {e}"
+                ) from None
+            a, d2 = _argmin_sqdist(X, C)
+            yield pdf.assign(
+                cluster_id=a.astype(np.int32), sq_dist=d2
+            )
+
+    work = _prep(emb, id_col, vec_col, normalize=True).mapInPandas(
+        assign_gen, "id long, vec array<double>, cluster_id int, sq_dist double"
     )
 
     cap = int(max_cluster_size)

@@ -266,3 +266,19 @@ def test_cli_semdedup_batch_and_stream(spark, tmp_path_factory, capsys):
     with _pytest.raises(SystemExit):  # -k without --semdedup
         corpus_cli.main([src, str(base / "o4"), "--embeddings", embp,
                          "--semdedup-k", "4"])
+
+
+def test_semdedup_single_shuffle_plan(spark):
+    """The vectors cross exactly ONE exchange (the cluster groupBy):
+    assignment is computed inline with the vector, not via a join
+    that would shuffle them a second time."""
+    import re
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    m = kmeans_fit(emb, 4, normalize=True)
+    dec = SD.semdedup(emb, model=m, threshold=0.9)
+    plan = dec._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
