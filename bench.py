@@ -423,6 +423,23 @@ def main() -> None:
         diag["semdedup_sec"] = round(time.time() - t0, 4)
         diag["semdedup_dropped"] = n_drop
         release_session_caches()
+
+        from solana_snapshot_etl_tools_spark.operators.profile import (
+            corpus_profile,
+            profile_estimates,
+        )
+        from solana_snapshot_etl_tools_spark.operators.quality import (
+            fineweb_quality_flags,
+        )
+
+        t0 = time.time()
+        fineweb_quality_flags(docs).agg(
+            F.sum(F.col("passes_fineweb").cast("int"))
+        ).collect()
+        diag["fineweb_flags_sec"] = round(time.time() - t0, 4)
+        t0 = time.time()
+        profile_estimates(corpus_profile(docs)).collect()
+        diag["corpus_profile_sec"] = round(time.time() - t0, 4)
     except Exception as e:  # diagnostics never break the contract
         diag["error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps({"r6_operator_diag": diag}), file=sys.stderr)
