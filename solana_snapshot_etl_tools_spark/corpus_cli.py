@@ -17,7 +17,7 @@ library stages in production order (the same order the declared
 
     python -m solana_snapshot_etl_tools_spark.corpus_cli \\
         DOCS.parquet OUT_DIR \\
-        [--html-extract] [--normalize] [--url-dedup] \\
+        [--html-extract [--respect-noai]] [--normalize] [--url-dedup] \\
         [--near-dedup] [--no-pii] [--dedup-cleaned] \\
         [--quality 0.5] [--lang en] [--script-filter latin,cyrillic] \\
         [--gopher] [--fineweb] \\
@@ -84,6 +84,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("docs", help="input parquet with (doc_id, text)")
     p.add_argument("out_dir", help="output root (per-split subdirs)")
+    p.add_argument("--respect-noai", action="store_true",
+                   help="drop pages whose robots/googlebot meta "
+                   "directives include noai/noimageai (functions/"
+                   "html.py:html_noai) — the crawl-consent opt-out. "
+                   "Requires --html-extract (the signal lives in the "
+                   "RAW markup, so the filter runs before "
+                   "extraction); runs unchanged in --ingest-stream")
     p.add_argument("--html-extract", action="store_true",
                    help="the text column holds raw HTML — extract "
                    "visible text first (functions/html.py, WET-style "
@@ -402,6 +409,9 @@ def main(argv: list[str] | None = None) -> int:
                 "or --ingest-stream")
     if args.source_cap is not None and args.source_cap < 1:
         p.error("--source-cap must be >= 1")
+    if args.respect_noai and not args.html_extract:
+        p.error("--respect-noai requires --html-extract (the noai "
+                "signal lives in the raw markup)")
     mixture = None
     if args.source_mixture:
         mixture = {}
@@ -584,6 +594,12 @@ def main(argv: list[str] | None = None) -> int:
         # row-preserving transform, BEFORE every text-reading stage
         from solana_snapshot_etl_tools_spark.functions import html as HTML
 
+        if args.respect_noai:
+            # consent first: the signal lives in the raw markup the
+            # next line strips. NULL html is unjudgeable -> kept
+            docs = docs.filter(
+                ~F.coalesce(HTML.html_noai(F.col("text")), F.lit(False))
+            )
         docs = docs.withColumn("text", HTML.html_to_text(F.col("text")))
     if args.normalize:
         from solana_snapshot_etl_tools_spark.functions.normalize import (
@@ -1355,6 +1371,11 @@ def _ingest_stream_main(args) -> int:
     if args.html_extract:
         from solana_snapshot_etl_tools_spark.functions import html as HTML
 
+        if args.respect_noai:
+            # consent first — the raw-markup signal, exactly as batch
+            stream = stream.filter(
+                ~F.coalesce(HTML.html_noai(F.col("text")), F.lit(False))
+            )
         stream = stream.withColumn(
             "text", HTML.html_to_text(F.col("text"))
         )

@@ -86,3 +86,46 @@ def html_title(html: Column) -> Column:
         t = F.replace(t, F.lit(ent), F.lit(rep))
     t = F.trim(F.regexp_replace(t, r"\s+", " "))
     return F.when(F.length(t) > 0, t)
+
+
+def html_robots_directives(html: Column) -> Column:
+    """The comma-joined, lowercased directive list of every
+    ``<meta name="robots|googlebot" content="...">`` tag in the raw
+    markup (``noindex,nofollow,noai`` style), or NULL when the page
+    declares none. Attribute order is handled both ways
+    (name-then-content and content-then-name); same heuristic-regex
+    caveats as the extractor above. Runs on the RAW html — extraction
+    strips meta tags, so compliance filters must look before
+    :func:`html_to_text`."""
+    nc = F.regexp_extract_all(
+        html,
+        F.lit(
+            r'(?is)<meta\b[^>]*\bname\s*=\s*["\']?(?:robots|googlebot)'
+            r'["\']?[^>]*\bcontent\s*=\s*["\']([^"\'>]+)'
+        ),
+        F.lit(1),
+    )
+    cn = F.regexp_extract_all(
+        html,
+        F.lit(
+            r'(?is)<meta\b[^>]*\bcontent\s*=\s*["\']([^"\'>]+)["\']'
+            r'[^>]*\bname\s*=\s*["\']?(?:robots|googlebot)'
+        ),
+        F.lit(1),
+    )
+    joined = F.array_join(F.concat(nc, cn), ",")
+    return F.when(F.length(joined) > 0, F.lower(joined))
+
+
+def html_noai(html: Column) -> Column:
+    """True when the page's robots/googlebot meta directives include
+    ``noai`` or ``noimageai`` (the crawl-consent convention adopted
+    after 2023) — the opt-out signal a compliant training-data
+    pipeline filters on BEFORE extraction. NULL-html rows are NULL
+    (unjudgeable, the engine-wide posture); pages without directives
+    are False."""
+    d = html_robots_directives(html)
+    has = F.coalesce(
+        d.rlike(r"(^|[,\s])no(image)?ai([,\s]|$)"), F.lit(False)
+    )
+    return F.when(html.isNull(), F.lit(None).cast("boolean")).otherwise(has)

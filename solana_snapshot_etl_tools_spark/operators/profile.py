@@ -173,3 +173,61 @@ def profile_estimates(profiles: DataFrame) -> DataFrame:
             F.col("n_tokens") / F.col("n_docs").cast("double"),
         ).alias("tokens_per_doc"),
     )
+
+
+def profile_overlap(
+    profiles: DataFrame,
+    key_col: str = "source",
+) -> DataFrame:
+    """Pairwise DISTINCT-TEXT overlap between profile rows, estimated
+    purely from their persisted sketches — "which sources duplicate
+    each other" without ever rescanning a corpus: for each key pair,
+    ``overlap ≈ |A| + |B| - |A ∪ B|`` (inclusion-exclusion over HLL
+    estimates; the union sketch is exact register math) and
+    ``jaccard = overlap / union``.
+
+    Columns: ``(a, b, distinct_a, distinct_b, distinct_union,
+    overlap_est, jaccard_est, noise_floor)``. Inclusion-exclusion
+    SUMS the sketch errors, so ``noise_floor`` (the ~1.04/√2^lg_k
+    relative standard error times the three estimates' sum) is
+    emitted beside every row: an ``overlap_est`` below it is
+    indistinguishable from zero — small overlaps between huge sources
+    need exact keys, not sketches. Callers compare, not truncate:
+    the signed estimate is kept so systematic biases stay visible.
+
+    Scale shape: a self-join of the PROFILE rows (len(profiles)²
+    pairs of kilobyte sketches — dashboard-sized, never corpus-sized);
+    every estimate is JVM sketch math."""
+    import math
+
+    a = profiles.select(
+        F.col(key_col).alias("a"),
+        F.col("texts_hll").alias("_ha"),
+        F.col("n_docs").alias("_na"),
+        F.col("hll_lg_k").alias("_ka"),
+    )
+    b = profiles.select(
+        F.col(key_col).alias("b"),
+        F.col("texts_hll").alias("_hb"),
+        F.col("hll_lg_k").alias("_kb"),
+    )
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    ea = F.hll_sketch_estimate("_ha").cast("double")
+    eb = F.hll_sketch_estimate("_hb").cast("double")
+    eu = F.hll_sketch_estimate(F.hll_union("_ha", "_hb")).cast("double")
+    overlap = ea + eb - eu
+    # per-sketch RSE for DataSketches HLL_8 ≈ 1.04 / sqrt(2^lg_k);
+    # inclusion-exclusion stacks three estimates
+    rse = F.lit(1.04) / F.sqrt(F.pow(F.lit(2.0), F.col("_ka")))
+    return pairs.select(
+        "a",
+        "b",
+        ea.alias("distinct_a"),
+        eb.alias("distinct_b"),
+        eu.alias("distinct_union"),
+        overlap.alias("overlap_est"),
+        F.when(eu > 0, F.greatest(overlap, F.lit(0.0)) / eu).alias(
+            "jaccard_est"
+        ),
+        (rse * (ea + eb + eu)).alias("noise_floor"),
+    )

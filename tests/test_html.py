@@ -125,3 +125,88 @@ def test_extractor_never_errors_fuzz(spark):
             assert v is None or isinstance(v, str)
 
     check()
+
+
+# --- robots/noai compliance ---------------------------------------------------
+
+from solana_snapshot_etl_tools_spark.functions.html import (
+    html_noai,
+    html_robots_directives,
+)
+
+
+def test_html_robots_directives_and_noai(spark):
+    rows = [
+        (1, '<html><head><meta name="robots" content="noindex, noai">'
+            '</head><body>x</body></html>'),
+        (2, '<html><head><meta content="NOAI" name="ROBOTS"></head>y'),
+        (3, '<html><head><meta name="robots" content="index,follow">'
+            '</head>z</html>'),
+        (4, '<html>no meta at all</html>'),
+        (5, None),
+        (6, '<meta name="googlebot" content="noimageai">'),
+        # 'noai' as CONTENT of an unrelated meta must not match
+        (7, '<meta name="description" content="noai as a word">'),
+        # nor as a substring of another directive
+        (8, '<meta name="robots" content="noaiety">'),
+    ]
+    df = spark.createDataFrame(rows, "i long, h string")
+    got = {
+        r.i: (r.d, r.noai)
+        for r in df.select(
+            "i",
+            html_robots_directives(F.col("h")).alias("d"),
+            html_noai(F.col("h")).alias("noai"),
+        ).collect()
+    }
+    assert got[1] == ("noindex, noai", True)
+    assert got[2] == ("noai", True)
+    assert got[3] == ("index,follow", False)
+    assert got[4] == (None, False)
+    assert got[5] == (None, None)
+    assert got[6] == ("noimageai", True)
+    assert got[7] == (None, False)
+    assert got[8] == ("noaiety", False)
+
+
+def test_cli_respect_noai_batch_and_stream(spark, tmp_path_factory, capsys):
+    import json as _json
+    import os
+
+    from solana_snapshot_etl_tools_spark import corpus_cli
+
+    base = tmp_path_factory.mktemp("noai_cli")
+    body = "<p>a perfectly ordinary paragraph of words for the corpus</p>"
+    rows = [
+        (1, f"<html><head><title>a</title></head><body>{body} one</body></html>"),
+        (2, '<html><head><meta name="robots" content="noai"></head>'
+            f"<body>{body} two</body></html>"),
+        (3, f"<html><body>{body} three</body></html>"),
+    ]
+    src = str(base / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    def run(*argv):
+        assert corpus_cli.main(list(argv)) == 0
+        out = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+        return _json.loads(out[-1])
+
+    rep = run(src, str(base / "out"), "--no-pii", "--quality", "0",
+              "--lang", "", "--html-extract", "--respect-noai")
+    assert rep["n_input"] == 2  # the noai page died before extraction
+
+    arrivals = str(base / "arrivals")
+    os.makedirs(arrivals)
+    spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(arrivals)
+    srep = run(arrivals, str(base / "sout"), "--ingest-stream",
+               "--index-out", str(base / "idx"), "--no-pii",
+               "--quality", "0", "--lang", "", "--html-extract",
+               "--respect-noai")
+    assert srep["n_corpus"] == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):  # needs --html-extract
+        corpus_cli.main([src, str(base / "o2"), "--respect-noai"])

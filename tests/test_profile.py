@@ -233,3 +233,40 @@ def test_cli_profile_batch_and_incremental_stream(
     ).collect()[0]
     assert srep2["profile"]["n_tokens"] == whole["n_tokens"]
     assert srep2["profile"]["n_chars"] == whole["n_chars"]
+
+
+def test_profile_overlap_between_sources(spark):
+    """Sketch-only overlap estimation: planted shared texts between
+    two sources are recovered within the stacked sketch error; a
+    disjoint pair reads as overlap below its noise floor; a
+    self-identical pair reads jaccard ~ 1."""
+    n_shared, n_a, n_b = 400, 600, 300
+    rows = (
+        [(i, "A", f"shared text number {i}") for i in range(n_shared)]
+        + [(10_000 + i, "A", f"a-only text {i}") for i in range(n_a)]
+        + [(20_000 + i, "B", f"shared text number {i}") for i in range(n_shared)]
+        + [(30_000 + i, "B", f"b-only text {i}") for i in range(n_b)]
+        + [(40_000 + i, "C", f"c-only text {i}") for i in range(500)]
+        + [(50_000 + i, "D", f"a-only text {i}") for i in range(n_a)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    prof = P.corpus_profile(docs, by="source")
+    ov = {
+        (r.a, r.b): r for r in P.profile_overlap(prof).collect()
+    }
+    ab = ov[("A", "B")]
+    assert abs(ab.overlap_est - n_shared) <= ab.noise_floor + 0.05 * n_shared
+    assert ab.jaccard_est == pytest.approx(
+        n_shared / (n_shared + n_a + n_b), abs=0.08
+    )
+    # disjoint: A vs C
+    ac = ov[("A", "C")]
+    assert abs(ac.overlap_est) <= ac.noise_floor
+    assert ac.jaccard_est <= 0.05
+    # D duplicates A's a-only half exactly
+    ad = ov[("A", "D")]
+    assert ad.jaccard_est == pytest.approx(
+        n_a / (n_shared + n_a), abs=0.08
+    )
+    # all 6 unordered pairs of 4 sources
+    assert len(ov) == 6
