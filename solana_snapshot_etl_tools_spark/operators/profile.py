@@ -231,3 +231,61 @@ def profile_overlap(
         ),
         (rse * (ea + eb + eu)).alias("noise_floor"),
     )
+
+
+def frequent_tokens(
+    docs: DataFrame,
+    support: float = 0.001,
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus heavy-hitter tokens: every whitespace token whose share
+    of ALL token occurrences is >= ``support``, with exact counts —
+    ``(token, n_occurrences, share)``, descending. The raw material
+    for blocklist curation and boilerplate discovery ("why is
+    'cookies' the 12th most common token in my crawl?").
+
+    Two passes, both bounded: (1) Spark's single-pass
+    Karp-Papadimitriou-Shenker sketch (``df.stat.freqItems``) yields
+    a CANDIDATE set that provably contains every true heavy hitter
+    (false positives possible, false negatives not) and is at most
+    ~1/support items; (2) one exact count restricted to those
+    candidates (an ``isin`` pushdown, then a groupBy bounded by the
+    candidate count) prunes the false positives. No token ever
+    reaches the driver except the <= 1/support candidates."""
+    if not 0.0 < support < 1.0:
+        raise ValueError(f"support must be in (0, 1), got {support}")
+    if support < 1e-5:
+        raise ValueError(
+            f"support {support} would admit up to {int(1 / support):,} "
+            "candidate tokens into the driver-side set — use the "
+            "TF-IDF/vocab operators for full-distribution work"
+        )
+    c = F.col(text_col)
+    if lowercase:
+        c = F.lower(c)
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(c, r"\s+"), lambda t: F.length(t) > 0)
+        ).alias("_tok")
+    )
+    cands = toks.stat.freqItems(["_tok"], support).collect()[0][0]
+    if not cands:
+        return docs.sparkSession.createDataFrame(
+            [], "token string, n_occurrences long, share double"
+        )
+    counted = (
+        toks.filter(F.col("_tok").isin(list(cands)))
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    total = toks.agg(F.count(F.lit(1))).collect()[0][0]
+    return (
+        counted.select(
+            F.col("_tok").alias("token"),
+            "n_occurrences",
+            (F.col("n_occurrences") / F.lit(float(total))).alias("share"),
+        )
+        .filter(F.col("share") >= support)
+        .orderBy(F.col("n_occurrences").desc(), "token")
+    )

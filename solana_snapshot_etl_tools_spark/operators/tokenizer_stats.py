@@ -158,3 +158,63 @@ def vocab_utilization(
         "effective_vocab": 2.0 ** ent,
         "top_tokens": top,
     }
+
+
+def fertility_by_stratum(
+    docs: DataFrame,
+    encoded: DataFrame,
+    stratum_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum tokenizer fairness — :func:`fertility_summary`'s
+    numbers grouped by a stratum column (language, script, source):
+    one row per stratum with ``(n_docs, n_words, n_tokens,
+    corpus_fertility, corpus_chars_per_token, fertility_premium)``.
+
+    ``fertility_premium`` is the stratum's token-weighted fertility
+    over the corpus-wide one — the multilingual-fairness number the
+    tokenizer-equity literature reports (a premium of 2 means this
+    language pays twice the tokens per word, i.e. half the effective
+    context window and twice the inference cost). Strata with no
+    words carry NULL ratios.
+
+    Scale shape: the per-doc join is the same one :func:`token_fertility`
+    performs, the roll-up is one partial-aggregable groupBy over
+    |strata| rows, and the corpus-wide denominator is a one-row
+    aggregate broadcast back as a literal — two tiny jobs."""
+    strat = docs.select(
+        id_col, F.col(stratum_col).alias("_stratum"), text_col
+    )
+    per_doc = token_fertility(strat, encoded, id_col, text_col).join(
+        strat.select(id_col, "_stratum"), id_col
+    )
+    rolled = per_doc.groupBy("_stratum").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    tot = rolled.agg(
+        F.sum("n_words").alias("w"), F.sum("n_tokens").alias("t")
+    ).collect()[0]
+    corpus_fert = (tot.t / tot.w) if tot.w else None
+    nw = F.col("n_words").cast("double")
+    nt = F.col("n_tokens").cast("double")
+    fert = F.when(F.col("n_words") > 0, nt / nw)
+    premium = (
+        (fert / F.lit(float(corpus_fert)))
+        if corpus_fert
+        else F.lit(None).cast("double")
+    )
+    return rolled.select(
+        F.col("_stratum").alias(stratum_col),
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        fert.alias("corpus_fertility"),
+        F.when(F.col("n_tokens") > 0, F.col("n_chars") / nt).alias(
+            "corpus_chars_per_token"
+        ),
+        premium.alias("fertility_premium"),
+    )

@@ -270,3 +270,55 @@ def test_profile_overlap_between_sources(spark):
     )
     # all 6 unordered pairs of 4 sources
     assert len(ov) == 6
+
+
+def test_frequent_tokens_exact_and_complete(spark):
+    """Heavy hitters: every token at/above support is present with
+    its EXACT count (the KPS candidate pass cannot lose one), false
+    positives are pruned, and DuckDB agrees on the counts."""
+    rows = (
+        [(i, "common word filler alpha") for i in range(60)]
+        + [(100 + i, "rare beta gamma") for i in range(5)]
+        + [(200 + i, f"unique{i} token{i}") for i in range(40)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    total = 60 * 4 + 5 * 3 + 40 * 2
+    got = {
+        r.token: (r.n_occurrences, r.share)
+        for r in P.frequent_tokens(docs, support=0.05).collect()
+    }
+    for tok in ("common", "word", "filler", "alpha"):
+        assert got[tok] == (60, pytest.approx(60 / total))
+    assert "rare" not in got          # 5/335 < 0.05
+    assert not any(t.startswith("unique") for t in got)
+
+    import duckdb
+
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "docs.parquet")
+    docs.coalesce(1).write.parquet(p)
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT tok, count(*) FROM ("
+        " SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok"
+        f" FROM read_parquet('{p}/*.parquet')) WHERE tok <> ''"
+        " GROUP BY tok HAVING count(*) >= 0.05 * (SELECT"
+        f"  sum(len(regexp_split_to_array(lower(text), '\\s+')))"
+        f"  FROM read_parquet('{p}/*.parquet'))"
+        " ORDER BY 2 DESC, 1"
+    ).fetchall()
+    assert {t: n for t, n in want} == {
+        t: n for t, (n, _) in got.items()
+    }
+
+    with pytest.raises(ValueError, match="support"):
+        P.frequent_tokens(docs, support=0.0)
+    with pytest.raises(ValueError, match="candidate"):
+        P.frequent_tokens(docs, support=1e-6)
+    # empty corpus: empty frame, stable schema
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = P.frequent_tokens(empty, support=0.5)
+    assert out.count() == 0
+    assert out.columns == ["token", "n_occurrences", "share"]

@@ -127,3 +127,45 @@ def test_real_bpe_end_to_end(spark):
     # the summary's token total and the utilization pass's token total
     # are two independent routes to the same number
     assert u["n_tokens"] == s["n_tokens"]
+
+
+def test_fertility_by_stratum_premium(spark):
+    """Per-language fertility fairness: hand-computed premiums; a
+    stratum with no words carries NULL ratios; the stratum frame
+    agrees with one fertility_summary per slice."""
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "four plain english words"),        # 4 words
+            (2, "en", "two words"),                       # 2
+            (3, "de", "drei deutsche worte"),             # 3
+            (4, "zz", ""),                                # 0 words
+        ],
+        "doc_id long, lang string, text string",
+    )
+    enc = spark.createDataFrame(
+        [(1, 8), (2, 4), (3, 9), (4, 0)],
+        "doc_id long, n_tokens long",
+    )
+    out = {
+        r.lang: r
+        for r in TS.fertility_by_stratum(docs, enc, "lang").collect()
+    }
+    # corpus fertility = (8+4+9+0) / (4+2+3+0) = 21/9
+    assert out["en"].corpus_fertility == pytest.approx(12 / 6)
+    assert out["de"].corpus_fertility == pytest.approx(9 / 3)
+    assert out["en"].fertility_premium == pytest.approx((12 / 6) / (21 / 9))
+    assert out["de"].fertility_premium == pytest.approx((9 / 3) / (21 / 9))
+    assert out["zz"].corpus_fertility is None
+    assert out["zz"].fertility_premium is None
+    assert out["en"].n_docs == 2 and out["en"].n_tokens == 12
+
+    # slice-equivalence: each stratum row equals fertility_summary on
+    # that slice alone
+    for lang in ("en", "de"):
+        s = TS.fertility_summary(
+            docs.filter(F.col("lang") == lang), enc
+        )
+        assert s["corpus_fertility"] == pytest.approx(
+            out[lang].corpus_fertility
+        )
+        assert s["n_tokens"] == out[lang].n_tokens
