@@ -314,3 +314,65 @@ def _decontaminate_embedding_broadcast(
     )
 
     return spread_small_input(narrow).mapInPandas(scan, out_schema)
+
+
+def contamination_audit(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    k: int = 8,
+    hash_key: bool = False,
+) -> DataFrame:
+    """The eval-integrity view of :func:`decontaminate` — one row per
+    BENCHMARK item instead of per training document: which eval
+    items leaked into the training set, and how thoroughly. The
+    GPT-3-appendix-style audit table every release's data card wants:
+
+    - ``n_grams``: the item's distinct k-grams;
+    - ``n_leaked_grams`` / ``leak_ratio``: how many of them appear
+      anywhere in the training corpus;
+    - ``n_train_docs_hit``: distinct training documents sharing at
+      least one k-gram with the item (the blast radius);
+    - ``clean``: no leaked grams at all. Items shorter than k tokens
+      have no grams and report NULL ratios with ``clean=NULL`` —
+      unmeasurable is not clean.
+
+    ``hash_key`` has :func:`decontaminate`'s contract (8-byte shuffle
+    keys; collisions only ever over-report — conservative for an
+    audit). Scale shape: the BENCH gram set (eval suites are MBs) is
+    broadcast into both probes; the train side streams through one
+    explode → distinct → map-side join; the blast-radius count
+    shuffles only (bench_id, train_id) id pairs."""
+    bid = bench_id_col
+    tg = token_ngrams(train, id_col, text_col, k)
+    bg = token_ngrams(bench, bid, text_col, k)
+    if hash_key:
+        tg = tg.withColumn("gram", F.xxhash64("gram"))
+        bg = bg.select(bid, F.xxhash64("gram").alias("gram"))
+    totals = bench.select(bid).join(
+        bg.groupBy(bid).agg(F.count(F.lit(1)).alias("n_grams")),
+        bid,
+        "left",
+    )
+    hit_pairs = tg.join(F.broadcast(bg), "gram").select(
+        bid, F.col(id_col).alias("_train_doc"), "gram"
+    )
+    per_item = hit_pairs.groupBy(bid).agg(
+        F.count_distinct("gram").alias("n_leaked_grams"),
+        F.count_distinct("_train_doc").alias("n_train_docs_hit"),
+    )
+    out = totals.join(per_item, bid, "left")
+    measurable = F.col("n_grams").isNotNull()
+    leaked = F.coalesce(F.col("n_leaked_grams"), F.lit(0))
+    return out.select(
+        bid,
+        "n_grams",
+        F.when(measurable, leaked).alias("n_leaked_grams"),
+        F.when(measurable, F.coalesce(F.col("n_train_docs_hit"), F.lit(0))).alias(
+            "n_train_docs_hit"
+        ),
+        F.when(measurable, leaked / F.col("n_grams")).alias("leak_ratio"),
+        F.when(measurable, leaked == 0).alias("clean"),
+    )

@@ -180,3 +180,131 @@ def test_null_embeddings_raise_loudly(spark):
         DC.decontaminate_embedding(
             c.limit(1), nb, threshold=0.9, dims=DIMS, method="broadcast"
         )
+
+
+# --- the per-benchmark-item audit view ----------------------------------------
+
+
+def test_contamination_audit_hand_computed(spark):
+    """Per-item audit: leaked-gram counts, blast radius, clean rows,
+    sub-k items as NULL (unmeasurable is not clean), and hash_key
+    equivalence on collision-free data."""
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta other words here"),
+            (3, "totally unrelated training text entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [
+            # grams (k=4): 'alpha beta gamma delta' (in train docs 1+2),
+            # 'beta gamma delta epsilon' (doc 1), 'gamma delta epsilon zeta' (doc 1)
+            (10, "alpha beta gamma delta epsilon zeta"),
+            # two grams (5 tokens, k=4), neither in train
+            (11, "pristine eval question nobody saw"),
+            # too short for k=4
+            (12, "tiny item"),
+        ],
+        "bench_id long, text string",
+    )
+    for hk in (False, True):
+        got = {
+            r.bench_id: r
+            for r in DC.contamination_audit(
+                train, bench, k=4, hash_key=hk
+            ).collect()
+        }
+        a = got[10]
+        assert (a.n_grams, a.n_leaked_grams, a.n_train_docs_hit) == (3, 3, 2)
+        assert a.leak_ratio == pytest.approx(1.0)
+        assert a.clean is False
+        b = got[11]
+        assert (b.n_grams, b.n_leaked_grams, b.n_train_docs_hit) == (2, 0, 0)
+        assert b.clean is True
+        c = got[12]
+        assert c.n_grams is None and c.clean is None
+        assert c.leak_ratio is None
+
+
+def test_contamination_audit_duckdb_parity(spark, tmp_path_factory):
+    """Exact differential vs a DuckDB SQL spelling of the audit over
+    real corpus text (train = documents, bench = planted slices)."""
+    import duckdb
+
+    base = tmp_path_factory.mktemp("audit")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    ).orderBy("doc_id").limit(120)
+    # bench: 5 verbatim excerpts (leaked) + 3 fresh items
+    import pyspark.sql.functions as SF
+
+    excerpts = docs.limit(5).select(
+        (SF.col("doc_id") + 9000).alias("bench_id"),
+        SF.array_join(
+            SF.slice(SF.split(SF.col("text"), r"\s+"), 3, 20), " "
+        ).alias("text"),
+    )
+    fresh = spark.createDataFrame(
+        [(9900 + i, f"entirely novel eval question number {i} "
+                    "with words the corpus never strings together "
+                    f"in this order variant{i}") for i in range(3)],
+        "bench_id long, text string",
+    )
+    bench = excerpts.unionByName(fresh)
+    tp, bp = str(base / "train.parquet"), str(base / "bench.parquet")
+    docs.coalesce(1).write.parquet(tp)
+    bench.coalesce(1).write.parquet(bp)
+
+    got = {
+        r.bench_id: (r.n_grams, r.n_leaked_grams, r.n_train_docs_hit)
+        for r in DC.contamination_audit(docs, bench, k=8).collect()
+    }
+
+    con = duckdb.connect()
+    k = 8
+    grams_sql = """
+        SELECT id, gram FROM (
+          SELECT id,
+                 list_aggregate(toks[i : i + {km1}], 'string_agg', ' ')
+                 AS gram
+          FROM (
+            SELECT id, toks,
+                   unnest(generate_series(1, len(toks) - {km1})) AS i
+            FROM (
+              SELECT {id} AS id,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+              FROM read_parquet('{path}/*.parquet')
+              WHERE len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                    >= {k}
+            )
+          )
+        ) GROUP BY 1, 2
+    """
+    con.execute(
+        "CREATE TABLE tg AS "
+        + grams_sql.format(id="doc_id", path=tp, k=k, km1=k - 1)
+    )
+    con.execute(
+        "CREATE TABLE bg AS "
+        + grams_sql.format(id="bench_id", path=bp, k=k, km1=k - 1)
+    )
+    want = {
+        row[0]: (row[1], row[2], row[3])
+        for row in con.execute(
+            """
+            SELECT b.id,
+                   count(DISTINCT b.gram),
+                   count(DISTINCT t.gram),
+                   count(DISTINCT t.id)
+            FROM bg b LEFT JOIN tg t USING (gram)
+            GROUP BY 1
+            """
+        ).fetchall()
+    }
+    for bid, (ng, nl, nd) in want.items():
+        assert got[bid] == (ng, nl, nd), (bid, got[bid], (ng, nl, nd))
+    # the excerpts leaked, the fresh items are clean
+    assert all(got[9900 + i][1] == 0 for i in range(3))
+    assert all(got[b][1] > 0 for b in got if b < 9900)
