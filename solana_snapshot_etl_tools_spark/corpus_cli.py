@@ -33,6 +33,8 @@ library stages in production order (the same order the declared
         [--embeddings EMB.parquet [--cluster-balance K [--alpha 0.0]] \\
          [--semdedup EPS [--semdedup-k K]] \\
          [--decontam-bench BENCH.parquet --decontam-threshold T]] \\
+        [--decontam-ngrams BENCH.parquet [--decontam-k 8] \\
+         [--decontam-max-overlap 0.0] [--decontam-audit]] \\
         [--index-out DIR] \\
         [--dedup-against-index DIR [--drop-near-candidates]] \\
         [--train-pct 90 --val-pct 5] \\
@@ -52,6 +54,8 @@ arriving shards and the loop state lives at --index-out:
         [--lm-max-ppl P | --lm-keep-buckets head,middle] \\
         [--embeddings EMB.parquet [--decontam-bench B.parquet \\
          --decontam-threshold T] [--semdedup EPS [--semdedup-k K]]] \\
+        [--decontam-ngrams BENCH.parquet [--decontam-k 8] \\
+         [--decontam-max-overlap 0.0] [--decontam-audit]] \\
         [--dsir-target T.parquet | --dsir-model DIR] \\
         [--dsir-keep N | --dsir-sample N | --dsir-sample-scale C] \\
         [--source-blocklist FILE] [--boilerplate-min-df N] \\
@@ -278,6 +282,30 @@ def main(argv: list[str] | None = None) -> int:
                    "target_mixture_sample semantics incl. the loud "
                    "shortfall contract). Runs after --source-cap. "
                    "Needs a 'source' column")
+    p.add_argument("--decontam-ngrams", metavar="BENCH.parquet",
+                   default=None,
+                   help="VERBATIM benchmark decontamination (the "
+                   "GPT-3/PaLM k-gram rule, operators/decontam.py:"
+                   "decontaminate): drop every document sharing a "
+                   "token k-gram with the benchmark parquet's text "
+                   "column beyond --decontam-max-overlap. Independent "
+                   "of the embedding-space --decontam-bench (verbatim "
+                   "catches exact leaks, embeddings catch "
+                   "paraphrases; real pipelines run both). Post-drain "
+                   "in --ingest-stream")
+    p.add_argument("--decontam-k", type=int, metavar="K", default=8,
+                   help="k-gram width for --decontam-ngrams "
+                   "(default 8; PaLM used 8, GPT-3 13)")
+    p.add_argument("--decontam-max-overlap", type=float, metavar="R",
+                   default=0.0,
+                   help="keep documents whose contaminated-gram ratio "
+                   "is <= R (default 0: ANY shared k-gram drops)")
+    p.add_argument("--decontam-audit", action="store_true",
+                   help="with --decontam-ngrams: also persist the "
+                   "per-benchmark-item audit table (leaked grams, "
+                   "blast radius; decontam.contamination_audit) to "
+                   "OUT_DIR/decontam_audit and report the dirty-item "
+                   "count")
     p.add_argument("--token-budget", type=int, metavar="B", default=None,
                    help="plan the --source-mixture recipe in TOKENS "
                    "for a B-token training run (sampling.py:"
@@ -428,6 +456,12 @@ def main(argv: list[str] | None = None) -> int:
                 p.error(f"--source-mixture weight {v!r} is not a number")
         if not mixture:
             p.error("--source-mixture parsed to an empty recipe")
+    if args.decontam_k < 2:
+        p.error("--decontam-k must be >= 2")
+    if not 0.0 <= args.decontam_max_overlap < 1.0:
+        p.error("--decontam-max-overlap must be in [0, 1)")
+    if args.decontam_audit and not args.decontam_ngrams:
+        p.error("--decontam-audit requires --decontam-ngrams")
     if args.token_budget is not None:
         if not mixture:
             p.error("--token-budget needs --source-mixture (the "
@@ -770,6 +804,15 @@ def main(argv: list[str] | None = None) -> int:
             kept = perplexity_filter(filtered, lm, args.lm_max_ppl)
         filtered = DD._cache_for_session(kept)
         report["n_after_lm_filter"] = filtered.count()
+
+    if args.decontam_ngrams:
+        # verbatim-leak decontamination: same placement rationale as
+        # the embedding variant below — both run, they catch
+        # different leaks
+        filtered = DD._cache_for_session(
+            _ngram_decontam_filter(spark, filtered, args, report)
+        )
+        report["n_after_ngram_decontam"] = filtered.count()
 
     if args.decontam_bench:
         # paraphrase-leak decontamination: after the LM filter (fewer
@@ -1274,6 +1317,49 @@ def _semdedup_stage(spark, corpus, args, report):
     return kept
 
 
+def _ngram_decontam_filter(spark, corpus, args, report):
+    """The --decontam-ngrams stage, shared by the batch pipeline and
+    the stream mode's post-drain pass: flag documents sharing verbatim
+    token k-grams with the benchmark parquet (decontam.decontaminate),
+    drop those past --decontam-max-overlap, optionally persist the
+    per-benchmark-item audit table."""
+    from pyspark.sql import functions as F
+
+    from solana_snapshot_etl_tools_spark.operators import decontam as DCN
+
+    bench = spark.read.parquet(args.decontam_ngrams).select("text")
+    bench = bench.withColumn(
+        "bench_id", F.monotonically_increasing_id()
+    )
+    flagged = DCN.decontaminate(
+        corpus,
+        # decontaminate reads ONE id_col name on both sides
+        bench.withColumnRenamed("bench_id", "doc_id"),
+        id_col="doc_id", text_col="text", k=args.decontam_k,
+    )
+    dropped = flagged.filter(
+        F.col("contamination") > args.decontam_max_overlap
+    ).select("doc_id")
+    report["n_ngram_decontam_flagged"] = flagged.count()
+    if args.decontam_audit:
+        audit = DCN.contamination_audit(
+            corpus, bench, id_col="doc_id", text_col="text",
+            bench_id_col="bench_id", k=args.decontam_k,
+        )
+        audit.write.mode("overwrite").parquet(
+            f"{args.out_dir}/decontam_audit"
+        )
+        spark.catalog.refreshByPath(f"{args.out_dir}/decontam_audit")
+        saved = spark.read.parquet(f"{args.out_dir}/decontam_audit")
+        report["n_bench_items_dirty"] = saved.filter(
+            F.col("clean") == False  # noqa: E712 — NULL-excluding
+        ).count()
+        report["n_bench_items_unmeasurable"] = saved.filter(
+            F.col("clean").isNull()
+        ).count()
+    return corpus.join(dropped, "doc_id", "left_anti")
+
+
 def _decontam_filter(spark, corpus, args, report):
     """The --decontam-bench stage, shared by the batch pipeline and
     the stream mode's post-drain pass: score the corpus docs that HAVE
@@ -1605,6 +1691,17 @@ def _ingest_stream_main(args) -> int:
             kept = perplexity_filter(corpus, lm, args.lm_max_ppl)
         corpus = DD._cache_for_session(kept)
         report["n_after_lm_filter"] = corpus.count()
+    if args.decontam_ngrams and corpus is not None:
+        # post-drain batch stage (the LM precedent): the verbatim-leak
+        # rule is an explode+join+agg pipeline, so it runs over the
+        # corpus accumulated so far; derived views see the clean
+        # subset, the append-only state stays whole
+        from solana_snapshot_etl_tools_spark.operators import dedup as DDn
+
+        corpus = DDn._cache_for_session(
+            _ngram_decontam_filter(spark, corpus, args, report)
+        )
+        report["n_after_ngram_decontam"] = corpus.count()
     if args.decontam_bench and corpus is not None:
         # post-drain batch stage (the LM precedent): the paraphrase-
         # leak check needs the corpus-side embedding join, so it runs

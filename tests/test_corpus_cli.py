@@ -1340,3 +1340,74 @@ def test_boilerplate_stage_batch_and_stream(
         for r in spark.read.parquet(f"{sout}/{name}").collect()
     ]
     assert stream_texts and all("cookies" not in t for t in stream_texts)
+
+
+def test_decontam_ngrams_stage_batch_and_stream(
+    spark, tmp_path_factory, capsys
+):
+    """--decontam-ngrams: verbatim k-gram decontamination as a batch
+    stage and a post-drain stream stage, with the per-item audit
+    table; max-overlap semantics and validation."""
+    base = tmp_path_factory.mktemp("ngram_decontam_cli")
+    leaked = ("the quick brown fox jumps over the lazy dog "
+              "while the band plays on")
+    rows = [
+        (1, leaked + " plus original trailing content here"),
+        (2, "a perfectly original document about gardening and soil"),
+        (3, "another original document about trains and rails"),
+    ]
+    src = str(base / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    bench = str(base / "bench")
+    spark.createDataFrame(
+        [(leaked,), ("short item",)], "text string"
+    ).write.parquet(bench)
+
+    out = str(base / "out")
+    rep = _run(capsys, src, out, "--no-pii", "--quality", "0",
+               "--lang", "", "--decontam-ngrams", bench,
+               "--decontam-audit")
+    assert rep["n_ngram_decontam_flagged"] == 1
+    assert rep["n_after_ngram_decontam"] == 2
+    assert rep["n_bench_items_dirty"] == 1
+    assert rep["n_bench_items_unmeasurable"] == 1  # 'short item' < k
+    audit = spark.read.parquet(f"{out}/decontam_audit")
+    assert audit.filter("clean = false").count() == 1
+
+    # a permissive overlap bound keeps the partially-contaminated doc
+    rep2 = _run(capsys, src, str(base / "out2"), "--no-pii",
+                "--quality", "0", "--lang", "",
+                "--decontam-ngrams", bench,
+                "--decontam-max-overlap", "0.99")
+    assert rep2["n_after_ngram_decontam"] == 3
+
+    # stream: post-drain, append-only corpus whole
+    import os
+
+    arrivals = str(base / "arrivals")
+    os.makedirs(arrivals)
+    spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(arrivals)
+    sout = str(base / "sout")
+    srep = _run(capsys, arrivals, sout, "--ingest-stream",
+                "--index-out", str(base / "idx"), "--no-pii",
+                "--quality", "0", "--lang", "",
+                "--decontam-ngrams", bench, "--stratified-split", "lang")
+    assert srep["n_corpus"] == 3
+    assert srep["n_after_ngram_decontam"] == 2
+    split_ids = {
+        r.doc_id
+        for name, sz in srep["splits"].items()
+        if sz["rows"]
+        for r in spark.read.parquet(f"{sout}/{name}").collect()
+    }
+    assert split_ids == {2, 3}
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):  # audit without the stage
+        corpus_cli.main([src, out, "--decontam-audit"])
+    with _pytest.raises(SystemExit):  # bad overlap bound
+        corpus_cli.main([src, out, "--decontam-ngrams", bench,
+                         "--decontam-max-overlap", "1.0"])
