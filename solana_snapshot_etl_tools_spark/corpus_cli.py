@@ -39,7 +39,8 @@ library stages in production order (the same order the declared
         [--dedup-against-index DIR [--drop-near-candidates]] \\
         [--train-pct 90 --val-pct 5] \\
         [--tokenize N [--tokenizer bpe|unigram] [--pack SEQ_LEN]] \\
-        [--shuffle-seed N] [--data-card] [--profile] \\
+        [--shuffle-seed N] [--data-card] \\
+        [--profile [--profile-by COL]] \\
         [--records-per-shard N] [--cpus N]
 
 Streaming ingestion is its own mode — DOCS is then a DIRECTORY of
@@ -341,6 +342,16 @@ def main(argv: list[str] | None = None) -> int:
                    help="cluster count for --semdedup (default: "
                    "embedding_count/1024, min 2 — keeps each cluster's "
                    "pairwise block small)")
+    p.add_argument("--semdedup-save", metavar="DIR", default=None,
+                   help="after fitting --semdedup's spherical k-means, "
+                   "persist it to DIR (cluster.kmeans_save) for later "
+                   "--semdedup-model runs")
+    p.add_argument("--semdedup-model", metavar="DIR", default=None,
+                   help="reuse a saved spherical k-means "
+                   "(cluster.kmeans_load) instead of fitting one — the "
+                   "train-once posture: a held-fixed model keeps "
+                   "cluster boundaries (and therefore drop decisions "
+                   "for unchanged vectors) stable across corpora/runs")
     p.add_argument("--alpha", type=float, default=0.0,
                    help="mixture temperature for --cluster-balance "
                    "(0 = equal-size domains, 1 = natural; default 0)")
@@ -407,6 +418,13 @@ def main(argv: list[str] | None = None) -> int:
                    "per-batch and INCREMENTAL: each run profiles only "
                    "batches not yet in the store (partition-pruned), "
                    "so corpus-level numbers never rescan old data")
+    p.add_argument("--profile-by", metavar="COL", default=None,
+                   help="with --profile in batch mode: one profile "
+                   "row per value of COL (e.g. source) instead of a "
+                   "single global row; the report carries the global "
+                   "merge, the store carries the per-group rows "
+                   "(profile.merge_profiles recovers any rollup). "
+                   "Batch-only: the stream store is keyed by batch")
     p.add_argument("--data-card", action="store_true",
                    help="include the final corpus's data-card stats "
                    "(token/char totals, length percentiles, language "
@@ -428,6 +446,15 @@ def main(argv: list[str] | None = None) -> int:
             p.error("--semdedup-k only makes sense with --semdedup")
         if args.semdedup_k < 2:
             p.error("--semdedup-k must be >= 2")
+    if (args.semdedup_save or args.semdedup_model) and args.semdedup is None:
+        p.error("--semdedup-save/--semdedup-model only make sense "
+                "with --semdedup")
+    if args.semdedup_save and args.semdedup_model:
+        p.error("--semdedup-save needs a fresh fit; it cannot combine "
+                "with --semdedup-model (there is nothing new to save)")
+    if args.semdedup_model and args.semdedup_k is not None:
+        p.error("--semdedup-k sizes a fresh fit; a loaded "
+                "--semdedup-model fixes k already")
     if not (0 <= args.train_pct <= 100 and 0 <= args.val_pct <= 100):
         p.error("each split percentage must be in [0, 100]")
     if not 0 < args.train_pct + args.val_pct <= 100:
@@ -437,6 +464,8 @@ def main(argv: list[str] | None = None) -> int:
                 "or --ingest-stream")
     if args.source_cap is not None and args.source_cap < 1:
         p.error("--source-cap must be >= 1")
+    if args.profile_by and not args.profile:
+        p.error("--profile-by only makes sense with --profile")
     if args.respect_noai and not args.html_extract:
         p.error("--respect-noai requires --html-extract (the noai "
                 "signal lives in the raw markup)")
@@ -582,6 +611,8 @@ def main(argv: list[str] | None = None) -> int:
             # url dedup is a global groupBy; the stream's incremental
             # index already dedups content across batches
             (args.url_dedup, "--url-dedup"),
+            # the stream profile store is keyed by batch
+            (args.profile_by is not None, "--profile-by"),
             # NB: --boilerplate-min-df IS allowed here — line
             # doc-frequency is a global distinct count, so it runs as
             # a POST-DRAIN batch stage rewriting the derived views
@@ -1186,18 +1217,35 @@ def main(argv: list[str] | None = None) -> int:
     if args.profile:
         from solana_snapshot_etl_tools_spark.operators.profile import (
             corpus_profile,
+            merge_profiles,
             profile_estimates,
         )
 
-        prof = corpus_profile(corpus.select("doc_id", "text"))
+        if args.profile_by:
+            # per-group rows persist (any rollup recoverable later);
+            # the report carries the global merge. The group key is
+            # re-joined from the INPUT parquet — the pipeline's
+            # source-keyed stages drop their column after use, and the
+            # profile must group the FINAL corpus by the original key
+            src_in = spark.read.parquet(args.docs)
+            if args.profile_by not in src_in.columns:
+                raise SystemExit(
+                    f"--profile-by {args.profile_by!r}: no such column "
+                    f"in the input parquet (have {src_in.columns})"
+                )
+            keyed = corpus.select("doc_id", "text").join(
+                src_in.select("doc_id", args.profile_by), "doc_id", "left"
+            )
+            prof = corpus_profile(keyed, by=args.profile_by)
+        else:
+            prof = corpus_profile(corpus.select("doc_id", "text"))
         prof.write.mode("overwrite").parquet(f"{args.out_dir}/profile")
         spark.catalog.refreshByPath(f"{args.out_dir}/profile")
-        report["profile"] = {
-            k: v
-            for k, v in profile_estimates(
-                spark.read.parquet(f"{args.out_dir}/profile")
-            ).collect()[0].asDict().items()
-        }
+        stored = spark.read.parquet(f"{args.out_dir}/profile")
+        merged = merge_profiles(stored) if args.profile_by else stored
+        report["profile"] = profile_estimates(merged).collect()[0].asDict()
+        if args.profile_by:
+            report["profile_groups"] = stored.count()
 
     if args.data_card:
         from solana_snapshot_etl_tools_spark.operators.report import (
@@ -1304,15 +1352,40 @@ def _semdedup_stage(spark, corpus, args, report):
     if n_emb == 0:
         report["n_semdedup_dropped"] = 0
         return corpus
-    # default k targets ~1k-vector clusters: the per-task pairwise
-    # block stays tiny and the fit's k x d driver state stays small
-    k = args.semdedup_k or max(2, n_emb // 1024)
-    k = max(1, min(k, n_emb))
-    report["semdedup_k"] = k
     before = corpus.count()
-    kept = semdedup_filter(
-        corpus, emb, k, threshold=args.semdedup
-    )
+    if args.semdedup_model:
+        from solana_snapshot_etl_tools_spark.operators.cluster import (
+            kmeans_load,
+        )
+
+        model = kmeans_load(spark, args.semdedup_model)
+        report["semdedup_model"] = args.semdedup_model
+        report["semdedup_k"] = len(model["centroids"])
+        kept = semdedup_filter(
+            corpus, emb, model=model, threshold=args.semdedup
+        )
+    else:
+        # default k targets ~1k-vector clusters: the per-task pairwise
+        # block stays tiny and the fit's k x d driver state stays small
+        k = args.semdedup_k or max(2, n_emb // 1024)
+        k = max(1, min(k, n_emb))
+        report["semdedup_k"] = k
+        if args.semdedup_save:
+            from solana_snapshot_etl_tools_spark.operators.cluster import (
+                kmeans_fit,
+                kmeans_save,
+            )
+
+            model = kmeans_fit(emb, k, normalize=True)
+            kmeans_save(model, args.semdedup_save, spark)
+            report["semdedup_saved_to"] = args.semdedup_save
+            kept = semdedup_filter(
+                corpus, emb, model=model, threshold=args.semdedup
+            )
+        else:
+            kept = semdedup_filter(
+                corpus, emb, k, threshold=args.semdedup
+            )
     report["n_semdedup_dropped"] = before - kept.count()
     return kept
 

@@ -437,3 +437,70 @@ def kmeans_assign(
         .mapInPandas(gen, ASSIGN_SCHEMA)
         .withColumnRenamed("id", id_col)
     )
+
+
+def kmeans_save(model: dict, path: str, spark=None) -> None:
+    """Persist a :func:`kmeans_fit` result: one parquet row per
+    centroid (cluster_id, centroid, size) plus a one-row JSON meta —
+    the ``dsir_save`` layout. A k-means model is k×d floats, so this
+    is kilobytes; both writes go through the Hadoop FS layer (local /
+    HDFS / S3). Reuse across corpora/runs is the train-once posture
+    ``semdedup(model=...)`` and ``kmeans_assign`` expect."""
+    from pyspark.sql import SparkSession
+
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise ValueError("kmeans_save needs an active SparkSession")
+    C = np.asarray(model["centroids"], dtype=np.float64)
+    sizes = np.asarray(model["sizes"], dtype=np.int64)
+    spark.createDataFrame(
+        [
+            (int(i), [float(v) for v in C[i]], int(sizes[i]))
+            for i in range(len(C))
+        ],
+        "cluster_id int, centroid array<double>, size long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [
+            (
+                1,
+                bool(model.get("normalize")),
+                int(model.get("n_iter", -1)),
+                float(model.get("shift", float("nan"))),
+                float(model.get("inertia", float("nan"))),
+            )
+        ],
+        "format int, normalize boolean, n_iter int, shift double, "
+        "inertia double",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+
+
+def kmeans_load(spark, path: str) -> dict:
+    """Load a model persisted by :func:`kmeans_save` —
+    interchangeable with a fresh :func:`kmeans_fit` result (pinned by
+    test)."""
+    rows = spark.read.json(f"{path}/meta").collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"corrupt k-means meta at {path}/meta: expected 1 row, "
+            f"got {len(rows)}"
+        )
+    meta = rows[0].asDict()
+    if meta.get("format") != 1 or "normalize" not in meta:
+        raise ValueError(f"unrecognized k-means meta at {path}/meta: {meta}")
+    cent = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r.cluster_id,
+    )
+    if not cent or [r.cluster_id for r in cent] != list(range(len(cent))):
+        raise ValueError(
+            f"corrupt centroid table at {path}/centroids: ids not 0..k-1"
+        )
+    return {
+        "centroids": np.array([r.centroid for r in cent], dtype=np.float64),
+        "sizes": np.array([r.size for r in cent], dtype=np.int64),
+        "n_iter": int(meta.get("n_iter", -1)),
+        "shift": float(meta.get("shift", float("nan"))),
+        "inertia": float(meta.get("inertia", float("nan"))),
+        "normalize": bool(meta["normalize"]),
+    }

@@ -322,3 +322,57 @@ def test_frequent_tokens_exact_and_complete(spark):
     out = P.frequent_tokens(empty, support=0.5)
     assert out.count() == 0
     assert out.columns == ["token", "n_occurrences", "share"]
+
+
+def test_cli_profile_by_source(spark, tmp_path_factory, capsys):
+    """--profile-by source: per-source rows in the store (re-keyed
+    from the input parquet since the pipeline drops 'source'), the
+    global merge in the report; batch-only."""
+    import json as _json
+
+    from solana_snapshot_etl_tools_spark import corpus_cli
+
+    base = tmp_path_factory.mktemp("profile_by")
+    rows = [
+        (i, "web" if i % 3 else "wiki",
+         f"document number {i} with several plain words")
+        for i in range(60)
+    ]
+    src = str(base / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.parquet(src)
+
+    def run(*argv):
+        assert corpus_cli.main(list(argv)) == 0
+        out = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+        return _json.loads(out[-1])
+
+    out = str(base / "out")
+    rep = run(src, out, "--no-pii", "--quality", "0", "--lang", "",
+              "--profile", "--profile-by", "source")
+    assert rep["profile_groups"] == 2
+    assert rep["profile"]["n_docs"] == rep["n_after_filters"] == 60
+    stored = spark.read.parquet(f"{out}/profile")
+    by = {r.source: r.n_docs for r in stored.collect()}
+    assert by == {"web": 40, "wiki": 20}
+    # the persisted rows roll up to the reported global numbers
+    merged = P.profile_estimates(P.merge_profiles(stored)).collect()[0]
+    assert merged.n_tokens == rep["profile"]["n_tokens"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):  # unknown column
+        corpus_cli.main([src, str(base / "o2"), "--no-pii", "--quality",
+                         "0", "--lang", "", "--profile",
+                         "--profile-by", "nope"])
+    with _pytest.raises(SystemExit):  # --profile-by without --profile
+        corpus_cli.main([src, str(base / "o3"), "--profile-by", "source"])
+    import os
+
+    arrivals = str(base / "arrivals")
+    os.makedirs(arrivals)
+    with _pytest.raises(SystemExit):  # stream mode rejects it
+        corpus_cli.main([arrivals, str(base / "o4"), "--ingest-stream",
+                         "--index-out", str(base / "idx"), "--profile",
+                         "--profile-by", "source"])

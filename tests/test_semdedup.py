@@ -282,3 +282,80 @@ def test_semdedup_single_shuffle_plan(spark):
     plan = dec._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_kmeans_save_load_roundtrip_and_cli_model_reuse(
+    spark, tmp_path_factory, capsys
+):
+    """kmeans_save/load: the loaded model is interchangeable with the
+    fresh fit (identical semdedup decisions); the CLI's
+    --semdedup-save / --semdedup-model pair gives the train-once
+    posture; validation rules hold."""
+    import json as _json
+
+    import numpy as np
+    from solana_snapshot_etl_tools_spark.operators.cluster import (
+        kmeans_load,
+        kmeans_save,
+    )
+
+    base = tmp_path_factory.mktemp("semdedup_model")
+    rng = np.random.default_rng(11)
+    ids = list(range(1, 41))
+    X = rng.normal(size=(40, 8))
+    X[20:26] = X[19] + 0.002 * rng.normal(size=(6, 8))  # a 7-knot
+    emb = _emb_df(spark, ids, X)
+    model = kmeans_fit(emb, 3, normalize=True, seed=5)
+    mdir = str(base / "km")
+    kmeans_save(model, mdir, spark)
+    loaded = kmeans_load(spark, mdir)
+    assert loaded["normalize"] is True
+    assert np.allclose(loaded["centroids"], model["centroids"])
+    assert (loaded["sizes"] == model["sizes"]).all()
+    d1 = {(r.vec_id, r.kept) for r in SD.semdedup(
+        emb, model=model, threshold=0.95).collect()}
+    d2 = {(r.vec_id, r.kept) for r in SD.semdedup(
+        emb, model=loaded, threshold=0.95).collect()}
+    assert d1 == d2
+
+    # CLI: fit+save on corpus 1, reuse on corpus 2
+    docs = spark.createDataFrame(
+        [(i, f"document {i} with enough plain words") for i in ids],
+        "doc_id long, text string",
+    )
+    src, embp = str(base / "docs"), str(base / "emb")
+    docs.write.parquet(src)
+    emb.write.parquet(embp)
+
+    from solana_snapshot_etl_tools_spark import corpus_cli
+
+    def run(*argv):
+        assert corpus_cli.main(list(argv)) == 0
+        out = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+        return _json.loads(out[-1])
+
+    cdir = str(base / "cli_km")
+    rep1 = run(src, str(base / "o1"), "--no-pii", "--quality", "0",
+               "--lang", "", "--embeddings", embp, "--semdedup", "0.95",
+               "--semdedup-k", "3", "--semdedup-save", cdir)
+    assert rep1["semdedup_saved_to"] == cdir
+    rep2 = run(src, str(base / "o2"), "--no-pii", "--quality", "0",
+               "--lang", "", "--embeddings", embp, "--semdedup", "0.95",
+               "--semdedup-model", cdir)
+    assert rep2["semdedup_model"] == cdir
+    assert rep2["semdedup_k"] == 3
+    assert rep2["n_semdedup_dropped"] == rep1["n_semdedup_dropped"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):  # save+model together
+        corpus_cli.main([src, str(base / "o3"), "--embeddings", embp,
+                         "--semdedup", "0.9", "--semdedup-save", cdir,
+                         "--semdedup-model", cdir])
+    with _pytest.raises(SystemExit):  # -k with a loaded model
+        corpus_cli.main([src, str(base / "o4"), "--embeddings", embp,
+                         "--semdedup", "0.9", "--semdedup-model", cdir,
+                         "--semdedup-k", "4"])
+    with _pytest.raises(SystemExit):  # model without --semdedup
+        corpus_cli.main([src, str(base / "o5"), "--embeddings", embp,
+                         "--semdedup-model", cdir])
