@@ -1199,11 +1199,25 @@ def main(argv: list[str] | None = None) -> int:
                 corpus.filter(F.col("split") == "train"), train_enc
             )
             util = TS.vocab_utilization(train_enc, eos, top_k=5)
+            # per-script fertility premiums (tokenizer fairness):
+            # which writing systems pay more tokens per word under
+            # this tokenizer — at most ~9 rows
+            by_script = {
+                r["_script"]: r["fertility_premium"]
+                for r in TS.fertility_by_stratum(
+                    corpus.filter(F.col("split") == "train").withColumn(
+                        "_script", TXT.dominant_script(F.col("text"))
+                    ),
+                    train_enc,
+                    "_script",
+                ).collect()
+            }
             report["tokenizer_eval"] = {
                 "corpus_fertility": fert["corpus_fertility"],
                 "corpus_chars_per_token": fert["corpus_chars_per_token"],
                 "vocab_coverage": util["coverage"],
                 "unigram_entropy_bits": util["unigram_entropy_bits"],
+                "script_fertility_premium": by_script,
             }
     else:
         splits = {

@@ -376,3 +376,135 @@ def contamination_audit(
         F.when(measurable, leaked / F.col("n_grams")).alias("leak_ratio"),
         F.when(measurable, leaked == 0).alias("clean"),
     )
+
+
+def embedding_contamination_audit(
+    corpus_emb: DataFrame,
+    bench_emb: DataFrame,
+    threshold: float,
+    dims: int,
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The per-benchmark-item view of :func:`decontaminate_embedding`
+    — :func:`contamination_audit`'s embedding-space sibling: one row
+    per BENCH item with its EXACT nearest corpus neighbor —
+    ``(bench_id, max_cosine, nearest_doc, n_train_docs_hit,
+    contaminated)``. ``max_cosine`` is reported even when below the
+    threshold (an audit wants the margin, not just the verdict);
+    ``n_train_docs_hit`` counts corpus docs at/above it;
+    ``nearest_doc`` breaks exact-cosine ties toward the minimum doc
+    id. An empty corpus yields NULL maxima with ``contaminated``
+    NULL — unprobed is not clean.
+
+    Exactness requires scoring EVERY (doc, bench) pair, so only the
+    broadcast path exists (the LSH candidate generator cannot bound a
+    maximum it never scored); the ``MAX_BROADCAST_BENCH`` cap
+    applies. Scale shape: one Arrow pass over the corpus emitting
+    |bench| partial rows per batch (batch max / batch min-id argmax /
+    batch hit count), then one groupBy over those partials — the
+    corpus never shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    rows = (
+        bench_emb.select(bench_id_col, vec_col)
+        .limit(MAX_BROADCAST_BENCH + 1)
+        .collect()
+    )
+    if len(rows) > MAX_BROADCAST_BENCH:
+        raise ValueError(
+            f"embedding_contamination_audit caps the bench side at "
+            f"{MAX_BROADCAST_BENCH} rows (the exact audit must score "
+            "every pair)"
+        )
+    for r in rows:
+        if r[1] is None:
+            raise ValueError(
+                f"embedding_contamination_audit: NULL bench embedding "
+                f"(bench_id={r[0]!r})"
+            )
+        if len(r[1]) != dims:
+            raise ValueError(
+                f"bench embedding length {len(r[1])} != dims {dims} "
+                f"(bench_id={r[0]!r})"
+            )
+    bench_ids = [r[0] for r in rows]
+    B = np.array([r[1] for r in rows], dtype=np.float64)
+    bn = np.linalg.norm(B, axis=1) if B.size else np.zeros(0)
+    Bn = B / np.where(bn == 0, 1.0, bn)[:, None] if B.size else B
+
+    spark = corpus_emb.sparkSession
+    eps = float(threshold)
+    partial_schema = (
+        "bench_pos int, max_cos double, arg_doc long, hits long"
+    )
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf) or not len(Bn):
+                continue
+            if pdf["_v"].isna().any():
+                bad_id = pdf["_id"][pdf["_v"].isna()].iloc[0]
+                raise ValueError(
+                    "embedding_contamination_audit: NULL corpus "
+                    f"embedding (id={bad_id!r})"
+                )
+            lens = pdf["_v"].map(len).to_numpy()
+            if (lens != dims).any():
+                bad = int(lens[lens != dims][0])
+                raise ValueError(
+                    f"corpus embedding length {bad} != dims {dims}"
+                )
+            # id-sort the batch so numpy's first-argmax over rows IS
+            # the min-id tiebreak within the batch; the final max_by
+            # keeps it globally
+            pdf = pdf.sort_values("_id")
+            V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            vn = np.linalg.norm(V, axis=1)
+            Vn = V / np.where(vn == 0, 1.0, vn)[:, None]
+            ids = pdf["_id"].to_numpy()
+            S = Vn @ Bn.T  # (batch, n_bench)
+            best_row = S.argmax(axis=0)
+            yield pd.DataFrame(
+                {
+                    "bench_pos": np.arange(len(Bn), dtype=np.int32),
+                    "max_cos": S[best_row, np.arange(len(Bn))],
+                    "arg_doc": ids[best_row].astype(np.int64),
+                    "hits": (S >= eps).sum(axis=0).astype(np.int64),
+                }
+            )
+
+    narrow = corpus_emb.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    from solana_snapshot_etl_tools_spark.operators.dedup import (
+        spread_small_input,
+    )
+
+    partials = spread_small_input(narrow).mapInPandas(scan, partial_schema)
+    agg = partials.groupBy("bench_pos").agg(
+        F.max("max_cos").alias("max_cosine"),
+        F.max_by(
+            "arg_doc", F.struct(F.col("max_cos"), (-F.col("arg_doc")))
+        ).alias("nearest_doc"),
+        F.sum("hits").alias("n_train_docs_hit"),
+    )
+    btab = spark.createDataFrame(
+        [(int(i), bench_ids[i]) for i in range(len(bench_ids))],
+        f"bench_pos int, {bench_id_col} {bench_emb.schema[bench_id_col].dataType.simpleString()}",
+    )
+    out = btab.join(F.broadcast(agg), "bench_pos", "left")
+    return out.select(
+        bench_id_col,
+        "max_cosine",
+        "nearest_doc",
+        "n_train_docs_hit",
+        F.when(
+            F.col("max_cosine").isNotNull(), F.col("max_cosine") >= eps
+        ).alias("contaminated"),
+    )

@@ -827,6 +827,11 @@ def test_tokenizer_eval_report_line(spark, tmp_path_factory, capsys):
     assert ev["unigram_entropy_bits"] == _pytest.approx(
         util["unigram_entropy_bits"]
     )
+    # the per-script fairness line: the synthetic corpus is latin, and
+    # a single-stratum premium is 1 by definition
+    prem = ev["script_fertility_premium"]
+    assert set(prem) == {"latin"}
+    assert prem["latin"] == _pytest.approx(1.0)
 
 
 def test_html_extract_and_url_dedup_batch(spark, tmp_path_factory, capsys):

@@ -308,3 +308,74 @@ def test_contamination_audit_duckdb_parity(spark, tmp_path_factory):
     # the excerpts leaked, the fresh items are clean
     assert all(got[9900 + i][1] == 0 for i in range(3))
     assert all(got[b][1] > 0 for b in got if b < 9900)
+
+
+def test_embedding_contamination_audit(spark):
+    """Per-bench-item exact nearest-neighbor audit: max cosine vs a
+    numpy reference, hit counts at the threshold, min-id ties, the
+    sub-threshold margin reported, and empty-corpus NULLs."""
+    c, b, dirty = _planted(spark)
+    # add two bench items FAR from every corpus vector: clean rows
+    # whose sub-threshold margin the audit must still report
+    rng = np.random.default_rng(123)
+    extra = spark.createDataFrame(
+        [
+            (900 + j, (lambda v: (v / np.linalg.norm(v)).tolist())(
+                rng.normal(size=DIMS)))
+            for j in range(2)
+        ],
+        "bench_id long, embedding array<double>",
+    )
+    b = b.unionByName(extra)
+    got = {
+        r.bench_id: r
+        for r in DC.embedding_contamination_audit(
+            c, b, threshold=0.9, dims=DIMS
+        ).collect()
+    }
+    # numpy reference
+    C = {r.doc_id: np.array(r.embedding) for r in c.collect()}
+    B = {r.bench_id: np.array(r.embedding) for r in b.collect()}
+
+    def cos(u, v):
+        nu, nv = np.linalg.norm(u), np.linalg.norm(v)
+        return float(u @ v / ((nu or 1.0) * (nv or 1.0)))
+
+    for bid, bv in B.items():
+        sims = {did: cos(dv, bv) for did, dv in C.items()}
+        best = max(sims.values())
+        nearest = min(d for d, s in sims.items() if s == best)
+        hits = sum(1 for s in sims.values() if s >= 0.9)
+        r = got[bid]
+        assert r.max_cosine == pytest.approx(best, rel=1e-12), bid
+        assert r.nearest_doc == nearest, bid
+        assert r.n_train_docs_hit == hits, bid
+        assert r.contaminated is (best >= 0.9), bid
+    # the planted-dirty items are exactly the contaminated ones
+    assert {b for b in got if got[b].contaminated} == set(dirty.values())
+    # clean items still report their (sub-threshold) margin
+    clean = [r for r in got.values() if not r.contaminated]
+    assert clean and all(r.max_cosine is not None for r in clean)
+
+    # exact-tie min-id: two identical corpus docs at cosine 1
+    e0 = [1.0] + [0.0] * (DIMS - 1)
+    c2 = spark.createDataFrame(
+        [(7, e0), (3, e0)], "doc_id long, embedding array<double>"
+    )
+    b2 = spark.createDataFrame(
+        [(100, e0)], "bench_id long, embedding array<double>"
+    )
+    r2 = DC.embedding_contamination_audit(
+        c2, b2, threshold=0.9, dims=DIMS
+    ).collect()[0]
+    assert (r2.nearest_doc, r2.n_train_docs_hit) == (3, 2)
+
+    # empty corpus: NULL margins, contaminated NULL (unprobed)
+    empty = spark.createDataFrame([], "doc_id long, embedding array<double>")
+    r3 = DC.embedding_contamination_audit(
+        empty, b2, threshold=0.9, dims=DIMS
+    ).collect()[0]
+    assert r3.max_cosine is None and r3.contaminated is None
+
+    with pytest.raises(ValueError, match="threshold"):
+        DC.embedding_contamination_audit(c2, b2, threshold=0.0, dims=DIMS)
