@@ -32,7 +32,8 @@ library stages in production order (the same order the declared
          [--token-budget B [--max-epochs E]]] \\
         [--embeddings EMB.parquet [--cluster-balance K [--alpha 0.0]] \\
          [--semdedup EPS [--semdedup-k K]] \\
-         [--decontam-bench BENCH.parquet --decontam-threshold T]] \\
+         [--decontam-bench BENCH.parquet --decontam-threshold T \\
+          [--embedding-audit]]] \\
         [--decontam-ngrams BENCH.parquet [--decontam-k 8] \\
          [--decontam-max-overlap 0.0] [--decontam-audit]] \\
         [--index-out DIR] \\
@@ -283,6 +284,13 @@ def main(argv: list[str] | None = None) -> int:
                    "target_mixture_sample semantics incl. the loud "
                    "shortfall contract). Runs after --source-cap. "
                    "Needs a 'source' column")
+    p.add_argument("--embedding-audit", action="store_true",
+                   help="with --decontam-bench: also persist the "
+                   "per-benchmark-item embedding audit (exact nearest "
+                   "corpus neighbor, margin even below the threshold; "
+                   "decontam.embedding_contamination_audit) to "
+                   "OUT_DIR/embedding_audit and report the "
+                   "contaminated-item count")
     p.add_argument("--decontam-ngrams", metavar="BENCH.parquet",
                    default=None,
                    help="VERBATIM benchmark decontamination (the "
@@ -491,6 +499,8 @@ def main(argv: list[str] | None = None) -> int:
         p.error("--decontam-max-overlap must be in [0, 1)")
     if args.decontam_audit and not args.decontam_ngrams:
         p.error("--decontam-audit requires --decontam-ngrams")
+    if args.embedding_audit and not args.decontam_bench:
+        p.error("--embedding-audit requires --decontam-bench")
     if args.token_budget is not None:
         if not mixture:
             p.error("--token-budget needs --source-mixture (the "
@@ -1485,6 +1495,22 @@ def _decontam_filter(spark, corpus, args, report):
         ).select("doc_id")
     )
     report["n_decontam_flagged"] = flagged.count()
+    if args.embedding_audit:
+        from solana_snapshot_etl_tools_spark.operators.decontam import (
+            embedding_contamination_audit,
+        )
+
+        audit = embedding_contamination_audit(
+            emb, bench, threshold=args.decontam_threshold, dims=dims
+        )
+        audit.write.mode("overwrite").parquet(
+            f"{args.out_dir}/embedding_audit"
+        )
+        spark.catalog.refreshByPath(f"{args.out_dir}/embedding_audit")
+        saved = spark.read.parquet(f"{args.out_dir}/embedding_audit")
+        report["n_bench_items_embedding_contaminated"] = saved.filter(
+            F.col("contaminated") == True  # noqa: E712 — NULL-excluding
+        ).count()
     return corpus.join(flagged, "doc_id", "left_anti")
 
 

@@ -379,3 +379,52 @@ def test_embedding_contamination_audit(spark):
 
     with pytest.raises(ValueError, match="threshold"):
         DC.embedding_contamination_audit(c2, b2, threshold=0.0, dims=DIMS)
+
+
+def test_cli_embedding_audit(spark, tmp_path_factory, capsys):
+    """--embedding-audit beside --decontam-bench: the per-item table
+    lands at OUT_DIR/embedding_audit and the report counts the
+    contaminated items; requires the stage."""
+    import json as _json
+
+    from solana_snapshot_etl_tools_spark import corpus_cli
+
+    base = tmp_path_factory.mktemp("emb_audit_cli")
+    c, b, dirty = _planted(spark)
+    docs = c.select(
+        "doc_id",
+        F.concat(F.lit("document body for id "), F.col("doc_id"))
+        .alias("text"),
+    )
+    src, embp, benchp = (
+        str(base / "docs"), str(base / "emb"), str(base / "bench"),
+    )
+    docs.write.parquet(src)
+    c.select(F.col("doc_id").alias("vec_id"), "embedding").write.parquet(embp)
+    b.write.parquet(benchp)
+
+    def run(*argv):
+        assert corpus_cli.main(list(argv)) == 0
+        out = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+        return _json.loads(out[-1])
+
+    out = str(base / "out")
+    rep = run(src, out, "--no-pii", "--quality", "0", "--lang", "",
+              "--embeddings", embp, "--decontam-bench", benchp,
+              "--decontam-threshold", "0.9", "--embedding-audit")
+    assert rep["n_bench_items_embedding_contaminated"] == len(
+        set(dirty.values())
+    )
+    audit = {
+        r.bench_id: r
+        for r in spark.read.parquet(f"{out}/embedding_audit").collect()
+    }
+    assert {b for b, r in audit.items() if r.contaminated} == set(
+        dirty.values()
+    )
+    assert all(r.max_cosine is not None for r in audit.values())
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):  # audit without the stage
+        corpus_cli.main([src, out, "--embedding-audit"])
