@@ -910,6 +910,11 @@ def main(argv: list[str] | None = None) -> int:
                 for s, p in plan["sources"].items()
             }
         }
+        # drop 'epoch' (synthetic, from the budget plan) AND 'source'
+        # — the plain --source-mixture branch below drops 'source' at
+        # the same stage, so both mixture modes hand the downstream
+        # chain an identical schema (pinned by test_cli_mixture_
+        # modes_same_schema)
         filtered = DD._cache_for_session(
             apply_token_budget_plan(filtered, clamped)
             .drop("source", "epoch")

@@ -122,27 +122,37 @@ def merge_profiles(
     Profiles with differing ``hll_lg_k`` raise — their sketches are
     not unionable at full precision."""
     keys = [by] if isinstance(by, str) else list(by or [])
-    aggs = (
-        [F.sum(k).alias(k) for k in _SUMS]
-        + [
-            F.max("max_chars").alias("max_chars"),
-            F.hll_union_agg("texts_hll").alias("texts_hll"),
-            F.hll_union_agg("tokens_hll").alias("tokens_hll"),
-            F.min("hll_lg_k").alias("_lgk_min"),
-            F.max("hll_lg_k").alias("_lgk_max"),
-        ]
+    # Validate lg_k uniformity FIRST, on a cheap aggregate over the
+    # one narrow column (column-pruned scan, no sketch bytes move):
+    # hll_union_agg itself throws an opaque JVM error on differing
+    # lgConfigK before any post-hoc check could fire, and checking on
+    # the merged frame would materialize the union twice.
+    chk_aggs = [
+        F.min("hll_lg_k").alias("_lgk_min"),
+        F.max("hll_lg_k").alias("_lgk_max"),
+    ]
+    chk = (
+        profiles.groupBy(*keys).agg(*chk_aggs)
+        if keys
+        else profiles.agg(*chk_aggs)
     )
-    out = profiles.groupBy(*keys).agg(*aggs) if keys else profiles.agg(*aggs)
-    bad = out.filter(F.col("_lgk_min") != F.col("_lgk_max")).limit(1).collect()
+    bad = chk.filter(F.col("_lgk_min") != F.col("_lgk_max")).limit(1).collect()
     if bad:
         raise ValueError(
             "merge_profiles: mixed hll_lg_k values "
             f"({bad[0]['_lgk_min']} vs {bad[0]['_lgk_max']}) — profiles "
             "must share one sketch precision to union losslessly"
         )
-    return out.withColumn("hll_lg_k", F.col("_lgk_min")).drop(
-        "_lgk_min", "_lgk_max"
+    aggs = (
+        [F.sum(k).alias(k) for k in _SUMS]
+        + [
+            F.max("max_chars").alias("max_chars"),
+            F.hll_union_agg("texts_hll").alias("texts_hll"),
+            F.hll_union_agg("tokens_hll").alias("tokens_hll"),
+            F.min("hll_lg_k").alias("hll_lg_k"),
+        ]
     )
+    return profiles.groupBy(*keys).agg(*aggs) if keys else profiles.agg(*aggs)
 
 
 def profile_estimates(profiles: DataFrame) -> DataFrame:
@@ -255,10 +265,14 @@ def frequent_tokens(
     reaches the driver except the <= 1/support candidates."""
     if not 0.0 < support < 1.0:
         raise ValueError(f"support must be in (0, 1), got {support}")
-    if support < 1e-5:
+    if support < 1e-4:
+        # Spark's df.stat.freqItems itself requires support >= 1e-4
+        # (internal require()) — gate here so the caller gets this
+        # error, not an opaque IllegalArgumentException from the JVM.
         raise ValueError(
             f"support {support} would admit up to {int(1 / support):,} "
-            "candidate tokens into the driver-side set — use the "
+            "candidate tokens into the driver-side set (and Spark's "
+            "freqItems sketch requires support >= 1e-4) — use the "
             "TF-IDF/vocab operators for full-distribution work"
         )
     c = F.col(text_col)

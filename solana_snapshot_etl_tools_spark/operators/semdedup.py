@@ -256,6 +256,22 @@ def semdedup_filter(
     embedding was dropped vanish; documents WITHOUT an embedding pass
     through (they cannot be compared — the decontamination stage's
     posture, documented there). All input columns pass through."""
+    # the anti-join below compares both ids AS LONG; a string id
+    # would cast to NULL, never match, and silently turn the whole
+    # dedup into a no-op — fail loudly instead (same posture as
+    # apply_token_budget_plan's source-key type check)
+    for frame, col, arg in (
+        (docs, doc_id_col, "doc_id_col"),
+        (emb, emb_id_col, "emb_id_col"),
+    ):
+        t = frame.schema[col].dataType.simpleString()
+        if t not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"semdedup_filter: {arg} '{col}' must be an integral "
+                f"column (got {t}) — a non-numeric id casts to NULL in "
+                "the anti-join and the dedup silently becomes a no-op; "
+                "cast or map your ids to long first"
+            )
     dec = semdedup(
         emb, k, model=model, threshold=threshold, id_col=emb_id_col,
         vec_col=vec_col, max_cluster_size=max_cluster_size,

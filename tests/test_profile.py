@@ -136,8 +136,11 @@ def test_profile_guards(spark):
     mixed = P.corpus_profile(docs, lg_k=11).unionByName(
         P.corpus_profile(docs, lg_k=12)
     )
-    with pytest.raises(Exception, match="lg_k|lgConfigK|union"):
-        P.merge_profiles(mixed).collect()
+    # the module's OWN ValueError must fire at call time (the lg_k
+    # uniformity pre-check), not Spark's opaque lgConfigK require()
+    # from inside hll_union_agg
+    with pytest.raises(ValueError, match="mixed hll_lg_k"):
+        P.merge_profiles(mixed)
 
 
 def test_profile_token_sketch_aggregates_map_side(spark):
@@ -317,6 +320,10 @@ def test_frequent_tokens_exact_and_complete(spark):
         P.frequent_tokens(docs, support=0.0)
     with pytest.raises(ValueError, match="candidate"):
         P.frequent_tokens(docs, support=1e-6)
+    # [1e-5, 1e-4) used to slip past the guard and crash inside
+    # Spark's freqItems require(support >= 1e-4) — now OUR error fires
+    with pytest.raises(ValueError, match="1e-4"):
+        P.frequent_tokens(docs, support=5e-5)
     # empty corpus: empty frame, stable schema
     empty = spark.createDataFrame([], "doc_id long, text string")
     out = P.frequent_tokens(empty, support=0.5)

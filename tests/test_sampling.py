@@ -757,6 +757,24 @@ def test_cli_token_budget_stage(spark, tmp_path_factory, capsys):
     n = rep["n_after_source_mixture"]
     assert 40 + 60 <= n <= 40 + 145, n
 
+    # both mixture modes must hand the downstream chain (and thus the
+    # output shards) an IDENTICAL schema — --token-budget drops the
+    # synthetic 'epoch' AND 'source' exactly where the plain
+    # --source-mixture path drops 'source'
+    rep_plain = run(src, str(base / "out_plain"), "--no-pii",
+                    "--quality", "0", "--lang", "",
+                    "--source-mixture", "web=1,wiki=1")
+
+    def shard_schema(out_dir, rep_):
+        for name, v in rep_["splits"].items():
+            if v["rows"]:
+                return spark.read.parquet(f"{out_dir}/{name}").schema
+        raise AssertionError("no non-empty split")
+
+    assert shard_schema(str(base / "out"), rep) == shard_schema(
+        str(base / "out_plain"), rep_plain
+    )
+
     import pytest as _pytest
 
     with _pytest.raises(SystemExit):  # budget without mixture

@@ -145,6 +145,23 @@ def test_semdedup_filter_and_missing_embeddings(spark):
     assert out.columns == docs.columns
 
 
+def test_semdedup_filter_rejects_string_ids(spark):
+    """A string doc_id would cast to NULL in the long-keyed anti-join
+    and silently turn the dedup into a no-op — must raise instead."""
+    sdocs = spark.createDataFrame(
+        [("a", "doc a"), ("b", "doc b")], "doc_id string, text string"
+    )
+    emb = _emb_df(spark, [1, 2], np.array([[1.0, 0.0], [0.0, 1.0]]))
+    with pytest.raises(ValueError, match="integral"):
+        SD.semdedup_filter(sdocs, emb, 1)
+    ldocs = spark.createDataFrame(
+        [(1, "doc 1")], "doc_id long, text string"
+    )
+    semb = emb.withColumn("vec_id", F.col("vec_id").cast("string"))
+    with pytest.raises(ValueError, match="integral"):
+        SD.semdedup_filter(ldocs, semb, 1)
+
+
 def test_semdedup_zero_vector_always_kept(spark):
     emb = _emb_df(
         spark, [1, 2, 3],
