@@ -455,11 +455,26 @@ def main() -> None:
         )
 
         emb10 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        # round-11: plant 32 exact-duplicate vectors (cosine 1.0 >=
+        # any threshold) so the DROP branch of the decision kernel is
+        # exercised every round — with the raw bench corpus the count
+        # sat permanently at 0 and a broken decision rule would have
+        # been invisible. Expected band: 32 <= dropped << corpus.
+        emb10 = emb10.select("vec_id", "embedding")
+        planted10 = (
+            emb10.orderBy("vec_id")
+            .limit(32)
+            .select(
+                (F.col("vec_id") + 10_000_000).alias("vec_id"),
+                "embedding",
+            )
+        )
         t0 = time.time()
-        dec10 = semdedup(emb10, 16, threshold=0.95)
+        dec10 = semdedup(emb10.unionByName(planted10), 16, threshold=0.95)
         n_drop = dec10.filter(~F.col("kept")).count()
         diag["semdedup_sec"] = round(time.time() - t0, 4)
         diag["semdedup_dropped"] = n_drop
+        diag["semdedup_planted"] = 32
         release_session_caches()
 
         from solana_snapshot_etl_tools_spark.operators.profile import (

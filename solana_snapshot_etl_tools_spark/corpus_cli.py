@@ -1361,12 +1361,35 @@ def _semdedup_stage(spark, corpus, args, report):
     stream mode's post-drain pass: spherical-k-means-bucketed
     semantic dedup (operators/semdedup.py) over the corpus docs that
     HAVE an embedding; docs without one pass through (the
-    decontamination posture — unjudgeable is not droppable)."""
+    decontamination posture — unjudgeable is not droppable).
+
+    Append-stability contract (stream mode): a HELD-FIXED model
+    (--semdedup-model) keeps cluster assignments — and therefore the
+    comparison set for every unchanged vector — stable as the corpus
+    grows; a fresh fit per drain moves the cluster boundaries with
+    the data, so earlier drains' keep/drop decisions can flip. The
+    report records which posture ran (``semdedup_append_stable``)
+    and a fresh fit in stream mode warns on stderr."""
     from pyspark.sql import functions as F
 
     from solana_snapshot_etl_tools_spark.operators.semdedup import (
         semdedup_filter,
     )
+
+    if getattr(args, "ingest_stream", False):
+        report["semdedup_append_stable"] = bool(args.semdedup_model)
+        if not args.semdedup_model:
+            import sys as _sys
+
+            print(
+                "corpus_cli: --semdedup in --ingest-stream without "
+                "--semdedup-model refits the cluster model every "
+                "drain — keep/drop decisions for already-ingested "
+                "docs may flip as boundaries move. Fit once with "
+                "--semdedup-save, then pass --semdedup-model for "
+                "append-stable decisions.",
+                file=_sys.stderr,
+            )
 
     emb = (
         spark.read.parquet(args.embeddings)

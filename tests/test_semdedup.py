@@ -301,6 +301,75 @@ def test_semdedup_single_shuffle_plan(spark):
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
 
 
+def test_cli_stream_semdedup_model_append_stable(
+    spark, tmp_path_factory, capsys
+):
+    """--semdedup-model in --ingest-stream is the append-stable
+    posture: the report records it, the fresh-fit path records (and
+    warns) the opposite, and with a held-fixed model the keep/drop
+    decisions for already-ingested docs survive a second drain."""
+    import json as _json
+    import os
+
+    import numpy as np
+    from solana_snapshot_etl_tools_spark import corpus_cli
+
+    base = tmp_path_factory.mktemp("semdedup_stream_model")
+    rng = np.random.default_rng(23)
+    X = rng.normal(size=(30, 8))
+    X[4:8] = X[3] + 0.002 * rng.normal(size=(4, 8))  # 5-knot in batch 1
+    emb = _emb_df(spark, list(range(1, 31)), X)
+    embp = str(base / "emb")
+    emb.write.parquet(embp)
+    arrivals = str(base / "arrivals")
+    os.makedirs(arrivals)
+    rows1 = [(i, f"document {i} with plain words") for i in range(1, 21)]
+    spark.createDataFrame(
+        rows1, "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(arrivals)
+
+    def run(*argv):
+        assert corpus_cli.main(list(argv)) == 0
+        out = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+        return _json.loads(out[-1])
+
+    def kept_ids(out_dir, rep):
+        ids = set()
+        for name, v in rep["splits"].items():
+            if v["rows"]:
+                ids |= {
+                    r.doc_id
+                    for r in spark.read.parquet(f"{out_dir}/{name}")
+                    .select("doc_id").collect()
+                }
+        return ids
+
+    sout, idx, mdir = str(base / "sout"), str(base / "idx"), str(base / "km")
+    common = ("--ingest-stream", "--index-out", idx, "--no-pii",
+              "--quality", "0", "--lang", "", "--embeddings", embp,
+              "--semdedup", "0.95", "--stratified-split", "lang")
+    # drain 1: fresh fit (saved) — append-UNSTABLE posture, recorded
+    rep1 = run(arrivals, sout, *common, "--semdedup-k", "3",
+               "--semdedup-save", mdir)
+    assert rep1["semdedup_append_stable"] is False
+    assert rep1["n_semdedup_dropped"] >= 3  # most of the 5-knot dies
+    kept1 = kept_ids(sout, rep1)
+
+    # drain 2: 10 new docs (random vectors, nowhere near the old
+    # knot), held-fixed model — decisions for drain-1 docs must not
+    # flip, and the report records the stable posture
+    rows2 = [(i, f"document {i} with plain words") for i in range(21, 31)]
+    spark.createDataFrame(
+        rows2, "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(arrivals)
+    rep2 = run(arrivals, sout, *common, "--semdedup-model", mdir)
+    assert rep2["semdedup_append_stable"] is True
+    assert rep2["semdedup_model"] == mdir
+    assert rep2["n_corpus"] == 30
+    kept2 = kept_ids(sout, rep2)
+    assert kept1 == kept2 & set(range(1, 21))
+
+
 def test_kmeans_save_load_roundtrip_and_cli_model_reuse(
     spark, tmp_path_factory, capsys
 ):
