@@ -118,6 +118,18 @@ def main(argv: list[str] | None = None) -> int:
                    "the dedup tier. Stream: a post-drain stage over "
                    "the accumulated corpus (rewrites derived views; "
                    "the append-only state keeps raw arrival text)")
+    p.add_argument("--discover-boilerplate", type=int, metavar="TOP",
+                   nargs="?", const=20, default=None,
+                   help="boilerplate DISCOVERY (measurement side of "
+                   "--boilerplate-min-df): put the TOP heavy-hitter "
+                   "normalized lines (by distinct-doc frequency, the "
+                   "removal unit) and heavy-hitter tokens in the "
+                   "report, plus a suggested --boilerplate-min-df "
+                   "derived from the corpus size (paragraphs."
+                   "suggest_boilerplate_min_df — the 0.5%%-of-docs "
+                   "rule). Measures the same frame the filter would "
+                   "see: batch, right before the filter stage; "
+                   "stream, post-drain over the accumulated corpus")
     p.add_argument("--url-dedup", action="store_true",
                    help="exact URL-level dedup on the normalized page "
                    "identity BEFORE text dedup (needs a 'url' column; "
@@ -585,6 +597,8 @@ def main(argv: list[str] | None = None) -> int:
                 "freshly fitted model)")
     if args.boilerplate_min_df is not None and args.boilerplate_min_df < 2:
         p.error("--boilerplate-min-df must be >= 2")
+    if args.discover_boilerplate is not None and args.discover_boilerplate < 1:
+        p.error("--discover-boilerplate TOP must be >= 1")
     if bool(args.decontam_bench) != (args.decontam_threshold is not None):
         p.error("--decontam-bench and --decontam-threshold go together")
     if args.decontam_bench and not args.embeddings:
@@ -682,6 +696,9 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         docs = docs.withColumn("text", normalize_text(F.col("text")))
+    if args.discover_boilerplate is not None:
+        # measurement stage on exactly the frame the filter would see
+        _discover_boilerplate(docs, args, report)
     if args.boilerplate_min_df is not None:
         from solana_snapshot_etl_tools_spark.operators.paragraphs import (
             boilerplate_filter,
@@ -1356,6 +1373,39 @@ def _dsir_select(spark, corpus, args, report):
     return dsir_top_k(corpus, None, args.dsir_keep, model=model)
 
 
+def _discover_boilerplate(docs, args, report):
+    """The --discover-boilerplate report stage, shared by the batch
+    pipeline (pre-filter frame) and the stream mode's post-drain pass:
+    top heavy-hitter normalized lines (the boilerplate_filter removal
+    unit, so the list previews exactly what a threshold would strip),
+    top heavy-hitter tokens, and a suggested --boilerplate-min-df
+    recomputable from the reported doc count — measurement
+    (profile.frequent_tokens / paragraphs.frequent_lines) closed to
+    action (the flag value for the next run)."""
+    from solana_snapshot_etl_tools_spark.operators.paragraphs import (
+        frequent_lines,
+        suggest_boilerplate_min_df,
+    )
+    from solana_snapshot_etl_tools_spark.operators.profile import (
+        frequent_tokens,
+    )
+
+    top = args.discover_boilerplate
+    n_docs = docs.count()
+    report["boilerplate_discovery_n_docs"] = n_docs
+    report["suggested_boilerplate_min_df"] = suggest_boilerplate_min_df(
+        n_docs
+    )
+    report["frequent_lines"] = [
+        [r.line, r.doc_freq]
+        for r in frequent_lines(docs, top=top).collect()
+    ]
+    report["frequent_tokens"] = [
+        [r.token, r.n_occurrences, round(r.share, 6)]
+        for r in frequent_tokens(docs, support=1e-3).limit(top).collect()
+    ]
+
+
 def _semdedup_stage(spark, corpus, args, report):
     """The --semdedup stage, shared by the batch pipeline and the
     stream mode's post-drain pass: spherical-k-means-bucketed
@@ -1756,6 +1806,11 @@ def _ingest_stream_main(args) -> int:
         report["profile"] = profile_estimates(
             merge_profiles(spark.read.parquet(pstore))
         ).collect()[0].asDict()
+    if args.discover_boilerplate is not None and corpus is not None:
+        # measurement stage on the accumulated corpus, right before
+        # the stream's own boilerplate stage (same frame posture as
+        # batch: measure what the filter would see)
+        _discover_boilerplate(corpus.select("doc_id", "text"), args, report)
     if args.boilerplate_min_df is not None and corpus is not None:
         # post-drain batch stage, FIRST among them (batch mode strips
         # boilerplate before everything downstream): line document

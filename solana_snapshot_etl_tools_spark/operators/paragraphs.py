@@ -219,3 +219,83 @@ def paragraph_dup_stats(
             F.col("_first.pos").alias("owner_pos"),
         )
     )
+
+
+def frequent_lines(
+    docs: DataFrame,
+    top: int = 20,
+    min_doc_freq: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_norm_chars: int = 1,
+) -> DataFrame:
+    """Boilerplate DISCOVERY: the ``top`` normalized lines by
+    distinct-document frequency — under exactly the normalization and
+    line split :func:`boilerplate_filter` removes with, so the report
+    previews precisely which lines a given ``--boilerplate-min-df``
+    would strip. Returns ``(line, doc_freq)`` descending (ties by
+    line).
+
+    Scale shape: the counting side shuffles only (key, doc) longs —
+    the same decision pipeline as ``boilerplate_filter``; line TEXT
+    crosses a shuffle only for the <= ``top`` winning keys, recovered
+    via a broadcast semi-join of the bounded winner set against the
+    re-derived lines."""
+    if top < 1:
+        raise ValueError(f"top must be >= 1, got {top}")
+    if min_doc_freq < 2:
+        raise ValueError(
+            f"min_doc_freq must be >= 2, got {min_doc_freq} (every "
+            "line appears in >= 1 document)"
+        )
+    pat = re.escape(sep)
+    lines = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode_outer(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), pat, -1)
+        ).alias("para"),
+    )
+    keyed = (
+        lines.withColumn("_norm", _norm_para(F.col("para")))
+        .filter(F.length("_norm") >= min_norm_chars)
+        .select("doc", F.xxhash64("_norm").alias("key"))
+    )
+    winners = (
+        keyed.groupBy("key")
+        .agg(F.count_distinct("doc").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_doc_freq)
+        .orderBy(F.desc("doc_freq"), "key")
+        .limit(top)
+    )
+    norms = (
+        lines.select(_norm_para(F.col("para")).alias("line"))
+        .filter(F.length("line") >= min_norm_chars)
+        .select("line", F.xxhash64("line").alias("key"))
+    )
+    from pyspark.sql.functions import broadcast
+
+    return (
+        norms.join(broadcast(winners), "key")
+        .groupBy("key", "doc_freq")
+        .agg(F.min("line").alias("line"))
+        .select("line", "doc_freq")
+        .orderBy(F.desc("doc_freq"), "line")
+    )
+
+
+def suggest_boilerplate_min_df(n_docs: int, doc_share: float = 0.005) -> int:
+    """The measurement-to-action bridge for ``boilerplate_filter``: a
+    line present in at least ``doc_share`` of the corpus's documents
+    (RefinedWeb-style "site-wide template" reasoning — default 0.5%)
+    is boilerplate, so the suggested ``min_doc_freq`` is
+    ``max(2, ceil(doc_share * n_docs))``. Pure arithmetic so callers
+    (and tests) can recompute it bit-for-bit from the report's doc
+    count."""
+    import math
+
+    if n_docs < 0:
+        raise ValueError(f"n_docs must be >= 0, got {n_docs}")
+    if not 0.0 < doc_share <= 1.0:
+        raise ValueError(f"doc_share must be in (0, 1], got {doc_share}")
+    return max(2, math.ceil(doc_share * n_docs))

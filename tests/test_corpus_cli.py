@@ -1416,3 +1416,80 @@ def test_decontam_ngrams_stage_batch_and_stream(
     with _pytest.raises(SystemExit):  # bad overlap bound
         corpus_cli.main([src, out, "--decontam-ngrams", bench,
                          "--decontam-max-overlap", "1.0"])
+
+
+def test_discover_boilerplate_stage(spark, tmp_path_factory, capsys):
+    """--discover-boilerplate: the report carries the top heavy-hitter
+    lines (exact distinct-doc frequencies on the pre-filter frame),
+    heavy-hitter tokens, and a suggested --boilerplate-min-df that
+    recomputes bit-for-bit from the library rule on the reported doc
+    count — measurement closed to action."""
+    from solana_snapshot_etl_tools_spark.operators.paragraphs import (
+        frequent_lines,
+        suggest_boilerplate_min_df,
+    )
+
+    base = tmp_path_factory.mktemp("discover_bp")
+    banner = "Subscribe To Our Newsletter"
+    rows = [
+        (i, f"{banner}\ndocument body number {i} with plain words")
+        for i in range(1, 9)
+    ] + [(i, f"document body number {i} alone here") for i in range(9, 13)]
+    src = str(base / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    rep = _run(
+        capsys, src, str(base / "out"), "--no-pii", "--quality", "0",
+        "--lang", "", "--discover-boilerplate", "5",
+        "--boilerplate-min-df", "8",
+    )
+    # suggestion == the library rule on the reported count, exactly
+    assert rep["suggested_boilerplate_min_df"] == suggest_boilerplate_min_df(
+        rep["boilerplate_discovery_n_docs"]
+    )
+    assert rep["boilerplate_discovery_n_docs"] == 12
+    # the banner tops the line report with its exact doc frequency —
+    # and the discovery ran on the PRE-filter frame even though the
+    # filter also ran (the banner is stripped from the output shards)
+    lines = {l: f for l, f in rep["frequent_lines"]}
+    assert lines["subscribe to our newsletter"] == 8
+    lib = {
+        r.line: r.doc_freq
+        for r in frequent_lines(
+            spark.createDataFrame(rows, "doc_id long, text string"), top=5
+        ).collect()
+    }
+    assert lines == lib
+    assert len(rep["frequent_lines"]) <= 5
+    toks = {t: n for t, n, _ in rep["frequent_tokens"]}
+    assert toks  # non-empty at support 1e-3 on this corpus
+    assert all(n >= 1 for n in toks.values())
+    for name, v in rep["splits"].items():
+        if v["rows"]:
+            for r in spark.read.parquet(f"{base}/out/{name}").collect():
+                assert "Subscribe" not in r.text
+
+    # stream mode: post-drain measurement over the accumulated corpus
+    import os
+
+    arrivals = str(base / "arrivals")
+    os.makedirs(arrivals)
+    spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(arrivals)
+    srep = _run(
+        capsys, arrivals, str(base / "sout"), "--ingest-stream",
+        "--index-out", str(base / "idx"), "--no-pii", "--quality", "0",
+        "--lang", "", "--discover-boilerplate", "5",
+    )
+    slines = {l: f for l, f in srep["frequent_lines"]}
+    assert slines["subscribe to our newsletter"] == 8
+    assert srep["suggested_boilerplate_min_df"] == suggest_boilerplate_min_df(
+        srep["boilerplate_discovery_n_docs"]
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        corpus_cli.main([src, str(base / "o2"),
+                         "--discover-boilerplate", "0"])

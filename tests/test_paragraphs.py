@@ -282,3 +282,72 @@ def test_boilerplate_filter_paragraph_granularity(spark):
         for r in boilerplate_filter(df, 3, sep="\n").collect()
     }
     assert out2[1] == "\nstory one"  # the blank separator line survives
+
+
+def test_frequent_lines_discovery(spark):
+    """frequent_lines: exact distinct-doc frequencies under
+    boilerplate_filter's normalization, descending, bounded to top,
+    with short lines exempt; suggest_boilerplate_min_df is the pure
+    0.5%-of-docs rule."""
+    rows = [
+        (1, "Subscribe to our newsletter!\nstory one\ncookie notice"),
+        (2, "subscribe to our NEWSLETTER\nstory two\ncookie notice"),
+        (3, "Subscribe, to our newsletter\nstory three"),
+        (4, "story four\ncookie notice"),
+        (5, None),
+        (6, "x\nSubscribe to our newsletter"),  # 'x' is 1 char, counted
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r.line, r.doc_freq) for r in P.frequent_lines(df, top=10).collect()]
+    # banner: docs 1,2,3,6 (all normalize identically); cookie: 1,2,4
+    assert got[0] == ("subscribe to our newsletter", 4)
+    assert got[1] == ("cookie notice", 3)
+    # singleton lines never appear (min_doc_freq=2 floor)
+    assert all(f >= 2 for _, f in got)
+    assert {l for l, _ in got} == {"subscribe to our newsletter", "cookie notice"}
+    # top bound respected
+    assert [r.line for r in P.frequent_lines(df, top=1).collect()] == [
+        "subscribe to our newsletter"
+    ]
+    # min_norm_chars exempts short lines from the report too
+    rows2 = rows + [(7, "x\nstory seven")]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    got2 = {r.line: r.doc_freq for r in P.frequent_lines(df2, top=10).collect()}
+    assert got2.get("x") == 2
+    assert "x" not in {
+        r.line
+        for r in P.frequent_lines(df2, top=10, min_norm_chars=2).collect()
+    }
+
+    import pytest
+
+    with pytest.raises(ValueError, match="top"):
+        P.frequent_lines(df, top=0)
+    with pytest.raises(ValueError, match="min_doc_freq"):
+        P.frequent_lines(df, min_doc_freq=1)
+    assert P.suggest_boilerplate_min_df(0) == 2
+    assert P.suggest_boilerplate_min_df(400) == 2
+    assert P.suggest_boilerplate_min_df(1000) == 5
+    assert P.suggest_boilerplate_min_df(1001) == 6
+    assert P.suggest_boilerplate_min_df(100, doc_share=0.1) == 10
+    with pytest.raises(ValueError, match="doc_share"):
+        P.suggest_boilerplate_min_df(10, doc_share=0.0)
+    with pytest.raises(ValueError, match="n_docs"):
+        P.suggest_boilerplate_min_df(-1)
+
+
+def test_frequent_lines_no_line_text_in_count_shuffle(spark):
+    """The counting side must shuffle hashed keys, not line text —
+    the boilerplate_filter scale contract. Only the bounded winner
+    recovery may move strings."""
+    df = spark.createDataFrame(
+        [(i, "shared banner line\nbody " + "w" * 50) for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = (
+        P.frequent_lines(df, top=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the winner set arrives broadcast — the count pipeline's exchange
+    # carries (doc, key) longs only
+    assert "BroadcastExchange" in plan or "Broadcast" in plan
