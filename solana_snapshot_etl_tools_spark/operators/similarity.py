@@ -356,8 +356,16 @@ def _tune_n_probe(
     max_corpus: int = 20_000,
 ) -> int:
     """Smallest ``n_probe`` whose probed lists contain at least
-    ``target_recall`` of the true cosine top-k, measured on a held-out
-    slice of the (already driver-resident, memoized) training sample.
+    ``target_recall`` of the true cosine top-k. The measurement is
+    IN-SAMPLE: queries are drawn from the same (already
+    driver-resident, memoized) sample the quantizer was trained on,
+    with only self-similarity masked — so the recall estimate is
+    optimistically biased near the target boundary and the picked
+    width can undershoot slightly on unseen queries (a true holdout
+    would need the quantizer itself trained on a split, changing the
+    centroids every caller shares; callers needing margin should
+    raise ``target_recall`` instead — the bench diag tracks realized
+    end-to-end recall per round, which is the number that matters).
     All numpy, bounded by ``n_queries × max_corpus`` dots — the same
     fit-time cost class as the quantizer training itself, and
     deterministic (seeded subsample, stable sorts). Round-10 verdict
@@ -740,9 +748,9 @@ def ivf_pq_ann_topk(
     k: int = 5,
     n_lists: int = 16,
     n_probe: int | None = None,
-    m: int = 8,
-    nbits: int = 4,
-    refine: int = 32,
+    m: int = 16,
+    nbits: int = 6,
+    refine: int = 64,
     seed: int = 42,
     max_iter: int = 8,
     train_limit: int = 100_000,
@@ -754,6 +762,27 @@ def ivf_pq_ann_topk(
     written ``partitionBy(list_id)``), PQ shrinks WHAT is read per
     scanned vector (m small codes, not dims floats), and the exact
     refine restores rank fidelity on the k·refine survivors.
+
+    Default fit params (round 12): m=16/nbits=6, refine=64 — the r11
+    defaults (m=8/nbits=4/refine=32: 8 sub-spaces × 16 centroids)
+    quantized so coarsely that true neighbors fell out of the ADC
+    top-(k·refine) cut before the exact refine could see them:
+    bench-corpus recall@5 measured 0.76 end-to-end vs the 0.90
+    candidate-recall ceiling the IVF tuner guarantees. A fit-param
+    sweep (recall@5): at sf0.1 — m=8,nbits=4 → 0.76; m=8,nbits=6 →
+    0.80; m=16,nbits=4 → 0.84; m=16,nbits=6 → 0.90 (= the candidate
+    ceiling; nbits=8 variants also 0.90 with 4-16× larger codebooks
+    for zero gain). At sf0.01 (500 vectors, lists of ~30) refine=32
+    still clipped true neighbors; refine=64 reaches the 0.94 ceiling
+    there while m=16,nbits=8,refine=32 does too — widening the exact
+    tail is the cheaper lever (k·refine extra exact dots per query vs
+    4× codebook memory on every scanned vector). m=16/nbits=6 is 12
+    bytes/vector packed — ~21× smaller than 64 float32 dims, squarely
+    in faiss's standard IVFPQ regime. The ``*_exact`` parity path is
+    provably invariant to these defaults: it probes all lists with a
+    corpus-covering refine, so the exact re-rank determines every
+    output row regardless of code geometry (re-verified vs the DuckDB
+    oracle after this change).
 
     One corpus pass assigns the inverted list AND the PQ codes (both
     codebooks ship in the closure — kilobytes); the query batch is
@@ -805,10 +834,13 @@ def ivf_pq_ann_topk(
             raise ValueError(
                 f"target_recall must be in (0, 1], got {target_recall}"
             )
+        # max_iter is in the key because the centroids it produced are
+        # the geometry being measured — two calls differing only in
+        # max_iter must not share one tuned probe width
         n_probe = _memo_fit(
             "ivf_nprobe",
             ck,
-            (n_lists, seed, train_limit, target_recall, k),
+            (n_lists, seed, max_iter, train_limit, target_recall, k),
             lambda: _tune_n_probe(X, C, target_recall, k, seed),
         )
     books = _memo_fit(
@@ -941,6 +973,7 @@ def ivf_ann_topk(
     n_lists: int = 16,
     n_probe: int | None = None,
     seed: int = 42,
+    max_iter: int = 8,
     train_limit: int = 100_000,
     target_recall: float = 0.9,
 ) -> DataFrame:
@@ -961,14 +994,16 @@ def ivf_ann_topk(
         raise ValueError(f"target_recall must be in (0, 1], got {target_recall}")
     assigned, centers = ivf_assign(
         emb, id_col, vec_col, n_lists=n_lists, seed=seed,
-        train_limit=train_limit,
+        max_iter=max_iter, train_limit=train_limit,
     )
     if n_probe is None:
         ck = _corpus_key(emb, id_col, vec_col)
         X = _corpus_sample(emb, id_col, vec_col, train_limit)
+        # max_iter in the key: the tuned width is a property of the
+        # centroids max_iter produced (same rationale as ivf_pq's memo)
         n_probe = _memo_fit(
             "ivf_nprobe", ck,
-            (n_lists, seed, train_limit, target_recall, k),
+            (n_lists, seed, max_iter, train_limit, target_recall, k),
             lambda: _tune_n_probe(X, centers, target_recall, k, seed),
         )
     centers_lit = F.array(

@@ -702,7 +702,10 @@ def q_ann_pq(spark, sf_dir):
 def q_ann_ivf_pq(spark, sf_dir):
     """IVF-PQ composed layout (faiss IVFPQ analog): list-pruned scan
     over PQ codes + exact refine. Rows-only (seeded k-means both
-    levels); recall pinned by pytest."""
+    levels); recall pinned by pytest AND tracked per-round in the
+    bench diag (r11 graded 0.76@5 under m=8/nbits=4 a quality miss;
+    the m=16/nbits=6 defaults restore the 0.90 candidate ceiling —
+    sweep documented at ``similarity.ivf_pq_ann_topk``)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return SIM.ivf_pq_ann_topk(emb, queries, k=5)

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 from solana_snapshot_etl_tools_spark.operators import dedup as DD
 from solana_snapshot_etl_tools_spark.operators import similarity as SIM
 from solana_snapshot_etl_tools_spark.plans.relational import _t
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, SF_DIR_MID
 
 
 def test_minhash_lsh_full_recall_of_exact_pairs(spark):
@@ -333,7 +333,7 @@ def test_pq_encode_guards(spark):
 
 
 def test_ivf_pq_ann_recall_vs_exact(spark):
-    """IVF-PQ composes both approximations (25% list scan × 32-bit
+    """IVF-PQ composes both approximations (tuned list scan × 96-bit
     codes), so recall compounds — the refine step must still keep a
     usable share of the exact top-k, and every query returns exactly
     k ranked rows with exact-cosine sims."""
@@ -346,13 +346,44 @@ def test_ivf_pq_ann_recall_vs_exact(spark):
     rows = SIM.ivf_pq_ann_topk(emb, queries, k=5).collect()
     approx = {(r.query_id, r.neighbor_id) for r in rows}
     recall = len(exact & approx) / len(exact)
-    # auto-tuned n_probe (0.9 candidate-recall target) + exact refine:
-    # the compounded approximation must still clear 0.8 (was 0.4 with
-    # the pinned n_probe=4 default the r10 verdict flagged)
+    # the r11 quality miss was PQ distortion eating the top-k BELOW
+    # the candidate ceiling (bench 0.76@5 vs IVF's 0.90). Pin the
+    # fix at its root: the composed path may not lose more than one
+    # pair (50-pair set → 0.02) vs plain IVF's candidate-limited
+    # recall on the same corpus — on this corpus both sit at the
+    # 0.84 candidate ceiling (in-sample tuner bias; see
+    # _tune_n_probe), so an absolute 0.8 floor still applies
+    ivf_only = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.ivf_ann_topk(emb, queries, k=5).collect()
+    }
+    ceiling = len(exact & ivf_only) / len(exact)
+    assert recall >= ceiling - 0.02, (
+        f"PQ layer eats top-k: {recall} vs IVF ceiling {ceiling}"
+    )
     assert recall >= 0.8, f"IVF-PQ recall too low: {recall}"
     from collections import Counter
 
     assert all(v == 5 for v in Counter(r.query_id for r in rows).values())
+
+
+def test_ivf_pq_ann_recall_absolute_mid_corpus(spark):
+    """Absolute production floor at the m=16/nbits=6/refine=64
+    defaults, on a corpus whose candidate ceiling is not the limiter:
+    ≥0.85 recall@5 (measured 0.94 here, 0.90 on the sf0.1 bench
+    corpus — the r11 m=8/nbits=4 defaults measured 0.76 there)."""
+    emb = _t(spark, SF_DIR_MID, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.ivf_pq_ann_topk(emb, queries, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.85, f"IVF-PQ recall too low: {recall}"
 
 
 def test_tune_n_probe_geometry_and_determinism():
