@@ -53,14 +53,24 @@ ASSIGN_SCHEMA = "id long, cluster_id int, sq_dist double"
 _PARTIAL_SCHEMA = "cluster int, s array<double>, n long, cost double"
 
 
-def _prep(emb: DataFrame, id_col: str, vec_col: str, normalize: bool) -> DataFrame:
+def _prep(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    normalize: bool,
+    extra: tuple = (),
+) -> DataFrame:
     v = F.col(vec_col).cast("array<double>")
     if normalize:
         nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
         # CASE guard: an all-zero vector stays zero instead of killing
         # the job under ANSI (DIVIDE_BY_ZERO) / NaN-poisoning centroids
         v = F.when(nrm == 0.0, v).otherwise(F.transform(v, lambda x: x / nrm))
-    return emb.select(F.col(id_col).cast("long").alias("id"), v.alias("vec"))
+    # extra: already-aliased Columns to carry alongside (id, vec) in
+    # the same narrow projection — no separate join back on id
+    return emb.select(
+        F.col(id_col).cast("long").alias("id"), v.alias("vec"), *extra
+    )
 
 
 def _argmin_sqdist(X: np.ndarray, C: np.ndarray):

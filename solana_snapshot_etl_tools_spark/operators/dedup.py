@@ -225,10 +225,22 @@ def connected_components(
     df: DataFrame,
     id_col: str,
     max_iter: int = 20,
+    prefer_col: str | None = None,
 ) -> DataFrame:
     """Turn a near-dup PAIR list into the dedup DECISION table: every
-    doc mapped to its component's minimum id (``keep_id``); docs in no
-    pair keep themselves. Hash-min label propagation over DataFrames —
+    doc mapped to its component's canonical id (``keep_id``); docs in
+    no pair keep themselves. By default the canonical is the
+    component's MINIMUM id (the cheap, deterministic choice the DuckDB
+    closure oracle mirrors). Pass ``prefer_col`` (a column of ``df``;
+    higher = better, NULL = worst, ties by min id) to elect the
+    highest-quality member as canonical instead — crawl reality keeps
+    the best page of a duplicate family, not the one crawled first.
+    The election is a post-pass over the converged label frame (one
+    max-aggregate + one equi-join on 2-3 longs per doc); the
+    propagation itself is unchanged, so the default path is
+    byte-identical with ``prefer_col=None``.
+
+    Hash-min label propagation over DataFrames —
     each iteration is one equi-join + one min-aggregate, converging in
     O(graph diameter) rounds (boilerplate families are stars via the
     hot-bucket cap, so 2-3 rounds in practice); no driver-side graph,
@@ -321,7 +333,34 @@ def connected_components(
         raise
     edges.unpersist()
     _SESSION_CACHES.append(prev)
-    return labels.select(F.col("a").alias(id_col), F.col("lbl").alias("keep_id"))
+    out = labels.select(F.col("a").alias(id_col), F.col("lbl").alias("keep_id"))
+    if prefer_col is None:
+        return out
+    # keep-best election: remap every component label to the member
+    # with the highest prefer value (NULL = worst, ties -> min id).
+    # max_by over a (pref, -id) struct would need id negation (UB at
+    # Long.MIN); two tiny aggs over the label frame are just as cheap
+    # at 2-3 longs per doc and exact. Components here include the
+    # singletons (docs in no pair label themselves), so pass-through
+    # docs also re-canonicalize to themselves — keep_id stays total.
+    pref = df.select(
+        F.col(id_col).alias("_m"),
+        F.coalesce(
+            F.col(prefer_col).cast("double"), F.lit(float("-inf"))
+        ).alias("_pref"),
+    )
+    members = out.select(F.col(id_col).alias("_m"), "keep_id").join(pref, "_m")
+    best = members.groupBy("keep_id").agg(F.max("_pref").alias("_best"))
+    canon = (
+        members.join(best, "keep_id")
+        .filter(F.col("_pref") == F.col("_best"))
+        .groupBy("keep_id")
+        .agg(F.min("_m").alias("_canon"))
+    )
+    return (
+        out.join(canon, "keep_id")
+        .select(F.col(id_col), F.col("_canon").alias("keep_id"))
+    )
 
 
 # --- exact duplicate-substring statistics ------------------------------------
@@ -1068,9 +1107,13 @@ def semantic_dedup(
     threshold: float = 0.9,
     candidate_pairs: DataFrame | None = None,
     max_iter: int = 20,
+    prefer_col: str | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup DECISION table: every vector mapped
-    to its semantic component's minimum id (``keep_id``).
+    to its semantic component's canonical id (``keep_id``) — the
+    minimum id by default, or the highest-``prefer_col`` member (a
+    column of ``emb``; ties by min id) when a quality signal should
+    pick the survivor (see ``connected_components``).
 
     The pair source is pluggable — the scale posture lives there:
 
@@ -1097,4 +1140,6 @@ def semantic_dedup(
     pairs = candidate_pairs.filter(F.col("sim") > threshold).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
-    return connected_components(pairs, emb, id_col, max_iter=max_iter)
+    return connected_components(
+        pairs, emb, id_col, max_iter=max_iter, prefer_col=prefer_col
+    )

@@ -74,6 +74,7 @@ def semdedup(
     max_cluster_size: int = DEFAULT_MAX_CLUSTER,
     kmeans_max_iter: int = 20,
     seed: int = 42,
+    prefer_col: str | None = None,
 ) -> DataFrame:
     """The SemDeDup decision table: one row per vector —
     ``(id, cluster_id, kept, max_prior_sim, witness_id)``.
@@ -90,7 +91,17 @@ def semdedup(
     with ``normalize=True`` — SemDeDup operates in cosine space), or
     a prefitted ``model`` to reuse one fit across corpora/runs
     (exactly one of the two). Clusters larger than
-    ``max_cluster_size`` raise with the remedy (raise ``k``)."""
+    ``max_cluster_size`` raise with the remedy (raise ``k``).
+
+    ``prefer_col`` (a column of ``emb``; higher = better, NULL = worst,
+    NaN sorts after every finite value) re-orders each cluster's visit
+    sequence to quality-first (pref DESC, then farthest-from-centroid,
+    then id) so the BEST member of every near-dup neighborhood is the
+    one kept — the paper's ordering choices are interchangeable by
+    construction (any fixed order keeps exactly one ε-representative
+    per neighborhood); quality-first picks which one. The column rides
+    the same narrow projection as the vectors (no extra join or
+    shuffle); the default path is unchanged."""
     if (k is None) == (model is None):
         raise ValueError(
             "semdedup takes exactly one of k (fresh spherical k-means) "
@@ -157,8 +168,17 @@ def semdedup(
                 cluster_id=a.astype(np.int32), sq_dist=d2
             )
 
-    work = _prep(emb, id_col, vec_col, normalize=True).mapInPandas(
-        assign_gen, "id long, vec array<double>, cluster_id int, sq_dist double"
+    extra, pref_field = (), ""
+    if prefer_col is not None:
+        extra = (
+            F.coalesce(
+                F.col(prefer_col).cast("double"), F.lit(float("-inf"))
+            ).alias("pref"),
+        )
+        pref_field = " pref double,"
+    work = _prep(emb, id_col, vec_col, normalize=True, extra=extra).mapInPandas(
+        assign_gen,
+        f"id long, vec array<double>,{pref_field} cluster_id int, sq_dist double",
     )
 
     cap = int(max_cluster_size)
@@ -179,9 +199,21 @@ def semdedup(
                 f"semdedup: NULL embedding for ids {bad[:10]}"
                 f"{'…' if len(bad) > 10 else ''} in cluster {cid}"
             )
-        order = np.lexsort(
-            (pdf["id"].to_numpy(), -pdf["sq_dist"].to_numpy())
-        )
+        if "pref" in pdf.columns:
+            # quality-first: pref DESC, then farthest-from-centroid,
+            # then id (np.lexsort's LAST key is primary). NaN prefs
+            # sort after all finite -pref values => visited last
+            order = np.lexsort(
+                (
+                    pdf["id"].to_numpy(),
+                    -pdf["sq_dist"].to_numpy(),
+                    -pdf["pref"].to_numpy(),
+                )
+            )
+        else:
+            order = np.lexsort(
+                (pdf["id"].to_numpy(), -pdf["sq_dist"].to_numpy())
+            )
         ids = pdf["id"].to_numpy()[order]
         try:
             X = np.array(pdf["vec"].iloc[order].tolist(), dtype=np.float64)
@@ -251,11 +283,19 @@ def semdedup_filter(
     emb_id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster_size: int = DEFAULT_MAX_CLUSTER,
+    prefer_col: str | None = None,
 ) -> DataFrame:
     """Apply :func:`semdedup` to a document corpus: documents whose
     embedding was dropped vanish; documents WITHOUT an embedding pass
     through (they cannot be compared — the decontamination stage's
-    posture, documented there). All input columns pass through."""
+    posture, documented there). All input columns pass through.
+
+    ``prefer_col`` names a quality column of ``docs`` (higher =
+    better): it is joined onto the embeddings by id (one extra
+    shuffle of (id, pref) longs — opt-in) and each near-dup
+    neighborhood keeps its highest-quality member instead of the
+    farthest-from-centroid-first default; embeddings with no matching
+    doc rank worst (NULL → -inf)."""
     # the anti-join below compares both ids AS LONG; a string id
     # would cast to NULL, never match, and silently turn the whole
     # dedup into a no-op — fail loudly instead (same posture as
@@ -272,9 +312,27 @@ def semdedup_filter(
                 "the anti-join and the dedup silently becomes a no-op; "
                 "cast or map your ids to long first"
             )
+    emb_in, emb_pref = emb, None
+    if prefer_col is not None:
+        if prefer_col not in docs.columns:
+            raise ValueError(
+                f"semdedup_filter: prefer_col '{prefer_col}' is not a "
+                f"column of docs (has: {docs.columns})"
+            )
+        pref = docs.select(
+            F.col(doc_id_col).cast("long").alias("_pref_id"),
+            F.col(prefer_col).cast("double").alias("_pref"),
+        )
+        emb_in = emb.join(
+            pref,
+            F.col(emb_id_col).cast("long") == F.col("_pref_id"),
+            "left",
+        ).drop("_pref_id")
+        emb_pref = "_pref"
     dec = semdedup(
-        emb, k, model=model, threshold=threshold, id_col=emb_id_col,
+        emb_in, k, model=model, threshold=threshold, id_col=emb_id_col,
         vec_col=vec_col, max_cluster_size=max_cluster_size,
+        prefer_col=emb_pref,
     )
     dropped = dec.filter(~F.col("kept")).select(
         F.col(emb_id_col).cast("long").alias("_drop_id")

@@ -463,6 +463,70 @@ def test_connected_components_topologies(spark):
         DD.connected_components(pairs, docs, "doc_id", max_iter=1)
 
 
+def test_connected_components_prefer_col_keeps_best(spark):
+    """keep-best election: the canonical is the component member with
+    the highest quality (NULL = worst, ties -> min id); singletons
+    keep themselves; and the default (prefer_col=None) mapping is
+    unchanged by the feature's existence."""
+    docs = spark.createDataFrame(
+        [
+            # chain 1-2-3-4-5: quality peaks at doc 4
+            (1, 0.1), (2, 0.5), (3, 0.3), (4, 0.9), (5, 0.2),
+            # pair 7-8: tie on quality -> min id (7) wins
+            (7, 0.7), (8, 0.7),
+            # singleton 6 with NULL quality still keeps itself
+            (6, None),
+            # pair 9-10: 9's quality is NULL -> 10 wins despite higher id
+            (9, None), (10, 0.05),
+        ],
+        "doc_id long, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (7, 8), (9, 10)],
+        "doc_a long, doc_b long",
+    )
+    best = {
+        r.doc_id: r.keep_id
+        for r in DD.connected_components(
+            pairs, docs, "doc_id", prefer_col="quality"
+        ).collect()
+    }
+    assert best == {
+        1: 4, 2: 4, 3: 4, 4: 4, 5: 4,
+        7: 7, 8: 7,
+        6: 6,
+        9: 10, 10: 10,
+    }
+    # default path: min-id canonicals, byte-identical semantics
+    default = {
+        r.doc_id: r.keep_id
+        for r in DD.connected_components(pairs, docs, "doc_id").collect()
+    }
+    assert default == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 7: 7, 8: 7, 6: 6, 9: 9, 10: 9
+    }
+
+
+def test_semantic_dedup_prefer_col(spark):
+    """prefer_col flows through semantic_dedup: the near-dup family's
+    canonical is its highest-quality member, not its min id."""
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0.2),
+            (2, [0.999, 0.01], 0.9),   # near-dup of 1, higher quality
+            (3, [0.0, 1.0], 0.5),      # unrelated singleton
+        ],
+        "vec_id long, embedding array<double>, quality double",
+    )
+    out = {
+        r.vec_id: r.keep_id
+        for r in DD.semantic_dedup(
+            emb, threshold=0.9, prefer_col="quality"
+        ).collect()
+    }
+    assert out == {1: 2, 2: 2, 3: 3}
+
+
 def test_ivf_pq_coded_table_partition_prunes(spark, tmp_path):
     """The IVF-PQ at-scale recipe — persist the coded corpus
     partitioned by list_id, probe by filtering list_id — must prune

@@ -145,6 +145,77 @@ def test_semdedup_filter_and_missing_embeddings(spark):
     assert out.columns == docs.columns
 
 
+def test_semdedup_prefer_col_keeps_best(spark):
+    """Quality-first visit order: within a near-dup neighborhood the
+    highest-prefer vector is the one kept (it is seen first, so the
+    others witness it), regardless of what the default
+    farthest-from-centroid order would have picked — and the default
+    path is untouched by the feature's existence."""
+    import math
+
+    def v(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r), 0.0]
+
+    # 1 and 2 near-identical (cos(3°) ≈ 0.9986); 3 far away
+    emb = spark.createDataFrame(
+        [
+            (1, v(0.0), 0.1),
+            (2, v(3.0), 0.9),
+            (3, v(90.0), 0.5),
+        ],
+        "vec_id long, embedding array<double>, quality double",
+    )
+    dec = {
+        r.vec_id: r
+        for r in SD.semdedup(
+            emb, 1, threshold=0.95, seed=1, prefer_col="quality"
+        ).collect()
+    }
+    assert dec[2].kept and not dec[1].kept and dec[3].kept
+    assert dec[1].witness_id == 2
+    # flip the quality: now 1 survives the pair
+    flipped = emb.withColumn(
+        "quality", F.when(F.col("vec_id") == 1, 0.9).otherwise(0.1)
+    )
+    dec2 = {
+        r.vec_id: r
+        for r in SD.semdedup(
+            flipped, 1, threshold=0.95, seed=1, prefer_col="quality"
+        ).collect()
+    }
+    assert dec2[1].kept and not dec2[2].kept
+    # default path (no prefer_col) still runs and keeps exactly one
+    base = {
+        r.vec_id: r.kept
+        for r in SD.semdedup(emb, 1, threshold=0.95, seed=1).collect()
+    }
+    assert sum(base[i] for i in (1, 2)) == 1 and base[3]
+
+
+def test_semdedup_filter_prefer_col(spark):
+    """prefer_col names a docs column: the near-pair's survivor is the
+    higher-quality document; docs without embeddings still pass
+    through; output columns unchanged."""
+    docs = spark.createDataFrame(
+        [(1, "short", 0.1), (2, "the good long copy", 0.95),
+         (3, "other", 0.5), (4, "no embedding", 0.7)],
+        "doc_id long, text string, quality double",
+    )
+    emb = _emb_df(
+        spark, [1, 2, 3],
+        np.array([[1.0, 0.0], [0.999, 0.01], [0.0, 1.0]]),
+    )
+    out = SD.semdedup_filter(
+        docs, emb, 1, threshold=0.95, prefer_col="quality"
+    )
+    kept = {r.doc_id for r in out.collect()}
+    assert kept == {2, 3, 4}
+    assert out.columns == docs.columns
+    with pytest.raises(ValueError, match="prefer_col"):
+        SD.semdedup_filter(docs, emb, 1, prefer_col="nope")
+
+
 def test_semdedup_filter_rejects_string_ids(spark):
     """A string doc_id would cast to NULL in the long-keyed anti-join
     and silently turn the dedup into a no-op — must raise instead."""
