@@ -1803,8 +1803,23 @@ def _ingest_stream_main(args) -> int:
                 .parquet(pstore)
             )
             spark.catalog.refreshByPath(pstore)
+        # coverage guard (profile.stale_profile_batches — the
+        # profile-store twin of the bloom sidecar's batch check):
+        # partials for batches the corpus no longer contains (purged
+        # arrivals, inherited store) would silently overcount the
+        # merged estimates, so they are excluded from the merge and
+        # surfaced — the report is merely narrowed, never wrong
+        from solana_snapshot_etl_tools_spark.operators.profile import (
+            stale_profile_batches,
+        )
+
+        stored_prof = spark.read.parquet(pstore)
+        stale = stale_profile_batches(stored_prof, corpus)
+        if stale:
+            report["profile_store_stale_batches"] = stale
+            stored_prof = stored_prof.filter(~F.col("batch").isin(stale))
         report["profile"] = profile_estimates(
-            merge_profiles(spark.read.parquet(pstore))
+            merge_profiles(stored_prof)
         ).collect()[0].asDict()
     if args.discover_boilerplate is not None and corpus is not None:
         # measurement stage on the accumulated corpus, right before

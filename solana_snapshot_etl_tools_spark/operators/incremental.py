@@ -360,6 +360,68 @@ def kept_signature_rows(
     )
 
 
+def compact_parquet_dir(
+    spark,
+    path: str,
+    parts: list[str],
+    rows_per_file: int | None = None,
+) -> tuple[int, int, int]:
+    """The count-verified compact-and-swap core shared by
+    :func:`compact_index` and ``profile.compact_profile_store``:
+    rewrite ``path`` to ~one file per ``parts`` partition (or
+    ``rows_per_file``-sized files when ``parts`` is empty) in a temp
+    dir, verify the row count, then atomically swap. Returns
+    ``(rows, files_before, files_after)``. A STREAM-written
+    ``batch=N`` layout is auto-preserved even when the caller didn't
+    name it — compacting it away would make the next dynamic-
+    overwrite append create a conflicting partition scheme."""
+    import glob as _glob
+    import os
+    import shutil
+    import uuid
+
+    parts = list(parts)
+    if "batch" not in parts and _glob.glob(f"{path}/batch=*"):
+        parts = ["batch"] + parts
+        rows_per_file = None
+    spark.catalog.refreshByPath(path)
+    df = spark.read.parquet(path)
+    before_files = sum(
+        1 for _r, _d, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    )
+    n = df.count()
+    if parts:
+        # hash-repartition on the partition column: each partition
+        # value lands wholly in one task -> one file per directory
+        packed = df.repartition(*[F.col(c) for c in parts])
+        writer = packed.write.partitionBy(*parts)
+    else:
+        n_files = max(1, -(-n // (rows_per_file or n or 1)))
+        writer = df.repartition(n_files).write
+    token = uuid.uuid4().hex[:8]
+    tmp = f"{path}._compact.{token}"
+    writer.mode("overwrite").parquet(tmp)
+    check = spark.read.parquet(tmp).count()
+    if check != n:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"compaction of {path} would change row count "
+            f"({n} -> {check}); source left untouched"
+        )
+    # crash-safe swap: the live data is never deleted before its
+    # replacement is installed — a kill between the two renames
+    # leaves the old data recoverable under ._old.*, never nothing
+    old = f"{path}._old.{token}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    spark.catalog.refreshByPath(path)
+    after_files = sum(
+        1 for _r, _d, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    )
+    return n, before_files, after_files
+
+
 def compact_index(
     spark,
     index_dir: str,
@@ -381,8 +443,6 @@ def compact_index(
     file sets for appended (or replaced) directories.
     """
     import os
-    import shutil
-    import uuid
 
     stats: dict[str, int] = {}
     jobs = [
@@ -396,51 +456,9 @@ def compact_index(
     # keeps appending batch=N directories
     if os.path.isdir(f"{index_dir}/bloom"):
         jobs.append(("bloom", ["batch"], None))
-    import glob as _glob
-
     for sub, parts, rows_per_file in jobs:
-        path = f"{index_dir}/{sub}"
-        # a STREAM-written store is batch-partitioned (replay
-        # idempotence); compaction must preserve that layout or the
-        # loop's next dynamic-overwrite write would create a mixed
-        # (conflicting) partition scheme under the same root
-        if "batch" not in parts and _glob.glob(f"{path}/batch=*"):
-            parts = ["batch"] + parts
-            rows_per_file = None
-        spark.catalog.refreshByPath(path)
-        df = spark.read.parquet(path)
-        before_files = sum(
-            1 for _r, _d, fs in os.walk(path) for f in fs if f.endswith(".parquet")
-        )
-        n = df.count()
-        if parts:
-            # hash-repartition on the partition column: each band lands
-            # wholly in one task -> one file per band directory
-            packed = df.repartition(*[F.col(c) for c in parts])
-            writer = packed.write.partitionBy(*parts)
-        else:
-            n_files = max(1, -(-n // rows_per_file))
-            writer = df.repartition(n_files).write
-        token = uuid.uuid4().hex[:8]
-        tmp = f"{path}._compact.{token}"
-        writer.mode("overwrite").parquet(tmp)
-        check = spark.read.parquet(tmp).count()
-        if check != n:
-            shutil.rmtree(tmp)
-            raise RuntimeError(
-                f"compaction of {path} would change row count "
-                f"({n} -> {check}); source left untouched"
-            )
-        # crash-safe swap: the live index is never deleted before its
-        # replacement is installed — a kill between the two renames
-        # leaves the old data recoverable under ._old.*, never nothing
-        old = f"{path}._old.{token}"
-        os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old)
-        spark.catalog.refreshByPath(path)
-        after_files = sum(
-            1 for _r, _d, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+        n, before_files, after_files = compact_parquet_dir(
+            spark, f"{index_dir}/{sub}", parts, rows_per_file
         )
         stats[f"{sub}_rows"] = n
         stats[f"{sub}_files_before"] = before_files

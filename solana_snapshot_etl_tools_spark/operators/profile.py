@@ -185,6 +185,59 @@ def profile_estimates(profiles: DataFrame) -> DataFrame:
     )
 
 
+def compact_profile_store(spark, store_dir: str) -> dict:
+    """Compact a per-batch profile store in place. The streaming
+    ingest loop appends one tiny partial (a few KB) under ``batch=N``
+    per micro-batch; after thousands of batches every
+    ``merge_profiles`` read pays file-listing + parquet-footer
+    overhead per partial. Rewrites to ~one file per batch directory
+    using :func:`incremental.compact_parquet_dir` — the same
+    count-verified temp-dir write and atomic swap the dedup index
+    uses, so a short write can never destroy profile rows, and the
+    ``batch=`` layout survives (the incremental profiler's
+    already-profiled check and the stream's dynamic-overwrite appends
+    both key on it). Merged estimates are unchanged by construction
+    (same rows, fewer files); pinned by pytest."""
+    from solana_snapshot_etl_tools_spark.operators.incremental import (
+        compact_parquet_dir,
+    )
+
+    n, before, after = compact_parquet_dir(spark, store_dir, ["batch"])
+    return {
+        "profile_rows": n,
+        "profile_files_before": before,
+        "profile_files_after": after,
+    }
+
+
+def stale_profile_batches(
+    store: DataFrame, corpus: DataFrame, batch_col: str = "batch"
+) -> list:
+    """Coverage guard for the incremental profile store (the
+    profile-store twin of the dedup index's bloom batch-coverage
+    check): batch keys present in the STORE but absent from the
+    CORPUS. A non-empty result means the store carries partials for
+    data the corpus no longer contains — a purged/renumbered arrivals
+    directory, or a store inherited from a different corpus lineage —
+    and merging the whole store would silently overcount. Consumers
+    must exclude these rows from the merge (and surface the anomaly)
+    rather than trust the store blindly; the complement direction
+    (corpus batches missing from the store) is what the incremental
+    profiler fills in, so it needs no guard. Both sides are
+    distinct-listings of one small column (the corpus side prunes to
+    partition directories under a ``batch=``-partitioned store)."""
+    if batch_col not in store.columns:
+        raise ValueError(
+            f"stale_profile_batches: store has no '{batch_col}' column "
+            "— only per-batch (stream-written) stores carry coverage"
+        )
+    have = {r[batch_col] for r in store.select(batch_col).distinct().collect()}
+    want = {
+        r[batch_col] for r in corpus.select(batch_col).distinct().collect()
+    }
+    return sorted(have - want)
+
+
 def profile_overlap(
     profiles: DataFrame,
     key_col: str = "source",

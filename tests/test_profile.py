@@ -237,6 +237,111 @@ def test_cli_profile_batch_and_incremental_stream(
     assert srep2["profile"]["n_tokens"] == whole["n_tokens"]
     assert srep2["profile"]["n_chars"] == whole["n_chars"]
 
+    # plant a FOREIGN batch partial (a store inherited from another
+    # corpus lineage): the coverage guard must exclude it from the
+    # merge and surface it — the numbers stay those of the real corpus
+    import shutil
+
+    shutil.copytree(f"{store}/batch=0", f"{store}/batch=9")
+    srep3 = run(arrivals, sout, "--ingest-stream", "--index-out", idx,
+                "--no-pii", "--quality", "0", "--lang", "", "--profile")
+    assert srep3["profile_store_stale_batches"] == [9]
+    assert srep3["profile"]["n_docs"] == srep2["profile"]["n_docs"]
+    assert srep3["profile"]["n_tokens"] == whole["n_tokens"]
+
+
+def test_compact_profile_store_identical_estimates(
+    spark, tmp_path_factory
+):
+    """Compaction rewrites the per-batch store to ~one file per batch
+    directory with IDENTICAL merged estimates (same rows, fewer
+    files), preserves the batch= layout the incremental profiler and
+    dynamic-overwrite appends key on, and the store still accepts a
+    post-compaction incremental append."""
+    import glob
+    import os
+
+    from solana_snapshot_etl_tools_spark.operators import profile as PR
+
+    base = tmp_path_factory.mktemp("pcompact")
+    docs = spark.read.parquet(SRC).select("doc_id", "text").limit(60)
+    store = str(base / "profile")
+    # 3 batches of a per-(batch, group) store (the --profile-by
+    # shape: several profile rows per batch), each batch's partial
+    # task-parallel-written as multiple files per batch directory
+    for b in range(3):
+        part = PR.corpus_profile(
+            docs.filter(f"doc_id % 3 = {b}")
+            .withColumn("batch", F.lit(b))
+            .withColumn("grp", F.col("doc_id") % 4),
+            by=["batch", "grp"],
+        )
+        (
+            part.repartition(4)
+            .write.partitionBy("batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(store)
+        )
+    spark.catalog.refreshByPath(store)
+    before = PR.profile_estimates(
+        PR.merge_profiles(spark.read.parquet(store))
+    ).collect()[0].asDict()
+    n_files_before = sum(
+        1 for _r, _d, fs in os.walk(store)
+        for f in fs if f.endswith(".parquet")
+    )
+    stats = PR.compact_profile_store(spark, store)
+    assert stats["profile_rows"] == 12  # 3 batches x 4 groups
+    assert stats["profile_files_before"] == n_files_before
+    assert stats["profile_files_after"] < n_files_before
+    assert stats["profile_files_after"] == 3  # one per batch dir
+    assert sorted(
+        os.path.basename(p) for p in glob.glob(f"{store}/batch=*")
+    ) == ["batch=0", "batch=1", "batch=2"]
+    after = PR.profile_estimates(
+        PR.merge_profiles(spark.read.parquet(store))
+    ).collect()[0].asDict()
+    assert after == before
+    # the compacted store still accepts the loop's append style
+    nxt = PR.corpus_profile(
+        docs.limit(5)
+        .withColumn("batch", F.lit(3))
+        .withColumn("grp", F.col("doc_id") % 4),
+        by=["batch", "grp"],
+    )
+    (
+        nxt.repartition("batch")
+        .write.partitionBy("batch")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(store)
+    )
+    spark.catalog.refreshByPath(store)
+    merged = PR.merge_profiles(spark.read.parquet(store)).collect()[0]
+    assert merged["n_docs"] == before["n_docs"] + 5
+
+
+def test_stale_profile_batches_guard(spark):
+    """The coverage guard lists store batches absent from the corpus
+    (the rows a blind merge would overcount with) and refuses stores
+    that carry no batch column at all."""
+    import pytest
+
+    from solana_snapshot_etl_tools_spark.operators import profile as PR
+
+    docs = spark.read.parquet(SRC).select("doc_id", "text").limit(30)
+    store = PR.corpus_profile(
+        docs.withColumn("batch", F.col("doc_id") % 3), by="batch"
+    )
+    corpus = docs.withColumn("batch", F.col("doc_id") % 2)  # {0,1} only
+    assert PR.stale_profile_batches(store, corpus) == [2]
+    assert PR.stale_profile_batches(
+        store, docs.withColumn("batch", F.col("doc_id") % 3)
+    ) == []
+    with pytest.raises(ValueError, match="batch"):
+        PR.stale_profile_batches(store.drop("batch"), corpus)
+
 
 def test_profile_overlap_between_sources(spark):
     """Sketch-only overlap estimation: planted shared texts between
