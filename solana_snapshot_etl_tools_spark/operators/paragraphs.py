@@ -234,8 +234,15 @@ def frequent_lines(
     distinct-document frequency — under exactly the normalization and
     line split :func:`boilerplate_filter` removes with, so the report
     previews precisely which lines a given ``--boilerplate-min-df``
-    would strip. Returns ``(line, doc_freq)`` descending (ties by
-    line).
+    would strip. Returns ``(line, doc_freq)`` descending, the
+    returned rows ordered with ties by line. WHICH equal-frequency
+    lines survive the ``top`` boundary cut is deterministic but
+    hash-ordered (xxhash64 of the line), not lexicographic: breaking
+    boundary ties by line would require every candidate line's TEXT
+    to cross the counting shuffle — the exact cost this design
+    avoids (text is recovered only for the <= ``top`` winners). For
+    a discovery report the distinction is cosmetic; raise ``top`` if
+    a boundary-tied line you expected is missing.
 
     Scale shape: the counting side shuffles only (key, doc) longs —
     the same decision pipeline as ``boilerplate_filter``; line TEXT
