@@ -18,7 +18,7 @@ library stages in production order (the same order the declared
     python -m solana_snapshot_etl_tools_spark.corpus_cli \\
         DOCS.parquet OUT_DIR \\
         [--html-extract [--respect-noai]] [--normalize] [--url-dedup] \\
-        [--near-dedup] [--no-pii] [--dedup-cleaned] \\
+        [--near-dedup] [--dedup-prefer COL] [--no-pii] [--dedup-cleaned] \\
         [--quality 0.5] [--lang en] [--script-filter latin,cyrillic] \\
         [--gopher] [--fineweb] \\
         [--term-blocklist FILE [--term-max-ratio R]] \\
@@ -137,6 +137,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--near-dedup", action="store_true",
                    help="also remove minhash-LSH near-dups (jaccard>=0.8 "
                    "components, keep min id)")
+    p.add_argument("--dedup-prefer", metavar="COL", default=None,
+                   help="keep the HIGHEST-COL member of every duplicate "
+                   "family instead of the default survivor (min doc_id "
+                   "for --near-dedup components; farthest-from-centroid-"
+                   "first for --semdedup) — crawl reality keeps the best "
+                   "page of a family, not the first-crawled. COL is a "
+                   "numeric column of the input parquet (re-joined by "
+                   "doc_id, the --profile-by precedent); NULL ranks "
+                   "worst. Batch mode only: keep-best is retrospective, "
+                   "and the stream contract is append-stable keep-first")
     p.add_argument("--no-pii", action="store_true", help="skip PII redaction")
     p.add_argument("--dedup-cleaned", action="store_true",
                    help="re-run exact dedup on the REDACTED text — "
@@ -456,6 +466,12 @@ def main(argv: list[str] | None = None) -> int:
         p.error("--pack requires --tokenize")
     if args.cluster_balance is not None and not args.embeddings:
         p.error("--cluster-balance requires --embeddings")
+    if args.dedup_prefer is not None and not (
+        args.near_dedup or args.semdedup is not None
+    ):
+        p.error("--dedup-prefer only makes sense with --near-dedup "
+                "and/or --semdedup (it picks the duplicate-family "
+                "survivor)")
     if args.semdedup is not None:
         if not args.embeddings:
             p.error("--semdedup requires --embeddings")
@@ -618,6 +634,9 @@ def main(argv: list[str] | None = None) -> int:
         # state in a way later runs cannot repair
         for flag, name in (
             (args.near_dedup, "--near-dedup"),
+            # keep-best needs hindsight; the stream's published docs
+            # are immutable, so its dedup is keep-first by contract
+            (args.dedup_prefer is not None, "--dedup-prefer"),
             (args.tokenize, "--tokenize"),
             (args.cluster_balance, "--cluster-balance"),
             (args.dedup_against_index, "--dedup-against-index"),
@@ -673,6 +692,18 @@ def main(argv: list[str] | None = None) -> int:
     # columns); a blocklist alone is consumed at the scan
     if args.url_dedup and "url" not in raw.columns:
         p.error("--url-dedup needs a 'url' column in DOCS")
+    if args.dedup_prefer is not None:
+        if args.dedup_prefer not in raw.columns:
+            p.error(f"--dedup-prefer {args.dedup_prefer!r}: no such "
+                    f"column in DOCS (have {raw.columns})")
+        _pt = raw.schema[args.dedup_prefer].dataType.simpleString()
+        if _pt not in ("tinyint", "smallint", "int", "bigint",
+                       "float", "double", "decimal"):
+            # a string column would cast to NULL and silently rank
+            # every doc worst — the election would quietly degrade
+            # to min-id while claiming keep-best
+            p.error(f"--dedup-prefer {args.dedup_prefer!r} must be "
+                    f"numeric (got {_pt})")
     cap_cols = ["source"] if ride_source else []
     docs = raw.select(
         "doc_id", "text",
@@ -733,7 +764,19 @@ def main(argv: list[str] | None = None) -> int:
     kept = DD.exact_dedup(docs, "doc_id", "text")
     if args.near_dedup:
         pairs = DD.minhash_lsh_pairs(kept, "doc_id", "text")
-        comp = DD.connected_components(pairs, kept, "doc_id")
+        if args.dedup_prefer is not None:
+            # keep-best survivor: the quality column is re-joined
+            # from the INPUT parquet (the --profile-by precedent —
+            # earlier stages deliberately drop their extra columns)
+            ranked = kept.join(
+                raw.select("doc_id", args.dedup_prefer), "doc_id", "left"
+            )
+            comp = DD.connected_components(
+                pairs, ranked, "doc_id", prefer_col=args.dedup_prefer
+            )
+            report["dedup_prefer"] = args.dedup_prefer
+        else:
+            comp = DD.connected_components(pairs, kept, "doc_id")
         keep_ids = comp.filter(F.col("doc_id") == F.col("keep_id")).select("doc_id")
         kept = kept.join(keep_ids, "doc_id", "left_semi")
     report["n_after_dedup"] = kept.count()
@@ -1454,6 +1497,20 @@ def _semdedup_stage(spark, corpus, args, report):
     if n_emb == 0:
         report["n_semdedup_dropped"] = 0
         return corpus
+    prefer = getattr(args, "dedup_prefer", None)
+    docs_in, drop_pref = corpus, False
+    if prefer is not None:
+        report["dedup_prefer"] = prefer
+        if prefer not in docs_in.columns:
+            # batch-mode input validation guarantees the column exists
+            # in the INPUT parquet; the pipeline dropped it — re-join
+            # (the --profile-by precedent)
+            docs_in = docs_in.join(
+                spark.read.parquet(args.docs).select("doc_id", prefer),
+                "doc_id",
+                "left",
+            )
+            drop_pref = True
     before = corpus.count()
     if args.semdedup_model:
         from solana_snapshot_etl_tools_spark.operators.cluster import (
@@ -1464,7 +1521,8 @@ def _semdedup_stage(spark, corpus, args, report):
         report["semdedup_model"] = args.semdedup_model
         report["semdedup_k"] = len(model["centroids"])
         kept = semdedup_filter(
-            corpus, emb, model=model, threshold=args.semdedup
+            docs_in, emb, model=model, threshold=args.semdedup,
+            prefer_col=prefer,
         )
     else:
         # default k targets ~1k-vector clusters: the per-task pairwise
@@ -1482,12 +1540,16 @@ def _semdedup_stage(spark, corpus, args, report):
             kmeans_save(model, args.semdedup_save, spark)
             report["semdedup_saved_to"] = args.semdedup_save
             kept = semdedup_filter(
-                corpus, emb, model=model, threshold=args.semdedup
+                docs_in, emb, model=model, threshold=args.semdedup,
+                prefer_col=prefer,
             )
         else:
             kept = semdedup_filter(
-                corpus, emb, k, threshold=args.semdedup
+                docs_in, emb, k, threshold=args.semdedup,
+                prefer_col=prefer,
             )
+    if drop_pref:
+        kept = kept.drop(prefer)
     report["n_semdedup_dropped"] = before - kept.count()
     return kept
 

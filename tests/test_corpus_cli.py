@@ -1493,3 +1493,83 @@ def test_discover_boilerplate_stage(spark, tmp_path_factory, capsys):
     with _pytest.raises(SystemExit):
         corpus_cli.main([src, str(base / "o2"),
                          "--discover-boilerplate", "0"])
+
+
+def test_dedup_prefer_keeps_best_member(spark, tmp_path_factory, capsys):
+    """--dedup-prefer COL: the near-dup family's survivor is its
+    highest-COL member (default stays min-id), for both the minhash
+    component stage and the --semdedup stage; bad usage fails loudly
+    (unknown column, non-numeric column, stream mode, no dedup stage)."""
+    import pytest
+
+    base = tmp_path_factory.mktemp("prefer")
+    body = " ".join(f"tok{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            # near-dup family {1, 2}: 2 is higher quality but higher id,
+            # so min-id and keep-best disagree
+            (1, body + " tail_a", 0.2),
+            (2, body + " tail_b", 0.9),
+            (3, "completely different content about another topic "
+                "with its own vocabulary and no shared shingles at all",
+             0.5),
+        ],
+        "doc_id long, text string, quality double",
+    )
+    src = str(base / "docs")
+    docs.write.parquet(src)
+
+    def survivors(out):
+        ids = set()
+        for split in ("train", "val", "test"):
+            try:
+                ids |= {
+                    r.doc_id
+                    for r in spark.read.parquet(f"{out}/{split}").collect()
+                }
+            except Exception:
+                pass
+        return ids
+
+    common = ["--no-pii", "--quality", "0", "--lang", ""]
+    out1 = str(base / "out1")
+    rep = _run(capsys, src, out1, "--near-dedup",
+               "--dedup-prefer", "quality", *common)
+    assert rep["dedup_prefer"] == "quality"
+    assert rep["n_after_dedup"] == 2
+    assert survivors(out1) == {2, 3}
+    # default keeps min id
+    out2 = str(base / "out2")
+    rep2 = _run(capsys, src, out2, "--near-dedup", *common)
+    assert "dedup_prefer" not in rep2
+    assert survivors(out2) == {1, 3}
+
+    # --semdedup path: near-identical embedding pair, quality decides
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    epath = str(base / "emb")
+    emb.write.parquet(epath)
+    out3 = str(base / "out3")
+    rep3 = _run(capsys, src, out3, "--embeddings", epath,
+                "--semdedup", "0.95", "--semdedup-k", "2",
+                "--dedup-prefer", "quality", *common)
+    assert rep3["n_semdedup_dropped"] == 1
+    assert survivors(out3) == {2, 3}
+
+    # loud failures: unknown column / non-numeric / no stage / stream
+    for bad in (
+        [src, str(base / "e1"), "--near-dedup", "--dedup-prefer", "nope"],
+        [src, str(base / "e2"), "--near-dedup", "--dedup-prefer", "text"],
+        [src, str(base / "e3"), "--dedup-prefer", "quality"],
+        [src, str(base / "e4"), "--ingest-stream", "--index-out",
+         str(base / "idx"), "--near-dedup", "--dedup-prefer", "quality"],
+    ):
+        with pytest.raises(SystemExit):
+            corpus_cli.main(bad + common)
+        capsys.readouterr()
