@@ -324,16 +324,26 @@ def phash_dedup(
     codec: str = "fake",
     max_hamming: int = DEFAULT_MAX_HAMMING,
     max_bucket_size: int | None = PHASH_MAX_BUCKET,
+    prefer_col: str | None = None,
 ) -> DataFrame:
     """Media frame → (media_id, keep_id) decision table: perceptually
     near-duplicate families collapse to their min id; undecodable rows
-    keep themselves (they cannot be conflated with anything)."""
+    keep themselves (they cannot be conflated with anything).
+
+    ``prefer_col`` (a column of ``media``; higher = better, NULL =
+    worst, ties by min id) elects the family's canonical by quality
+    instead — for images the natural choice is resolution or byte
+    size (a thumbnail and its original phash-collide by design, and
+    the keeper should be the original, not the lower id). Same
+    post-pass election as ``dedup.connected_components``; the default
+    path is unchanged."""
     hashes = perceptual_hash(media, codec=codec)
     pairs = phash_near_dup_pairs(
         hashes, max_hamming=max_hamming, max_bucket_size=max_bucket_size
     )
+    cols = ["media_id"] if prefer_col is None else ["media_id", prefer_col]
     return connected_components(
-        pairs, media.select("media_id"), "media_id"
+        pairs, media.select(*cols), "media_id", prefer_col=prefer_col
     )
 
 

@@ -215,6 +215,31 @@ def test_phash_dedup_end_to_end(spark):
     assert decision[3] == 3 and decision[4] == 4
 
 
+def test_phash_dedup_prefer_col_keeps_best(spark):
+    """prefer_col elects the near-dup family's canonical by quality
+    (here: byte size — the thumbnail/original case) instead of min id;
+    undecodable and unrelated rows still keep themselves."""
+    base = _img(1)
+    near = base.copy()
+    near[0:3, 0:3] = 255
+    blob1, blob2 = _fimg(base), _fimg(near)
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(blob1), len(blob1)),
+            (2, "image", bytearray(blob2), len(blob2) + 1000),  # "original"
+            (3, "image", bytearray(_fimg(_img(9))), 5),
+            (4, "image", bytearray(b"JUNK"), None),
+        ],
+        "media_id long, kind string, blob binary, n_bytes long",
+    )
+    decision = {
+        r.media_id: r.keep_id
+        for r in MD.phash_dedup(media, prefer_col="n_bytes").collect()
+    }
+    assert decision[1] == decision[2] == 2
+    assert decision[3] == 3 and decision[4] == 4
+
+
 def test_perceptual_hash_schema_and_nulls(spark):
     media = spark.createDataFrame(
         [(1, "image", bytearray(_fimg(_img(2)))), (2, "image", bytearray(b""))],
