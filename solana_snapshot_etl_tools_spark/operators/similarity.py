@@ -606,9 +606,9 @@ def pq_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    m: int = 8,
-    nbits: int = 4,
-    refine: int = 32,
+    m: int = 16,
+    nbits: int = 6,
+    refine: int = 64,
     seed: int = 42,
     max_iter: int = 8,
     train_limit: int = 100_000,
@@ -617,13 +617,15 @@ def pq_ann_topk(
     classic compressed-domain search): each query precomputes an
     (m × 2^nbits) lookup table of squared sub-distances to every
     centroid, and a candidate's distance is the sum of m table
-    lookups — no vector math in the scan, ~16 bytes read per corpus
+    lookups — no vector math in the scan, ~m bytes read per corpus
     vector. The top ``k·refine`` ADC candidates per query are then
     exact-cosine re-ranked against their true vectors (the faiss
     "refine" step — ADC alone on weakly-clustered data trades too much
-    rank fidelity for its 16× compression; measured recall@5 at sf0.1:
-    0.26 bare, 0.62 refine=16/nbits=4, 0.82 refine=32/nbits=4 — and
-    k·refine stays a constant per query, so the refined set is
+    rank fidelity for its compression; measured recall@5 at sf0.1:
+    0.26 bare, 0.62 refine=16/nbits=4/m=8, 0.82 refine=32/nbits=4/m=8,
+    and 1.00 at the round-12 m=16/nbits=6/refine=64 defaults — the
+    same code-geometry lift as ``ivf_pq_ann_topk``'s, sweep documented
+    there; k·refine stays a constant per query, so the refined set is
     negligible at any corpus size).
 
     Scale shape: the query batch (small by the same contract as
@@ -1064,13 +1066,24 @@ def lsh_signatures(
     n_planes: int,
     ident: str = "doc",
     with_vectors: bool = True,
+    n_probes: int = 0,
 ) -> DataFrame:
     """(ident[, _v_<ident>], table, bucket) rows — n_tables per input
     vector — via one vectorized numpy matmul per Arrow batch. Raises
     on any vector whose length differs from ``dims`` (a silent
     mismatch would hash a truncated projection and quietly lose
     recall). Bucket parity with the JVM ``hyperplane_signature``
-    reference is pinned in tests.
+    reference is pinned in tests (``n_probes=0``, the default, is
+    exactly the old behavior).
+
+    ``n_probes > 0`` adds multi-probe rows (Lv et al., VLDB 2007):
+    per table, the ``n_probes`` buckets reached by flipping the
+    lowest-|margin| plane bits one at a time — the boundary planes a
+    near-neighbor most plausibly landed on the other side of. Use on
+    the QUERY side only: recall rises like adding tables but the
+    corpus signature table (the scale cost) stays untouched; extra
+    rows scale with the query batch. ``with_vectors`` composes (probe
+    rows repeat the vector).
 
     ``with_vectors=False`` omits the ``_v_<ident>`` column entirely:
     the candidate-generation path only needs (id, table, bucket), and
@@ -1101,11 +1114,17 @@ def lsh_signatures(
     ]
     out_schema = StructType(fields)
 
+    if not 0 <= n_probes <= n_planes:
+        raise ValueError(
+            f"n_probes must be in [0, n_planes={n_planes}], got {n_probes}"
+        )
+
     def gen(batches):
         import numpy as np
 
         P = np.array(plane_rows)  # (n_tables*n_planes, dims)
         weights = 1 << np.arange(n_planes, dtype=np.int64)
+        reps = n_tables * (1 + n_probes)
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -1116,15 +1135,31 @@ def lsh_signatures(
                     f"lsh_ann_topk: embedding length {bad} != dims {dims}"
                 )
             V = np.stack(pdf["_v"].to_numpy())  # (n, dims)
-            proj = (V @ P.T) > 0  # (n, n_tables*n_planes)
-            buckets = (proj.reshape(len(V), n_tables, n_planes) * weights).sum(
-                axis=2
-            )  # (n, n_tables)
-            out = {ident: np.repeat(pdf["_id"].to_numpy(), n_tables)}
+            raw = (V @ P.T).reshape(len(V), n_tables, n_planes)
+            proj = raw > 0  # (n, n_tables, n_planes)
+            buckets = (proj * weights).sum(axis=2)  # (n, n_tables)
+            if n_probes:
+                # 1-bit perturbations on the n_probes planes the
+                # vector sits CLOSEST to (smallest |projection|):
+                # (n, n_tables, n_probes) extra buckets per table
+                near = np.argsort(np.abs(raw), kind="stable", axis=2)[
+                    :, :, :n_probes
+                ]
+                flips = np.take(weights, near)  # bit values to XOR
+                probed = buckets[:, :, None] ^ flips
+                all_b = np.concatenate(
+                    [buckets[:, :, None], probed], axis=2
+                )  # (n, n_tables, 1+n_probes)
+            else:
+                all_b = buckets[:, :, None]
+            out = {ident: np.repeat(pdf["_id"].to_numpy(), reps)}
             if with_vectors:
-                out[f"_v_{ident}"] = np.repeat(pdf["_v"].to_numpy(), n_tables)
-            out["table"] = np.tile(np.arange(n_tables, dtype=np.int32), len(V))
-            out["bucket"] = buckets.reshape(-1)
+                out[f"_v_{ident}"] = np.repeat(pdf["_v"].to_numpy(), reps)
+            out["table"] = np.tile(
+                np.repeat(np.arange(n_tables, dtype=np.int32), 1 + n_probes),
+                len(V),
+            )
+            out["bucket"] = all_b.reshape(-1)
             yield pd.DataFrame(out)
 
     from solana_snapshot_etl_tools_spark.operators.dedup import spread_small_input
@@ -1145,12 +1180,17 @@ def lsh_ann_topk(
     k: int = 5,
     n_tables: int = 16,
     n_planes: int = 5,
+    n_probes: int = 2,
 ) -> DataFrame:
     """Approximate top-k: n_tables independent hyperplane signatures;
     candidates = corpus vectors sharing any table's bucket with the
-    query; exact cosine re-rank of candidates only. Recall is tunable
-    via (n_tables, n_planes); the candidate join is an equi-join on
-    (table, bucket) — no cross join, shuffle ∝ bucket collisions.
+    query — plus, with ``n_probes > 0`` (multi-probe LSH, Lv et al.),
+    any corpus bucket one low-margin bit-flip away from the query's;
+    exact cosine re-rank of candidates only. Recall is tunable via
+    (n_tables, n_planes, n_probes); the candidate join is an
+    equi-join on (table, bucket) — no cross join, shuffle ∝ bucket
+    collisions. Probing is QUERY-side only, so the corpus signature
+    table (the at-scale cost) is identical at any probe width.
 
     ``dims`` defaults to the corpus's actual vector length (one-row
     probe). Hyperplanes only cover ``dims`` components, so a mismatch
@@ -1171,7 +1211,8 @@ def lsh_ann_topk(
         dims = probe[0]
 
     qs = lsh_signatures(queries, id_col, vec_col, dims, n_tables, n_planes,
-                        ident="query_id", with_vectors=False)
+                        ident="query_id", with_vectors=False,
+                        n_probes=n_probes)
     cs = lsh_signatures(emb, id_col, vec_col, dims, n_tables, n_planes,
                         ident="neighbor_id", with_vectors=False)
     # candidate pairs are ids only: the multi-table duplicate dedup

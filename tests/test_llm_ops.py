@@ -56,8 +56,11 @@ def test_lsh_ann_recall_vs_exact(spark):
     }
     recall = len(exact & approx) / len(exact)
     # random 64-dim data with top-sims ~0.3-0.5 is the hard case for
-    # hyperplane LSH; 16 tables × 5 planes lands ~0.6-0.7 here
-    assert recall >= 0.5, f"ANN recall too low: {recall}"
+    # hyperplane LSH; 16 tables x 5 planes landed ~0.6-0.8, and the
+    # r12 default 2-probe multi-probe (query-side 1-bit flips on the
+    # lowest-margin planes) lifts the measured recall to 0.93-1.0
+    # across the three test corpora
+    assert recall >= 0.85, f"ANN recall too low: {recall}"
 
 
 def test_lsh_numpy_buckets_match_jvm_reference(spark):
@@ -84,6 +87,41 @@ def test_lsh_numpy_buckets_match_jvm_reference(spark):
         ).collect()
     }
     assert np_set == jvm_set
+
+
+def test_lsh_multiprobe_signatures(spark):
+    """Multi-probe rows: n_probes=0 is exactly the base signature set;
+    n_probes=p supersets it with p extra buckets per (vector, table),
+    each exactly one bit away from the base bucket; out-of-range
+    n_probes raises."""
+    import pytest
+
+    emb = _t(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 20)
+    base = {
+        (r.doc, r.table, r.bucket)
+        for r in SIM.lsh_signatures(
+            emb, "vec_id", "embedding", 64, 4, 5, with_vectors=False
+        ).collect()
+    }
+    probed = [
+        (r.doc, r.table, r.bucket)
+        for r in SIM.lsh_signatures(
+            emb, "vec_id", "embedding", 64, 4, 5,
+            with_vectors=False, n_probes=2,
+        ).collect()
+    ]
+    assert len(probed) == 20 * 4 * 3  # (1 + n_probes) rows per table
+    pset = set(probed)
+    assert base <= pset
+    bucket_of = {(d, t): b for d, t, b in base}
+    for d, t, b in pset - base:
+        x = b ^ bucket_of[(d, t)]
+        assert x != 0 and (x & (x - 1)) == 0  # exactly one bit flipped
+        assert x < (1 << 5)  # a real plane bit of this table
+    with pytest.raises(ValueError, match="n_probes"):
+        SIM.lsh_signatures(
+            emb, "vec_id", "embedding", 64, 4, 5, n_probes=6
+        )
 
 
 def test_ivf_ann_recall_vs_exact(spark):
@@ -288,8 +326,8 @@ def test_dup_span_stats_segment_bound_invariant(spark):
 
 
 def test_pq_ann_recall_vs_exact(spark):
-    """PQ ADC scan + exact refine: 32-bit codes cut the scan 16× yet
-    the refined top-k must keep most of the exact neighbors.
+    """PQ ADC scan + exact refine: compressed codes cut the scan
+    bytes yet the refined top-k must keep the exact neighbors.
     Deterministic: seeded per-subspace k-means, fixed tiebreaks."""
     emb = _t(spark, SF_DIR, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
@@ -300,7 +338,11 @@ def test_pq_ann_recall_vs_exact(spark):
     rows = SIM.pq_ann_topk(emb, queries, k=5).collect()
     approx = {(r.query_id, r.neighbor_id) for r in rows}
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.6, f"PQ recall too low: {recall}"
+    # r12 m=16/nbits=6/refine=64 defaults: measured 1.0 on all three
+    # test corpora (exhaustive ADC has no candidate ceiling; only the
+    # ADC cut can lose neighbors, and refine=64 covers it) — floor
+    # with margin for future corpus regenerations
+    assert recall >= 0.9, f"PQ recall too low: {recall}"
     from collections import Counter
 
     assert all(v == 5 for v in Counter(r.query_id for r in rows).values())
