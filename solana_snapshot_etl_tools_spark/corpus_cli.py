@@ -698,7 +698,7 @@ def main(argv: list[str] | None = None) -> int:
                     f"column in DOCS (have {raw.columns})")
         _pt = raw.schema[args.dedup_prefer].dataType.simpleString()
         if _pt not in ("tinyint", "smallint", "int", "bigint",
-                       "float", "double", "decimal"):
+                       "float", "double") and not _pt.startswith("decimal"):
             # a string column would cast to NULL and silently rank
             # every doc worst — the election would quietly degrade
             # to min-id while claiming keep-best
