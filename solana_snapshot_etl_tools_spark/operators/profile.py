@@ -202,6 +202,15 @@ def compact_profile_store(spark, store_dir: str) -> dict:
         compact_parquet_dir,
     )
 
+    import glob
+
+    if not glob.glob(f"{store_dir}/batch=*"):
+        raise ValueError(
+            f"compact_profile_store: {store_dir} is not a per-batch "
+            "store (no batch= partitions) — a batch-mode --profile "
+            "store is one overwrite-written file and needs no "
+            "compaction"
+        )
     n, before, after = compact_parquet_dir(spark, store_dir, ["batch"])
     return {
         "profile_rows": n,

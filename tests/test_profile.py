@@ -320,6 +320,13 @@ def test_compact_profile_store_identical_estimates(
     spark.catalog.refreshByPath(store)
     merged = PR.merge_profiles(spark.read.parquet(store)).collect()[0]
     assert merged["n_docs"] == before["n_docs"] + 5
+    # a non-batch (batch-mode overwrite) store is refused loudly
+    import pytest
+
+    flat = str(base / "flat")
+    PR.corpus_profile(docs).write.parquet(flat)
+    with pytest.raises(ValueError, match="per-batch"):
+        PR.compact_profile_store(spark, flat)
 
 
 def test_stale_profile_batches_guard(spark):
