@@ -1,0 +1,168 @@
+"""Bucketed-table layout: pre-shuffle once, join/aggregate shuffle-free.
+
+At 100 TB the single most expensive physical operation is the shuffle
+a big-big join or a high-cardinality groupBy induces. Spark's bucketed
+tables amortize that cost: `bucketBy(n, key)` hashes each row into one
+of `n` buckets AT WRITE TIME, so every later sort-merge join between
+two tables bucketed on the same key with the same bucket count — and
+every aggregation grouped on the bucket key — runs with NO Exchange in
+the plan. One write-time shuffle, unlimited shuffle-free reads.
+
+This matters for exactly the access pattern a training-data pipeline
+has: `documents` is joined on `doc_id` again and again (quality flags,
+dedup verdicts, decontamination verdicts, pack assignments...). Bucket
+it once on `doc_id` and every one of those joins stops moving the text
+column across the wire.
+
+The reference (VadimGrozinok/solana-snapshot-etl-tools) sidesteps the
+problem by writing into SQLite and delegating joins to the database
+(`src/sqlite.rs` CREATE TABLE / INSERT paths); bucketing is the
+Spark-native equivalent of "give the storage layer a join-friendly
+layout up front".
+
+Cluster notes (documented behavior, asserted in tests where local mode
+allows):
+
+- Bucket metadata lives in the session catalog. On a real cluster a
+  persistent metastore makes it durable; in local tests the in-memory
+  catalog scopes it to the session, which is why ``write_bucketed``
+  registers an EXTERNAL table (explicit ``path``) — the parquet data
+  outlives the session even when the catalog entry does not, and
+  ``register_bucketed`` re-attaches it.
+- Shuffle-free reads need ``spark.sql.sources.bucketing.enabled=true``
+  (the default) and, for the sorted-scan path, one file per bucket —
+  ``write_bucketed`` enforces that with a pre-write repartition on the
+  bucket key so each task writes exactly its own buckets.
+- Bucket counts should be sized so one bucket of the BIG table fits an
+  executor's shuffle memory: at 100 TB and 4 GiB target per bucket
+  that is ~25 600 buckets; both join sides must agree, so pick the
+  count from the biggest table and reuse it corpus-wide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    path: str,
+    *,
+    bucket_col: str,
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as an external parquet table bucketed on ``bucket_col``.
+
+    The pre-write ``repartition(num_buckets, bucket_col)`` makes each
+    write task own whole buckets, yielding ONE file per bucket — the
+    layout Spark's sorted bucket scan needs to skip both the Exchange
+    and the Sort of a downstream sort-merge join. Without it, every
+    task writes a sliver of every bucket and the file count explodes to
+    tasks × buckets (the classic bucketed-write small-files trap).
+    """
+    if num_buckets < 1:
+        raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+    if bucket_col not in df.columns:
+        raise ValueError(f"bucket column {bucket_col!r} not in {df.columns}")
+    writer = (
+        df.repartition(num_buckets, bucket_col)
+        .write.mode(mode)
+        .option("path", path)
+        .bucketBy(num_buckets, bucket_col)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)
+
+
+def register_bucketed(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    *,
+    schema_ddl: str,
+    bucket_col: str,
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> DataFrame:
+    """Re-attach an existing bucketed parquet directory as a table.
+
+    Needed when the writing session is gone and the catalog was
+    in-memory (local mode, or a fresh cluster pointing at data written
+    elsewhere). The caller must pass the SAME bucket spec the data was
+    written with — Spark trusts the declaration, so a wrong spec here
+    silently produces wrong shuffle-free joins. Use the spec recorded
+    by ``write_bucketed``'s caller (e.g. a sidecar JSON), never a
+    guess.
+    """
+    sorted_clause = ""
+    if sort_cols:
+        sorted_clause = f" SORTED BY ({', '.join(sort_cols)})"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(
+        f"CREATE TABLE {name} ({schema_ddl}) USING parquet "
+        f"CLUSTERED BY ({bucket_col}){sorted_clause} "
+        f"INTO {num_buckets} BUCKETS "
+        f"LOCATION '{path}'"
+    )
+    return spark.table(name)
+
+
+def bucket_spec(spark: SparkSession, name: str) -> dict | None:
+    """Return {'bucket_cols': [...], 'num_buckets': n, 'sort_cols': [...]}
+    for a catalog table, or None if the table is not bucketed."""
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+    info = {r["col_name"]: r["data_type"] for r in rows}
+    if "Num Buckets" not in info:
+        return None
+
+    def _cols(v: str | None) -> list[str]:
+        if not v:
+            return []
+        return [c.strip().strip("`") for c in v.strip("[]").split(",") if c.strip()]
+
+    return {
+        "num_buckets": int(info["Num Buckets"]),
+        "bucket_cols": _cols(info.get("Bucket Columns")),
+        "sort_cols": _cols(info.get("Sort Columns")),
+    }
+
+
+def co_located_join(
+    spark: SparkSession,
+    left_name: str,
+    right_name: str,
+    on: str | list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two bucketed tables, refusing layouts that would shuffle.
+
+    Raises ValueError unless both tables are bucketed on the join
+    key(s) with the SAME bucket count — the precondition for Spark to
+    plan the sort-merge join without an Exchange on either side. This
+    is a guard for pipelines that BUDGETED for shuffle-free execution:
+    a silent fallback to a 100 TB shuffle is an outage, not a fallback.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    specs = {}
+    for name in (left_name, right_name):
+        spec = bucket_spec(spark, name)
+        if spec is None:
+            raise ValueError(f"table {name!r} is not bucketed")
+        if spec["bucket_cols"] != keys:
+            raise ValueError(
+                f"table {name!r} is bucketed on {spec['bucket_cols']}, "
+                f"join needs {keys}"
+            )
+        specs[name] = spec
+    if specs[left_name]["num_buckets"] != specs[right_name]["num_buckets"]:
+        raise ValueError(
+            "bucket counts differ: "
+            f"{left_name}={specs[left_name]['num_buckets']} vs "
+            f"{right_name}={specs[right_name]['num_buckets']} — "
+            "rewrite one side; mismatched counts shuffle"
+        )
+    return spark.table(left_name).join(spark.table(right_name), on=keys, how=how)

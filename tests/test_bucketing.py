@@ -1,0 +1,180 @@
+"""Bucketed layout: write-time shuffle buys shuffle-free joins/aggs.
+
+The assertions here are PLAN assertions — the point of bucketing is
+physical (no Exchange), so row-equality alone would not test it.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from solana_snapshot_etl_tools_spark.operators import bucketing as B
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def bucketed_pair(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("buckets")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    B.write_bucketed(
+        orders,
+        "t_orders_b",
+        str(root / "orders"),
+        bucket_col="o_orderkey",
+        num_buckets=4,
+        sort_cols=["o_orderkey"],
+    )
+    B.write_bucketed(
+        lineitem,
+        "t_lineitem_b",
+        str(root / "lineitem"),
+        bucket_col="l_orderkey",
+        num_buckets=4,
+        sort_cols=["l_orderkey"],
+    )
+    yield root
+    for t in ("t_orders_b", "t_lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_one_file_per_bucket(spark, bucketed_pair):
+    # The pre-write repartition must keep the file count at exactly
+    # num_buckets (modulo empty buckets), not tasks × buckets.
+    files = [
+        f
+        for f in glob.glob(str(bucketed_pair / "orders" / "*.parquet"))
+        if not os.path.basename(f).startswith("_")
+    ]
+    assert 1 <= len(files) <= 4
+
+
+def test_bucket_spec_roundtrip(spark, bucketed_pair):
+    spec = B.bucket_spec(spark, "t_orders_b")
+    assert spec == {
+        "num_buckets": 4,
+        "bucket_cols": ["o_orderkey"],
+        "sort_cols": ["o_orderkey"],
+    }
+    # A plain parquet view is not bucketed.
+    spark.read.parquet(f"{SF_DIR}/region.parquet").createOrReplaceTempView("v_region")
+    assert B.bucket_spec(spark, "v_region") is None
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_pair):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        left = spark.table("t_lineitem_b").withColumnRenamed("l_orderkey", "o_orderkey")
+        # co_located_join guards the raw-table path; the rename above is
+        # only for the manual-join plan check below.
+        joined = spark.table("t_orders_b").join(left, on="o_orderkey")
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_rows_match_plain_join(spark, bucketed_pair):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    expected = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    ).count()
+    got = (
+        spark.table("t_orders_b")
+        .join(
+            spark.table("t_lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .count()
+    )
+    assert got == expected
+
+
+def test_bucketed_groupby_has_no_exchange(spark, bucketed_pair):
+    agg = spark.table("t_lineitem_b").groupBy("l_orderkey").agg(
+        F.sum("l_quantity").alias("q")
+    )
+    assert "Exchange" not in _plan(agg)
+
+
+def test_co_located_join_guard(spark, bucketed_pair, tmp_path):
+    # Same key, same count: allowed (via a rename-compatible key pair it
+    # must REFUSE, since bucket columns differ from the join key list).
+    with pytest.raises(ValueError, match="bucketed on"):
+        B.co_located_join(spark, "t_orders_b", "t_lineitem_b", on="o_orderkey")
+    # Mismatched bucket count: refused loudly.
+    orders = spark.table("t_orders_b")
+    B.write_bucketed(
+        orders,
+        "t_orders_b8",
+        str(tmp_path / "orders8"),
+        bucket_col="o_orderkey",
+        num_buckets=8,
+    )
+    try:
+        renamed = spark.table("t_lineitem_b").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        )
+        B.write_bucketed(
+            renamed,
+            "t_lineitem_b4k",
+            str(tmp_path / "li4"),
+            bucket_col="o_orderkey",
+            num_buckets=4,
+        )
+        with pytest.raises(ValueError, match="bucket counts differ"):
+            B.co_located_join(spark, "t_orders_b8", "t_lineitem_b4k", on="o_orderkey")
+        # And the happy path returns the join.
+        B.write_bucketed(
+            renamed,
+            "t_lineitem_b8",
+            str(tmp_path / "li8"),
+            bucket_col="o_orderkey",
+            num_buckets=8,
+        )
+        out = B.co_located_join(spark, "t_orders_b8", "t_lineitem_b8", on="o_orderkey")
+        assert out.count() > 0
+    finally:
+        for t in ("t_orders_b8", "t_lineitem_b4k", "t_lineitem_b8"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_register_bucketed_reattaches(spark, bucketed_pair):
+    # Simulate a fresh catalog: drop the entry, re-attach from disk.
+    schema_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in spark.table("t_orders_b").schema.fields
+    )
+    n = spark.table("t_orders_b").count()
+    spark.sql("DROP TABLE t_orders_b")
+    df = B.register_bucketed(
+        spark,
+        "t_orders_b",
+        str(bucketed_pair / "orders"),
+        schema_ddl=schema_ddl,
+        bucket_col="o_orderkey",
+        num_buckets=4,
+        sort_cols=["o_orderkey"],
+    )
+    assert df.count() == n
+    assert B.bucket_spec(spark, "t_orders_b")["num_buckets"] == 4
+
+
+def test_write_bucketed_validates(spark):
+    df = spark.range(4)
+    with pytest.raises(ValueError, match="not in"):
+        B.write_bucketed(df, "t_x", "/tmp/x", bucket_col="nope", num_buckets=2)
+    with pytest.raises(ValueError, match=">= 1"):
+        B.write_bucketed(df, "t_x", "/tmp/x", bucket_col="id", num_buckets=0)
