@@ -459,6 +459,18 @@ def main(argv: list[str] | None = None) -> int:
                    help="include the final corpus's data-card stats "
                    "(token/char totals, length percentiles, language "
                    "mix, dup rate) in the JSON report")
+    p.add_argument("--skew-report", metavar="COLS", default=None,
+                   help="comma-separated column list: attach the "
+                   "final corpus's top-20 heavy-hitter keys for that "
+                   "column set (operators/skew.key_skew_report — "
+                   "count, share, skew_ratio, suggested salt factor "
+                   "for salted_join) to the JSON report. Diagnoses a "
+                   "prospective join/groupBy key BEFORE a cluster run "
+                   "pays for the straggler. Input columns projected "
+                   "away by the pipeline (lang, source, url) are "
+                   "joined back by doc_id. In --ingest-stream it runs "
+                   "post-drain on the accumulated corpus, whose "
+                   "schema is the arrival schema")
     p.add_argument("--records-per-shard", type=int, default=65536)
     p.add_argument("--cpus", type=int, default=None)
     args = p.parse_args(argv)
@@ -1342,6 +1354,8 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         report["data_card"] = corpus_report(corpus.select("doc_id", "text"))
+    if args.skew_report:
+        _skew_report(corpus, args, report, src=raw)
 
     corpus.unpersist()
     DD.release_session_caches()
@@ -1446,6 +1460,40 @@ def _discover_boilerplate(docs, args, report):
     report["frequent_tokens"] = [
         [r.token, r.n_occurrences, round(r.share, 6)]
         for r in frequent_tokens(docs, support=1e-3).limit(top).collect()
+    ]
+
+
+def _skew_report(corpus, args, report, src=None):
+    """The --skew-report stage, shared by the batch pipeline and the
+    stream mode's post-drain pass: top-20 heavy-hitter keys of the
+    FINAL corpus for the requested column set, with the salt factor
+    that would flatten each one (operators/skew.key_skew_report).
+    Columns the final frame no longer carries (lang, source, url —
+    projected away early) are joined back from the raw input by
+    doc_id when ``src`` is given, same pattern as --profile-by.
+    Raises loudly (ValueError) on a column neither frame carries — a
+    typo'd key must never ship an empty-but-green report."""
+    from solana_snapshot_etl_tools_spark.operators.skew import (
+        key_skew_report,
+    )
+
+    cols = [c.strip() for c in args.skew_report.split(",") if c.strip()]
+    frame = corpus
+    missing = [c for c in cols if c not in frame.columns]
+    if missing and src is not None:
+        bad = [c for c in missing if c not in src.columns]
+        if bad:
+            raise ValueError(
+                f"--skew-report column(s) {bad} in neither the final "
+                f"corpus ({frame.columns}) nor the input ({src.columns})"
+            )
+        frame = frame.join(src.select("doc_id", *missing), "doc_id", "left")
+    rows = key_skew_report(frame, cols, top=20).collect()
+    report["skew_key"] = cols
+    report["skew"] = [
+        [*(r[c] for c in cols), r.key_count, round(r.share, 6),
+         round(r.skew_ratio, 3), r.suggested_salt]
+        for r in rows
     ]
 
 
@@ -2047,6 +2095,8 @@ def _ingest_stream_main(args) -> int:
         )
 
         report["data_card"] = corpus_report(corpus.select("doc_id", "text"))
+    if args.skew_report and corpus is not None:
+        _skew_report(corpus, args, report)
     from solana_snapshot_etl_tools_spark.operators.dedup import (
         release_session_caches,
     )
