@@ -90,6 +90,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("docs", help="input parquet with (doc_id, text)")
     p.add_argument("out_dir", help="output root (per-split subdirs)")
+    p.add_argument("--input-format", default="parquet",
+                   choices=["parquet", "jsonl", "warc", "wet"],
+                   help="how to read DOCS. parquet (default) and "
+                   "jsonl expect (doc_id, text[, ...]) rows; warc "
+                   "reads 200-OK HTML responses out of WARC archives "
+                   "(DOCS is a glob or a comma-separated manifest of "
+                   ".warc[.gz] paths; pair with --html-extract) and "
+                   "wet reads Common Crawl WET conversion records — "
+                   "both yield (doc_id, url, text), so --url-dedup "
+                   "works. Batch mode only: the stream loop's "
+                   "arrival contract is parquet batches")
     p.add_argument("--respect-noai", action="store_true",
                    help="drop pages whose robots/googlebot meta "
                    "directives include noai/noimageai (functions/"
@@ -645,6 +656,9 @@ def main(argv: list[str] | None = None) -> int:
         # dropped stage would pollute the append-only corpus/index
         # state in a way later runs cannot repair
         for flag, name in (
+            # the stream loop's arrival contract is parquet batches;
+            # convert archives with a batch --input-format warc run
+            (args.input_format != "parquet", "--input-format"),
             (args.near_dedup, "--near-dedup"),
             # keep-best needs hindsight; the stream's published docs
             # are immutable, so its dedup is keep-first by contract
@@ -695,7 +709,7 @@ def main(argv: list[str] | None = None) -> int:
 
     ride_source = args.source_cap is not None or mixture is not None
     need_source = bool(args.source_blocklist) or ride_source
-    raw = spark.read.parquet(args.docs)
+    raw = _read_input(spark, args)
     if need_source and "source" not in raw.columns:
         p.error("--source-blocklist/--source-cap need a 'source' "
                 "column in DOCS")
@@ -1328,7 +1342,7 @@ def main(argv: list[str] | None = None) -> int:
             # re-joined from the INPUT parquet — the pipeline's
             # source-keyed stages drop their column after use, and the
             # profile must group the FINAL corpus by the original key
-            src_in = spark.read.parquet(args.docs)
+            src_in = _read_input(spark, args)
             if args.profile_by not in src_in.columns:
                 raise SystemExit(
                     f"--profile-by {args.profile_by!r}: no such column "
@@ -1463,6 +1477,36 @@ def _discover_boilerplate(docs, args, report):
     ]
 
 
+def _read_input(spark, args):
+    """Read DOCS per --input-format. warc/wet accept a glob or a
+    comma-separated path manifest (Common Crawl's warc.paths shape);
+    their parse is re-runnable, so later stages that re-join input
+    columns (--profile-by, --dedup-prefer) work unchanged."""
+    if args.input_format == "parquet":
+        return spark.read.parquet(args.docs)
+    if args.input_format == "jsonl":
+        df = spark.read.json(args.docs)
+        for col in ("doc_id", "text"):
+            if col not in df.columns:
+                raise SystemExit(
+                    f"--input-format jsonl: required column {col!r} "
+                    f"missing from DOCS (have {df.columns})"
+                )
+        return df
+    from solana_snapshot_etl_tools_spark.sources.warc import (
+        warc_html_documents,
+        wet_documents,
+    )
+
+    paths = (
+        [p.strip() for p in args.docs.split(",") if p.strip()]
+        if "," in args.docs
+        else args.docs
+    )
+    reader = warc_html_documents if args.input_format == "warc" else wet_documents
+    return reader(spark, paths)
+
+
 def _skew_report(corpus, args, report, src=None):
     """The --skew-report stage, shared by the batch pipeline and the
     stream mode's post-drain pass: top-20 heavy-hitter keys of the
@@ -1554,7 +1598,7 @@ def _semdedup_stage(spark, corpus, args, report):
             # in the INPUT parquet; the pipeline dropped it — re-join
             # (the --profile-by precedent)
             docs_in = docs_in.join(
-                spark.read.parquet(args.docs).select("doc_id", prefer),
+                _read_input(spark, args).select("doc_id", prefer),
                 "doc_id",
                 "left",
             )

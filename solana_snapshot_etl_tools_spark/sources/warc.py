@@ -1,0 +1,309 @@
+"""WARC / WET web-archive source (Common Crawl-style ingestion).
+
+The first stage of a real 100 TB pretraining pipeline is not parquet —
+it is tens of thousands of ~1 GiB ``.warc.gz`` / ``.wet.gz`` archives.
+This module reads them distributedly:
+
+- **Parallelism unit = file.** A gzipped WARC is a chain of gzip
+  members (one per record) and is NOT byte-splittable without a
+  sidecar index, so the industry-standard plan (and ours) is one task
+  per archive file: Common Crawl ships ~64 000 files per crawl, which
+  out-fans any cluster. The file list is a tiny driver-side frame;
+  record payloads are born on executors inside ``mapInPandas`` and
+  never pass through the driver.
+- **Streaming parse.** Each task reads its archive as a stream and
+  yields Arrow batches of records bounded by rows AND payload bytes,
+  so a file full of 100 MiB PDFs cannot balloon one batch past
+  executor memory.
+- **Skip-not-fail.** Truncated records, bad headers, and payloads
+  longer than ``max_payload_bytes`` are skipped (counted per-file in
+  the ``n_skipped`` column of ``warc_file_stats``), never a stage
+  failure — one rotten archive must not kill a 64 000-file job.
+
+Format: WARC/1.0–1.1 (ISO 28500): ``WARC/1.x CRLF`` + CRLF-terminated
+headers + empty line + exactly ``Content-Length`` payload bytes + two
+CRLFs. ``response`` records carry an HTTP/1.x message as payload; WET
+``conversion`` records carry extracted UTF-8 text.
+
+The reference has no web-archive surface (its sources are Solana
+snapshot archives, `src/archived.rs`); this is part of the
+training-data-pipeline extension mandated alongside SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import gzip
+import io
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+RECORD_SCHEMA = (
+    "warc_file string, warc_type string, record_id string, "
+    "target_uri string, warc_date string, content_type string, "
+    "content_length long, http_status int, http_content_type string, "
+    "payload binary"
+)
+
+_BATCH_ROWS = 256
+_BATCH_BYTES = 64 << 20
+
+
+def _resolve_paths(paths: str | list[str]) -> list[str]:
+    """A list is taken verbatim (cluster manifests: Common Crawl's
+    ``warc.paths`` files name objects a local glob cannot see); a
+    string is globbed locally."""
+    if isinstance(paths, str):
+        out = sorted(_glob.glob(paths))
+        if not out:
+            raise FileNotFoundError(f"no files match {paths!r}")
+        return out
+    if not paths:
+        raise ValueError("empty path list")
+    return list(paths)
+
+
+def _read_headers(stream) -> dict[str, str] | None:
+    """Read CRLF-terminated headers up to the blank line. Returns None
+    at clean EOF; raises ValueError on a malformed block."""
+    line = stream.readline()
+    while line in (b"\r\n", b"\n"):  # tolerate stray separators
+        line = stream.readline()
+    if not line:
+        return None
+    if not line.startswith(b"WARC/"):
+        raise ValueError(f"not a WARC record header: {line[:40]!r}")
+    headers: dict[str, str] = {}
+    headers["__version__"] = line.strip().decode("ascii", "replace")
+    while True:
+        line = stream.readline()
+        if not line:
+            raise ValueError("EOF inside WARC header block")
+        if line in (b"\r\n", b"\n"):
+            return headers
+        if b":" not in line:
+            raise ValueError(f"malformed WARC header line: {line[:40]!r}")
+        k, v = line.split(b":", 1)
+        headers[k.strip().decode("ascii", "replace").lower()] = v.strip().decode(
+            "utf-8", "replace"
+        )
+
+
+def _parse_http_payload(payload: bytes) -> tuple[int | None, str | None, bytes]:
+    """Split an HTTP/1.x response message into (status, content-type,
+    body). Non-HTTP payloads come back as (None, None, payload)."""
+    if not payload.startswith(b"HTTP/"):
+        return None, None, payload
+    head, sep, body = payload.partition(b"\r\n\r\n")
+    if not sep:
+        head, sep, body = payload.partition(b"\n\n")
+        if not sep:
+            return None, None, payload
+    lines = head.split(b"\r\n") if b"\r\n" in head else head.split(b"\n")
+    try:
+        status = int(lines[0].split()[1])
+    except (IndexError, ValueError):
+        return None, None, payload
+    ctype = None
+    for line in lines[1:]:
+        if line.lower().startswith(b"content-type:"):
+            ctype = line.split(b":", 1)[1].strip().decode("ascii", "replace")
+            break
+    return status, ctype, body
+
+
+def _iter_records(
+    path: str,
+    record_types: set[str] | None,
+    max_payload_bytes: int,
+) -> Iterator[tuple]:
+    """Yield record tuples from one archive; final yield is a sentinel
+    ``("__stats__", n_records, n_skipped)``."""
+    raw = open(path, "rb")
+    # gzip.GzipFile reads across the member chain transparently.
+    stream = gzip.GzipFile(fileobj=raw) if path.endswith(".gz") else raw
+    stream = io.BufferedReader(stream, 1 << 20)
+    n, skipped = 0, 0
+    try:
+        while True:
+            try:
+                headers = _read_headers(stream)
+            except ValueError:
+                skipped += 1
+                break  # framing lost — cannot resync without an index
+            if headers is None:
+                break
+            try:
+                length = int(headers["content-length"])
+            except (KeyError, ValueError):
+                skipped += 1
+                break
+            payload = stream.read(length)
+            if len(payload) != length:
+                skipped += 1
+                break  # truncated archive
+            wtype = headers.get("warc-type", "")
+            keep = record_types is None or wtype in record_types
+            if keep and length <= max_payload_bytes:
+                status, http_ctype, body = (
+                    _parse_http_payload(payload)
+                    if wtype in ("response", "request")
+                    else (None, None, payload)
+                )
+                n += 1
+                yield (
+                    path,
+                    wtype,
+                    headers.get("warc-record-id"),
+                    headers.get("warc-target-uri"),
+                    headers.get("warc-date"),
+                    headers.get("content-type"),
+                    length,
+                    status,
+                    http_ctype,
+                    body,
+                )
+            elif keep:
+                skipped += 1  # over the payload cap
+    finally:
+        stream.close()
+        if stream is not raw:
+            raw.close()
+    yield ("__stats__", n, skipped)
+
+
+def read_warc(
+    spark: SparkSession,
+    paths: str | list[str],
+    *,
+    record_types: list[str] | None = ("response",),
+    max_payload_bytes: int = 16 << 20,
+) -> DataFrame:
+    """Distributed WARC/WET record scan → one row per record.
+
+    Columns: ``RECORD_SCHEMA``. ``record_types=None`` keeps every type
+    (warcinfo, request, metadata, ...); the default keeps only
+    ``response`` — at crawl scale the request/metadata records are
+    ~half the record count for none of the training value, and
+    dropping them executor-side is the earliest possible filter.
+    """
+    files = _resolve_paths(paths)
+    types = set(record_types) if record_types is not None else None
+    cap = max_payload_bytes
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [c.split()[0] for c in RECORD_SCHEMA.split(", ")]
+        for pdf in batches:
+            for path in pdf["path"]:
+                rows: list[tuple] = []
+                size = 0
+                for rec in _iter_records(path, types, cap):
+                    if rec[0] == "__stats__":
+                        continue
+                    rows.append(rec)
+                    size += rec[6]
+                    if len(rows) >= _BATCH_ROWS or size >= _BATCH_BYTES:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows, size = [], 0
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    # One task per archive: the repartition key is the file itself.
+    plist = spark.createDataFrame([(p,) for p in files], "path string")
+    return plist.repartition(len(files), "path").mapInPandas(gen, RECORD_SCHEMA)
+
+
+def warc_file_stats(
+    spark: SparkSession,
+    paths: str | list[str],
+    *,
+    record_types: list[str] | None = None,
+    max_payload_bytes: int = 16 << 20,
+) -> DataFrame:
+    """Per-archive health scan: (warc_file, n_records, n_skipped).
+
+    Runs the same parser but keeps only the per-file sentinel — the
+    cheap pre-flight that finds truncated/rotten archives before a
+    full ingest, and the skip-not-fail audit trail afterwards."""
+    files = _resolve_paths(paths)
+    types = set(record_types) if record_types is not None else None
+    cap = max_payload_bytes
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path in pdf["path"]:
+                n, skipped = 0, 0
+                for rec in _iter_records(path, types, cap):
+                    if rec[0] == "__stats__":
+                        n, skipped = rec[1], rec[2]
+                yield pd.DataFrame(
+                    {"warc_file": [path], "n_records": [n], "n_skipped": [skipped]}
+                )
+
+    plist = spark.createDataFrame([(p,) for p in files], "path string")
+    return plist.repartition(len(files), "path").mapInPandas(
+        gen, "warc_file string, n_records long, n_skipped long"
+    )
+
+
+def warc_html_documents(
+    spark: SparkSession,
+    paths: str | list[str],
+    *,
+    max_payload_bytes: int = 16 << 20,
+) -> DataFrame:
+    """200-OK HTML responses → (doc_id, url, text) document rows.
+
+    ``text`` is the decoded HTML (UTF-8, lossy) — compose with
+    ``functions.html.html_to_text`` / the CLI's ``--html-extract`` for
+    extraction, exactly like any other documents input. ``doc_id`` is
+    the content hash of (url, payload): stable across re-reads and
+    crawls, so downstream exact-dedup collapses re-fetches for free.
+    """
+    recs = read_warc(
+        spark, paths, record_types=["response"], max_payload_bytes=max_payload_bytes
+    )
+    html = recs.filter(
+        (F.col("http_status") == 200)
+        & F.lower(F.coalesce("http_content_type", F.lit(""))).contains("html")
+    )
+    return html.select(
+        F.lower(
+            F.hex(F.xxhash64(F.col("target_uri"), F.col("payload")))
+        ).alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        # make_valid_utf8, not decode: decode THROWS on malformed bytes
+        # (ANSI), and crawl payloads lie about their charset routinely —
+        # lossy replacement is the skip-not-fail policy at column level.
+        F.make_valid_utf8(F.col("payload").cast("string")).alias("text"),
+    )
+
+
+def wet_documents(
+    spark: SparkSession,
+    paths: str | list[str],
+    *,
+    max_payload_bytes: int = 16 << 20,
+) -> DataFrame:
+    """WET ``conversion`` records → (doc_id, url, text) document rows.
+
+    WET archives already hold extracted plain text, so no HTML stage
+    is needed downstream."""
+    recs = read_warc(
+        spark, paths, record_types=["conversion"], max_payload_bytes=max_payload_bytes
+    )
+    return recs.select(
+        F.lower(
+            F.hex(F.xxhash64(F.col("target_uri"), F.col("payload")))
+        ).alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.make_valid_utf8(F.col("payload").cast("string")).alias("text"),
+    )
+
+
+# ship the parser by value for the mapInPandas workers (see _pickle.py)
+from solana_snapshot_etl_tools_spark._pickle import register_self as _rs  # noqa: E402
+
+_rs(__name__)

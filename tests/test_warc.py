@@ -1,0 +1,261 @@
+"""WARC/WET source: parse, filter, skip-not-fail, document conversion.
+
+Fixtures are REAL WARC/1.0 byte streams written from scratch here
+(CRLF headers, Content-Length framing, two-CRLF record separator,
+one gzip member per record in the .gz variants) — the same wire
+format Common Crawl ships.
+"""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from solana_snapshot_etl_tools_spark.sources import warc as W
+
+CRLF = b"\r\n"
+
+
+def _record(wtype: str, payload: bytes, uri: str | None = None,
+            ctype: str | None = None, rid: str = "<urn:uuid:1>") -> bytes:
+    headers = [
+        b"WARC/1.0",
+        f"WARC-Type: {wtype}".encode(),
+        f"WARC-Record-ID: {rid}".encode(),
+        b"WARC-Date: 2026-08-16T00:00:00Z",
+    ]
+    if uri:
+        headers.append(f"WARC-Target-URI: {uri}".encode())
+    if ctype:
+        headers.append(f"Content-Type: {ctype}".encode())
+    headers.append(f"Content-Length: {len(payload)}".encode())
+    return CRLF.join(headers) + CRLF + CRLF + payload + CRLF + CRLF
+
+
+def _http(body: bytes, status: int = 200, ctype: str = "text/html") -> bytes:
+    head = (
+        f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    )
+    return head.encode() + body
+
+
+def _write(path, records: list[bytes], gz: bool) -> str:
+    data = (
+        b"".join(gzip.compress(r) for r in records) if gz else b"".join(records)
+    )
+    path.write_bytes(data)
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def archive_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("warc")
+    recs1 = [
+        _record("warcinfo", b"software: test\r\n", ctype="application/warc-fields"),
+        _record("request", _http(b"", 200), uri="http://a.example/p1"),
+        _record(
+            "response",
+            _http(b"<html><title>P1</title><p>hello world this is a "
+                  b"perfectly ordinary page with enough plain english "
+                  b"text that the default language and quality filters "
+                  b"keep it</p></html>"),
+            uri="http://a.example/p1",
+            ctype="application/http; msgtype=response",
+        ),
+        _record(
+            "response",
+            _http(b"not found", status=404),
+            uri="http://a.example/missing",
+            ctype="application/http; msgtype=response",
+        ),
+        _record(
+            "response",
+            _http(b"\x89PNG...", ctype="image/png"),
+            uri="http://a.example/logo.png",
+            ctype="application/http; msgtype=response",
+        ),
+    ]
+    recs2 = [
+        _record(
+            "response",
+            # malformed UTF-8 in a 200 HTML body: must not kill the read
+            _http(b"<html><p>caf\xe9 \xff latin-1-ish second page with "
+                  b"plenty of ordinary english words so the default "
+                  b"filters keep this document too</p></html>"),
+            uri="http://b.example/p2",
+            ctype="application/http; msgtype=response",
+        ),
+        _record("metadata", b"fetchTimeMs: 12\r\n", uri="http://b.example/p2"),
+    ]
+    _write(d / "part1.warc.gz", recs1, gz=True)
+    _write(d / "part2.warc", recs2, gz=False)  # plain variant
+    return d
+
+
+def test_read_warc_default_keeps_responses_only(spark, archive_dir):
+    rows = W.read_warc(spark, f"{archive_dir}/*.warc*").collect()
+    assert {r.warc_type for r in rows} == {"response"}
+    assert len(rows) == 4
+    p1 = next(r for r in rows if r.target_uri == "http://a.example/p1")
+    assert p1.http_status == 200
+    assert p1.http_content_type == "text/html"
+    assert bytes(p1.payload).startswith(b"<html><title>P1</title><p>hello world")
+    assert p1.record_id == "<urn:uuid:1>"
+    assert p1.warc_date == "2026-08-16T00:00:00Z"
+    assert p1.warc_file.endswith("part1.warc.gz")
+
+
+def test_read_warc_all_types(spark, archive_dir):
+    rows = W.read_warc(
+        spark, f"{archive_dir}/*.warc*", record_types=None
+    ).collect()
+    by_type = {r.warc_type for r in rows}
+    assert by_type == {"warcinfo", "request", "response", "metadata"}
+    info = next(r for r in rows if r.warc_type == "warcinfo")
+    assert info.http_status is None
+    assert bytes(info.payload) == b"software: test\r\n"
+
+
+def test_html_documents_filter_and_lossy_decode(spark, archive_dir):
+    docs = W.warc_html_documents(spark, f"{archive_dir}/*.warc*")
+    rows = {r.url: r for r in docs.collect()}
+    # 404 and image/png responses are gone; both 200 HTML pages stay.
+    assert set(rows) == {"http://a.example/p1", "http://b.example/p2"}
+    assert "hello world" in rows["http://a.example/p1"].text
+    # lossy decode: replacement char, not a thrown MALFORMED_CHARACTER_CODING
+    assert "�" in rows["http://b.example/p2"].text
+    # stable content-addressed ids
+    again = {r.url: r.doc_id for r in
+             W.warc_html_documents(spark, f"{archive_dir}/*.warc*").collect()}
+    assert {u: r.doc_id for u, r in rows.items()} == again
+    # composes with the existing HTML extraction
+    from solana_snapshot_etl_tools_spark.functions.html import html_to_text
+
+    text = (
+        docs.filter(F.col("url") == "http://a.example/p1")
+        .select(html_to_text(F.col("text")).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert "hello world" in text and "<p>" not in text
+
+
+def test_wet_documents(spark, tmp_path):
+    recs = [
+        _record("warcinfo", b"format: WET\r\n"),
+        _record("conversion", b"Just the extracted text.",
+                uri="http://c.example/p3", ctype="text/plain"),
+    ]
+    p = _write(tmp_path / "x.warc.wet.gz", recs, gz=True)
+    rows = W.wet_documents(spark, [p]).collect()
+    assert len(rows) == 1
+    assert rows[0].text == "Just the extracted text."
+    assert rows[0].url == "http://c.example/p3"
+
+
+def test_truncated_archive_skips_not_fails(spark, tmp_path):
+    good = _record("response", _http(b"<html>ok</html>"),
+                   uri="http://t.example/a")
+    bad = _record("response", _http(b"<html>lost</html>"),
+                  uri="http://t.example/b")[:-20]  # cut inside payload
+    p = _write(tmp_path / "trunc.warc", [good, bad], gz=False)
+    rows = W.read_warc(spark, [p]).collect()
+    assert [r.target_uri for r in rows] == ["http://t.example/a"]
+    stats = W.warc_file_stats(spark, [p]).collect()[0]
+    assert stats.n_records == 1
+    assert stats.n_skipped >= 1
+
+
+def test_payload_cap_skips_and_counts(spark, tmp_path):
+    small = _record("response", _http(b"<html>s</html>"), uri="http://z/s")
+    big = _record("response", _http(b"x" * 5000), uri="http://z/big")
+    p = _write(tmp_path / "cap.warc.gz", [small, big], gz=True)
+    rows = W.read_warc(spark, [p], max_payload_bytes=1000).collect()
+    assert [r.target_uri for r in rows] == ["http://z/s"]
+    stats = W.warc_file_stats(spark, [p], record_types=["response"],
+                              max_payload_bytes=1000).collect()[0]
+    assert (stats.n_records, stats.n_skipped) == (1, 1)
+
+
+def test_batch_boundary_many_records(spark, tmp_path):
+    n = 300  # crosses the 256-row Arrow batch bound inside one file
+    recs = [
+        _record("response", _http(f"<html>{i}</html>".encode()),
+                uri=f"http://m.example/{i}", rid=f"<urn:uuid:{i}>")
+        for i in range(n)
+    ]
+    p = _write(tmp_path / "many.warc.gz", recs, gz=True)
+    df = W.read_warc(spark, [p])
+    assert df.count() == n
+    assert df.select("target_uri").distinct().count() == n
+
+
+def test_resolve_paths_errors(spark):
+    with pytest.raises(FileNotFoundError):
+        W.read_warc(spark, "/nonexistent/*.warc.gz")
+    with pytest.raises(ValueError, match="empty"):
+        W.read_warc(spark, [])
+
+
+def test_cli_warc_input_end_to_end(spark, archive_dir, tmp_path_factory, capsys):
+    import json
+
+    from solana_snapshot_etl_tools_spark import corpus_cli
+
+    out = str(tmp_path_factory.mktemp("corpus_warc"))
+    assert corpus_cli.main([
+        f"{archive_dir}/*.warc*", out,
+        "--input-format", "warc", "--html-extract", "--no-pii",
+        "--quality", "0", "--records-per-shard", "100",
+    ]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    rep = json.loads(lines[-1])
+    assert rep["n_input"] == 2  # the two 200-OK HTML pages
+    assert rep["n_after_filters"] >= 1
+    got = spark.read.parquet(f"{out}/train").unionByName(
+        spark.read.parquet(f"{out}/val"), allowMissingColumns=True
+    ).unionByName(spark.read.parquet(f"{out}/test"), allowMissingColumns=True)
+    texts = [r.text for r in got.collect()]
+    assert any("hello world" in t for t in texts)
+    assert all("<html>" not in t for t in texts)  # extraction ran
+
+
+def test_cli_jsonl_input(spark, tmp_path, tmp_path_factory, capsys):
+    import json
+
+    from solana_snapshot_etl_tools_spark import corpus_cli
+
+    src = tmp_path / "docs.jsonl"
+    with open(src, "w") as f:
+        for i in range(30):
+            f.write(json.dumps({
+                "doc_id": f"d{i}",
+                "text": f"document number {i} with some words in it",
+            }) + "\n")
+    out = str(tmp_path_factory.mktemp("corpus_jsonl"))
+    assert corpus_cli.main([
+        str(src), out, "--input-format", "jsonl", "--no-pii",
+        "--quality", "0", "--records-per-shard", "100",
+    ]) == 0
+    rep = json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.strip()][-1]
+    )
+    assert rep["n_input"] == 30
+
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text('{"text": "no id"}\n')
+    with pytest.raises(SystemExit, match="doc_id"):
+        corpus_cli.main([str(bad), out, "--input-format", "jsonl"])
+
+
+def test_cli_stream_mode_rejects_warc_input(tmp_path):
+    from solana_snapshot_etl_tools_spark import corpus_cli
+
+    with pytest.raises(SystemExit):
+        corpus_cli.main([
+            str(tmp_path), str(tmp_path / "out"),
+            "--input-format", "warc",
+            "--ingest-stream", "--index-out", str(tmp_path / "idx"),
+        ])
