@@ -483,6 +483,14 @@ def main(argv: list[str] | None = None) -> int:
                    "post-drain on the accumulated corpus, whose "
                    "schema is the arrival schema")
     p.add_argument("--records-per-shard", type=int, default=65536)
+    p.add_argument("--shard-target-mb", type=int, metavar="MB", default=None,
+                   help="size shards by on-disk bytes instead of row "
+                   "count: encode a bounded sample to measure the "
+                   "corpus's real parquet bytes/row (sinks."
+                   "estimate_parquet_row_bytes) and derive the "
+                   "records-per-shard that lands each file near MB. "
+                   "Overrides --records-per-shard; the derived value "
+                   "is in the report as records_per_shard")
     p.add_argument("--cpus", type=int, default=None)
     args = p.parse_args(argv)
     if args.pack is not None and args.tokenize is None:
@@ -659,6 +667,9 @@ def main(argv: list[str] | None = None) -> int:
             # the stream loop's arrival contract is parquet batches;
             # convert archives with a batch --input-format warc run
             (args.input_format != "parquet", "--input-format"),
+            # stream batches append as they arrive; a global byte
+            # target needs the whole corpus measured first
+            (args.shard_target_mb is not None, "--shard-target-mb"),
             (args.near_dedup, "--near-dedup"),
             # keep-best needs hindsight; the stream's published docs
             # are immutable, so its dedup is keep-first by contract
@@ -1224,6 +1235,16 @@ def main(argv: list[str] | None = None) -> int:
         ).write.mode("overwrite").parquet(f"{args.index_out}/bloom")
         new_sigs.unpersist()
 
+    shard_records = args.records_per_shard
+    if args.shard_target_mb is not None:
+        from solana_snapshot_etl_tools_spark.operators.sinks import (
+            estimate_parquet_row_bytes,
+        )
+
+        _bpr = estimate_parquet_row_bytes(corpus.select("doc_id", "text"))
+        shard_records = max(1, int((args.shard_target_mb << 20) / _bpr))
+        report["records_per_shard"] = shard_records
+
     def write_split(df, name, order_col):
         if args.shuffle_seed is not None:
             df = df.withColumn(
@@ -1235,7 +1256,7 @@ def main(argv: list[str] | None = None) -> int:
         manifest = write_training_shards(
             df,
             f"{args.out_dir}/{name}",
-            records_per_shard=args.records_per_shard,
+            records_per_shard=shard_records,
             order_col=order_col,
             drop_order_col=drop,
         )

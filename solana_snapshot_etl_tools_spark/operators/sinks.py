@@ -126,3 +126,64 @@ def write_training_shards(
         .count()
         .withColumnRenamed("count", "rows")
     )
+
+
+def estimate_parquet_row_bytes(
+    df: DataFrame,
+    sample_rows: int = 2048,
+    compression: str = "zstd",
+) -> float:
+    """Estimate on-disk parquet bytes per row by actually encoding a
+    bounded sample (pyarrow in-memory write, same codec) — dictionary
+    and compression effects included, which a schema-width guess gets
+    wrong by 10× on text. Driver-side cost is capped at
+    ``sample_rows`` rows regardless of input size."""
+    import pyarrow.parquet as pq
+
+    sample = df.limit(sample_rows).toArrow()
+    n = sample.num_rows
+    if n == 0:
+        raise ValueError("cannot estimate row size of an empty frame")
+    buf = io.BytesIO()
+    pq.write_table(sample, buf, compression=compression)
+    return buf.getbuffer().nbytes / n
+
+
+def write_sized_parquet(
+    df: DataFrame,
+    out_dir: str,
+    target_mb: int = 512,
+    order_col: str | None = None,
+    compression: str = "zstd",
+    sample_rows: int = 2048,
+) -> int:
+    """Write parquet with files sized for the CLUSTER, not the tasks.
+
+    The two layout failure modes at 100 TB are both writer-side: a
+    shuffle with thousands of tasks writes thousands of KB-files per
+    stage (NameNode/listing pressure, per-file open cost swamps the
+    scan), and an unpartitioned write emits multi-GB files a reader
+    cannot split finer than the row-group. This sink measures the
+    corpus's actual encoded bytes-per-row on a bounded sample, then
+    repartitions so each output file lands near ``target_mb`` (the
+    128 MiB–1 GiB sweet spot for object stores and
+    ``maxPartitionBytes``-sized rescans).
+
+    With ``order_col`` the files are range-contiguous on that column —
+    pair with a sorted column a reader filters on and parquet min/max
+    row-group pruning skips whole files. Returns the file count."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    bytes_per_row = estimate_parquet_row_bytes(df, sample_rows, compression)
+    n = df.count()
+    files = max(1, math.ceil(n * bytes_per_row / (target_mb << 20)))
+    if order_col is not None:
+        packed = df.repartitionByRange(files, F.col(order_col)).sortWithinPartitions(
+            order_col
+        )
+    else:
+        packed = df.repartition(files)
+    packed.write.mode("overwrite").option("compression", compression).parquet(out_dir)
+    return files

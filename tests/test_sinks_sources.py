@@ -194,3 +194,114 @@ def test_load_snapshot_dispatch_http(spark, tmp_path, raw_accounts):
             )
         finally:
             srv.shutdown()
+
+
+class TestSizedParquet:
+    def test_row_bytes_estimate_is_sane(self, spark):
+        from solana_snapshot_etl_tools_spark.operators.sinks import (
+            estimate_parquet_row_bytes,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        est = estimate_parquet_row_bytes(docs)
+        # the synthetic docs average hundreds of chars; zstd-encoded
+        # parquet bytes/row must land in a plausible band, not a
+        # schema-width guess (which would be ~16) nor raw chars (~1k+)
+        assert 20 < est < 5000
+
+        import pytest
+
+        with pytest.raises(ValueError, match="empty"):
+            estimate_parquet_row_bytes(docs.limit(0))
+
+    def test_target_size_controls_file_count(self, spark, tmp_path):
+        import glob
+
+        from solana_snapshot_etl_tools_spark.operators.sinks import (
+            estimate_parquet_row_bytes,
+            write_sized_parquet,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        bpr = estimate_parquet_row_bytes(docs)
+        n = docs.count()
+        # pick a target that should yield ~4 files for this corpus
+        target_mb = max(1, int(n * bpr / 4 / (1 << 20)))
+        # sub-MB corpus: drive the math in bytes via a tiny target
+        out = str(tmp_path / "sized")
+        files = write_sized_parquet(docs, out, target_mb=target_mb)
+        written = [
+            f for f in glob.glob(f"{out}/*.parquet")
+            if not f.rsplit("/", 1)[-1].startswith("_")
+        ]
+        assert len(written) == files >= 1
+        got = spark.read.parquet(out)
+        assert got.count() == n
+        assert sorted(got.columns) == sorted(docs.columns)
+
+    def test_huge_target_gives_one_file(self, spark, tmp_path):
+        import glob
+
+        from solana_snapshot_etl_tools_spark.operators.sinks import (
+            write_sized_parquet,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = str(tmp_path / "one")
+        assert write_sized_parquet(docs, out, target_mb=10_000) == 1
+        files = [
+            f for f in glob.glob(f"{out}/*.parquet")
+            if not f.rsplit("/", 1)[-1].startswith("_")
+        ]
+        assert len(files) == 1
+
+    def test_order_col_makes_ranges_contiguous(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from solana_snapshot_etl_tools_spark.operators.sinks import (
+            write_sized_parquet,
+        )
+
+        df = spark.range(100_000).withColumn("pad", F.lpad("id", 64, "x"))
+        out = str(tmp_path / "ranged")
+        files = write_sized_parquet(df, out, target_mb=1, order_col="id")
+        if files > 1:
+            spans = (
+                spark.read.parquet(out)
+                .groupBy(F.input_file_name().alias("f"))
+                .agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
+                .orderBy("lo")
+                .collect()
+            )
+            # non-overlapping [lo, hi] ranges per file
+            for a, b in zip(spans, spans[1:]):
+                assert a.hi < b.lo
+
+    def test_cli_shard_target_mb(self, spark, tmp_path_factory, capsys):
+        import json
+
+        from solana_snapshot_etl_tools_spark import corpus_cli
+
+        out = str(tmp_path_factory.mktemp("corpus_sized"))
+        assert corpus_cli.main([
+            "/root/testdata/sf0.001/documents.parquet", out,
+            "--no-pii", "--shard-target-mb", "1",
+        ]) == 0
+        rep = json.loads(
+            [l for l in capsys.readouterr().out.splitlines() if l.strip()][-1]
+        )
+        assert rep["records_per_shard"] >= 1
+        # the derived cap actually reached the writer: no split dir
+        # holds a file with more rows than the derived cap
+        from pyspark.sql import functions as F
+
+        for name, meta in rep["splits"].items():
+            if meta["rows"]:
+                per_file = (
+                    spark.read.parquet(f"{out}/{name}")
+                    .groupBy(F.input_file_name())
+                    .count()
+                    .agg(F.max("count"))
+                    .collect()[0][0]
+                )
+                assert per_file <= rep["records_per_shard"]
