@@ -133,6 +133,9 @@ def _iter_records(
             except ValueError:
                 skipped += 1
                 break  # framing lost — cannot resync without an index
+            except (OSError, EOFError):
+                skipped += 1
+                break  # corrupt gzip member / truncated stream
             if headers is None:
                 break
             try:
@@ -140,33 +143,56 @@ def _iter_records(
             except (KeyError, ValueError):
                 skipped += 1
                 break
-            payload = stream.read(length)
+            if length < 0:
+                skipped += 1
+                break  # a negative length would mis-frame everything after
+            wtype = headers.get("warc-type", "")
+            keep = record_types is None or wtype in record_types
+            if not keep or length > max_payload_bytes:
+                # skip WITHOUT materializing: a 10 GiB record must not
+                # pass through memory just to be dropped
+                if keep:
+                    skipped += 1  # over the payload cap (drops are free)
+                remaining, ok = length, True
+                try:
+                    while remaining > 0:
+                        chunk = stream.read(min(remaining, 1 << 20))
+                        if not chunk:
+                            ok = False
+                            break
+                        remaining -= len(chunk)
+                except (OSError, EOFError):
+                    ok = False
+                if not ok:
+                    skipped += 1
+                    break  # truncated archive
+                continue
+            try:
+                payload = stream.read(length)
+            except (OSError, EOFError):
+                skipped += 1
+                break
             if len(payload) != length:
                 skipped += 1
                 break  # truncated archive
-            wtype = headers.get("warc-type", "")
-            keep = record_types is None or wtype in record_types
-            if keep and length <= max_payload_bytes:
-                status, http_ctype, body = (
-                    _parse_http_payload(payload)
-                    if wtype in ("response", "request")
-                    else (None, None, payload)
-                )
-                n += 1
-                yield (
-                    path,
-                    wtype,
-                    headers.get("warc-record-id"),
-                    headers.get("warc-target-uri"),
-                    headers.get("warc-date"),
-                    headers.get("content-type"),
-                    length,
-                    status,
-                    http_ctype,
-                    body,
-                )
-            elif keep:
-                skipped += 1  # over the payload cap
+            status, http_ctype, body = (
+                _parse_http_payload(payload)
+                if wtype in ("response", "request")
+                else (None, None, payload)
+            )
+            n += 1
+            yield (
+                path,
+                wtype,
+                headers.get("warc-record-id"),
+                headers.get("warc-target-uri"),
+                headers.get("warc-date"),
+                headers.get("content-type"),
+                length,
+                status,
+                http_ctype,
+                body,
+            )
     finally:
         stream.close()
         if stream is not raw:
