@@ -61,3 +61,102 @@ def as_of_join(
         *[F.col(f"_last_r.{c}").alias(f"{right_prefix}{c}") for c in r_cols],
     )
     return out
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_bounds: tuple[str, str],
+    right_bounds: tuple[str, str],
+    key: str | None = None,
+    bucket: int = 3600,
+    right_prefix: str = "r_",
+    max_spans: int = 10_000,
+) -> DataFrame:
+    """Interval-overlap join: every (left, right) pair whose closed
+    intervals intersect (``ls <= re AND rs <= le``), optionally also
+    matching on ``key``.
+
+    Spark plans the naive two-inequality predicate as a broadcast
+    nested loop / cartesian — O(|L|·|R|) and a non-starter at scale.
+    This is the standard bucketed overlap join instead:
+
+    1. each side explodes its interval into the ``bucket``-wide cells
+       it covers (``sequence(floor(s/B), floor(e/B))`` — pure codegen);
+    2. one equi-join on (key, cell) — shuffle-partitionable, AQE/skew
+       machinery applies, NO nested loop;
+    3. the exact overlap predicate filters false bucket neighbors;
+    4. a pair overlapping many shared cells is emitted ONCE, with no
+       distinct shuffle: only the cell equal to
+       ``max(floor(ls/B), floor(rs/B))`` — the first cell the two
+       intervals share — reports the pair.
+
+    Cost: one shuffle of (rows × cells-per-interval). Pick ``bucket``
+    near the typical interval length so most rows explode to 1-2
+    cells; a row spanning more than ``max_spans`` cells fails LOUDLY
+    (executor-side ``raise_error``, no extra pass) rather than
+    silently exploding the stage — raise ``bucket`` instead.
+
+    Bounds must be numeric (cast timestamps to epoch seconds first).
+    Rows with NULL bounds cannot overlap anything and are dropped,
+    matching the SQL predicate's NULL semantics.
+    """
+    ls, le = left_bounds
+    rs, re_ = right_bounds
+    for c, df, side in ((ls, left, "left"), (le, left, "left"),
+                        (rs, right, "right"), (re_, right, "right")):
+        if c not in df.columns:
+            raise ValueError(f"{side} bounds column {c!r} not in {df.columns}")
+    if key is not None and (key not in left.columns or key not in right.columns):
+        raise ValueError(f"join key {key!r} must exist on both sides")
+    if bucket <= 0:
+        raise ValueError(f"bucket must be positive, got {bucket}")
+    overlap_cols = [f"{right_prefix}{c}" for c in right.columns]
+    clash = set(left.columns) & set(overlap_cols)
+    if clash:
+        raise ValueError(f"right_prefix {right_prefix!r} collides with {clash}")
+
+    def cells(s: str, e: str):
+        lo = F.floor(F.col(s).cast("double") / bucket).cast("long")
+        hi = F.floor(F.col(e).cast("double") / bucket).cast("long")
+        seq = F.sequence(lo, hi)
+        return F.when(F.size(seq) <= max_spans, seq).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"interval_join: a row spans more than {max_spans} "
+                        f"bucket cells (bucket={bucket}); raise `bucket` "
+                        "to match your interval lengths: "
+                    ),
+                    F.size(seq).cast("string"),
+                )
+            ).cast("array<long>")
+        )
+
+    l = left.filter(F.col(ls).isNotNull() & F.col(le).isNotNull()).withColumn(
+        "_cell", F.explode(cells(ls, le))
+    )
+    r = right.filter(F.col(rs).isNotNull() & F.col(re_).isNotNull()).select(
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in right.columns]
+    )
+    prs, pre = f"{right_prefix}{rs}", f"{right_prefix}{re_}"
+    r = r.withColumn("_cell", F.explode(cells(prs, pre)))
+    # the key rides INSIDE the equi-join (shuffle key = (key, cell)),
+    # never as a post-filter — otherwise every key sharing a time cell
+    # would collide in one shuffle partition
+    join_keys = ["_cell"]
+    if key is not None:
+        r = r.withColumn("_jk", F.col(f"{right_prefix}{key}"))
+        l = l.withColumn("_jk", F.col(key))
+        join_keys = ["_jk", "_cell"]
+    first_shared = F.greatest(
+        F.floor(F.col(ls).cast("double") / bucket).cast("long"),
+        F.floor(F.col(prs).cast("double") / bucket).cast("long"),
+    )
+    return (
+        l.join(r, on=join_keys, how="inner")
+        .filter((F.col(ls) <= F.col(pre)) & (F.col(prs) <= F.col(le)))
+        .filter(F.col("_cell") == first_shared)
+        .drop("_cell", "_jk")
+    )
