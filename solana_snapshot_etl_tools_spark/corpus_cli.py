@@ -1394,7 +1394,7 @@ def main(argv: list[str] | None = None) -> int:
 
     corpus.unpersist()
     DD.release_session_caches()
-    print(json.dumps(report))
+    _emit_report(report, args.out_dir)
     return 0
 
 
@@ -1498,6 +1498,24 @@ def _discover_boilerplate(docs, args, report):
     ]
 
 
+
+def _emit_report(report, out_dir):
+    """Print the one-line JSON contract AND persist it as
+    OUT_DIR/report.json — the run's provenance record (stage counts,
+    derived knob values, audit tables) next to the data it describes.
+    The file is best-effort: a read-only out_dir must not fail a run
+    whose data already landed."""
+    line = json.dumps(report)
+    print(line)
+    try:
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "report.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+
 def _read_input(spark, args):
     """Read DOCS per --input-format. warc/wet accept a glob or a
     comma-separated path manifest (Common Crawl's warc.paths shape);
@@ -1525,7 +1543,12 @@ def _read_input(spark, args):
         else args.docs
     )
     reader = warc_html_documents if args.input_format == "warc" else wet_documents
-    return reader(spark, paths)
+    # doc_id is content-addressed, so byte-identical re-fetches of one
+    # page are IDENTICAL ROWS sharing one id. The pipeline's input
+    # contract is unique doc_id (duplicate ids semi-join themselves
+    # back through every dedup stage), so collapse them here — one
+    # id-keyed shuffle at ingest, the price of the contract.
+    return reader(spark, paths).dropDuplicates(["doc_id"])
 
 
 def _skew_report(corpus, args, report, src=None):
@@ -2167,7 +2190,7 @@ def _ingest_stream_main(args) -> int:
     )
 
     release_session_caches()
-    print(json.dumps(report))
+    _emit_report(report, args.out_dir)
     return 0
 
 

@@ -286,7 +286,10 @@ def warc_html_documents(
     ``functions.html.html_to_text`` / the CLI's ``--html-extract`` for
     extraction, exactly like any other documents input. ``doc_id`` is
     the content hash of (url, payload): stable across re-reads and
-    crawls, so downstream exact-dedup collapses re-fetches for free.
+    crawls. Consequence: byte-identical re-fetches of one page are
+    byte-identical OUTPUT ROWS sharing one id — where downstream
+    requires unique ids (the corpus CLI does),
+    ``dropDuplicates(["doc_id"])`` collapses them losslessly.
     """
     recs = read_warc(
         spark, paths, record_types=["response"], max_payload_bytes=max_payload_bytes

@@ -112,3 +112,20 @@ def test_cli_skew_report_typo_is_loud(spark, tmp_path_factory, capsys):
             "/root/testdata/sf0.001/documents.parquet", out,
             "--no-pii", "--skew-report", "lagn",
         ])
+
+
+def test_cli_persists_report_json(spark, tmp_path_factory, capsys):
+    import json
+
+    from solana_snapshot_etl_tools_spark import corpus_cli
+
+    out = str(tmp_path_factory.mktemp("corpus_rep"))
+    assert corpus_cli.main([
+        "/root/testdata/sf0.001/documents.parquet", out, "--no-pii",
+    ]) == 0
+    printed = json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.strip()][-1]
+    )
+    with open(f"{out}/report.json") as f:
+        persisted = json.load(f)
+    assert persisted == printed

@@ -259,3 +259,66 @@ def test_cli_stream_mode_rejects_warc_input(tmp_path):
             "--input-format", "warc",
             "--ingest-stream", "--index-out", str(tmp_path / "idx"),
         ])
+
+
+def test_cli_crawl_capstone_composes_round12_stages(
+    spark, tmp_path, tmp_path_factory, capsys
+):
+    """WARC in → extract → url-dedup → near-dedup → skew report →
+    byte-sized shards + persisted report: the round-12 pieces working
+    as ONE pipeline, not as isolated features."""
+    import json
+
+    from solana_snapshot_etl_tools_spark import corpus_cli
+
+    body = (b"<html><p>a perfectly ordinary english paragraph that the "
+            b"default quality and language filters will keep around %d"
+            b"</p></html>")
+    recs = []
+    for i in range(12):
+        recs.append(_record(
+            "response", _http(body % i),
+            uri=f"http://site.example/page{i}",
+            ctype="application/http; msgtype=response",
+            rid=f"<urn:uuid:{i}>",
+        ))
+    # a byte-identical re-crawl of page0: same url, same content →
+    # same content-addressed doc_id → collapses AT INGEST
+    recs.append(_record(
+        "response", _http(body % 0),
+        uri="http://site.example/page0",
+        ctype="application/http; msgtype=response",
+        rid="<urn:uuid:recrawl>",
+    ))
+    # a tracking-param variant of page1 with drifted content: distinct
+    # doc_id, same NORMALIZED url → collapses at --url-dedup
+    recs.append(_record(
+        "response", _http(body % 1 + b"<!-- ad slot 7 -->"),
+        uri="http://site.example/page1?utm_source=feed",
+        ctype="application/http; msgtype=response",
+        rid="<urn:uuid:variant>",
+    ))
+    p = _write(tmp_path / "crawl.warc.gz", recs, gz=True)
+
+    out = str(tmp_path_factory.mktemp("capstone"))
+    assert corpus_cli.main([
+        p, out,
+        "--input-format", "warc", "--html-extract", "--no-pii",
+        "--url-dedup", "--near-dedup",
+        "--skew-report", "url",
+        "--shard-target-mb", "1",
+    ]) == 0
+    rep = json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.strip()][-1]
+    )
+    # 14 responses; the byte-identical re-crawl collapsed at ingest
+    # (content-addressed id), leaving 13 unique docs...
+    assert rep["n_input"] == 13
+    # ...and the utm variant collapsed on its NORMALIZED url
+    assert rep["n_after_url_dedup"] == 12
+    assert rep["n_after_filters"] >= 1
+    assert rep["records_per_shard"] >= 1
+    assert rep["skew_key"] == ["url"]
+    # report persisted beside the data it describes
+    with open(f"{out}/report.json") as f:
+        assert json.load(f) == rep
