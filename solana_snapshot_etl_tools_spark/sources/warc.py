@@ -332,6 +332,49 @@ def wet_documents(
     )
 
 
+def warc_media(
+    spark: SparkSession,
+    paths: str | list[str],
+    *,
+    kinds: tuple[str, ...] = ("image", "audio", "video"),
+    max_payload_bytes: int = 64 << 20,
+) -> DataFrame:
+    """200-OK media responses → (media_id, kind, blob, url, content_type).
+
+    The bridge from crawl archives into the multimodal pipeline:
+    ``kind`` is the content-type's top level (image/audio/video), and
+    the output schema is a superset of the (media_id, kind, blob)
+    contract that ``operators.multimodal.decode_media_meta`` /
+    ``operators.media_dedup.perceptual_hash`` consume, so
+    crawl → decode → pHash-dedup composes directly. Blobs stay binary
+    and are born executor-side; they never shuffle (the downstream ops
+    are narrow maps) and never pass the driver.
+
+    ``media_id`` is the LONG content hash of (url, payload) — the
+    media pipeline's id type — so identical re-fetches are identical
+    rows; collapse with ``dropDuplicates(["media_id"])`` where unique
+    ids are required.
+    """
+    bad = [k for k in kinds if k not in ("image", "audio", "video")]
+    if bad:
+        raise ValueError(f"unknown media kinds {bad}")
+    recs = read_warc(
+        spark, paths, record_types=["response"], max_payload_bytes=max_payload_bytes
+    )
+    ctype = F.lower(F.coalesce("http_content_type", F.lit("")))
+    kind = F.split(ctype, "/").getItem(0)
+    return (
+        recs.filter((F.col("http_status") == 200) & kind.isin(*kinds))
+        .select(
+            F.xxhash64(F.col("target_uri"), F.col("payload")).alias("media_id"),
+            kind.alias("kind"),
+            F.col("payload").alias("blob"),
+            F.col("target_uri").alias("url"),
+            F.col("http_content_type").alias("content_type"),
+        )
+    )
+
+
 # ship the parser by value for the mapInPandas workers (see _pickle.py)
 from solana_snapshot_etl_tools_spark._pickle import register_self as _rs  # noqa: E402
 

@@ -322,3 +322,87 @@ def test_cli_crawl_capstone_composes_round12_stages(
     # report persisted beside the data it describes
     with open(f"{out}/report.json") as f:
         assert json.load(f) == rep
+
+
+def _wav_bytes(n_samples=64):
+    import struct
+
+    data = bytes((i * 7) % 256 for i in range(n_samples * 2))
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _bmp_bytes(width=5, height=3, tweak=0):
+    import struct
+
+    row = ((width * 3) + 3) // 4 * 4
+    pixels = bytes((i * 11 + tweak) % 256 for i in range(row * height))
+    header = b"BM" + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+    header += struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                          len(pixels), 2835, 2835, 0, 0)
+    return header + pixels
+
+
+def test_warc_media_bridges_into_multimodal(spark, tmp_path):
+    """Crawl archive → warc_media → decode_media_meta / phash dedup:
+    the multimodal pipeline runs on crawl payloads unchanged."""
+    from solana_snapshot_etl_tools_spark.operators.media_dedup import (
+        phash_dedup,
+    )
+    from solana_snapshot_etl_tools_spark.operators.multimodal import (
+        decode_media_meta,
+    )
+
+    bmp = _bmp_bytes()
+    recs = [
+        _record("response", _http(bmp, ctype="image/bmp"),
+                uri="http://img.example/a.bmp",
+                ctype="application/http; msgtype=response"),
+        # the SAME image served from a mirror url: phash-dedup fodder
+        _record("response", _http(bmp, ctype="image/bmp"),
+                uri="http://mirror.example/a.bmp",
+                ctype="application/http; msgtype=response"),
+        _record("response", _http(_wav_bytes(), ctype="audio/wav"),
+                uri="http://img.example/s.wav",
+                ctype="application/http; msgtype=response"),
+        # non-media responses must not leak in
+        _record("response", _http(b"<html>x</html>"),
+                uri="http://img.example/page",
+                ctype="application/http; msgtype=response"),
+    ]
+    p = _write(tmp_path / "media.warc.gz", recs, gz=True)
+    media = W.warc_media(spark, [p])
+    rows = {r.url: r for r in media.collect()}
+    assert {r.kind for r in rows.values()} == {"image", "audio"}
+    assert len(rows) == 3
+    # std codec REALLY decodes the crawl payloads
+    meta = {
+        r.media_id: r
+        for r in decode_media_meta(media, codec="std").collect()
+    }
+    bmp_meta = meta[rows["http://img.example/a.bmp"].media_id]
+    assert (bmp_meta.format, bmp_meta.width, bmp_meta.height) == ("bmp", 5, 3)
+    wav_meta = meta[rows["http://img.example/s.wav"].media_id]
+    assert (wav_meta.format, wav_meta.sample_rate) == ("wav", 8000)
+    # the mirrored copy collapses under perceptual-hash dedup:
+    # the decision table maps both bmp copies to ONE canonical
+    decisions = phash_dedup(media, codec="std")
+    kept = media.join(
+        decisions.filter(F.col("media_id") == F.col("keep_id"))
+        .select("media_id"),
+        "media_id",
+        "left_semi",
+    )
+    assert kept.count() == 2
+    urls = {r.url for r in kept.collect()}
+    assert "http://img.example/s.wav" in urls
+    assert len(urls & {"http://img.example/a.bmp",
+                       "http://mirror.example/a.bmp"}) == 1
+
+
+def test_warc_media_validates_kinds(spark, tmp_path):
+    p = _write(tmp_path / "e.warc", [_record("warcinfo", b"x")], gz=False)
+    with pytest.raises(ValueError, match="unknown media kinds"):
+        W.warc_media(spark, [p], kinds=("image", "text"))
