@@ -338,6 +338,20 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--decontam-k", type=int, metavar="K", default=8,
                    help="k-gram width for --decontam-ngrams "
                    "(default 8; PaLM used 8, GPT-3 13)")
+    p.add_argument("--decontam-action", choices=["drop", "excise"],
+                   default="drop",
+                   help="what --decontam-ngrams does to a leak: drop "
+                   "the document past --decontam-max-overlap (default,"
+                   " the GPT-3/PaLM rule) or excise — surgically "
+                   "remove every --decontam-excise-k-char window that "
+                   "appears verbatim in the bench (operators/excise."
+                   "excise_contaminated_spans) and keep the rest of "
+                   "the document; no docs are dropped and "
+                   "--decontam-max-overlap is not consulted")
+    p.add_argument("--decontam-excise-k", type=int, metavar="K", default=50,
+                   help="character window for --decontam-action excise "
+                   "(the Lee-et-al span unit, NOT the token k of "
+                   "--decontam-k)")
     p.add_argument("--decontam-max-overlap", type=float, metavar="R",
                    default=0.0,
                    help="keep documents whose contaminated-gram ratio "
@@ -558,6 +572,12 @@ def main(argv: list[str] | None = None) -> int:
         p.error("--decontam-max-overlap must be in [0, 1)")
     if args.decontam_audit and not args.decontam_ngrams:
         p.error("--decontam-audit requires --decontam-ngrams")
+    if args.decontam_action == "excise" and not args.decontam_ngrams:
+        p.error("--decontam-action excise requires --decontam-ngrams "
+                "(the bench whose spans get cut)")
+    if args.decontam_excise_k < 10:
+        p.error("--decontam-excise-k must be >= 10 (shorter windows "
+                "excise common phrases, not leaks)")
     if args.embedding_audit and not args.decontam_bench:
         p.error("--embedding-audit requires --decontam-bench")
     if args.token_budget is not None:
@@ -1730,6 +1750,31 @@ def _ngram_decontam_filter(spark, corpus, args, report):
         report["n_bench_items_unmeasurable"] = saved.filter(
             F.col("clean").isNull()
         ).count()
+    if args.decontam_action == "excise":
+        from solana_snapshot_etl_tools_spark.operators.excise import (
+            excise_contaminated_spans,
+        )
+
+        # surgical mode: cut the leaked spans, keep every document —
+        # text_clean replaces text IN PLACE so every later stage and
+        # the written splits see the redacted corpus
+        ex = excise_contaminated_spans(
+            corpus.select("doc_id", "text"), bench,
+            k=args.decontam_excise_k,
+        )
+        report["n_ngram_decontam_excised_docs"] = ex.filter(
+            F.col("n_excised_chars") > 0
+        ).count()
+        report["n_ngram_decontam_excised_chars"] = ex.agg(
+            F.sum("n_excised_chars")
+        ).collect()[0][0]
+        return (
+            corpus.drop("text")
+            .join(
+                ex.select("doc_id", F.col("text_clean").alias("text")),
+                "doc_id",
+            )
+        )
     return corpus.join(dropped, "doc_id", "left_anti")
 
 

@@ -97,6 +97,15 @@ def excise_dup_spans(
         .groupBy("doc")
         .agg(F.array_sort(F.collect_set("pos")).alias("ps"))
     )
+    return _excise_at_cut_positions(docs, cuts, id_col, text_col, k)
+
+
+def _excise_at_cut_positions(
+    docs: DataFrame, cuts: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Shared rebuild stage: ``cuts`` is (doc, ps) — the sorted 1-based
+    start positions of k-char windows to remove per document. Emits
+    every input row as (id, text_clean, n_excised_chars)."""
     # merge fixed-length-k intervals over the sorted start list, then
     # rebuild the kept text by folding over the merged spans
     iv = "array<struct<s:int,e:int>>"
@@ -150,3 +159,51 @@ def excise_dup_spans(
             F.coalesce(excised, F.lit(0)).cast("long").alias("n_excised_chars"),
         )
     )
+
+
+def excise_contaminated_spans(
+    docs: DataFrame,
+    bench: DataFrame,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Surgical decontamination: remove every k-char window that also
+    occurs ANYWHERE in the benchmark suite, keeping the rest of the
+    document — the excision alternative to `decontam.decontaminate`'s
+    drop-the-document rule (the PaLM/GPT-3 appendix choice when the
+    leak is a quoted snippet inside an otherwise-clean page).
+
+    Same window machinery as ``excise_dup_spans`` (hashed k-char
+    windows, per-row bounded segment sweep, overlap-merged spans,
+    array-slice rebuild); the cut set is "window hash ∈ bench windows"
+    instead of "window shared across documents". The bench side is
+    reduced to DISTINCT window hashes (8 bytes each) and broadcast by
+    default — a benchmark suite is MBs, its hash set broadcasts to
+    every executor and the corpus-side scan never shuffles document
+    text. Set ``broadcast_bench=False`` for a giant bench set to fall
+    back to a shuffled semi-join shape.
+
+    Emits every input row as (id, text_clean, n_excised_chars);
+    untouched docs pass through with ``n_excised_chars = 0``.
+    """
+    w = _window_positions(docs, id_col, text_col, k)
+    bench_ids = bench.select(
+        F.monotonically_increasing_id().alias("_bid"),
+        F.col(bench_text_col).alias("_btext"),
+    )
+    bench_wh = (
+        _window_positions(bench_ids, "_bid", "_btext", k)
+        .select("wh")
+        .distinct()
+    )
+    if broadcast_bench:
+        bench_wh = F.broadcast(bench_wh)
+    cuts = (
+        w.join(bench_wh, "wh")
+        .groupBy("doc")
+        .agg(F.array_sort(F.collect_set("pos")).alias("ps"))
+    )
+    return _excise_at_cut_positions(docs, cuts, id_col, text_col, k)

@@ -175,3 +175,154 @@ def test_excise_shuffles_carry_hashes_not_text(spark):
     p = buf.getvalue()
     assert "xxhash64" in p
     assert "CartesianProduct" not in p
+
+
+def _py_excise_contaminated(doc: str, bench_texts: list[str], k: int) -> str:
+    """Pure-Python reference: cut every k-window of doc that appears
+    verbatim in any bench text; merge overlaps."""
+    bench_wins = set()
+    for b in bench_texts:
+        for i in range(len(b) - k + 1):
+            bench_wins.add(b[i:i + k])
+    cuts = [i for i in range(len(doc) - k + 1) if doc[i:i + k] in bench_wins]
+    if not cuts:
+        return doc
+    spans = []
+    for p in cuts:
+        if spans and p <= spans[-1][1]:
+            spans[-1][1] = max(spans[-1][1], p + k)
+        else:
+            spans.append([p, p + k])
+    out, cur = [], 0
+    for s, e in spans:
+        out.append(doc[cur:s])
+        cur = e
+    out.append(doc[cur:])
+    return "".join(out)
+
+
+class TestExciseContaminated:
+    K = 20
+
+    def _frames(self, spark):
+        leak = "the exact benchmark question text sits right here verbatim"
+        bench = spark.createDataFrame(
+            [(leak,), ("another eval item that nobody quotes",)],
+            "text string",
+        )
+        docs = spark.createDataFrame(
+            [
+                ("d1", f"intro paragraph. {leak} trailing analysis."),
+                ("d2", "a perfectly clean document with original prose only."),
+                ("d3", f"{leak} {leak} double quote of the same item"),
+                ("d4", "short"),  # below k: passes through untouched
+            ],
+            "doc_id string, text string",
+        )
+        return docs, bench, leak
+
+    def test_matches_pure_python_reference(self, spark):
+        from solana_snapshot_etl_tools_spark.operators.excise import (
+            excise_contaminated_spans,
+        )
+
+        docs, bench, leak = self._frames(spark)
+        bench_texts = [r.text for r in bench.collect()]
+        got = {
+            r.doc_id: (r.text_clean, r.n_excised_chars)
+            for r in excise_contaminated_spans(docs, bench, k=self.K).collect()
+        }
+        assert set(got) == {"d1", "d2", "d3", "d4"}
+        for r in docs.collect():
+            want = _py_excise_contaminated(r.text, bench_texts, self.K)
+            assert got[r.doc_id][0] == want, r.doc_id
+            assert got[r.doc_id][1] == len(r.text) - len(want)
+        # the leak is actually gone, the clean prose actually kept
+        assert leak not in got["d1"][0]
+        assert "intro paragraph." in got["d1"][0]
+        assert "trailing analysis." in got["d1"][0]
+        assert got["d2"][1] == 0
+        assert got["d4"] == ("short", 0)
+
+    def test_broadcast_shape_and_fallback_agree(self, spark):
+        from solana_snapshot_etl_tools_spark.operators.excise import (
+            excise_contaminated_spans,
+        )
+
+        docs, bench, _ = self._frames(spark)
+        a = excise_contaminated_spans(docs, bench, k=self.K)
+        b = excise_contaminated_spans(docs, bench, k=self.K,
+                                      broadcast_bench=False)
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+        plan = a._jdf.queryExecution().executedPlan().toString()
+        assert "Broadcast" in plan
+
+    def test_dup_span_parity_unchanged_by_refactor(self, spark):
+        # the shared rebuild must leave excise_dup_spans' behavior
+        # byte-identical: re-check a known cross-doc case end-to-end
+        from solana_snapshot_etl_tools_spark.operators.excise import (
+            excise_dup_spans,
+        )
+
+        span = "Z" * 25
+        docs = spark.createDataFrame(
+            [("a", f"keep one {span} copy"), ("b", f"cut the {span} here")],
+            "doc_id string, text string",
+        )
+        rows = {r.doc_id: r for r in excise_dup_spans(docs, k=25).collect()}
+        assert span in rows["a"].text_clean
+        assert span not in rows["b"].text_clean
+
+
+def test_cli_decontam_excise_mode(spark, tmp_path, tmp_path_factory, capsys):
+    """--decontam-action excise cuts the leaked span and KEEPS the doc;
+    drop mode would have removed it."""
+    import json
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from solana_snapshot_etl_tools_spark import corpus_cli
+
+    leak = ("what is the capital of france answer paris is the capital "
+            "city of france since the middle ages")
+    bench_dir = str(tmp_path / "bench")
+    spark.createDataFrame([(leak,)], "text string").write.parquet(bench_dir)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    poisoned = docs.limit(40).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == docs.limit(40).collect()[0].doc_id,
+            F.concat(F.col("text"), F.lit(" " + leak + " trailing prose")),
+        ).otherwise(F.col("text")),
+    )
+    src = str(tmp_path / "docs")
+    poisoned.write.parquet(src)
+
+    out = str(tmp_path_factory.mktemp("excise_mode"))
+    assert corpus_cli.main([
+        src, out, "--no-pii",
+        "--decontam-ngrams", bench_dir,
+        "--decontam-action", "excise", "--decontam-excise-k", "30",
+        "--decontam-max-overlap", "0.0001",  # would drop in drop mode
+    ]) == 0
+    rep = json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.strip()][-1]
+    )
+    assert rep["n_ngram_decontam_excised_docs"] == 1
+    assert rep["n_ngram_decontam_excised_chars"] > 0
+    # nothing dropped: excise keeps every document
+    assert rep["n_after_ngram_decontam"] == rep["n_after_lm_filter"] \
+        if "n_after_lm_filter" in rep else True
+    written = None
+    for split in ("train", "val", "test"):
+        try:
+            part = spark.read.parquet(f"{out}/{split}")
+        except Exception:
+            continue
+        written = part if written is None else written.unionByName(part)
+    assert written.filter(written.text.contains(leak)).count() == 0
+
+    with pytest.raises(SystemExit):
+        corpus_cli.main([src, out, "--decontam-action", "excise"])
