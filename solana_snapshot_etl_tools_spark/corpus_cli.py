@@ -484,6 +484,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="include the final corpus's data-card stats "
                    "(token/char totals, length percentiles, language "
                    "mix, dup rate) in the JSON report")
+    p.add_argument("--diff-against", metavar="DIR", default=None,
+                   help="diff the final corpus against a previous "
+                   "run's OUT_DIR (its train/val/test splits, or any "
+                   "parquet of (doc_id, text)): report added/removed/"
+                   "changed/unchanged counts (operators/diff.py — "
+                   "ids + 8-byte text hashes shuffle, never text). "
+                   "The cheap regression gate for reruns: a pure "
+                   "refactor should report everything unchanged. "
+                   "Batch-only")
     p.add_argument("--skew-report", metavar="COLS", default=None,
                    help="comma-separated column list: attach the "
                    "final corpus's top-20 heavy-hitter keys for that "
@@ -690,6 +699,9 @@ def main(argv: list[str] | None = None) -> int:
             # stream batches append as they arrive; a global byte
             # target needs the whole corpus measured first
             (args.shard_target_mb is not None, "--shard-target-mb"),
+            # a rerun-regression diff compares two COMPLETE runs; the
+            # stream's corpus is append-only state, not a run artifact
+            (args.diff_against, "--diff-against"),
             (args.near_dedup, "--near-dedup"),
             # keep-best needs hindsight; the stream's published docs
             # are immutable, so its dedup is keep-first by contract
@@ -1411,6 +1423,33 @@ def main(argv: list[str] | None = None) -> int:
         report["data_card"] = corpus_report(corpus.select("doc_id", "text"))
     if args.skew_report:
         _skew_report(corpus, args, report, src=raw)
+    if args.diff_against:
+        from pyspark.errors import AnalysisException
+
+        from solana_snapshot_etl_tools_spark.operators.diff import (
+            diff_summary,
+        )
+
+        parts = []
+        for name in ("train", "val", "test"):
+            try:
+                parts.append(
+                    spark.read.parquet(f"{args.diff_against}/{name}")
+                    .select("doc_id", "text")
+                )
+            except AnalysisException:
+                continue
+        if parts:
+            prior = parts[0]
+            for p_ in parts[1:]:
+                prior = prior.unionByName(p_)
+        else:
+            # plain parquet of (doc_id, text) — loud if neither shape
+            prior = spark.read.parquet(args.diff_against).select(
+                "doc_id", "text"
+            )
+        report["diff_against"] = args.diff_against
+        report["diff"] = diff_summary(prior, corpus.select("doc_id", "text"))
 
     corpus.unpersist()
     DD.release_session_caches()
