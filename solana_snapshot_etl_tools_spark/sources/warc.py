@@ -4,13 +4,18 @@ The first stage of a real 100 TB pretraining pipeline is not parquet —
 it is tens of thousands of ~1 GiB ``.warc.gz`` / ``.wet.gz`` archives.
 This module reads them distributedly:
 
-- **Parallelism unit = file.** A gzipped WARC is a chain of gzip
-  members (one per record) and is NOT byte-splittable without a
-  sidecar index, so the industry-standard plan (and ours) is one task
-  per archive file: Common Crawl ships ~64 000 files per crawl, which
-  out-fans any cluster. The file list is a tiny driver-side frame;
-  record payloads are born on executors inside ``mapInPandas`` and
-  never pass through the driver.
+- **Parallelism unit = file** (sequential path). A gzipped WARC is a
+  chain of gzip members (one per record) and is NOT byte-splittable
+  without a sidecar index, so the industry-standard plan (and ours)
+  is one task per archive file: Common Crawl ships ~64 000 files per
+  crawl, which out-fans any cluster. The file list is a tiny
+  driver-side frame; record payloads are born on executors inside
+  ``mapInPandas`` and never pass through the driver.
+- **Parallelism unit = record** (indexed path). With a CDX index
+  (``read_cdxj`` + ``read_warc_records_at``) every entry names a
+  self-contained gzip member by (offset, length), so ONE archive fans
+  out across the cluster and predicate pushdown happens on the
+  kilobyte-rows index instead of the terabyte archives.
 - **Streaming parse.** Each task reads its archive as a stream and
   yields Arrow batches of records bounded by rows AND payload bytes,
   so a file full of 100 MiB PDFs cannot balloon one batch past
@@ -35,6 +40,7 @@ from __future__ import annotations
 import glob as _glob
 import gzip
 import io
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -379,3 +385,155 @@ def warc_media(
 from solana_snapshot_etl_tools_spark._pickle import register_self as _rs  # noqa: E402
 
 _rs(__name__)
+
+
+CDXJ_SCHEMA = (
+    "urlkey string, ts string, url string, mime string, status int, "
+    "digest string, length long, offset long, filename string"
+)
+
+
+def read_cdxj(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """Parse CDXJ index lines ("urlkey ts {json}") → one row per
+    captured record, with the (filename, offset, length) needed for
+    random access into the archives.
+
+    The index is line-oriented text, so ``spark.read.text`` splits it
+    for free — and it is ~1000× smaller than the archives, which is
+    the whole point: predicate pushdown happens HERE (filter on
+    status/mime/url against kilobyte rows), and only the matching
+    byte ranges of the warc.gz files are ever fetched."""
+    lines = spark.read.text(paths)
+    parts = F.split(F.col("value"), " ", 3)
+    j = F.from_json(
+        parts.getItem(2),
+        "url string, mime string, status string, digest string, "
+        "length string, offset string, filename string",
+    )
+    return (
+        lines.filter(F.length(F.trim("value")) > 0)
+        .select(
+            parts.getItem(0).alias("urlkey"),
+            parts.getItem(1).alias("ts"),
+            j.alias("_j"),
+        )
+        .select(
+            "urlkey",
+            "ts",
+            F.col("_j.url").alias("url"),
+            F.col("_j.mime").alias("mime"),
+            F.col("_j.status").cast("int").alias("status"),
+            F.col("_j.digest").alias("digest"),
+            F.col("_j.length").cast("long").alias("length"),
+            F.col("_j.offset").cast("long").alias("offset"),
+            F.col("_j.filename").alias("filename"),
+        )
+    )
+
+
+def read_warc_records_at(
+    spark: SparkSession,
+    entries: DataFrame,
+    *,
+    base_dir: str | None = None,
+    num_partitions: int | None = None,
+    max_payload_bytes: int = 16 << 20,
+) -> DataFrame:
+    """Random-access WARC record fetch: one row per (filename, offset,
+    length) index entry — the CDX-driven read path.
+
+    This removes the sequential-scan limitation of ``read_warc``: a
+    gzipped archive is not byte-splittable on its own, but every CDX
+    entry names a self-contained gzip member, so ONE FILE can fan out
+    across the whole cluster. Entries are range-partitioned and sorted
+    by (filename, offset): each task reads one ascending sweep of
+    byte ranges per file — object-store range requests in offset
+    order, one open per file per task.
+
+    Records that fail to decompress or parse yield a row with null
+    fields except ``warc_file``/``record_offset`` (skip-not-fail with
+    an audit trail, same policy as the streaming scan)."""
+    import os.path as _osp
+
+    for c in ("filename", "offset", "length"):
+        if c not in entries.columns:
+            raise ValueError(f"entries needs column {c!r} (have {entries.columns})")
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    cap = max_payload_bytes
+    base = base_dir
+
+    out_schema = "record_offset long, " + RECORD_SCHEMA
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["record_offset"] + [c.split()[0] for c in RECORD_SCHEMA.split(", ")]
+        nulls = (None,) * 9
+        for pdf in batches:
+            rows: list[tuple] = []
+            size = 0
+            handle, handle_path = None, None
+            try:
+                for fname, off, length in pdf[
+                    ["filename", "offset", "length"]
+                ].itertuples(index=False):
+                    path = _osp.join(base, fname) if base else fname
+                    if path != handle_path:
+                        if handle is not None:
+                            handle.close()
+                        handle, handle_path = open(path, "rb"), path
+                    try:
+                        handle.seek(off)
+                        member = handle.read(length)
+                        blob = (
+                            gzip.decompress(member)
+                            if member[:2] == b"\x1f\x8b"
+                            else member
+                        )
+                        stream = io.BufferedReader(io.BytesIO(blob))
+                        headers = _read_headers(stream)
+                        if headers is None:
+                            raise ValueError("empty record")
+                        plen = int(headers["content-length"])
+                        if plen < 0 or plen > cap:
+                            raise ValueError("payload out of bounds")
+                        payload = stream.read(plen)
+                        if len(payload) != plen:
+                            raise ValueError("truncated record")
+                        wtype = headers.get("warc-type", "")
+                        status, http_ctype, body = (
+                            _parse_http_payload(payload)
+                            if wtype in ("response", "request")
+                            else (None, None, payload)
+                        )
+                        rows.append(
+                            (
+                                int(off),
+                                path,
+                                wtype,
+                                headers.get("warc-record-id"),
+                                headers.get("warc-target-uri"),
+                                headers.get("warc-date"),
+                                headers.get("content-type"),
+                                plen,
+                                status,
+                                http_ctype,
+                                body,
+                            )
+                        )
+                        size += plen
+                    except (ValueError, KeyError, OSError, EOFError, zlib.error):
+                        rows.append((int(off), path) + nulls)
+                    if len(rows) >= _BATCH_ROWS or size >= _BATCH_BYTES:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows, size = [], 0
+            finally:
+                if handle is not None:
+                    handle.close()
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    planned = (
+        entries.select("filename", "offset", "length")
+        .repartitionByRange(n, "filename", "offset")
+        .sortWithinPartitions("filename", "offset")
+    )
+    return planned.mapInPandas(gen, out_schema)

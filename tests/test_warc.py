@@ -406,3 +406,102 @@ def test_warc_media_validates_kinds(spark, tmp_path):
     p = _write(tmp_path / "e.warc", [_record("warcinfo", b"x")], gz=False)
     with pytest.raises(ValueError, match="unknown media kinds"):
         W.warc_media(spark, [p], kinds=("image", "text"))
+
+
+class TestCdxRandomAccess:
+    def _archive_with_index(self, tmp_path, n=30):
+        """warc.gz + CDXJ lines, offsets/lengths tracked per member."""
+        import json as _json
+
+        members, entries = [], []
+        off = 0
+        for i in range(n):
+            status = 200 if i % 3 else 404
+            rec = _record(
+                "response",
+                _http(f"<html>page {i} body</html>".encode(), status=status),
+                uri=f"http://x.example/{i}",
+                ctype="application/http; msgtype=response",
+                rid=f"<urn:uuid:{i}>",
+            )
+            member = gzip.compress(rec)
+            members.append(member)
+            entries.append(
+                f"example,x)/{i} 2026081600000{i % 10} "
+                + _json.dumps({
+                    "url": f"http://x.example/{i}",
+                    "mime": "text/html",
+                    "status": str(status),
+                    "digest": f"D{i}",
+                    "length": str(len(member)),
+                    "offset": str(off),
+                    "filename": "archive.warc.gz",
+                })
+            )
+            off += len(member)
+        (tmp_path / "archive.warc.gz").write_bytes(b"".join(members))
+        (tmp_path / "index.cdxj").write_text("\n".join(entries) + "\n")
+        return tmp_path
+
+    def test_cdxj_parses(self, spark, tmp_path):
+        d = self._archive_with_index(tmp_path)
+        idx = W.read_cdxj(spark, str(d / "index.cdxj"))
+        rows = idx.orderBy("offset").collect()
+        assert len(rows) == 30
+        assert rows[0].urlkey == "example,x)/0"
+        assert rows[0].offset == 0
+        assert rows[0].filename == "archive.warc.gz"
+        assert rows[1].offset > 0
+        assert {r.status for r in rows} == {200, 404}
+
+    def test_index_pushdown_fetches_only_selected_ranges(self, spark, tmp_path):
+        d = self._archive_with_index(tmp_path)
+        idx = W.read_cdxj(spark, str(d / "index.cdxj"))
+        sel = idx.filter(F.col("status") == 200)  # pushdown on the INDEX
+        recs = W.read_warc_records_at(spark, sel, base_dir=str(d))
+        rows = {r.target_uri: r for r in recs.collect()}
+        assert len(rows) == 20  # 404s never fetched
+        for uri, r in rows.items():
+            i = int(uri.rsplit("/", 1)[1])
+            assert i % 3 != 0
+            assert r.http_status == 200
+            assert bytes(r.payload) == f"<html>page {i} body</html>".encode()
+            assert r.record_id == f"<urn:uuid:{i}>"
+
+    def test_one_file_fans_out_across_partitions(self, spark, tmp_path):
+        d = self._archive_with_index(tmp_path)
+        idx = W.read_cdxj(spark, str(d / "index.cdxj"))
+        recs = W.read_warc_records_at(
+            spark, idx, base_dir=str(d), num_partitions=6
+        )
+        per_part = (
+            recs.select(F.spark_partition_id().alias("p"))
+            .groupBy("p").count().collect()
+        )
+        # ONE archive file, many tasks actually doing work
+        assert len([r for r in per_part if r["count"] > 0]) >= 3
+        assert sum(r["count"] for r in per_part) == 30
+
+    def test_corrupt_member_yields_audit_row(self, spark, tmp_path):
+        d = self._archive_with_index(tmp_path)
+        blob = bytearray((d / "archive.warc.gz").read_bytes())
+        # corrupt the middle of the file (hits some member's deflate data)
+        mid = len(blob) // 2
+        for i in range(mid, mid + 40):
+            blob[i] ^= 0xFF
+        (d / "archive.warc.gz").write_bytes(bytes(blob))
+        idx = W.read_cdxj(spark, str(d / "index.cdxj"))
+        recs = W.read_warc_records_at(spark, idx, base_dir=str(d)).collect()
+        assert len(recs) == 30  # every entry accounted for
+        bad = [r for r in recs if r.warc_type is None]
+        good = [r for r in recs if r.warc_type is not None]
+        assert bad, "corruption must surface as audit rows"
+        assert good, "undamaged members must still parse"
+        for r in bad:
+            assert r.warc_file.endswith("archive.warc.gz")
+            assert r.record_offset is not None
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1,)], "x int")
+        with pytest.raises(ValueError, match="entries needs column"):
+            W.read_warc_records_at(spark, df)
