@@ -484,6 +484,19 @@ def main(argv: list[str] | None = None) -> int:
                    help="include the final corpus's data-card stats "
                    "(token/char totals, length percentiles, language "
                    "mix, dup rate) in the JSON report")
+    p.add_argument("--warc-index", metavar="CDXJ", default=None,
+                   help="with --input-format warc: DOCS is ignored as "
+                   "a record source; instead read this CDXJ index "
+                   "(glob ok), filter to 200-OK text/html ON THE "
+                   "INDEX, and fetch only the matching byte ranges "
+                   "from the archives (sources/warc.read_cdxj + "
+                   "read_warc_records_at) — one archive fans out "
+                   "across the cluster. Index filenames resolve "
+                   "against --warc-base (default: the index's own "
+                   "directory)")
+    p.add_argument("--warc-base", metavar="DIR", default=None,
+                   help="directory CDXJ 'filename' fields resolve "
+                   "against (see --warc-index)")
     p.add_argument("--diff-against", metavar="DIR", default=None,
                    help="diff the final corpus against a previous "
                    "run's OUT_DIR (its train/val/test splits, or any "
@@ -581,6 +594,10 @@ def main(argv: list[str] | None = None) -> int:
         p.error("--decontam-max-overlap must be in [0, 1)")
     if args.decontam_audit and not args.decontam_ngrams:
         p.error("--decontam-audit requires --decontam-ngrams")
+    if args.warc_index and args.input_format != "warc":
+        p.error("--warc-index only makes sense with --input-format warc")
+    if args.warc_base and not args.warc_index:
+        p.error("--warc-base requires --warc-index")
     if args.decontam_action == "excise" and not args.decontam_ngrams:
         p.error("--decontam-action excise requires --decontam-ngrams "
                 "(the bench whose spans get cut)")
@@ -1595,6 +1612,30 @@ def _read_input(spark, args):
         warc_html_documents,
         wet_documents,
     )
+
+    if args.warc_index:
+        import os.path as _osp
+
+        from pyspark.sql import functions as F
+
+        from solana_snapshot_etl_tools_spark.sources.warc import (
+            html_response_documents,
+            read_cdxj,
+            read_warc_records_at,
+        )
+
+        idx = read_cdxj(spark, args.warc_index)
+        # predicate pushdown on the kilobyte index rows: only 200-OK
+        # html byte ranges are ever fetched from the archives
+        sel = idx.filter(
+            (F.col("status") == 200)
+            & F.lower(F.coalesce("mime", F.lit(""))).contains("html")
+        )
+        base = args.warc_base or _osp.dirname(
+            args.warc_index.split(",")[0].rstrip("/")
+        )
+        recs = read_warc_records_at(spark, sel, base_dir=base)
+        return html_response_documents(recs).dropDuplicates(["doc_id"])
 
     paths = (
         [p.strip() for p in args.docs.split(",") if p.strip()]

@@ -300,6 +300,14 @@ def warc_html_documents(
     recs = read_warc(
         spark, paths, record_types=["response"], max_payload_bytes=max_payload_bytes
     )
+    return html_response_documents(recs)
+
+
+def html_response_documents(recs: DataFrame) -> DataFrame:
+    """RECORD_SCHEMA response rows → (doc_id, url, text) documents,
+    keeping only 200-OK HTML. Shared by the sequential scan
+    (``warc_html_documents``) and the CDX-indexed path
+    (``read_warc_records_at`` output feeds straight in)."""
     html = recs.filter(
         (F.col("http_status") == 200)
         & F.lower(F.coalesce("http_content_type", F.lit(""))).contains("html")

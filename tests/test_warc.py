@@ -505,3 +505,63 @@ class TestCdxRandomAccess:
         df = spark.createDataFrame([(1,)], "x int")
         with pytest.raises(ValueError, match="entries needs column"):
             W.read_warc_records_at(spark, df)
+
+
+def test_cli_warc_index_pushdown_ingest(spark, tmp_path, tmp_path_factory, capsys):
+    """--warc-index: the CLI ingests via the CDX index — only 200-OK
+    html ranges are fetched, and the pipeline runs end-to-end."""
+    import json as _json
+
+    from solana_snapshot_etl_tools_spark import corpus_cli
+
+    body = (b"<html><p>a perfectly ordinary english sentence long "
+            b"enough for the default filters to keep document %d"
+            b"</p></html>")
+    members, entries, off = [], [], 0
+    for i in range(10):
+        status = 200 if i % 2 else 404
+        mime = "text/html" if i != 3 else "image/png"
+        rec = _record(
+            "response",
+            _http(body % i, status=status,
+                  ctype="text/html" if mime == "text/html" else mime),
+            uri=f"http://idx.example/{i}",
+            ctype="application/http; msgtype=response",
+            rid=f"<urn:uuid:{i}>",
+        )
+        member = gzip.compress(rec)
+        members.append(member)
+        entries.append(
+            f"example,idx)/{i} 20260816000000 "
+            + _json.dumps({
+                "url": f"http://idx.example/{i}",
+                "mime": mime,
+                "status": str(status),
+                "digest": f"D{i}",
+                "length": str(len(member)),
+                "offset": str(off),
+                "filename": "crawl.warc.gz",
+            })
+        )
+        off += len(member)
+    (tmp_path / "crawl.warc.gz").write_bytes(b"".join(members))
+    idx_path = tmp_path / "index.cdxj"
+    idx_path.write_text("\n".join(entries) + "\n")
+
+    out = str(tmp_path_factory.mktemp("cdx_ingest"))
+    assert corpus_cli.main([
+        "ignored-when-indexed", out,
+        "--input-format", "warc",
+        "--warc-index", str(idx_path),
+        "--html-extract", "--no-pii",
+    ]) == 0
+    rep = _json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.strip()][-1]
+    )
+    # 10 captures: 5 are 200-OK, one of those is image/png → 4 docs
+    assert rep["n_input"] == 4
+
+    with pytest.raises(SystemExit):
+        corpus_cli.main(["x", out, "--warc-index", str(idx_path)])
+    with pytest.raises(SystemExit):
+        corpus_cli.main(["x", out, "--warc-base", "/tmp"])
