@@ -44,6 +44,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def enable_sorted_bucket_scan(spark: SparkSession) -> None:
+    """Let the scan report its bucket-sort order so the sort-merge
+    join drops its Sort nodes too (not just the Exchange).
+
+    Spark 3+ turned ``spark.sql.legacy.bucketedTableScan.
+    outputOrdering`` off by default because the sorted-scan guarantee
+    only holds with ONE file per bucket and checking that is a
+    planning-time file listing. ``write_bucketed`` enforces exactly
+    that layout (pre-write repartition), so for tables written here
+    the conf is safe and buys a bare SortMergeJoin: no Exchange, no
+    Sort, plan-asserted in tests. Do NOT set it for bucketed tables
+    from other writers unless their file-per-bucket layout is known.
+    """
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+
+
 def write_bucketed(
     df: DataFrame,
     name: str,

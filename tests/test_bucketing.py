@@ -178,3 +178,30 @@ def test_write_bucketed_validates(spark):
         B.write_bucketed(df, "t_x", "/tmp/x", bucket_col="nope", num_buckets=2)
     with pytest.raises(ValueError, match=">= 1"):
         B.write_bucketed(df, "t_x", "/tmp/x", bucket_col="id", num_buckets=0)
+
+
+def test_sorted_bucket_scan_drops_the_sort_too(spark, bucketed_pair):
+    import re
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        left = spark.table("t_lineitem_b").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        )
+        joined = spark.table("t_orders_b").join(left, on="o_orderkey")
+        # without the conf: Exchange-free but still sorting both sides
+        assert len(re.findall(r"\bSort \[", _plan(joined))) == 2
+        B.enable_sorted_bucket_scan(spark)
+        joined2 = spark.table("t_orders_b").join(left, on="o_orderkey")
+        plan2 = _plan(joined2)
+        assert "Exchange" not in plan2
+        assert re.findall(r"\bSort \[", plan2) == []
+        assert "SortMergeJoin" in plan2
+        # and the rows are still the join's rows
+        assert joined2.count() == joined.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+        )
