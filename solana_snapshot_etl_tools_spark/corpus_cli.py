@@ -497,6 +497,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--warc-base", metavar="DIR", default=None,
                    help="directory CDXJ 'filename' fields resolve "
                    "against (see --warc-index)")
+    p.add_argument("--respect-robots", metavar="AGENT", nargs="?",
+                   const="*", default=None,
+                   help="with --input-format warc: honor the "
+                   "crawl's own robots.txt captures — parse every "
+                   "200-OK /robots.txt in the archives (operators/"
+                   "robots.py, RFC 9309 longest-match subset with "
+                   "allow tie-break and per-agent group fallback) and "
+                   "drop documents a Disallow covers for AGENT "
+                   "(default '*'). The host-level companion to the "
+                   "page-level --respect-noai")
     p.add_argument("--diff-against", metavar="DIR", default=None,
                    help="diff the final corpus against a previous "
                    "run's OUT_DIR (its train/val/test splits, or any "
@@ -596,6 +606,10 @@ def main(argv: list[str] | None = None) -> int:
         p.error("--decontam-audit requires --decontam-ngrams")
     if args.warc_index and args.input_format != "warc":
         p.error("--warc-index only makes sense with --input-format warc")
+    if args.respect_robots is not None and args.input_format != "warc":
+        p.error("--respect-robots needs --input-format warc (the rules "
+                "are parsed from the archives' own robots.txt response "
+                "captures; WET conversions carry no HTTP responses)")
     if args.warc_base and not args.warc_index:
         p.error("--warc-base requires --warc-index")
     if args.decontam_action == "excise" and not args.decontam_ngrams:
@@ -770,6 +784,16 @@ def main(argv: list[str] | None = None) -> int:
     ride_source = args.source_cap is not None or mixture is not None
     need_source = bool(args.source_blocklist) or ride_source
     raw = _read_input(spark, args)
+    if args.respect_robots is not None:
+        from solana_snapshot_etl_tools_spark.operators.robots import (
+            apply_robots,
+        )
+
+        before_robots = raw.count()
+        raw = apply_robots(raw, _robots_rules(spark, args),
+                           agent=args.respect_robots)
+        report["robots_agent"] = args.respect_robots
+        report["n_robots_blocked"] = before_robots - raw.count()
     if need_source and "source" not in raw.columns:
         p.error("--source-blocklist/--source-cap need a 'source' "
                 "column in DOCS")
@@ -1637,18 +1661,54 @@ def _read_input(spark, args):
         recs = read_warc_records_at(spark, sel, base_dir=base)
         return html_response_documents(recs).dropDuplicates(["doc_id"])
 
-    paths = (
-        [p.strip() for p in args.docs.split(",") if p.strip()]
-        if "," in args.docs
-        else args.docs
-    )
     reader = warc_html_documents if args.input_format == "warc" else wet_documents
     # doc_id is content-addressed, so byte-identical re-fetches of one
     # page are IDENTICAL ROWS sharing one id. The pipeline's input
     # contract is unique doc_id (duplicate ids semi-join themselves
     # back through every dedup stage), so collapse them here — one
     # id-keyed shuffle at ingest, the price of the contract.
-    return reader(spark, paths).dropDuplicates(["doc_id"])
+    return reader(spark, _warc_paths(args)).dropDuplicates(["doc_id"])
+
+
+def _warc_paths(args):
+    return (
+        [p.strip() for p in args.docs.split(",") if p.strip()]
+        if "," in args.docs
+        else args.docs
+    )
+
+
+def _robots_rules(spark, args):
+    """Rules table for --respect-robots: parse every 200-OK
+    /robots.txt response in the SAME archives the documents come
+    from. In --warc-index mode the robots captures are selected on
+    the index and fetched by byte range, same as the documents."""
+    from pyspark.sql import functions as F
+
+    from solana_snapshot_etl_tools_spark.operators.robots import (
+        parse_robots_records,
+    )
+    from solana_snapshot_etl_tools_spark.sources.warc import (
+        read_cdxj,
+        read_warc,
+        read_warc_records_at,
+    )
+
+    if args.warc_index:
+        import os.path as _osp
+
+        idx = read_cdxj(spark, args.warc_index)
+        sel = idx.filter(
+            (F.col("status") == 200)
+            & F.lower(F.col("url")).rlike(r"^[a-z]+://[^/]+/robots\.txt$")
+        )
+        base = args.warc_base or _osp.dirname(
+            args.warc_index.split(",")[0].rstrip("/")
+        )
+        recs = read_warc_records_at(spark, sel, base_dir=base)
+    else:
+        recs = read_warc(spark, _warc_paths(args))
+    return parse_robots_records(recs)
 
 
 def _skew_report(corpus, args, report, src=None):

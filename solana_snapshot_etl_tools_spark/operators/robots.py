@@ -1,0 +1,191 @@
+"""robots.txt governance over crawl corpora.
+
+The consent side of web-scale ingestion: ``html_noai``
+(functions/html.py) reads per-page meta opt-outs; this module reads
+the per-HOST opt-outs — robots.txt files captured in the same crawl —
+and filters the document set by them. A pipeline that honors
+robots/noai end-to-end can demonstrate it: every rule and every drop
+is a row.
+
+Scale shape: the rules table is tiny relative to the corpus (one
+robots.txt per host), so ``apply_robots`` broadcasts it and the
+corpus-side check is a narrow prefix test — no corpus shuffle.
+
+Parsing follows the de-facto REP subset that matters for corpus
+filtering: grouped ``User-agent`` lines each apply to the following
+``Disallow``/``Allow`` block; matching is longest-prefix, ``Allow``
+wins ties by length (the Google/RFC 9309 rule); an empty ``Disallow``
+means "everything allowed"; ``*`` user-agent is the fallback group.
+Wildcards inside paths (``*``, ``$``) are intentionally NOT
+implemented — a corpus filter must err conservative, so a pattern
+containing them disallows its literal prefix up to the first ``*``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from solana_snapshot_etl_tools_spark.functions.url import url_host
+
+RULES_SCHEMA = "host string, agent string, rule string, path string"
+
+
+def parse_robots_records(recs: DataFrame) -> DataFrame:
+    """WARC response rows (``sources.warc.RECORD_SCHEMA``) →
+    (host, agent, rule, path) rows for every Allow/Disallow directive
+    found in 200-OK ``/robots.txt`` captures.
+
+    Pure column expressions: lines split and exploded JVM-side with
+    the group's user-agents carried by a running scan — no Python in
+    the path. Hosts are lowercased; agents lowercased; paths kept
+    verbatim except a conservative cut at the first ``*``.
+    """
+    robots = recs.filter(
+        (F.col("http_status") == 200)
+        & F.lower(F.col("target_uri")).rlike(r"^[a-z]+://[^/]+/robots\.txt$")
+    )
+    txt = F.make_valid_utf8(F.col("payload").cast("string"))
+    lines = F.split(txt, "\r?\n")
+    # fold the line list into (current_agents, emitted rules): a
+    # user-agent line after rules starts a NEW group; consecutive
+    # user-agent lines accumulate into one group (the REP grouping).
+    acc0 = F.expr(
+        "named_struct("
+        "'agents', cast(array() as array<string>), "
+        "'in_rules', false, "
+        "'out', cast(array() as array<struct<agent:string,rule:string,path:string>>))"
+    )
+    folded = F.aggregate(
+        lines,
+        acc0,
+        lambda acc, raw: _robots_step(acc, raw),
+        lambda acc: acc["out"],
+    )
+    return (
+        robots.select(
+            F.lower(url_host(F.col("target_uri"))).alias("host"),
+            F.explode(folded).alias("r"),
+        )
+        .select(
+            "host",
+            F.col("r.agent").alias("agent"),
+            F.col("r.rule").alias("rule"),
+            # conservative: cut wildcards at the first '*'
+            F.split(F.col("r.path"), r"\*", 2).getItem(0).alias("path"),
+        )
+        .filter(F.col("path").isNotNull())
+    )
+
+
+def _robots_step(acc, raw):
+    """One line of the REP group fold (see parse_robots_records)."""
+    l = F.trim(F.regexp_replace(raw, "#.*$", ""))
+    kv = F.split(l, ":", 2)
+    key = F.lower(F.trim(kv.getItem(0)))
+    val = F.trim(F.element_at(kv, 2))
+    is_agent = (key == F.lit("user-agent")) & val.isNotNull()
+    is_rule = key.isin("disallow", "allow") & val.isNotNull()
+    new_agents = (
+        F.when(
+            is_agent & acc["in_rules"],
+            F.array(F.lower(val)),  # rules seen: a NEW group starts
+        )
+        .when(is_agent, F.array_union(acc["agents"], F.array(F.lower(val))))
+        .otherwise(acc["agents"])
+    )
+    emitted = F.when(
+        is_rule & (F.size(acc["agents"]) > 0) & (F.length(val) > 0),
+        F.concat(
+            acc["out"],
+            F.flatten(
+                F.transform(
+                    acc["agents"],
+                    lambda a: F.array(
+                        F.struct(
+                            a.alias("agent"),
+                            key.alias("rule"),
+                            val.alias("path"),
+                        )
+                    ),
+                )
+            ),
+        ),
+    ).otherwise(acc["out"])
+    return F.struct(
+        new_agents.alias("agents"),
+        (is_rule | (acc["in_rules"] & ~is_agent)).alias("in_rules"),
+        emitted.alias("out"),
+    )
+
+
+def apply_robots(
+    docs: DataFrame,
+    rules: DataFrame,
+    agent: str = "*",
+    url_col: str = "url",
+) -> DataFrame:
+    """Drop documents whose URL a robots Disallow covers for ``agent``.
+
+    Matching per RFC 9309's precedence subset: among the agent's own
+    group (falling back to ``*`` when the agent has no group on that
+    host), the longest matching rule wins; Allow beats Disallow at
+    equal length. The rules frame is broadcast (one robots.txt per
+    host is small by construction) and the corpus side is a narrow
+    prefix test after one host equi-join — document text never
+    shuffles.
+    """
+    a = agent.lower()
+    mine = rules.filter(F.col("agent").isin(a, "*") if a != "*" else (F.col("agent") == "*"))
+    # fallback semantics: a host with ANY group for the specific agent
+    # uses ONLY that group (RFC 9309 §2.2.1)
+    if a != "*":
+        has_own = (
+            rules.filter(F.col("agent") == a)
+            .select("host")
+            .distinct()
+            .withColumn("_own", F.lit(True))
+        )
+        mine = (
+            mine.join(has_own, "host", "left")
+            .filter((F.col("agent") == a) | F.col("_own").isNull())
+            .drop("_own")
+        )
+    grouped = mine.groupBy("host").agg(
+        F.collect_list(F.struct("rule", "path")).alias("_rules")
+    )
+    path = F.regexp_replace(F.col(url_col), r"^[a-z]+://[^/]*", "")
+    path = F.when(path == "", "/").otherwise(path)
+    host = F.lower(url_host(F.col(url_col)))
+    joined = docs.withColumn("_h", host).join(
+        F.broadcast(grouped.withColumnRenamed("host", "_h")), "_h", "left"
+    )
+    matches = F.filter(
+        F.col("_rules"), lambda r: path.startswith(r["path"])
+    )
+    best = F.array_max(
+        F.transform(
+            matches,
+            # order by (length, rule) — 'disallow' > 'allow'
+            # lexically, so pack allow as 1, disallow as 0 and prefer
+            # ALLOW at equal length per the RFC tie-break
+            lambda r: F.struct(
+                F.length(r["path"]).alias("len"),
+                F.when(r["rule"] == "allow", 1).otherwise(0).alias("is_allow"),
+            ),
+        )
+    )
+    blocked = F.col("_rules").isNotNull() & (F.size(matches) > 0) & (
+        best["is_allow"] == 0
+    )
+    return joined.filter(~blocked).drop("_h", "_rules")
+
+
+def robots_rules_from_warc(
+    spark: SparkSession, paths: str | list[str]
+) -> DataFrame:
+    """Convenience: scan archives for robots.txt captures and parse
+    them — ``read_warc`` keeps only response records, and robots
+    files are tiny, so this is one cheap pass over the crawl."""
+    from solana_snapshot_etl_tools_spark.sources.warc import read_warc
+
+    return parse_robots_records(read_warc(spark, paths))

@@ -1,0 +1,202 @@
+"""robots.txt parsing and enforcement over crawl documents."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from solana_snapshot_etl_tools_spark.operators import robots as R
+
+ROBOTS_A = """\
+# comments and blank lines are ignored
+
+User-agent: *
+Disallow: /private/
+Disallow: /tmp
+Allow: /private/ok/
+
+User-agent: trainbot
+User-agent: otherbot
+Disallow: /no-train/
+Disallow: /wild/*/cards
+"""
+
+ROBOTS_B = """\
+User-agent: *
+Disallow:
+"""
+
+
+def _rec_rows(spark):
+    # minimal RECORD_SCHEMA-shaped frame (only the consumed columns
+    # need real values)
+    rows = [
+        ("http://a.example/robots.txt", 200, ROBOTS_A.encode()),
+        ("http://b.example/robots.txt", 200, ROBOTS_B.encode()),
+        ("http://c.example/robots.txt", 404, b"irrelevant"),
+        ("http://a.example/page", 200, b"<html>not robots</html>"),
+    ]
+    return spark.createDataFrame(
+        [(u, None, None, u, None, None, len(p), s, None, bytearray(p))
+         for u, s, p in rows],
+        "warc_file string, warc_type string, record_id string, "
+        "target_uri string, warc_date string, content_type string, "
+        "content_length long, http_status int, http_content_type string, "
+        "payload binary",
+    )
+
+
+@pytest.fixture(scope="module")
+def rules(spark):
+    return R.parse_robots_records(_rec_rows(spark)).cache()
+
+
+def test_parse_groups_and_directives(spark, rules):
+    rows = {(r.host, r.agent, r.rule, r.path) for r in rules.collect()}
+    assert ("a.example", "*", "disallow", "/private/") in rows
+    assert ("a.example", "*", "disallow", "/tmp") in rows
+    assert ("a.example", "*", "allow", "/private/ok/") in rows
+    # consecutive user-agent lines share one rule block
+    assert ("a.example", "trainbot", "disallow", "/no-train/") in rows
+    assert ("a.example", "otherbot", "disallow", "/no-train/") in rows
+    # wildcard paths cut conservatively at the first '*'
+    assert ("a.example", "trainbot", "disallow", "/wild/") in rows
+    # empty Disallow emits nothing; 404 robots emits nothing
+    assert not any(h == "b.example" for h, *_ in rows)
+    assert not any(h == "c.example" for h, *_ in rows)
+
+
+def test_apply_star_agent(spark, rules):
+    docs = spark.createDataFrame(
+        [
+            ("d1", "http://a.example/private/secret.html"),
+            ("d2", "http://a.example/private/ok/fine.html"),
+            ("d3", "http://a.example/tmpfile"),       # /tmp is a PREFIX
+            ("d4", "http://a.example/public/x"),
+            ("d5", "http://b.example/anything"),       # empty disallow
+            ("d6", "http://nohost.example/x"),         # no robots at all
+        ],
+        "doc_id string, url string",
+    )
+    kept = {r.doc_id for r in R.apply_robots(docs, rules).collect()}
+    assert kept == {"d2", "d4", "d5", "d6"}
+
+
+def test_apply_specific_agent_uses_own_group_only(spark, rules):
+    docs = spark.createDataFrame(
+        [
+            ("d1", "http://a.example/no-train/x"),   # trainbot group
+            ("d2", "http://a.example/private/x"),    # * group — NOT for trainbot
+            ("d3", "http://a.example/wild/a/cards"), # conservative prefix /wild/
+        ],
+        "doc_id string, url string",
+    )
+    kept = {r.doc_id for r in R.apply_robots(docs, rules, agent="trainbot").collect()}
+    # RFC 9309: a host with a group for the agent uses ONLY that group
+    assert kept == {"d2"}
+    # an agent with no group anywhere falls back to *
+    kept_other = {
+        r.doc_id for r in R.apply_robots(docs, rules, agent="unknownbot").collect()
+    }
+    assert kept_other == {"d1", "d3"}
+
+
+def test_longest_match_allow_tiebreak(spark):
+    rules = spark.createDataFrame(
+        [
+            ("h.example", "*", "disallow", "/a/"),
+            ("h.example", "*", "allow", "/a/b/"),
+            ("h.example", "*", "disallow", "/a/b/c/"),
+        ],
+        R.RULES_SCHEMA,
+    )
+    docs = spark.createDataFrame(
+        [
+            ("d1", "http://h.example/a/x"),       # disallow /a/
+            ("d2", "http://h.example/a/b/x"),     # allow /a/b/ (longer)
+            ("d3", "http://h.example/a/b/c/x"),   # disallow /a/b/c/ (longest)
+        ],
+        "doc_id string, url string",
+    )
+    kept = {r.doc_id for r in R.apply_robots(docs, rules).collect()}
+    assert kept == {"d2"}
+
+
+def test_warc_end_to_end(spark, tmp_path):
+    import gzip as _gzip
+
+    from tests.test_warc import _http, _record, _write
+
+    recs = [
+        _record("response", _http(ROBOTS_A.encode(), ctype="text/plain"),
+                uri="http://a.example/robots.txt",
+                ctype="application/http; msgtype=response"),
+        _record("response", _http(b"<html>secret</html>"),
+                uri="http://a.example/private/x.html",
+                ctype="application/http; msgtype=response"),
+        _record("response", _http(b"<html>open</html>"),
+                uri="http://a.example/pub/y.html",
+                ctype="application/http; msgtype=response"),
+    ]
+    p = _write(tmp_path / "crawl.warc.gz", recs, gz=True)
+    rules = R.robots_rules_from_warc(spark, [p])
+    from solana_snapshot_etl_tools_spark.sources.warc import warc_html_documents
+
+    docs = warc_html_documents(spark, [p])
+    kept = [r.url for r in R.apply_robots(docs, rules).collect()]
+    assert kept == ["http://a.example/pub/y.html"]
+
+
+def test_no_text_shuffle(spark, rules):
+    docs = spark.createDataFrame(
+        [("d1", "http://a.example/x", "body")],
+        "doc_id string, url string, text string",
+    )
+    out = R.apply_robots(docs, rules)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    # the corpus side must not hash-exchange
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
+
+
+def test_cli_respect_robots(spark, tmp_path, tmp_path_factory, capsys):
+    import json
+
+    from solana_snapshot_etl_tools_spark import corpus_cli
+
+    from tests.test_warc import _http, _record, _write
+
+    body = (b"<html><p>a perfectly ordinary english page with enough "
+            b"words for the default filters to keep it around %d"
+            b"</p></html>")
+    recs = [
+        _record("response", _http(ROBOTS_A.encode(), ctype="text/plain"),
+                uri="http://a.example/robots.txt",
+                ctype="application/http; msgtype=response"),
+        _record("response", _http(body % 1),
+                uri="http://a.example/private/p1",
+                ctype="application/http; msgtype=response"),
+        _record("response", _http(body % 2),
+                uri="http://a.example/pub/p2",
+                ctype="application/http; msgtype=response"),
+        _record("response", _http(body % 3),
+                uri="http://b.example/anything/p3",
+                ctype="application/http; msgtype=response"),
+    ]
+    p = _write(tmp_path / "crawl.warc.gz", recs, gz=True)
+    out = str(tmp_path_factory.mktemp("robots_cli"))
+    assert corpus_cli.main([
+        p, out, "--input-format", "warc", "--html-extract", "--no-pii",
+        "--respect-robots",
+    ]) == 0
+    rep = json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.strip()][-1]
+    )
+    assert rep["robots_agent"] == "*"
+    assert rep["n_robots_blocked"] == 1  # only /private/p1
+    assert rep["n_input"] == 2
+
+    with pytest.raises(SystemExit):
+        corpus_cli.main([p, out, "--respect-robots"])  # parquet input
