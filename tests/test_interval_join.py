@@ -122,3 +122,33 @@ def test_validation(spark):
         clash = l.withColumnRenamed("id", "r_id")
         interval_join(clash, l, left_bounds=("s", "e"),
                       right_bounds=("s", "e"))
+
+
+hypothesis = pytest.importorskip("hypothesis")
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_iv = st.lists(
+    st.tuples(st.integers(0, 200), st.integers(0, 60)), min_size=1, max_size=40
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(ls=_iv, rs=_iv, bucket=st.sampled_from([1, 3, 17, 64, 500]),
+       seed=st.integers(0, 10))
+def test_property_matches_duckdb(spark, ls, rs, bucket, seed):
+    lp = pd.DataFrame(
+        [{"id": i, "s": s, "e": s + w} for i, (s, w) in enumerate(ls)]
+    )
+    rp = pd.DataFrame(
+        [{"id": i, "s": s, "e": s + w} for i, (s, w) in enumerate(rs)]
+    )
+    got = interval_join(
+        spark.createDataFrame(lp),
+        spark.createDataFrame(rp),
+        left_bounds=("s", "e"),
+        right_bounds=("s", "e"),
+        bucket=bucket,
+    )
+    pairs = sorted((r.id, r.r_id) for r in got.collect())
+    assert pairs == _oracle(lp, rp, keyed=False)
+    assert len(pairs) == len(set(pairs))

@@ -154,8 +154,10 @@ def test_no_text_shuffle(spark, rules):
     )
     out = R.apply_robots(docs, rules)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
-    # the corpus side must not hash-exchange
+    # the rules ride a broadcast hash join on the host key; the corpus
+    # side never nested-loops and never hash-exchanges its text
+    assert "BroadcastHashJoin" in plan, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text" not in line, line
