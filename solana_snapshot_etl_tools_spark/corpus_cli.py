@@ -789,9 +789,14 @@ def main(argv: list[str] | None = None) -> int:
             apply_robots,
         )
 
+        # persist the parsed archives AND the (tiny) rules: the
+        # blocked-count needs two counts, and the pipeline reads the
+        # filtered frame again downstream — without the cache each of
+        # those actions would re-parse every archive from scratch
+        raw = raw.persist()
         before_robots = raw.count()
-        raw = apply_robots(raw, _robots_rules(spark, args),
-                           agent=args.respect_robots)
+        rules = _robots_rules(spark, args).persist()
+        raw = apply_robots(raw, rules, agent=args.respect_robots)
         report["robots_agent"] = args.respect_robots
         report["n_robots_blocked"] = before_robots - raw.count()
     if need_source and "source" not in raw.columns:
@@ -1308,15 +1313,32 @@ def main(argv: list[str] | None = None) -> int:
         ).write.mode("overwrite").parquet(f"{args.index_out}/bloom")
         new_sigs.unpersist()
 
-    shard_records = args.records_per_shard
-    if args.shard_target_mb is not None:
-        from solana_snapshot_etl_tools_spark.operators.sinks import (
-            estimate_parquet_row_bytes,
-        )
+    # --shard-target-mb derives records-per-shard from the FIRST frame
+    # actually handed to the writer (the train split — document rows
+    # or packed int-array rows, whichever the run produces): measuring
+    # the pre-tokenize text frame would miss the target by the
+    # text-to-tokens byte ratio whenever --tokenize is set
+    _shard_state: dict[str, int] = {}
 
-        _bpr = estimate_parquet_row_bytes(corpus.select("doc_id", "text"))
-        shard_records = max(1, int((args.shard_target_mb << 20) / _bpr))
-        report["records_per_shard"] = shard_records
+    def _shard_records(df):
+        if args.shard_target_mb is None:
+            return args.records_per_shard
+        if "derived" not in _shard_state:
+            from solana_snapshot_etl_tools_spark.operators.sinks import (
+                estimate_parquet_row_bytes,
+            )
+
+            n = df.count()
+            if n == 0:
+                # an empty split can't seed the estimate; derive from
+                # the first non-empty one instead
+                return args.records_per_shard
+            _bpr = estimate_parquet_row_bytes(df, total_rows=n)
+            _shard_state["derived"] = max(
+                1, int((args.shard_target_mb << 20) / _bpr)
+            )
+            report["records_per_shard"] = _shard_state["derived"]
+        return _shard_state["derived"]
 
     def write_split(df, name, order_col):
         if args.shuffle_seed is not None:
@@ -1329,7 +1351,7 @@ def main(argv: list[str] | None = None) -> int:
         manifest = write_training_shards(
             df,
             f"{args.out_dir}/{name}",
-            records_per_shard=shard_records,
+            records_per_shard=_shard_records(df.drop("_ord") if drop else df),
             order_col=order_col,
             drop_order_col=drop,
         )

@@ -82,7 +82,11 @@ def _robots_step(acc, raw):
     l = F.trim(F.regexp_replace(raw, "#.*$", ""))
     kv = F.split(l, ":", 2)
     key = F.lower(F.trim(kv.getItem(0)))
-    val = F.trim(F.element_at(kv, 2))
+    # try_element_at, NOT element_at: a colon-less directive line
+    # ("Disallow" alone — common real-world malformation) yields a
+    # 1-element split, and under ANSI element_at(.., 2) would throw
+    # and kill the job instead of skipping the line
+    val = F.trim(F.try_element_at(kv, F.lit(2)))
     is_agent = (key == F.lit("user-agent")) & val.isNotNull()
     is_rule = key.isin("disallow", "allow") & val.isNotNull()
     new_agents = (
@@ -153,7 +157,13 @@ def apply_robots(
     grouped = mine.groupBy("host").agg(
         F.collect_list(F.struct("rule", "path")).alias("_rules")
     )
-    path = F.regexp_replace(F.col(url_col), r"^[a-z]+://[^/]*", "")
+    # case-insensitive scheme strip: URI schemes are case-insensitive
+    # (RFC 3986) and uppercase schemes occur in the wild — a
+    # case-sensitive pattern would leave the full URL as the "path",
+    # match no Disallow prefix, and FAIL OPEN for exactly those rows
+    path = F.regexp_replace(
+        F.col(url_col), r"(?i)^[a-z][a-z0-9+.-]*://[^/]*", ""
+    )
     path = F.when(path == "", "/").otherwise(path)
     host = F.lower(url_host(F.col(url_col)))
     joined = docs.withColumn("_h", host).join(

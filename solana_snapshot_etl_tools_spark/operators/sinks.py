@@ -132,14 +132,25 @@ def estimate_parquet_row_bytes(
     df: DataFrame,
     sample_rows: int = 2048,
     compression: str = "zstd",
+    total_rows: int | None = None,
 ) -> float:
     """Estimate on-disk parquet bytes per row by actually encoding a
     bounded sample (pyarrow in-memory write, same codec) — dictionary
     and compression effects included, which a schema-width guess gets
     wrong by 10× on text. Driver-side cost is capped at
-    ``sample_rows`` rows regardless of input size."""
+    ``sample_rows`` rows regardless of input size.
+
+    Pass ``total_rows`` (a count the caller usually already has) to
+    draw a seeded Bernoulli sample across ALL partitions before the
+    limit — a bare ``limit`` reads the head of the frame, which is a
+    biased sample whenever row sizes correlate with frame order
+    (post-clustering, per-source ordering...). Without it the head
+    sample is used, documented bias and all."""
     import pyarrow.parquet as pq
 
+    if total_rows is not None and total_rows > sample_rows:
+        frac = min(1.0, 2.0 * sample_rows / total_rows)
+        df = df.sample(fraction=frac, seed=7)
     sample = df.limit(sample_rows).toArrow()
     n = sample.num_rows
     if n == 0:
@@ -176,8 +187,10 @@ def write_sized_parquet(
 
     from pyspark.sql import functions as F
 
-    bytes_per_row = estimate_parquet_row_bytes(df, sample_rows, compression)
     n = df.count()
+    bytes_per_row = estimate_parquet_row_bytes(
+        df, sample_rows, compression, total_rows=n
+    )
     files = max(1, math.ceil(n * bytes_per_row / (target_mb << 20)))
     if order_col is not None:
         packed = df.repartitionByRange(files, F.col(order_col)).sortWithinPartitions(

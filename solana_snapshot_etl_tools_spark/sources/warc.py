@@ -206,6 +206,17 @@ def _iter_records(
     yield ("__stats__", n, skipped)
 
 
+def _per_file_frame(spark: SparkSession, files: list[str]) -> DataFrame:
+    """EXACTLY one archive per task. Hash-repartitioning on the path
+    would leave ~1/e of tasks empty and hand stragglers 2-3 archives
+    (birthday collisions); range-partitioning a sequential index over
+    as many partitions as files puts one file in each."""
+    plist = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(files)], "i long, path string"
+    )
+    return plist.repartitionByRange(len(files), "i").drop("i")
+
+
 def read_warc(
     spark: SparkSession,
     paths: str | list[str],
@@ -242,9 +253,7 @@ def read_warc(
                 if rows:
                     yield pd.DataFrame(rows, columns=cols)
 
-    # One task per archive: the repartition key is the file itself.
-    plist = spark.createDataFrame([(p,) for p in files], "path string")
-    return plist.repartition(len(files), "path").mapInPandas(gen, RECORD_SCHEMA)
+    return _per_file_frame(spark, files).mapInPandas(gen, RECORD_SCHEMA)
 
 
 def warc_file_stats(
@@ -274,8 +283,7 @@ def warc_file_stats(
                     {"warc_file": [path], "n_records": [n], "n_skipped": [skipped]}
                 )
 
-    plist = spark.createDataFrame([(p,) for p in files], "path string")
-    return plist.repartition(len(files), "path").mapInPandas(
+    return _per_file_frame(spark, files).mapInPandas(
         gen, "warc_file string, n_records long, n_skipped long"
     )
 
@@ -413,16 +421,21 @@ def read_cdxj(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     byte ranges of the warc.gz files are ever fetched."""
     lines = spark.read.text(paths)
     parts = F.split(F.col("value"), " ", 3)
+    # F.get, not getItem: a truncated/malformed index line splits into
+    # fewer than 3 fields, and under ANSI getItem would throw
+    # INVALID_ARRAY_INDEX and abort the ingest; get() yields NULL and
+    # the row is dropped below (skip-not-fail, same policy as the
+    # archive parser)
     j = F.from_json(
-        parts.getItem(2),
+        F.get(parts, 2),
         "url string, mime string, status string, digest string, "
         "length string, offset string, filename string",
     )
     return (
         lines.filter(F.length(F.trim("value")) > 0)
         .select(
-            parts.getItem(0).alias("urlkey"),
-            parts.getItem(1).alias("ts"),
+            F.get(parts, 0).alias("urlkey"),
+            F.get(parts, 1).alias("ts"),
             j.alias("_j"),
         )
         .select(
@@ -430,11 +443,18 @@ def read_cdxj(spark: SparkSession, paths: str | list[str]) -> DataFrame:
             "ts",
             F.col("_j.url").alias("url"),
             F.col("_j.mime").alias("mime"),
-            F.col("_j.status").cast("int").alias("status"),
+            F.col("_j.status").try_cast("int").alias("status"),
             F.col("_j.digest").alias("digest"),
-            F.col("_j.length").cast("long").alias("length"),
-            F.col("_j.offset").cast("long").alias("offset"),
+            F.col("_j.length").try_cast("long").alias("length"),
+            F.col("_j.offset").try_cast("long").alias("offset"),
             F.col("_j.filename").alias("filename"),
+        )
+        # rows the random-access fetch cannot act on are dropped here,
+        # not exploded into task errors later
+        .filter(
+            F.col("offset").isNotNull()
+            & F.col("length").isNotNull()
+            & F.col("filename").isNotNull()
         )
     )
 

@@ -202,3 +202,29 @@ def test_cli_respect_robots(spark, tmp_path, tmp_path_factory, capsys):
 
     with pytest.raises(SystemExit):
         corpus_cli.main([p, out, "--respect-robots"])  # parquet input
+
+
+def test_colonless_directive_line_is_skipped_not_fatal(spark):
+    # "Disallow" with no colon — common malformation; under ANSI the
+    # old element_at path threw and killed the job
+    recs = spark.createDataFrame(
+        [("http://m.example/robots.txt", None, None,
+          "http://m.example/robots.txt", None, None, 0, 200, None,
+          bytearray(b"User-agent: *\nDisallow\nDisallow: /keep-me/\n"))],
+        "warc_file string, warc_type string, record_id string, "
+        "target_uri string, warc_date string, content_type string, "
+        "content_length long, http_status int, http_content_type string, "
+        "payload binary",
+    )
+    rows = {(r.rule, r.path) for r in R.parse_robots_records(recs).collect()}
+    assert rows == {("disallow", "/keep-me/")}
+
+
+def test_uppercase_scheme_fails_closed(spark, rules):
+    docs = spark.createDataFrame(
+        [("d1", "HTTP://a.example/private/x"),
+         ("d2", "HTTP://a.example/pub/x")],
+        "doc_id string, url string",
+    )
+    kept = {r.doc_id for r in R.apply_robots(docs, rules).collect()}
+    assert kept == {"d2"}

@@ -305,3 +305,33 @@ class TestSizedParquet:
                     .collect()[0][0]
                 )
                 assert per_file <= rep["records_per_shard"]
+
+    def test_cli_shard_target_mb_measures_packed_frame(
+        self, spark, tmp_path_factory, capsys
+    ):
+        # review finding: the byte target must be derived from the
+        # frame actually written (packed int sequences under
+        # --tokenize), not the pre-tokenize text frame
+        import json
+
+        from pyspark.sql import functions as F
+
+        from solana_snapshot_etl_tools_spark import corpus_cli
+
+        out = str(tmp_path_factory.mktemp("corpus_sized_packed"))
+        assert corpus_cli.main([
+            "/root/testdata/sf0.001/documents.parquet", out,
+            "--no-pii", "--tokenize", "300", "--pack", "64",
+            "--shard-target-mb", "1",
+        ]) == 0
+        rep = json.loads(
+            [l for l in capsys.readouterr().out.splitlines() if l.strip()][-1]
+        )
+        assert rep["records_per_shard"] >= 1
+        packed = spark.read.parquet(f"{out}/train")
+        assert "input_ids" in packed.columns
+        per_file = (
+            packed.groupBy(F.input_file_name()).count()
+            .agg(F.max("count")).collect()[0][0]
+        )
+        assert per_file <= rep["records_per_shard"]

@@ -565,3 +565,46 @@ def test_cli_warc_index_pushdown_ingest(spark, tmp_path, tmp_path_factory, capsy
         corpus_cli.main(["x", out, "--warc-index", str(idx_path)])
     with pytest.raises(SystemExit):
         corpus_cli.main(["x", out, "--warc-base", "/tmp"])
+
+
+def test_cdxj_malformed_lines_skipped_not_fatal(spark, tmp_path):
+    import json as _json
+
+    good = "example,g)/p 20260816 " + _json.dumps({
+        "url": "http://g.example/p", "mime": "text/html", "status": "200",
+        "digest": "D", "length": "10", "offset": "0",
+        "filename": "a.warc.gz",
+    })
+    bad = [
+        "malformedline",                       # <3 fields
+        "urlkey 20260816",                     # json chopped off
+        "k 1 {not json at all",                # unparseable json
+        'k 1 {"url":"x","offset":"NaNope","length":"5","filename":"f"}',
+    ]
+    p = tmp_path / "mixed.cdxj"
+    p.write_text("\n".join([good] + bad) + "\n")
+    rows = W.read_cdxj(spark, str(p)).collect()
+    assert len(rows) == 1
+    assert rows[0].filename == "a.warc.gz" and rows[0].offset == 0
+
+
+def test_one_task_per_archive_exactly(spark, tmp_path):
+    files = []
+    for i in range(6):
+        files.append(_write(
+            tmp_path / f"f{i}.warc",
+            [_record("response", _http(f"<html>{i}</html>".encode()),
+                     uri=f"http://p.example/{i}")],
+            gz=False,
+        ))
+    df = W.read_warc(spark, files)
+    per_part = (
+        df.select(F.spark_partition_id().alias("p"), "warc_file")
+        .groupBy("p")
+        .agg(F.count_distinct("warc_file").alias("nf"))
+        .collect()
+    )
+    # no partition owns two archives (the old hash layout gave ~1/e
+    # empty tasks and 2-3-archive stragglers)
+    assert all(r.nf == 1 for r in per_part)
+    assert len(per_part) == 6
