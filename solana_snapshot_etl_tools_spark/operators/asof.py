@@ -116,6 +116,14 @@ def interval_join(
     clash = set(left.columns) & set(overlap_cols)
     if clash:
         raise ValueError(f"right_prefix {right_prefix!r} collides with {clash}")
+    # the internal scratch columns would silently overwrite (then drop)
+    # same-named input columns — refuse loudly instead
+    scratch = {"_cell", "_jk"} & (set(left.columns) | set(right.columns) | set(overlap_cols))
+    if scratch:
+        raise ValueError(
+            f"interval_join reserves columns {sorted(scratch)} for its "
+            "bucketing scratch space; rename them on the input"
+        )
 
     def cells(s: str, e: str):
         lo = F.floor(F.col(s).cast("double") / bucket).cast("long")

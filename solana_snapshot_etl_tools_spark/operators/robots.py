@@ -17,8 +17,15 @@ filtering: grouped ``User-agent`` lines each apply to the following
 wins ties by length (the Google/RFC 9309 rule); an empty ``Disallow``
 means "everything allowed"; ``*`` user-agent is the fallback group.
 Wildcards inside paths (``*``, ``$``) are intentionally NOT
-implemented — a corpus filter must err conservative, so a pattern
-containing them disallows its literal prefix up to the first ``*``.
+implemented — a corpus filter must err conservative, so the
+truncation is asymmetric by rule: a ``Disallow`` containing ``*``
+blocks its literal prefix up to the first ``*`` (broader than the
+pattern — fails closed), and a trailing ``$`` anchor on a Disallow is
+stripped (the exact-match rule becomes a prefix rule — again
+broader). An ``Allow`` containing ``*`` is DROPPED outright: cutting
+it at the ``*`` would broaden the allow and let it out-rank the very
+Disallow it was carved out of (fail-open), and a missing Allow can
+only make the filter stricter.
 """
 
 from __future__ import annotations
@@ -37,8 +44,11 @@ def parse_robots_records(recs: DataFrame) -> DataFrame:
 
     Pure column expressions: lines split and exploded JVM-side with
     the group's user-agents carried by a running scan — no Python in
-    the path. Hosts are lowercased; agents lowercased; paths kept
-    verbatim except a conservative cut at the first ``*``.
+    the path. Hosts are lowercased; agents lowercased. Wildcard
+    handling is asymmetric so the filter can only fail CLOSED:
+    Disallow paths are cut at the first ``*`` and lose a trailing
+    ``$`` anchor (both broaden the block); Allow paths containing
+    ``*`` are dropped (truncating them would broaden the allow).
     """
     robots = recs.filter(
         (F.col("http_status") == 200)
@@ -70,10 +80,26 @@ def parse_robots_records(recs: DataFrame) -> DataFrame:
             "host",
             F.col("r.agent").alias("agent"),
             F.col("r.rule").alias("rule"),
-            # conservative: cut wildcards at the first '*'
-            F.split(F.col("r.path"), r"\*", 2).getItem(0).alias("path"),
+            # conservative, per-rule: Disallow → literal prefix up to
+            # the first '*', then drop a trailing '$' anchor (both
+            # widen the block). Allow → kept verbatim; wildcard
+            # Allows are filtered out below, never truncated (a
+            # truncated Allow would WIDEN the allow and fail open).
+            F.when(
+                F.col("r.rule") == "disallow",
+                F.regexp_replace(
+                    F.split(F.col("r.path"), r"\*", 2).getItem(0),
+                    r"\$$",
+                    "",
+                ),
+            )
+            .otherwise(F.col("r.path"))
+            .alias("path"),
         )
-        .filter(F.col("path").isNotNull())
+        .filter(
+            F.col("path").isNotNull()
+            & ((F.col("rule") == "disallow") | ~F.col("path").contains("*"))
+        )
     )
 
 

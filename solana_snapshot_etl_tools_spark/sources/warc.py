@@ -139,9 +139,9 @@ def _iter_records(
             except ValueError:
                 skipped += 1
                 break  # framing lost — cannot resync without an index
-            except (OSError, EOFError):
+            except (OSError, EOFError, zlib.error):
                 skipped += 1
-                break  # corrupt gzip member / truncated stream
+                break  # corrupt gzip member / deflate data / truncation
             if headers is None:
                 break
             try:
@@ -167,7 +167,7 @@ def _iter_records(
                             ok = False
                             break
                         remaining -= len(chunk)
-                except (OSError, EOFError):
+                except (OSError, EOFError, zlib.error):
                     ok = False
                 if not ok:
                     skipped += 1
@@ -175,7 +175,7 @@ def _iter_records(
                 continue
             try:
                 payload = stream.read(length)
-            except (OSError, EOFError):
+            except (OSError, EOFError, zlib.error):
                 skipped += 1
                 break
             if len(payload) != length:
@@ -507,7 +507,17 @@ def read_warc_records_at(
                     if path != handle_path:
                         if handle is not None:
                             handle.close()
-                        handle, handle_path = open(path, "rb"), path
+                        # an unopenable archive must not kill the task:
+                        # every entry naming it becomes an audit row
+                        # (handle stays None until the path changes)
+                        try:
+                            handle = open(path, "rb")
+                        except OSError:
+                            handle = None
+                        handle_path = path
+                    if handle is None:
+                        rows.append((int(off), path) + nulls)
+                        continue
                     try:
                         handle.seek(off)
                         member = handle.read(length)

@@ -124,6 +124,20 @@ def test_validation(spark):
                       right_bounds=("s", "e"))
 
 
+def test_reserved_scratch_columns_rejected(spark):
+    """A pre-existing _cell/_jk column would be silently overwritten
+    by the bucketing scratch space and then dropped — refuse loudly."""
+    l = spark.createDataFrame([(1, 0, 5)], "id long, s long, e long")
+    for col in ("_cell", "_jk"):
+        tainted = l.withColumn(col, l.id)
+        with pytest.raises(ValueError, match="reserves columns"):
+            interval_join(tainted, l, left_bounds=("s", "e"),
+                          right_bounds=("s", "e"))
+        with pytest.raises(ValueError, match="reserves columns"):
+            interval_join(l, tainted, left_bounds=("s", "e"),
+                          right_bounds=("s", "e"))
+
+
 hypothesis = pytest.importorskip("hypothesis")
 from hypothesis import given, settings, strategies as st  # noqa: E402
 

@@ -101,6 +101,55 @@ def test_apply_specific_agent_uses_own_group_only(spark, rules):
     assert kept_other == {"d1", "d3"}
 
 
+ROBOTS_WILD = """\
+User-agent: *
+Disallow: /a
+Allow: /a*x
+Disallow: /exact$
+Disallow: /pre*fix$
+Allow: /a/safe/
+"""
+
+
+def test_wildcard_policy_fails_closed(spark):
+    """Asymmetric wildcard handling: a truncated 'Allow: /a*x' would
+    become 'Allow: /a', tie-beat 'Disallow: /a' under the allow
+    tie-break, and permit everything the Disallow covered — so
+    wildcard Allows are dropped, while Disallows keep a conservative
+    literal prefix and lose their '$' anchor (both widen the block)."""
+    recs = spark.createDataFrame(
+        [("http://w.example/robots.txt", None, None,
+          "http://w.example/robots.txt", None, None,
+          len(ROBOTS_WILD), 200, None, bytearray(ROBOTS_WILD.encode()))],
+        "warc_file string, warc_type string, record_id string, "
+        "target_uri string, warc_date string, content_type string, "
+        "content_length long, http_status int, http_content_type string, "
+        "payload binary",
+    )
+    rules = R.parse_robots_records(recs)
+    rows = {(r.agent, r.rule, r.path) for r in rules.collect()}
+    assert rows == {
+        ("*", "disallow", "/a"),
+        ("*", "disallow", "/exact"),     # '$' anchor stripped → prefix
+        ("*", "disallow", "/pre"),       # cut at '*'; no trailing '$' left
+        ("*", "allow", "/a/safe/"),      # literal Allow kept
+        # 'Allow: /a*x' emits NOTHING
+    }
+    docs = spark.createDataFrame(
+        [
+            ("d1", "http://w.example/abc"),        # old bug: Allow '/a' tie-won
+            ("d2", "http://w.example/exact"),      # '$' rule, exact path
+            ("d3", "http://w.example/exactly"),    # prefix after '$' strip
+            ("d4", "http://w.example/pre-rendered"),
+            ("d5", "http://w.example/other"),
+            ("d6", "http://w.example/a/safe/x"),   # literal Allow carve-out
+        ],
+        "doc_id string, url string",
+    )
+    kept = {r.doc_id for r in R.apply_robots(docs, rules).collect()}
+    assert kept == {"d5", "d6"}
+
+
 def test_longest_match_allow_tiebreak(spark):
     rules = spark.createDataFrame(
         [

@@ -168,6 +168,37 @@ def test_truncated_archive_skips_not_fails(spark, tmp_path):
     assert stats.n_skipped >= 1
 
 
+def test_sequential_corrupt_deflate_skips_not_fails(spark, tmp_path):
+    """Corrupt DEFLATE data inside a gzip member raises zlib.error
+    (not OSError/EOFError) — the sequential scan must absorb it as a
+    skip, mirroring the indexed path's audit-row behavior."""
+    # records must out-size the scanner's 1 MiB read-ahead buffer or
+    # the buffer fill for their OWN bytes already touches the corrupt
+    # member; the record ADJACENT to the corruption (b) is lost to
+    # that same read-ahead — inherent to a chained-gzip sequential
+    # scan, where everything after the corruption is unrecoverable
+    # anyway — but earlier records (a) must survive
+    good_a = _record("response", _http(b"<html>" + b"x" * (5 << 19) + b"</html>"),
+                     uri="http://zc.example/a")
+    good_b = _record("response", _http(b"<html>" + b"w" * (5 << 19) + b"</html>"),
+                     uri="http://zc.example/b")
+    bad = _record("response", _http(b"<html>" + b"y" * 400 + b"</html>"),
+                  uri="http://zc.example/c")
+    member_bad = bytearray(gzip.compress(bad))
+    # flip bytes well past the 10-byte gzip header: corrupts the
+    # deflate stream itself, which zlib reports as zlib.error
+    mid = len(member_bad) // 2
+    for i in range(mid, mid + 30):
+        member_bad[i] ^= 0xFF
+    p = tmp_path / "deflate.warc.gz"
+    p.write_bytes(gzip.compress(good_a) + gzip.compress(good_b) + bytes(member_bad))
+    rows = W.read_warc(spark, [str(p)]).collect()  # must not raise
+    assert [r.target_uri for r in rows] == ["http://zc.example/a"]
+    stats = W.warc_file_stats(spark, [str(p)]).collect()[0]
+    assert stats.n_records == 1
+    assert stats.n_skipped >= 1
+
+
 def test_payload_cap_skips_and_counts(spark, tmp_path):
     small = _record("response", _http(b"<html>s</html>"), uri="http://z/s")
     big = _record("response", _http(b"x" * 5000), uri="http://z/big")
@@ -505,6 +536,42 @@ class TestCdxRandomAccess:
         df = spark.createDataFrame([(1,)], "x int")
         with pytest.raises(ValueError, match="entries needs column"):
             W.read_warc_records_at(spark, df)
+
+    def test_unopenable_archive_yields_audit_rows(self, spark, tmp_path):
+        """An index entry naming a missing archive must not kill the
+        task: it (and every sibling entry for that file) becomes a
+        null audit row while entries for readable files still parse."""
+        recs = [
+            _record("response", _http(f"<html>{i}</html>".encode()),
+                    uri=f"http://q.example/{i}", rid=f"<urn:uuid:{i}>")
+            for i in range(3)
+        ]
+        members, entries, off = [], [], 0
+        for r in recs:
+            m = gzip.compress(r)
+            members.append(m)
+            entries.append(("good.warc.gz", off, len(m)))
+            off += len(m)
+        (tmp_path / "good.warc.gz").write_bytes(b"".join(members))
+        entries += [("missing.warc.gz", 0, 123), ("missing.warc.gz", 200, 55)]
+        idx = spark.createDataFrame(
+            entries, "filename string, offset long, length long"
+        )
+        # ONE partition: the unopenable file shares a task with the
+        # good one — proving the failure is per-entry, not per-task
+        rows = W.read_warc_records_at(
+            spark, idx, base_dir=str(tmp_path), num_partitions=1
+        ).collect()
+        assert len(rows) == 5
+        good = [r for r in rows if r.warc_type is not None]
+        bad = [r for r in rows if r.warc_type is None]
+        assert len(good) == 3 and len(bad) == 2
+        assert {r.target_uri for r in good} == {
+            f"http://q.example/{i}" for i in range(3)
+        }
+        for r in bad:
+            assert r.warc_file.endswith("missing.warc.gz")
+            assert r.record_offset in (0, 200)
 
 
 def test_cli_warc_index_pushdown_ingest(spark, tmp_path, tmp_path_factory, capsys):
