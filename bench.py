@@ -373,6 +373,54 @@ def main() -> None:
             X11, C11, 0.9, 5, 42
         )
 
+        # round-13: the TODO.md minhash A/B, recorded per-round so a
+        # drift in either knob's verdict surfaces. (a) Arrow batch
+        # size for the signature mapInPandas — measured inert at this
+        # SF (one batch per partition), pinned here to catch that
+        # changing; (b) estimate-filter selectivity at the DECLARED
+        # k=5 shape — the filter must keep killing >50% of the band
+        # candidate multiset to pay for its pass.
+        from solana_snapshot_etl_tools_spark.operators import dedup as _DD
+
+        _DD.minhash_signatures(docs, "doc_id", "text", k=5).count()  # warm
+        for bs in (2000, 10000, 20000):
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", str(bs)
+            )
+            t0 = time.time()
+            _DD.minhash_signatures(docs, "doc_id", "text", k=5).count()
+            diag[f"minhash_sig_sec_batch{bs}"] = round(time.time() - t0, 4)
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        sig13 = _DD.minhash_signatures(docs, "doc_id", "text", k=5).cache()
+        sig13.count()
+        cands13 = _DD.minhash_lsh_candidates(sig13)
+        n_cands13 = cands13.count()
+        sa13 = sig13.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
+        sb13 = sig13.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
+        est13 = (
+            cands13.join(sa13, "doc_a")
+            .join(sb13, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                (
+                    F.size(F.array_intersect("sig_a", "sig_b"))
+                    / F.size("sig_a")
+                ).alias("est"),
+            )
+            .filter(F.col("est") >= 0.7)
+            .select("doc_a", "doc_b")
+            .distinct()
+            .count()
+        )
+        diag["minhash_cand_multiset_rows"] = n_cands13
+        diag["minhash_est_survivor_rows"] = est13
+        diag["minhash_est_filter_kill_pct"] = round(
+            100.0 * (1 - est13 / max(n_cands13, 1)), 2
+        )
+        sig13.unpersist()
+        release_session_caches()
+
         # round-9: DSIR target-resampling over the real documents
         # table (hashed 10k-bucket featurization, Gumbel-top-k via
         # the boundary-bucket rank)

@@ -537,8 +537,50 @@ def main(argv: list[str] | None = None) -> int:
                    "records-per-shard that lands each file near MB. "
                    "Overrides --records-per-shard; the derived value "
                    "is in the report as records_per_shard")
+    p.add_argument("--bucket-by", metavar="COL[:N]", default=None,
+                   help="write each split as a BUCKETED external "
+                   "parquet table (operators.bucketing.write_bucketed: "
+                   "one file per bucket, _bucket_spec.json sidecar, "
+                   "catalog tables corpus_{split}_bkt) instead of "
+                   "ordered shards. N defaults to 32. Every later "
+                   "join/groupBy on COL against a same-spec table "
+                   "runs with NO Exchange — pay the layout shuffle "
+                   "once at write time, not per downstream job")
+    p.add_argument("--zorder", metavar="C1,C2[,C3[,C4]]", default=None,
+                   help="write each split Z-ORDER clustered on 2-4 "
+                   "numeric columns (operators.layout.write_zordered) "
+                   "instead of ordered shards: every named column "
+                   "prunes most files under parquet min/max stats. "
+                   "Ranges are measured per write (one tiny agg); for "
+                   "many-increment tables call write_zordered with "
+                   "pinned ranges instead")
+    p.add_argument("--zorder-files", type=int, metavar="N", default=16,
+                   help="output file count for --zorder (default 16); "
+                   "size it so files land near your target shard size")
     p.add_argument("--cpus", type=int, default=None)
     args = p.parse_args(argv)
+    if args.bucket_by is not None and args.zorder is not None:
+        p.error("--bucket-by and --zorder are mutually exclusive "
+                "(one physical layout per write)")
+    for layout_flag in ("bucket_by", "zorder"):
+        if getattr(args, layout_flag) is None:
+            continue
+        flag = "--" + layout_flag.replace("_", "-")
+        if args.shard_target_mb is not None or args.shuffle_seed is not None:
+            p.error(f"{flag} replaces the ordered-shard writer; it "
+                    "cannot combine with --shard-target-mb or "
+                    "--shuffle-seed")
+    if args.bucket_by is not None:
+        col, sep, n = args.bucket_by.partition(":")
+        if not col or (sep and not n.isdigit()):
+            p.error(f"--bucket-by wants COL or COL:N, got {args.bucket_by!r}")
+        args.bucket_by = (col, int(n) if sep else 32)
+        if args.bucket_by[1] < 1:
+            p.error("--bucket-by bucket count must be >= 1")
+    if args.zorder is not None:
+        args.zorder = [c.strip() for c in args.zorder.split(",") if c.strip()]
+        if not 2 <= len(args.zorder) <= 4:
+            p.error("--zorder wants 2-4 comma-separated numeric columns")
     if args.pack is not None and args.tokenize is None:
         p.error("--pack requires --tokenize")
     if args.cluster_balance is not None and not args.embeddings:
@@ -730,6 +772,11 @@ def main(argv: list[str] | None = None) -> int:
             # stream batches append as they arrive; a global byte
             # target needs the whole corpus measured first
             (args.shard_target_mb is not None, "--shard-target-mb"),
+            # a write-time layout is a whole-corpus physical property;
+            # the stream appends batches and cannot re-bucket/re-sort
+            # already-published files
+            (args.bucket_by is not None, "--bucket-by"),
+            (args.zorder is not None, "--zorder"),
             # a rerun-regression diff compares two COMPLETE runs; the
             # stream's corpus is append-only state, not a run artifact
             (args.diff_against, "--diff-against"),
@@ -1341,6 +1388,64 @@ def main(argv: list[str] | None = None) -> int:
         return _shard_state["derived"]
 
     def write_split(df, name, order_col):
+        # --bucket-by / --zorder swap the ordered-shard writer for a
+        # join-free (bucketed) or multi-column-pruning (Z-order)
+        # physical layout — the pipeline's own output gets the layout
+        # the downstream 100 TB jobs want, not just library callers
+        if args.bucket_by is not None:
+            from solana_snapshot_etl_tools_spark.operators import (
+                bucketing as BKT,
+            )
+
+            bcol, nb = args.bucket_by
+            if bcol not in df.columns:
+                raise SystemExit(
+                    f"--bucket-by {bcol!r}: no such column in the "
+                    f"written split (have {df.columns})"
+                )
+            BKT.write_bucketed(
+                df,
+                f"corpus_{name}_bkt",
+                f"{args.out_dir}/{name}",
+                bucket_col=bcol,
+                num_buckets=nb,
+                sort_cols=[bcol],
+            )
+            rows = spark.table(f"corpus_{name}_bkt").count()
+            return {
+                "rows": rows,
+                "shards": nb,
+                "layout": f"bucketed({bcol}:{nb})",
+            }
+        if args.zorder is not None:
+            from solana_snapshot_etl_tools_spark.operators import (
+                layout as LAY,
+            )
+
+            missing = [c for c in args.zorder if c not in df.columns]
+            if missing:
+                raise SystemExit(
+                    f"--zorder {missing}: no such column(s) in the "
+                    f"written split (have {df.columns})"
+                )
+            if df.isEmpty():
+                # zorder_key scales by measured min/max; an empty
+                # split has none — write the empty dir plainly
+                df.write.mode("overwrite").parquet(f"{args.out_dir}/{name}")
+                return {"rows": 0, "shards": 0,
+                        "layout": f"zorder({','.join(args.zorder)})"}
+            LAY.write_zordered(
+                df,
+                f"{args.out_dir}/{name}",
+                args.zorder,
+                num_files=args.zorder_files,
+            )
+            rows = spark.read.parquet(f"{args.out_dir}/{name}").count()
+            return {
+                "rows": rows,
+                "shards": args.zorder_files,
+                "layout": f"zorder({','.join(args.zorder)})",
+            }
         if args.shuffle_seed is not None:
             df = df.withColumn(
                 "_ord", F.xxhash64(F.col(order_col), F.lit(args.shuffle_seed))

@@ -41,7 +41,56 @@ allows):
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession
+
+SPEC_SIDECAR = "_bucket_spec.json"
+
+
+def _schema_ddl(df: DataFrame) -> str:
+    return ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+
+def _sidecar_fs_path(spark: SparkSession, path: str):
+    """(hadoop FileSystem, hadoop Path) for the sidecar — the Hadoop
+    FS API so the sidecar lands beside the data on ANY scheme the
+    table itself can live on (local, HDFS, object store), not just
+    the local filesystem."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path, SPEC_SIDECAR)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, p
+
+
+def write_bucket_spec(spark: SparkSession, path: str, spec: dict) -> None:
+    """Persist the bucket layout beside the data so a later session
+    (or another engine) re-attaches with the TRUE spec instead of a
+    caller's guess — a wrong declared spec silently produces wrong
+    shuffle-free joins."""
+    fs, p = _sidecar_fs_path(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps(spec, indent=1).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_bucket_spec(spark: SparkSession, path: str) -> dict | None:
+    """The sidecar written by ``write_bucketed``, or None if absent."""
+    fs, p = _sidecar_fs_path(spark, path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        txt = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return json.loads(txt)
 
 
 def enable_sorted_bucket_scan(spark: SparkSession) -> None:
@@ -92,6 +141,19 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(name)
+    # spec sidecar: written AFTER the data so a crashed write never
+    # leaves a sidecar pointing at garbage; register_bucketed reads
+    # and verifies it instead of trusting the caller's memory
+    write_bucket_spec(
+        df.sparkSession,
+        path,
+        {
+            "bucket_col": bucket_col,
+            "num_buckets": num_buckets,
+            "sort_cols": list(sort_cols or []),
+            "schema_ddl": _schema_ddl(df),
+        },
+    )
 
 
 def register_bucketed(
@@ -99,21 +161,58 @@ def register_bucketed(
     name: str,
     path: str,
     *,
-    schema_ddl: str,
-    bucket_col: str,
-    num_buckets: int,
+    schema_ddl: str | None = None,
+    bucket_col: str | None = None,
+    num_buckets: int | None = None,
     sort_cols: list[str] | None = None,
+    trust_caller_spec: bool = False,
 ) -> DataFrame:
     """Re-attach an existing bucketed parquet directory as a table.
 
     Needed when the writing session is gone and the catalog was
     in-memory (local mode, or a fresh cluster pointing at data written
-    elsewhere). The caller must pass the SAME bucket spec the data was
-    written with — Spark trusts the declaration, so a wrong spec here
-    silently produces wrong shuffle-free joins. Use the spec recorded
-    by ``write_bucketed``'s caller (e.g. a sidecar JSON), never a
-    guess.
+    elsewhere). Spark trusts the declared bucket spec outright, so a
+    wrong spec silently produces wrong shuffle-free joins — the worst
+    failure mode a layout can have. The spec therefore comes from the
+    ``_bucket_spec.json`` sidecar ``write_bucketed`` leaves beside the
+    data, and any caller-passed value that CONTRADICTS the sidecar is
+    refused loudly. With no sidecar (data from another writer) the
+    caller must pass the full spec AND ``trust_caller_spec=True`` to
+    acknowledge the risk.
     """
+    recorded = read_bucket_spec(spark, path)
+    if recorded is None:
+        if not trust_caller_spec:
+            raise ValueError(
+                f"no {SPEC_SIDECAR} sidecar at {path!r}; a guessed bucket "
+                "spec silently mis-joins. Pass the full spec plus "
+                "trust_caller_spec=True only if you are certain of the "
+                "layout this data was written with"
+            )
+        if schema_ddl is None or bucket_col is None or num_buckets is None:
+            raise ValueError(
+                "trust_caller_spec=True needs the full spec: "
+                "schema_ddl, bucket_col and num_buckets"
+            )
+    else:
+        mismatches = [
+            f"{k}: caller={v!r} sidecar={recorded[k]!r}"
+            for k, v in (
+                ("bucket_col", bucket_col),
+                ("num_buckets", num_buckets),
+                ("sort_cols", list(sort_cols) if sort_cols is not None else None),
+            )
+            if v is not None and v != recorded[k]
+        ]
+        if mismatches:
+            raise ValueError(
+                f"caller spec contradicts {SPEC_SIDECAR} at {path!r}: "
+                + "; ".join(mismatches)
+            )
+        bucket_col = recorded["bucket_col"]
+        num_buckets = recorded["num_buckets"]
+        sort_cols = recorded["sort_cols"]
+        schema_ddl = schema_ddl or recorded["schema_ddl"]
     sorted_clause = ""
     if sort_cols:
         sorted_clause = f" SORTED BY ({', '.join(sort_cols)})"

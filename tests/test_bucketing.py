@@ -172,6 +172,90 @@ def test_register_bucketed_reattaches(spark, bucketed_pair):
     assert B.bucket_spec(spark, "t_orders_b")["num_buckets"] == 4
 
 
+def test_spec_sidecar_round_trip_no_caller_spec(spark, bucketed_pair):
+    """write_bucketed leaves _bucket_spec.json beside the data;
+    register_bucketed re-attaches from it alone — no caller guess."""
+    spec = B.read_bucket_spec(spark, str(bucketed_pair / "orders"))
+    assert spec["bucket_col"] == "o_orderkey"
+    assert spec["num_buckets"] == 4
+    assert spec["sort_cols"] == ["o_orderkey"]
+    assert "o_orderkey" in spec["schema_ddl"]
+    n = spark.table("t_orders_b").count()
+    spark.sql("DROP TABLE t_orders_b")
+    try:
+        df = B.register_bucketed(
+            spark, "t_orders_sc", str(bucketed_pair / "orders")
+        )
+        assert df.count() == n
+        assert B.bucket_spec(spark, "t_orders_sc")["num_buckets"] == 4
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_sc")
+        # restore the module fixture's catalog entry for later tests
+        B.register_bucketed(spark, "t_orders_b", str(bucketed_pair / "orders"))
+
+
+def test_spec_sidecar_contradiction_is_loud(spark, bucketed_pair):
+    with pytest.raises(ValueError, match="contradicts"):
+        B.register_bucketed(
+            spark,
+            "t_orders_bad",
+            str(bucketed_pair / "orders"),
+            bucket_col="o_custkey",  # wrong on purpose
+        )
+    with pytest.raises(ValueError, match="contradicts"):
+        B.register_bucketed(
+            spark,
+            "t_orders_bad",
+            str(bucketed_pair / "orders"),
+            num_buckets=8,  # wrong on purpose
+        )
+
+
+def test_missing_sidecar_requires_explicit_trust(spark, tmp_path):
+    df = spark.range(10).withColumnRenamed("id", "k")
+    # plain parquet dir: bucketed by NOBODY, no sidecar
+    plain = str(tmp_path / "plain")
+    df.write.parquet(plain)
+    with pytest.raises(ValueError, match="sidecar"):
+        B.register_bucketed(
+            spark, "t_plain", plain,
+            schema_ddl="k bigint", bucket_col="k", num_buckets=2,
+        )
+    # trust_caller_spec without the full spec is also refused
+    with pytest.raises(ValueError, match="full spec"):
+        B.register_bucketed(
+            spark, "t_plain", plain, trust_caller_spec=True
+        )
+    # the acknowledged-risk path still works (foreign-writer data)
+    try:
+        out = B.register_bucketed(
+            spark, "t_plain", plain,
+            schema_ddl="k bigint", bucket_col="k", num_buckets=2,
+            trust_caller_spec=True,
+        )
+        assert out.count() == 10
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_plain")
+
+
+def test_tampered_sidecar_spec_is_what_register_uses(spark, tmp_path):
+    """The sidecar is the source of truth: registration follows it,
+    so corrupting it changes the attach — which is exactly why the
+    contradiction check above exists for callers who pass a spec."""
+    df = spark.range(100).withColumnRenamed("id", "k")
+    B.write_bucketed(df, "t_tam", str(tmp_path / "t"), bucket_col="k",
+                     num_buckets=4)
+    spark.sql("DROP TABLE t_tam")
+    B.write_bucket_spec(
+        spark, str(tmp_path / "t"),
+        {"bucket_col": "k", "num_buckets": 8, "sort_cols": [],
+         "schema_ddl": "k bigint"},
+    )
+    with pytest.raises(ValueError, match="contradicts"):
+        B.register_bucketed(spark, "t_tam", str(tmp_path / "t"),
+                            num_buckets=4)
+
+
 def test_write_bucketed_validates(spark):
     df = spark.range(4)
     with pytest.raises(ValueError, match="not in"):

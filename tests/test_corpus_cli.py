@@ -1573,3 +1573,67 @@ def test_dedup_prefer_keeps_best_member(spark, tmp_path_factory, capsys):
         with pytest.raises(SystemExit):
             corpus_cli.main(bad + common)
         capsys.readouterr()
+
+
+def test_bucket_by_layout_batch(spark, tmp_path_factory, capsys):
+    """--bucket-by doc_id:4 writes each split as a bucketed table with
+    the spec sidecar; a same-spec self-join plans with NO Exchange —
+    the CLI's own output carries the join-free layout."""
+    from solana_snapshot_etl_tools_spark.operators import bucketing as B
+
+    out = str(tmp_path_factory.mktemp("corpus_bkt"))
+    try:
+        rep = _run(capsys, SRC, out, "--no-pii", "--bucket-by", "doc_id:4")
+        assert rep["splits"]["train"]["layout"] == "bucketed(doc_id:4)"
+        assert rep["splits"]["train"]["rows"] > 0
+        # sidecar written beside the data with the true spec
+        spec = B.read_bucket_spec(spark, f"{out}/train")
+        assert spec["bucket_col"] == "doc_id"
+        assert spec["num_buckets"] == 4
+        # the written layout joins shuffle-free against itself
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            t = spark.table("corpus_train_bkt")
+            plan = (
+                t.join(t.select("doc_id", F.col("n_tokens").alias("nt2")),
+                       "doc_id")
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "Exchange" not in plan, plan
+            assert "SortMergeJoin" in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        for s in ("train", "val", "test"):
+            spark.sql(f"DROP TABLE IF EXISTS corpus_{s}_bkt")
+
+
+def test_zorder_layout_batch(spark, tmp_path_factory, capsys):
+    out = str(tmp_path_factory.mktemp("corpus_zorder"))
+    rep = _run(capsys, SRC, out, "--no-pii",
+               "--zorder", "doc_id,n_tokens", "--zorder-files", "4")
+    assert rep["splits"]["train"]["layout"] == "zorder(doc_id,n_tokens)"
+    train = spark.read.parquet(f"{out}/train")
+    assert train.count() == rep["splits"]["train"]["rows"] > 0
+    assert set(train.columns) == {"doc_id", "text", "n_tokens"}
+    # ids survive the re-layout exactly
+    plain_ids = {r.doc_id for r in train.select("doc_id").collect()}
+    assert len(plain_ids) == rep["splits"]["train"]["rows"]
+
+
+def test_layout_flags_validate(tmp_path_factory, capsys):
+    import pytest
+
+    out = str(tmp_path_factory.mktemp("corpus_lv"))
+    with pytest.raises(SystemExit):
+        corpus_cli.main([SRC, out, "--bucket-by", "doc_id", "--zorder",
+                         "doc_id,n_tokens"])
+    with pytest.raises(SystemExit):
+        corpus_cli.main([SRC, out, "--bucket-by", "doc_id:zero"])
+    with pytest.raises(SystemExit):
+        corpus_cli.main([SRC, out, "--zorder", "doc_id"])  # needs 2-4
+    with pytest.raises(SystemExit):
+        corpus_cli.main([SRC, out, "--bucket-by", "doc_id",
+                         "--shard-target-mb", "1"])
+    capsys.readouterr()
