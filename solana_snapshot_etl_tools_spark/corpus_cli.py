@@ -494,6 +494,14 @@ def main(argv: list[str] | None = None) -> int:
                    "across the cluster. Index filenames resolve "
                    "against --warc-base (default: the index's own "
                    "directory)")
+    p.add_argument("--build-warc-index", metavar="OUT.cdxj", default=None,
+                   help="while ingesting archives sequentially "
+                   "(--input-format warc/wet), ALSO build a CDXJ "
+                   "index of them (sources.warc.build_cdxj_entries) "
+                   "and write it to OUT.cdxj — the next run passes it "
+                   "as --warc-index and reads by byte range instead "
+                   "of re-scanning. Entry count lands in the report "
+                   "as warc_index_entries")
     p.add_argument("--warc-base", metavar="DIR", default=None,
                    help="directory CDXJ 'filename' fields resolve "
                    "against (see --warc-index)")
@@ -654,6 +662,14 @@ def main(argv: list[str] | None = None) -> int:
                 "captures; WET conversions carry no HTTP responses)")
     if args.warc_base and not args.warc_index:
         p.error("--warc-base requires --warc-index")
+    if args.build_warc_index is not None:
+        if args.input_format not in ("warc", "wet"):
+            p.error("--build-warc-index only makes sense while "
+                    "ingesting archives (--input-format warc/wet)")
+        if args.warc_index:
+            p.error("--build-warc-index conflicts with --warc-index: "
+                    "an indexed run fetches byte ranges and never "
+                    "walks the archives it would re-index")
     if args.decontam_action == "excise" and not args.decontam_ngrams:
         p.error("--decontam-action excise requires --decontam-ngrams "
                 "(the bench whose spans get cut)")
@@ -831,6 +847,29 @@ def main(argv: list[str] | None = None) -> int:
     ride_source = args.source_cap is not None or mixture is not None
     need_source = bool(args.source_blocklist) or ride_source
     raw = _read_input(spark, args)
+    if args.build_warc_index is not None:
+        # one extra pass over the archives now buys every later run
+        # CDX byte-range random access (--warc-index) instead of a
+        # sequential re-scan
+        from solana_snapshot_etl_tools_spark.sources.warc import (
+            build_cdxj_entries,
+            write_cdxj_file,
+        )
+
+        report["warc_index_out"] = args.build_warc_index
+        report["warc_index_entries"] = write_cdxj_file(
+            build_cdxj_entries(
+                spark,
+                _warc_paths(args),
+                # WET conversions carry the text in "conversion"
+                # records; WARC crawls in "response" records
+                record_types=(
+                    ("response",) if args.input_format == "warc"
+                    else ("conversion",)
+                ),
+            ),
+            args.build_warc_index,
+        )
     if args.respect_robots is not None:
         from solana_snapshot_etl_tools_spark.operators.robots import (
             apply_robots,

@@ -40,6 +40,7 @@ from __future__ import annotations
 import glob as _glob
 import gzip
 import io
+import re as _re
 import zlib
 from collections.abc import Iterator
 
@@ -457,6 +458,239 @@ def read_cdxj(spark: SparkSession, paths: str | list[str]) -> DataFrame:
             & F.col("filename").isNotNull()
         )
     )
+
+
+def _surt_key(url: str | None) -> str | None:
+    """Minimal SURT-style urlkey: host labels reversed, comma-joined,
+    then ')' and the lowercased path+query. Enough to sort/join an
+    index built here with itself; NOT byte-compatible with every
+    Common Crawl SURT nuance (param re-ordering, session-id strip)."""
+    if not url:
+        return None
+    m = _re.match(
+        r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?:[^@/?#]*@)?([^/?#:]*)(?::\d+)?"
+        r"([^?#]*)(\?[^#]*)?",
+        url,
+    )
+    if not m:
+        return url.lower()
+    host, path, query = m.group(1), m.group(2) or "/", m.group(3) or ""
+    return (
+        ",".join(reversed(host.lower().split("."))) + ")" + (path + query).lower()
+    )
+
+
+def _cdx_entry_from_head(head: bytes) -> tuple | None:
+    """(wtype, url, ts, status, mime) parsed from the first bytes of a
+    decompressed record, or None when the head is not a WARC record."""
+    stream = io.BufferedReader(io.BytesIO(head))
+    try:
+        headers = _read_headers(stream)
+    except (ValueError, OSError, EOFError):
+        return None
+    if headers is None:
+        return None
+    wtype = headers.get("warc-type", "")
+    url = headers.get("warc-target-uri")
+    ts = _re.sub(r"[^0-9]", "", headers.get("warc-date", ""))[:14] or None
+    payload_head = stream.read()
+    if wtype in ("response", "request"):
+        status, mime, _ = _parse_http_payload(payload_head)
+    else:
+        status, mime = None, headers.get("content-type")
+    return wtype, url, ts, status, mime
+
+
+def _iter_cdx_entries(
+    path: str, record_types: set[str] | None, head_cap: int = 1 << 16
+) -> Iterator[tuple]:
+    """One (urlkey, ts, url, mime, status, digest, length, offset,
+    filename) per gzip member (per record for plain archives) —
+    exactly the (offset, length) frame ``read_warc_records_at``
+    fetches by. Final yield is ``("__stats__", n, skipped)``.
+
+    Memory-bounded: each member streams through a zlib decompressor;
+    only the first ``head_cap`` decompressed bytes (headers + HTTP
+    head) are kept, the rest only feeds the digest. The digest is
+    sha1 over the WHOLE decompressed record (headers + payload) — a
+    stable capture identity for dedup/diff, deliberately not claiming
+    Common Crawl's payload-only SHA1-B32 compatibility."""
+    import hashlib
+    import os.path as _osp
+
+    fname = _osp.basename(path)
+    n, skipped = 0, 0
+    chunk = 1 << 20
+
+    def emit(start: int, length: int, head: bytes, digest: str):
+        nonlocal n, skipped
+        parsed = _cdx_entry_from_head(head)
+        if parsed is None:
+            skipped += 1
+            return None
+        wtype, url, ts, status, mime = parsed
+        if record_types is not None and wtype not in record_types:
+            return None
+        n += 1
+        return (
+            _surt_key(url), ts, url, mime, status, digest, length, start, fname
+        )
+
+    with open(path, "rb") as f:
+        if path.endswith(".gz"):
+            raw_pos, pending = 0, b""
+            while True:
+                if not pending:
+                    pending = f.read(chunk)
+                    raw_pos += len(pending)
+                    if not pending:
+                        break
+                start = raw_pos - len(pending)
+                d = zlib.decompressobj(wbits=31)
+                h = hashlib.sha1()
+                head = bytearray()
+                try:
+                    while True:
+                        out = d.decompress(pending)
+                        if out:
+                            h.update(out)
+                            if len(head) < head_cap:
+                                head += out[: head_cap - len(head)]
+                        if d.eof:
+                            pending = d.unused_data
+                            break
+                        pending = f.read(chunk)
+                        raw_pos += len(pending)
+                        if not pending:
+                            raise EOFError("truncated gzip member")
+                except (zlib.error, EOFError, OSError):
+                    # cannot find the next member boundary without a
+                    # valid end-of-member — stop indexing this file
+                    skipped += 1
+                    break
+                length = (raw_pos - len(pending)) - start
+                row = emit(start, length, bytes(head), h.hexdigest())
+                if row is not None:
+                    yield row
+        else:
+            stream = io.BufferedReader(f, chunk)
+            while True:
+                start = stream.tell()
+                try:
+                    headers = _read_headers(stream)
+                except (ValueError, OSError, EOFError):
+                    skipped += 1
+                    break
+                if headers is None:
+                    break
+                try:
+                    plen = int(headers["content-length"])
+                except (KeyError, ValueError):
+                    skipped += 1
+                    break
+                if plen < 0:
+                    skipped += 1
+                    break
+                h = hashlib.sha1()
+                head = bytearray()
+                # _read_headers left the cursor at the payload start;
+                # record extent = headers + payload + the two CRLF
+                # separators. Re-read from the start so the digest
+                # covers the on-disk record bytes exactly.
+                body_start = stream.tell()
+                to_hash = (body_start - start) + plen + 4
+                stream.seek(start)
+                left = to_hash
+                truncated = False
+                while left > 0:
+                    b = stream.read(min(left, chunk))
+                    if not b:
+                        truncated = True
+                        break
+                    h.update(b)
+                    if len(head) < head_cap:
+                        head += b[: head_cap - len(head)]
+                    left -= len(b)
+                if truncated:
+                    skipped += 1
+                    break
+                length = to_hash
+                row = emit(start, length, bytes(head), h.hexdigest())
+                if row is not None:
+                    yield row
+    yield ("__stats__", n, skipped)
+
+
+def build_cdxj_entries(
+    spark: SparkSession,
+    paths: str | list[str],
+    *,
+    record_types: list[str] | None = ("response",),
+) -> DataFrame:
+    """Build a CDX index FROM archives: one ``CDXJ_SCHEMA`` row per
+    record, with the member (offset, length) that random access
+    needs. One task per archive (same fan-out as ``read_warc``).
+
+    Closes the loop ``read_cdxj`` left open: Common Crawl ships
+    indexes, but local or partner archives do not — after one
+    indexing pass, EVERY later read is CDX-pushdown random access
+    (``read_warc_records_at``) instead of a sequential scan."""
+    files = _resolve_paths(paths)
+    types = set(record_types) if record_types is not None else None
+    cols = [c.split()[0] for c in CDXJ_SCHEMA.split(", ")]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path in pdf["path"]:
+                rows = [
+                    r
+                    for r in _iter_cdx_entries(path, types)
+                    if r[0] != "__stats__"
+                ]
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    return _per_file_frame(spark, files).mapInPandas(gen, CDXJ_SCHEMA)
+
+
+def cdxj_lines(entries: DataFrame) -> DataFrame:
+    """CDXJ text lines ("urlkey ts {json}") from a ``CDXJ_SCHEMA``
+    frame — ``cdxj_lines(e).write.text(dir)`` is the cluster-scale
+    index write; the result round-trips through ``read_cdxj``."""
+    j = F.to_json(
+        F.struct(
+            F.col("url"),
+            F.col("mime"),
+            F.col("status").cast("string").alias("status"),
+            F.col("digest"),
+            F.col("length").cast("string").alias("length"),
+            F.col("offset").cast("string").alias("offset"),
+            F.col("filename"),
+        )
+    )
+    return entries.select(
+        F.concat_ws(
+            " ",
+            F.coalesce(F.col("urlkey"), F.lit("-")),
+            F.coalesce(F.col("ts"), F.lit("-")),
+            j,
+        ).alias("value")
+    )
+
+
+def write_cdxj_file(entries: DataFrame, out_path: str) -> int:
+    """One sorted local ``.cdxj`` file (urlkey, ts order — the CDX
+    convention) for interchange with other tools; returns the line
+    count. Driver-side but streaming (``toLocalIterator``) — for a
+    cluster-scale index use ``cdxj_lines(...).write.text`` instead."""
+    n = 0
+    with open(out_path, "w", encoding="utf-8") as f:
+        for row in (
+            cdxj_lines(entries.orderBy("urlkey", "ts")).toLocalIterator()
+        ):
+            f.write(row["value"] + "\n")
+            n += 1
+    return n
 
 
 def read_warc_records_at(

@@ -241,3 +241,56 @@ def test_warc_negative_content_length_stops_cleanly(tmp_path_factory, neg):
         assert rows == [("__stats__", 0, 1)]
     finally:
         os.unlink(path)
+
+
+@settings(max_examples=100, deadline=None)
+@given(recs=_recs, gz=st.booleans())
+def test_cdx_builder_offsets_are_exact(tmp_path_factory, recs, gz):
+    """Property: every (offset, length) the index builder emits cuts
+    the archive EXACTLY at the record's member bounds — the contract
+    random access depends on."""
+    import gzip as _gzip
+    import os
+    import tempfile
+
+    raw = [_warc_record(t, p, u) for t, p, u in recs]
+    members = [(_gzip.compress(r) if gz else r) for r in raw]
+    blob = b"".join(members)
+    fd, path = tempfile.mkstemp(suffix=".warc.gz" if gz else ".warc")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(blob)
+        rows = list(W._iter_cdx_entries(path, None))
+        assert rows[-1][0] == "__stats__"
+        entries = rows[:-1]
+        assert len(entries) == len(recs)
+        for rec, member, row in zip(raw, members, entries):
+            off, length = row[7], row[6]
+            cut = blob[off:off + length]
+            assert cut == member
+            assert (_gzip.decompress(cut) if gz else cut) == rec
+        # members tile the file with no gaps
+        assert [r[7] for r in entries] == [
+            sum(len(m) for m in members[:i]) for i in range(len(members))
+        ]
+    finally:
+        os.unlink(path)
+
+
+@settings(max_examples=100, deadline=None)
+@given(blob=st.binary(max_size=600), gz=st.booleans())
+def test_cdx_builder_garbage_never_crashes(blob, gz):
+    import gzip as _gzip
+    import os
+    import tempfile
+
+    fd, path = tempfile.mkstemp(suffix=".warc.gz" if gz else ".warc")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(_gzip.compress(blob) if gz and len(blob) % 2 else blob)
+        rows = list(W._iter_cdx_entries(path, None))
+        assert rows[-1][0] == "__stats__"
+        for r in rows[:-1]:
+            assert r[6] > 0 and r[7] >= 0
+    finally:
+        os.unlink(path)

@@ -574,6 +574,95 @@ class TestCdxRandomAccess:
             assert r.record_offset in (0, 200)
 
 
+class TestCdxBuilder:
+    """build_cdxj_entries: index a local archive, then random-access it
+    — closes the loop where read_cdxj could only consume an index some
+    OTHER tool produced."""
+
+    def _archive(self, tmp_path, gz: bool, n=12):
+        recs = []
+        for i in range(n):
+            status = 200 if i % 3 else 404
+            recs.append(_record(
+                "response",
+                _http(f"<html>built {i}</html>".encode(), status=status),
+                uri=f"http://b.example/p/{i}?x=1",
+                ctype="application/http; msgtype=response",
+                rid=f"<urn:uuid:{i}>",
+            ))
+        name = "built.warc.gz" if gz else "built.warc"
+        return _write(tmp_path / name, recs, gz=gz), n
+
+    @pytest.mark.parametrize("gz", [True, False])
+    def test_roundtrip_byte_identical(self, spark, tmp_path, gz):
+        p, n = self._archive(tmp_path, gz)
+        idx = W.build_cdxj_entries(spark, [p], record_types=None)
+        rows = idx.orderBy("offset").collect()
+        assert len(rows) == n
+        assert rows[0].offset == 0
+        assert all(r.status in (200, 404) for r in rows)
+        assert rows[0].urlkey == "example,b)/p/0?x=1"
+        assert all(len(r.digest) == 40 for r in rows)
+        # the built (offset, length) frame fetches every record back
+        # byte-identically vs the sequential scan
+        seq = {
+            r.record_id: bytes(r.payload)
+            for r in W.read_warc(spark, [p], record_types=None).collect()
+        }
+        got = {
+            r.record_id: bytes(r.payload)
+            for r in W.read_warc_records_at(
+                spark, idx, base_dir=str(tmp_path)
+            ).collect()
+        }
+        assert got == seq and len(got) == n
+
+    def test_written_cdxj_file_round_trips(self, spark, tmp_path):
+        p, n = self._archive(tmp_path, gz=True)
+        idx = W.build_cdxj_entries(spark, [p], record_types=None)
+        out = str(tmp_path / "built.cdxj")
+        n_lines = W.write_cdxj_file(idx, out)
+        assert n_lines == n
+        # sorted by urlkey (CDX convention)
+        keys = [l.split(" ", 1)[0] for l in open(out).read().splitlines()]
+        assert keys == sorted(keys)
+        reread = W.read_cdxj(spark, out)
+        assert reread.count() == n
+        recs = W.read_warc_records_at(
+            spark, reread.filter(F.col("status") == 200),
+            base_dir=str(tmp_path),
+        ).collect()
+        assert len(recs) == sum(1 for i in range(n) if i % 3)
+        assert all(r.http_status == 200 for r in recs)
+
+    def test_default_keeps_responses_only(self, spark, tmp_path):
+        recs = [
+            _record("warcinfo", b"software: t\r\n"),
+            _record("request", _http(b""), uri="http://b.example/r"),
+            _record("response", _http(b"<html>x</html>"),
+                    uri="http://b.example/r"),
+        ]
+        p = _write(tmp_path / "mixed.warc.gz", recs, gz=True)
+        idx = W.build_cdxj_entries(spark, [p]).collect()
+        assert len(idx) == 1
+        assert idx[0].url == "http://b.example/r"
+        assert idx[0].mime == "text/html"
+
+    def test_corrupt_member_stops_without_failing(self, spark, tmp_path):
+        good = gzip.compress(_record(
+            "response", _http(b"<html>ok</html>"), uri="http://c.example/a"
+        ))
+        bad = bytearray(gzip.compress(_record(
+            "response", _http(b"<html>bad</html>"), uri="http://c.example/b"
+        )))
+        for i in range(len(bad) // 2, len(bad) // 2 + 20):
+            bad[i] ^= 0xFF
+        p = tmp_path / "corrupt.warc.gz"
+        p.write_bytes(good + bytes(bad))
+        rows = W.build_cdxj_entries(spark, [str(p)]).collect()  # no raise
+        assert [r.url for r in rows] == ["http://c.example/a"]
+
+
 def test_cli_warc_index_pushdown_ingest(spark, tmp_path, tmp_path_factory, capsys):
     """--warc-index: the CLI ingests via the CDX index — only 200-OK
     html ranges are fetched, and the pipeline runs end-to-end."""
@@ -632,6 +721,110 @@ def test_cli_warc_index_pushdown_ingest(spark, tmp_path, tmp_path_factory, capsy
         corpus_cli.main(["x", out, "--warc-index", str(idx_path)])
     with pytest.raises(SystemExit):
         corpus_cli.main(["x", out, "--warc-base", "/tmp"])
+
+
+def test_cli_accepts_engine_built_index(spark, tmp_path, tmp_path_factory, capsys):
+    """The full loop: build_cdxj_entries over a local archive →
+    write_cdxj_file → the CLI's --warc-index ingests through it."""
+    import json as _json
+
+    from solana_snapshot_etl_tools_spark import corpus_cli
+
+    body = (b"<html><p>a perfectly ordinary english sentence long "
+            b"enough for the default filters to keep document %d"
+            b"</p></html>")
+    recs = [
+        _record(
+            "response",
+            _http(body % i, status=200 if i % 2 else 404),
+            uri=f"http://own.example/{i}",
+            ctype="application/http; msgtype=response",
+            rid=f"<urn:uuid:{i}>",
+        )
+        for i in range(8)
+    ]
+    p = _write(tmp_path / "own.warc.gz", recs, gz=True)
+    idx = W.build_cdxj_entries(spark, [p])
+    idx_path = tmp_path / "own.cdxj"
+    assert W.write_cdxj_file(idx, str(idx_path)) == 8
+
+    out = str(tmp_path_factory.mktemp("own_cdx_ingest"))
+    assert corpus_cli.main([
+        "ignored-when-indexed", out,
+        "--input-format", "warc",
+        "--warc-index", str(idx_path),
+        "--html-extract", "--no-pii",
+    ]) == 0
+    rep = _json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.strip()][-1]
+    )
+    assert rep["n_input"] == 4  # the 200-OK half
+
+
+def test_cli_build_warc_index_then_reuse(spark, tmp_path, tmp_path_factory, capsys):
+    """--build-warc-index: run 1 ingests sequentially AND emits the
+    index; run 2 ingests the SAME archives through --warc-index and
+    lands the identical document set."""
+    import json as _json
+
+    from solana_snapshot_etl_tools_spark import corpus_cli
+
+    body = (b"<html><p>a perfectly ordinary english sentence long "
+            b"enough for the default filters to keep document %d"
+            b"</p></html>")
+    recs = [
+        _record(
+            "response",
+            _http(body % i),
+            uri=f"http://bld.example/{i}",
+            ctype="application/http; msgtype=response",
+            rid=f"<urn:uuid:{i}>",
+        )
+        for i in range(6)
+    ]
+    _write(tmp_path / "crawl.warc.gz", recs, gz=True)
+    idx_path = str(tmp_path / "crawl.cdxj")
+
+    out1 = str(tmp_path_factory.mktemp("bld_seq"))
+    assert corpus_cli.main([
+        str(tmp_path / "crawl.warc.gz"), out1,
+        "--input-format", "warc", "--build-warc-index", idx_path,
+        "--html-extract", "--no-pii",
+    ]) == 0
+    rep1 = _json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.strip()][-1]
+    )
+    assert rep1["warc_index_entries"] == 6
+    assert rep1["warc_index_out"] == idx_path
+
+    out2 = str(tmp_path_factory.mktemp("bld_idx"))
+    assert corpus_cli.main([
+        "ignored-when-indexed", out2,
+        "--input-format", "warc", "--warc-index", idx_path,
+        "--html-extract", "--no-pii",
+    ]) == 0
+    rep2 = _json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.strip()][-1]
+    )
+    assert rep2["n_input"] == rep1["n_input"] == 6
+    def _ids(out, rep):
+        return {
+            r.doc_id
+            for k in ("train", "val", "test")
+            if rep["splits"][k]["rows"]
+            for r in spark.read.parquet(f"{out}/{k}").select("doc_id").collect()
+        }
+
+    assert _ids(out1, rep1) == _ids(out2, rep2)
+
+    # validation: indexed runs never re-walk archives; wrong format
+    import pytest as _pt
+    with _pt.raises(SystemExit):
+        corpus_cli.main(["x", out1, "--input-format", "warc",
+                         "--warc-index", idx_path,
+                         "--build-warc-index", idx_path])
+    with _pt.raises(SystemExit):
+        corpus_cli.main(["x", out1, "--build-warc-index", idx_path])
 
 
 def test_cdxj_malformed_lines_skipped_not_fatal(spark, tmp_path):
