@@ -496,7 +496,7 @@ def main(argv: list[str] | None = None) -> int:
                    "directory)")
     p.add_argument("--build-warc-index", metavar="OUT.cdxj", default=None,
                    help="while ingesting archives sequentially "
-                   "(--input-format warc/wet), ALSO build a CDXJ "
+                   "(--input-format warc), ALSO build a CDXJ "
                    "index of them (sources.warc.build_cdxj_entries) "
                    "and write it to OUT.cdxj — the next run passes it "
                    "as --warc-index and reads by byte range instead "
@@ -663,9 +663,16 @@ def main(argv: list[str] | None = None) -> int:
     if args.warc_base and not args.warc_index:
         p.error("--warc-base requires --warc-index")
     if args.build_warc_index is not None:
-        if args.input_format not in ("warc", "wet"):
-            p.error("--build-warc-index only makes sense while "
-                    "ingesting archives (--input-format warc/wet)")
+        if args.input_format != "warc":
+            # NOT wet: the indexed-read path (--warc-index) only
+            # consumes response-record entries, so a WET index would
+            # be built but never consumable by this CLI — an index of
+            # conversion records is an API-level use
+            # (sources.warc.build_cdxj_entries(record_types=...))
+            p.error("--build-warc-index needs --input-format warc "
+                    "(--warc-index reads response records only; "
+                    "index WET conversions via the "
+                    "build_cdxj_entries API if you need that)")
         if args.warc_index:
             p.error("--build-warc-index conflicts with --warc-index: "
                     "an indexed run fetches byte ranges and never "
@@ -858,16 +865,7 @@ def main(argv: list[str] | None = None) -> int:
 
         report["warc_index_out"] = args.build_warc_index
         report["warc_index_entries"] = write_cdxj_file(
-            build_cdxj_entries(
-                spark,
-                _warc_paths(args),
-                # WET conversions carry the text in "conversion"
-                # records; WARC crawls in "response" records
-                record_types=(
-                    ("response",) if args.input_format == "warc"
-                    else ("conversion",)
-                ),
-            ),
+            build_cdxj_entries(spark, _warc_paths(args)),
             args.build_warc_index,
         )
     if args.respect_robots is not None:
@@ -1467,6 +1465,23 @@ def main(argv: list[str] | None = None) -> int:
                     f"--zorder {missing}: no such column(s) in the "
                     f"written split (have {df.columns})"
                 )
+            from pyspark.sql.types import NumericType
+
+            non_num = [
+                c for c in args.zorder
+                if not isinstance(df.schema[c].dataType, NumericType)
+            ]
+            if non_num:
+                # zorder_key casts to double: a string column (e.g.
+                # the hex doc_id the WARC path produces) would cast to
+                # NULL and collapse its dimension to one degenerate
+                # cell, or fail as "all-NULL" — refuse with a clear
+                # message instead
+                raise SystemExit(
+                    f"--zorder {non_num}: not numeric in the written "
+                    "split; Z-order needs numeric columns "
+                    f"(schema: {df.schema.simpleString()})"
+                )
             if df.isEmpty():
                 # zorder_key scales by measured min/max; an empty
                 # split has none — write the empty dir plainly
@@ -1824,6 +1839,26 @@ def _read_input(spark, args):
         base = args.warc_base or _osp.dirname(
             args.warc_index.split(",")[0].rstrip("/")
         )
+        # fail loudly on a wrong --warc-base BEFORE the fetch: the
+        # range reader turns unopenable archives into null audit rows
+        # (per-entry skip-not-fail), which this pipeline would then
+        # filter out — a run against the wrong directory would
+        # otherwise complete "successfully" with an empty corpus.
+        # Distinct filenames are a tiny frame; only checkable when the
+        # base is a local path (no scheme)
+        if "://" not in base:
+            missing = sorted(
+                r.filename
+                for r in sel.select("filename").distinct().collect()
+                if not _osp.exists(_osp.join(base, r.filename))
+            )
+            if missing:
+                raise SystemExit(
+                    f"--warc-index names archives not found under "
+                    f"{base!r}: {missing[:5]}"
+                    f"{' ...' if len(missing) > 5 else ''} — fix "
+                    "--warc-base (index filenames resolve against it)"
+                )
         recs = read_warc_records_at(spark, sel, base_dir=base)
         return html_response_documents(recs).dropDuplicates(["doc_id"])
 

@@ -54,6 +54,14 @@ def _schema_ddl(df: DataFrame) -> str:
     )
 
 
+def _norm_ddl(ddl: str) -> str:
+    """Formatting-insensitive DDL comparison key: backticks, case and
+    whitespace runs don't change what a column list means."""
+    import re
+
+    return re.sub(r"\s+", " ", ddl.replace("`", "").lower()).strip()
+
+
 def _sidecar_fs_path(spark: SparkSession, path: str):
     """(hadoop FileSystem, hadoop Path) for the sidecar — the Hadoop
     FS API so the sidecar lands beside the data on ANY scheme the
@@ -204,6 +212,17 @@ def register_bucketed(
             )
             if v is not None and v != recorded[k]
         ]
+        # the schema gets the same contradiction check, modulo
+        # formatting (backticks/case/whitespace): a stale caller DDL
+        # naming a renamed column would CREATE a table whose parquet
+        # name resolution silently yields all-NULL columns
+        if schema_ddl is not None and _norm_ddl(schema_ddl) != _norm_ddl(
+            recorded["schema_ddl"]
+        ):
+            mismatches.append(
+                f"schema_ddl: caller={schema_ddl!r} "
+                f"sidecar={recorded['schema_ddl']!r}"
+            )
         if mismatches:
             raise ValueError(
                 f"caller spec contradicts {SPEC_SIDECAR} at {path!r}: "
@@ -212,7 +231,7 @@ def register_bucketed(
         bucket_col = recorded["bucket_col"]
         num_buckets = recorded["num_buckets"]
         sort_cols = recorded["sort_cols"]
-        schema_ddl = schema_ddl or recorded["schema_ddl"]
+        schema_ddl = recorded["schema_ddl"]
     sorted_clause = ""
     if sort_cols:
         sorted_clause = f" SORTED BY ({', '.join(sort_cols)})"

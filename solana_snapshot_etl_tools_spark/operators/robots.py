@@ -22,10 +22,11 @@ truncation is asymmetric by rule: a ``Disallow`` containing ``*``
 blocks its literal prefix up to the first ``*`` (broader than the
 pattern — fails closed), and a trailing ``$`` anchor on a Disallow is
 stripped (the exact-match rule becomes a prefix rule — again
-broader). An ``Allow`` containing ``*`` is DROPPED outright: cutting
-it at the ``*`` would broaden the allow and let it out-rank the very
-Disallow it was carved out of (fail-open), and a missing Allow can
-only make the filter stricter.
+broader). An ``Allow`` containing ``*`` or ending in a ``$`` anchor
+is DROPPED outright: cutting the ``*`` (or keeping the ``$``-anchored
+exact-match rule as a literal prefix) would broaden the allow and let
+it out-rank the very Disallow it was carved out of (fail-open), and a
+missing Allow can only make the filter stricter.
 """
 
 from __future__ import annotations
@@ -48,7 +49,8 @@ def parse_robots_records(recs: DataFrame) -> DataFrame:
     handling is asymmetric so the filter can only fail CLOSED:
     Disallow paths are cut at the first ``*`` and lose a trailing
     ``$`` anchor (both broaden the block); Allow paths containing
-    ``*`` are dropped (truncating them would broaden the allow).
+    ``*`` or ending in ``$`` are dropped (truncating or literalizing
+    them would broaden the allow).
     """
     robots = recs.filter(
         (F.col("http_status") == 200)
@@ -98,7 +100,18 @@ def parse_robots_records(recs: DataFrame) -> DataFrame:
         )
         .filter(
             F.col("path").isNotNull()
-            & ((F.col("rule") == "disallow") | ~F.col("path").contains("*"))
+            & (
+                (F.col("rule") == "disallow")
+                # Allow rules with a wildcard OR a trailing '$' anchor
+                # are dropped: '/a$' matches ONLY the exact path '/a'
+                # under RFC 9309, but kept verbatim it would
+                # prefix-match '/a$...' URLs and out-rank the very
+                # Disallow it was carved from (fail-open)
+                | ~(
+                    F.col("path").contains("*")
+                    | F.col("path").endswith("$")
+                )
+            )
         )
     )
 

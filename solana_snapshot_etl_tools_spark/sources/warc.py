@@ -502,7 +502,11 @@ def _cdx_entry_from_head(head: bytes) -> tuple | None:
 
 
 def _iter_cdx_entries(
-    path: str, record_types: set[str] | None, head_cap: int = 1 << 16
+    path: str,
+    record_types: set[str] | None,
+    head_cap: int = 1 << 16,
+    on_corrupt: str = "fail",
+    fname: str | None = None,
 ) -> Iterator[tuple]:
     """One (urlkey, ts, url, mime, status, digest, length, offset,
     filename) per gzip member (per record for plain archives) —
@@ -518,9 +522,36 @@ def _iter_cdx_entries(
     import hashlib
     import os.path as _osp
 
-    fname = _osp.basename(path)
+    if fname is None:
+        fname = _osp.basename(path)
     n, skipped = 0, 0
     chunk = 1 << 20
+
+    def bad(offset: int, why: str):
+        """A rotten/mis-framed archive makes the index SILENTLY
+        incomplete — the one failure an index must not have — so the
+        default is loud; on_corrupt='skip' restores the sequential
+        scanner's tolerate-and-stop behavior (partial index, counted
+        in the stats sentinel)."""
+        if on_corrupt == "fail":
+            raise ValueError(
+                f"cannot index {path!r} at offset {offset}: {why}. The "
+                "index would silently miss every later record — repair "
+                "or exclude the archive (warc_file_stats finds rotten "
+                "ones), or pass on_corrupt='skip' for a partial index."
+            )
+
+    def record_extent(head: bytes) -> int | None:
+        """headers + payload length parsed from a record head, or
+        None when the head is not a parseable record."""
+        s = io.BufferedReader(io.BytesIO(head))
+        try:
+            hdrs = _read_headers(s)
+            if hdrs is None:
+                return None
+            return s.tell() + int(hdrs["content-length"])
+        except (ValueError, KeyError, OSError, EOFError):
+            return None
 
     def emit(start: int, length: int, head: bytes, digest: str):
         nonlocal n, skipped
@@ -549,10 +580,12 @@ def _iter_cdx_entries(
                 d = zlib.decompressobj(wbits=31)
                 h = hashlib.sha1()
                 head = bytearray()
+                dlen = 0
                 try:
                     while True:
                         out = d.decompress(pending)
                         if out:
+                            dlen += len(out)
                             h.update(out)
                             if len(head) < head_cap:
                                 head += out[: head_cap - len(head)]
@@ -563,11 +596,29 @@ def _iter_cdx_entries(
                         raw_pos += len(pending)
                         if not pending:
                             raise EOFError("truncated gzip member")
-                except (zlib.error, EOFError, OSError):
-                    # cannot find the next member boundary without a
-                    # valid end-of-member — stop indexing this file
+                except (zlib.error, EOFError, OSError) as e:
+                    bad(start, f"corrupt/truncated gzip member ({e})")
                     skipped += 1
                     break
+                # random access serves ONE record per index entry, so a
+                # member holding several (whole-file `gzip x.warc`, not
+                # record-at-time compression) can never round-trip.
+                # Loud under the default; under skip the member's
+                # boundary IS known, so the walk skips it and continues
+                extent = record_extent(bytes(head))
+                if extent is not None and dlen > extent + 8:
+                    if on_corrupt == "fail":
+                        raise ValueError(
+                            f"{path!r}: gzip member at offset {start} "
+                            f"decompresses to {dlen} bytes but its "
+                            f"first record ends at {extent} — the "
+                            "archive is whole-file-gzipped, not "
+                            "record-at-time, so byte-range random "
+                            "access cannot work. Index the "
+                            "decompressed .warc instead."
+                        )
+                    skipped += 1
+                    continue
                 length = (raw_pos - len(pending)) - start
                 row = emit(start, length, bytes(head), h.hexdigest())
                 if row is not None:
@@ -575,30 +626,43 @@ def _iter_cdx_entries(
         else:
             stream = io.BufferedReader(f, chunk)
             while True:
+                # tolerate (and exclude from the entry) separator runs
+                # before a record, CRLF or bare LF — same tolerance as
+                # _read_headers, but offsets must point AT "WARC/"
+                while True:
+                    peeked = stream.peek(2)[:2]
+                    if peeked[:2] == b"\r\n":
+                        stream.read(2)
+                    elif peeked[:1] == b"\n":
+                        stream.read(1)
+                    else:
+                        break
                 start = stream.tell()
                 try:
                     headers = _read_headers(stream)
-                except (ValueError, OSError, EOFError):
+                except (ValueError, OSError, EOFError) as e:
+                    bad(start, f"malformed record header ({e})")
                     skipped += 1
                     break
                 if headers is None:
                     break
                 try:
                     plen = int(headers["content-length"])
-                except (KeyError, ValueError):
-                    skipped += 1
-                    break
-                if plen < 0:
+                    if plen < 0:
+                        raise ValueError("negative Content-Length")
+                except (KeyError, ValueError) as e:
+                    bad(start, f"unusable Content-Length ({e})")
                     skipped += 1
                     break
                 h = hashlib.sha1()
                 head = bytearray()
                 # _read_headers left the cursor at the payload start;
-                # record extent = headers + payload + the two CRLF
-                # separators. Re-read from the start so the digest
-                # covers the on-disk record bytes exactly.
+                # the entry covers headers + payload EXACTLY (trailing
+                # separators excluded — the fetch side never needs
+                # them, and their flavor varies CRLF/LF). Re-read from
+                # the start so the digest covers the on-disk bytes.
                 body_start = stream.tell()
-                to_hash = (body_start - start) + plen + 4
+                to_hash = (body_start - start) + plen
                 stream.seek(start)
                 left = to_hash
                 truncated = False
@@ -612,10 +676,10 @@ def _iter_cdx_entries(
                         head += b[: head_cap - len(head)]
                     left -= len(b)
                 if truncated:
+                    bad(start, "record truncated mid-payload")
                     skipped += 1
                     break
-                length = to_hash
-                row = emit(start, length, bytes(head), h.hexdigest())
+                row = emit(start, to_hash, bytes(head), h.hexdigest())
                 if row is not None:
                     yield row
     yield ("__stats__", n, skipped)
@@ -626,31 +690,83 @@ def build_cdxj_entries(
     paths: str | list[str],
     *,
     record_types: list[str] | None = ("response",),
+    on_corrupt: str = "fail",
+    filename_base: str | None = None,
 ) -> DataFrame:
     """Build a CDX index FROM archives: one ``CDXJ_SCHEMA`` row per
     record, with the member (offset, length) that random access
     needs. One task per archive (same fan-out as ``read_warc``).
 
+    ``filename_base``: the index ``filename`` column is the archive
+    path RELATIVE to this directory (Common Crawl's convention —
+    filenames carry their subpath), so archives spread over
+    subdirectories stay resolvable from one ``base_dir`` at fetch
+    time. Default: bare basename, which assumes a flat directory.
+
     Closes the loop ``read_cdxj`` left open: Common Crawl ships
     indexes, but local or partner archives do not — after one
     indexing pass, EVERY later read is CDX-pushdown random access
-    (``read_warc_records_at``) instead of a sequential scan."""
+    (``read_warc_records_at``) instead of a sequential scan.
+
+    Unlike the sequential scanner, corruption here is LOUD by default
+    (``on_corrupt="fail"``): a scanner that skips a rotten record
+    loses that record once, but an index built past one would
+    silently lose every record after it on EVERY future read. Use
+    ``on_corrupt="skip"`` plus ``build_cdxj_stats`` when a partial
+    index of a known-rotten archive is genuinely wanted."""
+    if on_corrupt not in ("fail", "skip"):
+        raise ValueError(f"on_corrupt must be 'fail' or 'skip', got {on_corrupt!r}")
     files = _resolve_paths(paths)
     types = set(record_types) if record_types is not None else None
     cols = [c.split()[0] for c in CDXJ_SCHEMA.split(", ")]
+    base = filename_base
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os.path as _osp
+
         for pdf in batches:
             for path in pdf["path"]:
+                fname = _osp.relpath(path, base) if base else None
                 rows = [
                     r
-                    for r in _iter_cdx_entries(path, types)
+                    for r in _iter_cdx_entries(
+                        path, types, on_corrupt=on_corrupt, fname=fname
+                    )
                     if r[0] != "__stats__"
                 ]
                 if rows:
                     yield pd.DataFrame(rows, columns=cols)
 
     return _per_file_frame(spark, files).mapInPandas(gen, CDXJ_SCHEMA)
+
+
+def build_cdxj_stats(
+    spark: SparkSession,
+    paths: str | list[str],
+    *,
+    record_types: list[str] | None = ("response",),
+) -> DataFrame:
+    """(warc_file, n_entries, n_skipped) per archive under the
+    builder's skip mode — the audit companion that tells you HOW
+    partial an ``on_corrupt="skip"`` index is."""
+    files = _resolve_paths(paths)
+    types = set(record_types) if record_types is not None else None
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path in pdf["path"]:
+                n, skipped = 0, 0
+                for r in _iter_cdx_entries(path, types, on_corrupt="skip"):
+                    if r[0] == "__stats__":
+                        n, skipped = r[1], r[2]
+                yield pd.DataFrame(
+                    {"warc_file": [path], "n_entries": [n],
+                     "n_skipped": [skipped]}
+                )
+
+    return _per_file_frame(spark, files).mapInPandas(
+        gen, "warc_file string, n_entries long, n_skipped long"
+    )
 
 
 def cdxj_lines(entries: DataFrame) -> DataFrame:

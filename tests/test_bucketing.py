@@ -209,6 +209,29 @@ def test_spec_sidecar_contradiction_is_loud(spark, bucketed_pair):
             str(bucketed_pair / "orders"),
             num_buckets=8,  # wrong on purpose
         )
+    # a stale schema naming a renamed column would CREATE a table
+    # whose parquet name resolution silently yields all-NULL columns
+    with pytest.raises(ValueError, match="schema_ddl"):
+        B.register_bucketed(
+            spark,
+            "t_orders_bad",
+            str(bucketed_pair / "orders"),
+            schema_ddl="wrong_col string",
+        )
+    # ...but a formatting-only difference (no backticks, case) is NOT
+    # a contradiction
+    loose = B.read_bucket_spec(spark, str(bucketed_pair / "orders"))[
+        "schema_ddl"
+    ].replace("`", "").upper()
+    spark.sql("DROP TABLE IF EXISTS t_orders_fmt")
+    try:
+        df = B.register_bucketed(
+            spark, "t_orders_fmt", str(bucketed_pair / "orders"),
+            schema_ddl=loose,
+        )
+        assert df.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_fmt")
 
 
 def test_missing_sidecar_requires_explicit_trust(spark, tmp_path):

@@ -267,9 +267,16 @@ def test_cdx_builder_offsets_are_exact(tmp_path_factory, recs, gz):
         for rec, member, row in zip(raw, members, entries):
             off, length = row[7], row[6]
             cut = blob[off:off + length]
-            assert cut == member
-            assert (_gzip.decompress(cut) if gz else cut) == rec
-        # members tile the file with no gaps
+            if gz:
+                # gz entries cover the whole member
+                assert cut == member
+                assert _gzip.decompress(cut) == rec
+            else:
+                # plain entries cover headers+payload exactly; the
+                # trailing CRLF/CRLF framing is excluded (the fetch
+                # side never needs it)
+                assert cut == rec[:-4]
+        # entries start exactly at each member/record boundary
         assert [r[7] for r in entries] == [
             sum(len(m) for m in members[:i]) for i in range(len(members))
         ]
@@ -288,7 +295,9 @@ def test_cdx_builder_garbage_never_crashes(blob, gz):
     try:
         with os.fdopen(fd, "wb") as f:
             f.write(_gzip.compress(blob) if gz and len(blob) % 2 else blob)
-        rows = list(W._iter_cdx_entries(path, None))
+        # skip mode: garbage never crashes (default "fail" mode makes
+        # corruption a loud ValueError instead — tested separately)
+        rows = list(W._iter_cdx_entries(path, None, on_corrupt="skip"))
         assert rows[-1][0] == "__stats__"
         for r in rows[:-1]:
             assert r[6] > 0 and r[7] >= 0

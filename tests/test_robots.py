@@ -108,6 +108,8 @@ Allow: /a*x
 Disallow: /exact$
 Disallow: /pre*fix$
 Allow: /a/safe/
+Disallow: /safe
+Allow: /safe$
 """
 
 
@@ -133,7 +135,9 @@ def test_wildcard_policy_fails_closed(spark):
         ("*", "disallow", "/exact"),     # '$' anchor stripped → prefix
         ("*", "disallow", "/pre"),       # cut at '*'; no trailing '$' left
         ("*", "allow", "/a/safe/"),      # literal Allow kept
-        # 'Allow: /a*x' emits NOTHING
+        ("*", "disallow", "/safe"),
+        # 'Allow: /a*x' and 'Allow: /safe$' emit NOTHING: a truncated
+        # or literalized anchor Allow would out-rank its Disallow
     }
     docs = spark.createDataFrame(
         [
@@ -143,6 +147,11 @@ def test_wildcard_policy_fails_closed(spark):
             ("d4", "http://w.example/pre-rendered"),
             ("d5", "http://w.example/other"),
             ("d6", "http://w.example/a/safe/x"),   # literal Allow carve-out
+            # literal-'$' URL: a verbatim 'Allow: /safe$' would
+            # prefix-match this and out-rank 'Disallow: /safe'
+            ("d7", "http://w.example/safe$file"),
+            ("d8", "http://w.example/safe"),       # RFC-allowed, we block:
+                                                   # conservative by policy
         ],
         "doc_id string, url string",
     )

@@ -648,7 +648,7 @@ class TestCdxBuilder:
         assert idx[0].url == "http://b.example/r"
         assert idx[0].mime == "text/html"
 
-    def test_corrupt_member_stops_without_failing(self, spark, tmp_path):
+    def _corrupt_archive(self, tmp_path):
         good = gzip.compress(_record(
             "response", _http(b"<html>ok</html>"), uri="http://c.example/a"
         ))
@@ -659,8 +659,67 @@ class TestCdxBuilder:
             bad[i] ^= 0xFF
         p = tmp_path / "corrupt.warc.gz"
         p.write_bytes(good + bytes(bad))
-        rows = W.build_cdxj_entries(spark, [str(p)]).collect()  # no raise
+        return str(p)
+
+    def test_corrupt_member_fails_loudly_by_default(self, spark, tmp_path):
+        """A scanner that skips a rotten record loses it once; an
+        index built past one silently loses every later record on
+        every future read — so the builder's default is LOUD."""
+        p = self._corrupt_archive(tmp_path)
+        with pytest.raises(Exception, match="cannot index"):
+            W.build_cdxj_entries(spark, [p]).collect()
+
+    def test_corrupt_member_skip_mode_partial_plus_stats(self, spark, tmp_path):
+        p = self._corrupt_archive(tmp_path)
+        rows = W.build_cdxj_entries(spark, [p], on_corrupt="skip").collect()
         assert [r.url for r in rows] == ["http://c.example/a"]
+        st = W.build_cdxj_stats(spark, [p]).collect()[0]
+        assert st.n_entries == 1
+        assert st.n_skipped >= 1
+        with pytest.raises(ValueError, match="on_corrupt"):
+            W.build_cdxj_entries(spark, [p], on_corrupt="nope")
+
+    def test_filename_base_resolves_subdirectory_archives(self, spark, tmp_path):
+        """filename_base records subpaths (the Common Crawl filename
+        convention) so a multi-directory archive set stays resolvable
+        from ONE base_dir at fetch time."""
+        for sub, uri in (("a", "http://s.example/x"), ("b/c", "http://s.example/y")):
+            d = tmp_path / sub
+            d.mkdir(parents=True)
+            _write(d / "part.warc.gz",
+                   [_record("response", _http(b"<html>s</html>"), uri=uri)],
+                   gz=True)
+        idx = W.build_cdxj_entries(
+            spark,
+            [str(tmp_path / "a" / "part.warc.gz"),
+             str(tmp_path / "b" / "c" / "part.warc.gz")],
+            filename_base=str(tmp_path),
+        )
+        names = {r.filename for r in idx.collect()}
+        assert names == {"a/part.warc.gz", "b/c/part.warc.gz"}
+        got = {
+            r.target_uri
+            for r in W.read_warc_records_at(
+                spark, idx, base_dir=str(tmp_path)
+            ).collect()
+        }
+        assert got == {"http://s.example/x", "http://s.example/y"}
+
+    def test_whole_file_gzip_is_structurally_rejected(self, spark, tmp_path):
+        """`gzip x.warc` (one member, many records) can never serve
+        byte-range random access — the builder must refuse, not emit
+        a 1-entry index that silently covers nothing."""
+        recs = b"".join(
+            _record("response", _http(f"<html>{i}</html>".encode()),
+                    uri=f"http://w.example/{i}")
+            for i in range(5)
+        )
+        p = tmp_path / "whole.warc.gz"
+        p.write_bytes(gzip.compress(recs))
+        with pytest.raises(Exception, match="whole-file-gzipped"):
+            W.build_cdxj_entries(spark, [str(p)]).collect()
+        # ...while the sequential scanner reads the same file fine
+        assert W.read_warc(spark, [str(p)]).count() == 5
 
 
 def test_cli_warc_index_pushdown_ingest(spark, tmp_path, tmp_path_factory, capsys):
@@ -825,6 +884,18 @@ def test_cli_build_warc_index_then_reuse(spark, tmp_path, tmp_path_factory, caps
                          "--build-warc-index", idx_path])
     with _pt.raises(SystemExit):
         corpus_cli.main(["x", out1, "--build-warc-index", idx_path])
+    # a WET index would never be consumable by --warc-index — refused
+    with _pt.raises(SystemExit):
+        corpus_cli.main(["x", out1, "--input-format", "wet",
+                         "--build-warc-index", idx_path])
+    # wrong --warc-base: loud BEFORE the fetch, not an empty corpus
+    with _pt.raises(SystemExit, match="not found under"):
+        corpus_cli.main([
+            "ignored-when-indexed", out1,
+            "--input-format", "warc", "--warc-index", idx_path,
+            "--warc-base", str(tmp_path / "nowhere"),
+            "--html-extract", "--no-pii",
+        ])
 
 
 def test_cdxj_malformed_lines_skipped_not_fatal(spark, tmp_path):
