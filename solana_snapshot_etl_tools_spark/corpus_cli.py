@@ -502,6 +502,14 @@ def main(argv: list[str] | None = None) -> int:
                    "as --warc-index and reads by byte range instead "
                    "of re-scanning. Entry count lands in the report "
                    "as warc_index_entries")
+    p.add_argument("--archive-stats", action="store_true",
+                   help="diagnostic mode: scan the archives "
+                   "(--input-format warc/wet) with "
+                   "sources.warc.warc_file_stats and emit per-archive "
+                   "(n_records, n_skipped) in the report WITHOUT "
+                   "running the pipeline — the triage pass that finds "
+                   "rotten archives before --build-warc-index refuses "
+                   "them or a long ingest wastes cluster time")
     p.add_argument("--warc-base", metavar="DIR", default=None,
                    help="directory CDXJ 'filename' fields resolve "
                    "against (see --warc-index)")
@@ -677,6 +685,9 @@ def main(argv: list[str] | None = None) -> int:
             p.error("--build-warc-index conflicts with --warc-index: "
                     "an indexed run fetches byte ranges and never "
                     "walks the archives it would re-index")
+    if args.archive_stats and args.input_format not in ("warc", "wet"):
+        p.error("--archive-stats scans archives; it needs "
+                "--input-format warc or wet")
     if args.decontam_action == "excise" and not args.decontam_ngrams:
         p.error("--decontam-action excise requires --decontam-ngrams "
                 "(the bench whose spans get cut)")
@@ -850,6 +861,26 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name="corpus-build", cpus=args.cpus)
     report: dict[str, object] = {"input": args.docs, "out": args.out_dir}
+
+    if args.archive_stats:
+        # triage mode: per-archive health, no pipeline. One task per
+        # archive, the same fan-out the real ingest would use.
+        from solana_snapshot_etl_tools_spark.sources.warc import (
+            warc_file_stats,
+        )
+
+        stats = sorted(
+            warc_file_stats(spark, _warc_paths(args)).collect(),
+            key=lambda r: r.warc_file,
+        )
+        report["archives"] = [
+            [r.warc_file, r.n_records, r.n_skipped] for r in stats
+        ]
+        report["n_archives"] = len(stats)
+        report["n_rotten"] = sum(1 for r in stats if r.n_skipped > 0)
+        report["n_records_total"] = sum(r.n_records for r in stats)
+        _emit_report(report, args.out_dir)
+        return 0
 
     ride_source = args.source_cap is not None or mixture is not None
     need_source = bool(args.source_blocklist) or ride_source

@@ -898,6 +898,45 @@ def test_cli_build_warc_index_then_reuse(spark, tmp_path, tmp_path_factory, caps
         ])
 
 
+def test_cli_archive_stats_triage_mode(spark, tmp_path, tmp_path_factory, capsys):
+    """--archive-stats: per-archive health report, no pipeline run —
+    the triage pass before --build-warc-index or a long ingest."""
+    import json as _json
+
+    import pytest as _pt
+
+    from solana_snapshot_etl_tools_spark import corpus_cli
+
+    good = [_record("response", _http(b"<html>g</html>"),
+                    uri=f"http://st.example/{i}") for i in range(3)]
+    _write(tmp_path / "good.warc.gz", good, gz=True)
+    rotten = _record("response", _http(b"<html>r</html>"),
+                     uri="http://st.example/r")[:-15]  # truncated
+    _write(tmp_path / "rotten.warc", [rotten], gz=False)
+
+    out = str(tmp_path_factory.mktemp("astats"))
+    assert corpus_cli.main([
+        str(tmp_path / "*.warc*"), out,
+        "--input-format", "warc", "--archive-stats",
+    ]) == 0
+    rep = _json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.strip()][-1]
+    )
+    assert rep["n_archives"] == 2
+    assert rep["n_rotten"] == 1
+    assert rep["n_records_total"] == 3
+    by_name = {a[0].rsplit("/", 1)[-1]: a[1:] for a in rep["archives"]}
+    assert by_name["good.warc.gz"] == [3, 0]
+    assert by_name["rotten.warc"][1] >= 1
+    # no corpus splits were written
+    import os as _os
+    assert not any(
+        _os.path.isdir(f"{out}/{k}") for k in ("train", "val", "test")
+    )
+    with _pt.raises(SystemExit):
+        corpus_cli.main(["x.parquet", out, "--archive-stats"])
+
+
 def test_cdxj_malformed_lines_skipped_not_fatal(spark, tmp_path):
     import json as _json
 
