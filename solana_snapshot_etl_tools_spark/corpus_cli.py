@@ -141,6 +141,18 @@ def main(argv: list[str] | None = None) -> int:
                    "rule). Measures the same frame the filter would "
                    "see: batch, right before the filter stage; "
                    "stream, post-drain over the accumulated corpus")
+    p.add_argument("--domain-quality", metavar="Q[:MIN_DOCS]", default=None,
+                   help="RefinedWeb-style whole-domain drop: compute "
+                   "each registered domain's MEAN quality_score and "
+                   "drop every document of domains below Q (in "
+                   "[0,1]). Domains with fewer than MIN_DOCS docs "
+                   "(default 3) are kept — one bad page is evidence "
+                   "about the page, not the domain. Complements the "
+                   "per-document --quality cut (uniformly-mediocre "
+                   "content farms slip under a per-doc threshold; "
+                   "their aggregate does not). Needs a 'url' column; "
+                   "runs after --html-extract so quality judges "
+                   "extracted text, not markup. Batch only")
     p.add_argument("--url-dedup", action="store_true",
                    help="exact URL-level dedup on the normalized page "
                    "identity BEFORE text dedup (needs a 'url' column; "
@@ -688,6 +700,19 @@ def main(argv: list[str] | None = None) -> int:
     if args.archive_stats and args.input_format not in ("warc", "wet"):
         p.error("--archive-stats scans archives; it needs "
                 "--input-format warc or wet")
+    if args.domain_quality is not None:
+        q, sep, nd = args.domain_quality.partition(":")
+        try:
+            q = float(q)
+            nd = int(nd) if sep else 3
+        except ValueError:
+            p.error(f"--domain-quality wants Q or Q:MIN_DOCS, got "
+                    f"{args.domain_quality!r}")
+        if not 0 <= q <= 1:
+            p.error("--domain-quality Q must be in [0, 1]")
+        if nd < 1:
+            p.error("--domain-quality MIN_DOCS must be >= 1")
+        args.domain_quality = (q, nd)
     if args.decontam_action == "excise" and not args.decontam_ngrams:
         p.error("--decontam-action excise requires --decontam-ngrams "
                 "(the bench whose spans get cut)")
@@ -835,6 +860,10 @@ def main(argv: list[str] | None = None) -> int:
             # url dedup is a global groupBy; the stream's incremental
             # index already dedups content across batches
             (args.url_dedup, "--url-dedup"),
+            # a domain's mean quality is a whole-corpus aggregate; a
+            # per-batch mean would flip keep/drop for a domain as its
+            # batches arrive
+            (args.domain_quality is not None, "--domain-quality"),
             # the stream profile store is keyed by batch
             (args.profile_by is not None, "--profile-by"),
             # NB: --boilerplate-min-df IS allowed here — line
@@ -922,6 +951,8 @@ def main(argv: list[str] | None = None) -> int:
     # columns); a blocklist alone is consumed at the scan
     if args.url_dedup and "url" not in raw.columns:
         p.error("--url-dedup needs a 'url' column in DOCS")
+    if args.domain_quality is not None and "url" not in raw.columns:
+        p.error("--domain-quality needs a 'url' column in DOCS")
     if args.dedup_prefer is not None:
         if args.dedup_prefer not in raw.columns:
             p.error(f"--dedup-prefer {args.dedup_prefer!r}: no such "
@@ -938,7 +969,7 @@ def main(argv: list[str] | None = None) -> int:
     docs = raw.select(
         "doc_id", "text",
         *(["source"] if need_source else []),
-        *(["url"] if args.url_dedup else []),
+        *(["url"] if args.url_dedup or args.domain_quality is not None else []),
     )
     if args.html_extract:
         # row-preserving transform, BEFORE every text-reading stage
@@ -989,6 +1020,16 @@ def main(argv: list[str] | None = None) -> int:
         # its short normalized key before any text-level dedup runs
         docs = dedup_by_url(docs)
         report["n_after_url_dedup"] = docs.count()
+    if args.domain_quality is not None:
+        from solana_snapshot_etl_tools_spark.operators.domains import (
+            filter_low_quality_domains,
+        )
+
+        qmin, min_docs = args.domain_quality
+        docs = filter_low_quality_domains(
+            docs, min_mean_quality=qmin, min_docs=min_docs
+        )
+        report["n_after_domain_quality"] = docs.count()
     docs = docs.select("doc_id", "text", *cap_cols)
 
     kept = DD.exact_dedup(docs, "doc_id", "text")

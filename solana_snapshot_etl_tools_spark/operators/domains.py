@@ -494,3 +494,90 @@ def with_registered_domain(
     )
     work = work.withColumn(out_col, out)
     return work.select(*df.columns, out_col)
+
+
+def domain_quality_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    quality: Column | None = None,
+    psl=None,
+) -> DataFrame:
+    """Per-registered-domain quality aggregates:
+    (domain, n_docs, mean_quality, n_chars).
+
+    The domain-granularity companion to :func:`source_stats` —
+    RefinedWeb-style curation judges whole domains, not just single
+    documents, because a content farm's pages are individually
+    borderline but collectively obvious. ``quality`` defaults to
+    ``functions.text.quality_score``; pass any [0,1] column (e.g. a
+    learned model score) to aggregate that instead.
+
+    Scale shape: the quality expression evaluates per row BEFORE the
+    groupBy, so the only shuffle carries (domain, score, length)
+    triples — never text — and the aggregate is partial/map-side
+    combinable. ``psl`` is forwarded to
+    :func:`with_registered_domain` for PSL-exact domains."""
+    from solana_snapshot_etl_tools_spark.functions.text import quality_score
+
+    q = quality if quality is not None else quality_score(F.col(text_col))
+    dom = with_registered_domain(df, url_col, out_col="_dqs_dom", psl=psl)
+    return (
+        dom.select(
+            F.col("_dqs_dom").alias("domain"),
+            q.alias("_q"),
+            F.length(text_col).alias("_len"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("_q").alias("mean_quality"),
+            F.sum("_len").alias("n_chars"),
+        )
+    )
+
+
+def filter_low_quality_domains(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    *,
+    min_mean_quality: float,
+    min_docs: int = 3,
+    quality: Column | None = None,
+    psl=None,
+) -> DataFrame:
+    """Drop every document of a registered domain whose MEAN quality
+    falls below ``min_mean_quality`` — the whole-domain drop of the
+    RefinedWeb recipe, complementing the per-document ``--quality``
+    threshold (a domain of uniformly-mediocre pages slips under a
+    per-doc cut; its aggregate does not).
+
+    Domains with fewer than ``min_docs`` documents are KEPT: one bad
+    page is evidence about the page, not the domain. Input columns
+    pass through unchanged.
+
+    Scale shape: the failing-domain set is an aggregate of the
+    (domain, score) frame — typically tiny, so AQE plans the anti-join
+    back as a broadcast; if a corpus somehow fails millions of
+    domains, the join degrades to a shuffle on the DOMAIN key (text
+    still moves only with its own row, once). Deterministic: a pure
+    function of the corpus content.
+    """
+    if "_dqs_dom" in df.columns:
+        raise ValueError(
+            "filter_low_quality_domains reserves column '_dqs_dom'; "
+            "rename it on the input"
+        )
+    failing = (
+        domain_quality_stats(
+            df, url_col, text_col, quality=quality, psl=psl
+        )
+        .filter(
+            (F.col("n_docs") >= min_docs)
+            & (F.col("mean_quality") < min_mean_quality)
+        )
+        .select(F.col("domain").alias("_dqs_dom"))
+    )
+    dom = with_registered_domain(df, url_col, out_col="_dqs_dom", psl=psl)
+    return dom.join(failing, "_dqs_dom", "left_anti").drop("_dqs_dom")

@@ -1637,3 +1637,59 @@ def test_layout_flags_validate(tmp_path_factory, capsys):
         corpus_cli.main([SRC, out, "--bucket-by", "doc_id",
                          "--shard-target-mb", "1"])
     capsys.readouterr()
+
+
+def test_domain_quality_stage_batch(spark, tmp_path, tmp_path_factory, capsys):
+    """--domain-quality: a content farm's uniformly-mediocre docs die
+    as a WHOLE DOMAIN even though each slips past the per-doc cut."""
+    good = ("this is a perfectly ordinary sentence with the usual "
+            "words and plenty of the most common stopwords that the "
+            "score rewards because they are of use to have with that")
+    # mediocre but English: passes lang-id and a low per-doc cut,
+    # while the domain MEAN lands under the domain threshold
+    mediocre = ("buy buy buy cheap cheap deal deal deal the of and "
+                "click here now !!! best price sale sale sale the of")
+    rows = (
+        # distinct texts: the later exact-dedup stage must not
+        # collapse the survivors this test counts
+        [(f"f{i}", f"http://farm.example/p{i}", f"{mediocre} item {i}")
+         for i in range(4)]
+        + [(f"g{i}", f"http://good.example/p{i}", f"{good} chapter {i}")
+           for i in range(4)]
+        + [("l0", "http://lone.example/only", mediocre)]  # < MIN_DOCS
+    )
+    src = str(tmp_path / "dq.parquet")
+    spark.createDataFrame(
+        rows, "doc_id string, url string, text string"
+    ).write.parquet(src)
+
+    from solana_snapshot_etl_tools_spark.functions.text import quality_score
+    med_q = (
+        spark.createDataFrame([(mediocre,)], "text string")
+        .select(quality_score(F.col("text")).alias("q")).collect()[0].q
+    )
+    good_q = (
+        spark.createDataFrame([(good,)], "text string")
+        .select(quality_score(F.col("text")).alias("q")).collect()[0].q
+    )
+    cut = (med_q + good_q) / 2  # between the two domain means
+
+    out = str(tmp_path_factory.mktemp("dq_out"))
+    rep = _run(capsys, src, out, "--no-pii", "--quality", "0",
+               "--domain-quality", f"{cut}:3")
+    assert rep["n_after_domain_quality"] == 5  # farm gone, lone kept
+    ids = {
+        r.doc_id
+        for k in ("train", "val", "test")
+        if rep["splits"][k]["rows"]
+        for r in spark.read.parquet(f"{out}/{k}").select("doc_id").collect()
+    }
+    assert ids == {"g0", "g1", "g2", "g3", "l0"}
+
+    import pytest as _pt
+    with _pt.raises(SystemExit):  # needs a url column
+        corpus_cli.main([SRC, out, "--domain-quality", "0.5"])
+    with _pt.raises(SystemExit):  # malformed spec
+        corpus_cli.main([src, out, "--domain-quality", "high"])
+    with _pt.raises(SystemExit):  # out-of-range Q
+        corpus_cli.main([src, out, "--domain-quality", "1.5"])

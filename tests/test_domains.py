@@ -566,3 +566,102 @@ def test_parse_psl_fuzz_invariants(lines):
                 assert n == len(labels)
             else:  # exc: public suffix = rule minus leftmost label
                 assert n == len(labels) - 1
+
+
+# --- domain-level quality filtering (RefinedWeb whole-domain drop) ---------
+
+_GOOD = ("this is a perfectly ordinary sentence with the usual words "
+         "and plenty of the most common stopwords that the score "
+         "rewards because they are of use to have with that and this")
+_BAD = "!!! ??? ... ### $$$ %%% @@@ ^^^ &&& *** ((( ))) !!! ??? ..."
+
+
+def _dq_docs(spark):
+    rows = []
+    # farm.example: 4 uniformly bad docs — the whole domain must go
+    for i in range(4):
+        rows.append((f"f{i}", f"http://farm.example/p{i}", _BAD))
+    # good.example: 4 good docs
+    for i in range(4):
+        rows.append((f"g{i}", f"http://sub.good.example/p{i}", _GOOD))
+    # lone.example: ONE bad doc — under min_docs, kept
+    rows.append(("l0", "http://lone.example/only", _BAD))
+    # mixed.example: mostly good, one bad — mean stays above the cut
+    rows.append(("m0", "http://mixed.example/bad", _BAD))
+    for i in range(1, 4):
+        rows.append((f"m{i}", f"http://mixed.example/p{i}", _GOOD))
+    return spark.createDataFrame(rows, "doc_id string, url string, text string")
+
+
+def test_domain_quality_stats_aggregates_per_registered_domain(spark):
+    stats = {
+        r.domain: r
+        for r in DOM.domain_quality_stats(_dq_docs(spark)).collect()
+    }
+    # subdomain collapses into the registered domain
+    assert set(stats) == {
+        "farm.example", "good.example", "lone.example", "mixed.example"
+    }
+    assert stats["farm.example"].n_docs == 4
+    assert stats["good.example"].n_docs == 4
+    assert stats["farm.example"].mean_quality < 0.3
+    assert stats["good.example"].mean_quality > 0.5
+    assert stats["good.example"].n_chars == 4 * len(_GOOD)
+
+
+def test_filter_low_quality_domains_drops_whole_domain_only(spark):
+    docs = _dq_docs(spark)
+    kept = {
+        r.doc_id
+        for r in DOM.filter_low_quality_domains(
+            docs, min_mean_quality=0.4, min_docs=3
+        ).collect()
+    }
+    # the farm dies whole; the lone bad doc survives (insufficient
+    # evidence); mixed.example's one bad doc survives via its domain
+    assert kept == {"g0", "g1", "g2", "g3", "l0", "m0", "m1", "m2", "m3"}
+    # min_docs=1: the lone domain now dies too
+    kept1 = {
+        r.doc_id
+        for r in DOM.filter_low_quality_domains(
+            docs, min_mean_quality=0.4, min_docs=1
+        ).collect()
+    }
+    assert kept1 == kept - {"l0"}
+    # columns pass through unchanged
+    out = DOM.filter_low_quality_domains(docs, min_mean_quality=0.4)
+    assert out.columns == docs.columns
+    # scratch-column collision is loud
+    with pytest.raises(ValueError, match="_dqs_dom"):
+        DOM.filter_low_quality_domains(
+            docs.withColumn("_dqs_dom", F.lit("x")), min_mean_quality=0.4
+        )
+
+
+def test_filter_low_quality_domains_custom_quality_column(spark):
+    docs = _dq_docs(spark).withColumn(
+        # learned-model stand-in: good.example scored terribly
+        "model_q",
+        F.when(F.col("url").contains("good.example"), 0.0).otherwise(1.0),
+    )
+    kept = {
+        r.doc_id
+        for r in DOM.filter_low_quality_domains(
+            docs, min_mean_quality=0.5, quality=F.col("model_q")
+        ).collect()
+    }
+    assert not any(d.startswith("g") for d in kept)
+    assert {"f0", "m0", "l0"} <= kept
+
+
+def test_domain_quality_no_text_in_shuffle(spark):
+    """The stats aggregate must shuffle (domain, score, length)
+    triples, never the text column."""
+    plan = (
+        DOM.domain_quality_stats(_dq_docs(spark))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "text" not in m.group(0), m.group(0)
