@@ -141,6 +141,14 @@ def main(argv: list[str] | None = None) -> int:
                    "rule). Measures the same frame the filter would "
                    "see: batch, right before the filter stage; "
                    "stream, post-drain over the accumulated corpus")
+    p.add_argument("--source-from-url", action="store_true",
+                   help="derive the 'source' column from each URL's "
+                   "registered domain (domains.with_registered_domain) "
+                   "— crawl inputs carry url but no source, and this "
+                   "unlocks the whole source-curation suite for them: "
+                   "--source-cap, --source-blocklist, "
+                   "--source-mixture, --profile-by source. Refused "
+                   "when the input already has a source column")
     p.add_argument("--domain-quality", metavar="Q[:MIN_DOCS]", default=None,
                    help="RefinedWeb-style whole-domain drop: compute "
                    "each registered domain's MEAN quality_score and "
@@ -864,6 +872,9 @@ def main(argv: list[str] | None = None) -> int:
             # per-batch mean would flip keep/drop for a domain as its
             # batches arrive
             (args.domain_quality is not None, "--domain-quality"),
+            # the stream's arrival contract is parquet batches that
+            # carry their own schema — the producer derives source
+            (args.source_from_url, "--source-from-url"),
             # the stream profile store is keyed by batch
             (args.profile_by is not None, "--profile-by"),
             # NB: --boilerplate-min-df IS allowed here — line
@@ -1870,6 +1881,35 @@ def _emit_report(report, out_dir):
         pass
 
 def _read_input(spark, args):
+    """Read DOCS per --input-format, applying --source-from-url.
+
+    The derivation lives HERE (not in the main pipeline) because
+    several late stages re-read the input to re-join columns the
+    pipeline deliberately dropped (--profile-by, --dedup-prefer) —
+    a 'source' derived only on the first read would be invisible to
+    those re-reads."""
+    df = _read_input_base(spark, args)
+    if getattr(args, "source_from_url", False):
+        if "source" in df.columns:
+            raise SystemExit(
+                "--source-from-url: the input already has a 'source' "
+                "column — derivation would overwrite it; drop the "
+                "flag or rename the column"
+            )
+        if "url" not in df.columns:
+            raise SystemExit(
+                "--source-from-url needs a 'url' column in DOCS "
+                f"(have {df.columns})"
+            )
+        from solana_snapshot_etl_tools_spark.operators.domains import (
+            with_registered_domain,
+        )
+
+        df = with_registered_domain(df, "url", out_col="source")
+    return df
+
+
+def _read_input_base(spark, args):
     """Read DOCS per --input-format. warc/wet accept a glob or a
     comma-separated path manifest (Common Crawl's warc.paths shape);
     their parse is re-runnable, so later stages that re-join input

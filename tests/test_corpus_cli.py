@@ -1693,3 +1693,52 @@ def test_domain_quality_stage_batch(spark, tmp_path, tmp_path_factory, capsys):
         corpus_cli.main([src, out, "--domain-quality", "high"])
     with _pt.raises(SystemExit):  # out-of-range Q
         corpus_cli.main([src, out, "--domain-quality", "1.5"])
+
+
+def test_source_from_url_unlocks_source_suite(spark, tmp_path, tmp_path_factory, capsys):
+    """--source-from-url: crawl-shaped input (url, no source) gains a
+    registered-domain source column, and the source-curation flags
+    (--source-cap here) work on it end-to-end."""
+    good = ("this is a perfectly ordinary sentence with the usual "
+            "words and plenty of the most common stopwords that the "
+            "score rewards because they are of use to have with that")
+    rows = (
+        [(f"b{i}", f"http://sub{i}.big.example/p", f"{good} page {i}")
+         for i in range(6)]
+        + [(f"s{i}", f"http://small.example/p{i}", f"{good} note {i}")
+           for i in range(2)]
+    )
+    src = str(tmp_path / "sfu.parquet")
+    spark.createDataFrame(
+        rows, "doc_id string, url string, text string"
+    ).write.parquet(src)
+
+    out = str(tmp_path_factory.mktemp("sfu_out"))
+    rep = _run(capsys, src, out, "--no-pii", "--quality", "0",
+               "--source-from-url", "--source-cap", "3")
+    # all 6 big.example subdomains collapse to ONE registered-domain
+    # source and get capped at 3; small.example keeps both
+    assert rep["n_after_filters"] == 5
+
+    # the derivation lives in _read_input, so re-reading stages see
+    # it too: --profile-by source (the motivating case) groups by the
+    # derived registered domain
+    out2 = str(tmp_path_factory.mktemp("sfu_prof"))
+    rep2 = _run(capsys, src, out2, "--no-pii", "--quality", "0",
+                "--source-from-url", "--profile", "--profile-by", "source")
+    groups = {r.source for r in spark.read.parquet(f"{out2}/profile").collect()}
+    assert groups == {"big.example", "small.example"}
+    assert rep2["n_after_filters"] == 8  # no cap this run
+
+    import pytest as _pt
+    # input already carrying source: refused, not overwritten
+    src2 = str(tmp_path / "sfu2.parquet")
+    spark.createDataFrame(
+        [("d1", "http://a.example/x", good, "handmade")],
+        "doc_id string, url string, text string, source string",
+    ).write.parquet(src2)
+    with _pt.raises(SystemExit, match="already has"):
+        corpus_cli.main([src2, out, "--no-pii", "--source-from-url"])
+    # no url column: refused
+    with _pt.raises(SystemExit, match="url"):
+        corpus_cli.main([SRC, out, "--no-pii", "--source-from-url"])
