@@ -538,8 +538,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="with --input-format warc: honor the "
                    "crawl's own robots.txt captures — parse every "
                    "200-OK /robots.txt in the archives (operators/"
-                   "robots.py, RFC 9309 longest-match subset with "
-                   "allow tie-break and per-agent group fallback) and "
+                   "robots.py, full RFC 9309 matching incl. '*'/'$' "
+                   "wildcards, most-octets precedence with allow "
+                   "tie-break and per-agent group fallback) and "
                    "drop documents a Disallow covers for AGENT "
                    "(default '*'). The host-level companion to the "
                    "page-level --respect-noai")

@@ -9,24 +9,24 @@ is a row.
 
 Scale shape: the rules table is tiny relative to the corpus (one
 robots.txt per host), so ``apply_robots`` broadcasts it and the
-corpus-side check is a narrow prefix test — no corpus shuffle.
+corpus-side check is a narrow per-row match (prefix test for plain
+rules, precompiled-regex for wildcard rules) — no corpus shuffle.
 
-Parsing follows the de-facto REP subset that matters for corpus
-filtering: grouped ``User-agent`` lines each apply to the following
-``Disallow``/``Allow`` block; matching is longest-prefix, ``Allow``
-wins ties by length (the Google/RFC 9309 rule); an empty ``Disallow``
-means "everything allowed"; ``*`` user-agent is the fallback group.
-Wildcards inside paths (``*``, ``$``) are intentionally NOT
-implemented — a corpus filter must err conservative, so the
-truncation is asymmetric by rule: a ``Disallow`` containing ``*``
-blocks its literal prefix up to the first ``*`` (broader than the
-pattern — fails closed), and a trailing ``$`` anchor on a Disallow is
-stripped (the exact-match rule becomes a prefix rule — again
-broader). An ``Allow`` containing ``*`` or ending in a ``$`` anchor
-is DROPPED outright: cutting the ``*`` (or keeping the ``$``-anchored
-exact-match rule as a literal prefix) would broaden the allow and let
-it out-rank the very Disallow it was carved out of (fail-open), and a
-missing Allow can only make the filter stricter.
+Parsing follows RFC 9309: grouped ``User-agent`` lines each apply to
+the following ``Disallow``/``Allow`` block; the most-octets pattern
+wins, ``Allow`` beats ``Disallow`` at equal length; an empty
+``Disallow`` means "everything allowed"; ``*`` user-agent is the
+fallback group. Path wildcards are matched EXACTLY per the RFC:
+``*`` matches any run of octets and a trailing ``$`` anchors the
+pattern at the path's end — each wildcard rule is translated once
+(rules side, tiny frame) into an anchored Java regex, while the
+plain-prefix majority keeps the cheap ``startswith`` fast path.
+Earlier rounds approximated wildcards with conservative prefix
+truncation; a property sweep against a full-RFC reference matcher
+found that truncating a Disallow SHRINKS its octet length for the
+longest-match tie-break, letting a literal Allow out-rank a pattern
+that should beat it (fail-open) — exact matching removes the whole
+class.
 """
 
 from __future__ import annotations
@@ -45,12 +45,9 @@ def parse_robots_records(recs: DataFrame) -> DataFrame:
 
     Pure column expressions: lines split and exploded JVM-side with
     the group's user-agents carried by a running scan — no Python in
-    the path. Hosts are lowercased; agents lowercased. Wildcard
-    handling is asymmetric so the filter can only fail CLOSED:
-    Disallow paths are cut at the first ``*`` and lose a trailing
-    ``$`` anchor (both broaden the block); Allow paths containing
-    ``*`` or ending in ``$`` are dropped (truncating or literalizing
-    them would broaden the allow).
+    the path. Hosts are lowercased; agents lowercased; paths kept
+    VERBATIM (wildcards included — ``apply_robots`` matches them
+    exactly per RFC 9309).
     """
     robots = recs.filter(
         (F.col("http_status") == 200)
@@ -82,37 +79,9 @@ def parse_robots_records(recs: DataFrame) -> DataFrame:
             "host",
             F.col("r.agent").alias("agent"),
             F.col("r.rule").alias("rule"),
-            # conservative, per-rule: Disallow → literal prefix up to
-            # the first '*', then drop a trailing '$' anchor (both
-            # widen the block). Allow → kept verbatim; wildcard
-            # Allows are filtered out below, never truncated (a
-            # truncated Allow would WIDEN the allow and fail open).
-            F.when(
-                F.col("r.rule") == "disallow",
-                F.regexp_replace(
-                    F.split(F.col("r.path"), r"\*", 2).getItem(0),
-                    r"\$$",
-                    "",
-                ),
-            )
-            .otherwise(F.col("r.path"))
-            .alias("path"),
+            F.col("r.path").alias("path"),
         )
-        .filter(
-            F.col("path").isNotNull()
-            & (
-                (F.col("rule") == "disallow")
-                # Allow rules with a wildcard OR a trailing '$' anchor
-                # are dropped: '/a$' matches ONLY the exact path '/a'
-                # under RFC 9309, but kept verbatim it would
-                # prefix-match '/a$...' URLs and out-rank the very
-                # Disallow it was carved from (fail-open)
-                | ~(
-                    F.col("path").contains("*")
-                    | F.col("path").endswith("$")
-                )
-            )
-        )
+        .filter(F.col("path").isNotNull())
     )
 
 
@@ -169,13 +138,18 @@ def apply_robots(
 ) -> DataFrame:
     """Drop documents whose URL a robots Disallow covers for ``agent``.
 
-    Matching per RFC 9309's precedence subset: among the agent's own
-    group (falling back to ``*`` when the agent has no group on that
-    host), the longest matching rule wins; Allow beats Disallow at
-    equal length. The rules frame is broadcast (one robots.txt per
-    host is small by construction) and the corpus side is a narrow
-    prefix test after one host equi-join — document text never
-    shuffles.
+    Matching per RFC 9309: among the agent's own group (falling back
+    to ``*`` when the agent has no group on that host), the
+    most-octets matching pattern wins; Allow beats Disallow at equal
+    length; ``*`` in a pattern matches any run of octets and a
+    trailing ``$`` anchors the end. Wildcard patterns are translated
+    to anchored Java regexes ONCE on the tiny rules frame; plain
+    prefixes (the overwhelming real-world majority) keep the
+    ``startswith`` fast path, so the per-document cost only pays for
+    regex where a wildcard actually exists. The rules frame is
+    broadcast (one robots.txt per host is small by construction) and
+    the corpus side is a narrow match after one host equi-join —
+    document text never shuffles.
     """
     a = agent.lower()
     mine = rules.filter(F.col("agent").isin(a, "*") if a != "*" else (F.col("agent") == "*"))
@@ -193,8 +167,27 @@ def apply_robots(
             .filter((F.col("agent") == a) | F.col("_own").isNull())
             .drop("_own")
         )
+    # rules-side (tiny frame) wildcard translation: '*' → '.*', a
+    # TRAILING '$' → end anchor, everything else regex-escaped; '_rx'
+    # stays NULL for plain prefixes so the corpus side keeps the
+    # cheap startswith path. '_len' is the ORIGINAL pattern's octet
+    # length — the RFC precedence key (a truncated/translated form
+    # must not change which rule is "most specific").
+    is_wild = F.col("path").contains("*") | F.col("path").endswith("$")
+    esc = F.regexp_replace(
+        F.col("path"), r"([.^$+?(){}\[\]|\\])", r"\\$1"
+    )
+    rx = F.regexp_replace(esc, r"\*", ".*")
+    # the escape turned every '$' into '\$'; only a TRAILING one is
+    # the RFC anchor — restore it (mid-pattern '$' stays literal).
+    # The replacement's '$' is itself escaped: bare '$' is a group
+    # reference in Java's replacement syntax
+    rx = F.regexp_replace(rx, r"\\\$$", r"\$")
+    mine = mine.withColumn(
+        "_rx", F.when(is_wild, F.concat(F.lit("^"), rx))
+    ).withColumn("_len", F.length("path"))
     grouped = mine.groupBy("host").agg(
-        F.collect_list(F.struct("rule", "path")).alias("_rules")
+        F.collect_list(F.struct("rule", "path", "_rx", "_len")).alias("_rules")
     )
     # case-insensitive scheme strip: URI schemes are case-insensitive
     # (RFC 3986) and uppercase schemes occur in the wild — a
@@ -209,16 +202,18 @@ def apply_robots(
         F.broadcast(grouped.withColumnRenamed("host", "_h")), "_h", "left"
     )
     matches = F.filter(
-        F.col("_rules"), lambda r: path.startswith(r["path"])
+        F.col("_rules"),
+        lambda r: F.when(
+            r["_rx"].isNull(), path.startswith(r["path"])
+        ).otherwise(F.regexp_like(path, r["_rx"])),
     )
     best = F.array_max(
         F.transform(
             matches,
-            # order by (length, rule) — 'disallow' > 'allow'
-            # lexically, so pack allow as 1, disallow as 0 and prefer
-            # ALLOW at equal length per the RFC tie-break
+            # order by (pattern octet length, rule) — allow packs as
+            # 1 so ALLOW wins equal-length ties per the RFC
             lambda r: F.struct(
-                F.length(r["path"]).alias("len"),
+                r["_len"].alias("len"),
                 F.when(r["rule"] == "allow", 1).otherwise(0).alias("is_allow"),
             ),
         )

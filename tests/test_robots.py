@@ -59,8 +59,8 @@ def test_parse_groups_and_directives(spark, rules):
     # consecutive user-agent lines share one rule block
     assert ("a.example", "trainbot", "disallow", "/no-train/") in rows
     assert ("a.example", "otherbot", "disallow", "/no-train/") in rows
-    # wildcard paths cut conservatively at the first '*'
-    assert ("a.example", "trainbot", "disallow", "/wild/") in rows
+    # wildcard paths kept verbatim (apply matches them per RFC 9309)
+    assert ("a.example", "trainbot", "disallow", "/wild/*/cards") in rows
     # empty Disallow emits nothing; 404 robots emits nothing
     assert not any(h == "b.example" for h, *_ in rows)
     assert not any(h == "c.example" for h, *_ in rows)
@@ -87,18 +87,19 @@ def test_apply_specific_agent_uses_own_group_only(spark, rules):
         [
             ("d1", "http://a.example/no-train/x"),   # trainbot group
             ("d2", "http://a.example/private/x"),    # * group — NOT for trainbot
-            ("d3", "http://a.example/wild/a/cards"), # conservative prefix /wild/
+            ("d3", "http://a.example/wild/a/cards"), # matches /wild/*/cards
+            ("d4", "http://a.example/wild/a/maps"),  # wildcard does NOT match
         ],
         "doc_id string, url string",
     )
     kept = {r.doc_id for r in R.apply_robots(docs, rules, agent="trainbot").collect()}
     # RFC 9309: a host with a group for the agent uses ONLY that group
-    assert kept == {"d2"}
+    assert kept == {"d2", "d4"}
     # an agent with no group anywhere falls back to *
     kept_other = {
         r.doc_id for r in R.apply_robots(docs, rules, agent="unknownbot").collect()
     }
-    assert kept_other == {"d1", "d3"}
+    assert kept_other == {"d1", "d3", "d4"}
 
 
 ROBOTS_WILD = """\
@@ -113,12 +114,13 @@ Allow: /safe$
 """
 
 
-def test_wildcard_policy_fails_closed(spark):
-    """Asymmetric wildcard handling: a truncated 'Allow: /a*x' would
-    become 'Allow: /a', tie-beat 'Disallow: /a' under the allow
-    tie-break, and permit everything the Disallow covered — so
-    wildcard Allows are dropped, while Disallows keep a conservative
-    literal prefix and lose their '$' anchor (both widen the block)."""
+def test_wildcards_and_anchors_match_exactly_per_rfc(spark):
+    """RFC 9309 wildcard semantics end-to-end: '*' matches any octet
+    run, trailing '$' anchors, precedence is pattern octet length
+    with Allow winning ties. (Earlier rounds truncated wildcards
+    conservatively — the property sweep below found that truncation
+    SHRINKS a Disallow's precedence length and fails open, so the
+    engine now matches exactly.)"""
     recs = spark.createDataFrame(
         [("http://w.example/robots.txt", None, None,
           "http://w.example/robots.txt", None, None,
@@ -130,33 +132,35 @@ def test_wildcard_policy_fails_closed(spark):
     )
     rules = R.parse_robots_records(recs)
     rows = {(r.agent, r.rule, r.path) for r in rules.collect()}
-    assert rows == {
+    assert rows == {  # all rules verbatim — wildcards included
         ("*", "disallow", "/a"),
-        ("*", "disallow", "/exact"),     # '$' anchor stripped → prefix
-        ("*", "disallow", "/pre"),       # cut at '*'; no trailing '$' left
-        ("*", "allow", "/a/safe/"),      # literal Allow kept
+        ("*", "allow", "/a*x"),
+        ("*", "disallow", "/exact$"),
+        ("*", "disallow", "/pre*fix$"),
+        ("*", "allow", "/a/safe/"),
         ("*", "disallow", "/safe"),
-        # 'Allow: /a*x' and 'Allow: /safe$' emit NOTHING: a truncated
-        # or literalized anchor Allow would out-rank its Disallow
+        ("*", "allow", "/safe$"),
     }
     docs = spark.createDataFrame(
         [
-            ("d1", "http://w.example/abc"),        # old bug: Allow '/a' tie-won
-            ("d2", "http://w.example/exact"),      # '$' rule, exact path
-            ("d3", "http://w.example/exactly"),    # prefix after '$' strip
-            ("d4", "http://w.example/pre-rendered"),
-            ("d5", "http://w.example/other"),
-            ("d6", "http://w.example/a/safe/x"),   # literal Allow carve-out
-            # literal-'$' URL: a verbatim 'Allow: /safe$' would
-            # prefix-match this and out-rank 'Disallow: /safe'
-            ("d7", "http://w.example/safe$file"),
-            ("d8", "http://w.example/safe"),       # RFC-allowed, we block:
-                                                   # conservative by policy
+            ("d1", "http://w.example/abc"),       # /a blocks; /a*x no match
+            ("d2", "http://w.example/abx"),       # Allow /a*x (4) beats /a (2)
+            ("d3", "http://w.example/exact"),     # anchored Disallow, exact hit
+            ("d4", "http://w.example/exactly"),   # anchor does NOT match
+            ("d5", "http://w.example/pre-rendered"),  # *fix$ does not match
+            ("d6", "http://w.example/prefix"),    # /pre*fix$ matches
+            ("d7", "http://w.example/other"),
+            ("d8", "http://w.example/a/safe/x"),  # longer Allow carve-out
+            # literal '$' inside the PATH: the anchored Allow /safe$
+            # matches only the exact path '/safe', not this
+            ("d9", "http://w.example/safe$file"),
+            ("d10", "http://w.example/safe"),     # Allow /safe$ (6) ties-beats
+                                                  # Disallow /safe (5)
         ],
         "doc_id string, url string",
     )
     kept = {r.doc_id for r in R.apply_robots(docs, rules).collect()}
-    assert kept == {"d5", "d6"}
+    assert kept == {"d2", "d4", "d5", "d7", "d8", "d10"}
 
 
 def test_longest_match_allow_tiebreak(spark):
@@ -286,3 +290,92 @@ def test_uppercase_scheme_fails_closed(spark, rules):
     )
     kept = {r.doc_id for r in R.apply_robots(docs, rules).collect()}
     assert kept == {"d2"}
+
+
+# --- fail-closed property vs a full-RFC reference matcher -----------------
+
+def _rfc_allowed(rules, path):
+    """Reference RFC 9309 matcher WITH full wildcard semantics:
+    '*' matches any run, trailing '$' anchors the end. Longest-match
+    wins; Allow beats Disallow at equal length. No match → allowed."""
+    import re as _re2
+
+    best = None  # ((len, is_allow), rule)
+    for rule, pat in rules:
+        rx = "".join(
+            ".*" if ch == "*" else _re2.escape(ch) for ch in pat.rstrip("$")
+        )
+        if pat.endswith("$"):
+            rx += "$"
+        if _re2.match(rx, path):
+            key = (len(pat), 1 if rule == "allow" else 0)
+            if best is None or key > best[0]:
+                best = (key, rule)
+    return best is None or best[1] == "allow"
+
+
+def test_engine_never_fails_open_vs_rfc(spark):
+    """THE governance invariant, swept over 300 random rule-sets in
+    ONE Spark job: whatever the engine's wildcard simplifications do,
+    a document the full-RFC rules would BLOCK is never kept. (The
+    engine may block more — conservative by policy — never less.)"""
+    import random
+
+    rng = random.Random(20260816)
+    SEGS = ["a", "b", "ab", "x1", "safe", "$"]
+    PATS = ["a", "b", "ab", "*", "x1", "safe"]
+    cases = []
+    for i in range(300):
+        rules = [
+            (
+                rng.choice(["allow", "disallow"]),
+                "/" + "/".join(
+                    rng.choice(PATS) for _ in range(rng.randint(1, 3))
+                ) + rng.choice(["", "$"]),
+            )
+            for _ in range(rng.randint(1, 5))
+        ]
+        path = "/" + "/".join(
+            rng.choice(SEGS) for _ in range(rng.randint(0, 4))
+        )
+        cases.append((f"h{i}.example", rules, path))
+
+    recs = spark.createDataFrame(
+        [
+            (f"http://{host}/robots.txt", None, None,
+             f"http://{host}/robots.txt", None, None, 0, 200, None,
+             bytearray((
+                 "User-agent: *\n" + "\n".join(
+                     f"{'Allow' if k == 'allow' else 'Disallow'}: {p}"
+                     for k, p in rules
+                 )
+             ).encode()))
+            for host, rules, _ in cases
+        ],
+        "warc_file string, warc_type string, record_id string, "
+        "target_uri string, warc_date string, content_type string, "
+        "content_length long, http_status int, http_content_type string, "
+        "payload binary",
+    )
+    parsed = R.parse_robots_records(recs)
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"http://{host}{path}")
+         for i, (host, _, path) in enumerate(cases)],
+        "doc_id string, url string",
+    )
+    kept = {r.doc_id for r in R.apply_robots(docs, parsed).collect()}
+    # the engine implements full RFC wildcards now, so the bar is
+    # EXACT agreement — fail-open and over-block both count as bugs
+    mismatches = [
+        (cases[i][1], cases[i][2],
+         "kept" if f"d{i}" in kept else "blocked")
+        for i in range(len(cases))
+        if (f"d{i}" in kept) != _rfc_allowed(cases[i][1], cases[i][2])
+    ]
+    assert not mismatches, f"RFC disagreements: {mismatches[:5]}"
+    # sanity: the sweep is not vacuous — some docs are genuinely kept
+    # and some genuinely RFC-blocked
+    assert kept
+    assert any(
+        not _rfc_allowed(r, p) for _, r, p in cases
+    )
