@@ -95,7 +95,14 @@ def _robots_step(acc, raw):
     # 1-element split, and under ANSI element_at(.., 2) would throw
     # and kill the job instead of skipping the line
     val = F.trim(F.try_element_at(kv, F.lit(2)))
-    is_agent = (key == F.lit("user-agent")) & val.isNotNull()
+    # an EMPTY user-agent value is a malformed line, not a group
+    # start: treating it as one would open a group for agent '' that
+    # silently steals the following rules from the real group — the
+    # parser property sweep caught exactly that (rules attributed to
+    # '' are invisible to every real agent → Disallows lost → open)
+    is_agent = (
+        (key == F.lit("user-agent")) & val.isNotNull() & (F.length(val) > 0)
+    )
     is_rule = key.isin("disallow", "allow") & val.isNotNull()
     new_agents = (
         F.when(

@@ -379,3 +379,85 @@ def test_engine_never_fails_open_vs_rfc(spark):
     assert any(
         not _rfc_allowed(r, p) for _, r, p in cases
     )
+
+
+def _reference_parse(body):
+    """Independent REP group parser written from RFC 9309 §2.2:
+    a group is one-or-more user-agent lines followed by rules lines;
+    consecutive user-agent lines accumulate into one group; a
+    user-agent line AFTER rules starts a new group; rules outside any
+    group are ignored; comments ('#' to EOL) stripped; keys
+    case-insensitive; non-rule directives (sitemap, crawl-delay) do
+    not terminate a group per the RFC ("other records" are allowed
+    inside) — but the ENGINE treats any non-UA line after rules as
+    staying in-rules, which agrees. Empty rule values emit nothing."""
+    out = set()
+    agents, in_rules = [], False
+    for raw in body.split("\n"):
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, val = line.split(":", 1)
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent" and val:
+            if in_rules:
+                agents, in_rules = [], False
+            if val.lower() not in agents:
+                agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            in_rules = True
+            if agents and val:
+                for a in agents:
+                    out.add((a, key, val))
+        # other directives (sitemap, crawl-delay, junk): no effect on
+        # grouping state beyond what rules already set
+    return out
+
+
+def test_parser_group_semantics_property_vs_reference(spark):
+    """300 random robots.txt bodies, ONE Spark job: the engine's
+    column-expression group fold emits exactly the (agent, rule,
+    path) set an independent RFC 9309 reference parser produces."""
+    import random
+
+    rng = random.Random(13)
+    AGENTS = ["*", "trainbot", "OtherBot", "a"]
+    PATHS = ["/", "/a", "/a/b", "/x*y", "/p$", "/q?r=1"]
+    LINES = (
+        [f"User-agent: {a}" for a in AGENTS]
+        + [f"user-AGENT: {a}" for a in AGENTS[:2]]
+        + [f"Disallow: {p}" for p in PATHS]
+        + [f"Allow: {p}" for p in PATHS[:3]]
+        + ["Disallow:", "Allow:", "Disallow", "# a comment", "",
+           "Sitemap: http://x/s.xml", "Crawl-delay: 5",
+           "Disallow: /c # trailing comment", "randomjunk",
+           "User-agent:"]
+    )
+    cases = []
+    for i in range(300):
+        body = "\n".join(
+            rng.choice(LINES) for _ in range(rng.randint(1, 12))
+        )
+        cases.append((f"g{i}.example", body))
+    recs = spark.createDataFrame(
+        [(f"http://{h}/robots.txt", None, None, f"http://{h}/robots.txt",
+          None, None, len(b), 200, None, bytearray(b.encode()))
+         for h, b in cases],
+        "warc_file string, warc_type string, record_id string, "
+        "target_uri string, warc_date string, content_type string, "
+        "content_length long, http_status int, http_content_type string, "
+        "payload binary",
+    )
+    got = {}
+    for r in R.parse_robots_records(recs).collect():
+        got.setdefault(r.host, set()).add((r.agent, r.rule, r.path))
+    mismatches = []
+    non_empty = 0
+    for host, body in cases:
+        expect = _reference_parse(body)
+        non_empty += bool(expect)
+        if got.get(host, set()) != expect:
+            mismatches.append((body, sorted(expect),
+                               sorted(got.get(host, set()))))
+    assert not mismatches, f"parser disagreements: {mismatches[:3]}"
+    assert non_empty > 50  # the sweep is not vacuous
