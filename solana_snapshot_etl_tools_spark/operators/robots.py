@@ -240,3 +240,43 @@ def robots_rules_from_warc(
     from solana_snapshot_etl_tools_spark.sources.warc import read_warc
 
     return parse_robots_records(read_warc(spark, paths))
+
+
+def robots_sitemaps(recs: DataFrame) -> DataFrame:
+    """(host, sitemap_url) rows from the crawl's robots.txt captures.
+
+    ``Sitemap:`` lines are group-INDEPENDENT per the sitemaps
+    protocol (they apply to the whole host, wherever they appear), so
+    no group fold is needed — a line filter over the same 200-OK
+    ``/robots.txt`` records ``parse_robots_records`` consumes. The
+    output seeds URL discovery and crawl-coverage audits: join it
+    against the corpus's url hosts to see which hosts advertise
+    sitemaps the crawl never visited. Values kept verbatim (they are
+    absolute URLs by spec); blank values dropped; duplicates within
+    one capture collapse."""
+    robots = recs.filter(
+        (F.col("http_status") == 200)
+        & F.lower(F.col("target_uri")).rlike(r"^[a-z]+://[^/]+/robots\.txt$")
+    )
+    txt = F.make_valid_utf8(F.col("payload").cast("string"))
+    lines = F.split(txt, "\r?\n")
+    sitemaps = F.array_distinct(
+        F.filter(
+            F.transform(
+                lines,
+                lambda l: F.when(
+                    F.lower(
+                        F.trim(F.get(F.split(l, ":", 2), 0))
+                    ) == "sitemap",
+                    F.trim(F.try_element_at(F.split(
+                        F.regexp_replace(l, "#.*$", ""), ":", 2
+                    ), F.lit(2))),
+                ),
+            ),
+            lambda v: v.isNotNull() & (F.length(v) > 0),
+        )
+    )
+    return robots.select(
+        F.lower(url_host(F.col("target_uri"))).alias("host"),
+        F.explode(sitemaps).alias("sitemap_url"),
+    )

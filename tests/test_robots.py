@@ -461,3 +461,36 @@ def test_parser_group_semantics_property_vs_reference(spark):
                                sorted(got.get(host, set()))))
     assert not mismatches, f"parser disagreements: {mismatches[:3]}"
     assert non_empty > 50  # the sweep is not vacuous
+
+
+def test_robots_sitemaps_extraction(spark):
+    body = """\
+User-agent: *
+Disallow: /private/
+Sitemap: https://s.example/sitemap.xml
+User-agent: bot
+Sitemap: https://s.example/sitemap2.xml # trailing comment
+sitemap: https://s.example/sitemap.xml
+Sitemap:
+# Sitemap: https://s.example/commented-out.xml
+"""
+    recs = spark.createDataFrame(
+        [("http://s.example/robots.txt", None, None,
+          "http://s.example/robots.txt", None, None,
+          len(body), 200, None, bytearray(body.encode())),
+         ("http://t.example/robots.txt", None, None,
+          "http://t.example/robots.txt", None, None,
+          3, 404, None, bytearray(b"x"))],
+        "warc_file string, warc_type string, record_id string, "
+        "target_uri string, warc_date string, content_type string, "
+        "content_length long, http_status int, http_content_type string, "
+        "payload binary",
+    )
+    rows = {(r.host, r.sitemap_url)
+            for r in R.robots_sitemaps(recs).collect()}
+    # group-independent, case-insensitive key, dup collapsed, blank
+    # and commented-out lines dropped, 404 host absent
+    assert rows == {
+        ("s.example", "https://s.example/sitemap.xml"),
+        ("s.example", "https://s.example/sitemap2.xml"),
+    }
