@@ -155,3 +155,37 @@ def test_url_host_edge_battery(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
     got = [r.h for r in df.select(url_host(F.col("u")).alias("h")).collect()]
     assert got == [e for _, e in cases]
+
+
+def test_url_normalize_idempotent_sweep(spark):
+    """Canonicalization property: normalize(normalize(u)) ==
+    normalize(u) across 400 messy URL combinations (scheme/host case,
+    www, trailing dot/slash, tracking params, unsorted queries,
+    fragments). A non-idempotent canonical form splits one page
+    identity across dedup keys."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from solana_snapshot_etl_tools_spark.functions.url import url_normalize
+
+    rng = random.Random(7)
+    parts = ["http://", "https://", "HTTP://WWW.", "http://www."]
+    hosts = ["Example.com", "sub.example.co.uk", "192.168.0.1",
+             "example.com."]
+    paths = ["", "/", "/a", "/a/", "/a/b.html", "/a%20b", "/a/../b"]
+    queries = ["", "?utm_source=x", "?b=2&a=1", "?a=1&utm_medium=m&z=",
+               "?ref=z&q=1"]
+    frags = ["", "#f", "#"]
+    urls = [
+        "".join([rng.choice(parts), rng.choice(hosts), rng.choice(paths),
+                 rng.choice(queries), rng.choice(frags)])
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    out = df.select(
+        url_normalize(F.col("u")).alias("n1"),
+        url_normalize(url_normalize(F.col("u"))).alias("n2"),
+    ).collect()
+    assert all(r.n1 == r.n2 for r in out)
+    assert any(r.n1 is not None for r in out)
