@@ -618,6 +618,8 @@ def main(argv: list[str] | None = None) -> int:
         args.zorder = [c.strip() for c in args.zorder.split(",") if c.strip()]
         if not 2 <= len(args.zorder) <= 4:
             p.error("--zorder wants 2-4 comma-separated numeric columns")
+    if args.zorder_files < 1:
+        p.error("--zorder-files must be >= 1")
     if args.pack is not None and args.tokenize is None:
         p.error("--pack requires --tokenize")
     if args.cluster_balance is not None and not args.embeddings:
@@ -1958,8 +1960,13 @@ def _read_input_base(spark, args):
         # filter out — a run against the wrong directory would
         # otherwise complete "successfully" with an empty corpus.
         # Distinct filenames are a tiny frame; only checkable when the
-        # base is a local path (no scheme)
-        if "://" not in base:
+        # base is a scheme-less local path AND the master is local —
+        # on a real cluster executors may see archives the driver's
+        # filesystem does not, so a driver-side exists() would abort
+        # runs that read fine
+        if "://" not in base and spark.conf.get(
+            "spark.master", ""
+        ).startswith("local"):
             missing = sorted(
                 r.filename
                 for r in sel.select("filename").distinct().collect()

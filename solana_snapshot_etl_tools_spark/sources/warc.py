@@ -516,8 +516,11 @@ def _iter_cdx_entries(
     Memory-bounded: each member streams through a zlib decompressor;
     only the first ``head_cap`` decompressed bytes (headers + HTTP
     head) are kept, the rest only feeds the digest. The digest is
-    sha1 over the WHOLE decompressed record (headers + payload) — a
-    stable capture identity for dedup/diff, deliberately not claiming
+    sha1 over the record's headers + payload EXACTLY (Content-Length
+    bytes — trailing CRLF/LF separators excluded) in BOTH the gzip
+    and plain paths, so the same record archived as .warc and as
+    record-gzipped .warc.gz carries the SAME digest — a stable
+    capture identity for dedup/diff, deliberately not claiming
     Common Crawl's payload-only SHA1-B32 compatibility."""
     import hashlib
     import os.path as _osp
@@ -557,6 +560,15 @@ def _iter_cdx_entries(
         nonlocal n, skipped
         parsed = _cdx_entry_from_head(head)
         if parsed is None:
+            # a member that decompresses cleanly but is not a
+            # parseable WARC record (valid-gzip junk, or a header
+            # block past head_cap) is still an index omission — as
+            # loud as a corrupt member under the default
+            bad(
+                start,
+                "member is not a parseable WARC record (non-WARC "
+                f"content, or header block exceeding {head_cap} bytes)",
+            )
             skipped += 1
             return None
         wtype, url, ts, status, mime = parsed
@@ -581,14 +593,28 @@ def _iter_cdx_entries(
                 h = hashlib.sha1()
                 head = bytearray()
                 dlen = 0
+                # the digest must cover headers + payload EXACTLY like
+                # the plain-.warc path (record-at-time members carry
+                # trailing CRLF CRLF separators INSIDE the member —
+                # hashing them would make the same record's digest
+                # differ between .warc and .warc.gz). The extent is
+                # parseable once the header block has streamed into
+                # `head` (first chunk in practice); until then every
+                # byte seen is below it.
+                extent = None
                 try:
                     while True:
                         out = d.decompress(pending)
                         if out:
+                            seen = dlen
                             dlen += len(out)
-                            h.update(out)
                             if len(head) < head_cap:
                                 head += out[: head_cap - len(head)]
+                                if extent is None:
+                                    extent = record_extent(bytes(head))
+                            cap = dlen if extent is None else extent
+                            if seen < cap:
+                                h.update(out[: cap - seen])
                         if d.eof:
                             pending = d.unused_data
                             break

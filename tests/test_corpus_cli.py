@@ -1636,6 +1636,12 @@ def test_layout_flags_validate(tmp_path_factory, capsys):
     with pytest.raises(SystemExit):
         corpus_cli.main([SRC, out, "--bucket-by", "doc_id",
                          "--shard-target-mb", "1"])
+    with pytest.raises(SystemExit):  # file count must be >= 1
+        corpus_cli.main([SRC, out, "--zorder", "doc_id,n_tokens",
+                         "--zorder-files", "0"])
+    with pytest.raises(SystemExit):
+        corpus_cli.main([SRC, out, "--zorder", "doc_id,n_tokens",
+                         "--zorder-files", "-4"])
     capsys.readouterr()
 
 

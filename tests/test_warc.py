@@ -679,6 +679,40 @@ class TestCdxBuilder:
         with pytest.raises(ValueError, match="on_corrupt"):
             W.build_cdxj_entries(spark, [p], on_corrupt="nope")
 
+    def test_digest_agrees_across_warc_and_warc_gz(self, spark, tmp_path):
+        """The digest is a capture identity for dedup/diff, so the SAME
+        record archived plain vs record-gzipped must hash identically —
+        the gzip member's trailing CRLF CRLF separators are framing,
+        not record bytes."""
+        p_gz, n = self._archive(tmp_path, gz=True)
+        p_plain, _ = self._archive(tmp_path, gz=False, n=n)
+        dig = {
+            True: {r.url: r.digest for r in
+                   W.build_cdxj_entries(spark, [p_gz]).collect()},
+            False: {r.url: r.digest for r in
+                    W.build_cdxj_entries(spark, [p_plain]).collect()},
+        }
+        assert dig[True] and dig[True] == dig[False]
+
+    def test_nonwarc_gzip_member_loud_by_default(self, spark, tmp_path):
+        """A member that gunzips cleanly but is NOT a parseable WARC
+        record (valid-gzip junk) is an index omission too: loud under
+        the default, counted under skip."""
+        good = gzip.compress(_record(
+            "response", _http(b"<html>ok</html>"), uri="http://j.example/a"
+        ))
+        junk = gzip.compress(b"this is not a WARC record at all\r\n\r\n")
+        p = tmp_path / "junk_member.warc.gz"
+        p.write_bytes(good + junk + good)
+        with pytest.raises(Exception, match="not a parseable WARC record"):
+            W.build_cdxj_entries(spark, [str(p)]).collect()
+        rows = W.build_cdxj_entries(
+            spark, [str(p)], on_corrupt="skip"
+        ).collect()
+        assert len(rows) == 2  # the junk member's boundary is known
+        st = W.build_cdxj_stats(spark, [str(p)]).collect()[0]
+        assert st.n_entries == 2 and st.n_skipped == 1
+
     def test_filename_base_resolves_subdirectory_archives(self, spark, tmp_path):
         """filename_base records subpaths (the Common Crawl filename
         convention) so a multi-directory archive set stays resolvable
