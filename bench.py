@@ -105,17 +105,42 @@ def main() -> None:
 
     print(json.dumps({"ann_train_warm_sec": ann_warm}), file=sys.stderr)
 
-    per_query: dict[str, float] = {}
-    for name in names:
-        t0 = time.time()
-        df = queries[name](spark, SF_DIR)
-        n = df.count()  # forces full execution without driver materialize
-        per_query[name] = round(time.time() - t0, 4)
-        assert n >= 0
-        # free operator-registered caches between queries (not timed):
-        # a prior query's sketch/pair caches can't help the next one,
-        # they only occupy executor storage
-        release_session_caches()
+    # noise-aware headline timing (round-14): wall-clock on a shared
+    # host drifts 1.3-1.5x with ambient load even on untouched code, so
+    # the recorded number is the MEDIAN of N runs per query and the
+    # 1- /5- /15-min load averages bracket the whole timed section —
+    # a future reader can tell a plan regression from a busy machine.
+    # Diag sections below stay single-shot (they are drift trackers,
+    # not the gated headline).
+    import statistics
+
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    load_start = os.getloadavg()
+    samples: dict[str, list[float]] = {name: [] for name in names}
+    for _ in range(runs):
+        for name in names:
+            t0 = time.time()
+            df = queries[name](spark, SF_DIR)
+            n = df.count()  # forces full execution, no driver materialize
+            samples[name].append(time.time() - t0)
+            assert n >= 0
+            # free operator-registered caches between queries (not
+            # timed): a prior query's sketch/pair caches can't help the
+            # next one, they only occupy executor storage
+            release_session_caches()
+    load_end = os.getloadavg()
+    per_query = {
+        name: round(statistics.median(s), 4) for name, s in samples.items()
+    }
+    bench_noise = {
+        "runs": runs,
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in load_end],
+        "run_totals_sec": [
+            round(sum(samples[name][i] for name in names), 2)
+            for i in range(runs)
+        ],
+    }
     # round-6 operator diagnostics (STDERR, not in the headline
     # contract): paragraph dedup over the real documents table and the
     # pHash image-dedup pipeline over a deterministic synthetic corpus
@@ -544,6 +569,8 @@ def main() -> None:
     except Exception as e:  # diagnostics never break the contract
         diag["error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps({"r6_operator_diag": diag}), file=sys.stderr)
+    # printed LAST on stderr so it survives inside the recorded tail
+    print(json.dumps({"bench_noise": bench_noise}), file=sys.stderr)
 
     total = round(sum(per_query.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

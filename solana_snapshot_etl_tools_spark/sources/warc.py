@@ -750,16 +750,23 @@ def build_cdxj_entries(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import os.path as _osp
 
+        # yield in bounded chunks, not one list per archive: index rows
+        # are kilobytes, but a billion-record archive set should stream
+        # like the record scanner above, not accumulate per-file
+        chunk_rows = 10_000
         for pdf in batches:
             for path in pdf["path"]:
                 fname = _osp.relpath(path, base) if base else None
-                rows = [
-                    r
-                    for r in _iter_cdx_entries(
-                        path, types, on_corrupt=on_corrupt, fname=fname
-                    )
-                    if r[0] != "__stats__"
-                ]
+                rows: list[tuple] = []
+                for r in _iter_cdx_entries(
+                    path, types, on_corrupt=on_corrupt, fname=fname
+                ):
+                    if r[0] == "__stats__":
+                        continue
+                    rows.append(r)
+                    if len(rows) >= chunk_rows:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
                 if rows:
                     yield pd.DataFrame(rows, columns=cols)
 
