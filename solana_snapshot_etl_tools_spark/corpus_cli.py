@@ -544,6 +544,17 @@ def main(argv: list[str] | None = None) -> int:
                    "drop documents a Disallow covers for AGENT "
                    "(default '*'). The host-level companion to the "
                    "page-level --respect-noai")
+    p.add_argument("--sitemap-coverage", action="store_true",
+                   help="with --input-format warc: parse the crawl's "
+                   "sitemap/sitemapindex XML captures (operators/"
+                   "sitemaps.py — JVM-side from_xml, gzipped .xml.gz "
+                   "payloads handled, malformed XML skipped) and "
+                   "persist the advertised-but-never-captured URL "
+                   "report to OUT_DIR/sitemap_coverage (kind: url | "
+                   "sitemap | robots_sitemap) with per-kind counts "
+                   "in report.json — the crawl-completeness audit "
+                   "that closes the loop robots.txt Sitemap: lines "
+                   "open")
     p.add_argument("--diff-against", metavar="DIR", default=None,
                    help="diff the final corpus against a previous "
                    "run's OUT_DIR (its train/val/test splits, or any "
@@ -693,6 +704,16 @@ def main(argv: list[str] | None = None) -> int:
                 "captures; WET conversions carry no HTTP responses)")
     if args.warc_base and not args.warc_index:
         p.error("--warc-base requires --warc-index")
+    if args.sitemap_coverage:
+        if args.input_format != "warc":
+            p.error("--sitemap-coverage needs --input-format warc "
+                    "(sitemap XML captures are HTTP responses; WET "
+                    "conversions carry none)")
+        if args.warc_index:
+            p.error("--sitemap-coverage walks the archives for "
+                    "sitemap/robots captures; it cannot combine with "
+                    "--warc-index (a response-record CDX index has no "
+                    "reliable sitemap selector)")
     if args.build_warc_index is not None:
         if args.input_format != "warc":
             # NOT wet: the indexed-read path (--warc-index) only
@@ -957,6 +978,27 @@ def main(argv: list[str] | None = None) -> int:
         raw = apply_robots(raw, rules, agent=args.respect_robots)
         report["robots_agent"] = args.respect_robots
         report["n_robots_blocked"] = before_robots - raw.count()
+    if args.sitemap_coverage:
+        import os.path as _osp
+
+        from pyspark.sql import functions as F
+
+        from solana_snapshot_etl_tools_spark.operators.sitemaps import (
+            sitemap_coverage,
+        )
+        from solana_snapshot_etl_tools_spark.sources.warc import read_warc
+
+        cov = sitemap_coverage(read_warc(spark, _warc_paths(args))).persist()
+        per_kind = {
+            r["kind"]: r["n"]
+            for r in cov.groupBy("kind").agg(F.count("*").alias("n")).collect()
+        }
+        cov.write.mode("overwrite").parquet(
+            _osp.join(args.out_dir, "sitemap_coverage")
+        )
+        cov.unpersist()
+        report["sitemap_missing_by_kind"] = per_kind
+        report["n_sitemap_missing"] = int(sum(per_kind.values()))
     if need_source and "source" not in raw.columns:
         p.error("--source-blocklist/--source-cap need a 'source' "
                 "column in DOCS")

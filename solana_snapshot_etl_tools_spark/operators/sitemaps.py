@@ -1,0 +1,219 @@
+"""Sitemap ingestion + crawl-coverage over WARC captures.
+
+The discovery half of the crawl-governance stack: ``robots_sitemaps``
+(operators/robots.py) surfaces the sitemap URLs a host ADVERTISES;
+this module parses the sitemap / sitemapindex XML captures themselves
+(sitemaps.org protocol — the reference repo has no analog; this is
+engine-completeness for crawl curation) into (host, url, lastmod)
+rows and reports what the crawl advertised but never fetched.
+
+Scale shape: XML parsing stays JVM-side — one ``from_xml`` per
+capture with a schema that covers BOTH document shapes (``<urlset>``
+rows fill ``url``, ``<sitemapindex>`` rows fill ``sitemap``;
+malformed XML parses to NULL in both → skip-not-fail, no Python in
+the path). The one Python step is gunzipping ``.xml.gz`` payloads,
+gated by magic bytes onto exactly the gzipped rows (an Arrow-batched
+pandas UDF on a SEPARATE filtered branch — a ``when(...)`` would be
+pulled out and evaluated on every row). Coverage is an anti-join that
+shuffles URLs only; payloads and text never shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from solana_snapshot_etl_tools_spark.functions.url import url_host
+
+# one schema parses both document kinds: <urlset> captures fill `url`,
+# <sitemapindex> captures fill `sitemap`, anything else (or malformed
+# XML) parses to NULL in both
+SITEMAP_XML_SCHEMA = (
+    "url ARRAY<STRUCT<loc:string, lastmod:string>>, "
+    "sitemap ARRAY<STRUCT<loc:string, lastmod:string>>"
+)
+
+# decompressed-size cap per gzipped sitemap payload: the protocol caps
+# uncompressed sitemaps at 50 MiB; a member claiming more is a zip
+# bomb or not a sitemap — either way, skip it loudly in the row
+_MAX_SITEMAP_BYTES = 64 << 20
+
+# lazy like functions/normalize.py: pandas_udf resolves its return
+# type against the ACTIVE session
+_GUNZIP_UDF = None
+
+
+def _gunzip_series(s):
+    import gzip as _gz
+    import io as _io
+    import zlib as _zl
+
+    def one(b):
+        if b is None:
+            return None
+        try:
+            with _gz.GzipFile(fileobj=_io.BytesIO(bytes(b))) as g:
+                out = g.read(_MAX_SITEMAP_BYTES + 1)
+            if len(out) > _MAX_SITEMAP_BYTES:
+                return None  # over-cap: not a sitemap we will trust
+            return out.decode("utf-8", errors="replace")
+        except (OSError, EOFError, ValueError, _zl.error):
+            return None  # corrupt gzip payload: skip, not fail
+
+    return s.map(one)
+
+
+def gunzip_text(col: Column) -> Column:
+    """Gzipped binary payload → text (None on corrupt/over-cap).
+    Arrow-batched pandas UDF — Spark SQL has no gunzip built-in.
+    Apply ONLY to rows pre-filtered by the gzip magic: inside a
+    ``when(...)`` the UDF would be pulled out and run on every row."""
+    global _GUNZIP_UDF
+    if _GUNZIP_UDF is None:
+        from pyspark.sql.functions import pandas_udf
+
+        _GUNZIP_UDF = pandas_udf(_gunzip_series, "string")
+    return _GUNZIP_UDF(col)
+
+
+def _parsed_captures(recs: DataFrame) -> DataFrame:
+    """200-OK captures parsed to (host, sitemap_url, _p): gzipped
+    payloads (magic ``1f 8b``) go through the Python gunzip branch,
+    everything else is a zero-copy JVM cast — then the branches union.
+
+    The plain branch pre-sniffs for ``<urlset``/``<sitemapindex``
+    before the real parse (``from_xml`` on every HTML page would be
+    wasted work). The gz branch does NOT sniff: a filter referencing
+    the UDF column would make Spark evaluate the gunzip TWICE (one
+    ArrowEvalPython for the filter, one for the projection — plan-
+    pinned in tests); gz captures are rare and ``from_xml`` nulls
+    non-sitemap text anyway."""
+    ok = recs.filter(
+        (F.col("http_status") == 200) & F.col("payload").isNotNull()
+    )
+    is_gz = F.substring(F.col("payload"), 1, 2) == F.lit(
+        bytes([0x1F, 0x8B])
+    )
+    host = F.lower(url_host(F.col("target_uri"))).alias("host")
+    uri = F.col("target_uri").alias("sitemap_url")
+    gz = ok.filter(is_gz).select(
+        host,
+        uri,
+        F.from_xml(gunzip_text(F.col("payload")), SITEMAP_XML_SCHEMA).alias(
+            "_p"
+        ),
+    )
+    txt = F.make_valid_utf8(F.col("payload").cast("string"))
+    plain = (
+        ok.filter(~is_gz)
+        .filter(txt.contains("<urlset") | txt.contains("<sitemapindex"))
+        .select(host, uri, F.from_xml(txt, SITEMAP_XML_SCHEMA).alias("_p"))
+    )
+    return gz.unionByName(plain)
+
+
+def sitemap_entries(recs: DataFrame) -> DataFrame:
+    """WARC response rows (``sources.warc.RECORD_SCHEMA``) →
+    (host, sitemap_url, kind, loc, lastmod, lastmod_ts) rows from
+    every 200-OK capture whose payload parses as sitemap XML.
+
+    ``kind``: ``'url'`` for page entries from a ``<urlset>`` capture,
+    ``'sitemap'`` for child-sitemap entries from a ``<sitemapindex>``
+    (the nested-index case: each child is its own capture and parses
+    independently — no recursion needed, the tree is flat in the
+    crawl). ``lastmod`` is kept verbatim (W3C datetime allows
+    date-only and zoned forms); ``lastmod_ts`` is the lenient typed
+    parse, NULL when the string has no usable timestamp. Captures that
+    are not sitemaps — or whose XML is malformed — contribute zero
+    rows (skip-not-fail)."""
+    parsed = _parsed_captures(recs)
+
+    def _tagged(field: str, kind: str):
+        # (kind, loc, lastmod) structs from one of the two shapes;
+        # empty when the capture is the other shape (or malformed)
+        return F.coalesce(
+            F.transform(
+                F.col(f"_p.{field}"),
+                lambda e: F.struct(
+                    F.lit(kind).alias("kind"),
+                    e["loc"].alias("loc"),
+                    e["lastmod"].alias("lastmod"),
+                ),
+            ),
+            F.array().cast(
+                "array<struct<kind:string,loc:string,lastmod:string>>"
+            ),
+        )
+
+    # ONE explode over the concatenated shapes: a union of two
+    # filter+explode legs would re-evaluate the whole upstream parse
+    # (and the gunzip UDF) once per leg
+    both = parsed.select(
+        "host",
+        "sitemap_url",
+        F.explode(
+            F.concat(_tagged("url", "url"), _tagged("sitemap", "sitemap"))
+        ).alias("_e"),
+    )
+    lastmod = F.trim(F.col("_e.lastmod"))
+    return (
+        both.select(
+            "host",
+            "sitemap_url",
+            F.col("_e.kind").alias("kind"),
+            F.trim(F.col("_e.loc")).alias("loc"),
+            lastmod.alias("lastmod"),
+            F.coalesce(
+                F.try_to_timestamp(lastmod),
+                # date-only W3C form ("2026-01-02")
+                F.try_to_timestamp(lastmod, F.lit("yyyy-MM-dd")),
+                # zoned form ("2026-02-03T04:05:06+00:00" / "...Z")
+                F.try_to_timestamp(
+                    lastmod, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")
+                ),
+            ).alias("lastmod_ts"),
+        )
+        .filter(F.col("loc").isNotNull() & (F.length("loc") > 0))
+    )
+
+
+def sitemap_coverage(recs: DataFrame) -> DataFrame:
+    """Advertised-but-never-captured report over one crawl's records:
+    every URL some capture ADVERTISES that no capture FETCHED.
+
+    Rows: (kind, host, advertised_in, url) where kind is
+    ``'url'`` (page advertised by a urlset), ``'sitemap'`` (child
+    sitemap advertised by a sitemapindex) or ``'robots_sitemap'``
+    (sitemap advertised by a robots.txt ``Sitemap:`` line). An empty
+    result means the crawl is closed over its own advertisements.
+
+    Scale shape: the captured-URL set is one distinct over
+    ``target_uri`` (urls only, no payloads), the advertised set is the
+    kilobyte-per-host sitemap/robots rows; the report is one anti-join
+    on the url — document text never enters the plan."""
+    from solana_snapshot_etl_tools_spark.operators.robots import (
+        robots_sitemaps,
+    )
+
+    entries = sitemap_entries(recs)
+    advertised = entries.select(
+        "kind", "host", F.col("sitemap_url").alias("advertised_in"),
+        F.col("loc").alias("url"),
+    ).unionByName(
+        robots_sitemaps(recs).select(
+            F.lit("robots_sitemap").alias("kind"),
+            "host",
+            F.lit("robots.txt").alias("advertised_in"),
+            F.col("sitemap_url").alias("url"),
+        )
+    )
+    captured = recs.select(F.col("target_uri").alias("url")).distinct()
+    return advertised.join(captured, "url", "left_anti").select(
+        "kind", "host", "advertised_in", "url"
+    )
+
+
+# ship the pandas UDF inside the task — workers do not share the
+# driver's sys.path (see _pickle.py)
+from solana_snapshot_etl_tools_spark._pickle import register_self as _rs  # noqa: E402
+
+_rs(__name__)

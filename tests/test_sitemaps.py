@@ -1,0 +1,230 @@
+"""Sitemap ingestion + crawl-coverage (operators/sitemaps.py).
+
+Fixtures are real WARC/1.0 captures of sitemaps.org-protocol XML:
+a urlset, a sitemapindex pointing at child sitemaps (one captured,
+one not), a gzipped .xml.gz sitemap payload, malformed XML, and a
+robots.txt advertising a never-fetched sitemap.
+"""
+
+from __future__ import annotations
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from solana_snapshot_etl_tools_spark.operators import sitemaps as SM
+from solana_snapshot_etl_tools_spark.sources import warc as W
+
+from tests.test_warc import _http, _record, _write
+
+URLSET = b"""<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+<url><loc>http://s.example/page/1</loc><lastmod>2026-01-02</lastmod></url>
+<url><loc> http://s.example/page/2 </loc>
+<lastmod>2026-02-03T04:05:06+00:00</lastmod></url>
+<url><loc>http://s.example/page/3</loc></url>
+</urlset>"""
+
+CHILD = b"""<?xml version="1.0"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+<url><loc>http://s.example/child/a</loc></url>
+</urlset>"""
+
+INDEX = b"""<?xml version="1.0"?>
+<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+<sitemap><loc>http://s.example/child.xml</loc>
+<lastmod>2026-03-04</lastmod></sitemap>
+<sitemap><loc>http://s.example/never_fetched.xml</loc></sitemap>
+</sitemapindex>"""
+
+MALFORMED = b"<urlset><url><loc>http://s.example/broken"
+
+ROBOTS = (b"User-agent: *\r\nDisallow: /private\r\n"
+          b"Sitemap: http://s.example/sitemap.xml\r\n"
+          b"Sitemap: http://s.example/fantom.xml\r\n")
+
+
+def _crawl(tmp_path):
+    """One archive holding the whole advertisement graph. The gzipped
+    WARC-member case rides for free (gz=True); the .xml.gz capture
+    exercises the gzip PAYLOAD branch."""
+    xml = "application/xml"
+    recs = [
+        _record("response", _http(ROBOTS, ctype="text/plain"),
+                uri="http://s.example/robots.txt",
+                ctype="application/http; msgtype=response"),
+        _record("response", _http(URLSET, ctype=xml),
+                uri="http://s.example/sitemap.xml",
+                ctype="application/http; msgtype=response"),
+        _record("response", _http(INDEX, ctype=xml),
+                uri="http://s.example/index.xml",
+                ctype="application/http; msgtype=response"),
+        _record("response", _http(CHILD, ctype=xml),
+                uri="http://s.example/child.xml",
+                ctype="application/http; msgtype=response"),
+        _record("response",
+                _http(gzip.compress(CHILD), ctype="application/x-gzip"),
+                uri="http://s.example/gzipped.xml.gz",
+                ctype="application/http; msgtype=response"),
+        _record("response", _http(MALFORMED, ctype=xml),
+                uri="http://s.example/broken.xml",
+                ctype="application/http; msgtype=response"),
+        _record("response", _http(b"<html>just a page</html>"),
+                uri="http://s.example/page/1",
+                ctype="application/http; msgtype=response"),
+        # 404 sitemap: must contribute nothing
+        _record("response", _http(URLSET, status=404, ctype=xml),
+                uri="http://s.example/gone.xml",
+                ctype="application/http; msgtype=response"),
+    ]
+    return _write(tmp_path / "crawl.warc.gz", recs, gz=True)
+
+
+def test_urlset_and_index_entries(spark, tmp_path):
+    recs = W.read_warc(spark, _crawl(tmp_path))
+    ent = SM.sitemap_entries(recs)
+    rows = {(r.kind, r.loc): r for r in ent.collect()}
+    # urlset pages (locs trimmed), index children, gz payload child
+    assert ("url", "http://s.example/page/1") in rows
+    assert ("url", "http://s.example/page/2") in rows
+    assert ("url", "http://s.example/page/3") in rows
+    assert ("sitemap", "http://s.example/child.xml") in rows
+    assert ("sitemap", "http://s.example/never_fetched.xml") in rows
+    assert ("url", "http://s.example/child/a") in rows
+    # the gzipped payload parsed too: child/a appears via BOTH the
+    # plain child.xml and gzipped.xml.gz captures
+    srcs = {
+        r.sitemap_url
+        for r in ent.filter(F.col("loc") == "http://s.example/child/a")
+        .collect()
+    }
+    assert srcs == {
+        "http://s.example/child.xml",
+        "http://s.example/gzipped.xml.gz",
+    }
+    # malformed XML and the 404 capture contributed zero rows
+    assert not [
+        k for k in rows
+        if "broken" in k[1] or rows[k].sitemap_url.endswith("gone.xml")
+    ]
+    # hosts lowercased from the capture URI
+    assert {r.host for r in rows.values()} == {"s.example"}
+
+
+def test_lastmod_verbatim_and_typed(spark, tmp_path):
+    recs = W.read_warc(spark, _crawl(tmp_path))
+    by_loc = {
+        r.loc: r for r in SM.sitemap_entries(recs).collect()
+        if r.kind == "url" and r.sitemap_url.endswith("/sitemap.xml")
+    }
+    assert by_loc["http://s.example/page/1"].lastmod == "2026-01-02"
+    assert str(by_loc["http://s.example/page/1"].lastmod_ts).startswith(
+        "2026-01-02"
+    )
+    assert by_loc["http://s.example/page/2"].lastmod_ts is not None
+    assert by_loc["http://s.example/page/3"].lastmod is None
+    assert by_loc["http://s.example/page/3"].lastmod_ts is None
+
+
+def test_corrupt_gzip_payload_skips_not_fails(spark, tmp_path):
+    blob = bytearray(gzip.compress(CHILD))
+    blob[12] ^= 0xFF
+    recs = [
+        _record("response", _http(bytes(blob), ctype="application/x-gzip"),
+                uri="http://s.example/rotten.xml.gz",
+                ctype="application/http; msgtype=response"),
+        _record("response", _http(URLSET, ctype="application/xml"),
+                uri="http://s.example/sitemap.xml",
+                ctype="application/http; msgtype=response"),
+    ]
+    p = _write(tmp_path / "rot.warc.gz", recs, gz=True)
+    ent = SM.sitemap_entries(W.read_warc(spark, p))
+    # the rotten payload is skipped; the good capture still parses
+    assert ent.filter(F.col("sitemap_url").contains("rotten")).count() == 0
+    assert ent.filter(F.col("kind") == "url").count() == 3
+
+
+def test_coverage_reports_advertised_not_captured(spark, tmp_path):
+    recs = W.read_warc(spark, _crawl(tmp_path))
+    cov = SM.sitemap_coverage(recs)
+    missing = {(r.kind, r.url): r.advertised_in for r in cov.collect()}
+    # page/1 WAS captured -> absent; pages 2, 3, child/a were not
+    assert ("url", "http://s.example/page/1") not in missing
+    assert missing[("url", "http://s.example/page/2")] == (
+        "http://s.example/sitemap.xml"
+    )
+    assert ("url", "http://s.example/page/3") in missing
+    assert ("url", "http://s.example/child/a") in missing
+    # the index advertised a child sitemap never fetched
+    assert missing[("sitemap", "http://s.example/never_fetched.xml")] == (
+        "http://s.example/index.xml"
+    )
+    # child.xml WAS fetched
+    assert ("sitemap", "http://s.example/child.xml") not in missing
+    # robots advertised fantom.xml (never fetched); sitemap.xml was
+    assert missing[("robots_sitemap", "http://s.example/fantom.xml")] == (
+        "robots.txt"
+    )
+    assert ("robots_sitemap", "http://s.example/sitemap.xml") not in missing
+
+
+def test_cli_sitemap_coverage_stage(spark, tmp_path, tmp_path_factory, capsys):
+    import json
+
+    from solana_snapshot_etl_tools_spark import corpus_cli
+
+    # the coverage crawl plus one real HTML page so the pipeline has a
+    # corpus to build
+    _crawl(tmp_path)
+    page = _record(
+        "response",
+        _http(b"<html><p>an ordinary page with plenty of plain english "
+              b"words so the default quality filters keep it around for "
+              b"the corpus build stage</p></html>"),
+        uri="http://s.example/page/1",
+        ctype="application/http; msgtype=response",
+    )
+    _write(tmp_path / "page.warc.gz", [page], gz=True)
+    out = str(tmp_path_factory.mktemp("corpus_sitemap"))
+    assert corpus_cli.main([
+        f"{tmp_path}/*.warc.gz", out,
+        "--input-format", "warc", "--html-extract", "--no-pii",
+        "--quality", "0", "--sitemap-coverage",
+    ]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    rep = json.loads(lines[-1])
+    by_kind = rep["sitemap_missing_by_kind"]
+    # pages 2, 3 and child/a are advertised but uncaptured (page/1 IS
+    # captured); child/a is advertised by TWO captures (child.xml and
+    # gzipped.xml.gz) so it reports once per advertiser; plus
+    # never_fetched.xml from the index and fantom.xml from robots
+    assert by_kind["url"] == 4
+    assert by_kind["sitemap"] == 1
+    assert by_kind["robots_sitemap"] == 1
+    assert rep["n_sitemap_missing"] == 6
+    cov = spark.read.parquet(f"{out}/sitemap_coverage")
+    assert {r.url for r in cov.filter("kind = 'robots_sitemap'").collect()} \
+        == {"http://s.example/fantom.xml"}
+
+    # validation: needs warc input; conflicts with --warc-index
+    import pytest
+    with pytest.raises(SystemExit):
+        corpus_cli.main([f"{tmp_path}/*.warc.gz", out, "--sitemap-coverage"])
+    with pytest.raises(SystemExit):
+        corpus_cli.main([
+            f"{tmp_path}/*.warc.gz", out, "--input-format", "warc",
+            "--sitemap-coverage", "--warc-index", "x.cdxj",
+        ])
+    capsys.readouterr()
+
+
+def test_jvm_side_parse_no_python_for_plain_xml(spark, tmp_path):
+    """The plain-payload branch must carry no Python evaluation: one
+    ArrowEvalPython is expected in the UNION plan (the gz branch), and
+    exactly zero BatchEvalPython (row-at-a-time) anywhere."""
+    recs = W.read_warc(spark, _crawl(tmp_path))
+    plan = SM.sitemap_entries(recs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    # exactly the gz branch's gunzip UDF — the single-explode shape
+    # must not duplicate the parse (and the UDF) across union legs
+    assert plan.count("ArrowEvalPython") == 1
