@@ -602,6 +602,16 @@ def main(argv: list[str] | None = None) -> int:
                    "Ranges are measured per write (one tiny agg); for "
                    "many-increment tables call write_zordered with "
                    "pinned ranges instead")
+    p.add_argument("--zorder-ranges", metavar="COL=LO:HI[,...]",
+                   default=None,
+                   help="pin the Z-order scaling window per column — "
+                   "the incremental-table posture: without this the "
+                   "ranges are measured per write, so each appended "
+                   "increment gets a DIFFERENT grid (correct, but "
+                   "cross-increment file pruning silently degrades); "
+                   "pin the table's true ranges once and every "
+                   "increment shares one grid. Columns not named "
+                   "stay measured per write")
     p.add_argument("--zorder-files", type=int, metavar="N", default=16,
                    help="output file count for --zorder (default 16); "
                    "size it so files land near your target shard size")
@@ -631,6 +641,28 @@ def main(argv: list[str] | None = None) -> int:
             p.error("--zorder wants 2-4 comma-separated numeric columns")
     if args.zorder_files < 1:
         p.error("--zorder-files must be >= 1")
+    if args.zorder_ranges is not None:
+        if args.zorder is None:
+            p.error("--zorder-ranges requires --zorder")
+        ranges: dict[str, tuple[float, float]] = {}
+        for spec in args.zorder_ranges.split(","):
+            col, eq, win = spec.partition("=")
+            lo, colon, hi = win.partition(":")
+            col = col.strip()
+            try:
+                lo_f, hi_f = float(lo), float(hi)
+            except ValueError:
+                p.error(f"--zorder-ranges wants COL=LO:HI, got {spec!r}")
+            if not eq or not colon:
+                p.error(f"--zorder-ranges wants COL=LO:HI, got {spec!r}")
+            if col not in args.zorder:
+                p.error(f"--zorder-ranges column {col!r} is not in "
+                        f"--zorder {','.join(args.zorder)}")
+            if not lo_f < hi_f:
+                p.error(f"--zorder-ranges {col}: LO must be < HI "
+                        f"(got {lo}:{hi})")
+            ranges[col] = (lo_f, hi_f)
+        args.zorder_ranges = ranges
     if args.pack is not None and args.tokenize is None:
         p.error("--pack requires --tokenize")
     if args.cluster_balance is not None and not args.embeddings:
@@ -1621,13 +1653,19 @@ def main(argv: list[str] | None = None) -> int:
                 f"{args.out_dir}/{name}",
                 args.zorder,
                 num_files=args.zorder_files,
+                ranges=args.zorder_ranges,
             )
             rows = spark.read.parquet(f"{args.out_dir}/{name}").count()
-            return {
+            out = {
                 "rows": rows,
                 "shards": args.zorder_files,
                 "layout": f"zorder({','.join(args.zorder)})",
             }
+            if args.zorder_ranges:
+                out["zorder_pinned_ranges"] = {
+                    c: list(r) for c, r in args.zorder_ranges.items()
+                }
+            return out
         if args.shuffle_seed is not None:
             df = df.withColumn(
                 "_ord", F.xxhash64(F.col(order_col), F.lit(args.shuffle_seed))

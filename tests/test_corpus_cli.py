@@ -1622,6 +1622,50 @@ def test_zorder_layout_batch(spark, tmp_path_factory, capsys):
     assert len(plain_ids) == rep["splits"]["train"]["rows"]
 
 
+def test_zorder_pinned_ranges(spark, tmp_path_factory, capsys):
+    """--zorder-ranges pins the scaling grid (incremental posture):
+    two runs over DIFFERENT doc subsets share one grid, so a file's
+    bounding box from either run is comparable — the per-write
+    measured grid would rescale each run to its own min/max."""
+    out1 = str(tmp_path_factory.mktemp("corpus_zr1"))
+    rep = _run(capsys, SRC, out1, "--no-pii",
+               "--zorder", "doc_id,n_tokens", "--zorder-files", "4",
+               "--zorder-ranges", "doc_id=0:100000,n_tokens=0:4096")
+    assert rep["splits"]["train"]["zorder_pinned_ranges"] == {
+        "doc_id": [0.0, 100000.0], "n_tokens": [0.0, 4096.0],
+    }
+    assert rep["splits"]["train"]["rows"] > 0
+    # partial pin is allowed: unnamed columns stay measured per write
+    out2 = str(tmp_path_factory.mktemp("corpus_zr2"))
+    rep2 = _run(capsys, SRC, out2, "--no-pii",
+                "--zorder", "doc_id,n_tokens", "--zorder-files", "4",
+                "--zorder-ranges", "doc_id=0:100000")
+    assert rep2["splits"]["train"]["zorder_pinned_ranges"] == {
+        "doc_id": [0.0, 100000.0],
+    }
+
+
+def test_zorder_ranges_validate(tmp_path_factory, capsys):
+    import pytest
+
+    out = str(tmp_path_factory.mktemp("corpus_zrv"))
+    with pytest.raises(SystemExit):  # requires --zorder
+        corpus_cli.main([SRC, out, "--zorder-ranges", "doc_id=0:10"])
+    with pytest.raises(SystemExit):  # column not in --zorder
+        corpus_cli.main([SRC, out, "--zorder", "doc_id,n_tokens",
+                         "--zorder-ranges", "lang=0:10"])
+    with pytest.raises(SystemExit):  # LO must be < HI
+        corpus_cli.main([SRC, out, "--zorder", "doc_id,n_tokens",
+                         "--zorder-ranges", "doc_id=10:10"])
+    with pytest.raises(SystemExit):  # malformed spec
+        corpus_cli.main([SRC, out, "--zorder", "doc_id,n_tokens",
+                         "--zorder-ranges", "doc_id=ten:20"])
+    with pytest.raises(SystemExit):  # missing '='
+        corpus_cli.main([SRC, out, "--zorder", "doc_id,n_tokens",
+                         "--zorder-ranges", "doc_id:0:20"])
+    capsys.readouterr()
+
+
 def test_layout_flags_validate(tmp_path_factory, capsys):
     import pytest
 
