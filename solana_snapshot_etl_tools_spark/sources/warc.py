@@ -84,37 +84,67 @@ def _read_headers(stream) -> dict[str, str] | None:
         raise ValueError(f"not a WARC record header: {line[:40]!r}")
     headers: dict[str, str] = {}
     headers["__version__"] = line.strip().decode("ascii", "replace")
+    # duplicate field names: LAST wins (dict semantics, documented —
+    # email.parser's get() would return the first; the fields this
+    # reader consumes are single-valued by the WARC spec)
+    last_key: str | None = None
     while True:
         line = stream.readline()
         if not line:
             raise ValueError("EOF inside WARC header block")
         if line in (b"\r\n", b"\n"):
             return headers
+        if line[:1] in (b" ", b"\t"):
+            # RFC 2616-style folded continuation — legal in WARC/1.0
+            # (deprecated in 1.1, still in the wild): extends the
+            # PREVIOUS field's value, joined with one space
+            if last_key is None:
+                raise ValueError(
+                    f"folded line before any header: {line[:40]!r}"
+                )
+            cont = line.strip().decode("utf-8", "replace")
+            headers[last_key] = (headers[last_key] + " " + cont).strip()
+            continue
         if b":" not in line:
             raise ValueError(f"malformed WARC header line: {line[:40]!r}")
         k, v = line.split(b":", 1)
-        headers[k.strip().decode("ascii", "replace").lower()] = v.strip().decode(
-            "utf-8", "replace"
-        )
+        last_key = k.strip().decode("ascii", "replace").lower()
+        headers[last_key] = v.strip().decode("utf-8", "replace")
 
 
 def _parse_http_payload(payload: bytes) -> tuple[int | None, str | None, bytes]:
     """Split an HTTP/1.x response message into (status, content-type,
-    body). Non-HTTP payloads come back as (None, None, payload)."""
+    body). Non-HTTP payloads — and messages with no header/body
+    boundary — come back as (None, None, payload).
+
+    Line-ending handling matches stdlib ``http.client.parse_headers``
+    (exact-agreement property sweep in tests/test_fuzz_parsers.py):
+    the head ends at the EARLIEST blank line whatever each line's
+    CRLF/LF flavor (the old ``partition(CRLFCRLF)``-first spelling let
+    a CRLFCRLF inside the BODY of an LF-terminated message beat the
+    real earlier LFLF boundary, mis-splitting head/body), lines split
+    on either ending (mixed-flavor heads no longer hide the
+    content-type), folded continuations extend the previous field, and
+    the FIRST content-type wins like ``Message.get``."""
     if not payload.startswith(b"HTTP/"):
         return None, None, payload
-    head, sep, body = payload.partition(b"\r\n\r\n")
-    if not sep:
-        head, sep, body = payload.partition(b"\n\n")
-        if not sep:
-            return None, None, payload
-    lines = head.split(b"\r\n") if b"\r\n" in head else head.split(b"\n")
+    m = _re.search(rb"(\r\n|\n)(\r\n|\n)", payload)
+    if not m:
+        return None, None, payload
+    head, body = payload[: m.start()], payload[m.end():]
+    lines = _re.split(rb"\r\n|\n", head)
     try:
         status = int(lines[0].split()[1])
     except (IndexError, ValueError):
         return None, None, payload
-    ctype = None
+    unfolded: list[bytes] = []
     for line in lines[1:]:
+        if line[:1] in (b" ", b"\t") and unfolded:
+            unfolded[-1] += b" " + line.strip()
+        else:
+            unfolded.append(line)
+    ctype = None
+    for line in unfolded:
         if line.lower().startswith(b"content-type:"):
             ctype = line.split(b":", 1)[1].strip().decode("ascii", "replace")
             break
