@@ -242,6 +242,102 @@ def robots_rules_from_warc(
     return parse_robots_records(read_warc(spark, paths))
 
 
+def robots_crawl_delays(recs: DataFrame, agent: str = "*") -> DataFrame:
+    """(host, crawl_delay_sec) from the crawl's robots.txt captures —
+    the politeness budget a re-crawl scheduler needs per host.
+
+    ``Crawl-delay`` is non-RFC-9309 but ubiquitous; like the rules it
+    is group-scoped, so the same REP fold assigns each delay to its
+    user-agent group and the ``agent``'s own group beats ``*``
+    (RFC 9309 §2.2.1 fallback, matching ``apply_robots``). Unparseable
+    or negative values are dropped; several delay lines in one group
+    keep the LAST (the file's final word). Output is one row per host
+    that declares a delay — kilobytes, broadcastable to any
+    scheduler."""
+    robots = recs.filter(
+        (F.col("http_status") == 200)
+        & F.lower(F.col("target_uri")).rlike(r"^[a-z]+://[^/]+/robots\.txt$")
+    )
+    txt = F.make_valid_utf8(F.col("payload").cast("string"))
+    lines = F.split(txt, "\r?\n")
+    acc0 = F.expr(
+        "named_struct("
+        "'agents', cast(array() as array<string>), "
+        "'in_rules', false, "
+        "'out', cast(array() as array<struct<agent:string,delay:string>>))"
+    )
+    folded = F.aggregate(
+        lines, acc0, lambda acc, raw: _delay_step(acc, raw),
+        lambda acc: acc["out"],
+    )
+    a = agent.lower()
+    per_agent = (
+        robots.select(
+            F.lower(url_host(F.col("target_uri"))).alias("host"),
+            F.col("warc_date").alias("_cap"),
+            F.posexplode(folded).alias("_pos", "d"),
+        )
+        .select(
+            "host",
+            "_cap",
+            "_pos",
+            F.col("d.agent").alias("agent"),
+            F.col("d.delay").try_cast("double").alias("delay"),
+        )
+        .filter(F.col("delay").isNotNull() & (F.col("delay") >= 0))
+    )
+    mine = per_agent.filter(
+        F.col("agent").isin(a, "*") if a != "*" else (F.col("agent") == "*")
+    )
+    # own-group-beats-star (rank), then latest capture, then LAST line
+    # in the file — a fully deterministic max_by key (equal-key max_by
+    # would otherwise pick arbitrarily when a group repeats the
+    # directive)
+    ranked = mine.withColumn(
+        "_rank", F.when(F.col("agent") == F.lit(a), 1).otherwise(0)
+    )
+    return ranked.groupBy("host").agg(
+        F.max_by("delay", F.struct("_rank", "_cap", "_pos")).alias(
+            "crawl_delay_sec"
+        )
+    )
+
+
+def _delay_step(acc, raw):
+    """One line of the Crawl-delay group fold (mirrors _robots_step's
+    grouping; emits (agent, delay) for crawl-delay lines; a delay line
+    closes the group like a rule line does)."""
+    l = F.trim(F.regexp_replace(raw, "#.*$", ""))
+    kv = F.split(l, ":", 2)
+    key = F.lower(F.trim(kv.getItem(0)))
+    val = F.trim(F.try_element_at(kv, F.lit(2)))
+    is_agent = (
+        (key == F.lit("user-agent")) & val.isNotNull() & (F.length(val) > 0)
+    )
+    is_rule = key.isin("disallow", "allow", "crawl-delay") & val.isNotNull()
+    is_delay = (key == F.lit("crawl-delay")) & val.isNotNull()
+    new_agents = (
+        F.when(is_agent & acc["in_rules"], F.array(F.lower(val)))
+        .when(is_agent, F.array_union(acc["agents"], F.array(F.lower(val))))
+        .otherwise(acc["agents"])
+    )
+    emitted = F.when(
+        is_delay & (F.size(acc["agents"]) > 0) & (F.length(val) > 0),
+        F.concat(
+            acc["out"],
+            F.transform(
+                acc["agents"],
+                lambda a: F.struct(a.alias("agent"), val.alias("delay")),
+            ),
+        ),
+    ).otherwise(acc["out"])
+    return F.struct(
+        new_agents.alias("agents"),
+        (is_rule | (acc["in_rules"] & ~is_agent)).alias("in_rules"),
+        emitted.alias("out"),
+    )
+
+
 def robots_sitemaps(recs: DataFrame) -> DataFrame:
     """(host, sitemap_url) rows from the crawl's robots.txt captures.
 
@@ -253,7 +349,9 @@ def robots_sitemaps(recs: DataFrame) -> DataFrame:
     against the corpus's url hosts to see which hosts advertise
     sitemaps the crawl never visited. Values kept verbatim (they are
     absolute URLs by spec); blank values dropped; duplicates within
-    one capture collapse."""
+    one capture collapse. Standard REP ``#``-comment stripping
+    applies, so a sitemap URL that itself carries a ``#fragment``
+    loses it — acceptable: fragments are senseless in sitemap URLs."""
     robots = recs.filter(
         (F.col("http_status") == 200)
         & F.lower(F.col("target_uri")).rlike(r"^[a-z]+://[^/]+/robots\.txt$")

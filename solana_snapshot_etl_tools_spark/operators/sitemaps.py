@@ -212,6 +212,43 @@ def sitemap_coverage(recs: DataFrame) -> DataFrame:
     )
 
 
+def stale_captures(recs: DataFrame) -> DataFrame:
+    """Captured pages whose sitemap ``lastmod`` post-dates the capture
+    — the recrawl work-list that pairs with ``sitemap_coverage``'s
+    never-fetched list.
+
+    Rows: (host, url, advertised_in, captured_at, lastmod_ts) for
+    every page the crawl DID fetch whose advertising sitemap claims a
+    newer modification. A page advertised by several sitemaps is stale
+    if ANY advertiser claims a newer lastmod (max over advertisers —
+    one row per url). Entries without a parseable lastmod can't vote;
+    captures without a parseable WARC-Date can't be judged. The join
+    carries (url, two timestamps) only — narrow both sides."""
+    entries = sitemap_entries(recs).filter(
+        (F.col("kind") == "url") & F.col("lastmod_ts").isNotNull()
+    )
+    newest = entries.groupBy(F.col("loc").alias("url")).agg(
+        F.max("lastmod_ts").alias("lastmod_ts"),
+        F.max_by("sitemap_url", "lastmod_ts").alias("advertised_in"),
+        F.max_by("host", "lastmod_ts").alias("host"),
+    )
+    captured = (
+        recs.filter(F.col("http_status") == 200)
+        .select(
+            F.col("target_uri").alias("url"),
+            F.try_to_timestamp(F.col("warc_date")).alias("captured_at"),
+        )
+        .filter(F.col("captured_at").isNotNull())
+        .groupBy("url")
+        .agg(F.max("captured_at").alias("captured_at"))
+    )
+    return (
+        newest.join(captured, "url")
+        .filter(F.col("lastmod_ts") > F.col("captured_at"))
+        .select("host", "url", "advertised_in", "captured_at", "lastmod_ts")
+    )
+
+
 # ship the pandas UDF inside the task — workers do not share the
 # driver's sys.path (see _pickle.py)
 from solana_snapshot_etl_tools_spark._pickle import register_self as _rs  # noqa: E402

@@ -494,3 +494,52 @@ Sitemap:
         ("s.example", "https://s.example/sitemap.xml"),
         ("s.example", "https://s.example/sitemap2.xml"),
     }
+
+
+class TestCrawlDelays:
+    DELAYS = (b"User-agent: fastbot\r\nCrawl-delay: 0.5\r\n"
+              b"Disallow: /x\r\n\r\n"
+              b"User-agent: *\r\nCrawl-delay: 10\r\n"
+              b"Crawl-delay: 7\r\n"     # same group repeats: LAST wins
+              b"\r\n"
+              b"User-agent: badbot\r\nCrawl-delay: nonsense\r\n")
+
+    def _recs(self, spark, tmp_path, extra=()):
+        from tests.test_warc import _http, _record, _write
+        from solana_snapshot_etl_tools_spark.sources.warc import read_warc
+
+        recs = [
+            _record("response", _http(self.DELAYS, ctype="text/plain"),
+                    uri="http://d.example/robots.txt",
+                    ctype="application/http; msgtype=response"),
+            _record("response",
+                    _http(b"User-agent: *\r\nDisallow: /nope\r\n",
+                          ctype="text/plain"),
+                    uri="http://nodelay.example/robots.txt",
+                    ctype="application/http; msgtype=response"),
+            *extra,
+        ]
+        p = _write(tmp_path / "delays.warc.gz", recs, gz=True)
+        return read_warc(spark, [p])
+
+    def test_star_group_last_delay_wins(self, spark, tmp_path):
+        out = {r.host: r.crawl_delay_sec
+               for r in R.robots_crawl_delays(self._recs(spark, tmp_path))
+               .collect()}
+        # '*' group declared 10 then 7: the file's final word wins;
+        # hosts without a delay (and unparseable values) are absent
+        assert out == {"d.example": 7.0}
+
+    def test_own_group_beats_star(self, spark, tmp_path):
+        out = {r.host: r.crawl_delay_sec
+               for r in R.robots_crawl_delays(
+                   self._recs(spark, tmp_path), agent="FastBot"
+               ).collect()}
+        assert out == {"d.example": 0.5}
+
+    def test_agent_without_own_delay_falls_back(self, spark, tmp_path):
+        out = {r.host: r.crawl_delay_sec
+               for r in R.robots_crawl_delays(
+                   self._recs(spark, tmp_path), agent="otherbot"
+               ).collect()}
+        assert out == {"d.example": 7.0}

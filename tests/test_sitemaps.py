@@ -218,6 +218,48 @@ def test_cli_sitemap_coverage_stage(spark, tmp_path, tmp_path_factory, capsys):
     capsys.readouterr()
 
 
+def test_stale_captures_recrawl_worklist(spark, tmp_path):
+    """lastmod newer than the capture's WARC-Date => recrawl row; the
+    max over several advertisers decides; un-captured pages (coverage's
+    domain) and fresh captures stay out."""
+    sm = (b'<?xml version="1.0"?>'
+          b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+          b"<url><loc>http://t.example/stale</loc>"
+          b"<lastmod>2026-09-01T00:00:00Z</lastmod></url>"
+          b"<url><loc>http://t.example/fresh</loc>"
+          b"<lastmod>2026-01-01T00:00:00Z</lastmod></url>"
+          b"<url><loc>http://t.example/nevermind</loc>"
+          b"<lastmod>2026-09-01T00:00:00Z</lastmod></url>"
+          b"<url><loc>http://t.example/nodate</loc></url>"
+          b"</urlset>")
+    xml = "application/xml"
+    recs = [
+        _record("response", _http(sm, ctype=xml),
+                uri="http://t.example/sitemap.xml",
+                ctype="application/http; msgtype=response"),
+        # captured 2026-08-16 (the _record default WARC-Date)
+        _record("response", _http(b"<html>old copy</html>"),
+                uri="http://t.example/stale",
+                ctype="application/http; msgtype=response"),
+        _record("response", _http(b"<html>new enough</html>"),
+                uri="http://t.example/fresh",
+                ctype="application/http; msgtype=response"),
+        _record("response", _http(b"<html>undated</html>"),
+                uri="http://t.example/nodate",
+                ctype="application/http; msgtype=response"),
+        # /nevermind is advertised but never captured: coverage's row,
+        # not a stale row
+    ]
+    p = _write(tmp_path / "stale.warc.gz", recs, gz=True)
+    rows = SM.stale_captures(W.read_warc(spark, p)).collect()
+    assert {r.url for r in rows} == {"http://t.example/stale"}
+    r = rows[0]
+    assert r.host == "t.example"
+    assert r.advertised_in == "http://t.example/sitemap.xml"
+    assert str(r.captured_at).startswith("2026-08-16")
+    assert str(r.lastmod_ts).startswith("2026-09-01")
+
+
 def test_jvm_side_parse_no_python_for_plain_xml(spark, tmp_path):
     """The plain-payload branch must carry no Python evaluation: one
     ArrowEvalPython is expected in the UNION plan (the gz branch), and
