@@ -1017,10 +1017,12 @@ def main(argv: list[str] | None = None) -> int:
 
         from solana_snapshot_etl_tools_spark.operators.sitemaps import (
             sitemap_coverage,
+            stale_captures,
         )
         from solana_snapshot_etl_tools_spark.sources.warc import read_warc
 
-        cov = sitemap_coverage(read_warc(spark, _warc_paths(args))).persist()
+        crawl = read_warc(spark, _warc_paths(args)).persist()
+        cov = sitemap_coverage(crawl).persist()
         per_kind = {
             r["kind"]: r["n"]
             for r in cov.groupBy("kind").agg(F.count("*").alias("n")).collect()
@@ -1031,6 +1033,16 @@ def main(argv: list[str] | None = None) -> int:
         cov.unpersist()
         report["sitemap_missing_by_kind"] = per_kind
         report["n_sitemap_missing"] = int(sum(per_kind.values()))
+        # the companion worklist: captured pages whose advertised
+        # lastmod post-dates the capture — refetch candidates
+        stale = stale_captures(crawl)
+        stale.write.mode("overwrite").parquet(
+            _osp.join(args.out_dir, "sitemap_stale")
+        )
+        report["n_sitemap_stale"] = spark.read.parquet(
+            _osp.join(args.out_dir, "sitemap_stale")
+        ).count()
+        crawl.unpersist()
     if need_source and "source" not in raw.columns:
         p.error("--source-blocklist/--source-cap need a 'source' "
                 "column in DOCS")

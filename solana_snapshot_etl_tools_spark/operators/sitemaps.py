@@ -227,10 +227,20 @@ def stale_captures(recs: DataFrame) -> DataFrame:
     entries = sitemap_entries(recs).filter(
         (F.col("kind") == "url") & F.col("lastmod_ts").isNotNull()
     )
+    # deterministic advertiser on lastmod ties: the max_by key breaks
+    # equal timestamps on the sitemap URL (an equal-key max_by picks
+    # arbitrarily)
     newest = entries.groupBy(F.col("loc").alias("url")).agg(
         F.max("lastmod_ts").alias("lastmod_ts"),
-        F.max_by("sitemap_url", "lastmod_ts").alias("advertised_in"),
-        F.max_by("host", "lastmod_ts").alias("host"),
+        F.max_by(
+            F.struct("sitemap_url", "host"),
+            F.struct("lastmod_ts", "sitemap_url"),
+        ).alias("_adv"),
+    ).select(
+        "url",
+        "lastmod_ts",
+        F.col("_adv.sitemap_url").alias("advertised_in"),
+        F.col("_adv.host").alias("host"),
     )
     captured = (
         recs.filter(F.col("http_status") == 200)

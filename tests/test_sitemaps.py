@@ -205,6 +205,14 @@ def test_cli_sitemap_coverage_stage(spark, tmp_path, tmp_path_factory, capsys):
     cov = spark.read.parquet(f"{out}/sitemap_coverage")
     assert {r.url for r in cov.filter("kind = 'robots_sitemap'").collect()} \
         == {"http://s.example/fantom.xml"}
+    # the stale worklist persisted too (this crawl has no stale rows:
+    # every lastmod predates the 2026-08-16 capture date)
+    assert rep["n_sitemap_stale"] == 0
+    stale = spark.read.parquet(f"{out}/sitemap_stale")
+    assert stale.count() == 0
+    assert set(stale.columns) == {
+        "host", "url", "advertised_in", "captured_at", "lastmod_ts",
+    }
 
     # validation: needs warc input; conflicts with --warc-index
     import pytest
