@@ -555,6 +555,14 @@ def main(argv: list[str] | None = None) -> int:
                    "in report.json — the crawl-completeness audit "
                    "that closes the loop robots.txt Sitemap: lines "
                    "open")
+    p.add_argument("--manifest-out", action="store_true",
+                   help="record each written split's integrity "
+                   "manifest (operators/manifest.py: per-file row "
+                   "count + order-independent content sum) to "
+                   "OUT_DIR/manifest_{split}.json — verify any later "
+                   "copy/migration with verify_corpus WITHOUT the "
+                   "original (recompaction is distinguished from "
+                   "content change). Batch-only")
     p.add_argument("--diff-against", metavar="DIR", default=None,
                    help="diff the final corpus against a previous "
                    "run's OUT_DIR (its train/val/test splits, or any "
@@ -933,6 +941,11 @@ def main(argv: list[str] | None = None) -> int:
             (args.source_from_url, "--source-from-url"),
             # the stream profile store is keyed by batch
             (args.profile_by is not None, "--profile-by"),
+            # a manifest records a COMPLETE corpus's content identity;
+            # an append-only stream corpus has no completion point
+            (args.manifest_out, "--manifest-out"),
+            # coverage audits read the crawl archives (warc input)
+            (args.sitemap_coverage, "--sitemap-coverage"),
             # NB: --boilerplate-min-df IS allowed here — line
             # doc-frequency is a global distinct count, so it runs as
             # a POST-DRAIN batch stage rewriting the derived views
@@ -1781,6 +1794,27 @@ def main(argv: list[str] | None = None) -> int:
             for name in ("train", "val", "test")
         }
     report["splits"] = splits
+
+    if args.manifest_out:
+        import os.path as _osp
+
+        from solana_snapshot_etl_tools_spark.operators.manifest import (
+            write_manifest,
+        )
+
+        # bucketed splits live as catalog tables; ordered shards and
+        # zorder layouts are plain parquet dirs the manifest can walk
+        manifests = {}
+        for name in splits:
+            split_dir = _osp.join(args.out_dir, name)
+            man = write_manifest(
+                spark, split_dir,
+                _osp.join(args.out_dir, f"manifest_{name}.json"),
+            )
+            manifests[name] = {
+                "n_files": man["n_files"], "n_rows": man["n_rows"],
+            }
+        report["manifests"] = manifests
 
     if args.profile:
         from solana_snapshot_etl_tools_spark.operators.profile import (

@@ -1,0 +1,127 @@
+"""Corpus integrity manifest (operators/manifest.py)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from solana_snapshot_etl_tools_spark.operators import manifest as M
+
+SRC = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture()
+def corpus(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    spark.read.parquet(SRC).repartition(4).write.parquet(out)
+    return out
+
+
+def test_record_then_verify_identical(spark, corpus, tmp_path):
+    mf = str(tmp_path / "manifest.json")
+    man = M.write_manifest(spark, corpus, mf)
+    assert man["n_files"] == 4 and man["n_rows"] > 0
+    rep = M.verify_corpus(spark, corpus, mf)
+    assert rep["status"] == "identical"
+    assert rep["n_missing"] == rep["n_extra"] == rep["n_changed"] == 0
+
+
+def test_copied_corpus_verifies_green(spark, corpus, tmp_path):
+    """The manifest must survive a byte-copy to a different parent
+    directory — file identities are relative to the corpus root."""
+    mf = str(tmp_path / "manifest.json")
+    M.write_manifest(spark, corpus, mf)
+    moved = str(tmp_path / "elsewhere" / "renamed_corpus")
+    shutil.copytree(corpus, moved)
+    rep = M.verify_corpus(spark, moved, mf)
+    assert rep["status"] == "identical"
+
+
+def test_recompaction_is_distinguished_from_change(spark, corpus, tmp_path):
+    """Re-sharding the same rows fails per-file but passes the
+    corpus-level sums — its own status, not a false alarm."""
+    mf = str(tmp_path / "manifest.json")
+    M.write_manifest(spark, corpus, mf)
+    compacted = str(tmp_path / "compacted")
+    spark.read.parquet(corpus).coalesce(1).write.parquet(compacted)
+    rep = M.verify_corpus(spark, compacted, mf)
+    assert rep["status"] == "relaid_out_content_identical"
+    assert rep["content_sum_match"] is True
+    assert rep["rows_found"] == rep["rows_expected"]
+
+
+def test_tampered_row_is_content_changed(spark, corpus, tmp_path):
+    mf = str(tmp_path / "manifest.json")
+    M.write_manifest(spark, corpus, mf)
+    tampered = str(tmp_path / "tampered")
+    df = spark.read.parquet(corpus)
+    df.withColumn(
+        "text",
+        F.when(F.col("doc_id") == df.select(F.min("doc_id")).first()[0],
+               F.lit("TAMPERED")).otherwise(F.col("text")),
+    ).coalesce(1).write.parquet(tampered)
+    rep = M.verify_corpus(spark, tampered, mf)
+    assert rep["status"] == "content_changed"
+
+
+def test_dropped_rows_are_content_changed(spark, corpus, tmp_path):
+    mf = str(tmp_path / "manifest.json")
+    M.write_manifest(spark, corpus, mf)
+    pruned = str(tmp_path / "pruned")
+    df = spark.read.parquet(corpus)
+    df.filter(F.col("doc_id") % 7 != 0).coalesce(1).write.parquet(pruned)
+    rep = M.verify_corpus(spark, pruned, mf)
+    assert rep["status"] == "content_changed"
+    assert rep["rows_found"] < rep["rows_expected"]
+
+
+def test_column_subset_identity(spark, corpus, tmp_path):
+    """cols picks what DEFINES identity: a text edit passes a manifest
+    keyed on doc_id only, and fails one keyed on (doc_id, text)."""
+    mf_id = str(tmp_path / "m_id.json")
+    M.write_manifest(spark, corpus, mf_id, cols=["doc_id"])
+    edited = str(tmp_path / "edited")
+    spark.read.parquet(corpus).withColumn(
+        "text", F.upper(F.col("text"))
+    ).coalesce(1).write.parquet(edited)
+    rep = M.verify_corpus(spark, edited, mf_id)
+    assert rep["status"] == "relaid_out_content_identical"
+    mf_full = str(tmp_path / "m_full.json")
+    M.write_manifest(spark, corpus, mf_full, cols=["doc_id", "text"])
+    assert M.verify_corpus(spark, edited, mf_full)["status"] == (
+        "content_changed"
+    )
+
+
+def test_cli_manifest_out(spark, tmp_path_factory, capsys):
+    import json
+
+    from solana_snapshot_etl_tools_spark import corpus_cli
+
+    out = str(tmp_path_factory.mktemp("corpus_manifest"))
+    assert corpus_cli.main([SRC, out, "--no-pii", "--manifest-out"]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    rep = json.loads(lines[-1])
+    assert set(rep["manifests"]) == {"train", "val", "test"}
+    # the written manifest verifies the written split
+    rep2 = M.verify_corpus(
+        spark, f"{out}/train", f"{out}/manifest_train.json"
+    )
+    assert rep2["status"] == "identical"
+    assert rep2["rows_found"] == rep["manifests"]["train"]["n_rows"]
+
+
+def test_unknown_columns_and_version_are_loud(spark, corpus, tmp_path):
+    with pytest.raises(ValueError, match="not in corpus"):
+        M.file_manifest(spark, corpus, cols=["nope"])
+    mf = str(tmp_path / "m.json")
+    man = M.write_manifest(spark, corpus, mf)
+    man["version"] = 99
+    import json
+    bad = str(tmp_path / "bad.json")
+    with open(bad, "w") as f:
+        json.dump(man, f)
+    with pytest.raises(ValueError, match="version"):
+        M.read_manifest(bad)
