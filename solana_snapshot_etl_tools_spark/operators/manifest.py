@@ -16,6 +16,10 @@ sum would overflow and ANSI-throw). The corpus-level sum is the same
 quantity over all files, so a recompaction that moves rows between
 files fails the per-file check but passes the corpus-level one — the
 verifier reports that case as its own status instead of a false alarm.
+
+Integrity, not security: xxhash64 is not cryptographic — this detects
+accidental corruption, lost files, and silent pipeline drift, not an
+adversary crafting collisions.
 """
 
 from __future__ import annotations

@@ -124,7 +124,13 @@ def sitemap_entries(recs: DataFrame) -> DataFrame:
     date-only and zoned forms); ``lastmod_ts`` is the lenient typed
     parse, NULL when the string has no usable timestamp. Captures that
     are not sitemaps — or whose XML is malformed — contribute zero
-    rows (skip-not-fail)."""
+    rows (skip-not-fail).
+
+    NB: ``read_warc`` SKIPS records over its ``max_payload_bytes``
+    (default 16 MiB, counted in its per-file stats) — a giant sitemap
+    capture never reaches this parser at the default; raise the cap
+    at the scan if such sitemaps matter (protocol max is 50 MiB
+    uncompressed)."""
     parsed = _parsed_captures(recs)
 
     def _tagged(field: str, kind: str):
