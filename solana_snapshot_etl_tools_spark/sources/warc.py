@@ -494,7 +494,12 @@ def _surt_key(url: str | None) -> str | None:
     """Minimal SURT-style urlkey: host labels reversed, comma-joined,
     then ')' and the lowercased path+query. Enough to sort/join an
     index built here with itself; NOT byte-compatible with every
-    Common Crawl SURT nuance (param re-ordering, session-id strip)."""
+    Common Crawl SURT nuance (param re-ordering, session-id strip).
+
+    Whitespace is percent-encoded: the CDXJ line format is
+    space-delimited ("urlkey ts {json}"), so a raw space in the key —
+    crawls DO contain unencoded-space URLs — would shift the fields on
+    re-read and silently drop the record from the round-trip."""
     if not url:
         return None
     m = _re.match(
@@ -503,11 +508,13 @@ def _surt_key(url: str | None) -> str | None:
         url,
     )
     if not m:
-        return url.lower()
-    host, path, query = m.group(1), m.group(2) or "/", m.group(3) or ""
-    return (
-        ",".join(reversed(host.lower().split("."))) + ")" + (path + query).lower()
-    )
+        key = url.lower()
+    else:
+        host, path, query = m.group(1), m.group(2) or "/", m.group(3) or ""
+        key = ",".join(reversed(host.lower().split("."))) + ")" + (
+            path + query
+        ).lower()
+    return _re.sub(r"\s", lambda w: "%%%02X" % ord(w.group()), key)
 
 
 def _cdx_entry_from_head(head: bytes) -> tuple | None:
@@ -847,10 +854,19 @@ def cdxj_lines(entries: DataFrame) -> DataFrame:
             F.col("filename"),
         )
     )
+    # defense at the serialization boundary: the line format is
+    # space-delimited, so whitespace inside a key from ANY source
+    # (an index built by another tool, a hand-edited frame) would
+    # shift the fields on re-read — encode it. _surt_key already
+    # emits clean keys; this catches foreign ones. The url itself
+    # rides the JSON, where to_json escapes properly.
+    key = F.regexp_replace(
+        F.coalesce(F.col("urlkey"), F.lit("-")), r"\s", "%20"
+    )
     return entries.select(
         F.concat_ws(
             " ",
-            F.coalesce(F.col("urlkey"), F.lit("-")),
+            key,
             F.coalesce(F.col("ts"), F.lit("-")),
             j,
         ).alias("value")

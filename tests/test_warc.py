@@ -713,6 +713,39 @@ class TestCdxBuilder:
         st = W.build_cdxj_stats(spark, [str(p)]).collect()[0]
         assert st.n_entries == 2 and st.n_skipped == 1
 
+    def test_space_in_url_survives_cdxj_round_trip(self, spark, tmp_path):
+        """Crawls contain unencoded-space URLs; the CDXJ line format is
+        space-delimited, so an unencoded key would shift the fields on
+        re-read and SILENTLY drop the record — the worst index failure."""
+        recs = [
+            _record("response", _http(b"<html>spaced</html>"),
+                    uri="http://sp.example/a b/c d.html?q=x y",
+                    ctype="application/http; msgtype=response"),
+            _record("response", _http(b"<html>plain</html>"),
+                    uri="http://sp.example/plain",
+                    ctype="application/http; msgtype=response"),
+        ]
+        p = _write(tmp_path / "spaced.warc.gz", recs, gz=True)
+        idx = W.build_cdxj_entries(spark, [p])
+        out = str(tmp_path / "spaced.cdxj")
+        assert W.write_cdxj_file(idx, out) == 2
+        reread = W.read_cdxj(spark, out)
+        rows = {r.url: r for r in reread.collect()}
+        assert set(rows) == {
+            "http://sp.example/a b/c d.html?q=x y",
+            "http://sp.example/plain",
+        }
+        assert all(" " not in r.urlkey for r in rows.values())
+        assert all(
+            r.offset is not None and r.length is not None
+            for r in rows.values()
+        )
+        # and the spaced record still fetches byte-identically
+        got = W.read_warc_records_at(
+            spark, reread, base_dir=str(tmp_path)
+        ).collect()
+        assert {r.target_uri for r in got} == set(rows)
+
     def test_filename_base_resolves_subdirectory_archives(self, spark, tmp_path):
         """filename_base records subpaths (the Common Crawl filename
         convention) so a multi-directory archive set stays resolvable
