@@ -50,3 +50,59 @@ def test_base58_known_vectors():
     # well-known program id round-trips through our decoder
     tok = "TokenkegQfeZyiNwAJbNbGKPFXCWuBvf9Ss623VQ5DA"
     assert b58encode(b58decode(tok)) == tok
+
+
+# --- hypothesis property sweeps (round 14): arbitrary lengths incl.
+# --- leading zeros, empty input, and an INDEPENDENT reference
+try:
+    from hypothesis import given, settings, strategies as st
+
+    def _ref_b58(raw: bytes) -> str:
+        """Independent reference: positional div-mod on a digit list
+        (different machinery from the int.from_bytes implementation)."""
+        alpha = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+        digits = [0]
+        for byte in raw:
+            carry = byte
+            for i in range(len(digits)):
+                carry += digits[i] << 8
+                digits[i] = carry % 58
+                carry //= 58
+            while carry:
+                digits.append(carry % 58)
+                carry //= 58
+        zeros = len(raw) - len(raw.lstrip(b"\x00"))
+        return "1" * zeros + "".join(
+            alpha[d] for d in reversed(digits)
+        ).lstrip("1") if raw else ""
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.binary(max_size=80))
+    def test_base58_roundtrip_and_reference_agreement(raw):
+        enc = b58encode(raw)
+        assert b58decode(enc) == raw
+        assert enc == _ref_b58(raw)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=0, max_value=2**64 - 1),
+           st.integers(min_value=0, max_value=8))
+    def test_le_readers_agree_with_struct(v, pad):
+        import pyspark.sql.functions as F
+
+        from solana_snapshot_etl_tools_spark.session import get_spark
+
+        spark = get_spark(cpus=2)
+        b = b"\x5a" * pad + struct.pack("<Q", v)
+        df = spark.createDataFrame([(b,)], "b binary")
+        r = df.select(
+            le_u64(F.col("b"), pad).alias("q"),
+            le_u32(F.col("b"), pad).alias("i"),
+            le_u16(F.col("b"), pad).alias("h"),
+            u8_at(F.col("b"), pad).alias("c"),
+        ).collect()[0]
+        assert r.q == struct.unpack_from("<q", b, pad)[0]  # signed view
+        assert r.i == struct.unpack_from("<I", b, pad)[0]
+        assert r.h == struct.unpack_from("<H", b, pad)[0]
+        assert r.c == b[pad]
+except ImportError:  # pragma: no cover
+    pass
