@@ -863,11 +863,16 @@ def cdxj_lines(entries: DataFrame) -> DataFrame:
     key = F.regexp_replace(
         F.coalesce(F.col("urlkey"), F.lit("-")), r"\s", "%20"
     )
+    # ts from the builder is digits-only; a foreign frame's ts gets
+    # the same whitespace defense as the key
+    ts = F.regexp_replace(
+        F.coalesce(F.col("ts"), F.lit("-")), r"\s", "%20"
+    )
     return entries.select(
         F.concat_ws(
             " ",
             key,
-            F.coalesce(F.col("ts"), F.lit("-")),
+            ts,
             j,
         ).alias("value")
     )

@@ -444,3 +444,63 @@ def test_warc_headers_junk_line_is_valueerror_only(junk, eol):
         W._read_headers(_io.BufferedReader(_io.BytesIO(block)))
     except ValueError:
         pass
+
+
+# CDXJ serialization round-trip: arbitrary field CONTENT must survive
+# cdxj_lines -> read_cdxj exactly — the JSON escapes data fields, the
+# whitespace defense keeps the space-delimited framing intact for
+# urlkey/ts from any source.
+_FIELD = st.text(
+    alphabet=st.characters(
+        exclude_characters="\x00", exclude_categories=("Cs",)
+    ),
+    min_size=0, max_size=24,
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_FIELD, _FIELD, _FIELD, st.integers(0, 2**40),
+                  st.integers(1, 2**40)),
+        min_size=1, max_size=6,
+    )
+)
+def test_cdxj_lines_roundtrip_arbitrary_fields(spark, rows):
+    import json as _json
+
+    entries = spark.createDataFrame(
+        [
+            (f"k{i}", "20260816000000", url, mime, 200, dig, ln, off,
+             f"f{i}.warc.gz")
+            for i, (url, mime, dig, off, ln) in enumerate(rows)
+        ],
+        W.CDXJ_SCHEMA,
+    )
+    lines = [r.value for r in W.cdxj_lines(entries).collect()]
+    # every line keeps exactly the 3-field framing
+    for ln_ in lines:
+        k, t, j = ln_.split(" ", 2)
+        assert " " not in k and " " not in t
+        _json.loads(j)
+    # re-read through the real parser (write to a temp file)
+    import os
+    import tempfile
+    fd, path = tempfile.mkstemp(suffix=".cdxj")
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write("\n".join(lines) + "\n")
+        got = {
+            r.urlkey: (r.url, r.mime, r.digest, r.offset, r.length)
+            for r in W.read_cdxj(spark, path).collect()
+        }
+        want = {
+            f"k{i}": (url, mime, dig, off, ln)
+            for i, (url, mime, dig, off, ln) in enumerate(rows)
+        }
+        # read_cdxj drops rows with null offset/length/filename only;
+        # all ours are set, so everything must round-trip exactly.
+        # Empty-string data fields come back as '' (JSON), not null.
+        assert got == want
+    finally:
+        os.unlink(path)
