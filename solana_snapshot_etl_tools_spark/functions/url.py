@@ -51,8 +51,18 @@ TRACKING_PARAM_RE = (
 
 def url_host(url: Column) -> Column:
     """Lowercased host with any ``www.`` prefix and trailing dot
-    stripped; NULL for strings with no parseable host."""
-    h = F.lower(F.try_parse_url(url, F.lit("HOST")))
+    stripped; NULL for strings with no parseable host.
+
+    Backslashes are treated as slashes FIRST (the WHATWG rule every
+    browser applies to http/https URLs): without it,
+    ``http://example.com\\evil/x`` parses as no-host → NULL → the URL
+    silently evades every host-keyed rule (robots, domain blocklists,
+    per-source caps) while a browser happily fetches it from
+    example.com — an adversarial fail-open, not a malformed-data
+    corner."""
+    h = F.lower(
+        F.try_parse_url(F.regexp_replace(url, r"\\", "/"), F.lit("HOST"))
+    )
     h = F.regexp_replace(h, r"^www\.", "")
     h = F.regexp_replace(h, r"\.$", "")
     return F.when(F.length(h) > 0, h)

@@ -151,6 +151,12 @@ def test_url_host_edge_battery(spark):
         ("mailto:user@example.com", None),
         ("https://xn--bcher-kva.example/x", "xn--bcher-kva.example"),
         ("http://192.168.0.1:81/x", "192.168.0.1"),
+        # WHATWG backslash rule: browsers treat \ as / in http(s)
+        # URLs, so these FETCH from example.com — without the
+        # normalization they parsed as no-host and silently evaded
+        # every host-keyed rule (robots, blocklists, caps)
+        ("http://example.com\\evil.example/x", "example.com"),
+        ("http:\\\\example.com\\x", "example.com"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
     got = [r.h for r in df.select(url_host(F.col("u")).alias("h")).collect()]
