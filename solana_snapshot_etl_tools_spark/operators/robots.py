@@ -199,9 +199,15 @@ def apply_robots(
     # case-insensitive scheme strip: URI schemes are case-insensitive
     # (RFC 3986) and uppercase schemes occur in the wild — a
     # case-sensitive pattern would leave the full URL as the "path",
-    # match no Disallow prefix, and FAIL OPEN for exactly those rows
+    # match no Disallow prefix, and FAIL OPEN for exactly those rows.
+    # Backslashes normalize to slashes FIRST (the WHATWG rule, same
+    # as url_host): http://h\evil/x fetches /evil/x in a browser, and
+    # without this the \evil segment hid inside the stripped
+    # authority so a Disallow: /evil never matched — fail-open
     path = F.regexp_replace(
-        F.col(url_col), r"(?i)^[a-z][a-z0-9+.-]*://[^/]*", ""
+        F.regexp_replace(F.col(url_col), r"\\", "/"),
+        r"(?i)^[a-z][a-z0-9+.-]*://[^/]*",
+        "",
     )
     path = F.when(path == "", "/").otherwise(path)
     host = F.lower(url_host(F.col(url_col)))

@@ -543,3 +543,20 @@ class TestCrawlDelays:
                    self._recs(spark, tmp_path), agent="otherbot"
                ).collect()}
         assert out == {"d.example": 7.0}
+
+
+def test_backslash_url_cannot_evade_rules(spark, rules):
+    """WHATWG: browsers treat \\ as / in http(s) URLs, so
+    http://a.example\\private/x FETCHES /private/x from a.example —
+    both the host key and the path must see through the trick."""
+    docs = spark.createDataFrame(
+        [
+            ("d1", "http://a.example\\private/secret"),
+            ("d2", "http://a.example/private/secret"),
+            ("d3", "http:\\\\a.example\\tmp\\x"),
+            ("d4", "http://a.example/open"),
+        ],
+        "doc_id string, url string",
+    )
+    kept = {r.doc_id for r in R.apply_robots(docs, rules).collect()}
+    assert kept == {"d4"}
