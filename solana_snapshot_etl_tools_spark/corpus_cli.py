@@ -563,6 +563,15 @@ def main(argv: list[str] | None = None) -> int:
                    "copy/migration with verify_corpus WITHOUT the "
                    "original (recompaction is distinguished from "
                    "content change). Batch-only")
+    p.add_argument("--verify-manifests", action="store_true",
+                   help="verification mode, no pipeline: DOCS is a "
+                   "previous run's OUT_DIR that was written with "
+                   "--manifest-out; every split is re-read and "
+                   "checked against its manifest_{split}.json "
+                   "(identical / relaid_out_content_identical / "
+                   "content_changed per split). Exit code 3 when any "
+                   "split's content changed — the migration/copy "
+                   "integrity gate")
     p.add_argument("--diff-against", metavar="DIR", default=None,
                    help="diff the final corpus against a previous "
                    "run's OUT_DIR (its train/val/test splits, or any "
@@ -944,6 +953,7 @@ def main(argv: list[str] | None = None) -> int:
             # a manifest records a COMPLETE corpus's content identity;
             # an append-only stream corpus has no completion point
             (args.manifest_out, "--manifest-out"),
+            (args.verify_manifests, "--verify-manifests"),
             # coverage audits read the crawl archives (warc input)
             (args.sitemap_coverage, "--sitemap-coverage"),
             # NB: --boilerplate-min-df IS allowed here — line
@@ -970,6 +980,33 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name="corpus-build", cpus=args.cpus)
     report: dict[str, object] = {"input": args.docs, "out": args.out_dir}
+
+    if args.verify_manifests:
+        # verification mode, no pipeline: DOCS is a prior run's
+        # OUT_DIR carrying manifest_{split}.json sidecars
+        import glob as _glob
+        import os.path as _osp
+
+        from solana_snapshot_etl_tools_spark.operators.manifest import (
+            verify_corpus,
+        )
+
+        mans = sorted(_glob.glob(_osp.join(args.docs, "manifest_*.json")))
+        if not mans:
+            raise SystemExit(
+                f"--verify-manifests: no manifest_*.json under "
+                f"{args.docs!r} (write them with --manifest-out)"
+            )
+        results: dict[str, object] = {}
+        ok = True
+        for mf in mans:
+            split = _osp.basename(mf)[len("manifest_"):-len(".json")]
+            v = verify_corpus(spark, _osp.join(args.docs, split), mf)
+            results[split] = v
+            ok = ok and v["status"] != "content_changed"
+        report["manifest_verification"] = results
+        _emit_report(report, args.out_dir)
+        return 0 if ok else 3
 
     if args.archive_stats:
         # triage mode: per-archive health, no pipeline. One task per

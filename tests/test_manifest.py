@@ -113,6 +113,44 @@ def test_cli_manifest_out(spark, tmp_path_factory, capsys):
     assert rep2["rows_found"] == rep["manifests"]["train"]["n_rows"]
 
 
+def test_cli_verify_manifests_mode(spark, tmp_path_factory, capsys):
+    """--verify-manifests: green on an untouched run, exit 3 after a
+    split's content changes."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from solana_snapshot_etl_tools_spark import corpus_cli
+
+    out = str(tmp_path_factory.mktemp("corpus_vm"))
+    scratch = str(tmp_path_factory.mktemp("corpus_vm_rep"))
+    assert corpus_cli.main([SRC, out, "--no-pii", "--manifest-out"]) == 0
+    capsys.readouterr()
+    assert corpus_cli.main([out, scratch, "--verify-manifests"]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    rep = json.loads(lines[-1])
+    v = rep["manifest_verification"]
+    assert set(v) == {"train", "val", "test"}
+    assert all(r["status"] == "identical" for r in v.values())
+    # tamper the train split -> the gate trips with exit code 3
+    # (localCheckpoint materializes BEFORE the overwrite of the very
+    # path the plan reads from)
+    train = spark.read.parquet(f"{out}/train").localCheckpoint()
+    train.withColumn("text", F.concat(F.col("text"), F.lit("!"))) \
+        .coalesce(1).write.mode("overwrite").parquet(f"{out}/train")
+    assert corpus_cli.main([out, scratch, "--verify-manifests"]) == 3
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    rep2 = json.loads(lines[-1])
+    assert rep2["manifest_verification"]["train"]["status"] == (
+        "content_changed"
+    )
+    # no manifests -> loud
+    import pytest
+    empty = str(tmp_path_factory.mktemp("corpus_vm_empty"))
+    with pytest.raises(SystemExit, match="no manifest"):
+        corpus_cli.main([empty, scratch, "--verify-manifests"])
+
+
 def test_unknown_columns_and_version_are_loud(spark, corpus, tmp_path):
     with pytest.raises(ValueError, match="not in corpus"):
         M.file_manifest(spark, corpus, cols=["nope"])
