@@ -265,6 +265,64 @@ def stale_captures(recs: DataFrame) -> DataFrame:
     )
 
 
+def recrawl_plan(recs: DataFrame, agent: str = "*") -> DataFrame:
+    """Per-host recrawl work plan — the capstone joining this module's
+    two worklists with the robots politeness budget:
+
+    (host, n_missing, n_stale, n_urls, crawl_delay_sec,
+    est_seconds) — one row per host with work to do. ``n_missing``
+    counts advertised-but-never-captured page/sitemap URLs
+    (``sitemap_coverage``, distinct by url), ``n_stale`` the
+    out-of-date captures (``stale_captures``), ``crawl_delay_sec``
+    the host's declared ``Crawl-delay`` for ``agent`` (NULL → no
+    declared budget, ``est_seconds`` then assumes 1 req/s, the usual
+    polite default). ``est_seconds`` = n_urls × effective delay — the
+    sequential per-host fetch time a scheduler needs for
+    worker-assignment.
+
+    Scale shape: both inputs are url-narrow frames; the politeness
+    table is one row per host (broadcastable). Everything groups on
+    host — one shuffle of kilobyte rows."""
+    from solana_snapshot_etl_tools_spark.operators.robots import (
+        robots_crawl_delays,
+    )
+
+    missing = (
+        sitemap_coverage(recs)
+        .select("host", "url")
+        .distinct()
+        .groupBy("host")
+        .agg(F.count("*").alias("n_missing"))
+    )
+    stale = (
+        stale_captures(recs)
+        .groupBy("host")
+        .agg(F.count("*").alias("n_stale"))
+    )
+    delays = robots_crawl_delays(recs, agent=agent)
+    plan = (
+        missing.join(stale, "host", "full_outer")
+        .select(
+            "host",
+            F.coalesce("n_missing", F.lit(0)).alias("n_missing"),
+            F.coalesce("n_stale", F.lit(0)).alias("n_stale"),
+        )
+        .join(F.broadcast(delays), "host", "left")
+    )
+    n_urls = (F.col("n_missing") + F.col("n_stale")).alias("n_urls")
+    return plan.select(
+        "host",
+        "n_missing",
+        "n_stale",
+        n_urls,
+        "crawl_delay_sec",
+        (
+            (F.col("n_missing") + F.col("n_stale"))
+            * F.coalesce(F.col("crawl_delay_sec"), F.lit(1.0))
+        ).alias("est_seconds"),
+    )
+
+
 # ship the pandas UDF inside the task — workers do not share the
 # driver's sys.path (see _pickle.py)
 from solana_snapshot_etl_tools_spark._pickle import register_self as _rs  # noqa: E402

@@ -268,6 +268,46 @@ def test_stale_captures_recrawl_worklist(spark, tmp_path):
     assert str(r.lastmod_ts).startswith("2026-09-01")
 
 
+def test_recrawl_plan_joins_worklists_with_politeness(spark, tmp_path):
+    """recrawl_plan = coverage misses + stale captures × the host's
+    declared Crawl-delay (1 s/req default when none declared)."""
+    sm = (b'<?xml version="1.0"?>'
+          b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+          b"<url><loc>http://p.example/stale</loc>"
+          b"<lastmod>2026-09-01T00:00:00Z</lastmod></url>"
+          b"<url><loc>http://p.example/never</loc></url>"
+          b"<url><loc>http://p.example/never2</loc></url>"
+          b"</urlset>")
+    robots = (b"User-agent: *\r\nCrawl-delay: 2.5\r\n"
+              b"Disallow: /x\r\n")
+    xml = "application/xml"
+    recs = [
+        _record("response", _http(robots, ctype="text/plain"),
+                uri="http://p.example/robots.txt",
+                ctype="application/http; msgtype=response"),
+        _record("response", _http(sm, ctype=xml),
+                uri="http://p.example/sitemap.xml",
+                ctype="application/http; msgtype=response"),
+        _record("response", _http(b"<html>old</html>"),
+                uri="http://p.example/stale",
+                ctype="application/http; msgtype=response"),
+    ]
+    p = _write(tmp_path / "plan.warc.gz", recs, gz=True)
+    crawl = W.read_warc(spark, p)
+    rows = {r.host: r for r in SM.recrawl_plan(crawl).collect()}
+    r = rows["p.example"]
+    assert r.n_missing == 2 and r.n_stale == 1 and r.n_urls == 3
+    assert r.crawl_delay_sec == 2.5
+    assert r.est_seconds == 7.5
+    # a host with work but NO declared delay estimates at 1 req/s:
+    # strip the robots capture and re-plan
+    p2 = _write(tmp_path / "plan2.warc.gz", recs[1:], gz=True)
+    r2 = {x.host: x for x in SM.recrawl_plan(
+        W.read_warc(spark, p2)).collect()}["p.example"]
+    assert r2.crawl_delay_sec is None
+    assert r2.est_seconds == float(r2.n_urls)
+
+
 def test_jvm_side_parse_no_python_for_plain_xml(spark, tmp_path):
     """The plain-payload branch must carry no Python evaluation: one
     ArrowEvalPython is expected in the UNION plan (the gz branch), and
