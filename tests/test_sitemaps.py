@@ -308,6 +308,73 @@ def test_recrawl_plan_joins_worklists_with_politeness(spark, tmp_path):
     assert r2.est_seconds == float(r2.n_urls)
 
 
+def test_cli_crawl_capstone_composes_round14_stages(
+    spark, tmp_path, tmp_path_factory, capsys
+):
+    """WARC in → robots enforcement → sitemap coverage + staleness →
+    corpus build → integrity manifests → verify-manifests gate: the
+    round-14 governance pieces working as ONE pipeline."""
+    import json
+
+    from solana_snapshot_etl_tools_spark import corpus_cli
+
+    body = (b"<html><p>a perfectly ordinary english paragraph that the "
+            b"default quality and language filters keep around %d"
+            b"</p></html>")
+    robots = (b"User-agent: *\r\nDisallow: /private/\r\n"
+              b"Crawl-delay: 2\r\n"
+              b"Sitemap: http://cap.example/sitemap.xml\r\n")
+    sm = (b'<?xml version="1.0"?>'
+          b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+          b"<url><loc>http://cap.example/page0</loc>"
+          b"<lastmod>2026-09-01T00:00:00Z</lastmod></url>"  # stale
+          b"<url><loc>http://cap.example/page1</loc></url>"
+          b"<url><loc>http://cap.example/uncaptured</loc></url>"
+          b"</urlset>")
+    recs = [
+        _record("response", _http(robots, ctype="text/plain"),
+                uri="http://cap.example/robots.txt",
+                ctype="application/http; msgtype=response"),
+        _record("response", _http(sm, ctype="application/xml"),
+                uri="http://cap.example/sitemap.xml",
+                ctype="application/http; msgtype=response"),
+    ]
+    for i in range(6):
+        recs.append(_record(
+            "response", _http(body % i),
+            uri=f"http://cap.example/page{i}",
+            ctype="application/http; msgtype=response",
+            rid=f"<urn:uuid:{i}>",
+        ))
+    recs.append(_record(  # robots-blocked page
+        "response", _http(body % 99),
+        uri="http://cap.example/private/x",
+        ctype="application/http; msgtype=response",
+        rid="<urn:uuid:priv>",
+    ))
+    p = _write(tmp_path / "cap.warc.gz", recs, gz=True)
+
+    out = str(tmp_path_factory.mktemp("capstone14"))
+    assert corpus_cli.main([
+        p, out,
+        "--input-format", "warc", "--html-extract", "--no-pii",
+        "--respect-robots", "--sitemap-coverage", "--manifest-out",
+    ]) == 0
+    rep = json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.strip()][-1]
+    )
+    assert rep["n_robots_blocked"] == 1
+    assert rep["sitemap_missing_by_kind"] == {"url": 1}  # /uncaptured
+    assert rep["n_sitemap_stale"] == 1  # page0's lastmod post-dates
+    stale = spark.read.parquet(f"{out}/sitemap_stale")
+    assert [r.url for r in stale.collect()] == ["http://cap.example/page0"]
+    assert set(rep["manifests"]) == {"train", "val", "test"}
+    # the written corpus passes its own integrity gate
+    scratch = str(tmp_path_factory.mktemp("capstone14_rep"))
+    assert corpus_cli.main([out, scratch, "--verify-manifests"]) == 0
+    capsys.readouterr()
+
+
 def test_jvm_side_parse_no_python_for_plain_xml(spark, tmp_path):
     """The plain-payload branch must carry no Python evaluation: one
     ArrowEvalPython is expected in the UNION plan (the gz branch), and
