@@ -1092,6 +1092,19 @@ def main(argv: list[str] | None = None) -> int:
         report["n_sitemap_stale"] = spark.read.parquet(
             _osp.join(args.out_dir, "sitemap_stale")
         ).count()
+        # and the per-host fetch plan a recrawl scheduler assigns
+        # workers by (misses + stale x the host's Crawl-delay budget)
+        from solana_snapshot_etl_tools_spark.operators.sitemaps import (
+            recrawl_plan,
+        )
+
+        agent = args.respect_robots or "*"
+        recrawl_plan(crawl, agent=agent).write.mode("overwrite").parquet(
+            _osp.join(args.out_dir, "recrawl_plan")
+        )
+        report["n_recrawl_hosts"] = spark.read.parquet(
+            _osp.join(args.out_dir, "recrawl_plan")
+        ).count()
         crawl.unpersist()
     if need_source and "source" not in raw.columns:
         p.error("--source-blocklist/--source-cap need a 'source' "

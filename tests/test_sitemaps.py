@@ -368,6 +368,11 @@ def test_cli_crawl_capstone_composes_round14_stages(
     assert rep["n_sitemap_stale"] == 1  # page0's lastmod post-dates
     stale = spark.read.parquet(f"{out}/sitemap_stale")
     assert [r.url for r in stale.collect()] == ["http://cap.example/page0"]
+    # the per-host fetch plan: 1 miss + 1 stale at Crawl-delay 2 s
+    plan = spark.read.parquet(f"{out}/recrawl_plan").collect()
+    assert rep["n_recrawl_hosts"] == 1
+    assert plan[0].host == "cap.example" and plan[0].n_urls == 2
+    assert plan[0].est_seconds == 4.0
     assert set(rep["manifests"]) == {"train", "val", "test"}
     # the written corpus passes its own integrity gate
     scratch = str(tmp_path_factory.mktemp("capstone14_rep"))
