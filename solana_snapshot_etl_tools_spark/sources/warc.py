@@ -914,7 +914,14 @@ def read_warc_records_at(
 
     Records that fail to decompress or parse yield a row with null
     fields except ``warc_file``/``record_offset`` (skip-not-fail with
-    an audit trail, same policy as the streaming scan)."""
+    an audit trail, same policy as the streaming scan).
+
+    With ``base_dir``, filenames must resolve INSIDE it: an index is
+    often third-party input, and a row naming ``../../etc/anything``
+    (or an absolute path — ``os.path.join`` silently DISCARDS the
+    base for those) would otherwise read arbitrary executor-visible
+    files into the corpus. Escaping entries become audit rows, same
+    as unopenable archives."""
     import os.path as _osp
 
     for c in ("filename", "offset", "length"):
@@ -938,6 +945,16 @@ def read_warc_records_at(
                     ["filename", "offset", "length"]
                 ].itertuples(index=False):
                     path = _osp.join(base, fname) if base else fname
+                    if base:
+                        # containment: a third-party index row must
+                        # not name a file outside base_dir (traversal
+                        # or absolute path) — audit row, not a fetch
+                        root = _osp.normpath(base)
+                        if not _osp.normpath(path).startswith(
+                            root + _osp.sep
+                        ):
+                            rows.append((int(off), path) + nulls)
+                            continue
                     if path != handle_path:
                         if handle is not None:
                             handle.close()

@@ -746,6 +746,41 @@ class TestCdxBuilder:
         ).collect()
         assert {r.target_uri for r in got} == set(rows)
 
+    def test_traversal_filenames_become_audit_rows(self, spark, tmp_path):
+        """A third-party index row naming ../../x or an absolute path
+        must NOT read outside base_dir (os.path.join silently discards
+        the base for absolute filenames) — audit row, never a fetch."""
+        p, n = self._archive(tmp_path, gz=True)
+        import os.path as osp
+
+        # a real file OUTSIDE base_dir that a traversal would reach
+        outside = tmp_path.parent / "secret.warc.gz"
+        import shutil
+
+        shutil.copy(p, outside)
+        real = (
+            W.build_cdxj_entries(spark, [p], record_types=None)
+            .orderBy("offset")
+            .first()
+        )
+        entries = spark.createDataFrame(
+            [
+                ("built.warc.gz", real.offset, real.length),   # legit
+                ("../" + outside.name, 0, 400),                # traversal
+                (str(outside), 0, 400),                        # absolute
+                ("sub/../../" + outside.name, 0, 400),         # sneaky
+            ],
+            "filename string, offset long, length long",
+        )
+        rows = W.read_warc_records_at(
+            spark, entries, base_dir=str(tmp_path), num_partitions=1
+        ).collect()
+        fetched = [r for r in rows if r.warc_type is not None]
+        audits = [r for r in rows if r.warc_type is None]
+        assert len(fetched) == 1 and len(audits) == 3
+        assert fetched[0].warc_file.endswith("built.warc.gz")
+        assert all(osp.basename(outside) in r.warc_file for r in audits)
+
     def test_filename_base_resolves_subdirectory_archives(self, spark, tmp_path):
         """filename_base records subpaths (the Common Crawl filename
         convention) so a multi-directory archive set stays resolvable
