@@ -12,9 +12,17 @@ Runs, in order:
 3. the full 50-query-prefix correctness sim at sf0.01 (exactly what
    the driver records in CORRECTNESS_r{N}.json);
 4. the bench CLI contract (one JSON line, env override honored) at
-   sf0.001 so it finishes in seconds.
+   sf0.001 so it finishes in seconds;
+5. the plan-shape watchdog (tests/test_plan_audit.py) — every declared
+   query's executed plan swept for cartesian joins, row-at-a-time
+   Python, and wide-column shuffles;
+6. the bench regression gate (tools/bench_compare.py): newest recorded
+   BENCH_r*.json vs the median-of-3 floor in BASELINE_BENCH.json; with
+   --full-bench, additionally runs a LIVE bench at
+   $SPARK_GRAFT_SF_DIR (default sf0.1) and gates that instead.
 
-Usage: python tools/preflight.py [--skip-bench]
+Usage: python tools/preflight.py [--skip-bench] [--skip-plan-audit]
+                                 [--full-bench]
 Exit code 0 = ship; nonzero = something the driver would flag.
 """
 
@@ -33,7 +41,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def main() -> int:
     failures: list[str] = []
 
-    print("== 1/4 rotation gate ==", flush=True)
+    print("== 1/6 rotation gate ==", flush=True)
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "check_rotation.py")],
         capture_output=True,
@@ -43,7 +51,7 @@ def main() -> int:
     if r.returncode != 0:
         failures.append("rotation gate")
 
-    print("== 2/4 entry smoke (HOSTILE env) ==", flush=True)
+    print("== 2/6 entry smoke (HOSTILE env) ==", flush=True)
     # the real hostile recipe (verify skill): cwd OUTSIDE the repo so
     # Spark workers don't inherit the driver's sys.path (catches
     # by-reference-pickled UDFs), non-UTC host TZ, and the grading
@@ -72,7 +80,7 @@ def main() -> int:
     if r.returncode != 0 or len(rows) != 2:
         failures.append("hostile entry smoke")
 
-    print("== 3/4 prefix correctness sim (sf0.01) ==", flush=True)
+    print("== 3/6 prefix correctness sim (sf0.01) ==", flush=True)
     r = subprocess.run(
         [
             sys.executable,
@@ -90,7 +98,7 @@ def main() -> int:
         failures.append("prefix correctness sim")
 
     if "--skip-bench" not in sys.argv:
-        print("== 4/4 bench contract (sf0.001) ==", flush=True)
+        print("== 4/6 bench contract (sf0.001) ==", flush=True)
         env = dict(
             os.environ,
             SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
@@ -116,6 +124,59 @@ def main() -> int:
         print(f"bench stdout lines: {len(lines)}, contract ok: {ok}")
         if not ok:
             failures.append("bench contract")
+
+    if "--skip-plan-audit" not in sys.argv:
+        print("== 5/6 plan-shape watchdog ==", flush=True)
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "pytest",
+                os.path.join(REPO, "tests", "test_plan_audit.py"),
+                "-q", "--no-header", "-p", "no:cacheprovider",
+            ],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+        )
+        tail = [ln for ln in r.stdout.splitlines() if ln.strip()][-1:]
+        print(tail[0] if tail else "plan audit produced no output")
+        if r.returncode != 0:
+            failures.append("plan-shape watchdog")
+
+    print("== 6/6 bench regression gate (vs median floor) ==", flush=True)
+    if "--full-bench" in sys.argv:
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_SF_DIR=os.environ.get(
+                "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+            ),
+        )
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            capture_output=True,
+            text=True,
+            env=env,
+            cwd=REPO,
+        )
+        lines = [ln for ln in r.stdout.strip().splitlines() if ln.strip()]
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "bench_compare.py"),
+             "-"],
+            input=lines[-1] if lines else "{}",
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+        )
+    else:
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "bench_compare.py")],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+        )
+    tail = [ln for ln in r.stdout.splitlines() if ln.strip()][-2:]
+    print("\n".join(tail) or r.stderr.strip()[-200:])
+    if r.returncode != 0:
+        failures.append("bench regression gate")
 
     print("PREFLIGHT:", "FAIL " + ", ".join(failures) if failures else "OK")
     return 1 if failures else 0
