@@ -34,8 +34,15 @@ MANIFEST_VERSION = 1
 
 def _norm_path(p: str) -> str:
     """Scheme-insensitive path normalization (``file:///x`` and
-    ``file:/x`` and ``/x`` all verify as the same corpus)."""
-    return "/" + _re.sub(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+", "", p).lstrip("/")
+    ``file:/x`` and ``/x`` and ``/x/`` all verify as the same corpus).
+
+    Trailing slashes are stripped (bare ``/`` kept): the relative-key
+    strip below is length-based, so ``/corpus/`` vs ``/corpus`` must
+    normalize identically or every per-file key loses its first
+    character — and distinct files can COLLIDE (``a.parquet`` /
+    ``b.parquet`` both → ``.parquet``), silently merging their sums."""
+    out = "/" + _re.sub(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+", "", p).lstrip("/")
+    return out if out == "/" else out.rstrip("/")
 
 
 def _rel_file(root: str):
@@ -48,10 +55,21 @@ def _rel_file(root: str):
     norm = F.regexp_replace(
         F.input_file_name(), r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+", "/"
     )
+    # input_file_name() returns the URI-ENCODED path (space → %20;
+    # a literal '+' stays '+' — probed empirically on Spark 4.1), while
+    # the root arrives as a raw filesystem string. Percent-decode the
+    # scan side before the length-based strip, or a corpus dir
+    # containing spaces misaligns every relative key. url_decode alone
+    # would also map '+' → ' ' (form-encoding semantics); protect
+    # literal '+' first. A literal '%' in a filename arrives as '%25',
+    # so decoding its own output is always safe.
+    decoded = F.url_decode(F.regexp_replace(norm, r"\+", "%2B"))
     # strip leading root + '/'; what remains is the file's path
     # relative to the corpus dir — stable across copies/renames of
     # everything ABOVE the corpus dir
-    return F.substring(norm, len(_norm_path(root)) + 2, 1 << 20).alias("file")
+    nroot = _norm_path(root)
+    start = 2 if nroot == "/" else len(nroot) + 2
+    return F.substring(decoded, start, 1 << 20).alias("file")
 
 
 def file_manifest(

@@ -254,12 +254,15 @@ def robots_crawl_delays(recs: DataFrame, agent: str = "*") -> DataFrame:
 
     ``Crawl-delay`` is non-RFC-9309 but ubiquitous; like the rules it
     is group-scoped, so the same REP fold assigns each delay to its
-    user-agent group and the ``agent``'s own group beats ``*``
-    (RFC 9309 §2.2.1 fallback, matching ``apply_robots``). Unparseable
-    or negative values are dropped; several delay lines in one group
-    keep the LAST (the file's final word). Output is one row per host
-    that declares a delay — kilobytes, broadcastable to any
-    scheduler."""
+    user-agent group. Fallback matches ``apply_robots`` exactly
+    (RFC 9309 §2.2.1): a host where the agent has its OWN group (any
+    Allow/Disallow rule for it — the same presence test apply_robots
+    uses) takes delays from that group ONLY, even when it declares
+    none (no delay row, NOT the ``*`` group's delay); only hosts with
+    no own group fall back to ``*``. Unparseable or negative values
+    are dropped; several delay lines in one group keep the LAST (the
+    file's final word). Output is one row per host that declares a
+    delay — kilobytes, broadcastable to any scheduler."""
     robots = recs.filter(
         (F.col("http_status") == 200)
         & F.lower(F.col("target_uri")).rlike(r"^[a-z]+://[^/]+/robots\.txt$")
@@ -270,49 +273,71 @@ def robots_crawl_delays(recs: DataFrame, agent: str = "*") -> DataFrame:
         "named_struct("
         "'agents', cast(array() as array<string>), "
         "'in_rules', false, "
-        "'out', cast(array() as array<struct<agent:string,delay:string>>))"
+        "'out', cast(array() as "
+        "array<struct<agent:string,rule:string,val:string>>))"
     )
     folded = F.aggregate(
         lines, acc0, lambda acc, raw: _delay_step(acc, raw),
         lambda acc: acc["out"],
     )
     a = agent.lower()
-    per_agent = (
-        robots.select(
-            F.lower(url_host(F.col("target_uri"))).alias("host"),
-            F.col("warc_date").alias("_cap"),
-            F.posexplode(folded).alias("_pos", "d"),
-        )
-        .select(
-            "host",
-            "_cap",
-            "_pos",
-            F.col("d.agent").alias("agent"),
-            F.col("d.delay").try_cast("double").alias("delay"),
-        )
-        .filter(F.col("delay").isNotNull() & (F.col("delay") >= 0))
+    per_agent = robots.select(
+        F.lower(url_host(F.col("target_uri"))).alias("host"),
+        F.col("warc_date").alias("_cap"),
+        F.posexplode(folded).alias("_pos", "d"),
+    ).select(
+        "host",
+        "_cap",
+        "_pos",
+        F.col("d.agent").alias("agent"),
+        F.col("d.rule").alias("rule"),
+        F.when(
+            F.col("d.rule") == "crawl-delay",
+            F.col("d.val").try_cast("double"),
+        ).alias("delay"),
     )
     mine = per_agent.filter(
         F.col("agent").isin(a, "*") if a != "*" else (F.col("agent") == "*")
     )
-    # own-group-beats-star (rank), then latest capture, then LAST line
-    # in the file — a fully deterministic max_by key (equal-key max_by
-    # would otherwise pick arbitrarily when a group repeats the
-    # directive)
-    ranked = mine.withColumn(
-        "_rank", F.when(F.col("agent") == F.lit(a), 1).otherwise(0)
-    )
-    return ranked.groupBy("host").agg(
-        F.max_by("delay", F.struct("_rank", "_cap", "_pos")).alias(
-            "crawl_delay_sec"
+    if a != "*":
+        # the same has-own-group host filter apply_robots uses: own
+        # group presence = any Allow/Disallow RULE for the agent (the
+        # rows parse_robots_records would emit), and a present own
+        # group silences '*' entirely — including its Crawl-delay
+        has_own = (
+            mine.filter(
+                (F.col("agent") == a) & F.col("rule").isin("disallow", "allow")
+            )
+            .select("host")
+            .distinct()
+            .withColumn("_own", F.lit(True))
         )
+        mine = (
+            mine.join(F.broadcast(has_own), "host", "left")
+            .filter((F.col("agent") == a) | F.col("_own").isNull())
+            .drop("_own")
+        )
+    valid = mine.filter(F.col("delay").isNotNull() & (F.col("delay") >= 0))
+    # latest capture, then LAST line in the file — a fully
+    # deterministic max_by key (equal-key max_by would otherwise pick
+    # arbitrarily when a group repeats the directive). No own-vs-star
+    # rank needed: the host filter above already makes the candidate
+    # set per host all-own or all-star.
+    return valid.groupBy("host").agg(
+        F.max_by("delay", F.struct("_cap", "_pos")).alias("crawl_delay_sec")
     )
 
 
 def _delay_step(acc, raw):
-    """One line of the Crawl-delay group fold (mirrors _robots_step's
-    grouping; emits (agent, delay) for crawl-delay lines; a delay line
-    closes the group like a rule line does)."""
+    """One line of the Crawl-delay group fold. Grouping state is
+    IDENTICAL to ``_robots_step``'s: only Allow/Disallow set
+    ``in_rules`` (crawl-delay is an RFC 9309 "other record" — allowed
+    inside a group without terminating it — exactly the semantics the
+    parser property sweep's reference pins), so both folds assign the
+    same group boundaries to the same file. Emits (agent, rule, val)
+    for allow/disallow/crawl-delay lines: the rule rows carry no delay
+    but mark own-group PRESENCE for the §2.2.1 fallback in
+    ``robots_crawl_delays``."""
     l = F.trim(F.regexp_replace(raw, "#.*$", ""))
     kv = F.split(l, ":", 2)
     key = F.lower(F.trim(kv.getItem(0)))
@@ -320,20 +345,24 @@ def _delay_step(acc, raw):
     is_agent = (
         (key == F.lit("user-agent")) & val.isNotNull() & (F.length(val) > 0)
     )
-    is_rule = key.isin("disallow", "allow", "crawl-delay") & val.isNotNull()
-    is_delay = (key == F.lit("crawl-delay")) & val.isNotNull()
+    is_rule = key.isin("disallow", "allow") & val.isNotNull()
+    is_emit = (
+        key.isin("disallow", "allow", "crawl-delay") & val.isNotNull()
+    )
     new_agents = (
         F.when(is_agent & acc["in_rules"], F.array(F.lower(val)))
         .when(is_agent, F.array_union(acc["agents"], F.array(F.lower(val))))
         .otherwise(acc["agents"])
     )
     emitted = F.when(
-        is_delay & (F.size(acc["agents"]) > 0) & (F.length(val) > 0),
+        is_emit & (F.size(acc["agents"]) > 0) & (F.length(val) > 0),
         F.concat(
             acc["out"],
             F.transform(
                 acc["agents"],
-                lambda a: F.struct(a.alias("agent"), val.alias("delay")),
+                lambda a: F.struct(
+                    a.alias("agent"), key.alias("rule"), val.alias("val")
+                ),
             ),
         ),
     ).otherwise(acc["out"])

@@ -86,7 +86,14 @@ def _parsed_captures(recs: DataFrame) -> DataFrame:
     the UDF column would make Spark evaluate the gunzip TWICE (one
     ArrowEvalPython for the filter, one for the projection — plan-
     pinned in tests); gz captures are rare and ``from_xml`` nulls
-    non-sitemap text anyway."""
+    non-sitemap text anyway.
+
+    Known limit: the literal pre-sniff misses a namespace-PREFIXED
+    root (``<sm:urlset xmlns:sm=...>`` — spec-legal but essentially
+    unseen in the wild). Nothing is lost by sniffing: ``from_xml``
+    with this unprefixed schema nulls such documents anyway, so
+    supporting them would need a prefix-aware schema, not a looser
+    sniff."""
     ok = recs.filter(
         (F.col("http_status") == 200) & F.col("payload").isNotNull()
     )
@@ -192,6 +199,14 @@ def sitemap_coverage(recs: DataFrame) -> DataFrame:
     (sitemap advertised by a robots.txt ``Sitemap:`` line). An empty
     result means the crawl is closed over its own advertisements.
 
+    ``host`` is keyed off the ADVERTISED url, not the advertising
+    capture: a robots.txt or sitemap may legally advertise URLs on
+    another host (cross-host ``Sitemap:`` lines are common for CDN
+    setups), and the crawler that must close the gap — and whose
+    politeness budget applies in ``recrawl_plan`` — is the target's.
+    An advertised value with no parseable host (relative or garbled)
+    falls back to the advertiser's host so the row is never dropped.
+
     Scale shape: the captured-URL set is one distinct over
     ``target_uri`` (urls only, no payloads), the advertised set is the
     kilobyte-per-host sitemap/robots rows; the report is one anti-join
@@ -202,15 +217,26 @@ def sitemap_coverage(recs: DataFrame) -> DataFrame:
 
     entries = sitemap_entries(recs)
     advertised = entries.select(
-        "kind", "host", F.col("sitemap_url").alias("advertised_in"),
+        "kind", F.col("host").alias("_adv_host"),
+        F.col("sitemap_url").alias("advertised_in"),
         F.col("loc").alias("url"),
     ).unionByName(
         robots_sitemaps(recs).select(
             F.lit("robots_sitemap").alias("kind"),
-            "host",
+            F.col("host").alias("_adv_host"),
             F.lit("robots.txt").alias("advertised_in"),
             F.col("sitemap_url").alias("url"),
         )
+    )
+    target_host = F.lower(url_host(F.col("url")))
+    advertised = advertised.select(
+        "kind",
+        F.coalesce(
+            F.when(F.length(target_host) > 0, target_host),
+            F.col("_adv_host"),
+        ).alias("host"),
+        "advertised_in",
+        "url",
     )
     captured = recs.select(F.col("target_uri").alias("url")).distinct()
     return advertised.join(captured, "url", "left_anti").select(

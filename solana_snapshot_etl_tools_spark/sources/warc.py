@@ -936,6 +936,7 @@ def read_warc_records_at(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["record_offset"] + [c.split()[0] for c in RECORD_SCHEMA.split(", ")]
         nulls = (None,) * 9
+        root = _osp.realpath(base) if base else None
         for pdf in batches:
             rows: list[tuple] = []
             size = 0
@@ -948,9 +949,13 @@ def read_warc_records_at(
                     if base:
                         # containment: a third-party index row must
                         # not name a file outside base_dir (traversal
-                        # or absolute path) — audit row, not a fetch
-                        root = _osp.normpath(base)
-                        if not _osp.normpath(path).startswith(
+                        # or absolute path) — audit row, not a fetch.
+                        # realpath, not normpath: a symlink planted
+                        # INSIDE base_dir must not alias files outside
+                        # it. A root of '/' contains every absolute
+                        # path (root+sep would be '//' and reject all).
+                        resolved = _osp.realpath(path)
+                        if root != _osp.sep and not resolved.startswith(
                             root + _osp.sep
                         ):
                             rows.append((int(off), path) + nulls)

@@ -163,3 +163,49 @@ def test_unknown_columns_and_version_are_loud(spark, corpus, tmp_path):
         json.dump(man, f)
     with pytest.raises(ValueError, match="version"):
         M.read_manifest(bad)
+
+
+def test_trailing_slash_root_keys_match_canonical(spark, corpus, tmp_path):
+    """A trailing-slash root must yield the SAME per-file keys as the
+    canonical form: the length-based strip chopped the first character
+    of every key (and could collide distinct files) before the
+    _norm_path rstrip fix."""
+    canon = M.file_manifest(spark, corpus).collect()
+    slashed = M.file_manifest(spark, corpus + "/").collect()
+    assert {r.file for r in canon} == {r.file for r in slashed}
+    assert all(r.file.startswith("part-") for r in canon)
+
+
+def test_record_with_slash_verify_without(spark, corpus, tmp_path):
+    """Mixed-form record/verify must still report 'identical', not a
+    spurious 'relaid_out_content_identical'."""
+    mf = str(tmp_path / "manifest.json")
+    M.write_manifest(spark, corpus + "/", mf)
+    rep = M.verify_corpus(spark, corpus, mf)
+    assert rep["status"] == "identical"
+    rep2 = M.verify_corpus(spark, corpus + "//", mf)
+    assert rep2["status"] == "identical"
+
+
+def test_uri_encoded_corpus_dir(spark, tmp_path):
+    """input_file_name() URI-encodes (space → %20, '+' stays '+');
+    a corpus dir containing both must still produce clean relative
+    keys and verify across a copy to another encoded dir."""
+    src = str(tmp_path / "with space+plus" / "corpus")
+    spark.read.parquet(SRC).repartition(2).write.parquet(src)
+    rows = M.file_manifest(spark, src).collect()
+    assert all(r.file.startswith("part-") for r in rows)
+    assert all("%" not in r.file and "/" not in r.file for r in rows)
+    mf = str(tmp_path / "manifest.json")
+    M.write_manifest(spark, src, mf)
+    moved = str(tmp_path / "other area+2" / "corpus")
+    shutil.copytree(src, moved)
+    rep = M.verify_corpus(spark, moved, mf)
+    assert rep["status"] == "identical"
+
+
+def test_norm_path_forms():
+    assert M._norm_path("/a/b/") == "/a/b"
+    assert M._norm_path("file:///a/b") == "/a/b"
+    assert M._norm_path("file:/a/b///") == "/a/b"
+    assert M._norm_path("/") == "/"

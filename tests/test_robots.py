@@ -544,6 +544,45 @@ class TestCrawlDelays:
                ).collect()}
         assert out == {"d.example": 7.0}
 
+    def test_own_group_without_delay_silences_star(self, spark, tmp_path):
+        """RFC 9309 §2.2.1, matching apply_robots: a host where the
+        agent has its OWN group (rules present) must NOT inherit the
+        '*' group's Crawl-delay — the own group's silence IS the
+        answer. Before the fix, ownbot here inherited 9.0."""
+        from tests.test_warc import _http, _record
+
+        body = (b"User-agent: ownbot\r\nDisallow: /x\r\n\r\n"
+                b"User-agent: *\r\nCrawl-delay: 9\r\nDisallow: /y\r\n")
+        extra = [_record("response", _http(body, ctype="text/plain"),
+                         uri="http://own.example/robots.txt",
+                         ctype="application/http; msgtype=response")]
+        out = {r.host: r.crawl_delay_sec
+               for r in R.robots_crawl_delays(
+                   self._recs(spark, tmp_path, extra=extra), agent="ownbot"
+               ).collect()}
+        # own.example: ownbot's own group declares rules but no delay
+        # → absent; d.example: no ownbot group → star fallback 7
+        assert out == {"d.example": 7.0}
+
+    def test_delay_group_boundaries_match_rules_fold(self, spark, tmp_path):
+        """crawl-delay is an RFC 'other record' — it must not close a
+        group in the delay fold any more than in the rules fold: a
+        User-agent line after ONLY a crawl-delay still accumulates
+        into the same group (so the later delay covers both agents)."""
+        from tests.test_warc import _http, _record
+
+        body = (b"User-agent: abot\r\nCrawl-delay: 5\r\n"
+                b"User-agent: bbot\r\nCrawl-delay: 3\r\n")
+        extra = [_record("response", _http(body, ctype="text/plain"),
+                         uri="http://acc.example/robots.txt",
+                         ctype="application/http; msgtype=response")]
+        recs = self._recs(spark, tmp_path, extra=extra)
+        for agent, want in (("abot", 3.0), ("bbot", 3.0)):
+            out = {r.host: r.crawl_delay_sec
+                   for r in R.robots_crawl_delays(recs, agent=agent)
+                   .collect()}
+            assert out.get("acc.example") == want, (agent, out)
+
 
 def test_backslash_url_cannot_evade_rules(spark, rules):
     """WHATWG: browsers treat \\ as / in http(s) URLs, so

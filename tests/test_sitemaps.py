@@ -168,6 +168,28 @@ def test_coverage_reports_advertised_not_captured(spark, tmp_path):
     assert ("robots_sitemap", "http://s.example/sitemap.xml") not in missing
 
 
+def test_coverage_host_keys_off_advertised_url(spark, tmp_path):
+    """A cross-host Sitemap: line (CDN setups advertise on another
+    host routinely) must group under the host that must be CRAWLED,
+    not the advertiser — that is the host whose politeness budget
+    applies in recrawl_plan."""
+    from tests.test_warc import _http, _record, _write
+
+    robots = (b"User-agent: *\r\nDisallow:\r\n"
+              b"Sitemap: http://cdn.example/films/sitemap.xml\r\n")
+    recs = W.read_warc(spark, _write(
+        tmp_path / "xhost.warc.gz",
+        [_record("response", _http(robots, ctype="text/plain"),
+                 uri="http://www.example/robots.txt",
+                 ctype="application/http; msgtype=response")],
+        gz=True,
+    ))
+    rows = {(r.kind, r.url): r.host
+            for r in SM.sitemap_coverage(recs).collect()}
+    assert rows[("robots_sitemap", "http://cdn.example/films/sitemap.xml")] \
+        == "cdn.example"
+
+
 def test_cli_sitemap_coverage_stage(spark, tmp_path, tmp_path_factory, capsys):
     import json
 

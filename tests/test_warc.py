@@ -781,6 +781,56 @@ class TestCdxBuilder:
         assert fetched[0].warc_file.endswith("built.warc.gz")
         assert all(osp.basename(outside) in r.warc_file for r in audits)
 
+    def test_symlink_inside_base_dir_cannot_escape(self, spark, tmp_path):
+        """normpath-only containment is symlink-blind: a link planted
+        INSIDE base_dir aliasing a file outside it passes a lexical
+        check but must still be rejected (realpath containment)."""
+        import os
+        import shutil
+
+        p, _ = self._archive(tmp_path, gz=True)
+        outside = tmp_path.parent / "secret2.warc.gz"
+        shutil.copy(p, outside)
+        os.symlink(str(outside), str(tmp_path / "alias.warc.gz"))
+        real = (
+            W.build_cdxj_entries(spark, [p], record_types=None)
+            .orderBy("offset")
+            .first()
+        )
+        entries = spark.createDataFrame(
+            [
+                ("built.warc.gz", real.offset, real.length),     # legit
+                ("alias.warc.gz", real.offset, real.length),     # symlink escape
+            ],
+            "filename string, offset long, length long",
+        )
+        rows = W.read_warc_records_at(
+            spark, entries, base_dir=str(tmp_path), num_partitions=1
+        ).collect()
+        fetched = [r for r in rows if r.warc_type is not None]
+        audits = [r for r in rows if r.warc_type is None]
+        assert len(fetched) == 1 and len(audits) == 1
+        assert fetched[0].warc_file.endswith("built.warc.gz")
+        assert audits[0].warc_file.endswith("alias.warc.gz")
+
+    def test_base_dir_root_slash_is_not_self_rejecting(self, spark, tmp_path):
+        """base_dir='/' must contain every absolute path (the old
+        root+sep check produced '//' and rejected ALL entries)."""
+        p, n = self._archive(tmp_path, gz=True)
+        real = (
+            W.build_cdxj_entries(spark, [p], record_types=None)
+            .orderBy("offset")
+            .first()
+        )
+        entries = spark.createDataFrame(
+            [(str(p).lstrip("/"), real.offset, real.length)],
+            "filename string, offset long, length long",
+        )
+        rows = W.read_warc_records_at(
+            spark, entries, base_dir="/", num_partitions=1
+        ).collect()
+        assert len(rows) == 1 and rows[0].warc_type is not None
+
     def test_filename_base_resolves_subdirectory_archives(self, spark, tmp_path):
         """filename_base records subpaths (the Common Crawl filename
         convention) so a multi-directory archive set stays resolvable
