@@ -119,13 +119,25 @@ def run_available_now(
     pipeline: Callable[[DataFrame], DataFrame],
     query_name: str | None = None,
     output_mode: str = "append",
+    source_options: dict | None = None,
+    collect_progress: list | None = None,
 ) -> DataFrame:
     """Drive `pipeline` as a real Structured Streaming query over a
     parquet file source with availableNow semantics; returns the
     complete result as a batch DataFrame read back from the memory
-    sink. Used by tests to prove batch/stream parity."""
+    sink. Used by tests to prove batch/stream parity.
+
+    ``source_options`` passes file-source options through (e.g.
+    ``{"maxFilesPerTrigger": "1"}`` to force one micro-batch per file —
+    how the watermark tests advance event time across batches).
+    ``collect_progress``, when given a list, receives the query's
+    recentProgress dicts after termination (state-operator metrics:
+    eviction counts, late-row drops)."""
     name = query_name or f"q_{uuid.uuid4().hex[:8]}"
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    reader = spark.readStream.schema(schema)
+    for k, v in (source_options or {}).items():
+        reader = reader.option(k, v)
+    stream = reader.parquet(source_dir)
     q = (
         pipeline(stream)
         .writeStream.format("memory")
@@ -135,6 +147,8 @@ def run_available_now(
         .start()
     )
     q.awaitTermination(120)
+    if collect_progress is not None:
+        collect_progress.extend(q.recentProgress)
     return spark.sql(f"SELECT * FROM {name}")
 
 

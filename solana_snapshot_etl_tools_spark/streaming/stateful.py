@@ -16,6 +16,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
     LongType,
     StringType,
     StructField,
@@ -81,6 +83,82 @@ def account_version_tracker(updates: DataFrame) -> DataFrame:
             "max_write_version"
         ),
     )
+
+
+# full-row streaming X3 (last-write-wins): per-key state carries the
+# WINNING row, so the operator incrementally maintains the `account`
+# table from the stream — the streaming analog of
+# operators/decoders.py:dedup_last_write_wins (reference INSERT OR
+# REPLACE, sqlite.rs:221). Binary columns ride the state as bytes.
+_LWW_FIELDS = [
+    ("slot", LongType()),
+    ("write_version", LongType()),
+    ("lamports", LongType()),
+    ("owner", BinaryType()),
+    ("executable", BooleanType()),
+    ("rent_epoch", LongType()),
+    ("data", BinaryType()),
+    ("is_startup", BooleanType()),
+]
+
+LWW_STATE_SCHEMA = StructType([StructField(n, t) for n, t in _LWW_FIELDS])
+
+LWW_OUTPUT_SCHEMA = StructType(
+    [StructField("key_hex", StringType())]
+    + [StructField(n, t) for n, t in _LWW_FIELDS]
+)
+
+_LWW_COLS = ["key_hex"] + [n for n, _ in _LWW_FIELDS]
+
+
+def _lww(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    best = tuple(state.get) if state.exists else None
+    for pdf in batches:
+        for row in pdf.itertuples(index=False):
+            cand = (
+                int(row.slot),
+                int(row.write_version),
+                int(row.lamports),
+                None if row.owner is None else bytes(row.owner),
+                bool(row.executable),
+                int(row.rent_epoch),
+                None if row.data is None else bytes(row.data),
+                bool(row.is_startup),
+            )
+            if best is None or cand[:2] > best[:2]:
+                best = cand
+    state.update(best)
+    yield pd.DataFrame([(key[0],) + best], columns=_LWW_COLS)
+
+
+def last_write_wins_stream(updates: DataFrame) -> DataFrame:
+    """Streaming X3 over FULL rows: per account key, keep the row with
+    the highest (slot, write_version) — each micro-batch emits the
+    current winner for every touched key (``update`` output mode), so
+    a downstream upsert sink maintains the reference's `account` table
+    incrementally. On a batch frame it degrades to the exact batch X3
+    (``dedup_last_write_wins``) projected to the same columns, which
+    the parity test compares against."""
+    from pyspark.sql import functions as F
+
+    keyed = updates.select(F.hex("key").alias("key_hex"), *[n for n, _ in _LWW_FIELDS])
+    if updates.isStreaming:
+        return keyed.groupBy("key_hex").applyInPandasWithState(
+            _lww,
+            outputStructType=LWW_OUTPUT_SCHEMA,
+            stateStructType=LWW_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    from solana_snapshot_etl_tools_spark.operators.decoders import (
+        dedup_last_write_wins,
+    )
+
+    return dedup_last_write_wins(
+        updates.withColumn("pubkey", F.col("key")).drop("key")
+    ).select(F.hex("pubkey").alias("key_hex"), *[n for n, _ in _LWW_FIELDS])
 
 
 def dedup_updates_stream(updates: DataFrame, watermark_delay: str = "10 minutes") -> DataFrame:
