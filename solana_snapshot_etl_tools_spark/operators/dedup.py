@@ -1143,3 +1143,70 @@ def semantic_dedup(
     return connected_components(
         pairs, emb, id_col, max_iter=max_iter, prefer_col=prefer_col
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str | None = None,
+    *,
+    decisions: DataFrame | None = None,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """SOFT dedup: per-doc sampling weight from duplicate-family size
+    instead of a hard drop — ``(id, family_size, weight)`` with
+    ``weight = family_size ** -alpha``.
+
+    Hard dedup throws information away: near-duplicate families often
+    mark IMPORTANT content (boilerplate aside, popular pages are
+    re-crawled and mirrored), and epoch-level training work (e.g.
+    data-constrained scaling) wants duplicates DOWN-WEIGHTED, not
+    dropped. ``alpha=1`` gives every family total weight 1 (a sampler
+    drawing by weight sees each distinct content once per epoch in
+    expectation — the soft equivalent of hard dedup); ``alpha=0``
+    disables reweighting; intermediate values temper between the two.
+
+    Family definition is pluggable, matching the module's two shapes:
+
+    - ``text_col``: EXACT families (the ``exact_dedup_groups`` hash) —
+      one hash groupBy, no text shuffle;
+    - ``decisions``: a near-dup DECISION table (``(id_col, keep_id)``
+      from ``connected_components`` / ``semantic_dedup`` /
+      ``minhash_lsh_pairs``-fed components) — families are the
+      components, so the weights see through paraphrase-level
+      duplication exact hashing cannot.
+
+    Exactly one of the two must be given. Weights join back on the id
+    (or hash) only — document text never rides the shuffle; output is
+    one narrow row per input doc."""
+    if (text_col is None) == (decisions is None):
+        raise ValueError(
+            "soft_dedup_weights takes exactly one of text_col (exact "
+            "families) or decisions (a near-dup decision table)"
+        )
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    if text_col is not None:
+        h = F.xxhash64(F.col(text_col).cast("binary"))
+        keyed = df.select(F.col(id_col), h.alias("_fam"))
+    else:
+        if "keep_id" not in decisions.columns:
+            raise ValueError(
+                f"decisions needs (id, keep_id), have {decisions.columns}"
+            )
+        keyed = decisions.select(
+            F.col(id_col), F.col("keep_id").alias("_fam")
+        )
+    sizes = keyed.groupBy("_fam").agg(
+        F.count(F.lit(1)).alias("family_size")
+    )
+    return (
+        keyed.join(sizes, "_fam")
+        .select(
+            id_col,
+            "family_size",
+            F.pow(F.col("family_size").cast("double"), F.lit(-alpha)).alias(
+                "weight"
+            ),
+        )
+    )

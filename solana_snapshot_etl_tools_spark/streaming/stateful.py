@@ -178,6 +178,56 @@ def dedup_updates_stream(updates: DataFrame, watermark_delay: str = "10 minutes"
     return with_ts.dropDuplicates(["key", "slot", "write_version"])
 
 
+def session_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Event-time SESSION windows over a stream — the streaming analog
+    of the batch ``sessionize`` query, expressed with the built-in
+    ``session_window`` (JVM-side state, no Python): per user, events
+    separated by less than ``gap`` merge into one session; a session
+    FINALIZES (append-mode emission) once the watermark passes its
+    end, so late events inside the horizon still extend their session
+    and state is bounded by the watermark.
+
+    Boundary note vs the lag-based batch ``q_sessionize``: the lag
+    formulation starts a new session when the gap is STRICTLY greater
+    than 30 min, while ``session_window``'s end is exclusive
+    (``last_ts + gap``), so an event at EXACTLY the gap starts a new
+    session here. Real event streams have microsecond timestamps where
+    exact-gap collisions are measure-zero; the test fixtures avoid the
+    boundary.
+
+    Returns (user, session_start, session_end, n_events[, sum_value]).
+    Works identically on a batch frame (``session_window`` is a batch
+    expression too) — the parity test compares the two."""
+    from pyspark.sql import functions as F
+
+    src = (
+        events.withWatermark(ts_col, watermark)
+        if events.isStreaming
+        else events
+    )
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("sum_value"))
+    return (
+        src.groupBy(F.session_window(F.col(ts_col), gap), F.col(user_col))
+        .agg(*aggs)
+        .select(
+            user_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            *(["sum_value"] if value_col is not None else []),
+        )
+    )
+
+
 # ship by value (worker-side state function)
 from solana_snapshot_etl_tools_spark._pickle import register_self as _rs  # noqa: E402
 

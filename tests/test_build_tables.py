@@ -315,3 +315,74 @@ def test_watermark_eviction_and_late_rows_pinned(spark, tmp_path):
     # stays 0 for exactly that reason — probed), and A was not re-added
     # to state after its eviction (numRowsTotal stays 2: B + C)
     assert last_batch == (2, 1, 2), last_batch
+
+
+def test_session_stream_finalizes_on_watermark_and_matches_batch(spark, tmp_path):
+    """Event-time session windows under a real streaming query:
+    sessions split across micro-batches still merge (state extends
+    them), finalize once the watermark passes their end, and the
+    emitted set equals the batch session_window result."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from solana_snapshot_etl_tools_spark.streaming.sinks import run_available_now
+    from solana_snapshot_etl_tools_spark.streaming.stateful import session_stream
+
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    t = lambda m: dt.datetime(2026, 1, 1, 0, 0) + dt.timedelta(minutes=m)
+    # user 1: (0, 5, 35) one session (gaps < 30 since 35-5=30? use 34);
+    # then 120 a second session. user 2: one event. The session at
+    # minute 0 SPANS batches: its 3rd event arrives in file 2.
+    f1 = [(t(0), 1, 1.0), (t(5), 1, 2.0), (t(0), 2, 5.0)]
+    f2 = [(t(34), 1, 4.0), (t(120), 1, 8.0)]
+    f3 = [(t(60 * 24 * 10), 99, 0.0)]  # watermark pusher
+    d = str(tmp_path / "sess_src")
+    os.makedirs(d)
+    t0 = 1_700_000_000
+    for i, rows in enumerate((f1, f2, f3)):
+        import glob as _g
+        import shutil as _sh
+
+        stage = os.path.join(d, f"_stage_{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(stage)
+        part = _g.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(d, f"f{i}.parquet")
+        _sh.move(part, dst)
+        _sh.rmtree(stage)
+        os.utime(dst, (t0 + 10 * i, t0 + 10 * i))
+    streamed = run_available_now(
+        spark, d, schema, session_stream,
+        source_options={"maxFilesPerTrigger": "1"},
+    )
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in streamed.collect()
+    )
+    batch = session_stream(
+        spark.createDataFrame(f1 + f2 + f3, schema)
+    )
+    # append-mode contract: a session emits only once the watermark
+    # passes its END — the pusher's own session never finalizes (no
+    # later event exists), so the streamed set is exactly the batch
+    # set minus that one still-open session
+    want = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in batch.collect()
+        if r.user_id != 99
+    )
+    assert got == want
+    by_user = {}
+    for u, s, e, n, v in got:
+        by_user.setdefault(u, []).append((s, e, n, v))
+    # user 1: the cross-batch session merged (0,5,34 -> 3 events,
+    # ends 34+30=64min) and the 120min event is its own session
+    assert len(by_user[1]) == 2
+    (s1, e1, n1, v1), (s2, e2, n2, v2) = sorted(by_user[1])
+    assert (s1, n1, v1) == (t(0), 3, 7.0) and e1 == t(64)
+    assert (s2, n2, v2) == (t(120), 1, 8.0) and e2 == t(150)
+    assert by_user[2] == [(t(0), t(30), 1, 5.0)]

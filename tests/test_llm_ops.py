@@ -1254,3 +1254,64 @@ def test_dup_span_stats_is_code_point_exact_on_astral_text(spark):
             assert got[d][0] == expect[d][0], (seg, d)
             assert got[d][1] == expect[d][1], (seg, d)
             assert abs(got[d][2] - expect[d][2]) < 1e-12, (seg, d)
+
+
+def test_soft_dedup_weights_exact_families(spark):
+    """alpha=1: every family's weights sum to 1 (the soft equivalent
+    of hard dedup in expectation); singletons keep weight 1."""
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "aaa"), (3, "aaa"), (4, "bbb"), (5, "ccc")],
+        "doc_id long, text string",
+    )
+    w = {r.doc_id: (r.family_size, r.weight)
+         for r in DD.soft_dedup_weights(df, "doc_id", "text").collect()}
+    assert w[1] == (3, 1.0 / 3) and w[2] == (3, 1.0 / 3) and w[3] == (3, 1.0 / 3)
+    assert w[4] == (1, 1.0) and w[5] == (1, 1.0)
+    # per-family mass is 1 at alpha=1
+    assert abs(sum(v for _, v in w.values()) - 3.0) < 1e-12
+
+
+def test_soft_dedup_weights_alpha_tempering(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (4, "x")], "doc_id long, text string"
+    )
+    flat = DD.soft_dedup_weights(df, "doc_id", "text", alpha=0.0).collect()
+    assert all(r.weight == 1.0 for r in flat)
+    half = DD.soft_dedup_weights(df, "doc_id", "text", alpha=0.5).collect()
+    assert all(abs(r.weight - 0.5) < 1e-12 for r in half)  # 4**-0.5
+
+
+def test_soft_dedup_weights_from_decision_table(spark):
+    """Near-dup decisions as the family source: weights see through
+    paraphrase-level duplication exact hashing cannot."""
+    docs = _t(spark, SF_DIR, "documents")
+    pairs = DD.minhash_lsh_pairs(docs, "doc_id", "text", 0.8)
+    dec = DD.connected_components(
+        pairs.select(F.col("doc_a"), F.col("doc_b")), docs, "doc_id"
+    )
+    w = DD.soft_dedup_weights(docs, "doc_id", decisions=dec)
+    rows = w.collect()
+    assert len(rows) == docs.count()
+    # the planted near-dup families carry down-weighted members
+    assert any(r.family_size > 1 and r.weight < 1.0 for r in rows)
+    # component-family sizes agree with the decision table's own counts
+    from collections import Counter
+
+    fam = Counter(r.keep_id for r in dec.collect())
+    got = {r.doc_id: r.family_size for r in rows}
+    dec_keep = {r.doc_id: r.keep_id for r in dec.collect()}
+    assert all(got[d] == fam[k] for d, k in dec_keep.items())
+
+
+def test_soft_dedup_weights_guards(spark):
+    import pytest as _pt
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pt.raises(ValueError, match="exactly one"):
+        DD.soft_dedup_weights(df, "doc_id")
+    with _pt.raises(ValueError, match="exactly one"):
+        DD.soft_dedup_weights(df, "doc_id", "text", decisions=df)
+    with _pt.raises(ValueError, match="alpha"):
+        DD.soft_dedup_weights(df, "doc_id", "text", alpha=1.5)
+    with _pt.raises(ValueError, match="keep_id"):
+        DD.soft_dedup_weights(df, "doc_id", decisions=df)
