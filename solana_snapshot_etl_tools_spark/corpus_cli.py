@@ -581,6 +581,19 @@ def main(argv: list[str] | None = None) -> int:
                    "The cheap regression gate for reruns: a pure "
                    "refactor should report everything unchanged. "
                    "Batch-only")
+    p.add_argument("--drift-against", metavar="DIR", default=None,
+                   help="PSI distribution-drift report of the final "
+                   "corpus against a previous run's OUT_DIR (its "
+                   "splits, or any parquet with a text column): "
+                   "per-feature PSI over doc-length/char-ratio/lang "
+                   "histograms with the conventional stable/moderate/"
+                   "major levels in the JSON report; per-bin detail "
+                   "persisted to OUT_DIR/drift_bins "
+                   "(operators/drift.py — kilobyte histograms "
+                   "shuffle, never text). --diff-against answers "
+                   "'which rows changed'; this answers 'did the "
+                   "DISTRIBUTIONS shift' — the retrain-gate question "
+                   "when a new crawl or filter lands. Batch-only")
     p.add_argument("--skew-report", metavar="COLS", default=None,
                    help="comma-separated column list: attach the "
                    "final corpus's top-20 heavy-hitter keys for that "
@@ -920,6 +933,7 @@ def main(argv: list[str] | None = None) -> int:
             # a rerun-regression diff compares two COMPLETE runs; the
             # stream's corpus is append-only state, not a run artifact
             (args.diff_against, "--diff-against"),
+            (args.drift_against, "--drift-against"),
             (args.near_dedup, "--near-dedup"),
             # keep-best needs hindsight; the stream's published docs
             # are immutable, so its dedup is keep-first by contract
@@ -1934,6 +1948,42 @@ def main(argv: list[str] | None = None) -> int:
             )
         report["diff_against"] = args.diff_against
         report["diff"] = diff_summary(prior, corpus.select("doc_id", "text"))
+
+    if args.drift_against:
+        from pyspark.errors import AnalysisException
+
+        from solana_snapshot_etl_tools_spark.operators.drift import (
+            corpus_drift,
+            drift_summary,
+        )
+
+        parts = []
+        for name in ("train", "val", "test"):
+            try:
+                parts.append(
+                    spark.read.parquet(f"{args.drift_against}/{name}")
+                )
+            except AnalysisException:
+                continue
+        if parts:
+            prior = parts[0]
+            for p_ in parts[1:]:
+                prior = prior.unionByName(p_, allowMissingColumns=True)
+        else:
+            prior = spark.read.parquet(args.drift_against)
+        # lang shares only when BOTH sides carry the column
+        lang_col = (
+            "lang"
+            if "lang" in prior.columns and "lang" in corpus.columns
+            else None
+        )
+        bins = corpus_drift(prior, corpus, lang_col=lang_col)
+        bins.write.mode("overwrite").parquet(f"{args.out_dir}/drift_bins")
+        report["drift_against"] = args.drift_against
+        report["drift"] = {
+            r.feature: {"psi": round(r.psi, 6), "level": r.level}
+            for r in drift_summary(bins).collect()
+        }
 
     corpus.unpersist()
     DD.release_session_caches()

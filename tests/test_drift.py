@@ -98,3 +98,53 @@ def test_histogram_plan_is_narrow(spark):
         if "Exchange hashpartitioning" in ln:
             assert "text#" not in ln, ln
     assert "BatchEvalPython" not in plan
+
+
+def test_cli_drift_against_prior_run(spark, tmp_path_factory, capsys):
+    import json
+
+    from solana_snapshot_etl_tools_spark import corpus_cli
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out1 = str(tmp_path_factory.mktemp("drun1"))
+    out2 = str(tmp_path_factory.mktemp("drun2"))
+
+    def run(*argv):
+        assert corpus_cli.main(list(argv)) == 0
+        return json.loads(
+            [l for l in capsys.readouterr().out.splitlines() if l.strip()][-1]
+        )
+
+    run(src, out1, "--no-pii")
+    # identical rerun: every feature reads stable with ~zero PSI
+    rep = run(src, out2, "--no-pii", "--drift-against", out1)
+    assert set(rep["drift"]) >= {
+        "len_log2", "punct_ratio", "digit_ratio", "upper_ratio"
+    }
+    assert all(v["level"] == "stable" for v in rep["drift"].values())
+    assert all(abs(v["psi"]) < 1e-6 for v in rep["drift"].values())
+    # per-bin detail persisted
+    bins = spark.read.parquet(f"{out2}/drift_bins")
+    assert bins.count() > 0
+    assert {"feature", "bin", "psi_term"} <= set(bins.columns)
+    # an aggressive quality cut shifts the kept-length distribution
+    # and the report SEES it (non-stable or at least larger PSI)
+    out3 = str(tmp_path_factory.mktemp("drun3"))
+    rep3 = run(src, out3, "--no-pii", "--quality", "0.9",
+               "--drift-against", out1)
+    assert rep3["drift"]["len_log2"]["psi"] > rep["drift"]["len_log2"]["psi"]
+
+
+def test_cli_drift_rejected_on_stream(spark, tmp_path_factory, capsys):
+    import pytest as _pt
+
+    from solana_snapshot_etl_tools_spark import corpus_cli
+
+    out = str(tmp_path_factory.mktemp("dstream"))
+    with _pt.raises(SystemExit):
+        corpus_cli.main([
+            "/root/testdata/sf0.001/documents.parquet", out,
+            "--ingest-stream", "--index-out", f"{out}/idx",
+            "--drift-against", out,
+        ])
+    assert "--drift-against" in capsys.readouterr().err
