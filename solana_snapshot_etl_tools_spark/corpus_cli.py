@@ -606,6 +606,17 @@ def main(argv: list[str] | None = None) -> int:
                    "joined back by doc_id. In --ingest-stream it runs "
                    "post-drain on the accumulated corpus, whose "
                    "schema is the arrival schema")
+    p.add_argument("--output-format", default="parquet",
+                   choices=["parquet", "jsonl"],
+                   help="split shard format. parquet (default, zstd) "
+                   "for Spark/warehouse consumers; jsonl writes "
+                   "gzipped JSON-lines shards — the wire format most "
+                   "training loaders ingest directly (one object per "
+                   "line; int arrays as JSON arrays). Same "
+                   "ordered-shard machinery either way. Incompatible "
+                   "with --bucket-by/--zorder (parquet physical "
+                   "layouts) and --manifest-out (manifests hash "
+                   "parquet row values)")
     p.add_argument("--records-per-shard", type=int, default=65536)
     p.add_argument("--shard-target-mb", type=int, metavar="MB", default=None,
                    help="size shards by on-disk bytes instead of row "
@@ -650,6 +661,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.bucket_by is not None and args.zorder is not None:
         p.error("--bucket-by and --zorder are mutually exclusive "
                 "(one physical layout per write)")
+    if args.output_format == "jsonl":
+        if args.bucket_by is not None or args.zorder is not None:
+            p.error("--output-format jsonl cannot combine with "
+                    "--bucket-by/--zorder (parquet physical layouts)")
+        if args.manifest_out or args.verify_manifests:
+            p.error("--output-format jsonl cannot combine with "
+                    "--manifest-out/--verify-manifests (manifests "
+                    "hash parquet row values)")
     for layout_flag in ("bucket_by", "zorder"):
         if getattr(args, layout_flag) is None:
             continue
@@ -934,6 +953,8 @@ def main(argv: list[str] | None = None) -> int:
             # stream's corpus is append-only state, not a run artifact
             (args.diff_against, "--diff-against"),
             (args.drift_against, "--drift-against"),
+            # the stream's corpus/index state is parquet by contract
+            (args.output_format != "parquet", "--output-format"),
             (args.near_dedup, "--near-dedup"),
             # keep-best needs hindsight; the stream's published docs
             # are immutable, so its dedup is keep-first by contract
@@ -1768,9 +1789,13 @@ def main(argv: list[str] | None = None) -> int:
             records_per_shard=_shard_records(df.drop("_ord") if drop else df),
             order_col=order_col,
             drop_order_col=drop,
+            format=args.output_format,
         )
         rows = manifest.collect()
-        return {"rows": sum(r.rows for r in rows), "shards": len(rows)}
+        out = {"rows": sum(r.rows for r in rows), "shards": len(rows)}
+        if args.output_format != "parquet":
+            out["format"] = args.output_format
+        return out
 
     if args.tokenize is not None:
         from solana_snapshot_etl_tools_spark.operators.packing import (
@@ -1825,7 +1850,11 @@ def main(argv: list[str] | None = None) -> int:
                 tokenizer_stats as TS,
             )
 
-            train_enc = spark.read.parquet(f"{args.out_dir}/train")
+            train_enc = (
+                spark.read.json(f"{args.out_dir}/train")
+                if args.output_format == "jsonl"
+                else spark.read.parquet(f"{args.out_dir}/train")
+            )
             fert = TS.fertility_summary(
                 corpus.filter(F.col("split") == "train"), train_enc
             )

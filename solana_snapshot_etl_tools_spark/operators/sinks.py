@@ -80,10 +80,11 @@ def write_training_shards(
     order_col: str | None = None,
     compression: str = "zstd",
     drop_order_col: bool = False,
+    format: str = "parquet",
 ) -> DataFrame:
     """Training-pipeline sink: pack a cleaned corpus into uniformly
-    sized parquet shards, the layout a downstream training loader
-    streams (one shard ≈ one loader work unit).
+    sized shards, the layout a downstream training loader streams
+    (one shard ≈ one loader work unit).
 
     - ``repartitionByRange(order_col)`` makes shards contiguous and
       balanced (range boundaries come from Spark's reservoir sample —
@@ -95,12 +96,21 @@ def write_training_shards(
     - ``maxRecordsPerFile`` caps stragglers if a range boundary lands
       unevenly.
 
+    ``format``: ``'parquet'`` (default, zstd) or ``'jsonl'`` —
+    gzipped JSON-lines shards, the wire format most training loaders
+    ingest directly (one JSON object per line; binary columns encode
+    as base64, int arrays as JSON arrays). Same sharding/ordering
+    machinery; the manifest read-back counts text lines so it never
+    needs schema inference.
+
     Returns the shard manifest as a DataFrame (shard file, rows) from
     a column-less read-back of the written shards."""
     import math
 
     from pyspark.sql import functions as F
 
+    if format not in ("parquet", "jsonl"):
+        raise ValueError(f"format must be parquet or jsonl, got {format!r}")
     n = df.count()
     shards = max(1, math.ceil(n / records_per_shard))
     if order_col is not None:
@@ -113,13 +123,26 @@ def write_training_shards(
             packed = packed.drop(order_col)
     else:
         packed = df.repartition(shards)
+    spark = df.sparkSession
+    if format == "jsonl":
+        (
+            packed.write.mode("overwrite")
+            .option("maxRecordsPerFile", records_per_shard)
+            .option("compression", "gzip")
+            .json(out_dir)
+        )
+        return (
+            spark.read.text(out_dir)
+            .groupBy(F.input_file_name().alias("shard"))
+            .count()
+            .withColumnRenamed("count", "rows")
+        )
     (
         packed.write.mode("overwrite")
         .option("maxRecordsPerFile", records_per_shard)
         .option("compression", compression)
         .parquet(out_dir)
     )
-    spark = df.sparkSession
     return (
         spark.read.parquet(out_dir)
         .groupBy(F.input_file_name().alias("shard"))
