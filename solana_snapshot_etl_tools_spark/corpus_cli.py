@@ -584,7 +584,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--drift-against", metavar="DIR", default=None,
                    help="PSI distribution-drift report of the final "
                    "corpus against a previous run's OUT_DIR (its "
-                   "splits, or any parquet with a text column): "
+                   "splits, or any parquet with a text column, OR a "
+                   "persisted --drift-save histogram — sniffed by "
+                   "its (feature, bin, n) schema, so a 100 TB "
+                   "reference is scanned once in its life and every "
+                   "later comparison reads the kilobyte artifact): "
                    "per-feature PSI over doc-length/char-ratio/lang "
                    "histograms with the conventional stable/moderate/"
                    "major levels in the JSON report; per-bin detail "
@@ -594,6 +598,11 @@ def main(argv: list[str] | None = None) -> int:
                    "'which rows changed'; this answers 'did the "
                    "DISTRIBUTIONS shift' — the retrain-gate question "
                    "when a new crawl or filter lands. Batch-only")
+    p.add_argument("--drift-save", action="store_true",
+                   help="persist the final corpus's drift reference "
+                   "histogram to OUT_DIR/drift_hist (kilobytes): "
+                   "later runs pass it to --drift-against without "
+                   "rescanning this corpus. Batch-only")
     p.add_argument("--skew-report", metavar="COLS", default=None,
                    help="comma-separated column list: attach the "
                    "final corpus's top-20 heavy-hitter keys for that "
@@ -953,6 +962,7 @@ def main(argv: list[str] | None = None) -> int:
             # stream's corpus is append-only state, not a run artifact
             (args.diff_against, "--diff-against"),
             (args.drift_against, "--drift-against"),
+            (args.drift_save, "--drift-save"),
             # the stream's corpus/index state is parquet by contract
             (args.output_format != "parquet", "--output-format"),
             (args.near_dedup, "--near-dedup"),
@@ -1978,12 +1988,25 @@ def main(argv: list[str] | None = None) -> int:
         report["diff_against"] = args.diff_against
         report["diff"] = diff_summary(prior, corpus.select("doc_id", "text"))
 
+    if args.drift_save:
+        from solana_snapshot_etl_tools_spark.operators.drift import (
+            feature_histograms,
+        )
+
+        feature_histograms(
+            corpus,
+            lang_col="lang" if "lang" in corpus.columns else None,
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{args.out_dir}/drift_hist"
+        )
+        report["drift_hist_saved"] = True
     if args.drift_against:
         from pyspark.errors import AnalysisException
 
         from solana_snapshot_etl_tools_spark.operators.drift import (
             corpus_drift,
             drift_summary,
+            drift_vs_reference,
         )
 
         parts = []
@@ -2000,13 +2023,18 @@ def main(argv: list[str] | None = None) -> int:
                 prior = prior.unionByName(p_, allowMissingColumns=True)
         else:
             prior = spark.read.parquet(args.drift_against)
-        # lang shares only when BOTH sides carry the column
-        lang_col = (
-            "lang"
-            if "lang" in prior.columns and "lang" in corpus.columns
-            else None
-        )
-        bins = corpus_drift(prior, corpus, lang_col=lang_col)
+        if {"feature", "bin", "n"} <= set(prior.columns):
+            # a persisted --drift-save histogram: compare against the
+            # kilobyte artifact, never rescanning the reference corpus
+            bins = drift_vs_reference(corpus, prior)
+        else:
+            # lang shares only when BOTH sides carry the column
+            lang_col = (
+                "lang"
+                if "lang" in prior.columns and "lang" in corpus.columns
+                else None
+            )
+            bins = corpus_drift(prior, corpus, lang_col=lang_col)
         bins.write.mode("overwrite").parquet(f"{args.out_dir}/drift_bins")
         report["drift_against"] = args.drift_against
         report["drift"] = {

@@ -109,9 +109,42 @@ def corpus_drift(
     Shares are Laplace-smoothed (+0.5 per bin over the union of each
     feature's bins) so one-sided bins — new languages, new length
     regimes, the exact shifts worth alarming on — contribute finite,
-    large PSI terms instead of dividing by zero."""
+    large PSI terms instead of dividing by zero.
+
+    At 100 TB, don't rescan the old corpus per comparison: persist its
+    ``feature_histograms`` once (kilobytes) and use
+    ``drift_vs_reference`` — same math, reference side is an artifact
+    read."""
     h_old = feature_histograms(old, text_col=text_col, lang_col=lang_col)
     h_new = feature_histograms(new, text_col=text_col, lang_col=lang_col)
+    return histogram_drift(h_old, h_new)
+
+
+def drift_vs_reference(
+    new: DataFrame,
+    reference_hist: DataFrame,
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Drift of ``new`` against a PERSISTED reference histogram
+    (``feature_histograms`` output saved as parquet) — the scale-right
+    shape: the reference corpus is scanned exactly once in its life,
+    every later comparison (a new shard, a micro-batch in the ingest
+    stream via ``foreachBatch``) reads the kilobyte artifact instead.
+    Features compared are exactly those present in the reference
+    (``lang`` rides along automatically when the reference recorded
+    it and ``new`` has the column)."""
+    feats = {r.feature for r in reference_hist.select("feature").distinct().collect()}
+    lang_col = "lang" if "lang" in feats and "lang" in new.columns else None
+    h_new = feature_histograms(new, text_col=text_col, lang_col=lang_col)
+    if lang_col is None and "lang" in feats:
+        reference_hist = reference_hist.filter(F.col("feature") != "lang")
+    return histogram_drift(reference_hist, h_new)
+
+
+def histogram_drift(h_old: DataFrame, h_new: DataFrame) -> DataFrame:
+    """The PSI core over two (feature, bin, n) histogram frames —
+    kilobyte × kilobyte regardless of the corpora behind them."""
     joined = (
         h_old.withColumnRenamed("n", "n_old")
         .join(

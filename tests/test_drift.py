@@ -148,3 +148,59 @@ def test_cli_drift_rejected_on_stream(spark, tmp_path_factory, capsys):
             "--drift-against", out,
         ])
     assert "--drift-against" in capsys.readouterr().err
+
+
+def test_drift_vs_reference_matches_corpus_drift(spark):
+    """The persisted-histogram path computes the SAME report as the
+    two-corpus path — the reference scan is just amortized."""
+    docs = _t(spark, SF_DIR, "documents")
+    shifted = docs.withColumn("text", F.upper("text"))
+    direct = {
+        (r.feature, r.bin): r.psi_term
+        for r in DR.corpus_drift(docs, shifted, lang_col="lang").collect()
+    }
+    ref = DR.feature_histograms(docs, lang_col="lang")
+    via_ref = {
+        (r.feature, r.bin): r.psi_term
+        for r in DR.drift_vs_reference(shifted, ref).collect()
+    }
+    assert via_ref == direct
+
+
+def test_drift_vs_reference_drops_lang_when_new_lacks_it(spark):
+    docs = _t(spark, SF_DIR, "documents")
+    ref = DR.feature_histograms(docs, lang_col="lang")
+    feats = {
+        r.feature
+        for r in DR.drift_vs_reference(docs.drop("lang"), ref)
+        .select("feature").distinct().collect()
+    }
+    assert "lang" not in feats and "len_log2" in feats
+
+
+def test_cli_drift_save_then_reference_compare(spark, tmp_path_factory, capsys):
+    import json
+
+    from solana_snapshot_etl_tools_spark import corpus_cli
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out1 = str(tmp_path_factory.mktemp("dref1"))
+    out2 = str(tmp_path_factory.mktemp("dref2"))
+    out3 = str(tmp_path_factory.mktemp("dref3"))
+
+    def run(*argv):
+        assert corpus_cli.main(list(argv)) == 0
+        return json.loads(
+            [l for l in capsys.readouterr().out.splitlines() if l.strip()][-1]
+        )
+
+    rep1 = run(src, out1, "--no-pii", "--drift-save")
+    assert rep1["drift_hist_saved"] is True
+    hist = spark.read.parquet(f"{out1}/drift_hist")
+    assert {"feature", "bin", "n"} <= set(hist.columns)
+    # corpus-vs-corpus and corpus-vs-artifact agree
+    rep_corpus = run(src, out2, "--no-pii", "--drift-against", out1)
+    rep_artifact = run(src, out3, "--no-pii",
+                       "--drift-against", f"{out1}/drift_hist")
+    assert rep_artifact["drift"] == rep_corpus["drift"]
+    assert all(v["level"] == "stable" for v in rep_artifact["drift"].values())
