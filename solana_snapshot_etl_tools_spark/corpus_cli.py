@@ -603,6 +603,18 @@ def main(argv: list[str] | None = None) -> int:
                    "histogram to OUT_DIR/drift_hist (kilobytes): "
                    "later runs pass it to --drift-against without "
                    "rescanning this corpus. Batch-only")
+    p.add_argument("--drift-reference", metavar="HIST_DIR", default=None,
+                   help="(--ingest-stream only) per-arrival drift "
+                   "monitor: after the drain, each batch absent from "
+                   "OUT_DIR/drift_log gets its feature histogram "
+                   "compared against this persisted --drift-save "
+                   "reference (a kilobyte artifact — the reference "
+                   "corpus is never rescanned) and its per-feature "
+                   "PSI levels appended to the log (batch-partitioned "
+                   "dynamic overwrite, replay-idempotent like the "
+                   "profile store); the report carries each batch's "
+                   "worst level — the retrain/rollback alarm as "
+                   "arrivals land")
     p.add_argument("--skew-report", metavar="COLS", default=None,
                    help="comma-separated column list: attach the "
                    "final corpus's top-20 heavy-hitter keys for that "
@@ -670,6 +682,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.bucket_by is not None and args.zorder is not None:
         p.error("--bucket-by and --zorder are mutually exclusive "
                 "(one physical layout per write)")
+    if args.drift_reference and not args.ingest_stream:
+        p.error("--drift-reference is the STREAM loop's monitor; in "
+                "batch mode pass the same artifact to --drift-against")
     if args.output_format == "jsonl":
         if args.bucket_by is not None or args.zorder is not None:
             p.error("--output-format jsonl cannot combine with "
@@ -2808,6 +2823,78 @@ def _ingest_stream_main(args) -> int:
         report["profile"] = profile_estimates(
             merge_profiles(stored_prof)
         ).collect()[0].asDict()
+    if args.drift_reference and corpus is not None:
+        # per-arrival drift monitor over the APPEND-ONLY store (same
+        # incremental posture as the profile store: batches already in
+        # the log are never rescanned; dynamic overwrite keeps replays
+        # idempotent). The reference is a --drift-save artifact —
+        # kilobytes, never the reference corpus itself.
+        from pyspark.errors import AnalysisException
+
+        from solana_snapshot_etl_tools_spark.operators.drift import (
+            drift_summary,
+            feature_histograms,
+            histogram_drift,
+        )
+
+        ref = spark.read.parquet(args.drift_reference)
+        if not {"feature", "bin", "n"} <= set(ref.columns):
+            raise SystemExit(
+                "--drift-reference wants a --drift-save histogram "
+                f"(feature, bin, n); got columns {ref.columns}"
+            )
+        dlog = f"{args.out_dir}/drift_log"
+        try:
+            done = {
+                r.batch
+                for r in spark.read.parquet(dlog)
+                .select("batch").distinct().collect()
+            }
+        except AnalysisException:
+            done = set()
+        fresh = (
+            corpus.filter(~F.col("batch").isin(sorted(done)))
+            if done
+            else corpus
+        )
+        feats = {
+            r.feature for r in ref.select("feature").distinct().collect()
+        }
+        lang = "lang" if "lang" in feats and "lang" in fresh.columns else None
+        ref_use = (
+            ref.filter(F.col("feature") != "lang")
+            if (lang is None and "lang" in feats)
+            else ref
+        )
+        if fresh.limit(1).count():
+            hists = feature_histograms(fresh, lang_col=lang, by=("batch",))
+            summ = drift_summary(
+                histogram_drift(ref_use, hists, by=("batch",)),
+                by=("batch",),
+            )
+            (
+                summ.repartition("batch")
+                .write.partitionBy("batch")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(dlog)
+            )
+            spark.catalog.refreshByPath(dlog)
+        sev = {"stable": 0, "moderate": 1, "major": 2}
+        worst: dict[str, dict] = {}
+        for r in spark.read.parquet(dlog).collect():
+            b = str(r.batch)
+            cur = worst.get(b)
+            if cur is None or sev[r.level] > sev[cur["worst_level"]] or (
+                sev[r.level] == sev[cur["worst_level"]]
+                and r.psi > cur["max_psi"]
+            ):
+                worst[b] = {
+                    "worst_level": r.level,
+                    "worst_feature": r.feature,
+                    "max_psi": round(r.psi, 6),
+                }
+        report["drift_log"] = worst
     if args.discover_boilerplate is not None and corpus is not None:
         # measurement stage on the accumulated corpus, right before
         # the stream's own boilerplate stage (same frame posture as

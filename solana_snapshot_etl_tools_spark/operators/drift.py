@@ -52,10 +52,13 @@ def feature_histograms(
     *,
     text_col: str = "text",
     lang_col: str | None = None,
+    by: tuple[str, ...] = (),
 ) -> DataFrame:
     """(feature, bin, n) histogram rows — ONE narrow pass over the
     corpus, one groupBy on kilobyte keys. ``bin`` is a string so
-    numeric buckets and categorical values share one frame."""
+    numeric buckets and categorical values share one frame. ``by``
+    adds grouping columns (e.g. the ingest store's ``batch``) so one
+    pass yields one histogram per group."""
     t = F.coalesce(F.col(text_col), F.lit(""))
     length = F.length(t)
     n_punct = length - F.length(F.regexp_replace(t, r"[\p{Punct}]", ""))
@@ -90,8 +93,12 @@ def feature_histograms(
             )
         )
     return (
-        df.select(F.explode(F.array(*feats)).alias("_f"))
-        .groupBy(F.col("_f.feature").alias("feature"), F.col("_f.bin").alias("bin"))
+        df.select(*by, F.explode(F.array(*feats)).alias("_f"))
+        .groupBy(
+            *by,
+            F.col("_f.feature").alias("feature"),
+            F.col("_f.bin").alias("bin"),
+        )
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
@@ -142,17 +149,31 @@ def drift_vs_reference(
     return histogram_drift(reference_hist, h_new)
 
 
-def histogram_drift(h_old: DataFrame, h_new: DataFrame) -> DataFrame:
+def histogram_drift(
+    h_old: DataFrame, h_new: DataFrame, by: tuple[str, ...] = ()
+) -> DataFrame:
     """The PSI core over two (feature, bin, n) histogram frames —
-    kilobyte × kilobyte regardless of the corpora behind them."""
+    kilobyte × kilobyte regardless of the corpora behind them.
+
+    ``by`` names extra grouping columns carried by ``h_new`` (e.g.
+    ``("batch",)`` for the ingest stream's per-arrival histograms):
+    the reference is compared against EVERY group in one plan (a
+    cross-join of two kilobyte frames — the one place a cross-join is
+    the right tool) and PSI windows partition per group."""
+    by = tuple(by)
+    if by:
+        groups = h_new.select(*by).distinct()
+        h_old = groups.crossJoin(h_old)
+    keys = [*by, "feature", "bin"]
     joined = (
         h_old.withColumnRenamed("n", "n_old")
         .join(
             h_new.withColumnRenamed("n", "n_new"),
-            ["feature", "bin"],
+            keys,
             "full_outer",
         )
         .select(
+            *by,
             "feature",
             "bin",
             F.coalesce("n_old", F.lit(0)).alias("n_old"),
@@ -161,13 +182,14 @@ def histogram_drift(h_old: DataFrame, h_new: DataFrame) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("feature")
+    w = Window.partitionBy(*by, "feature")
     tot_old = F.sum("n_old").over(w)
     tot_new = F.sum("n_new").over(w)
     nbins = F.count(F.lit(1)).over(w)
     p_old = (F.col("n_old") + F.lit(0.5)) / (tot_old + 0.5 * nbins)
     p_new = (F.col("n_new") + F.lit(0.5)) / (tot_new + 0.5 * nbins)
     return joined.select(
+        *by,
         "feature",
         "bin",
         "n_old",
@@ -178,18 +200,20 @@ def histogram_drift(h_old: DataFrame, h_new: DataFrame) -> DataFrame:
     )
 
 
-def drift_summary(drift: DataFrame) -> DataFrame:
-    """(feature, psi, n_bins, level) — one row per feature, ``level``
-    the conventional PSI reading: stable (< 0.1), moderate (< 0.25),
-    major (>= 0.25)."""
+def drift_summary(drift: DataFrame, by: tuple[str, ...] = ()) -> DataFrame:
+    """(feature, psi, n_bins, level) — one row per feature (per
+    ``by`` group when given), ``level`` the conventional PSI reading:
+    stable (< 0.1), moderate (< 0.25), major (>= 0.25)."""
+    by = tuple(by)
     psi = F.sum("psi_term")
     return (
-        drift.groupBy("feature")
+        drift.groupBy(*by, "feature")
         .agg(
             psi.alias("psi"),
             F.count(F.lit(1)).alias("n_bins"),
         )
         .select(
+            *by,
             "feature",
             "psi",
             "n_bins",

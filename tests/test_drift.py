@@ -204,3 +204,75 @@ def test_cli_drift_save_then_reference_compare(spark, tmp_path_factory, capsys):
                        "--drift-against", f"{out1}/drift_hist")
     assert rep_artifact["drift"] == rep_corpus["drift"]
     assert all(v["level"] == "stable" for v in rep_artifact["drift"].values())
+
+
+def test_stream_drift_reference_monitor(spark, tmp_path_factory, capsys):
+    """--drift-reference on the ingest stream: per-batch PSI rows
+    appended to OUT_DIR/drift_log (replay-idempotent — a rerun with no
+    new arrivals recomputes nothing), batches monitored against the
+    kilobyte --drift-save artifact, never the reference corpus."""
+    import json
+    import os
+    import time
+
+    from solana_snapshot_etl_tools_spark import corpus_cli
+
+    base = tmp_path_factory.mktemp("stream_drift")
+    src0 = "/root/testdata/sf0.001/documents.parquet"
+
+    def run(*argv):
+        assert corpus_cli.main(list(argv)) == 0
+        return json.loads(
+            [l for l in capsys.readouterr().out.splitlines() if l.strip()][-1]
+        )
+
+    # reference: a batch run over the full docs table with --drift-save
+    ref_out = str(base / "ref")
+    run(src0, ref_out, "--no-pii", "--drift-save")
+
+    docs = (
+        spark.read.parquet(src0).select("doc_id", "text")
+        .orderBy("doc_id").limit(120)
+    )
+    src = str(base / "arrivals")
+    os.makedirs(src)
+    # shard 1: in-distribution sample; shard 2: shouting digits
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    time.sleep(1.1)
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        F.concat(F.lit("111 222 333 "), F.upper(F.substring("text", 1, 6))).alias("text"),
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    out, idx = str(base / "out"), str(base / "idx")
+    rep = run(src, out, "--ingest-stream", "--index-out", idx,
+              "--no-pii", "--quality", "0", "--lang", "",
+              "--drift-reference", f"{ref_out}/drift_hist")
+    assert set(rep["drift_log"]) == {"0", "1"}
+    # the shouting-digits batch alarms; the in-distribution one reads
+    # at most moderate (it is a small SAMPLE of the reference corpus)
+    assert rep["drift_log"]["1"]["worst_level"] == "major"
+    assert rep["drift_log"]["1"]["max_psi"] > rep["drift_log"]["0"]["max_psi"]
+    log = spark.read.parquet(f"{out}/drift_log")
+    assert {"feature", "psi", "level", "batch"} <= set(log.columns)
+    n_rows = log.count()
+    # rerun with no new arrivals: log unchanged (idempotent)
+    rep2 = run(src, out, "--ingest-stream", "--index-out", idx,
+               "--no-pii", "--quality", "0", "--lang", "",
+               "--drift-reference", f"{ref_out}/drift_hist")
+    assert spark.read.parquet(f"{out}/drift_log").count() == n_rows
+    assert rep2["drift_log"] == rep["drift_log"]
+
+
+def test_drift_reference_rejected_in_batch_mode(tmp_path_factory, capsys):
+    import pytest as _pt
+
+    from solana_snapshot_etl_tools_spark import corpus_cli
+
+    out = str(tmp_path_factory.mktemp("dref_rej"))
+    with _pt.raises(SystemExit):
+        corpus_cli.main(["/root/testdata/sf0.001/documents.parquet", out,
+                         "--drift-reference", out])
+    assert "--drift-reference" in capsys.readouterr().err
