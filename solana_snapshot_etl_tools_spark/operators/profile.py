@@ -44,6 +44,13 @@ DEFAULT_LG_K = 12
 _SKETCHES = ("texts_hll", "tokens_hll")
 _SUMS = ("n_docs", "n_null_text", "n_empty_text", "n_tokens", "n_chars")
 
+# log-spaced length-histogram base: bucket = floor(ln(len)/ln(1.1)),
+# ~145 buckets across 1..10^6 chars, ±5% relative quantile error —
+# and EXACTLY mergeable (bucket counts add), which percentile_approx
+# partials are not. This is how the profile carries p50/p90/p99
+# without the one-shot corpus_report scan.
+_LEN_HIST_BASE = 1.1
+
 
 def _token_hashes(c: Column) -> Column:
     """One xxhash64 per whitespace token, computed INSIDE a single
@@ -107,6 +114,36 @@ def corpus_profile(
         exploded.groupBy(*keys).agg(tok_agg) if keys else exploded.agg(tok_agg)
     )
     prof = base.join(tok_prof, keys) if keys else base.crossJoin(tok_prof)
+    # mergeable length histogram (see _LEN_HIST_BASE): one extra
+    # narrow agg on (keys, bucket) — ≤ ~150 buckets per group, so the
+    # collect_list building the map is bounded by construction
+    import math as _math
+
+    lb = (
+        F.when(F.length(c) == 0, F.lit(-1))
+        .otherwise(
+            F.floor(
+                F.log(F.length(c).cast("double"))
+                / _math.log(_LEN_HIST_BASE)
+            )
+        )
+        .cast("int")
+    )
+    hist = (
+        docs.select(*keys, F.when(c.isNotNull(), lb).alias("_lb"))
+        .filter(F.col("_lb").isNotNull())
+        .groupBy(*keys, "_lb")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy(*keys)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("_lb", "_n"))
+            ).alias("len_hist")
+        )
+    )
+    prof = (
+        prof.join(hist, keys, "left") if keys else prof.crossJoin(hist)
+    )
     return prof.withColumn("hll_lg_k", F.lit(lg_k))
 
 
@@ -152,7 +189,61 @@ def merge_profiles(
             F.min("hll_lg_k").alias("hll_lg_k"),
         ]
     )
+    if "len_hist" in profiles.columns:
+        # bucket counts ADD — fold the collected maps with a zip-sum.
+        # collect_list skips NULL maps, so partials recorded before
+        # the histogram existed (older stores) merely narrow the
+        # quantile coverage instead of poisoning the merge.
+        empty = F.expr("map()").cast("map<int,bigint>")
+        aggs.append(
+            F.aggregate(
+                F.collect_list("len_hist"),
+                empty,
+                lambda acc, m: F.map_zip_with(
+                    acc,
+                    m,
+                    lambda _, a, b: F.coalesce(a, F.lit(0))
+                    + F.coalesce(b, F.lit(0)),
+                ),
+            ).alias("len_hist")
+        )
     return profiles.groupBy(*keys).agg(*aggs) if keys else profiles.agg(*aggs)
+
+
+def _hist_quantile(m: Column, q: float) -> Column:
+    """Quantile estimate from a mergeable log-histogram map: walk the
+    key-sorted buckets to the first whose cumulative count reaches
+    ``q`` of the total, return the bucket's geometric midpoint
+    (±~5% relative at base 1.1). Pure Catalyst fold — no Python."""
+    import math as _math
+
+    entries = F.array_sort(F.map_entries(m))
+    total = F.aggregate(
+        entries, F.lit(0).cast("bigint"), lambda a, e: a + e["value"]
+    )
+    target = total.cast("double") * q
+    acc0 = F.struct(
+        F.lit(0).cast("bigint").alias("cum"),
+        F.lit(None).cast("int").alias("b"),
+    )
+    folded = F.aggregate(
+        entries,
+        acc0,
+        lambda a, e: F.struct(
+            (a["cum"] + e["value"]).alias("cum"),
+            F.coalesce(
+                a["b"],
+                F.when(
+                    (a["cum"] + e["value"]).cast("double") >= target,
+                    e["key"].cast("int"),
+                ),
+            ).alias("b"),
+        ),
+    )
+    b = folded["b"]
+    return F.when(total > 0, F.when(b == -1, F.lit(0.0)).otherwise(
+        F.pow(F.lit(_LEN_HIST_BASE), b.cast("double") + 0.5)
+    ))
 
 
 def profile_estimates(profiles: DataFrame) -> DataFrame:
@@ -160,13 +251,24 @@ def profile_estimates(profiles: DataFrame) -> DataFrame:
     (``distinct_texts`` / ``distinct_tokens``) plus the derived
     numbers every data card quotes — ``exact_dup_rate`` (1 -
     distinct/n over non-null docs, the fraction exact dedup would
-    remove, up to sketch error) and ``tokens_per_doc``."""
+    remove, up to sketch error), ``tokens_per_doc``, and — when the
+    profile carries the mergeable length histogram — ``len_p50 /
+    len_p90 / len_p99`` (±~5% relative; the quantiles the module
+    previously had to defer to ``corpus_report``'s one-shot scan)."""
     n_eff = F.col("n_docs") - F.col("n_null_text")
+    quantiles = (
+        [
+            _hist_quantile(F.col("len_hist"), q).alias(f"len_p{int(q * 100)}")
+            for q in (0.5, 0.9, 0.99)
+        ]
+        if "len_hist" in profiles.columns
+        else []
+    )
     return profiles.select(
         *[
             c
             for c in profiles.columns
-            if c not in _SKETCHES and c != "hll_lg_k"
+            if c not in _SKETCHES and c not in ("hll_lg_k", "len_hist")
         ],
         F.hll_sketch_estimate("texts_hll").alias("distinct_texts"),
         F.hll_sketch_estimate("tokens_hll").alias("distinct_tokens"),
@@ -182,6 +284,7 @@ def profile_estimates(profiles: DataFrame) -> DataFrame:
             F.col("n_docs") > 0,
             F.col("n_tokens") / F.col("n_docs").cast("double"),
         ).alias("tokens_per_doc"),
+        *quantiles,
     )
 
 

@@ -495,3 +495,59 @@ def test_cli_profile_by_source(spark, tmp_path_factory, capsys):
         corpus_cli.main([arrivals, str(base / "o4"), "--ingest-stream",
                          "--index-out", str(base / "idx"), "--profile",
                          "--profile-by", "source"])
+
+
+def test_mergeable_length_quantiles(spark):
+    """len_p50/p90/p99 from the mergeable log-histogram land within
+    the documented ±5% of the exact percentiles (plus one bucket of
+    discretization) — and merging per-batch partials gives EXACTLY
+    the same histogram as profiling the whole corpus."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    est = P.profile_estimates(P.corpus_profile(docs)).collect()[0]
+    exact = docs.select(
+        F.expr("percentile(length(text), array(0.5, 0.9, 0.99))").alias("p")
+    ).collect()[0].p
+    for got, want in zip((est.len_p50, est.len_p90, est.len_p99), exact):
+        assert abs(got - want) / want < 0.12, (got, want)
+    # partials merge to the identical histogram
+    parts = P.corpus_profile(
+        docs.withColumn("b", F.col("doc_id") % 3), by="b"
+    )
+    merged = P.merge_profiles(parts)
+    whole_hist = P.corpus_profile(docs).collect()[0].len_hist
+    merged_hist = merged.collect()[0].len_hist
+    assert dict(merged_hist) == dict(whole_hist)
+    mest = P.profile_estimates(merged).collect()[0]
+    assert (mest.len_p50, mest.len_p90, mest.len_p99) == (
+        est.len_p50, est.len_p90, est.len_p99
+    )
+
+
+def test_profile_store_without_len_hist_still_merges(spark):
+    """Partials recorded before the histogram existed (older stores)
+    must keep merging; quantile columns simply do not appear."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old = P.corpus_profile(docs).drop("len_hist")
+    est = P.profile_estimates(P.merge_profiles(old)).collect()[0]
+    assert est.n_docs == docs.count()
+    assert "len_p50" not in est.asDict()
+
+
+def test_length_quantiles_empty_and_null_text(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, ""), (3, ""), (4, "abcdefghij"), (5, None)],
+        "doc_id long, text string",
+    )
+    est = P.profile_estimates(P.corpus_profile(df)).collect()[0]
+    # 3 of 4 non-null texts are empty: the median IS the empty bucket
+    assert est.len_p50 == 0.0
+    assert est.len_p99 > 0
+    all_null = spark.createDataFrame(
+        [(1, None)], "doc_id long, text string"
+    )
+    est2 = P.profile_estimates(P.corpus_profile(all_null)).collect()[0]
+    assert est2.len_p50 is None
