@@ -386,3 +386,46 @@ def test_session_stream_finalizes_on_watermark_and_matches_batch(spark, tmp_path
     assert (s1, n1, v1) == (t(0), 3, 7.0) and e1 == t(64)
     assert (s2, n2, v2) == (t(120), 1, 8.0) and e2 == t(150)
     assert by_user[2] == [(t(0), t(30), 1, 5.0)]
+
+
+def test_session_stream_agrees_with_lag_based_sessionize(spark):
+    """Triangulation: the built-in session_window (session_stream's
+    batch path) and the declared lag-based sessionize query count the
+    SAME sessions per user on the real events table — the two
+    formulations differ only on exact-gap boundaries (measure-zero on
+    microsecond event times; the fixture has none, asserted here)."""
+    from pyspark.sql import functions as F
+
+    from solana_snapshot_etl_tools_spark.plans.relational import (
+        _t,
+        q_sessionize,
+    )
+    from solana_snapshot_etl_tools_spark.streaming.stateful import (
+        session_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = _t(spark, sf, "events")
+    # precondition: no exact-30-minute gap anywhere (else the two
+    # formulations legitimately differ and this test is vacuous)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    assert e.select(gap.alias("g")).filter(
+        F.col("g") == 30 * 60 * 1_000_000
+    ).count() == 0
+    lag_based = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in q_sessionize(spark, sf).collect()
+    }
+    sw = (
+        session_stream(e, gap="30 minutes", value_col=None)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+    got = {r.user_id: (r.n_sessions, r.n_events) for r in sw.collect()}
+    assert got == lag_based and len(got) > 0
