@@ -566,6 +566,25 @@ def main() -> None:
         t0 = time.time()
         profile_estimates(corpus_profile(docs)).collect()
         diag["corpus_profile_sec"] = round(time.time() - t0, 4)
+
+        # round-15 operators: soft-dedup weights (exact families) and
+        # the PSI drift report over the real documents table
+        from solana_snapshot_etl_tools_spark.operators.dedup import (
+            soft_dedup_weights,
+        )
+        from solana_snapshot_etl_tools_spark.operators.drift import (
+            corpus_drift,
+            drift_summary,
+        )
+
+        t0 = time.time()
+        soft_dedup_weights(docs, "doc_id", "text").count()
+        diag["soft_dedup_weights_sec"] = round(time.time() - t0, 4)
+        t0 = time.time()
+        drift_summary(
+            corpus_drift(docs, docs.filter(F.col("doc_id") % 2 == 0))
+        ).collect()
+        diag["corpus_drift_sec"] = round(time.time() - t0, 4)
     except Exception as e:  # diagnostics never break the contract
         diag["error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps({"r6_operator_diag": diag}), file=sys.stderr)
