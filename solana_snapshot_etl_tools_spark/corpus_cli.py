@@ -572,6 +572,18 @@ def main(argv: list[str] | None = None) -> int:
                    "content_changed per split). Exit code 3 when any "
                    "split's content changed — the migration/copy "
                    "integrity gate")
+    p.add_argument("--purge-ids", metavar="FILE", default=None,
+                   help="maintenance mode, no pipeline: DOCS is an "
+                   "--ingest-stream run's OUT_DIR; remove the doc ids "
+                   "listed in FILE (one per line) from its corpus and "
+                   "profile stores and — with --index-out — from the "
+                   "dedup index, signature table, and bloom sidecar "
+                   "(rebuilt; blooms cannot delete). The "
+                   "right-to-be-forgotten operation an append-only "
+                   "store otherwise lacks: partition-scoped corpus "
+                   "rewrites, count-verified atomic index swaps, "
+                   "audited counts in the JSON report "
+                   "(operators/purge.py)")
     p.add_argument("--diff-against", metavar="DIR", default=None,
                    help="diff the final corpus against a previous "
                    "run's OUT_DIR (its train/val/test splits, or any "
@@ -978,6 +990,9 @@ def main(argv: list[str] | None = None) -> int:
             (args.diff_against, "--diff-against"),
             (args.drift_against, "--drift-against"),
             (args.drift_save, "--drift-save"),
+            # purge is the maintenance mode OVER the stream's state,
+            # not a stage inside the ingest run
+            (args.purge_ids, "--purge-ids"),
             # the stream's corpus/index state is parquet by contract
             (args.output_format != "parquet", "--output-format"),
             (args.near_dedup, "--near-dedup"),
@@ -1040,6 +1055,28 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name="corpus-build", cpus=args.cpus)
     report: dict[str, object] = {"input": args.docs, "out": args.out_dir}
+
+    if args.purge_ids:
+        # maintenance mode, no pipeline: DOCS is a stream run's
+        # OUT_DIR (corpus/profile stores); --index-out the index root
+        from solana_snapshot_etl_tools_spark.operators.purge import (
+            purge_ids,
+        )
+
+        with open(args.purge_ids) as fh:
+            id_vals = [ln.strip() for ln in fh if ln.strip()]
+        if not id_vals:
+            raise SystemExit(f"--purge-ids: {args.purge_ids!r} is empty")
+        # ids parse as strings; purge_ids casts them to each store's
+        # own key type (long fixtures, hex-string WARC corpora)
+        ids = spark.createDataFrame(
+            [(v,) for v in id_vals], "doc_id string"
+        )
+        report["purge"] = purge_ids(
+            spark, args.docs, ids, index_dir=args.index_out
+        )
+        _emit_report(report, args.out_dir)
+        return 0
 
     if args.verify_manifests:
         # verification mode, no pipeline: DOCS is a prior run's
