@@ -110,9 +110,11 @@ def purge_ids(
     corpus_path = f"{out_dir}/corpus"
     emptied: list = []
     affected: list = []
+    log_ids = ids
     if _exists(corpus_path):
         corpus = spark.read.parquet(corpus_path)
         cids = _as_key(ids, id_col, corpus.schema[id_col].dataType)
+        log_ids = cids  # tombstones in the corpus's own key type
         hit = corpus.join(F.broadcast(cids), id_col, "left_semi")
         audit["n_corpus_rows_removed"] = hit.count()
         affected = [
@@ -206,4 +208,17 @@ def purge_ids(
                 audit["bloom_rebuilt"] = True
         else:
             audit["n_index_rows_removed"] = 0
+
+    # tombstone log: the governance trail a takedown needs — WHICH ids
+    # were purged and when, appended beside the state it changed. The
+    # log is the one store a purge must NOT purge.
+    log = log_ids.select(
+        id_col,
+        F.current_timestamp().alias("purged_at"),
+        F.lit(audit.get("n_corpus_rows_removed", 0) > 0).alias(
+            "corpus_touched"
+        ),
+    )
+    log.coalesce(1).write.mode("append").parquet(f"{out_dir}/purge_log")
+    audit["purge_log"] = f"{out_dir}/purge_log"
     return audit

@@ -91,6 +91,10 @@ def test_purge_removes_from_every_store(spark, stream_state, capsys):
     rep2 = _run(capsys, src, out, "--ingest-stream", "--index-out", idx,
                 "--no-pii", "--quality", "0", "--lang", "")
     assert rep2["n_corpus"] == 76
+    # the tombstone log records exactly the purged ids
+    log = spark.read.parquet(f"{out}/purge_log")
+    assert sorted(r.doc_id for r in log.collect()) == sorted(victims)
+    assert all(r.purged_at is not None for r in log.collect())
 
 
 def test_purge_emptied_batch_partition_is_removed(spark, stream_state, capsys):
