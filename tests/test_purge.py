@@ -131,3 +131,30 @@ def test_purge_guards(spark, tmp_path, capsys):
                          "--ingest-stream", "--index-out", str(tmp_path / "i"),
                          "--purge-ids", lst])
     assert "--purge-ids" in capsys.readouterr().err
+
+
+def test_purge_index_only_state(spark, tmp_path, capsys):
+    """A state with an index but no corpus store (e.g. built by batch
+    --index-out runs) purges cleanly: corpus count 0, index rewritten."""
+    from solana_snapshot_etl_tools_spark.operators.incremental import (
+        build_index,
+        signature_table,
+    )
+    from solana_snapshot_etl_tools_spark.operators.purge import purge_ids
+
+    docs = (
+        spark.read.parquet(SRC).select("doc_id", "text")
+        .orderBy("doc_id").limit(40)
+    )
+    idx = str(tmp_path / "idx")
+    build_index(docs).write.parquet(f"{idx}/index")
+    signature_table(docs).write.parquet(f"{idx}/sigs")
+    victims = spark.createDataFrame(
+        [(r.doc_id,) for r in docs.limit(3).collect()], "doc_id long"
+    )
+    audit = purge_ids(spark, str(tmp_path / "state"), victims, index_dir=idx)
+    assert audit["n_corpus_rows_removed"] == 0
+    assert audit["n_index_rows_removed"] > 0
+    assert audit["n_signature_rows_removed"] == 3
+    got = {r.doc for r in spark.read.parquet(f"{idx}/index").select("doc").distinct().collect()}
+    assert got.isdisjoint({r.doc_id for r in victims.collect()})
