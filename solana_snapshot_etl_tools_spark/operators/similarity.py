@@ -46,6 +46,35 @@ def clear_training_memo() -> None:
     _TRAINING_MEMO.clear()
 
 
+def save_training_memo(path: str) -> int:
+    """Persist the memo's FITS (coarse centroids / PQ codebooks —
+    kilobytes; never the sample matrices) so a later session skips
+    retraining: train once on the big cluster, ship the artifact to
+    every query job. Keys embed ``DataFrame.semanticHash()`` — stable
+    for the same read under the same Spark version; a rewritten corpus
+    or a Spark upgrade simply misses the memo and refits (correct,
+    just slower), it can never serve a wrong fit for a matching plan
+    because training is deterministic in (corpus, params). Returns the
+    number of fits saved."""
+    import pickle
+
+    fits = {k: v for k, v in _TRAINING_MEMO.items() if k[0] != "sample"}
+    with open(path, "wb") as f:
+        pickle.dump(fits, f)
+    return len(fits)
+
+
+def load_training_memo(path: str) -> int:
+    """Load fits persisted by :func:`save_training_memo` into the
+    session memo. Returns the number of fits loaded."""
+    import pickle
+
+    with open(path, "rb") as f:
+        fits = pickle.load(f)
+    _TRAINING_MEMO.update(fits)
+    return len(fits)
+
+
 def _corpus_key(emb: DataFrame, id_col: str, vec_col: str):
     try:
         return (emb.semanticHash(), id_col, vec_col)

@@ -1315,3 +1315,32 @@ def test_soft_dedup_weights_guards(spark):
         DD.soft_dedup_weights(df, "doc_id", "text", alpha=1.5)
     with _pt.raises(ValueError, match="keep_id"):
         DD.soft_dedup_weights(df, "doc_id", decisions=df)
+
+
+def test_ann_training_memo_save_load(spark, tmp_path, monkeypatch):
+    """Cross-session codebook reuse: save the fits, clear the memo
+    (the new-session simulation), load — ivf_assign then runs WITHOUT
+    retraining (the trainer is patched to raise), proving the loaded
+    artifact serves the fit."""
+    from solana_snapshot_etl_tools_spark.operators import similarity as S2
+
+    emb = _t(spark, SF_DIR, "embeddings")
+    S2.clear_training_memo()
+    assigned, centers = S2.ivf_assign(emb, n_lists=8)
+    assert assigned.count() > 0
+    path = str(tmp_path / "ann_fits.pkl")
+    n = S2.save_training_memo(path)
+    assert n >= 1
+    S2.clear_training_memo()
+    assert S2.load_training_memo(path) == n
+
+    def _no_train(*a, **k):
+        raise AssertionError("refit attempted despite loaded memo")
+
+    monkeypatch.setattr(S2, "_train_coarse_quantizer", _no_train)
+    assigned2, centers2 = S2.ivf_assign(emb, n_lists=8)
+    assert assigned2.count() == assigned.count()
+    import numpy as _np
+
+    assert _np.array_equal(_np.asarray(centers2), _np.asarray(centers))
+    S2.clear_training_memo()
