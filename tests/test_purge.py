@@ -158,3 +158,65 @@ def test_purge_index_only_state(spark, tmp_path, capsys):
     assert audit["n_signature_rows_removed"] == 3
     got = {r.doc for r in spark.read.parquet(f"{idx}/index").select("doc").distinct().collect()}
     assert got.isdisjoint({r.doc_id for r in victims.collect()})
+
+
+def test_governance_capstone_monitor_then_takedown(
+    spark, tmp_path_factory, capsys
+):
+    """The round-15 governance loop end-to-end on one state:
+    (1) a batch run records the drift reference artifact;
+    (2) the ingest stream runs WITH the per-arrival drift monitor;
+    (3) a takedown purges ids from every store (tombstoned);
+    (4) a rerun of the stream with no new arrivals is a no-op on the
+        purged corpus (the checkpoint does not resurrect the victims)
+        and the drift log survives untouched."""
+    import time as _t
+
+    base = tmp_path_factory.mktemp("governance")
+    src0 = "/root/testdata/sf0.001/documents.parquet"
+
+    # (1) reference histogram from a batch run
+    ref_out = str(base / "ref")
+    _run(capsys, src0, ref_out, "--no-pii", "--drift-save")
+
+    # (2) stream ingest with the drift monitor
+    docs = (
+        spark.read.parquet(src0).select("doc_id", "text")
+        .orderBy("doc_id").limit(60)
+    )
+    src = str(base / "arrivals")
+    os.makedirs(src)
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _t.sleep(1.1)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    out, idx = str(base / "out"), str(base / "idx")
+    rep = _run(capsys, src, out, "--ingest-stream", "--index-out", idx,
+               "--no-pii", "--quality", "0", "--lang", "",
+               "--drift-reference", f"{ref_out}/drift_hist")
+    assert rep["n_corpus"] == 60
+    assert set(rep["drift_log"]) == {"0", "1"}
+
+    # (3) takedown
+    victims = [r.doc_id for r in docs.limit(4).collect()]
+    flist = str(base / "takedown.txt")
+    with open(flist, "w") as fh:
+        fh.write("\n".join(str(v) for v in victims) + "\n")
+    prep = _run(capsys, out, str(base / "audit"), "--purge-ids", flist,
+                "--index-out", idx)
+    assert prep["purge"]["n_corpus_rows_removed"] == 4
+    log = spark.read.parquet(f"{out}/purge_log")
+    assert log.count() == 4
+
+    # (4) replay: no new arrivals — victims stay gone, drift log intact
+    drift_rows = spark.read.parquet(f"{out}/drift_log").count()
+    rep2 = _run(capsys, src, out, "--ingest-stream", "--index-out", idx,
+                "--no-pii", "--quality", "0", "--lang", "",
+                "--drift-reference", f"{ref_out}/drift_hist")
+    assert rep2["n_corpus"] == 56
+    corpus = spark.read.parquet(f"{out}/corpus")
+    assert corpus.filter(F.col("doc_id").isin(victims)).count() == 0
+    assert spark.read.parquet(f"{out}/drift_log").count() == drift_rows
