@@ -51,6 +51,10 @@ QUERY_NAMES = [
     "dedup_components",
     "dup_span_stats",
     "pack_sequences",
+    "decontaminate_ngram",
+    "excise_dup_spans",
+    "chunk_cdc",
+    "dedup_exact",
 ]
 
 # embeddings at sf0.1 are 2,000 x 64-dim; semdedup k=32 is the bench
