@@ -25,8 +25,13 @@ scale path (operators/semdedup.py) with k scaled linearly so expected
 cluster size stays constant — the module's documented scale recipe.
 
 Usage:
-  python tools/scale_curve.py [--runs 3] [--dir /tmp/spark_graft_scale10x]
-Prints a per-query table of 1x vs 10x medians and ONE JSON line.
+  python tools/scale_curve.py [--runs 3] [--scale N] [--ops a,b,...]
+                              [--dir DIR] [--rebuild]
+Prints a per-query table of 1x vs Nx medians and ONE JSON line.
+At --scale beyond 26 the per-replica transform composes the alphabet
+rotation with a word-suffix tag (see build_nx) so replicas never
+collide as near-dups; embedding sign patterns are independent per
+replica at any scale.
 """
 
 from __future__ import annotations
@@ -42,7 +47,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF1X = "/root/testdata/sf0.1"
-REPLICAS = 10
 ID_STRIDE = 100_000_000
 
 QUERY_NAMES = [
@@ -66,7 +70,21 @@ def _rot(s: str, k: int) -> str:
     return s[k:] + s[:k]
 
 
-def build_10x(spark, out_dir: str) -> None:
+def build_nx(spark, out_dir: str, scale: int) -> None:
+    """N replicas with the duplicate RATE held constant at ANY N:
+    text transform per replica k = alphabet rotation by k%26 (disjoint
+    shingles across rotation classes) COMPOSED with a word-suffix tag
+    of k//26 (replicas sharing a rotation still land well below every
+    near-dup threshold: the tag perturbs every word's boundary
+    shingles, measured cross-replica char-3-gram Jaccard ~0.3-0.5 vs
+    the 0.8+ thresholds). The tag applies to ALL replicas (k//26 == 0
+    for the first 26) so lengths shift uniformly, one methodology per
+    run. Embedding sign patterns draw from random.Random(seed+k) —
+    independent per replica (the earlier closed-form pattern had
+    period 5 in k, silently duplicating vectors across replica pairs
+    at scale 10)."""
+    import random
+
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{SF1X}/documents.parquet")
@@ -76,24 +94,24 @@ def build_10x(spark, out_dir: str) -> None:
     lo, up, dg = string.ascii_lowercase, string.ascii_uppercase, string.digits
     doc_parts = []
     emb_parts = []
-    for k in range(REPLICAS):
+    for k in range(scale):
+        r = k % 26
         src = lo + up + dg
-        dst = _rot(lo, k) + _rot(up, k) + _rot(dg, k)
+        dst = _rot(lo, r) + _rot(up, r) + _rot(dg, k % 10)
+        text = F.translate(F.col("text"), src, dst)
+        text = F.regexp_replace(text, r"(\p{L}{3,})", "$1" + str(k // 26))
         doc_parts.append(
             docs.select(
                 (F.col("doc_id") + k * ID_STRIDE).alias("doc_id"),
-                F.translate(F.col("text"), src, dst).alias("text"),
+                text.alias("text"),
                 "lang",
                 "source",
                 "n_chars",
             )
         )
-        # deterministic per-(replica, component) sign pattern
+        rng = random.Random(1000 + k)
         signs = F.array(
-            *[
-                F.lit(1.0 if ((k * 37 + i * 13) % 5) % 2 == 0 else -1.0)
-                for i in range(dim)
-            ]
+            *[F.lit(1.0 if rng.random() < 0.5 else -1.0) for _ in range(dim)]
         )
         emb_parts.append(
             emb.select(
@@ -110,10 +128,10 @@ def build_10x(spark, out_dir: str) -> None:
         d10 = d10.unionByName(p)
     for p in emb_parts[1:]:
         e10 = e10.unionByName(p)
-    d10.repartition(32).write.mode("overwrite").parquet(
+    d10.repartition(max(32, scale * 3)).write.mode("overwrite").parquet(
         f"{out_dir}/documents.parquet"
     )
-    e10.repartition(8).write.mode("overwrite").parquet(
+    e10.repartition(max(8, scale)).write.mode("overwrite").parquet(
         f"{out_dir}/embeddings.parquet"
     )
 
@@ -136,9 +154,16 @@ def _time_median(fn, runs: int) -> float:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=3)
-    ap.add_argument("--dir", default="/tmp/spark_graft_scale10x")
+    ap.add_argument("--scale", type=int, default=10,
+                    help="replication factor N (default 10)")
+    ap.add_argument("--dir", default=None,
+                    help="corpus dir (default /tmp/spark_graft_scale{N}x)")
+    ap.add_argument("--ops", default=None,
+                    help="comma list to restrict the measured operators")
     ap.add_argument("--rebuild", action="store_true")
     args = ap.parse_args()
+    if args.dir is None:
+        args.dir = f"/tmp/spark_graft_scale{args.scale}x"
 
     from solana_snapshot_etl_tools_spark.session import get_spark
 
@@ -146,11 +171,11 @@ def main() -> int:
 
     spark = get_spark(app_name="scale_curve")
     if args.rebuild or not os.path.isdir(f"{args.dir}/documents.parquet"):
-        print("building 10x corpus ...", file=sys.stderr, flush=True)
-        build_10x(spark, args.dir)
+        print(f"building {args.scale}x corpus ...", file=sys.stderr, flush=True)
+        build_nx(spark, args.dir, args.scale)
     n1 = spark.read.parquet(f"{SF1X}/documents.parquet").count()
     n10 = spark.read.parquet(f"{args.dir}/documents.parquet").count()
-    assert n10 == REPLICAS * n1, (n1, n10)
+    assert n10 == args.scale * n1, (n1, n10)
 
     queries = entry_mod.queries()
     # JVM/footer/Python-worker warm (not counted)
@@ -162,21 +187,27 @@ def main() -> int:
         e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         return lambda: semdedup(e, k=k, threshold=0.9).count()
 
+    names = (
+        [n.strip() for n in args.ops.split(",") if n.strip()]
+        if args.ops
+        else QUERY_NAMES + ["semdedup_scalepath"]
+    )
     rows = []
     load0 = os.getloadavg()
-    for name in QUERY_NAMES:
+    for name in [n for n in names if n != "semdedup_scalepath"]:
         fn = queries[name]
         w1 = _time_median(lambda: fn(spark, SF1X).count(), args.runs)
         w10 = _time_median(lambda: fn(spark, args.dir).count(), args.runs)
         rows.append((name, w1, w10))
-    w1 = _time_median(_semdedup(SF1X, SEMDEDUP_K_1X), args.runs)
-    w10 = _time_median(
-        _semdedup(args.dir, SEMDEDUP_K_1X * REPLICAS), args.runs
-    )
-    rows.append(("semdedup_scalepath", w1, w10))
+    if "semdedup_scalepath" in names:
+        w1 = _time_median(_semdedup(SF1X, SEMDEDUP_K_1X), args.runs)
+        w10 = _time_median(
+            _semdedup(args.dir, SEMDEDUP_K_1X * args.scale), args.runs
+        )
+        rows.append(("semdedup_scalepath", w1, w10))
     load1 = os.getloadavg()
 
-    print(f"{'operator':24} {'1x_sec':>8} {'10x_sec':>8} {'ratio':>7}")
+    print(f"{'operator':24} {'1x_sec':>8} {f'{args.scale}x_sec':>8} {'ratio':>7}")
     out = {}
     for name, a, b in rows:
         print(f"{name:24} {a:8.2f} {b:8.2f} {b / a:7.2f}")
@@ -184,10 +215,11 @@ def main() -> int:
     print(
         json.dumps(
             {
-                "metric": "scale_curve_10x",
+                "metric": f"scale_curve_{args.scale}x",
                 "runs": args.runs,
                 "docs_1x": n1,
-                "docs_10x": n10,
+                "scale": args.scale,
+                "docs_nx": n10,
                 "loadavg_bracket": [load0, load1],
                 "operators": out,
             }
