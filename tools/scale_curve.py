@@ -72,17 +72,22 @@ def _rot(s: str, k: int) -> str:
 
 def build_nx(spark, out_dir: str, scale: int) -> None:
     """N replicas with the duplicate RATE held constant at ANY N:
-    text transform per replica k = alphabet rotation by k%26 (disjoint
-    shingles across rotation classes) COMPOSED with a word-suffix tag
-    of k//26 (replicas sharing a rotation still land well below every
-    near-dup threshold: the tag perturbs every word's boundary
-    shingles, measured cross-replica char-3-gram Jaccard ~0.3-0.5 vs
-    the 0.8+ thresholds). The tag applies to ALL replicas (k//26 == 0
-    for the first 26) so lengths shift uniformly, one methodology per
-    run. Embedding sign patterns draw from random.Random(seed+k) —
-    independent per replica (the earlier closed-form pattern had
-    period 5 in k, silently duplicating vectors across replica pairs
-    at scale 10)."""
+    each replica applies an INDEPENDENT seeded letter/digit
+    permutation (``random.Random(500+k).shuffle``; a rotation is just
+    a weak special case of this). Within a replica the same bijection
+    applies to both members of every pair, so near-dup structure is
+    preserved EXACTLY; across replicas a specific char-3-gram mapping
+    coincides with probability ~26^-3, so cross-replica Jaccard sits
+    at the random-text baseline at ANY scale. (The first cut composed
+    a k%26 rotation with a word-suffix tag past 26 replicas — the tag
+    variants kept ~0.5 cross-replica Jaccard, which 16×4 minhash
+    banding still candidates at ~64%, and the 100× probe read a
+    spurious super-linear wall from exactly that candidate inflation.
+    Independent permutations remove the artifact at the source.)
+    Embedding sign patterns draw from random.Random(1000+k) —
+    independent per replica (an earlier closed-form pattern had
+    period 5 in k, silently duplicating vectors across replica
+    pairs)."""
     import random
 
     from pyspark.sql import functions as F
@@ -95,11 +100,16 @@ def build_nx(spark, out_dir: str, scale: int) -> None:
     doc_parts = []
     emb_parts = []
     for k in range(scale):
-        r = k % 26
+        prng = random.Random(500 + k)
+        plo = list(lo)
+        prng.shuffle(plo)
+        pup = [c.upper() for c in plo]  # case-consistent: lowercased
+        # shingles see ONE bijection regardless of input case
+        pdg = list(dg)
+        prng.shuffle(pdg)
         src = lo + up + dg
-        dst = _rot(lo, r) + _rot(up, r) + _rot(dg, k % 10)
+        dst = "".join(plo) + "".join(pup) + "".join(pdg)
         text = F.translate(F.col("text"), src, dst)
-        text = F.regexp_replace(text, r"(\p{L}{3,})", "$1" + str(k // 26))
         doc_parts.append(
             docs.select(
                 (F.col("doc_id") + k * ID_STRIDE).alias("doc_id"),
