@@ -2,20 +2,21 @@
 operators (the ones whose 100 TB posture rests on plan-shape
 arguments — this measures the shape empirically).
 
-Builds a 10x documents/embeddings pair from sf0.1 with the duplicate
+Builds an Nx documents/embeddings pair from sf0.1 with the duplicate
 RATE held constant (the property that makes the scale-up fair):
 
-- documents: each replica k applies a per-replica alphabet ROTATION to
-  the text (``translate``), so near-dup structure is preserved WITHIN
-  a replica (the same substitution applies to both members of every
-  pair) while shingles are DISJOINT across replicas — duplicate-pair
-  count scales exactly 10x with the corpus, not 100x as naive
-  replication would (10 exact copies of each doc would square the
-  per-group pair count and measure the DATA, not the engine).
-- embeddings: each replica k flips a per-replica sign pattern onto the
-  components (a diagonal orthogonal transform) — within-replica cosine
-  is preserved EXACTLY, cross-replica pairs decorrelate to the random
-  baseline.
+- documents: each replica applies an INDEPENDENT seeded alphabet
+  permutation (see ``build_nx``), so near-dup structure is preserved
+  WITHIN a replica (the same bijection applies to both members of
+  every pair) while cross-replica shingles decorrelate to the
+  random-text baseline at ANY scale — duplicate-pair count scales
+  exactly Nx with the corpus, not N^2 as naive replication would
+  (N exact copies of each doc would square the per-group pair count
+  and measure the DATA, not the engine).
+- embeddings: each replica flips an independent per-replica sign
+  pattern onto the components (a diagonal orthogonal transform) —
+  within-replica cosine is preserved EXACTLY, cross-replica pairs
+  decorrelate to the random baseline.
 
 Then times, engine side only (correctness is the driver's + the sf0.1
 oracle sweep's job; this answers "does the wall grow ~linearly?"):
