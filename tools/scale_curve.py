@@ -29,10 +29,6 @@ Usage:
   python tools/scale_curve.py [--runs 3] [--scale N] [--ops a,b,...]
                               [--dir DIR] [--rebuild]
 Prints a per-query table of 1x vs Nx medians and ONE JSON line.
-At --scale beyond 26 the per-replica transform composes the alphabet
-rotation with a word-suffix tag (see build_nx) so replicas never
-collide as near-dups; embedding sign patterns are independent per
-replica at any scale.
 """
 
 from __future__ import annotations
