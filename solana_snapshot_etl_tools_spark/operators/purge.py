@@ -58,16 +58,18 @@ def _as_key(ids: DataFrame, key_col: str, dtype) -> DataFrame:
 
 
 def _atomic_filtered_rewrite(
-    spark: SparkSession, path: str, ids: DataFrame, key_col: str
+    spark: SparkSession, path: str, ids: DataFrame, key_col: str,
+    bcast=F.broadcast,
 ) -> tuple[int, int]:
     """Rewrite ``path`` minus rows whose ``key_col`` is in ``ids``
-    (anti-join), with the count-verified temp-dir + rename swap.
+    (anti-join; ``bcast`` is identity for over-cap takedown lists),
+    with the count-verified temp-dir + rename swap.
     Returns (rows_before, rows_after)."""
     spark.catalog.refreshByPath(path)
     df = spark.read.parquet(path)
     before = df.count()
     kept = df.join(
-        F.broadcast(_as_key(ids, key_col, df.schema[key_col].dataType)),
+        bcast(_as_key(ids, key_col, df.schema[key_col].dataType)),
         key_col,
         "left_anti",
     )
@@ -92,6 +94,12 @@ def _atomic_filtered_rewrite(
     return before, check
 
 
+# above this many ids the purge list stops riding a broadcast join:
+# a multi-million-row takedown list as a broadcast is a driver/executor
+# memory hazard; a shuffled anti-join is the correct shape there
+_BROADCAST_ID_CAP = 1_000_000
+
+
 def purge_ids(
     spark: SparkSession,
     out_dir: str,
@@ -106,6 +114,9 @@ def purge_ids(
     ids = ids.select(F.col(ids.columns[0]).alias(id_col)).distinct()
     n_requested = ids.count()
     audit: dict[str, object] = {"n_ids_requested": n_requested}
+    _maybe_bcast = (
+        F.broadcast if n_requested <= _BROADCAST_ID_CAP else (lambda d: d)
+    )
 
     corpus_path = f"{out_dir}/corpus"
     emptied: list = []
@@ -115,7 +126,7 @@ def purge_ids(
         corpus = spark.read.parquet(corpus_path)
         cids = _as_key(ids, id_col, corpus.schema[id_col].dataType)
         log_ids = cids  # tombstones in the corpus's own key type
-        hit = corpus.join(F.broadcast(cids), id_col, "left_semi")
+        hit = corpus.join(_maybe_bcast(cids), id_col, "left_semi")
         audit["n_corpus_rows_removed"] = hit.count()
         affected = [
             r.batch for r in hit.select("batch").distinct().collect()
@@ -124,7 +135,7 @@ def purge_ids(
         if affected:
             survivors = corpus.filter(
                 F.col("batch").isin(affected)
-            ).join(F.broadcast(cids), id_col, "left_anti")
+            ).join(_maybe_bcast(cids), id_col, "left_anti")
             emptied = sorted(
                 set(affected)
                 - {
@@ -186,13 +197,13 @@ def purge_ids(
         idx_path = f"{index_dir}/index"
         if _exists(idx_path):
             before, after = _atomic_filtered_rewrite(
-                spark, idx_path, ids, "doc"
+                spark, idx_path, ids, "doc", bcast=_maybe_bcast
             )
             audit["n_index_rows_removed"] = before - after
             sig_path = f"{index_dir}/sigs"
             if _exists(sig_path):
                 b2, a2 = _atomic_filtered_rewrite(
-                    spark, sig_path, ids, "doc"
+                    spark, sig_path, ids, "doc", bcast=_maybe_bcast
                 )
                 audit["n_signature_rows_removed"] = b2 - a2
             bloom_path = f"{index_dir}/bloom"
