@@ -1023,6 +1023,73 @@ def _hamming_chunks(max_hamming: int) -> list[tuple[int, int]]:
     return out
 
 
+# explode fan-out ceiling for the multi-block scheme: C(10, 5) = 252
+# bands is the largest useful k=5 configuration; anything past ~1k
+# bands costs more in exploded rows than it saves in join selectivity
+_MAX_BANDS = 1024
+
+
+def _block_bands(
+    max_hamming: int, n_blocks: int
+) -> list[list[tuple[int, int]]]:
+    """Manku-style multi-block banding (Manku/Jain/Sarma, "Detecting
+    near-duplicates for web crawling", WWW'07 §3): the 64 sketch bits
+    split into ``n_blocks`` near-equal blocks; one band per
+    ``n_blocks - max_hamming``-subset of blocks, keyed on the
+    CONCATENATION of that subset's block values.
+
+    Recall is exact by pigeonhole, as in ``_hamming_chunks``: at most
+    ``max_hamming`` differing bits touch at most ``max_hamming``
+    blocks, so at least ``n_blocks - max_hamming`` blocks agree — and
+    some band keys on exactly an agreeing subset. The generalization
+    buys SELECTIVITY: at the k=5 default, ``n_blocks=8`` turns 6 bands
+    of ~11-bit keys (2k bucket values — the measured super-linear
+    asymptote of the 100x probe, where buckets saturate at n >> 2^11)
+    into C(8,5)=56 bands of 24-bit keys (16M bucket values), shrinking
+    expected candidate volume by ~2^13/9 at the cost of a ~9x wider
+    explode of 4-long rows. ``n_blocks = max_hamming + 1`` degenerates
+    to exactly the ``_hamming_chunks`` single-block scheme.
+
+    Returns one band per entry: the list of (shift, width) blocks
+    whose values concatenate into that band's key."""
+    from itertools import combinations
+    from math import comb
+
+    if not max_hamming < n_blocks <= 64:
+        raise ValueError(
+            f"n_blocks must be in (max_hamming, 64], got {n_blocks} "
+            f"with max_hamming={max_hamming}"
+        )
+    n_bands = comb(n_blocks, max_hamming)
+    if n_bands > _MAX_BANDS:
+        raise ValueError(
+            f"C({n_blocks}, {max_hamming}) = {n_bands} bands exceeds "
+            f"the {_MAX_BANDS} explode cap — use fewer blocks"
+        )
+    base, extra = divmod(64, n_blocks)
+    blocks, shift = [], 0
+    for i in range(n_blocks):
+        w = base + (1 if i < extra else 0)
+        blocks.append((shift, w))
+        shift += w
+    return [list(c) for c in combinations(blocks, n_blocks - max_hamming)]
+
+
+def _band_key(blocks: list[tuple[int, int]]):
+    """Column expression concatenating the given blocks' bit values
+    out of the ``simhash`` column (single block == the plain
+    shift+mask of the legacy scheme, so the default path's plan is
+    unchanged). Total kept width is <= 64 by construction, so the
+    key always fits the long."""
+    key = None
+    for shift, width in blocks:
+        v = F.shiftrightunsigned("simhash", shift).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+        key = v if key is None else F.shiftleft(key, width).bitwiseOR(v)
+    return key
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -1032,11 +1099,31 @@ def simhash_pairs(
     hot_bucket_mode: str = "star",
     observation=None,
     hash_family: str = "xxhash64",
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming:
-    chunk blocking (``_hamming_chunks`` — pigeonhole-exact recall) →
-    equi-join on (band, chunk value) → exact in-row Hamming
-    verification. No cross join anywhere.
+    block banding (pigeonhole-exact recall) → equi-join on
+    (band, block-key value) → exact in-row Hamming verification. No
+    cross join anywhere.
+
+    ``n_blocks`` selects the banding scheme (output-identical by the
+    pigeonhole argument, verified by test):
+
+    - ``None`` (default): ``max_hamming + 1`` single-block bands
+      (``_hamming_chunks``) — fewest exploded rows, right up to
+      corpora of ~2^11 x bucket-cap docs;
+    - ``> max_hamming + 1``: Manku multi-block bands
+      (``_block_bands``) — C(n_blocks, max_hamming) bands keyed on
+      concatenated block subsets. The 100 TB setting: at the k=5
+      default the single-block keys carry only ~11 bits, so candidate
+      volume grows ~n^2/2^11 once n >> 2k (the measured super-linear
+      last decade of the r15 100x scale probe); ``n_blocks=7`` widens
+      keys to ~18 bits (2^7 x fewer random collisions for 3.5x more
+      exploded rows — the measured sweet spot: banding+join term 4.3 s
+      vs the single-block 7.5 s at the 500k-doc probe), ``n_blocks=8``
+      to 24 bits (better asymptotics, 9x explode — right once n
+      approaches 2^18 x bucket cap). The remaining wall at the probe
+      is the linear sketch stage, common to every scheme.
 
     Buckets above ``max_bucket_size`` bypass the all-pairs join (see
     ``_cap_hot_buckets``); in ``"star"`` mode their members pair with
@@ -1051,7 +1138,10 @@ def simhash_pairs(
     # re-executes the Python sketch stage. 8 bytes per doc, so the
     # cache is tiny even at corpus scale.
     sk = _cache_for_session(simhash64(df, id_col, text_col, hash_family=hash_family))
-    chunks = _hamming_chunks(max_hamming)
+    if n_blocks is None:
+        bands = [[c] for c in _hamming_chunks(max_hamming)]
+    else:
+        bands = _block_bands(max_hamming, n_blocks)
     banded = sk.select(
         "doc",
         "simhash",
@@ -1060,11 +1150,9 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftrightunsigned("simhash", shift)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("bh"),
+                        _band_key(bl).alias("bh"),
                     )
-                    for i, (shift, width) in enumerate(chunks)
+                    for i, bl in enumerate(bands)
                 ]
             )
         ).alias("e"),
@@ -1080,8 +1168,15 @@ def simhash_pairs(
     a = banded.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("ha"), "band", "bh")
     b = banded.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("hb"), "band", "bh")
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    # shuffle_hash, pinned: the banded frame is corpus x bands rows,
+    # but Catalyst sizes it from the 16-byte-per-doc CACHED sketch
+    # relation and does not scale the estimate through the explode —
+    # at the 100x probe the planner broadcast the 28M-row side (3.1
+    # GiB hash relation, spilled, 68 s vs 14 s). A banded self-join
+    # must never broadcast at any scale, and sorting it (SMJ) buys
+    # nothing — shuffle-hash is the right physical join here, period.
     pairs = (
-        a.join(b, ["band", "bh"])
+        a.join(b.hint("shuffle_hash"), ["band", "bh"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", ham.alias("hamming"))
     )

@@ -206,3 +206,67 @@ def test_hamming_chunks_cover_64_bits_disjointly():
         DD._hamming_chunks(64)
     with pytest.raises(ValueError):
         DD._hamming_chunks(-1)
+
+
+def test_block_bands_structure_and_guards():
+    """Manku multi-block banding invariants: blocks partition the 64
+    bits, every band keeps exactly n_blocks - max_hamming of them,
+    there are C(n_blocks, max_hamming) bands, and every
+    max_hamming-subset of blocks is avoided by some band (the
+    pigeonhole exactness witness)."""
+    from itertools import combinations
+    from math import comb
+
+    for mh, nb in ((5, 8), (5, 10), (3, 6), (2, 4), (0, 1)):
+        bands = DD._block_bands(mh, nb)
+        assert len(bands) == comb(nb, mh)
+        blocks = sorted({b for band in bands for b in band})
+        covered = []
+        for shift, width in blocks:
+            assert width >= 1
+            covered.extend(range(shift, shift + width))
+        assert covered == list(range(64))
+        kept_sets = [frozenset(band) for band in bands]
+        assert all(len(ks) == nb - mh for ks in kept_sets)
+        # exactness: for ANY mh blocks that differ, some band keeps
+        # none of them
+        for bad in combinations(blocks, mh):
+            assert any(not (ks & set(bad)) for ks in kept_sets), bad
+    with pytest.raises(ValueError):
+        DD._block_bands(5, 5)  # n_blocks must exceed max_hamming
+    with pytest.raises(ValueError):
+        DD._block_bands(5, 65)
+    with pytest.raises(ValueError):
+        DD._block_bands(5, 40)  # C(40,5) over the explode cap
+
+
+def test_simhash_multiblock_banding_output_identical(spark, adversarial_docs):
+    """The n_blocks=8 Manku scheme must emit EXACTLY the default
+    scheme's verified pair set (pigeonhole recall is exact in both;
+    the Hamming filter fixes precision) — caps off so the comparison
+    is over full banding. With the star cap on, the scheme must stay
+    bounded and keep the planted family connected, like the default."""
+    base = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in DD.simhash_pairs(
+            adversarial_docs, "doc_id", "text", max_hamming=5,
+            max_bucket_size=None,
+        ).collect()
+    }
+    for nb in (7, 8):
+        wide = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in DD.simhash_pairs(
+                adversarial_docs, "doc_id", "text", max_hamming=5,
+                max_bucket_size=None, n_blocks=nb,
+            ).collect()
+        }
+        assert wide == base, nb
+    capped = DD.simhash_pairs(
+        adversarial_docs, "doc_id", "text", max_hamming=5,
+        max_bucket_size=CAP, n_blocks=8,
+    ).collect()
+    assert len(capped) <= 8 * FAMILY, len(capped)
+    comp = _components([(r.doc_a, r.doc_b) for r in capped])
+    fam_roots = {comp[d] for d in range(FAMILY) if d in comp}
+    assert len(fam_roots) == 1

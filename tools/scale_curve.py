@@ -194,18 +194,37 @@ def main() -> int:
         e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         return lambda: semdedup(e, k=k, threshold=0.9).count()
 
+    def _simhash_sharded(sf_dir: str):
+        # the declared q_dedup_simhash shape with the Manku n_blocks=7
+        # banding (C(7,5)=21 bands, 18-bit keys — the measured sweet
+        # spot at this probe; 8 blocks trades better asymptotics for a
+        # 2.7x wider explode) — the scale lever for the super-linear
+        # last decade of the single-block scheme (r15 verdict item 2)
+        from solana_snapshot_etl_tools_spark.operators import dedup as DD
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return lambda: DD.simhash_pairs(
+            docs, "doc_id", "text", max_hamming=5,
+            hash_family="poly257", n_blocks=7,
+        ).count()
+
+    SPECIAL = {"semdedup_scalepath", "dedup_simhash_sharded"}
     names = (
         [n.strip() for n in args.ops.split(",") if n.strip()]
         if args.ops
-        else QUERY_NAMES + ["semdedup_scalepath"]
+        else QUERY_NAMES + ["semdedup_scalepath", "dedup_simhash_sharded"]
     )
     rows = []
     load0 = os.getloadavg()
-    for name in [n for n in names if n != "semdedup_scalepath"]:
+    for name in [n for n in names if n not in SPECIAL]:
         fn = queries[name]
         w1 = _time_median(lambda: fn(spark, SF1X).count(), args.runs)
         w10 = _time_median(lambda: fn(spark, args.dir).count(), args.runs)
         rows.append((name, w1, w10))
+    if "dedup_simhash_sharded" in names:
+        w1 = _time_median(_simhash_sharded(SF1X), args.runs)
+        w10 = _time_median(_simhash_sharded(args.dir), args.runs)
+        rows.append(("dedup_simhash_sharded", w1, w10))
     if "semdedup_scalepath" in names:
         w1 = _time_median(_semdedup(SF1X, SEMDEDUP_K_1X), args.runs)
         w10 = _time_median(
