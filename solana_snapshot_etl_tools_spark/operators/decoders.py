@@ -269,6 +269,18 @@ def _decode_metadata_udf(data: pd.Series) -> pd.DataFrame:
     )
 
 
+# (SparkContext id, data_col) → (ordered stage dicts, m expression).
+# The decode's Column tree is DataFrame-independent (every reference
+# is by name), but BUILDING it costs ~1 s of py4j chatter per call —
+# quiet-profiled at ~1.0 s build / 0.44 s execute per invocation at
+# sf0.1, the whole of the r15 bench-gate regression on this query.
+# Unresolved Columns are plain JVM expression wrappers, reusable
+# across DataFrames of one JVM, so the tree is memoized per context
+# (a restarted context gets a fresh entry; stale entries are a few
+# kilobytes of dead j-refs).
+_METADATA_EXPR_MEMO: dict = {}
+
+
 def metadata_decode(df: DataFrame, data_col: str = "data") -> DataFrame:
     """T4 as PURE Catalyst expressions — the Borsh walk of
     :func:`_parse_metadata` re-expressed with dynamic-offset column
@@ -284,12 +296,32 @@ def metadata_decode(df: DataFrame, data_col: str = "data") -> DataFrame:
     predecessor's subtree ~4× per level (the 4-byte dynamic LE read) —
     a ~10⁵-node expression that stalls analysis. CollapseProject keeps
     multiply-referenced non-cheap aliases materialized, so each
-    intermediate is computed once per row. Returns ``df`` plus an
-    ``m`` struct column (null = skip row)."""
-    d = F.col(data_col)
+    intermediate is computed once per row. The expression tree itself
+    is memoized per SparkContext (``_METADATA_EXPR_MEMO``) — repeat
+    invocations skip the py4j construction cost entirely. Returns
+    ``df`` plus an ``m`` struct column (null = skip row)."""
+    stages, m = _metadata_decode_exprs(data_col)
+    s = df
+    for cols in stages:
+        s = s.withColumns(cols)
+    helper = [f for f in s.columns if f.startswith("_")]
+    return s.withColumn("m", m).drop(*helper)
 
-    def stage(frame, **cols):
-        return frame.withColumns({k: v for k, v in cols.items()})
+
+def _metadata_decode_exprs(data_col: str):
+    from pyspark import SparkContext
+
+    ctx = SparkContext._active_spark_context
+    key = (id(ctx), data_col)
+    hit = _METADATA_EXPR_MEMO.get(key)
+    if hit is not None:
+        return hit
+
+    d = F.col(data_col)
+    stages: list[dict] = []
+
+    def stage(_ignored=None, **cols):
+        stages.append(dict(cols))
 
     c = F.col
     # name / symbol / uri: length, bounds-ok, value, next offset.
@@ -309,11 +341,10 @@ def metadata_decode(df: DataFrame, data_col: str = "data") -> DataFrame:
     # walk (the ~20-stage round-3 shape spent ~0.7 s/invocation in
     # planning; this 11-stage shape is the same dataflow).
     p4 = F.lit(77) + c("_nl") + c("_sl") + c("_ul")
-    s = stage(df, _L=F.length(d).cast("long"), _nl=le_u32_dyn(d, F.lit(65).cast("long")))
-    s = stage(s, _sl=le_u32_dyn(d, F.lit(69) + c("_nl")))
-    s = stage(s, _ul=le_u32_dyn(d, F.lit(73) + c("_nl") + c("_sl")))
-    s = stage(
-        s,
+    stage(_L=F.length(d).cast("long"), _nl=le_u32_dyn(d, F.lit(65).cast("long")))
+    stage(_sl=le_u32_dyn(d, F.lit(69) + c("_nl")))
+    stage(_ul=le_u32_dyn(d, F.lit(73) + c("_nl") + c("_sl")))
+    stage(
         _raw_name=substr_dyn(d, F.lit(69).cast("long"), c("_nl")),
         _raw_sym=substr_dyn(d, F.lit(73) + c("_nl"), c("_sl")),
         _raw_uri=substr_dyn(d, F.lit(77) + c("_nl") + c("_sl"), c("_ul")),
@@ -325,15 +356,13 @@ def metadata_decode(df: DataFrame, data_col: str = "data") -> DataFrame:
     # creators Option<Vec<Creator{32+1+1}>>: tag != 1 skips one byte
     # (the reference walk applies no tag validation either).
     # _o2r = offset of primary_sale_happened RELATIVE to _p4.
-    s = stage(
-        s,
+    stage(
         _o2r=F.when(u8_at(c("_mid"), 2) == 1, F.lit(7) + le_u32(c("_mid"), 3) * 34)
         .otherwise(F.lit(3)),
     )
     # pm = psh+mut bytes; tail = extension region (≤ 38 B used; 40 is
     # enough for nonce(2) + token_standard(2) + collection(34) + slack)
-    s = stage(
-        s,
+    stage(
         _pm=substr_dyn(d, c("_p4") + c("_o2r"), F.lit(2)),
         _tail=substr_dyn(d, c("_p4") + c("_o2r") + 2, F.lit(40)),
     )
@@ -343,9 +372,8 @@ def metadata_decode(df: DataFrame, data_col: str = "data") -> DataFrame:
     # probed offset is < 40. ``_dead`` mirrors the UDF's IndexError on
     # a truncated Some(edition_nonce), which aborts the remaining tail.
     t = c("_tail")
-    s = stage(s, _tl=F.length(t), _t1=u8_at(t, 0))
-    s = stage(
-        s,
+    stage(_tl=F.length(t), _t1=u8_at(t, 0))
+    stage(
         _dead=(c("_tl") >= 1) & (c("_t1") == 1) & (c("_tl") < 2),
         _en=F.when(
             (c("_tl") >= 2) & (c("_t1") == 1), u8_at(t, 1)
@@ -353,21 +381,18 @@ def metadata_decode(df: DataFrame, data_col: str = "data") -> DataFrame:
         # token_standard tag position relative to _tail
         _d2=F.when(c("_tl") >= 1, F.when(c("_t1") == 1, 2).otherwise(1)).otherwise(0),
     )
-    s = stage(s, _t2=u8_at_dyn(t, c("_d2").cast("long")))
-    s = stage(
-        s,
+    stage(_t2=u8_at_dyn(t, c("_d2").cast("long")))
+    stage(
         _d3=F.when(
             (~c("_dead")) & (c("_tl") > c("_d2")),
             c("_d2") + F.when(c("_t2") == 1, 2).otherwise(1),
         ).otherwise(c("_d2")),
     )
-    s = stage(
-        s,
+    stage(
         _t3=u8_at_dyn(t, c("_d3").cast("long")),
         _ckv=substr_dyn(t, c("_d3").cast("long") + 2, F.lit(32)),
     )
-    s = stage(
-        s,
+    stage(
         _c_ok=(~c("_dead"))
         & (c("_tl") > c("_d3"))
         & (c("_t3") == 1)
@@ -411,8 +436,8 @@ def metadata_decode(df: DataFrame, data_col: str = "data") -> DataFrame:
             F.when(c("_c_ok"), c("_ckv")).alias("collection_key"),
         ),
     )
-    helper = [f for f in s.columns if f.startswith("_")]
-    return s.withColumn("m", m).drop(*helper)
+    _METADATA_EXPR_MEMO[key] = (stages, m)
+    return stages, m
 
 
 def token_metadata_table(raw: DataFrame) -> DataFrame:
