@@ -18,7 +18,6 @@ from pyspark.sql import DataFrame, SparkSession
 from solana_snapshot_etl_tools_spark.plans import (
     llm_ops,
     llm_ops2,
-    llm_ops3,
     relational,
     relational2,
     relational3,
@@ -31,32 +30,6 @@ def entry(spark: SparkSession) -> DataFrame:
     return relational.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# Round-16 inventory swap (VERDICT r15 "What's wrong" #4, "Next round"
-# #3/#8): five declared rows retired, five rounds-6-15 operators
-# declared in their place so the count stays exactly 100 and the
-# two-round rotation window stays intact. Retired (all were due for a
-# round-16 refresh, so retiring them frees exactly the slots the new
-# rows need):
-#  - ann_cosine_{lsh,ivf,pq,ivf_pq}: the only four rows-only entries
-#    in the inventory (approximate bucket assignments are
-#    engine-specific). Their ``_exact`` twins keep hash oracles, the
-#    operators keep their recall@5/@10 pytest + per-round bench-diag
-#    trackers — the driver rows added no evidence the _exact rows
-#    don't, and retiring them makes the declared inventory 100%
-#    oracle-bearing.
-#  - cube_agg: redundant with the rollup_agg + grouping_sets pair
-#    (all three drive the same Expand-based grouping-set plan).
-# The implementing functions and their QUERIES registrations stay in
-# their modules (pytest + bench still exercise them); only the driver
-# declaration is withdrawn here.
-_RETIRED = {
-    "ann_cosine_lsh",
-    "ann_cosine_ivf",
-    "ann_cosine_pq",
-    "ann_cosine_ivf_pq",
-    "cube_agg",
-}
-
 # Registration order matters: the verification driver checks queries in
 # declaration order with a cap of 50 per round (of 100 declared → 50
 # rotate past the cap each round), so the front of the list rotates
@@ -66,82 +39,76 @@ _RETIRED = {
 # round's cap (tools/plan_next_front.py derives it; check_rotation.py
 # gates it).
 #
-# Round 16 front-loads the 45 surviving queries whose last green row
-# is round 14 (they fell past round 15's cap) plus the 5 queries new
-# to the inventory this round (no row exists yet). r15 ∪ r16 covers
-# all 100 declared. No round-15 code change touched the r14-green
-# names' implementing functions (the r15 diff was rotation/bench-gate/
-# scale-curve/stateful-streaming/governance surfaces, per the r15
-# verdict diff audit), so the rotation carries no re-certification
-# burden beyond the five new rows.
+# Round 15 front-loads the 50 queries whose last green row is round 13
+# (they fell past round 14's cap) — exactly
+# tools/plan_next_front.py's output; r14 ∪ r15 covers all 100. No
+# round-14 code change touched any of these queries' implementing
+# functions (the round's edits were warc/robots/sitemaps/manifest/url/
+# CLI/bench/entry-rotation surfaces only, per the r14 verdict diff
+# audit), so this rotation carries no extra re-certification burden.
 _FRONT = [
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q5_nation_revenue",
-    "join_semi",
-    "join_anti",
-    "join_theta",
-    "window_topk",
-    "sessionize",
-    "rollup_agg",
-    "pivot",
-    "unpivot",
-    "tumbling_window",
-    "asof_join",
-    "q6_revenue_delta",
-    "q10_returned_items",
-    "q14_promo_share",
-    "sliding_window",
-    "grouping_sets",
-    "percentiles_stddev",
-    "collect_sorted",
-    "etl_account",
-    "etl_token_account",
-    "etl_token_mint",
-    "etl_token_multisig",
-    "etl_token_metadata",
-    "etl_offchain_uri",
-    "etl_program_elfs",
-    "etl_csv_projection",
-    "etl_snapshot_scan",
-    "dup_span_stats",
-    "dedup_exact",
-    "chunk_documents",
-    "ann_cosine_topk",
-    "embedding_cosine_pairs",
-    "text_metrics",
-    "lang_id",
-    "doc_length_histogram",
-    "salted_join_orders",
-    "chunk_cdc",
-    "decontaminate_ngram",
-    "excise_dup_spans",
-    "pack_sequences",
-    "q18_large_orders",
-    "q2_min_cost_supplier",
-    "q22_idle_customers",
-    # new this round — first driver rows (plans/llm_ops3.py)
-    "soft_dedup_weights",
-    "drift_psi",
-    "boilerplate_filter",
-    "source_cap",
-    "session_windows",
-    # cap (50) lands here — zero slack. Past it: the entire r15-green
-    # front (window_running/rank_ties/moving/values, setops,
-    # scalar/string/date funcs, json_extract, distinct_topk,
-    # above_avg_orders, q4, q19, top_supplier_per_nation,
-    # exists/in-subquery, conditional_agg, explode_tokens,
-    # null_handling, limit_offset, etl_deletion_events,
-    # etl_opcode_stats, media_* ×3, stream_* ×6, pipeline_* ×2,
-    # embedding_quantize_int8, dedup_{jaccard_ngram,minhash_lsh,
-    # components,simhash,semantic}, ann_cosine_*_exact ×3,
-    # doc_fingerprint, bigram_stats, sample_balanced_lang,
-    # split_train_val_test, pii_scrub, quality_repetition,
-    # token_doc_freq, doc_rarity_score).
-    # Round-16 code changes must NOT touch their implementing
-    # functions (evidence = r15 green row + git log -L
-    # function-unchanged). Exception by necessity would need a
-    # driver_sim re-green — avoid.
+    "window_running",
+    "window_rank_ties",
+    "window_moving",
+    "setops",
+    "scalar_funcs",
+    "json_extract",
+    "distinct_topk",
+    "above_avg_orders",
+    "q4_order_priority",
+    "q19_disjunctive_revenue",
+    "top_supplier_per_nation",
+    "exists_not_exists",
+    "in_subquery_having",
+    "conditional_agg",
+    "string_funcs",
+    "date_funcs",
+    "window_values",
+    "explode_tokens",
+    "null_handling",
+    "limit_offset",
+    "etl_deletion_events",
+    "etl_opcode_stats",
+    "media_meta",
+    "media_frame_sample",
+    "media_features",
+    "stream_selected_accounts",
+    "stream_offchain_fanout",
+    "stream_rooted_slots",
+    "stream_block_metadata",
+    "stream_tx_filtered",
+    "stream_tx_nested",
+    "pipeline_clean_corpus",
+    "pipeline_pretrain_corpus",
+    "embedding_quantize_int8",
+    "dedup_jaccard_ngram",
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "dedup_simhash",
+    "ann_cosine_ivf_exact",
+    "ann_cosine_pq_exact",
+    "ann_cosine_ivf_pq_exact",
+    "doc_fingerprint",
+    "bigram_stats",
+    "sample_balanced_lang",
+    "split_train_val_test",
+    "pii_scrub",
+    "quality_repetition",
+    "token_doc_freq",
+    "doc_rarity_score",
+    "dedup_semantic",
+    # cap (50) lands here — zero slack. Past it: the entire r14-green
+    # front (q1/q3/q5, join_{semi,anti,theta}, window_topk, sessionize,
+    # rollup/cube/pivot/unpivot, tumbling/sliding windows, asof_join,
+    # q6/q10/q14/q18/q2/q22, grouping_sets, percentiles_stddev,
+    # collect_sorted, etl_* decode suite ×9, dup_span_stats,
+    # dedup_exact, chunk_{documents,cdc}, ann_cosine_{topk,lsh,ivf,pq,
+    # ivf_pq}, embedding_cosine_pairs, text_metrics, lang_id,
+    # doc_length_histogram, salted_join_orders, decontaminate_ngram,
+    # excise_dup_spans, pack_sequences).
+    # Round-15 code changes must NOT touch their implementing functions
+    # (evidence = r14 green row + git log -L function-unchanged).
+    # Exception by necessity would need a driver_sim re-green — avoid.
 ]
 
 
@@ -159,9 +126,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(llm_ops.QUERIES)
     out.update(llm_ops2.QUERIES)
     out.update(relational3.QUERIES)
-    out.update(llm_ops3.QUERIES)
-    for name in _RETIRED:
-        out.pop(name, None)
     return _ordered(out)
 
 
@@ -173,7 +137,4 @@ def oracle_sql() -> dict[str, str]:
     out.update(llm_ops.ORACLES)
     out.update(llm_ops2.ORACLES)
     out.update(relational3.ORACLES)
-    out.update(llm_ops3.ORACLES)
-    for name in _RETIRED:
-        out.pop(name, None)
     return _ordered(out)

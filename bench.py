@@ -38,11 +38,6 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_cosine_lsh",
     "ann_cosine_ivf",
-    "soft_dedup_weights",
-    "drift_psi",
-    "boilerplate_filter",
-    "source_cap",
-    "session_windows",
     "text_metrics",
     "doc_fingerprint",
     "embedding_quantize_int8",
@@ -65,29 +60,10 @@ HEADLINE = [
     # semantic_dedup(candidate_pairs=...)
 ]
 
-# Retired from the DRIVER declaration in the round-16 inventory swap
-# (their approximate bucket assignments are engine-specific, so their
-# driver rows were rows-only; the `_exact` twins keep hash oracles)
-# but still BENCHED: the per-round wall + recall drift of the
-# production-parameter approximate-ANN paths is the evidence that
-# replaced the driver row. check_rotation.py whitelists exactly this
-# list in its HEADLINE-must-be-declared check.
-RETIRED_BENCH = [
-    "ann_cosine_lsh",
-    "ann_cosine_ivf",
-    "ann_cosine_pq",
-    "ann_cosine_ivf_pq",
-]
-
 
 def main() -> None:
     spark = get_spark(app_name="bench")
     queries = entry_mod.queries()
-    from solana_snapshot_etl_tools_spark.plans import llm_ops as _llm_ops
-
-    queries.update(
-        {k: _llm_ops.QUERIES[k] for k in RETIRED_BENCH if k in _llm_ops.QUERIES}
-    )
     names = [n for n in HEADLINE if n in queries] + [
         n for n in sorted(queries) if n not in HEADLINE and n.startswith("bench_")
     ]

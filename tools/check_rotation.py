@@ -32,11 +32,14 @@ sys.path.insert(0, ".")
 DRIVER_CAP = 50
 
 # rows-only by design: engine-specific sketches/assignments with recall
-# pytests instead of a DuckDB oracle (SURVEY.md §2; VERDICT r04).
-# Empty since the round-16 inventory swap retired the four approximate
-# ANN rows (bench.py RETIRED_BENCH keeps their wall+recall tracking) —
-# the declared inventory is now 100% oracle-bearing.
-ROWS_ONLY: set[str] = set()
+# pytests instead of a DuckDB oracle (SURVEY.md §2; VERDICT r04)
+ROWS_ONLY = {
+    "dedup_simhash",
+    "ann_cosine_lsh",
+    "ann_cosine_ivf",
+    "ann_cosine_pq",
+    "ann_cosine_ivf_pq",
+}
 
 # Queries declared THIS round past the 50-slot cap: no driver row can
 # exist yet (pytest + tools/driver_sim evidence only). Each one must be
@@ -96,18 +99,13 @@ def main() -> int:
     # a renamed query would vanish from BENCH_r{N} without any error
     import bench
 
-    retired_bench = set(getattr(bench, "RETIRED_BENCH", ()))
     for name in bench.HEADLINE:
-        if name not in declared and name not in retired_bench:
+        if name not in declared:
             failures.append(
                 f"bench HEADLINE contains undeclared query {name!r} — "
                 "it would silently drop from the bench output"
             )
     for name, rec in rows.items():
-        if name not in declared:
-            # retired from the inventory since that round's recording
-            # (round-16 swap) — its old row no longer gates anything
-            continue
         err = rec.get("err")
         if err and not (err == "no_oracle" and name in ROWS_ONLY):
             if name in prefix:  # being refreshed this round — warn only
