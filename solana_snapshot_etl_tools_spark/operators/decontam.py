@@ -42,11 +42,12 @@ from solana_snapshot_etl_tools_spark.functions import text as TXT
 SEGMENT_TOKENS = 8192
 
 
-def token_ngrams(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """Per-document DISTINCT whitespace-token ``k``-grams, one row per
-    (id, gram). Narrow until the DISTINCT: tokenize → segment (bounded
-    per-row memory, k-1 token overlap preserves every window) → slice
-    windows → join with single spaces."""
+def _gram_rows(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """Non-distinct (id, gram) rows — the narrow explode shared by
+    :func:`token_ngrams` and the single-pass :func:`decontaminate`
+    pipeline: tokenize → segment (bounded per-row memory, k-1 token
+    overlap preserves every window) → slice windows → join with single
+    spaces."""
     toks = TXT.tokens(F.col(text_col))
     step = SEGMENT_TOKENS - (k - 1)
     segments = F.transform(
@@ -69,7 +70,13 @@ def token_ngrams(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFra
         F.sequence(F.lit(0), F.size("seg") - k),
         lambda i: F.array_join(F.slice(F.col("seg"), i + 1, k), " "),
     )
-    return seg.select(id_col, F.explode(grams).alias("gram")).distinct()
+    return seg.select(id_col, F.explode(grams).alias("gram"))
+
+
+def token_ngrams(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """Per-document DISTINCT whitespace-token ``k``-grams, one row per
+    (id, gram)."""
+    return _gram_rows(docs, id_col, text_col, k).distinct()
 
 
 def decontaminate(
@@ -86,19 +93,33 @@ def decontaminate(
     ``n_grams`` its total distinct k-grams, and ``contamination`` the
     ratio (one IEEE division — oracle-exact).
 
-    ``hash_key=True`` swaps the join/shuffle key from the gram string
-    to ``xxhash64(gram)`` — the 100 TB spelling (8-byte keys; a
-    collision can only over-flag, never under-flag). Default keeps
-    strings so results are engine-independent.
+    Internals (optimization r16, guide §2.3): both sides key on
+    ``xxhash64(gram)`` — gram STRINGS never enter a shuffle or the
+    broadcast (8-byte keys; within-doc collisions could merge two
+    grams and a train↔bench collision could over-flag, both at ~2⁻⁶⁴
+    per pair — the same accepted trade as ``dedup.dup_span_stats``'
+    hashed windows; the planted-count and string-vs-hash parity
+    pytests pin agreement on the real corpora). ``hash_key`` is kept
+    for API compatibility (both spellings now hash internally). A
+    fully single-pass spelling (one broadcast LEFT probe → per-gram →
+    per-doc aggregation) was measured SLOWER at sf0.1 than this
+    two-consumer shape — the two distinct subtrees run as concurrent
+    stages, so wall-clock tracks the longest chain, not the sum.
     """
-    tg = token_ngrams(train, id_col, text_col, k)
-    bg = token_ngrams(bench, id_col, text_col, k).select("gram").distinct()
-    if hash_key:
-        tg = tg.withColumn("gram", F.xxhash64("gram"))
-        bg = bg.select(F.xxhash64("gram").alias("gram"))
+    del hash_key  # both paths now hash internally — see docstring
+    tg = (
+        _gram_rows(train, id_col, text_col, k)
+        .select(id_col, F.xxhash64("gram").alias("_gh"))
+        .distinct()
+    )
+    bg = (
+        _gram_rows(bench, id_col, text_col, k)
+        .select(F.xxhash64("gram").alias("_gh"))
+        .distinct()
+    )
     totals = tg.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     hits = (
-        tg.join(F.broadcast(bg), "gram")
+        tg.join(F.broadcast(bg), "_gh")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hit"))
     )

@@ -18,7 +18,7 @@ deterministic across runs/partitions, no Python RNG.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 from solana_snapshot_etl_tools_spark.functions.text import char_shingles, tokens
 
@@ -434,15 +434,29 @@ def dup_span_stats(
         F.sequence(F.lit(1), F.size(F.col("_cp")) - (k - 1)),
         lambda i: F.xxhash64(F.slice(F.col("_cp"), i, k)),
     )
-    # the distinct window frame feeds three consumers (per-doc sizes,
-    # doc-frequency, membership rejoin) and is deliberately NOT
-    # cached: the fan-out does re-run the explode+hash+distinct per
-    # consumer (8 live exchanges, zero ReusedExchange), but an A/B at
-    # sf0.1 measured the cache SLOWER (5.0-5.4 s vs ~3.0 s) — blocking
-    # materialization of the 1.25M-row frame costs more than three
-    # concurrent re-runs of a cheap narrow subtree. Cache at fan-outs
-    # only when the recomputed subtree is expensive (cf. the minhash
-    # signature/pair caches, where it is).
+    # SINGLE-SCAN shape (optimization r16, guide §2.4/§2.3): the old
+    # plan fanned the distinct window frame out to three consumers
+    # (per-doc sizes, doc-frequency, membership rejoin) and re-ran the
+    # explode+hash+distinct subtree once per consumer — 8 live
+    # exchanges, zero ReusedExchange, the narrow compute
+    # (split/ascii/xxhash64 per window) paid 3x, and the wide stages
+    # shuffled the window set 3x. (A round-5 A/B showed a .cache() at
+    # that fan-out was slower still — blocking materialization beat
+    # three concurrent re-runs.) The restructure removes the fan-out:
+    # one distinct (map-side partial dedup before its exchange), the
+    # doc-frequency groupBy over it, then ONE left equi-join back
+    # (shuffle_hash, pinned — an SMJ would re-sort both sides for
+    # nothing) whose wh-exchange of w is the same subtree as the
+    # frequency groupBy's input, so Spark reuses one shuffle for both
+    # (ReusedExchange), and ONE groupBy(doc) computing n_windows and
+    # n_shared together. The narrow subtree runs once; exchanges carry
+    # 16-byte rows. n_shared as sum(shared flag) ≡ the old
+    # join-with-shared count; docs with zero shared windows get 0 from
+    # the sum instead of the old left-join coalesce. (A window-function
+    # spelling — count over W.partitionBy("wh") — was measured SLOWER
+    # than both shapes at sf0.1: WindowExec's full sort of the window
+    # set beats everything else on the critical path. Numbers in
+    # OPTIMIZATION_r16.md.)
     w = (
         df.filter(n >= k)
         .select(F.col(id_col).alias("doc"), F.explode(segments).alias("_sc"))
@@ -452,25 +466,27 @@ def dup_span_stats(
         .select("doc", F.explode(win_hashes).alias("wh"))
         .distinct()
     )
-    sizes = w.groupBy("doc").agg(F.count(F.lit(1)).alias("n_windows"))
     shared = (
         w.groupBy("wh")
         .agg(F.count(F.lit(1)).alias("nd"))  # post-distinct: nd = n docs
         .filter(F.col("nd") >= 2)
-        .select("wh")
-    )
-    per_doc = w.join(shared, "wh").groupBy("doc").agg(
-        F.count(F.lit(1)).alias("n_shared")
+        .select("wh", F.lit(1).alias("_sh"))
     )
     return (
-        sizes.join(per_doc, "doc", "left")
+        w.join(shared.hint("shuffle_hash"), "wh", "left")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.coalesce(
+                F.sum(F.coalesce(F.col("_sh"), F.lit(0)).cast("long")),
+                F.lit(0).cast("long"),
+            ).alias("n_shared_windows"),
+        )
         .select(
             F.col("doc").alias(id_col),
             "n_windows",
-            F.coalesce("n_shared", F.lit(0)).alias("n_shared_windows"),
-            (F.coalesce("n_shared", F.lit(0)) / F.col("n_windows")).alias(
-                "dup_frac"
-            ),
+            "n_shared_windows",
+            (F.col("n_shared_windows") / F.col("n_windows")).alias("dup_frac"),
         )
     )
 

@@ -56,6 +56,22 @@ def pack_token_sequences(
         .repartitionByRange(n_part, "_id")
         .withColumn("_pid", F.spark_partition_id())
     )
+    # cache the ranged frame (optimization r16, guide §5): pass 1's
+    # collect and pass 2's window/explode are separate ACTIONS over the
+    # same subtree — without a persist, pass 2 re-runs the whole
+    # tokenize → range-sample → shuffle pipeline (and repartitionByRange
+    # pays an extra sampling pass per action), so the corpus-sized
+    # token arrays were computed and shuffled twice per call. The cache
+    # also guarantees both passes see the SAME range boundaries (they
+    # are deterministic for identical input, but identical-by-
+    # construction beats identical-by-sampling). Registered in the
+    # dedup session-cache registry; bench.py releases it between timed
+    # queries.
+    from solana_snapshot_etl_tools_spark.operators.dedup import (
+        _cache_for_session,
+    )
+
+    d = _cache_for_session(d)
     # pass 1: per-range totals → driver prefix (one tiny collect)
     totals = {
         r._pid: r.tot

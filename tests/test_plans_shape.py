@@ -255,3 +255,40 @@ def test_chunk_cdc_is_narrow_no_shuffle(spark):
     assert "Exchange" not in p
     assert "Python" not in p and "ArrowEval" not in p
     assert "Generate" in p  # the posexplode
+
+
+def test_dup_span_single_scan_shuffle_hash(spark):
+    """Optimization r16: dup_span_stats' window-frame subtree (scan →
+    explode → hash → distinct) is computed ONCE at runtime — with AQE
+    off the planner's ReuseExchange rule must dedupe the distinct's
+    exchange between the doc-frequency build and the membership probe
+    (AQE applies the same reuse at runtime); the membership join is a
+    shuffled-hash join (no sort on either side) and there is no Window
+    node anywhere."""
+    from solana_snapshot_etl_tools_spark.operators import dedup as DD
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q = DD.dup_span_stats(df, "doc_id", "text", k=50)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = _plan(q)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "ShuffledHashJoin" in p, "membership join must be shuffle-hash"
+    assert "ReusedExchange" in p, "the distinct's exchange must be shared"
+    assert "Window" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_decontaminate_shuffles_and_broadcast_carry_hashes_not_grams(spark):
+    """Optimization r16: decontaminate keys on xxhash64(gram) — no
+    Exchange (shuffle OR broadcast) may carry the gram string; the
+    bench probe stays a broadcast hash join."""
+    from solana_snapshot_etl_tools_spark.plans import llm_ops2 as L2
+
+    p = _plan(L2.q_decontaminate(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "xxhash64(gram" in p
+    for line in p.splitlines():
+        if "Exchange" in line:
+            assert "gram#" not in line, f"gram string in exchange: {line}"
