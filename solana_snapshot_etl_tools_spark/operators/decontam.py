@@ -61,6 +61,11 @@ def _gram_rows(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame
         ),
         lambda s: F.slice(toks, s + 1, SEGMENT_TOKENS),
     )
+    # (r16: a pre-explode small-input spread was A/B'd here and
+    # REJECTED — 1.28 s vs 1.18 s interleaved medians at sf0.1: the
+    # two gram consumers already run as concurrent stages, and the
+    # extra round-robin shuffle stages cost more than the parallelism
+    # they add)
     seg = (
         docs.filter(F.size(toks) >= k)
         .select(id_col, F.explode(segments).alias("seg"))

@@ -457,8 +457,14 @@ def dup_span_stats(
     # than both shapes at sf0.1: WindowExec's full sort of the window
     # set beats everything else on the critical path. Numbers in
     # OPTIMIZATION_r16.md.)
+    # spread the input before the CPU-heavy window scan (r16): a
+    # one-row-group corpus file scans as a single partition, so the
+    # whole explode+split+xxhash subtree otherwise runs on ONE core
+    # before its first exchange; the spread is a planning no-op once
+    # the scan has >= core-count partitions (100 TB case)
     w = (
-        df.filter(n >= k)
+        spread_small_input(df.select(id_col, text_col))
+        .filter(n >= k)
         .select(F.col(id_col).alias("doc"), F.explode(segments).alias("_sc"))
         .select(
             "doc", F.transform(F.split(F.col("_sc"), ""), F.ascii).alias("_cp")

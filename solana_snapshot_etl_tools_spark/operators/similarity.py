@@ -473,9 +473,23 @@ def ivf_assign(
         StructType,
     )
 
-    corpus = emb.select(
-        F.col(id_col).alias("neighbor_id"),
-        _l2_normalize(F.col(vec_col).cast("array<double>")).alias("cv"),
+    # spread FIRST, normalize after (optimization r16): the JVM
+    # normalize (interpreted higher-order aggregate over dims doubles)
+    # otherwise runs on the scan's partitioning — a single core on a
+    # one-row-group corpus file (measured 0.55 s of the 1.0 s assign
+    # pass at sf0.1). Placing it after the small-input spread
+    # parallelizes it without changing a bit of the output (same
+    # expression, same rows). At scale the spread is a planning no-op
+    # and this is the old plan exactly.
+    from solana_snapshot_etl_tools_spark.operators.dedup import spread_small_input
+
+    corpus = spread_small_input(
+        emb.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("_raw"),
+        )
+    ).select(
+        "neighbor_id", _l2_normalize(F.col("_raw")).alias("cv")
     )
     ck = _corpus_key(emb, id_col, vec_col)
     X = _corpus_sample(emb, id_col, vec_col, train_limit)
@@ -512,9 +526,7 @@ def ivf_assign(
             pdf = pdf.assign(list_id=np.argmax(V @ Cw.T, axis=1).astype("int32"))
             yield pdf[["neighbor_id", "cv", "list_id"]]
 
-    from solana_snapshot_etl_tools_spark.operators.dedup import spread_small_input
-
-    assigned = spread_small_input(corpus).mapInPandas(gen, out_schema)
+    assigned = corpus.mapInPandas(gen, out_schema)
     return assigned, [np.array(c) for c in center_rows]
 
 
@@ -575,9 +587,17 @@ def pq_encode(
     from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
 
     ksub = 1 << nbits
-    corpus = emb.select(
-        F.col(id_col).alias("neighbor_id"),
-        _l2_normalize(F.col(vec_col).cast("array<double>")).alias("cv"),
+    # spread first, normalize after — see ivf_assign (r16): keeps the
+    # interpreted JVM normalize off the scan's single partition
+    from solana_snapshot_etl_tools_spark.operators.dedup import spread_small_input
+
+    corpus = spread_small_input(
+        emb.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("_raw"),
+        )
+    ).select(
+        "neighbor_id", _l2_normalize(F.col("_raw")).alias("cv")
     )
     ck = _corpus_key(emb, id_col, vec_col)
     X = _corpus_sample(emb, id_col, vec_col, train_limit)
@@ -623,9 +643,7 @@ def pq_encode(
                 {"neighbor_id": pdf["neighbor_id"], "codes": list(codes)}
             )
 
-    from solana_snapshot_etl_tools_spark.operators.dedup import spread_small_input
-
-    encoded = spread_small_input(corpus).mapInPandas(gen, out_schema)
+    encoded = corpus.mapInPandas(gen, out_schema)
     return encoded, books
 
 
@@ -834,9 +852,16 @@ def ivf_pq_ann_topk(
     )
 
     ksub = 1 << nbits
-    corpus = emb.select(
-        F.col(id_col).alias("neighbor_id"),
-        _l2_normalize(F.col(vec_col).cast("array<double>")).alias("cv"),
+    # spread first, normalize after — see ivf_assign (r16)
+    from solana_snapshot_etl_tools_spark.operators.dedup import spread_small_input
+
+    corpus = spread_small_input(
+        emb.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("_raw"),
+        )
+    ).select(
+        "neighbor_id", _l2_normalize(F.col("_raw")).alias("cv")
     )
     ck = _corpus_key(emb, id_col, vec_col)
     X = _corpus_sample(emb, id_col, vec_col, train_limit)
@@ -917,9 +942,7 @@ def ivf_pq_ann_topk(
                 }
             )
 
-    from solana_snapshot_etl_tools_spark.operators.dedup import spread_small_input
-
-    coded = spread_small_input(corpus).mapInPandas(gen_code, coded_schema)
+    coded = corpus.mapInPandas(gen_code, coded_schema)
 
     q = queries.select(
         F.col(id_col).alias("query_id"),

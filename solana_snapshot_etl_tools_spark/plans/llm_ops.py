@@ -822,14 +822,15 @@ CDC_BASE = 31
 CDC_WINDOW = 4
 CDC_MODULUS = 64
 
-# Boundary candidates are scanned in per-row segments of this many
-# characters (nested transform → filter → flatten): a single dense
-# sequence(w, n) would materialize n longs (~8n bytes) in one task
-# allocation — unbounded on huge documents. Segments bound the dense
-# temporary to ~512 KiB while the kept boundary list stays sparse
-# (~n / CDC_MODULUS entries). Output is segmentation-invariant (the
-# rolling hash reads only the text, never the segment), pinned by
-# pytest.
+# Retained for the JVM-expression boundary scans that still segment
+# their dense per-row temporaries (see operators/excise.py /
+# dup_span_stats, which cite this rationale): a single dense
+# sequence(w, n) would materialize n longs in one task allocation —
+# unbounded on huge documents. chunk_cdc itself no longer segments:
+# its numpy boundary pass (r16) allocates ~16 bytes/char per DOCUMENT
+# at a time inside the Arrow worker, bounded by
+# spark.sql.execution.arrow.maxRecordsPerBatch × doc size like every
+# other Arrow operator in the repo.
 CDC_SEGMENT_CHARS = 65536
 
 
@@ -852,58 +853,94 @@ def chunk_cdc(
     operator sequential; cap oversized chunks downstream with
     ``q_chunk_documents`` if needed).
 
-    Emits (id, chunk_id, chunk, n_chunk_chars)."""
-    t = F.col(text_col)
+    Emits (id, chunk_id, chunk, n_chunk_chars).
+
+    Implementation (optimization r16, guide §4.2): the boundary scan
+    is a vectorized numpy pass per Arrow batch. The previous all-JVM
+    spelling (code-point array column + per-position higher-order
+    ``filter`` over a segmented ``sequence``) was measured at 1.67 s
+    at sf0.1 with ~1.3 s of it the INTERPRETED per-position lambda
+    (HOFs are not codegen'd); the numpy rolling hash computes every
+    window hash in four vector ops. Semantics are identical: Spark 4's
+    ``split('')``/``ascii``/``substring``/``length`` are all
+    code-point semantics (probed — an astral char is ONE element), and
+    Python strings index by code point, so even astral text agrees;
+    the int64 hash also matches the DuckDB oracle's 64-bit arithmetic
+    where the old INT expression could overflow on astral code points
+    (> 72k · 31³ > 2³¹ — unreachable on the BMP corpora). Boundary
+    set, spans and chunks are pinned unchanged by the oracle-parity,
+    shift-robustness and stream/batch-parity pytests. ``mapInPandas``
+    runs unchanged under readStream (the stream-parity test drives it
+    with a real availableNow query); the small-input spread is skipped
+    on streaming frames (no RDD access) — a live stream's micro-batch
+    parallelism comes from the source."""
+    from pyspark.sql import types as T
+
     w, b = CDC_WINDOW, CDC_BASE
-    # Code points are materialized ONCE per row as a named column:
-    # per-position substring(t, i, 1) is an O(i) scan on UTF-8 strings
-    # (Spark has no O(1) char index), which made the boundary scan
-    # O(n²) per document — measured 29 s at sf0.1 vs ~3 s with the
-    # array. element_at on the array is O(1). (split('') chunks by
-    # UTF-16 unit, so astral-plane characters would diverge from the
-    # code-point oracle; BMP text — all driver corpora — is exact.)
-    base = docs.filter(F.length(t) >= w).withColumn(
-        "_cps", F.transform(F.split(t, ""), F.ascii)
+    b3, b2 = b**3, b**2
+    mod = modulus
+    id_type = docs.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("chunk_id", T.IntegerType()),
+            T.StructField("chunk", T.StringType()),
+            T.StructField("n_chunk_chars", T.LongType()),
+        ]
     )
-    n = F.size(F.col("_cps"))
-    code = lambda i: F.element_at(F.col("_cps"), i)  # noqa: E731
-    # hash of the window ENDING at position i (1-based), i ≥ w
-    h = lambda i: (  # noqa: E731
-        code(i - (w - 1)) * (b**3)
-        + code(i - (w - 2)) * (b**2)
-        + code(i - 1) * b
-        + code(i)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, cids, chunks, lens = [], [], [], []
+            for did, txt in zip(pdf["_id"], pdf["_t"]):
+                if txt is None:
+                    continue
+                n = len(txt)
+                if n < w:
+                    continue
+                cps = np.frombuffer(
+                    txt.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                # hash of the window ENDING at 1-based position i ≥ w,
+                # vectorized over all window ends [w, n]
+                h = (
+                    cps[: n - (w - 1)] * b3
+                    + cps[1 : n - (w - 2)] * b2
+                    + cps[2 : n - 1] * b
+                    + cps[3:]
+                )
+                ends = (np.nonzero(h % mod == 0)[0] + w).tolist()
+                if not ends or ends[-1] != n:
+                    ends.append(n)  # always cut at the end of the text
+                s = 0
+                for ci, e in enumerate(ends):
+                    ids.append(did)
+                    cids.append(ci)
+                    chunks.append(txt[s:e])
+                    lens.append(e - s)
+                    s = e
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "chunk_id": np.array(cids, dtype=np.int32),
+                    "chunk": chunks,
+                    "n_chunk_chars": np.array(lens, dtype=np.int64),
+                }
+            )
+
+    narrow = docs.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
     )
-    # boundary AFTER position i; always cut at the end of the text.
-    # End positions [w, n] are scanned segment-by-segment so the dense
-    # candidate array is bounded (CDC_SEGMENT_CHARS) per row; the
-    # predicate reads only the code points, so segmentation cannot
-    # change the boundary set.
-    pred = lambda i: (F.pmod(h(i), F.lit(modulus)) == 0) | (i == n)  # noqa: E731
-    seg = CDC_SEGMENT_CHARS
-    bounds = F.flatten(
-        F.transform(
-            F.sequence(F.lit(w), n, F.lit(seg)),
-            lambda s: F.filter(
-                F.sequence(s, F.least(s + (seg - 1), n)), pred
-            ),
+    if not narrow.isStreaming:
+        from solana_snapshot_etl_tools_spark.operators.dedup import (
+            spread_small_input,
         )
-    )
-    starts = F.concat(F.array(F.lit(0)), F.slice(bounds, 1, F.greatest(F.size(bounds) - 1, F.lit(0))))
-    spans = F.zip_with(starts, bounds, lambda s, e: F.struct(s.alias("s"), e.alias("e")))
-    return (
-        base.select(
-            id_col,
-            text_col,
-            F.posexplode(spans).alias("chunk_id", "sp"),
-        )
-        .select(
-            id_col,
-            F.col("chunk_id").cast("int").alias("chunk_id"),
-            F.expr(f"substring({text_col}, sp.s + 1, sp.e - sp.s)").alias("chunk"),
-            (F.col("sp.e") - F.col("sp.s")).cast("long").alias("n_chunk_chars"),
-        )
-    )
+
+        narrow = spread_small_input(narrow)
+    return narrow.mapInPandas(gen, out_schema)
 
 
 # --- PII detect / redact -----------------------------------------------------
@@ -1007,41 +1044,59 @@ def q_quality_repetition(spark, sf_dir):
     bigram. explode → two-level groupBy, partial-agg both levels; the
     per-(doc, gram) cardinality is bounded by corpus token count, and
     no global shuffle key is hotter than one document's grams."""
+    # Single-pass shape (optimization r16, guide §2.4): the old plan
+    # ran two independent explode → groupBy → groupBy chains (unigrams,
+    # bigrams) and re-joined them per doc — two scans, five exchanges.
+    # Unigrams and bigrams now explode ONCE as (kind, gram) rows and
+    # one two-level aggregation computes both maxima with conditional
+    # aggregates; the old left-join semantics (a ≥1-token doc with no
+    # bigrams reports 0.0) falls out of the max(when(kind=1)) being
+    # NULL. Same gram strings, same counts — oracle-identical.
     docs = _t(spark, sf_dir, "documents")
     t = TXT.tokens(F.col("text"))
+    # spread before tokenizing (r16): one-row-group corpus files scan
+    # as a single partition, so the tokenize+explode would run on one
+    # core; only (doc_id, text) rides the round-robin shuffle.
+    # Planning no-op at scale.
+    base = (
+        DD.spread_small_input(docs.select("doc_id", "text"))
+        .select("doc_id", t.alias("t"))
+        .filter(F.size("t") > 0)
+    )
+    tc = F.col("t")
     bigrams = F.zip_with(
-        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
-        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.slice(tc, 1, F.greatest(F.size(tc) - 1, F.lit(0))),
+        F.slice(tc, 2, F.greatest(F.size(tc) - 1, F.lit(0))),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    base = docs.select("doc_id", t.alias("t"), bigrams.alias("bgs"))
-    uni = base.filter(F.size("t") > 0).select(
-        "doc_id", F.size("t").cast("long").alias("n_tokens"), F.explode("t").alias("g")
+    both = F.concat(
+        F.transform(tc, lambda g: F.struct(F.lit(0).alias("kind"), g.alias("g"))),
+        F.transform(
+            bigrams, lambda g: F.struct(F.lit(1).alias("kind"), g.alias("g"))
+        ),
     )
-    topu = (
-        uni.groupBy("doc_id", "n_tokens", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id", "n_tokens")
-        .agg(F.max("c").alias("topc"))
-    )
-    bgu = base.filter(F.size("bgs") > 0).select(
+    exploded = base.select(
         "doc_id",
-        F.size("bgs").cast("long").alias("n_bigrams"),
-        F.explode("bgs").alias("g"),
-    )
-    topb = (
-        bgu.groupBy("doc_id", "n_bigrams", "g")
+        F.size("t").cast("long").alias("n_tokens"),
+        F.greatest(F.size("t") - 1, F.lit(0)).cast("long").alias("n_bigrams"),
+        F.explode(both).alias("e"),
+    ).select("doc_id", "n_tokens", "n_bigrams", "e.kind", "e.g")
+    return (
+        exploded.groupBy("doc_id", "n_tokens", "n_bigrams", "kind", "g")
         .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id", "n_bigrams")
-        .agg(F.max("c").alias("topcb"))
-    )
-    return topu.join(topb, "doc_id", "left").select(
-        "doc_id",
-        "n_tokens",
-        (F.col("topc") / F.col("n_tokens")).alias("top_unigram_frac"),
-        F.coalesce(
-            F.col("topcb") / F.col("n_bigrams"), F.lit(0.0)
-        ).alias("top_bigram_frac"),
+        .groupBy("doc_id", "n_tokens", "n_bigrams")
+        .agg(
+            F.max(F.when(F.col("kind") == 0, F.col("c"))).alias("topc"),
+            F.max(F.when(F.col("kind") == 1, F.col("c"))).alias("topcb"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("topc") / F.col("n_tokens")).alias("top_unigram_frac"),
+            F.coalesce(
+                F.col("topcb") / F.col("n_bigrams"), F.lit(0.0)
+            ).alias("top_bigram_frac"),
+        )
     )
 
 
@@ -1074,6 +1129,10 @@ def q_token_doc_freq(spark, sf_dir):
     both map-side combined. Emits integers only — downstream idf
     weighting picks its own log base."""
     docs = _t(spark, sf_dir, "documents")
+    # (r16: a pre-explode small-input spread was A/B'd here and
+    # REJECTED — the extra round-robin stage costs more than the
+    # ~0.2 s single-core tokenize it parallelizes on this light query;
+    # 0.30 s → 0.45-0.59 s measured)
     occ = docs.select(
         "doc_id", F.explode(TXT.tokens(F.col("text"))).alias("token")
     ).filter(F.col("token") != "")
@@ -1103,6 +1162,9 @@ def q_doc_rarity(spark, sf_dir):
     volume is Σ distinct-tokens-per-doc, and in-doc counts reweight to
     occurrence level. AQE handles the hot common-token keys."""
     docs = _t(spark, sf_dir, "documents")
+    # (r16: a pre-explode small-input spread was A/B'd here and
+    # REJECTED — same verdict as token_doc_freq: extra stage > saved
+    # single-core work on this light query)
     occ = docs.select(
         "doc_id", F.explode(TXT.tokens(F.col("text"))).alias("token")
     ).filter(F.col("token") != "")

@@ -245,16 +245,21 @@ def test_q19_disjunction_pushed_to_part_scan(spark):
     )
 
 
-def test_chunk_cdc_is_narrow_no_shuffle(spark):
-    """Content-defined chunking must stay a narrow per-row pipeline
-    (array exprs + posexplode) — no Exchange, no Python stage."""
+def test_chunk_cdc_is_narrow_no_wide_shuffle(spark):
+    """Content-defined chunking must stay a narrow per-row pipeline:
+    one Arrow-batched numpy boundary pass (r16 — replaced the
+    interpreted per-position HOF lambda, guide §4.2), no
+    row-at-a-time Python, and no shuffle beyond the small-input
+    round-robin spread (which is a planning no-op once the scan has
+    ≥ core-count partitions — at 100 TB there is no Exchange here)."""
     from solana_snapshot_etl_tools_spark.plans.llm_ops import chunk_cdc
 
     df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     p = _plan(chunk_cdc(df))
-    assert "Exchange" not in p
-    assert "Python" not in p and "ArrowEval" not in p
-    assert "Generate" in p  # the posexplode
+    assert "BatchEvalPython" not in p
+    assert "MapInPandas" in p or "ArrowEval" in p
+    # no keyed (wide) exchange — only the round-robin spread may appear
+    assert "hashpartitioning" not in p and "rangepartitioning" not in p
 
 
 def test_dup_span_single_scan_shuffle_hash(spark):

@@ -129,11 +129,12 @@ def test_decontaminate_hash_key_matches_string_key(spark):
     assert a == b and len(a) > 0
 
 
-def test_chunk_cdc_segmentation_is_invariant(spark, monkeypatch):
-    """The bounded-memory boundary scan (per-segment dense candidate
-    arrays) must produce byte-identical chunks to an unbounded scan —
-    forced by shrinking the segment bound far below the text length,
-    including a non-multiple length and a doc shorter than a segment."""
+def test_chunk_cdc_batching_is_invariant(spark):
+    """The numpy boundary scan (r16) must produce byte-identical
+    chunks regardless of Arrow batch size (the per-task chunking knob
+    that replaced the old per-row segment bound), including a
+    non-multiple length, a doc shorter than the window, and non-ASCII
+    text."""
     from solana_snapshot_etl_tools_spark.plans import llm_ops as L
 
     docs = spark.createDataFrame(
@@ -145,8 +146,13 @@ def test_chunk_cdc_segmentation_is_invariant(spark, monkeypatch):
         "doc_id long, text string",
     )
     whole = sorted(tuple(r) for r in L.chunk_cdc(docs).collect())
-    monkeypatch.setattr(L, "CDC_SEGMENT_CHARS", 17)
-    seg = sorted(tuple(r) for r in L.chunk_cdc(docs).collect())
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        seg = sorted(tuple(r) for r in L.chunk_cdc(docs).collect())
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", "10000"
+        )
     assert seg == whole and len(whole) > 4
 
 
