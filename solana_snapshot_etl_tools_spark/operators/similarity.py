@@ -1119,6 +1119,7 @@ def lsh_signatures(
     ident: str = "doc",
     with_vectors: bool = True,
     n_probes: int = 0,
+    spread: bool = True,
 ) -> DataFrame:
     """(ident[, _v_<ident>], table, bucket) rows — n_tables per input
     vector — via one vectorized numpy matmul per Arrow batch. Raises
@@ -1214,13 +1215,20 @@ def lsh_signatures(
             out["bucket"] = all_b.reshape(-1)
             yield pd.DataFrame(out)
 
-    from solana_snapshot_etl_tools_spark.operators.dedup import spread_small_input
-
     narrow = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    return spread_small_input(narrow).mapInPandas(gen, out_schema)
+    # ``spread=False`` for sides known tiny by contract (query batches):
+    # repartitioning 10 rows to core-count partitions adds a shuffle
+    # stage + a partition probe for nothing (optimization r16)
+    if spread:
+        from solana_snapshot_etl_tools_spark.operators.dedup import (
+            spread_small_input,
+        )
+
+        narrow = spread_small_input(narrow)
+    return narrow.mapInPandas(gen, out_schema)
 
 
 def lsh_ann_topk(
@@ -1264,7 +1272,7 @@ def lsh_ann_topk(
 
     qs = lsh_signatures(queries, id_col, vec_col, dims, n_tables, n_planes,
                         ident="query_id", with_vectors=False,
-                        n_probes=n_probes)
+                        n_probes=n_probes, spread=False)
     cs = lsh_signatures(emb, id_col, vec_col, dims, n_tables, n_planes,
                         ident="neighbor_id", with_vectors=False)
     # candidate pairs are ids only: the multi-table duplicate dedup
