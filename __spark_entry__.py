@@ -39,76 +39,81 @@ def entry(spark: SparkSession) -> DataFrame:
 # round's cap (tools/plan_next_front.py derives it; check_rotation.py
 # gates it).
 #
-# Round 15 front-loads the 50 queries whose last green row is round 13
-# (they fell past round 14's cap) — exactly
-# tools/plan_next_front.py's output; r14 ∪ r15 covers all 100. No
-# round-14 code change touched any of these queries' implementing
-# functions (the round's edits were warc/robots/sitemaps/manifest/url/
-# CLI/bench/entry-rotation surfaces only, per the r14 verdict diff
-# audit), so this rotation carries no extra re-certification burden.
+# Round 17 front-loads the 50 queries whose last green row is round 14
+# (they fell past rounds 15's and 16's identical cap — r16's mid-build
+# rotation was reverted, so the r15 front ran twice) — exactly
+# tools/plan_next_front.py's output; r16 ∪ r17 covers all 100. This
+# front deliberately includes every query path the r16 optimization
+# round restructured (dup_span_stats, chunk_cdc, decontaminate_ngram,
+# pack_sequences, etl_token_metadata, ann_cosine_{topk,lsh,ivf,pq,
+# ivf_pq}), putting them under the driver's own oracle per the r16
+# verdict's Next-round #7.
 _FRONT = [
-    "window_running",
-    "window_rank_ties",
-    "window_moving",
-    "setops",
-    "scalar_funcs",
-    "json_extract",
-    "distinct_topk",
-    "above_avg_orders",
-    "q4_order_priority",
-    "q19_disjunctive_revenue",
-    "top_supplier_per_nation",
-    "exists_not_exists",
-    "in_subquery_having",
-    "conditional_agg",
-    "string_funcs",
-    "date_funcs",
-    "window_values",
-    "explode_tokens",
-    "null_handling",
-    "limit_offset",
-    "etl_deletion_events",
-    "etl_opcode_stats",
-    "media_meta",
-    "media_frame_sample",
-    "media_features",
-    "stream_selected_accounts",
-    "stream_offchain_fanout",
-    "stream_rooted_slots",
-    "stream_block_metadata",
-    "stream_tx_filtered",
-    "stream_tx_nested",
-    "pipeline_clean_corpus",
-    "pipeline_pretrain_corpus",
-    "embedding_quantize_int8",
-    "dedup_jaccard_ngram",
-    "dedup_minhash_lsh",
-    "dedup_components",
-    "dedup_simhash",
-    "ann_cosine_ivf_exact",
-    "ann_cosine_pq_exact",
-    "ann_cosine_ivf_pq_exact",
-    "doc_fingerprint",
-    "bigram_stats",
-    "sample_balanced_lang",
-    "split_train_val_test",
-    "pii_scrub",
-    "quality_repetition",
-    "token_doc_freq",
-    "doc_rarity_score",
-    "dedup_semantic",
-    # cap (50) lands here — zero slack. Past it: the entire r14-green
-    # front (q1/q3/q5, join_{semi,anti,theta}, window_topk, sessionize,
-    # rollup/cube/pivot/unpivot, tumbling/sliding windows, asof_join,
-    # q6/q10/q14/q18/q2/q22, grouping_sets, percentiles_stddev,
-    # collect_sorted, etl_* decode suite ×9, dup_span_stats,
-    # dedup_exact, chunk_{documents,cdc}, ann_cosine_{topk,lsh,ivf,pq,
-    # ivf_pq}, embedding_cosine_pairs, text_metrics, lang_id,
-    # doc_length_histogram, salted_join_orders, decontaminate_ngram,
-    # excise_dup_spans, pack_sequences).
-    # Round-15 code changes must NOT touch their implementing functions
-    # (evidence = r14 green row + git log -L function-unchanged).
-    # Exception by necessity would need a driver_sim re-green — avoid.
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "join_semi",
+    "join_anti",
+    "join_theta",
+    "window_topk",
+    "sessionize",
+    "rollup_agg",
+    "cube_agg",
+    "pivot",
+    "unpivot",
+    "tumbling_window",
+    "asof_join",
+    "q6_revenue_delta",
+    "q10_returned_items",
+    "q14_promo_share",
+    "sliding_window",
+    "grouping_sets",
+    "percentiles_stddev",
+    "collect_sorted",
+    "etl_account",
+    "etl_token_account",
+    "etl_token_mint",
+    "etl_token_multisig",
+    "etl_token_metadata",
+    "etl_offchain_uri",
+    "etl_program_elfs",
+    "etl_csv_projection",
+    "etl_snapshot_scan",
+    "dup_span_stats",
+    "dedup_exact",
+    "chunk_documents",
+    "ann_cosine_topk",
+    "ann_cosine_lsh",
+    "ann_cosine_ivf",
+    "ann_cosine_pq",
+    "ann_cosine_ivf_pq",
+    "embedding_cosine_pairs",
+    "text_metrics",
+    "lang_id",
+    "doc_length_histogram",
+    "salted_join_orders",
+    "chunk_cdc",
+    "decontaminate_ngram",
+    "excise_dup_spans",
+    "pack_sequences",
+    "q18_large_orders",
+    "q2_min_cost_supplier",
+    "q22_idle_customers",
+    # cap (50) lands here — zero slack. Past it: the entire r16-green
+    # front (window_{running,rank_ties,moving,values}, setops,
+    # scalar/string/date_funcs, json_extract, distinct_topk,
+    # above_avg_orders, q4/q19, top_supplier_per_nation,
+    # exists/in_subquery, conditional_agg, explode_tokens,
+    # null_handling, limit_offset, etl_{deletion_events,opcode_stats},
+    # media_* ×3, stream_* ×6, pipeline_* ×2, embedding_quantize_int8,
+    # dedup_{jaccard_ngram,minhash_lsh,components,simhash,semantic},
+    # ann_cosine_{ivf,pq,ivf_pq}_exact, doc_fingerprint, bigram_stats,
+    # sample_balanced_lang, split_train_val_test, pii_scrub,
+    # quality_repetition, token_doc_freq, doc_rarity_score).
+    # Round-17 code changes to THOSE implementing functions are covered
+    # by their r16 green rows only if the function is untouched; any
+    # this-round change to one of them needs a driver_sim re-green
+    # (tools/driver_sim.py by name) recorded in OPTIMIZATION_r17.md.
 ]
 
 

@@ -140,6 +140,18 @@ def main() -> None:
             round(sum(samples[name][i] for name in names), 2)
             for i in range(runs)
         ],
+        # effective-parallelism proof (r17, verdict item 2): the driver
+        # re-runs this bench at a lower $SPARK_GRAFT_CPUS to measure
+        # scaling; these three values prove which core count actually
+        # took effect (the r16 scaling block was flagged
+        # suspect_cpus_ignored because nothing observable distinguished
+        # "env ignored" from "sf0.1 is fixed-cost-dominated")
+        "effective_master": spark.sparkContext.master,
+        "effective_default_parallelism": spark.sparkContext.defaultParallelism,
+        "effective_shuffle_partitions": int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        ),
+        "env_spark_graft_cpus": os.environ.get("SPARK_GRAFT_CPUS"),
     }
     # round-6 operator diagnostics (STDERR, not in the headline
     # contract): paragraph dedup over the real documents table and the

@@ -98,30 +98,46 @@ def decontaminate(
     ``n_grams`` its total distinct k-grams, and ``contamination`` the
     ratio (one IEEE division — oracle-exact).
 
-    Internals (optimization r16, guide §2.3): both sides key on
-    ``xxhash64(gram)`` — gram STRINGS never enter a shuffle or the
-    broadcast (8-byte keys; within-doc collisions could merge two
-    grams and a train↔bench collision could over-flag, both at ~2⁻⁶⁴
-    per pair — the same accepted trade as ``dedup.dup_span_stats``'
-    hashed windows; the planted-count and string-vs-hash parity
-    pytests pin agreement on the real corpora). ``hash_key`` is kept
-    for API compatibility (both spellings now hash internally). A
-    fully single-pass spelling (one broadcast LEFT probe → per-gram →
-    per-doc aggregation) was measured SLOWER at sf0.1 than this
+    Internals (optimization r16, guide §2.3): with ``hash_key=True``
+    both sides key on ``xxhash64(gram)`` — gram STRINGS never enter a
+    shuffle or the broadcast (8-byte keys; within-doc collisions could
+    merge two grams and a train↔bench collision could over-flag, both
+    at ~2⁻⁶⁴ per pair — the same accepted trade as
+    ``dedup.dup_span_stats``' hashed windows; the planted-count and
+    string-vs-hash parity pytests pin agreement on the real corpora).
+    ``hash_key=False`` (default) joins on the exact gram strings — the
+    engine-independent spelling the DuckDB oracle reproduces
+    value-for-value with no collision caveat. r16 briefly hard-wired
+    the hashed path for both flag values; r17 restores the honest API
+    (the r16 verdict's gated bench could not reproduce the isolated
+    hashed-key win — see OPTIMIZATION_r17.md for the interleaved A/B).
+    A fully single-pass spelling (one broadcast LEFT probe → per-gram
+    → per-doc aggregation) was measured SLOWER at sf0.1 than this
     two-consumer shape — the two distinct subtrees run as concurrent
     stages, so wall-clock tracks the longest chain, not the sum.
     """
-    del hash_key  # both paths now hash internally — see docstring
-    tg = (
-        _gram_rows(train, id_col, text_col, k)
-        .select(id_col, F.xxhash64("gram").alias("_gh"))
-        .distinct()
-    )
-    bg = (
-        _gram_rows(bench, id_col, text_col, k)
-        .select(F.xxhash64("gram").alias("_gh"))
-        .distinct()
-    )
+    if hash_key:
+        tg = (
+            _gram_rows(train, id_col, text_col, k)
+            .select(id_col, F.xxhash64("gram").alias("_gh"))
+            .distinct()
+        )
+        bg = (
+            _gram_rows(bench, id_col, text_col, k)
+            .select(F.xxhash64("gram").alias("_gh"))
+            .distinct()
+        )
+    else:
+        tg = (
+            _gram_rows(train, id_col, text_col, k)
+            .select(id_col, F.col("gram").alias("_gh"))
+            .distinct()
+        )
+        bg = (
+            _gram_rows(bench, id_col, text_col, k)
+            .select(F.col("gram").alias("_gh"))
+            .distinct()
+        )
     totals = tg.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     hits = (
         tg.join(F.broadcast(bg), "_gh")

@@ -92,11 +92,21 @@ def q_decontaminate(spark, sf_dir):
     distinct 8-grams, and the contamination ratio. Bench n-gram set is
     broadcast (eval suites are small by construction); the train side
     is one explode → distinct → broadcast-probe → count pipeline with
-    partial aggregation — no train-side collect anywhere."""
+    partial aggregation — no train-side collect anywhere.
+
+    ``hash_key=True`` (r17): grams shuffle/broadcast as 8-byte
+    xxhash64 keys, not ~50-byte strings (guide §2.3). Output identical
+    to the string-keyed plan on this corpus (parity pytest + oracle
+    hash-green at 3 SFs; ~2⁻⁶⁴/pair collision trade disclosed in the
+    operator docstring); the r17 interleaved same-session A/B measured
+    hashed 1.35 s vs string 1.46 s median-of-5 at sf0.1
+    (plans/r17/ab_decontam.json)."""
     docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % DECONTAM_BENCH_MOD == 0)
     train = docs.filter(F.col("doc_id") % DECONTAM_BENCH_MOD != 0)
-    return DC.decontaminate(train, bench, "doc_id", "text", k=DECONTAM_K)
+    return DC.decontaminate(
+        train, bench, "doc_id", "text", k=DECONTAM_K, hash_key=True
+    )
 
 
 DECONTAM_SQL = f"""
