@@ -826,12 +826,16 @@ CDC_MODULUS = 64
 # their dense per-row temporaries (see operators/excise.py /
 # dup_span_stats, which cite this rationale): a single dense
 # sequence(w, n) would materialize n longs in one task allocation —
-# unbounded on huge documents. chunk_cdc itself no longer segments:
-# its numpy boundary pass (r16) allocates ~16 bytes/char per DOCUMENT
-# at a time inside the Arrow worker, bounded by
-# spark.sql.execution.arrow.maxRecordsPerBatch × doc size like every
-# other Arrow operator in the repo.
+# unbounded on huge documents.
 CDC_SEGMENT_CHARS = 65536
+
+# chunk_cdc's numpy boundary pass scans each document in segments of
+# this many chars overlapping by CDC_WINDOW-1 (r17): peak transient
+# numpy state ≈ 20 bytes × this, per document, regardless of document
+# size — maxRecordsPerBatch bounds ROWS per batch but not the size of
+# one row, and a multi-hundred-MB document through the r16
+# whole-document pass was an executor-memoryOverhead OOM vector.
+CDC_SCAN_SEGMENT_CHARS = 1 << 20
 
 
 def chunk_cdc(
@@ -873,7 +877,15 @@ def chunk_cdc(
     runs unchanged under readStream (the stream-parity test drives it
     with a real availableNow query); the small-input spread is skipped
     on streaming frames (no RDD access) — a live stream's micro-batch
-    parallelism comes from the source."""
+    parallelism comes from the source.
+
+    r17: the boundary scan runs in (w-1)-overlapping segments so the
+    per-document transient numpy state is bounded (~20 MB at 2^20
+    chars/segment) no matter how long one document is — the r16
+    full-document pass allocated ~20 bytes/char in one shot, an
+    executor-memoryOverhead OOM vector for multi-hundred-MB documents
+    at scale. Boundary set identical (the predicate is w-local; pinned
+    by the long-doc case in the batching-invariance pytest)."""
     from pyspark.sql import types as T
 
     w, b = CDC_WINDOW, CDC_BASE
@@ -889,9 +901,30 @@ def chunk_cdc(
         ]
     )
 
+    seg_chars = CDC_SCAN_SEGMENT_CHARS  # captured at closure-pickle time
+
     def gen(batches):
         import numpy as np
         import pandas as pd
+
+        def boundary_ends(txt: str, n: int) -> list[int]:
+            parts = []
+            for s0 in range(0, n - (w - 1), seg_chars):
+                seg = txt[s0 : s0 + seg_chars + (w - 1)]
+                m = len(seg)
+                cps = np.frombuffer(
+                    seg.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                # hash of the window ENDING at 1-based position i ≥ w,
+                # vectorized over this segment's window ends
+                h = (
+                    cps[: m - (w - 1)] * b3
+                    + cps[1 : m - (w - 2)] * b2
+                    + cps[2 : m - 1] * b
+                    + cps[3:]
+                )
+                parts.append(np.nonzero(h % mod == 0)[0] + (w + s0))
+            return np.concatenate(parts).tolist() if parts else []
 
         for pdf in batches:
             ids, cids, chunks, lens = [], [], [], []
@@ -901,18 +934,7 @@ def chunk_cdc(
                 n = len(txt)
                 if n < w:
                     continue
-                cps = np.frombuffer(
-                    txt.encode("utf-32-le"), dtype=np.uint32
-                ).astype(np.int64)
-                # hash of the window ENDING at 1-based position i ≥ w,
-                # vectorized over all window ends [w, n]
-                h = (
-                    cps[: n - (w - 1)] * b3
-                    + cps[1 : n - (w - 2)] * b2
-                    + cps[2 : n - 1] * b
-                    + cps[3:]
-                )
-                ends = (np.nonzero(h % mod == 0)[0] + w).tolist()
+                ends = boundary_ends(txt, n)
                 if not ends or ends[-1] != n:
                     ends.append(n)  # always cut at the end of the text
                 s = 0

@@ -270,3 +270,57 @@ def test_simhash_multiblock_banding_output_identical(spark, adversarial_docs):
     comp = _components([(r.doc_a, r.doc_b) for r in capped])
     fam_roots = {comp[d] for d in range(FAMILY) if d in comp}
     assert len(fam_roots) == 1
+
+
+def test_minhash_kernel_matches_per_doc_reference(spark):
+    """The r17 batch-flattened signature kernel (one buffer, one key
+    pass, lexsort dedupe, segmented min — plus the sliced long-doc
+    path that bounds the mixing matrix) must stay BIT-IDENTICAL to the
+    straightforward per-document spelling on unicode, short, repeated
+    and pathologically long documents. A >2^16-window doc exercises
+    the overlapping-slice min-combine branch through Spark."""
+    import numpy as np
+
+    k, n_hashes = 3, 64
+    rng = np.random.default_rng(11)
+    texts = [
+        "".join(
+            chr(int(c)) for c in rng.integers(32, 0x2600, size=int(n))
+        )
+        for n in rng.integers(0, 800, size=60)
+    ]
+    texts += [
+        "abc",
+        "ab",  # shorter than k bytes -> dropped
+        "ünïcødé 文字 " * 40,
+        "samesame " * 500,  # heavy shingle repetition
+        "y" + "x" * 200_000,  # > 2^16 windows -> sliced long-doc path
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc: list(r.sig)
+        for r in DD.minhash_signatures(
+            docs, "doc_id", "text", k=k, n_hashes=n_hashes
+        ).collect()
+    }
+
+    gold = np.uint64(0x9E3779B97F4A7C15)
+    k1 = np.uint64(0xBF58476D1CE4E5B9)
+    k2 = np.uint64(0x94D049BB133111EB)
+    salts = (np.arange(n_hashes, dtype=np.uint64) + np.uint64(1)) * gold
+    pw = np.uint64(256) ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    expected = {}
+    for i, txt in enumerate(texts):
+        b = np.frombuffer(txt.lower().encode("utf-8"), dtype=np.uint8)
+        if b.size < k:
+            continue
+        w = np.lib.stride_tricks.sliding_window_view(b, k)
+        keys = np.unique((w.astype(np.uint64) * pw).sum(axis=1))
+        z = keys[None, :] ^ salts[:, None]
+        z = (z ^ (z >> np.uint64(30))) * k1
+        z = (z ^ (z >> np.uint64(27))) * k2
+        z = z ^ (z >> np.uint64(31))
+        expected[i] = list(z.min(axis=1).astype(np.int64))
+    assert got == expected

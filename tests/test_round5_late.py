@@ -129,12 +129,15 @@ def test_decontaminate_hash_key_matches_string_key(spark):
     assert a == b and len(a) > 0
 
 
-def test_chunk_cdc_batching_is_invariant(spark):
+def test_chunk_cdc_batching_is_invariant(spark, monkeypatch):
     """The numpy boundary scan (r16) must produce byte-identical
     chunks regardless of Arrow batch size (the per-task chunking knob
     that replaced the old per-row segment bound), including a
     non-multiple length, a doc shorter than the window, and non-ASCII
-    text."""
+    text — and (r17) regardless of the bounded-memory scan segment
+    size: one pathologically long synthetic document is scanned with
+    the segment bound forced far below its length, so it spans many
+    (w-1)-overlapping segments."""
     from solana_snapshot_etl_tools_spark.plans import llm_ops as L
 
     docs = spark.createDataFrame(
@@ -142,10 +145,14 @@ def test_chunk_cdc_batching_is_invariant(spark):
             (1, "the quick brown fox jumps over the lazy dog " * 9),
             (2, "tiny"),
             (3, "ein kleines haus am grünen fluss üß " * 4 + "x"),
+            # long doc: non-periodic content so boundaries land at
+            # irregular positions that cross segment edges
+            (4, " ".join(f"w{(i * i) % 977}" for i in range(40_000))),
         ],
         "doc_id long, text string",
     )
     whole = sorted(tuple(r) for r in L.chunk_cdc(docs).collect())
+    monkeypatch.setattr(L, "CDC_SCAN_SEGMENT_CHARS", 101)
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
     try:
         seg = sorted(tuple(r) for r in L.chunk_cdc(docs).collect())
