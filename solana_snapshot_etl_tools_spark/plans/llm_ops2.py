@@ -197,6 +197,55 @@ def _codepoint_tokens(text_col):
     )
 
 
+def _codepoint_tokens_frame(docs, id_col="doc_id", text_col="text"):
+    """(id, token_ids) frame — the vectorized numpy spelling of
+    :func:`_codepoint_tokens` (r17, guide §4.2): one
+    ``utf-32-le`` decode per document instead of an INTERPRETED
+    per-code-point ``split('') → filter → transform(ascii)`` chain
+    (higher-order functions are not codegen'd; the chain also ran
+    TWICE per pack_sequences call — once in repartitionByRange's
+    range-sampling pass, once feeding the exchange). Token values are
+    identical — Spark 4's ``split('')``/``ascii`` are code-point
+    semantics even for astral chars, exactly ``ord()`` — pinned by
+    the expression-vs-frame parity pytest; pack output re-proven
+    against the DuckDB oracle at 3 SFs."""
+    from pyspark.sql import types as T
+
+    id_type = docs.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("token_ids", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, toks = [], []
+            for did, txt in zip(pdf["_id"], pdf["_t"]):
+                if txt is None:
+                    continue
+                ids.append(did)
+                toks.append(
+                    np.frombuffer(
+                        txt.encode("utf-32-le"), dtype=np.uint32
+                    ).astype(np.int32)
+                )
+            yield pd.DataFrame({id_col: ids, "token_ids": toks})
+
+    from solana_snapshot_etl_tools_spark.operators.dedup import (
+        spread_small_input,
+    )
+
+    narrow = docs.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
+    )
+    return spread_small_input(narrow).mapInPandas(gen, schema)
+
+
 def q_pack_sequences(spark, sf_dir):
     """GPT-style sequence packing over ``documents`` tokenized to
     code points (deterministic and oracle-spellable; the BPE encoder
@@ -204,9 +253,11 @@ def q_pack_sequences(spark, sf_dir):
     shape). EOS=0 after every doc; global offsets from the exact
     two-pass distributed prefix sum — partition-count invariant
     (``test_pack_is_partitioning_invariant``). Array edge emitted as
-    CSV for canonicalization."""
+    CSV for canonicalization. Tokenization is the vectorized
+    :func:`_codepoint_tokens_frame` (r17) — token values pinned
+    identical to the expression spelling."""
     docs = _t(spark, sf_dir, "documents")
-    enc = docs.select("doc_id", _codepoint_tokens(F.col("text")).alias("token_ids"))
+    enc = _codepoint_tokens_frame(docs)
     return pack_token_sequences(enc, PACK_SEQ_LEN, eos_id=0).select(
         "seq_id",
         F.array_join(F.col("input_ids").cast("array<string>"), ",").alias(

@@ -318,3 +318,38 @@ def test_pack_no_split_fill_beats_one_doc_per_sequence(spark):
     assert n_seqs < n_docs / 1.5  # genuinely packed
     stats = out.agg({"fill_frac": "avg"}).collect()[0][0]
     assert stats > 0.5
+
+def test_codepoint_tokens_frame_matches_expression(spark):
+    """The r17 vectorized tokenizer (one utf-32 decode per doc inside
+    mapInPandas) must emit exactly the token arrays of the
+    split('')/ascii expression spelling — including the empty doc
+    (no phantom token) and an astral-plane char (Spark 4 split('') is
+    code-point semantics: ONE element carrying the full code point,
+    exactly ord())."""
+    from solana_snapshot_etl_tools_spark.plans.llm_ops2 import (
+        _codepoint_tokens,
+        _codepoint_tokens_frame,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, ""),
+            (1, "ab"),
+            (2, "ünïcødé 文字"),
+            (3, "astral \U0001F600 char"),
+            (4, "the quick brown fox " * 50),
+        ],
+        "doc_id long, text string",
+    )
+    expr = {
+        r.doc_id: list(r.token_ids)
+        for r in docs.select(
+            "doc_id", _codepoint_tokens(F.col("text")).alias("token_ids")
+        ).collect()
+    }
+    frame = {
+        r.doc_id: list(r.token_ids)
+        for r in _codepoint_tokens_frame(docs).collect()
+    }
+    assert frame == expr
+    assert frame[0] == [] and frame[3][7] == 0x1F600

@@ -1,4 +1,4 @@
-"""Dump .explain("formatted") for declared queries to plans/r16/.
+"""Dump .explain("formatted") for declared queries to plans/r17/.
 
 Usage: python tools/capture_plans.py <suffix> <name1,name2,...> [sf_dir]
        python tools/capture_plans.py <suffix> HEADLINE [sf_dir]
@@ -26,7 +26,7 @@ def main() -> None:
     sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
     queries = entrymod.queries()
     names = HEADLINE if arg == "HEADLINE" else arg.split(",")
-    os.makedirs("plans/r16", exist_ok=True)
+    os.makedirs("plans/r17", exist_ok=True)
     spark = get_spark()
     for name in names:
         if name not in queries:
@@ -36,9 +36,9 @@ def main() -> None:
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
-        with io.open(f"plans/r16/{name}_{suffix}.txt", "w") as f:
+        with io.open(f"plans/r17/{name}_{suffix}.txt", "w") as f:
             f.write(plan)
-        print(f"wrote plans/r16/{name}_{suffix}.txt ({len(plan)} bytes)")
+        print(f"wrote plans/r17/{name}_{suffix}.txt ({len(plan)} bytes)")
 
 
 if __name__ == "__main__":

@@ -56,6 +56,14 @@ QUERY_NAMES = [
     "excise_dup_spans",
     "chunk_cdc",
     "dedup_exact",
+    # r17 (verdict item 8): the ANN family joins the probe — the
+    # corpus side scales Nx (build_nx's sign-flipped embeddings),
+    # the query side stays the declared 10 vectors
+    "ann_cosine_topk",
+    "ann_cosine_lsh",
+    "ann_cosine_ivf",
+    "ann_cosine_pq",
+    "ann_cosine_ivf_pq",
 ]
 
 # embeddings at sf0.1 are 2,000 x 64-dim; semdedup k=32 is the bench
