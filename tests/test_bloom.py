@@ -116,6 +116,7 @@ def test_incremental_probe_flags_identical_with_bloom(spark):
     assert 5 <= survivors <= 15
 
 
+@pytest.mark.slow
 def test_cli_index_out_writes_and_probe_reads_bloom(
     spark, tmp_path_factory, capsys
 ):
@@ -155,6 +156,7 @@ def test_cli_index_out_writes_and_probe_reads_bloom(
     assert rep["n_after_index_dedup"] == rep["n_after_filters"] - 3
 
 
+@pytest.mark.slow
 def test_stream_ingest_maintains_bloom_and_guards_coverage(
     spark, tmp_path_factory
 ):
@@ -339,6 +341,7 @@ def test_bloom_flags_match_python_reference_exactly(spark):
     # and the reference agrees a real member is always present
     assert all(want[f"key-{i}"] for i in range(500, 800))
 
+@pytest.mark.slow
 def test_cli_dedup_against_stream_store_guards_bloom_coverage(
     spark, tmp_path_factory, capsys
 ):

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from solana_snapshot_etl_tools_spark import corpus_cli
@@ -18,6 +20,7 @@ def _run(capsys, *argv):
     return json.loads(out[-1])
 
 
+@pytest.mark.slow
 def test_document_pipeline_end_to_end(spark, tmp_path_factory, capsys):
     out = str(tmp_path_factory.mktemp("corpus_docs"))
     rep = _run(capsys, SRC, out, "--near-dedup", "--records-per-shard", "100")
@@ -172,6 +175,7 @@ def test_tokenize_and_pack_path(spark, tmp_path_factory, capsys):
     assert got == want
 
 
+@pytest.mark.slow
 def test_two_shard_ingestion_cluster_balance_and_index(
     spark, tmp_path_factory, capsys
 ):
@@ -274,6 +278,7 @@ def test_shuffle_seed_globally_shuffles_shards(spark, tmp_path_factory, capsys):
     assert ids(out_a) == ids(out_b)
 
 
+@pytest.mark.slow
 def test_all_stages_compose_in_one_run(spark, tmp_path_factory, capsys):
     """Every optional stage at once — the full production recipe in a
     single invocation: near dedup, learned quality model (Pareto),
@@ -333,6 +338,7 @@ def test_all_stages_compose_in_one_run(spark, tmp_path_factory, capsys):
     assert rep["data_card"]["exact_dup_rate"] < 0.01
 
 
+@pytest.mark.slow
 def test_ingest_stream_mode(spark, tmp_path_factory, capsys):
     """--ingest-stream: the CLI drives streaming/ingest.py over a
     directory of shards; a second invocation picks up only NEW
@@ -451,6 +457,7 @@ def test_stratified_split_cli_mode(spark, tmp_path_factory, capsys):
     assert total == rep["n_after_filters"]
 
 
+@pytest.mark.slow
 def test_ingest_stream_python_m_entrypoint(tmp_path_factory, spark):
     """The documented `python -m ... --ingest-stream` invocation must
     work: _ingest_stream_main was once defined AFTER the __main__
@@ -556,6 +563,7 @@ def test_missing_sigs_degrades_loudly_but_corrupt_sigs_raise(
         )
 
 
+@pytest.mark.slow
 def test_ingest_stream_quality_model_stratified_split_data_card_one_run(
     spark, tmp_path_factory, capsys
 ):
@@ -834,6 +842,7 @@ def test_tokenizer_eval_report_line(spark, tmp_path_factory, capsys):
     assert prem["latin"] == _pytest.approx(1.0)
 
 
+@pytest.mark.slow
 def test_html_extract_and_url_dedup_batch(spark, tmp_path_factory, capsys):
     """The crawl-side front of the pipeline in one run: HTML-held
     text extracted, URL variants of one page deduped on normalized
@@ -880,6 +889,7 @@ def test_html_extract_and_url_dedup_batch(spark, tmp_path_factory, capsys):
         corpus_cli.main([no_url, str(base / "o2"), "--url-dedup"])
 
 
+@pytest.mark.slow
 def test_html_extract_streams(spark, tmp_path_factory, capsys):
     import os
 
@@ -1347,6 +1357,7 @@ def test_boilerplate_stage_batch_and_stream(
     assert stream_texts and all("cookies" not in t for t in stream_texts)
 
 
+@pytest.mark.slow
 def test_decontam_ngrams_stage_batch_and_stream(
     spark, tmp_path_factory, capsys
 ):
@@ -1495,6 +1506,7 @@ def test_discover_boilerplate_stage(spark, tmp_path_factory, capsys):
                          "--discover-boilerplate", "0"])
 
 
+@pytest.mark.slow
 def test_dedup_prefer_keeps_best_member(spark, tmp_path_factory, capsys):
     """--dedup-prefer COL: the near-dup family's survivor is its
     highest-COL member (default stays min-id), for both the minhash

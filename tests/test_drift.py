@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from solana_snapshot_etl_tools_spark.operators import drift as DR
@@ -206,6 +208,7 @@ def test_cli_drift_save_then_reference_compare(spark, tmp_path_factory, capsys):
     assert all(v["level"] == "stable" for v in rep_artifact["drift"].values())
 
 
+@pytest.mark.slow
 def test_stream_drift_reference_monitor(spark, tmp_path_factory, capsys):
     """--drift-reference on the ingest stream: per-batch PSI rows
     appended to OUT_DIR/drift_log (replay-idempotent — a rerun with no

@@ -195,6 +195,7 @@ def test_save_load_roundtrip_scores_identical(spark, tmp_path_factory):
         DS.dsir_load(spark, str(base / "nowhere"))
 
 
+@pytest.mark.slow
 def test_cli_dsir_save_then_model_and_stream_post_drain(
     spark, tmp_path_factory, capsys
 ):
@@ -421,6 +422,7 @@ def test_calibrate_exact_on_peaked_weight_profiles(spark):
     )
     assert DS._calibrate(z, 2, 8) is None
 
+@pytest.mark.slow
 def test_cli_dsir_sample_scale_stream_posture(spark, tmp_path_factory, capsys):
     """--dsir-sample-scale: the append-stable CLI posture — calibrate
     once (--dsir-sample reports dsir_calibrated_scale), then replay

@@ -158,6 +158,7 @@ def test_profile_token_sketch_aggregates_map_side(spark):
     assert re.search(r"partial_hll_sketch_agg", plan), plan[:2000]
 
 
+@pytest.mark.slow
 def test_cli_profile_batch_and_incremental_stream(
     spark, tmp_path_factory, capsys
 ):

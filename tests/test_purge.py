@@ -160,6 +160,7 @@ def test_purge_index_only_state(spark, tmp_path, capsys):
     assert got.isdisjoint({r.doc_id for r in victims.collect()})
 
 
+@pytest.mark.slow
 def test_governance_capstone_monitor_then_takedown(
     spark, tmp_path_factory, capsys
 ):

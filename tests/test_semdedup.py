@@ -277,6 +277,7 @@ def test_semdedup_guards(spark):
     ):
         SD.semdedup(withnull, 1, threshold=0.5).collect()
 
+@pytest.mark.slow
 def test_cli_semdedup_batch_and_stream(spark, tmp_path_factory, capsys):
     """--semdedup composes with the batch pipeline (before
     cluster-balance) and with --ingest-stream as a post-drain stage;
@@ -372,6 +373,7 @@ def test_semdedup_single_shuffle_plan(spark):
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
 
 
+@pytest.mark.slow
 def test_cli_stream_semdedup_model_append_stable(
     spark, tmp_path_factory, capsys
 ):

@@ -185,6 +185,7 @@ def test_corpus_scrub_and_score_stream_matches_batch(spark, tmp_path_factory):
     assert streamed.count() > 0
 
 
+@pytest.mark.slow
 def test_streaming_shard_ingestion_matches_sequential_batches(
     spark, tmp_path_factory
 ):
@@ -271,6 +272,7 @@ def test_streaming_shard_ingestion_matches_sequential_batches(
     assert n_idx % len(got_corpus) == 0 and n_idx >= 2 * len(got_corpus)
 
 
+@pytest.mark.slow
 def test_streaming_ingestion_replay_is_idempotent(spark, tmp_path_factory):
     """Crash-replay semantics: foreachBatch is at-least-once, and a
     batch is re-run exactly when the previous attempt died after some

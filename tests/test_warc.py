@@ -292,6 +292,7 @@ def test_cli_stream_mode_rejects_warc_input(tmp_path):
         ])
 
 
+@pytest.mark.slow
 def test_cli_crawl_capstone_composes_round12_stages(
     spark, tmp_path, tmp_path_factory, capsys
 ):
