@@ -631,94 +631,57 @@ def minhash_signatures(
         salts = (np.arange(n_hashes, dtype=np.uint64) + np.uint64(1)) * gold
         pw = np.uint64(256) ** np.arange(k - 1, -1, -1, dtype=np.uint64)
         # Bound the (n_hashes × windows) mixing matrix: 2^16 windows →
-        # 32 MB of uint64 per sub-chunk regardless of batch/doc sizes.
-        # (r17: the per-doc Python loop — encode, window view,
-        # np.unique, mix per ROW — is batch-flattened like the simhash
-        # kernel: one buffer, one key pass, one lexsort dedupe, one
-        # mixing matrix, one segmented min per sub-chunk. Same math →
-        # bit-identical signatures, pinned by
-        # test_minhash_kernel_matches_per_doc_reference.)
+        # 32 MB of uint64 per slice regardless of document size. The
+        # unbounded r16 kernel allocated 64 × n_shingles for the WHOLE
+        # document (a 10 MB doc ≈ 5 GB transient in the Python worker
+        # — the exit-137 signature at 100 TB); a document past the
+        # budget is scanned in overlapping ((k-1)-byte) slices and the
+        # slice signatures min-combine (min over duplicated shingles
+        # is idempotent). A full BATCH-flattened spelling (one lexsort
+        # dedupe + one segmented reduceat min across all docs) was
+        # also built and A/B'd (r17): sig stage flat, full
+        # dedup_minhash_lsh query 4.02 s vs 3.63 s median — the big
+        # lexsort loses to per-doc np.unique's cache locality; the
+        # per-doc loop with the slice bound keeps the old speed AND
+        # the memory cap. Bit-identical either way, pinned by
+        # test_minhash_kernel_matches_per_doc_reference.
         window_budget = 1 << 16
 
-        def sketch(blobs: list[bytes]) -> np.ndarray:
-            """(len(blobs), n_hashes) UINT64 signature rows for byte
-            strings each of length >= k (minima must be taken in
-            uint64 space — the int64 two's-complement cast happens
-            once at yield). Whole-segment vectorization: flatten, one
-            polynomial-key pass (k shifted multiply-adds), mask
-            windows crossing doc boundaries, per-doc dedupe via one
-            lexsort, splitmix-mix every (salt, key) once, segmented
-            min with reduceat."""
-            lens = np.fromiter(
-                (len(b) for b in blobs), dtype=np.int64, count=len(blobs)
-            )
-            buf = np.frombuffer(b"".join(blobs), dtype=np.uint8).astype(
-                np.uint64
-            )
-            n_win = buf.size - k + 1
-            keys = np.zeros(n_win, dtype=np.uint64)
-            for j in range(k):
-                keys += buf[j : j + n_win] * pw[j]
-            off = np.zeros(len(lens), dtype=np.int64)
-            np.cumsum(lens[:-1], out=off[1:])
-            valid = lens - (k - 1)  # per-doc window count, all >= 1
-            delta = np.zeros(n_win + 1, dtype=np.int64)
-            np.add.at(delta, off, 1)
-            np.add.at(delta, off + valid, -1)
-            keys = keys[np.cumsum(delta[:-1]) > 0]
-            docix = np.repeat(np.arange(len(lens), dtype=np.int64), valid)
-            order = np.lexsort((keys, docix))
-            keys, docix = keys[order], docix[order]
-            first = np.empty(keys.size, dtype=bool)
-            first[0] = True
-            first[1:] = (keys[1:] != keys[:-1]) | (docix[1:] != docix[:-1])
-            keys, docix = keys[first], docix[first]
-            z = keys[None, :] ^ salts[:, None]  # (n_hashes, n_distinct)
+        def sketch_keys(keys: np.ndarray) -> np.ndarray:
+            """(n_hashes,) UINT64 minima over one distinct-key set
+            (minima must be taken in uint64 space — the int64
+            two's-complement cast happens once at yield)."""
+            z = keys[None, :] ^ salts[:, None]  # (n_hashes, n_keys)
             z = (z ^ (z >> np.uint64(30))) * k1
             z = (z ^ (z >> np.uint64(27))) * k2
             z = z ^ (z >> np.uint64(31))
-            seg = np.nonzero(np.r_[True, docix[1:] != docix[:-1]])[0]
-            return np.minimum.reduceat(z, seg, axis=1).T
+            return z.min(axis=1)
+
+        def doc_keys(b: np.ndarray) -> np.ndarray:
+            w = np.lib.stride_tricks.sliding_window_view(b, k)
+            return np.unique((w.astype(np.uint64) * pw).sum(axis=1))
 
         for pdf in batches:
-            ids, blobs = [], []
+            ids, sigs = [], []
             for did, txt in zip(pdf[id_col], pdf[text_col]):
                 if txt is None:
                     continue
-                b = txt.lower().encode("utf-8")
-                if len(b) < k:
+                b = np.frombuffer(txt.lower().encode("utf-8"), dtype=np.uint8)
+                if b.size < k:
                     continue
                 ids.append(did)
-                blobs.append(b)
-            sigs: list[np.ndarray] = []
-            start = 0
-            while start < len(blobs):
-                stop = start + 1
-                wins = len(blobs[start]) - k + 1
-                while (
-                    stop < len(blobs)
-                    and wins + len(blobs[stop]) - k + 1 <= window_budget
-                ):
-                    wins += len(blobs[stop]) - k + 1
-                    stop += 1
-                if stop == start + 1 and wins > window_budget:
-                    # one pathological document: scan it in overlapping
-                    # byte slices ((k-1)-byte overlap keeps every
-                    # window) and min-combine the slice signatures —
-                    # min over duplicated shingles is idempotent
-                    b = blobs[start]
-                    parts = sketch(
-                        [
-                            b[s : s + window_budget + k - 1]
-                            for s in range(0, len(b) - (k - 1), window_budget)
-                        ]
-                    )
-                    sigs.append(parts.min(axis=0, keepdims=True))
+                if b.size - k + 1 <= window_budget:
+                    sigs.append(sketch_keys(doc_keys(b)))
                 else:
-                    sigs.append(sketch(blobs[start:stop]))
-                start = stop
+                    acc = np.full(n_hashes, np.uint64(0xFFFFFFFFFFFFFFFF))
+                    for s in range(0, b.size - (k - 1), window_budget):
+                        part = sketch_keys(
+                            doc_keys(b[s : s + window_budget + k - 1])
+                        )
+                        np.minimum(acc, part, out=acc)
+                    sigs.append(acc)
             out = (
-                np.concatenate(sigs, axis=0)
+                np.stack(sigs)
                 if sigs
                 else np.empty((0, n_hashes), dtype=np.uint64)
             ).astype(np.int64)  # u64 → i64 two's-complement, once
