@@ -54,6 +54,7 @@ def test_gopher_flag_tightens_the_filter(spark, tmp_path_factory, capsys):
     assert 0 < relaxed["n_after_filters"] <= base["n_after_filters"]
 
 
+@pytest.mark.slow
 def test_cluster_balance_stage(spark, tmp_path_factory, capsys):
     out = str(tmp_path_factory.mktemp("corpus_balanced"))
     rep = _run(
@@ -397,6 +398,7 @@ def test_ingest_stream_mode(spark, tmp_path_factory, capsys):
         corpus_cli.main([src, out, "--ingest-stream"])  # no --index-out
 
 
+@pytest.mark.slow
 def test_ingest_stream_honors_cleaning_flags(spark, tmp_path_factory, capsys):
     """The stream mode applies the SAME stateless cleaning tier as
     batch mode — flags must not be silently ignored."""
@@ -911,6 +913,7 @@ def test_html_extract_streams(spark, tmp_path_factory, capsys):
         assert "<" not in r.text and r.text.startswith("the quick")
 
 
+@pytest.mark.slow
 def test_term_blocklist_stage_batch_and_stream(spark, tmp_path_factory, capsys):
     """--term-blocklist drops high-density documents in BOTH modes
     with the identical (column-expression) rule; the Scunthorpe case
@@ -1291,6 +1294,7 @@ def test_dsir_stage_batch(spark, tmp_path_factory, capsys):
                          "--dsir-keep", "0"])
 
 
+@pytest.mark.slow
 def test_boilerplate_stage_batch_and_stream(
     spark, tmp_path_factory, capsys
 ):
@@ -1429,6 +1433,7 @@ def test_decontam_ngrams_stage_batch_and_stream(
                          "--decontam-max-overlap", "1.0"])
 
 
+@pytest.mark.slow
 def test_discover_boilerplate_stage(spark, tmp_path_factory, capsys):
     """--discover-boilerplate: the report carries the top heavy-hitter
     lines (exact distinct-doc frequencies on the pre-filter frame),

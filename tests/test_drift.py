@@ -180,6 +180,7 @@ def test_drift_vs_reference_drops_lang_when_new_lacks_it(spark):
     assert "lang" not in feats and "len_log2" in feats
 
 
+@pytest.mark.slow
 def test_cli_drift_save_then_reference_compare(spark, tmp_path_factory, capsys):
     import json
 

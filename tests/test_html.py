@@ -4,6 +4,8 @@ and the composition into the paragraph-level operators it feeds."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from solana_snapshot_etl_tools_spark.functions import html as H
@@ -169,6 +171,7 @@ def test_html_robots_directives_and_noai(spark):
     assert got[8] == ("noaiety", False)
 
 
+@pytest.mark.slow
 def test_cli_respect_noai_batch_and_stream(spark, tmp_path_factory, capsys):
     import json as _json
     import os

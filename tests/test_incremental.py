@@ -4,6 +4,8 @@ parity with the LSH candidate generator, and index loop closure."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from solana_snapshot_etl_tools_spark.operators import dedup as D
@@ -272,6 +274,7 @@ def test_compact_index_preserves_contents_and_probes(spark, tmp_path_factory):
         assert len(glob.glob(f"{band_dir}/*.parquet")) == 1
 
 
+@pytest.mark.slow
 def test_compact_stream_store_preserves_batch_layout(spark, tmp_path_factory):
     """Compacting a STREAM-written store (batch-partitioned index/
     sigs/bloom) preserves the batch layout so the ingest loop can

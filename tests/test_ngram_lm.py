@@ -359,6 +359,7 @@ def test_perplexity_buckets_per_stratum(spark):
         LM.perplexity_buckets(docs, model, cuts=(0.9, 0.1))
 
 
+@pytest.mark.slow
 def test_cli_lm_keep_buckets(spark, tmp_path_factory, capsys):
     """--lm-keep-buckets head,middle drops the worst tercile; the
     dropped docs are exactly the highest-perplexity ones."""

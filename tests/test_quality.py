@@ -3,6 +3,8 @@ per rule, pass-through of clean prose, and plan narrowness."""
 
 from __future__ import annotations
 
+import pytest
+
 import contextlib
 import io
 
@@ -309,6 +311,7 @@ def test_fineweb_plan_is_narrow(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+@pytest.mark.slow
 def test_cli_fineweb_flag_batch_and_stream(spark, tmp_path_factory, capsys):
     """--fineweb drops rule-failing docs in both modes (a stateless
     column filter, like --gopher)."""
